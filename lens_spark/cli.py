@@ -1,0 +1,69 @@
+"""CLI: ``python -m lens_spark.cli <lensfile.json> [< in.json] [> out.json]``
+
+Reproduces the reference CLI (/root/reference/host-go/cli/main.go):
+read a JSON array of documents from stdin, apply the lens file, write
+the transformed JSON array to stdout. Extras (Spark-native surface):
+``--input/--output`` parquet/json paths, ``--inverse``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from lens_spark import engine
+from lens_spark.model import LensConfig
+from lens_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="lens_spark")
+    parser.add_argument("lensfile", help="pipeline spec JSON (lens file)")
+    parser.add_argument("--input", help="input path (parquet or json); default stdin JSON array")
+    parser.add_argument("--output", help="output path (parquet or json); default stdout JSON array")
+    parser.add_argument("--format", default=None, choices=["parquet", "json"],
+                        help="fallback format when a path's extension doesn't decide")
+    parser.add_argument("--inverse", action="store_true",
+                        help="apply the inverted pipeline (E8)")
+    args = parser.parse_args(argv)
+
+    spec = LensConfig.load(args.lensfile)
+    if args.inverse:
+        spec = spec.inverted()
+
+    spark = get_spark("lens_spark.cli")
+    try:
+        def path_format(path: str) -> str:
+            if path.endswith(".json"):
+                return "json"
+            if path.endswith(".parquet"):
+                return "parquet"
+            return args.format or "parquet"
+
+        if args.input:
+            df = spark.read.format(path_format(args.input)).load(args.input)
+        else:
+            docs = json.load(sys.stdin)
+            if not isinstance(docs, list):
+                raise SystemExit("stdin must be a JSON array of documents")
+            df = spark.createDataFrame(docs) if docs else None
+            if df is None:
+                print("[]")
+                return 0
+
+        out = engine.append(df, spec)
+
+        if args.output:
+            out.write.format(path_format(args.output)).mode("overwrite").save(args.output)
+        else:
+            rows = [json.loads(r) for r in out.toJSON().collect()]
+            json.dump(rows, sys.stdout, indent=2, default=str)
+            print()
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

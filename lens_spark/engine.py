@@ -1,0 +1,120 @@
+"""Pipeline engine: compose lens stages over a DataFrame.
+
+≙ engine.Append (/root/reference/host-go/engine/engine.go:25-49): zero
+lenses is the identity, N lenses chain in declared order. Evaluation is
+lazy — ``append`` only builds the DataFrame logical plan; nothing runs
+until an action (≙ config.Load "does not enumerate the src",
+/root/reference/host-go/config/config.go:16-18). Reset (E5) is implicit:
+DataFrames are immutable, so re-running the plan IS reset.
+
+Fusion pass (P2 analogue, /root/reference/host-go/engine/pipes/fromPipe.go):
+adjacent ``python_udf`` stages are composed into ONE mapInPandas stage,
+so a chain of K python lenses crosses the JVM↔Python Arrow boundary
+once. Native lens chains need no help — Catalyst/WholeStageCodegen
+fuses them for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+from lens_spark.model import LensConfig, LensModule
+from lens_spark.operators.base import Lens, make_lens
+
+
+def _coerce_config(spec: Any) -> LensConfig:
+    if isinstance(spec, LensConfig):
+        return spec
+    if isinstance(spec, LensModule):
+        return LensConfig([spec])
+    if isinstance(spec, Mapping):
+        return LensConfig.from_dict(spec)
+    if isinstance(spec, str):
+        return LensConfig.from_json(spec)
+    if isinstance(spec, Iterable):
+        return LensConfig(
+            m if isinstance(m, LensModule) else LensModule.from_dict(m) for m in spec
+        )
+    raise TypeError(f"cannot build a LensConfig from {type(spec).__name__}")
+
+
+def _instantiate(config: LensConfig) -> list[tuple[LensModule, Lens]]:
+    return [(m, make_lens(m.name, m.arguments)) for m in config.lenses]
+
+
+def _fuse_python_stages(stages: list[tuple[LensModule, Lens]]):
+    """Group consecutive fusable python stages; pass others through."""
+    from lens_spark.operators.udf import compose_batch_fns
+
+    grouped: list[Any] = []
+    run: list[tuple] = []  # (fn, params, schema) triples
+
+    def flush():
+        nonlocal run
+        if not run:
+            return
+        if len(run) == 1:
+            fn, params, schema = run[0]
+            grouped.append(("python", compose_batch_fns([(fn, params)]), schema))
+        else:
+            final_schema = run[-1][2]
+            grouped.append(
+                ("python", compose_batch_fns([(fn, params) for fn, params, _ in run]),
+                 final_schema)
+            )
+        run = []
+
+    for module, lens in stages:
+        fusable = lens.fusable_iter_inverse if module.inverse else lens.fusable_iter
+        if fusable is not None:
+            run.append(fusable)
+        else:
+            flush()
+            grouped.append(("lens", module, lens))
+    flush()
+    return grouped
+
+
+def append(df: DataFrame, spec: Any) -> DataFrame:
+    """Apply a pipeline spec to ``df`` lazily. ≙ E1/E6.
+
+    ``spec`` may be a LensConfig, dict, JSON string, LensModule, or an
+    iterable of modules. Zero modules → identity.
+    """
+    config = _coerce_config(spec)
+    stages = _instantiate(config)
+    out = df
+    for kind, *rest in _fuse_python_stages(stages):
+        if kind == "python":
+            fused_fn, schema = rest
+            out = out.mapInPandas(fused_fn, schema=schema)
+        else:
+            module, lens = rest
+            out = lens.inverse(out) if module.inverse else lens.forward(out)
+    return out
+
+
+def transform(df: DataFrame, spec: Any) -> DataFrame:
+    """Alias of append (the Store.Transform spelling, store.go:194-205)."""
+    return append(df, spec)
+
+
+def invert(spec: Any) -> LensConfig:
+    """E8 pipeline inversion: reverse order, flip each inverse flag
+    (/root/reference/host-go/repository/repository.go:172-206)."""
+    return _coerce_config(spec).inverted()
+
+
+def inverse(df: DataFrame, spec: Any) -> DataFrame:
+    """Apply the inverted pipeline (Store.Inverse, store.go:207-218)."""
+    return append(df, invert(spec))
+
+
+def compose(*specs: Any) -> LensConfig:
+    """Concatenate pipelines into one config."""
+    modules: list[LensModule] = []
+    for spec in specs:
+        modules.extend(_coerce_config(spec).lenses)
+    return LensConfig(modules)

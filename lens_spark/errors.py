@@ -1,0 +1,27 @@
+"""Error types.
+
+The reference carries errors in-band as `TypeId=-1` frames that become
+host errors at Value() time (host-go/engine/pipes/fromSource.go:68-70).
+Our strict-mode analogue is a raised ``LensError`` (task failure); the
+permissive-mode analogue (an ``_error`` string column) is provided by
+the python_udf lens wrapper in lens_spark.operators.udf.
+"""
+
+from __future__ import annotations
+
+
+class LensError(Exception):
+    """An error raised by a lens (pipeline stage) or the engine."""
+
+
+class LensNotFoundError(LensError):
+    """Unknown built-in lens name / unresolvable module path."""
+
+
+class InvalidLensIdError(LensError):
+    """A registry id that is not a valid content id.
+
+    Mirrors the reference's assertIsCid (host-go/store/store.go:284-287):
+    malformed ids are an error, while *well-formed but unknown* ids fall
+    through to the identity transform (host-go/repository/repository.go:250-254).
+    """

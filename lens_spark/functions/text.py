@@ -1,0 +1,95 @@
+"""Text-analysis expressions: tokenization, counting, quality, lang-id,
+fingerprinting. All pure Catalyst expressions; every helper that backs
+an oracle query has an exact DuckDB-SQL twin (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword marker sets per language. The goal is a
+# reproducible heuristic (same answer in Spark and the SQL oracle), not
+# linguistic accuracy — swap in real profiles (e.g. CLD3-style n-gram
+# tables) for production corpora.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "la", "los", "y", "es", "una"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+# "BPE-ish" token pattern: runs of word chars OR single non-space symbols
+# — approximates subword pre-tokenization without a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+PUNCT_PATTERN = r"[^\w\s]"
+
+
+def tokens(text: Column, *, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text, lowercase=False)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0))
+    return F.when(F.length(text) > 0,
+                  n_punct.cast("double") / F.length(text).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language (over whitespace tokens)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column, *, default: str = "und") -> Column:
+    """argmax language by marker hits; ties broken by language-code order;
+    all-zero → ``default``."""
+    scores = lang_scores(text)
+    ordered = sorted(scores)  # deterministic tie-break: alphabetical
+    best_score = F.greatest(*[scores[lang] for lang in ordered])
+    expr = F.lit(default)
+    for lang in reversed(ordered):
+        expr = F.when((best_score > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic 0..1 quality heuristic: rewards mid-length docs and
+    word-like content, penalizes punctuation soup. Rounded to 6dp so the
+    double is hash-stable across engines."""
+    length = F.length(text).cast("double")
+    len_component = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    score = (len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3)
+    return F.round(score, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over case/whitespace-normalized text.
+    Identical in DuckDB: md5(trim(regexp_replace(lower(text),'\\s+',' ','g')))."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)

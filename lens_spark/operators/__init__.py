@@ -1,0 +1,35 @@
+"""Built-in lens operator library.
+
+Importing this package registers all built-in lenses. Modules:
+  core      — M1-M7 archetypes + schema-migration helpers (Catalyst-native)
+  counter   — M5 stateful sequence assignment (distributed two-pass)
+  udf       — python_udf escape hatch (mapInPandas, Arrow-batched, fusable)
+  dedup     — X1/X2 exact + MinHash-LSH / SimHash / n-gram Jaccard near-dup
+  similarity— X3 embedding cosine top-k (brute force + LSH-bucketed ANN)
+  text      — X5 language-id, quality scoring, token counts, fingerprints
+  multimodal— X4 binary media columns: decode/feature plumbing (stubbed codecs)
+"""
+
+from lens_spark.operators.base import (
+    Lens,
+    builtin_names,
+    make_lens,
+    register_lens,
+)
+from lens_spark.operators import core as _core  # noqa: F401  (registers lenses)
+from lens_spark.operators import counter as _counter  # noqa: F401
+from lens_spark.operators import udf as _udf  # noqa: F401
+from lens_spark.operators.udf import per_item, register_python_lens
+from lens_spark.operators import dedup as _dedup  # noqa: F401
+from lens_spark.operators import similarity as _similarity  # noqa: F401
+from lens_spark.operators import text as _text  # noqa: F401
+from lens_spark.operators import multimodal as _multimodal  # noqa: F401
+
+__all__ = [
+    "Lens",
+    "builtin_names",
+    "make_lens",
+    "register_lens",
+    "register_python_lens",
+    "per_item",
+]

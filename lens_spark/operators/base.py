@@ -1,0 +1,85 @@
+"""Lens abstraction + built-in lens registry.
+
+A lens is a named, parameterized, optionally invertible
+DataFrame→DataFrame transform — the Spark-native analogue of the
+reference's WASM module with exports ``transform`` / ``inverse`` /
+``set_param`` (/root/reference/README.md:23-28). ``make(params)``
+plays the role of ``NewInstance(module, params)`` + one-shot
+``set_param`` (/root/reference/host-go/engine/engine.go:106-112).
+
+Built-ins are plain Catalyst transforms so the optimizer can push
+filters / prune columns straight through a pipeline; the python_udf
+escape hatch (operators/udf.py) covers everything else, exactly where
+the reference needed WASM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import DataFrame
+
+from lens_spark.errors import LensError, LensNotFoundError
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Lens:
+    """An instantiated lens: forward and (optional) inverse transform."""
+
+    name: str
+    arguments: Mapping[str, Any] = field(default_factory=dict)
+    forward_fn: Transform = lambda df: df
+    inverse_fn: Transform | None = None
+    # Iterator-level python stages are fusable (engine composes adjacent
+    # ones into a single mapInPandas pass — the analogue of the
+    # reference's raw-byte pipe handoff, host-go/engine/pipes/fromPipe.go).
+    fusable_iter: Callable | None = None
+    fusable_iter_inverse: Callable | None = None
+    output_schema: Any = None
+
+    def forward(self, df: DataFrame) -> DataFrame:
+        return self.forward_fn(df)
+
+    def inverse(self, df: DataFrame) -> DataFrame:
+        if self.inverse_fn is None:
+            # Mirrors the reference's missing-inverse failure
+            # (tests/integration/cli/with_inverse_test.go:14-85).
+            raise LensError(f"lens '{self.name}' does not define an inverse")
+        return self.inverse_fn(df)
+
+
+LensFactory = Callable[[Mapping[str, Any]], Lens]
+
+_BUILTINS: dict[str, LensFactory] = {}
+
+
+def register_lens(name: str) -> Callable[[LensFactory], LensFactory]:
+    """Register a built-in lens factory under ``name``."""
+
+    def deco(factory: LensFactory) -> LensFactory:
+        _BUILTINS[name] = factory
+        return factory
+
+    return deco
+
+
+def make_lens(name: str, arguments: Mapping[str, Any] | None = None) -> Lens:
+    factory = _BUILTINS.get(name)
+    if factory is None:
+        raise LensNotFoundError(
+            f"unknown lens '{name}'; registered: {sorted(_BUILTINS)}"
+        )
+    return factory(dict(arguments or {}))
+
+
+def builtin_names() -> list[str]:
+    return sorted(_BUILTINS)
+
+
+def require_arg(arguments: Mapping[str, Any], key: str, lens: str) -> Any:
+    if key not in arguments:
+        raise LensError(f"lens '{lens}' requires argument '{key}'")
+    return arguments[key]

@@ -1,0 +1,194 @@
+"""X1/X2 deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup shuffles once on the hash of the key columns — Spark's
+  dropDuplicates already plans partial (map-side) dedup before the
+  exchange, so the shuffle carries only distinct rows per partition.
+- near-dup avoids the O(n²) similarity join via LSH banding: each doc
+  expands to `num_bands` (band_hash, id) rows, the candidate join
+  shuffles on band_hash, and only bucket-mates are compared. Bucket
+  skew is bounded by `max_bucket` (oversized buckets are dropped and
+  reported — at web scale those are boilerplate clusters that should be
+  handled by exact-fingerprint dedup first).
+- connected components for cluster collapse is iterative min-label
+  propagation with early exit — each iteration is one shuffle on id.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lens_spark.functions.hashing import (
+    band_hashes,
+    char_shingles,
+    jaccard_shingles,
+    minhash_signature,
+    simhash64,
+)
+from lens_spark.functions.text import tokens
+from lens_spark.functions.vectors import cosine_similarity
+from lens_spark.operators.base import Lens, register_lens, require_arg
+
+
+def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(columns) if columns else df.dropDuplicates()
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                       num_hashes: int = 16, ngram: int = 3,
+                       band_size: int = 4, max_bucket: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    sig = minhash_signature(char_shingles(F.col(text_col), ngram), num_hashes)
+    bands = (
+        df.select(F.col(id_col), band_hashes(sig, num_hashes, band_size).alias("bands"))
+        .select(F.col(id_col), F.explode("bands").alias("band_hash"))
+    )
+    if max_bucket is not None:
+        # Cap pathological buckets before the self-join (skew guard).
+        sizes = bands.groupBy("band_hash").count()
+        bands = bands.join(sizes.filter(F.col("count") <= max_bucket), "band_hash").drop("count")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                  num_hashes: int = 16, ngram: int = 3, band_size: int = 4,
+                  threshold: float | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
+    """LSH candidates, optionally verified with exact n-gram Jaccard."""
+    pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
+                               ngram=ngram, band_size=band_size, max_bucket=max_bucket)
+    if threshold is None:
+        return pairs
+    shingled = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), ngram).alias("__sh")
+    )
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jaccard_shingles(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         *, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph.
+
+    Returns (id, component) where component = min id reachable. Each
+    iteration = one groupBy shuffle; converges in O(log(diameter))
+    iterations for near-dup graphs (mostly tiny cliques).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_neardup(df: DataFrame, id_col: str, text_col: str, **kwargs) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster."""
+    pairs = neardup_pairs(df, id_col, text_col, **kwargs)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id"))
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("simhash"))
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, via self-join).
+
+    The O(n²) fallback — at scale, route through
+    lens_spark.operators.similarity.ann_topk buckets instead.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --- lens registrations -------------------------------------------------
+
+@register_lens("dedup_exact")
+def dedup_exact_lens(arguments: Mapping[str, Any]) -> Lens:
+    columns = arguments.get("columns")
+    cols = [str(c) for c in columns] if columns else None
+    return Lens("dedup_exact", arguments, lambda df: exact_dedup(df, cols))
+
+
+@register_lens("dedup_minhash")
+def dedup_minhash_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id (col), column (text col), num_hashes, ngram,
+    band_size, threshold, mode ("pairs" | "dedup")."""
+    id_col = str(require_arg(arguments, "id", "dedup_minhash"))
+    text_col = str(require_arg(arguments, "column", "dedup_minhash"))
+    kwargs = dict(
+        num_hashes=int(arguments.get("num_hashes", 16)),
+        ngram=int(arguments.get("ngram", 3)),
+        band_size=int(arguments.get("band_size", 4)),
+        threshold=arguments.get("threshold"),
+        max_bucket=arguments.get("max_bucket"),
+    )
+    mode = str(arguments.get("mode", "dedup"))
+    if mode == "pairs":
+        return Lens("dedup_minhash", arguments,
+                    lambda df: neardup_pairs(df, id_col, text_col, **kwargs))
+    return Lens("dedup_minhash", arguments,
+                lambda df: dedup_neardup(df, id_col, text_col, **kwargs))
+
+
+@register_lens("simhash")
+def simhash_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (text col), out (default "simhash")."""
+    text_col = str(require_arg(arguments, "column", "simhash"))
+    out = str(arguments.get("out", "simhash"))
+    return Lens("simhash", arguments,
+                lambda df: df.withColumn(out, simhash64(tokens(F.col(text_col)))))

@@ -1,0 +1,120 @@
+"""X3 similarity search over embedding columns.
+
+Two paths:
+- ``brute_force_topk``: exact top-k by cosine. The query set is
+  broadcast (it is small by construction); the corpus is scanned once,
+  scored JVM-side, and ranked with a per-query window. At 100 TB the
+  scan parallelizes freely; the only shuffle is the per-query top-k
+  (tiny after per-partition pre-ranking).
+- ``ann_topk``: LSH-bucketed approximate NN via random-hyperplane
+  signs. Hyperplanes are derived deterministically from a seed via
+  xxhash64 (no stored model); corpus and queries hash to sign-bit
+  buckets; candidates = same bucket in ≥1 of ``num_tables`` tables.
+  Turns the scan into a bucket join — the standard recall/cost dial.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lens_spark.functions.vectors import cosine_similarity
+from lens_spark.operators.base import Lens, register_lens, require_arg
+
+
+def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+                     vec_col: str, k: int = 10,
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    ).select("query_id", "neighbor_id", "score")
+    return _rank_topk(scored, "query_id", k)
+
+
+def _hyperplane_sign_bits(vec, dim: int, num_bits: int, table: int, seed: int):
+    """Deterministic random-hyperplane bucket id for one LSH table.
+
+    Plane component (bit b, dim d) = centered xxhash64 of (seed,table,b,d)
+    — pseudo-random, reproducible, computed inline with no model state.
+    """
+    bucket = F.lit(table * (1 << num_bits)).cast("bigint")
+    for b in range(num_bits):
+        acc = F.lit(0.0)
+        for d in range(dim):
+            h = F.xxhash64(F.lit(f"{seed}:{table}:{b}:{d}"))
+            coef = (h % F.lit(10007)).cast("double") / F.lit(5003.5) - F.lit(1.0)
+            acc = acc + vec.getItem(d).cast("double") * coef
+        bit = F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        bucket = bucket + bit * F.lit(1 << b).cast("bigint")
+    return bucket
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str,
+             dim: int, k: int = 10, num_bits: int = 8, num_tables: int = 4,
+             seed: int = 42, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: only bucket-mates (any table) are scored."""
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        rows = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        buckets = F.array(*[
+            _hyperplane_sign_bits(F.col(vec_alias), dim, num_bits, t, seed)
+            for t in range(num_tables)
+        ])
+        return rows.withColumn("__bucket", F.explode(buckets))
+
+    c = with_buckets(corpus, "neighbor_id", "__cv")
+    q = with_buckets(queries, "query_id", "__qv")
+    joined = c.join(F.broadcast(q), "__bucket").drop("__bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        joined.select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+        .withColumn("score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    return _rank_topk(scored, "query_id", k)
+
+
+@register_lens("similarity_topk")
+def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, vector, k, query_predicate (SQL selecting the query
+    rows from the input), method ("brute" | "ann"), dim (for ann)."""
+    id_col = str(require_arg(arguments, "id", "similarity_topk"))
+    vec_col = str(require_arg(arguments, "vector", "similarity_topk"))
+    k = int(arguments.get("k", 10))
+    pred = str(require_arg(arguments, "query_predicate", "similarity_topk"))
+    method = str(arguments.get("method", "brute"))
+
+    def forward(df: DataFrame) -> DataFrame:
+        queries = df.filter(F.expr(pred))
+        if method == "ann":
+            dim = int(require_arg(arguments, "dim", "similarity_topk"))
+            return ann_topk(df, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+                            k=k, num_bits=int(arguments.get("num_bits", 8)),
+                            num_tables=int(arguments.get("num_tables", 4)),
+                            seed=int(arguments.get("seed", 42)))
+        return brute_force_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k)
+
+    return Lens("similarity_topk", arguments, forward)

@@ -1,0 +1,187 @@
+"""Content-addressed pipeline registry with transactions.
+
+≙ the reference's Store (/root/reference/host-go/store/store.go:29-59)
+over badger/IPLD, rebuilt on a filesystem/object-store layout that a
+whole Spark cluster can share:
+
+    <root>/specs/<content-id>.json      one canonical spec per id
+
+Semantics preserved:
+- Add is idempotent — identical configs canonicalize to the same
+  content id and are stored once (store.go:31-33, block.go:323-338).
+- List/Reload reconstruct every persisted config (store.go:157-237).
+- Transform/Inverse validate the id *format* and treat well-formed but
+  unknown ids as identity (store.go:194-218, repository.go:250-254).
+- Transactions stage writes and publish atomically on commit; discard
+  drops them (repository/txn.go:9-41). Publishing is a tempfile +
+  ``os.replace`` per spec — atomic on POSIX; on an object store this
+  becomes a conditional PUT.
+
+P2P lens sync (host-go/p2p/p2p.go:19-88) maps to ``sync_from``: copy a
+spec by id from another registry root (a remote warehouse path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+from lens_spark.errors import InvalidLensIdError, LensError
+from lens_spark.model import LensConfig, is_valid_content_id
+
+
+class Txn:
+    """Staged registry writes; publish on commit, drop on discard."""
+
+    def __init__(self, registry: "Registry", readonly: bool = False) -> None:
+        self._registry = registry
+        self.readonly = readonly
+        self._staged: dict[str, LensConfig] = {}
+        self._closed = False
+
+    def add(self, config: LensConfig | dict | str) -> str:
+        if self.readonly:
+            raise LensError("cannot add through a read-only transaction")
+        if self._closed:
+            raise LensError("transaction already closed")
+        config = self._registry._coerce(config)
+        lens_id = config.content_id()
+        self._staged[lens_id] = config
+        return lens_id
+
+    def get(self, lens_id: str) -> LensConfig | None:
+        return self._staged.get(lens_id) or self._registry.get(lens_id)
+
+    def transform(self, df: DataFrame, lens_id: str) -> DataFrame:
+        return self._registry._apply(df, lens_id, inverse=False, extra=self._staged)
+
+    def inverse(self, df: DataFrame, lens_id: str) -> DataFrame:
+        return self._registry._apply(df, lens_id, inverse=True, extra=self._staged)
+
+    def commit(self) -> None:
+        if self._closed:
+            raise LensError("transaction already closed")
+        for lens_id, config in self._staged.items():
+            self._registry._publish(lens_id, config)
+        self._registry.reload()
+        self._closed = True
+
+    def discard(self) -> None:
+        self._staged.clear()
+        self._closed = True
+
+    def __enter__(self) -> "Txn":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if self._closed:
+            return
+        if exc_type is None:
+            self.commit()
+        else:
+            self.discard()
+
+
+class Registry:
+    def __init__(self, root: str | Path) -> None:
+        self.root = Path(root)
+        self.specs_dir = self.root / "specs"
+        self.specs_dir.mkdir(parents=True, exist_ok=True)
+        self._cache: dict[str, LensConfig] = {}
+        self.reload()
+
+    # -- internal ---------------------------------------------------------
+
+    @staticmethod
+    def _coerce(config: Any) -> LensConfig:
+        if isinstance(config, LensConfig):
+            return config
+        if isinstance(config, dict):
+            return LensConfig.from_dict(config)
+        if isinstance(config, str):
+            return LensConfig.from_json(config)
+        raise TypeError(f"cannot build a LensConfig from {type(config).__name__}")
+
+    def _publish(self, lens_id: str, config: LensConfig) -> None:
+        path = self.specs_dir / f"{lens_id}.json"
+        if path.exists():  # idempotent dedup (S1)
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.specs_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(config.to_json(canonical=True))
+            os.replace(tmp, path)  # atomic publish
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def _apply(self, df: DataFrame, lens_id: str, *, inverse: bool,
+               extra: dict[str, LensConfig] | None = None) -> DataFrame:
+        from lens_spark.engine import append
+
+        if not is_valid_content_id(lens_id):
+            raise InvalidLensIdError(f"'{lens_id}' is not a valid lens content id")
+        config = (extra or {}).get(lens_id) or self._cache.get(lens_id)
+        if config is None:
+            return df  # unknown id → identity (E7)
+        return append(df, config.inverted() if inverse else config)
+
+    # -- public surface (S1-S6) --------------------------------------------
+
+    def add(self, config: LensConfig | dict | str) -> str:
+        """S1: canonicalize, content-address, persist (idempotent)."""
+        config = self._coerce(config)
+        lens_id = config.content_id()
+        self._publish(lens_id, config)
+        self._cache[lens_id] = config
+        return lens_id
+
+    def get(self, lens_id: str) -> LensConfig | None:
+        return self._cache.get(lens_id)
+
+    def list(self) -> dict[str, LensConfig]:
+        """S2: all persisted configs keyed by content id."""
+        return dict(self._cache)
+
+    def reload(self) -> None:
+        """S3: re-read every persisted spec (node-start warm)."""
+        cache: dict[str, LensConfig] = {}
+        for path in self.specs_dir.glob("lens1-*.json"):
+            lens_id = path.stem
+            if not is_valid_content_id(lens_id):
+                continue
+            with open(path, "r", encoding="utf-8") as f:
+                cache[lens_id] = LensConfig.from_dict(json.load(f))
+        self._cache = cache
+
+    def transform(self, df: DataFrame, lens_id: str) -> DataFrame:
+        """S4: apply the stored pipeline; unknown id → identity."""
+        return self._apply(df, lens_id, inverse=False)
+
+    def inverse(self, df: DataFrame, lens_id: str) -> DataFrame:
+        """S4: apply the stored pipeline inverted (E8)."""
+        return self._apply(df, lens_id, inverse=True)
+
+    def txn(self, readonly: bool = False) -> Txn:
+        """S5: staged writes, atomic publish on commit."""
+        return Txn(self, readonly)
+
+    def sync_from(self, other: "Registry | str | Path", lens_id: str) -> str:
+        """S6 analogue: copy one spec by id from another registry root."""
+        if not isinstance(other, Registry):
+            other = Registry(other)
+        config = other.get(lens_id)
+        if config is None:
+            raise LensError(f"lens '{lens_id}' not found in source registry")
+        got = self.add(config)
+        assert got == lens_id, "content id changed during sync"
+        return got
+
+    def ids(self) -> Iterator[str]:
+        return iter(self._cache)

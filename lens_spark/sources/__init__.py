@@ -1,0 +1,44 @@
+"""Sources/sinks.
+
+The reference ingests data as stdin-JSON or in-memory slices only
+(/root/reference/host-go/cli/main.go:19-31, SURVEY.md §2.4). The Spark
+build exposes the full native reader matrix instead; these helpers add
+the conventions the engine relies on (schema hints, media binaries,
+registry-view registration).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
+                   **options) -> DataFrame:
+    """Read a document table (any Spark-native format)."""
+    return spark.read.format(fmt).options(**options).load(path)
+
+
+def read_json_docs(spark: SparkSession, path: str, *, multiline: bool = True,
+                   permissive: bool = True) -> DataFrame:
+    """JSON documents with the reference's permissive spirit: malformed
+    records land in ``_corrupt_record`` instead of failing the job."""
+    reader = spark.read.option("multiLine", multiline)
+    if permissive:
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.json(path)
+
+
+def read_media(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Binary media files as (path, modificationTime, length, content) —
+    the X4 ingestion path. Pair with operators.multimodal."""
+    return spark.read.format("binaryFile").load(path_glob)
+
+
+def from_rows(spark: SparkSession, rows: Iterable[dict], schema=None) -> DataFrame:
+    """≙ enumerable.New([]T) — in-memory source used across tests."""
+    rows = list(rows)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows)

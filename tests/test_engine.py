@@ -1,0 +1,155 @@
+"""Engine: append/compose/invert semantics ported from the reference's
+engine + CLI integration suites (host-go/engine/tests/,
+tests/integration/cli/)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lens_spark import engine
+from lens_spark.errors import LensError, LensNotFoundError
+from lens_spark.model import LensConfig, LensModule
+from lens_spark.operators import register_python_lens
+
+
+def rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_zero_lenses_is_identity(people):
+    # Append with no instances returns the source (engine.go:29-31).
+    out = engine.append(people, LensConfig())
+    assert rows(out) == rows(people)
+
+
+def test_single_rename(people):
+    # ≙ TestSimple (tests/integration/cli/simple_test.go:23-60).
+    out = engine.append(
+        people, {"lenses": [{"name": "rename", "arguments": {"src": "Name", "dst": "FullName"}}]}
+    )
+    assert out.columns == ["FullName", "Age"]
+    assert sorted(rows(out), key=lambda r: r["Age"])[0] == {"FullName": "John", "Age": 30}
+
+
+def test_chained_pipeline_order(people):
+    # rename → add; order matters (wasm32_pipeline_test.go multi-stage).
+    spec = {
+        "lenses": [
+            {"name": "rename", "arguments": {"src": "Age", "dst": "Years"}},
+            {"name": "add", "arguments": {"column": "Years", "magnitude": 10}},
+        ]
+    }
+    out = engine.append(people, spec)
+    assert sorted(r["Years"] for r in rows(out)) == [40, 41, 42]
+
+
+def test_module_inverse_flag(people):
+    # inverse:true runs the module's inverse (with_inverse_test.go).
+    spec = {"lenses": [{"name": "add", "inverse": True, "arguments": {"column": "Age", "magnitude": 1}}]}
+    out = engine.append(people, spec)
+    assert sorted(r["Age"] for r in rows(out)) == [29, 30, 31]
+
+
+def test_missing_inverse_errors(people):
+    spec = {"lenses": [{"name": "filter", "inverse": True, "arguments": {"predicate": "Age > 30"}}]}
+    with pytest.raises(LensError, match="does not define an inverse"):
+        engine.append(people, spec)
+
+
+def test_pipeline_inversion_round_trip(people):
+    # E8: fwd then inverted == identity (repository.go:172-206).
+    spec = LensConfig(
+        [
+            LensModule("rename", False, {"src": "Name", "dst": "FullName"}),
+            LensModule("add", False, {"column": "Age", "magnitude": 5}),
+        ]
+    )
+    fwd = engine.append(people, spec)
+    back = engine.append(fwd, engine.invert(spec))
+    assert back.columns == people.columns
+    assert sorted(rows(back), key=lambda r: r["Age"]) == sorted(
+        rows(people), key=lambda r: r["Age"]
+    )
+
+
+def test_unknown_lens_raises(people):
+    with pytest.raises(LensNotFoundError):
+        engine.append(people, {"lenses": [{"name": "nope"}]})
+
+
+def test_rename_missing_column_error_text(people):
+    # mirrors rust_wasm32_rename missing-src error (src/lib.rs:24-27).
+    with pytest.raises(LensError, match="property with name 'Nope' not found"):
+        engine.append(
+            people, {"lenses": [{"name": "rename", "arguments": {"src": "Nope", "dst": "x"}}]}
+        )
+
+
+def test_python_udf_lens_and_fusion(people):
+    calls = []
+
+    def bump(batches, params):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["Age"] = pdf["Age"] + params.get("by", 1)
+            yield pdf
+
+    def tag(batches, params):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["Tag"] = params["tag"]
+            yield pdf
+
+    register_python_lens("bump_age", bump, "Name string, Age long")
+    register_python_lens("tag_rows", tag, "Name string, Age long, Tag string")
+
+    spec = {
+        "lenses": [
+            {"name": "python_udf", "arguments": {"function": "bump_age", "params": {"by": 2}}},
+            {"name": "python_udf", "arguments": {"function": "tag_rows", "params": {"tag": "t"}}},
+        ]
+    }
+    out = engine.append(people, spec)
+    # Fusion: the two python stages must collapse into ONE mapInPandas.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("mapinpandas") == 1
+    got = sorted(rows(out), key=lambda r: r["Age"])
+    assert got[0] == {"Name": "John", "Age": 32, "Tag": "t"}
+
+
+def test_python_udf_explode_cardinality(people):
+    # 1:N emission, the M7 envelope via the escape hatch.
+    def dup(batches, params):
+        for pdf in batches:
+            yield pd.concat([pdf, pdf], ignore_index=True)
+
+    register_python_lens("duplicate", dup, "Name string, Age long")
+    out = engine.append(people, {"lenses": [{"name": "python_udf", "arguments": {"function": "duplicate"}}]})
+    assert out.count() == 6
+
+
+def test_python_udf_permissive_error_column(spark):
+    # In-band error semantics (TypeId=-1 analogue, SURVEY §1.2).
+    def explode_on_negative(batches, params):
+        for pdf in batches:
+            if (pdf["Age"] < 0).any():
+                raise ValueError("negative age")
+            yield pdf
+
+    register_python_lens("guard_age", explode_on_negative, "Name string, Age long")
+    df = spark.createDataFrame([("A", 1), ("B", -2)], "Name string, Age long").repartition(2)
+    out = engine.append(
+        df,
+        {"lenses": [{"name": "python_udf",
+                     "arguments": {"function": "guard_age", "permissive": True}}]},
+    )
+    got = rows(out)
+    errs = [r for r in got if r["_error"] is not None]
+    assert any("negative age" in (r["_error"] or "") for r in errs)
+
+
+def test_compose_concatenates():
+    a = {"lenses": [{"name": "identity"}]}
+    b = {"lenses": [{"name": "identity"}]}
+    assert len(engine.compose(a, b).lenses) == 2

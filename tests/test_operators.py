@@ -1,0 +1,149 @@
+"""Built-in lens archetypes M1-M7 against the driver's tables —
+semantics ported from the reference module tests (tests/modules/*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.counter import assign_sequence
+
+
+def rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def region(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/region.parquet")
+
+
+def test_m6_filter_predicate(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = engine.append(orders, {"lenses": [{"name": "filter", "arguments": {"predicate": "o_orderstatus = 'F'"}}]})
+    assert out.count() == orders.filter("o_orderstatus = 'F'").count()
+    assert rows(out.select(F.countDistinct("o_orderstatus")))[0].popitem()[1] == 1
+
+
+def test_m6_filter_column_equals_shape(people):
+    # the reference module's exact parameter shape (__type == "pass").
+    df = people.withColumn("__type", F.when(F.col("Age") > 30, "pass").otherwise("skip"))
+    out = engine.append(df, {"lenses": [{"name": "filter", "arguments": {"column": "__type", "equals": "pass"}}]})
+    assert sorted(r["Age"] for r in rows(out)) == [31, 32]
+
+
+def test_m7_explode_round_trip(spark, sf_dir):
+    # collect (N:1) then explode (1:N) reproduces the key/element pairs.
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = {
+        "lenses": [
+            {"name": "project", "arguments": {"columns": ["l_orderkey", "l_linenumber"]}},
+            {"name": "collect", "arguments": {"keys": ["l_orderkey"], "column": "l_linenumber", "out": "lines"}},
+            {"name": "explode", "arguments": {"column": "lines", "out": "l_linenumber"}},
+        ]
+    }
+    out = engine.append(lineitem, spec)
+    assert out.columns == ["l_orderkey", "l_linenumber"]
+    assert out.count() == lineitem.count()
+    assert out.exceptAll(lineitem.select("l_orderkey", "l_linenumber")).count() == 0
+
+
+def test_m7_explode_rename_matches_reference_shape(spark):
+    # Book{Name, PageNumbers} → Page{BookName, Number}
+    # (tests/modules/rust_wasm32_normalize/src/lib.rs:30-77).
+    books = spark.createDataFrame(
+        [("Ita", [1, 2]), ("Ody", [3])], "Name string, PageNumbers array<int>"
+    )
+    out = engine.append(
+        books,
+        {"lenses": [{"name": "explode", "arguments": {
+            "column": "PageNumbers", "out": "Number", "rename": {"Name": "BookName"}}}]},
+    )
+    assert out.columns == ["BookName", "Number"]
+    assert sorted(rows(out), key=lambda r: r["Number"]) == [
+        {"BookName": "Ita", "Number": 1},
+        {"BookName": "Ita", "Number": 2},
+        {"BookName": "Ody", "Number": 3},
+    ]
+
+
+def test_m5_counter_strategies_agree(region):
+    dist = assign_sequence(region, ["r_regionkey"], out="rid", strategy="distributed")
+    win = assign_sequence(region, ["r_regionkey"], out="rid", strategy="window")
+    assert rows(dist.orderBy("rid")) == rows(win.orderBy("rid"))
+    got = rows(dist.orderBy("rid"))
+    assert [r["rid"] for r in got] == list(range(1, len(got) + 1))
+    # dense, 1-based, aligned with the declared order
+    keys = [r["r_regionkey"] for r in got]
+    assert keys == sorted(keys)
+
+
+def test_m5_counter_distributed_at_scale(spark, sf_dir):
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = assign_sequence(
+        lineitem.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"], out="seq", strategy="distributed",
+    )
+    n = out.count()
+    stats = rows(out.select(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+                            F.countDistinct("seq").alias("n")))[0]
+    assert (stats["lo"], stats["hi"], stats["n"]) == (1, n, n)
+
+
+def test_m5_counter_start_and_missing_column(region):
+    out = assign_sequence(region, ["r_regionkey"], out="rid", start=100)
+    assert min(r["rid"] for r in rows(out)) == 100
+    with pytest.raises(LensError):
+        assign_sequence(region, ["nope"])
+
+
+def test_cast_multiply_set_lenses(people):
+    spec = {
+        "lenses": [
+            {"name": "multiply", "arguments": {"column": "Age", "factor": 2}},
+            {"name": "cast", "arguments": {"column": "Age", "type": "double"}},
+            {"name": "set", "arguments": {"column": "src", "value": "unit"}},
+        ]
+    }
+    out = engine.append(people, spec)
+    got = sorted(rows(out), key=lambda r: r["Age"])
+    assert got[0]["Age"] == 60.0 and got[0]["src"] == "unit"
+    # multiply is invertible
+    back = engine.append(
+        engine.append(people, {"lenses": [{"name": "multiply", "arguments": {"column": "Age", "factor": 2}}]}),
+        {"lenses": [{"name": "multiply", "inverse": True, "arguments": {"column": "Age", "factor": 2}}]},
+    )
+    assert sorted(r["Age"] for r in rows(back)) == [30.0, 31.0, 32.0]
+
+
+def test_nil_row_preservation(spark):
+    # Nil items flow through value-preserving lenses (SURVEY §1.2):
+    # an all-null row survives rename/add untouched.
+    df = spark.createDataFrame([("John", 30), (None, None)], "Name string, Age long")
+    out = engine.append(
+        df,
+        {"lenses": [
+            {"name": "rename", "arguments": {"src": "Name", "dst": "FullName"}},
+            {"name": "add", "arguments": {"column": "Age", "magnitude": 1}},
+        ]},
+    )
+    got = rows(out)
+    assert len(got) == 2
+    assert {"FullName": None, "Age": None} in got
+
+
+def test_sql_lens(customer):
+    out = engine.append(
+        customer,
+        {"lenses": [{"name": "sql", "arguments": {
+            "query": "SELECT c_mktsegment, count(*) AS n FROM _input GROUP BY c_mktsegment"}}]},
+    )
+    assert out.columns == ["c_mktsegment", "n"]
+    assert out.count() == customer.select("c_mktsegment").distinct().count()
