@@ -1,38 +1,522 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a lens_spark pipeline (or extension
+operator) and has a DuckDB oracle in ``oracle_sql()`` computing the
+same result with plain ANSI SQL. Column names/types are aligned on
+both sides; hash-fragile doubles are either rounded identically or
+computed through exact decimal aggregation.
+
+Operator coverage map (SURVEY.md §2): M1/M2/M4/M5/M6/M7, E1/E6/E7/E8
+engine semantics, X1/X2/X3/X5/X6 extensions, plus event-time windowed
+aggregation (streaming surface, batch-checked).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from lens_spark import engine
+from lens_spark.functions.text import (
+    LANG_MARKERS,
+    BPE_ISH_PATTERN,
+    PUNCT_PATTERN,
+)
+from lens_spark.operators.counter import assign_sequence
+from lens_spark.operators.dedup import neardup_pairs, minhash_candidates, simhash_table
+from lens_spark.operators.similarity import brute_force_topk
+from lens_spark.operators.text import text_stats
+from lens_spark.registry import Registry
+from lens_spark.streaming import windowed_counts
+
+SF0001 = "/root/testdata/sf0.001"
+
+# MinHash-LSH parameters shared by the Spark queries and the SQL oracles.
+MH_NUM_HASHES = 8
+MH_NGRAM = 3
+MH_BAND_SIZE = 2
+MH_NUM_BANDS = MH_NUM_HASHES // MH_BAND_SIZE
+JACCARD_THRESHOLD = 0.7
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: E1/E6 composition pipeline (filter → rename → add) on
+    lineitem — the reference's multi-stage lens-file path end-to-end."""
+    return q_e1_composition(spark, SF0001)
 
+
+# ---------------------------------------------------------------------------
+# core archetype queries (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_m1_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "rename",
+                        "arguments": {"src": "c_name", "dst": "customer_name"}}]}
+    return engine.append(_read(spark, sf_dir, "customer"), spec)
+
+
+def q_m2_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "add",
+                        "arguments": {"column": "o_totalprice", "magnitude": 1}}]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_m2_inverse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fwd(add) then module-level inverse → identity on orders."""
+    fwd = {"lenses": [{"name": "add", "arguments": {"column": "o_totalprice", "magnitude": 1}}]}
+    inv = {"lenses": [{"name": "add", "inverse": True,
+                       "arguments": {"column": "o_totalprice", "magnitude": 1}}]}
+    return engine.append(engine.append(_read(spark, sf_dir, "orders"), fwd), inv)
+
+
+def q_m4_rename_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [
+        {"name": "rename", "arguments": {"src": "n_name", "dst": "nation_name"}},
+        {"name": "rename", "arguments": {"src": "nation_name", "dst": "name"}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "nation"), spec)
+
+
+def q_m5_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "counter",
+                        "arguments": {"order_by": ["r_regionkey"], "out": "rid"}}]}
+    return engine.append(_read(spark, sf_dir, "region"), spec)
+
+
+def q_m5_counter_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter over lineitem — exercises the distributed two-pass path
+    on a table large enough to span many range partitions."""
+    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return assign_sequence(df, ["l_orderkey", "l_linenumber"], out="seq")
+
+
+def q_m6_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "filter",
+                        "arguments": {"predicate": "o_orderstatus = 'F'"}}]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_m7_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": ["l_orderkey", "l_linenumber"]}},
+        {"name": "collect", "arguments": {"keys": ["l_orderkey"],
+                                          "column": "l_linenumber", "out": "lines"}},
+        {"name": "explode", "arguments": {"column": "lines", "out": "l_linenumber"}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_e1_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [
+        {"name": "filter", "arguments": {"predicate": "l_returnflag = 'R'"}},
+        {"name": "rename", "arguments": {"src": "l_quantity", "dst": "qty"}},
+        {"name": "add", "arguments": {"column": "qty", "magnitude": 5}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_e7_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown (well-formed) lens id through the registry → identity."""
+    registry = Registry(tempfile.mkdtemp(prefix="lens_spark_reg_"))
+    unknown = "lens1-" + "0" * 64
+    return registry.transform(_read(spark, sf_dir, "supplier"), unknown)
+
+
+def q_e8_inversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline inversion (reverse + flip): fwd ∘ inv = identity on part."""
+    spec = {"lenses": [
+        {"name": "rename", "arguments": {"src": "p_name", "dst": "part_name"}},
+        {"name": "add", "arguments": {"column": "p_retailprice", "magnitude": 5}},
+    ]}
+    df = _read(spark, sf_dir, "part")
+    return engine.append(engine.append(df, spec), engine.invert(spec))
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: deduplication
+# ---------------------------------------------------------------------------
+
+def q_x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    doubled = li.union(li)
+    spec = {"lenses": [{"name": "dedup_exact",
+                        "arguments": {"columns": ["l_orderkey", "l_linenumber"]}}]}
+    return engine.append(doubled, spec)
+
+
+def q_x2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "doc_id", "text", num_hashes=MH_NUM_HASHES,
+                              ngram=MH_NGRAM, band_size=MH_BAND_SIZE)
+
+
+def q_x2_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return neardup_pairs(docs, "doc_id", "text", num_hashes=MH_NUM_HASHES,
+                         ngram=MH_NGRAM, band_size=MH_BAND_SIZE,
+                         threshold=JACCARD_THRESHOLD)
+
+
+def q_x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash table (xxhash64-based — no cross-engine oracle; rows-only)."""
+    return simhash_table(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search
+# ---------------------------------------------------------------------------
+
+def q_x3_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    # score excluded: cross-engine fp summation noise; rank order is stable.
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_x3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate — rows-only check; recall asserted
+    against brute force in tests/test_similarity.py)."""
+    from lens_spark.operators.similarity import ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ann_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                   dim=64, k=10, num_bits=6, num_tables=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# X5: text analysis
+# ---------------------------------------------------------------------------
+
+def q_x5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "lang_id", "arguments": {"column": "text"}}]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec) \
+        .select("doc_id", "pred_lang")
+
+
+def q_x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return text_stats(docs, "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
+        "stopword_ratio", "quality", "fingerprint",
+    )
+
+
+def q_x5_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint."""
+    docs = _read(spark, sf_dir, "documents")
+    spec = {"lenses": [{"name": "fingerprint", "arguments": {"column": "text"}}]}
+    fp = engine.append(docs, spec)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: multimodal (binary payload plumbing; metadata is oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def q_x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat document text bytes as an opaque binary payload; compute
+    JVM-side metadata (byte length + sha256) — the no-decode media path."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    spec = {"lenses": [{"name": "media_metadata",
+                        "arguments": {"column": "payload", "mime": "text/plain"}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.sha256").alias("payload_sha256"),
+    )
+
+
+def q_x4_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → feature extraction over mapInPandas with the
+    deterministic fake codec (real codec stubbed: no image libs here).
+    Rows-only check (sha-derived floats aren't SQL-expressible)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    spec = {"lenses": [{"name": "image_features",
+                        "arguments": {"column": "payload", "feature_dim": 8,
+                                      "fake": True, "keep": ["doc_id"]}}]}
+    return engine.append(docs, spec)
+
+
+# ---------------------------------------------------------------------------
+# X6: distinct counting
+# ---------------------------------------------------------------------------
+
+def q_x6_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_read(spark, sf_dir, "orders")
+            .agg(F.countDistinct("o_custkey").alias("n_custkeys")))
+
+
+def q_x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch (rows-only; tolerance asserted in tests)."""
+    return (_read(spark, sf_dir, "orders")
+            .agg(F.approx_count_distinct("o_custkey").alias("n_custkeys_approx")))
+
+
+# ---------------------------------------------------------------------------
+# streaming surface (batch-checked): event-time tumbling windows
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    ev2 = ev.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact decimal aggregation → deterministic across engines
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return ev2.select(F.col("win.start").alias("window_start"),
+                      "event_type", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# headline aggregate (bench flagship; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    # Double sums rounded to 2dp: fp summation noise (~1e-7 relative worst
+    # case) sits far below the rounding grain, so both engines agree;
+    # decimal casts of raw doubles are NOT cross-engine-stable at the 6th
+    # decimal (shortest-repr vs binary rounding), hence avoided here.
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "m1_rename": q_m1_rename,
+        "m2_add": q_m2_add,
+        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
+        "m4_rename_chain": q_m4_rename_chain,
+        "m5_counter": q_m5_counter,
+        "m5_counter_large": q_m5_counter_large,
+        "m6_filter": q_m6_filter,
+        "m7_explode": q_m7_explode,
+        "e1_composition": q_e1_composition,
+        "e7_identity": q_e7_identity,
+        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
+        "x1_dedup_exact": q_x1_dedup_exact,
+        "x2_minhash_pairs": q_x2_minhash_pairs,
+        "x2_jaccard_verified": q_x2_jaccard_verified,
+        "x2_simhash": q_x2_simhash,
+        "x3_similarity_topk": q_x3_similarity_topk,
+        "x3_ann_topk": q_x3_ann_topk,
+        "x5_lang_id": q_x5_lang_id,
+        "x5_text_stats": q_x5_text_stats,
+        "x5_fingerprint_dups": q_x5_fingerprint_dups,
+        "x4_media_metadata": q_x4_media_metadata,
+        "x4_image_features": q_x4_image_features,
+        "x6_exact_distinct": q_x6_exact_distinct,
+        "x6_approx_distinct": q_x6_approx_distinct,
+        "events_windowed": q_events_windowed,
+        "agg_pricing_summary": q_agg_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL fragments shared by several oracles -----------------------------------
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, length(lower(text)) - {nm1}), "
+    "i -> substring(lower(text), i, {n})))"
+).format(n=MH_NGRAM, nm1=MH_NGRAM - 2)
+
+_SIG_SQL = (
+    "list_transform(range(0, {k}), h -> list_min(list_transform(s, "
+    "x -> md5(concat(CAST(h AS VARCHAR), ':', x)))))"
+).format(k=MH_NUM_HASHES)
+
+_BANDS_SQL = (
+    "list_transform(range(0, {b}), bb -> md5(concat(CAST(bb AS VARCHAR), '|', "
+    "array_to_string(list_slice(g, bb*{r}+1, bb*{r}+{r}), '|'))))"
+).format(b=MH_NUM_BANDS, r=MH_BAND_SIZE)
+
+_MINHASH_CTES = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+sig AS (SELECT doc_id, {_SIG_SQL} AS g FROM sh),
+bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS bh FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+)
+"""
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({markers})))"
+
+
+def _lang_case_sql() -> str:
+    ordered = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in ordered)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in ordered) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in ordered
+    )
+    return f"""
+WITH scores AS (SELECT doc_id, {scores} FROM documents),
+ranked AS (SELECT doc_id, {best} AS best, * FROM scores)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
+FROM ranked
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    stop_ratio = (
+        f"CASE WHEN len({_TOKENS_SQL}) > 0 THEN "
+        f"CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({en_markers}))) AS DOUBLE)"
+        f" / CAST(len({_TOKENS_SQL}) AS DOUBLE) ELSE 0.0 END"
+    )
+    punct_ratio = (
+        f"CASE WHEN length(text) > 0 THEN "
+        f"CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+        f" / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+    )
+    quality = (
+        f"round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4"
+        f" + (1.0 - least(({punct_ratio}) * 5.0, 1.0)) * 0.3"
+        f" + least(({stop_ratio}) * 4.0, 1.0) * 0.3, 6)"
+    )
+    return {
+        "m1_rename": (
+            "SELECT c_custkey, c_name AS customer_name, c_nationkey, c_acctbal,"
+            " c_mktsegment FROM customer"
+        ),
+        "m2_add": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus,"
+            " o_totalprice + 1 AS o_totalprice, o_orderdate, o_orderpriority"
+            " FROM orders"
+        ),
+        "m2_inverse_roundtrip": "SELECT * FROM orders",
+        "m4_rename_chain": (
+            "SELECT n_nationkey, n_name AS name, n_regionkey FROM nation"
+        ),
+        "m5_counter": (
+            "SELECT r_regionkey, r_name,"
+            " row_number() OVER (ORDER BY r_regionkey) AS rid FROM region"
+        ),
+        "m5_counter_large": (
+            "SELECT l_orderkey, l_linenumber, row_number() OVER"
+            " (ORDER BY l_orderkey, l_linenumber) AS seq FROM lineitem"
+        ),
+        "m6_filter": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "m7_explode": (
+            "SELECT l_orderkey, unnest(list_sort(list(l_linenumber))) AS l_linenumber"
+            " FROM lineitem GROUP BY l_orderkey"
+        ),
+        "e1_composition": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+            " l_shipdate, l_quantity + 5 AS qty"
+            " FROM lineitem WHERE l_returnflag = 'R'"
+        ),
+        "e7_identity": "SELECT * FROM supplier",
+        "e8_inversion_roundtrip": "SELECT * FROM part",
+        "x1_dedup_exact": (
+            "SELECT DISTINCT l_orderkey, l_linenumber FROM"
+            " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
+        ),
+        "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x2_jaccard_verified": _MINHASH_CTES + f"""
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+""",
+        "x3_similarity_topk": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 10
+""",
+        "x5_lang_id": _lang_case_sql(),
+        "x5_text_stats": f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       round({punct_ratio}, 6) AS punct_ratio,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       {quality} AS quality,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "x5_fingerprint_dups": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "x4_media_metadata": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            " sha256(text) AS payload_sha256 FROM documents"
+        ),
+        "x6_exact_distinct": (
+            "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys FROM orders"
+        ),
+        "events_windowed": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    }

@@ -36,6 +36,24 @@ def read_media(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path_glob)
 
 
+def read_ns_timestamps(spark: SparkSession, path: str,
+                       ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Read parquet containing TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; the legacy conf surfaces the
+    raw int64 and we convert to microsecond timestamps (truncation, not
+    rounding — an event never moves across a window boundary).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ts_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
 def from_rows(spark: SparkSession, rows: Iterable[dict], schema=None) -> DataFrame:
     """≙ enumerable.New([]T) — in-memory source used across tests."""
     rows = list(rows)
