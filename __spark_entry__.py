@@ -35,11 +35,13 @@ from lens_spark.streaming import windowed_counts
 SF0001 = "/root/testdata/sf0.001"
 
 # MinHash-LSH parameters shared by the Spark queries and the SQL oracles.
+# Word shingles (w=3): char n-grams saturate on small vocabularies — see
+# lens_spark.functions.hashing.word_shingles.
 MH_NUM_HASHES = 8
-MH_NGRAM = 3
+MH_SHINGLE_W = 3
 MH_BAND_SIZE = 2
 MH_NUM_BANDS = MH_NUM_HASHES // MH_BAND_SIZE
-JACCARD_THRESHOLD = 0.7
+JACCARD_THRESHOLD = 0.5
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -158,13 +160,13 @@ def q_x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return minhash_candidates(docs, "doc_id", "text", num_hashes=MH_NUM_HASHES,
-                              ngram=MH_NGRAM, band_size=MH_BAND_SIZE)
+                              ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE)
 
 
 def q_x2_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return neardup_pairs(docs, "doc_id", "text", num_hashes=MH_NUM_HASHES,
-                         ngram=MH_NGRAM, band_size=MH_BAND_SIZE,
+                         ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE,
                          threshold=JACCARD_THRESHOLD)
 
 
@@ -354,10 +356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # SQL fragments shared by several oracles -----------------------------------
 
+_TOKENS_SQL_INNER = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
 _SHINGLES_SQL = (
-    "list_distinct(list_transform(range(1, length(lower(text)) - {nm1}), "
-    "i -> substring(lower(text), i, {n})))"
-).format(n=MH_NGRAM, nm1=MH_NGRAM - 2)
+    "list_distinct(list_transform(range(1, len(w) - {wm2}), "
+    "i -> array_to_string(list_slice(w, i, i + {wm1}), ' ')))"
+).format(wm1=MH_SHINGLE_W - 1, wm2=MH_SHINGLE_W - 2)
 
 _SIG_SQL = (
     "list_transform(range(0, {k}), h -> list_min(list_transform(s, "
@@ -370,7 +374,8 @@ _BANDS_SQL = (
 ).format(b=MH_NUM_BANDS, r=MH_BAND_SIZE)
 
 _MINHASH_CTES = f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
 sig AS (SELECT doc_id, {_SIG_SQL} AS g FROM sh),
 bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS bh FROM sig),
 cand AS (

@@ -1,0 +1,66 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no
+driver collect, no disk write) so timings measure the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from lens_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_pricing_summary",   # shuffle-light grouped agg (Q1 shape)
+    "e1_composition",        # narrow lens pipeline (filter→rename→add)
+    "m7_explode",            # N:1 collect + 1:N explode round-trip
+    "m5_counter_large",      # distributed two-pass sequence assignment
+    "x1_dedup_exact",        # exact dedup over a doubled table
+    "x2_minhash_pairs",      # minhash + LSH band self-join
+    "x2_jaccard_verified",   # LSH candidates + exact jaccard verify
+    "x3_similarity_topk",    # broadcast brute-force cosine top-k
+    "x5_text_stats",         # narrow text-metrics projection
+    "x4_media_metadata",     # binary payload metadata (sha256)
+    "events_windowed",       # event-time tumbling windows
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("lens_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "lens_spark_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -30,6 +30,24 @@ def char_shingles(text: Column, n: int = 3, *, lowercase: bool = True,
     return F.array_distinct(grams) if distinct else grams
 
 
+def word_shingles(text: Column, w: int = 3, *, lowercase: bool = True) -> Column:
+    """Word w-shingles (w consecutive whitespace tokens joined by ' ').
+
+    Preferred over char n-grams for document dedup: char-gram sets
+    saturate on small vocabularies (every doc looks like every other),
+    while token shingles stay discriminative — the standard choice for
+    web-scale near-dup (Broder shingling).
+    """
+    from lens_spark.functions.text import tokens
+
+    toks = tokens(text, lowercase=lowercase)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    grams = F.when(n >= w, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """array<string> of ``num_hashes`` lexicographic-min salted md5s."""
     return F.transform(

@@ -28,6 +28,7 @@ from lens_spark.functions.hashing import (
     jaccard_shingles,
     minhash_signature,
     simhash64,
+    word_shingles,
 )
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
@@ -38,11 +39,18 @@ def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(columns) if columns else df.dropDuplicates()
 
 
+def _shingles(text_col: str, ngram: int, shingle: str):
+    if shingle == "char":
+        return char_shingles(F.col(text_col), ngram)
+    return word_shingles(F.col(text_col), ngram)
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, ngram: int = 3,
-                       band_size: int = 4, max_bucket: int | None = None) -> DataFrame:
+                       band_size: int = 4, max_bucket: int | None = None,
+                       shingle: str = "word") -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
-    sig = minhash_signature(char_shingles(F.col(text_col), ngram), num_hashes)
+    sig = minhash_signature(_shingles(text_col, ngram, shingle), num_hashes)
     bands = (
         df.select(F.col(id_col), band_hashes(sig, num_hashes, band_size).alias("bands"))
         .select(F.col(id_col), F.explode("bands").alias("band_hash"))
@@ -65,14 +73,16 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
 def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                   num_hashes: int = 16, ngram: int = 3, band_size: int = 4,
                   threshold: float | None = None,
-                  max_bucket: int | None = None) -> DataFrame:
-    """LSH candidates, optionally verified with exact n-gram Jaccard."""
+                  max_bucket: int | None = None,
+                  shingle: str = "word") -> DataFrame:
+    """LSH candidates, optionally verified with exact shingle Jaccard."""
     pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
-                               ngram=ngram, band_size=band_size, max_bucket=max_bucket)
+                               ngram=ngram, band_size=band_size,
+                               max_bucket=max_bucket, shingle=shingle)
     if threshold is None:
         return pairs
     shingled = df.select(
-        F.col(id_col), char_shingles(F.col(text_col), ngram).alias("__sh")
+        F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh")
     )
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -176,6 +186,7 @@ def dedup_minhash_lens(arguments: Mapping[str, Any]) -> Lens:
         band_size=int(arguments.get("band_size", 4)),
         threshold=arguments.get("threshold"),
         max_bucket=arguments.get("max_bucket"),
+        shingle=str(arguments.get("shingle", "word")),
     )
     mode = str(arguments.get("mode", "dedup"))
     if mode == "pairs":
