@@ -376,7 +376,7 @@ _BANDS_SQL = (
 _MINHASH_CTES = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
-sig AS (SELECT doc_id, {_SIG_SQL} AS g FROM sh),
+sig AS (SELECT doc_id, {_SIG_SQL} AS g FROM sh WHERE len(s) > 0),
 bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS bh FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -23,10 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.functions.hashing import (
-    band_hashes,
     char_shingles,
     jaccard_shingles,
-    minhash_signature,
     simhash64,
     word_shingles,
 )
@@ -45,16 +43,46 @@ def _shingles(text_col: str, ngram: int, shingle: str):
     return word_shingles(F.col(text_col), ngram)
 
 
+def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
+                  num_hashes: int = 16, ngram: int = 3,
+                  band_size: int = 4, shingle: str = "word") -> DataFrame:
+    """(id, band_hash) table: explode shingles → min-hash per salt → bands.
+
+    Scale shape: the only wide op is the groupBy on id, and partial
+    (map-side) aggregation collapses each partition to ≤1 row per doc
+    before the exchange, so the shuffle carries ``num_hashes`` hashes
+    per doc — not the shingle set. All expressions are flat scalar md5
+    calls that stay inside whole-stage codegen; the nested
+    higher-order-function formulation (transform-of-transform) blows
+    past janino's method-size limit and falls back to interpreted
+    eval, ~50× slower. Docs with no shingles (fewer than ``ngram``
+    tokens) have no signature and drop out.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
+    )
+    sig = sh.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("__s")))).alias(f"__h{h}")
+        for h in range(num_hashes)
+    ])
+    num_bands = num_hashes // band_size
+    band_exprs = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"__h{b * band_size + j}")
+                            for j in range(band_size)]))
+        for b in range(num_bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("band_hash"))
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, ngram: int = 3,
                        band_size: int = 4, max_bucket: int | None = None,
                        shingle: str = "word") -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
-    sig = minhash_signature(_shingles(text_col, ngram, shingle), num_hashes)
-    bands = (
-        df.select(F.col(id_col), band_hashes(sig, num_hashes, band_size).alias("bands"))
-        .select(F.col(id_col), F.explode("bands").alias("band_hash"))
-    )
+    bands = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
+                          ngram=ngram, band_size=band_size, shingle=shingle)
     if max_bucket is not None:
         # Cap pathological buckets before the self-join (skew guard).
         sizes = bands.groupBy("band_hash").count()
@@ -145,7 +173,32 @@ def dedup_neardup(df: DataFrame, id_col: str, text_col: str, **kwargs) -> DataFr
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("simhash"))
+    """(id, simhash) via explode → per-bit popcount agg → pack.
+
+    Same scale shape as minhash_bands: explode tokens (narrow), one
+    map-side-combined groupBy carrying 64 small sums + a count per
+    doc, then a flat packing projection. The expression-level
+    ``simhash64`` recomputes the token-hash array once per bit (64×);
+    this form hashes each token exactly once. Docs with no tokens get
+    simhash 0 (left join keeps them), matching ``simhash64``.
+    """
+    ids = df.select(F.col(id_col))
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    bits = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.getbit(F.col("__h"), F.lit(i))).alias(f"__b{i}") for i in range(64)],
+    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(64):
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        bit = F.when(F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+        packed = packed + bit.cast("bigint") * F.lit(weight).cast("bigint")
+    sh = bits.select(F.col(id_col), packed.alias("simhash"))
+    return ids.join(sh, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash")
+    )
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
