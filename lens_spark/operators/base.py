@@ -83,3 +83,25 @@ def require_arg(arguments: Mapping[str, Any], key: str, lens: str) -> Any:
     if key not in arguments:
         raise LensError(f"lens '{lens}' requires argument '{key}'")
     return arguments[key]
+
+
+def ensure_parallelism(df: DataFrame, *, by: list[str] | None = None,
+                       min_fraction: float = 0.5) -> DataFrame:
+    """Repartition iff the plan has too few partitions for the cluster.
+
+    CPU-heavy operators (shingling, hashing, scoring) call this so a
+    pathological input — one unsplittable row group, a single small
+    file — still fans out across every core. At production scale the
+    scan already yields thousands of splits and this is a no-op, so
+    the extra shuffle is only ever paid when it buys parallelism.
+    ``by`` hash-partitions on those columns, letting a downstream
+    groupBy on the same keys skip its exchange.
+    """
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, int(target * min_fraction)):
+        return df
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
+    return df.repartition(target)

@@ -30,7 +30,7 @@ from lens_spark.functions.hashing import (
 )
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
 def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -58,7 +58,7 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
     eval, ~50× slower. Docs with no shingles (fewer than ``ngram``
     tokens) have no signature and drop out.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
     )
@@ -109,7 +109,7 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                                max_bucket=max_bucket, shingle=shingle)
     if threshold is None:
         return pairs
-    shingled = df.select(
+    shingled = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh")
     )
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
@@ -182,6 +182,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     this form hashes each token exactly once. Docs with no tokens get
     simhash 0 (left join keeps them), matching ``simhash64``.
     """
+    df = ensure_parallelism(df, by=[id_col])
     ids = df.select(F.col(id_col))
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lens_spark.functions.vectors import cosine_similarity
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
@@ -41,7 +41,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     joined = c.crossJoin(F.broadcast(q))
@@ -84,7 +84,7 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
         ])
         return rows.withColumn("__bucket", F.explode(buckets))
 
-    c = with_buckets(corpus, "neighbor_id", "__cv")
+    c = with_buckets(ensure_parallelism(corpus), "neighbor_id", "__cv")
     q = with_buckets(queries, "query_id", "__qv")
     joined = c.join(F.broadcast(q), "__bucket").drop("__bucket")
     if exclude_self:

@@ -20,12 +20,13 @@ from lens_spark.functions.text import (
     stopword_ratio,
     whitespace_token_count,
 )
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
 def text_stats(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
     """Append the full text-metrics block in one narrow projection."""
     t = F.col(text_col)
+    df = ensure_parallelism(df)  # regex-heavy per row; fan out small scans
     return (
         df.withColumn(f"{prefix}n_tokens", whitespace_token_count(t))
         .withColumn(f"{prefix}n_bpe_tokens", bpe_ish_token_count(t))
