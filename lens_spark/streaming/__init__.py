@@ -12,7 +12,10 @@ DataFrame is a DataFrame; Catalyst handles incrementalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_spark import engine
@@ -21,6 +24,72 @@ from lens_spark import engine
 def apply_stream(stream_df: DataFrame, spec) -> DataFrame:
     """Apply a pipeline spec to a streaming DataFrame."""
     return engine.append(stream_df, spec)
+
+
+def read_file_stream(spark: SparkSession, path: str, *, fmt: str = "parquet",
+                     schema=None, schema_from: str | None = None,
+                     ts_cols: tuple[str, ...] = (),
+                     **options) -> DataFrame:
+    """Unbounded file-directory source (new files become micro-batches).
+
+    Streams need an explicit schema; ``schema_from`` infers it from an
+    existing file/dir with the batch reader. ``ts_cols`` applies the
+    same nanos→micros conversion as sources.read_ns_timestamps so
+    event-time columns work under watermarks.
+    """
+    if schema is None and schema_from is not None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.format(fmt).options(**options).load(schema_from).schema
+    reader = spark.readStream.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    for c in ts_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def run_available_now(stream_df: DataFrame, *, output_mode: str = "append",
+                      timeout: int = 120) -> DataFrame:
+    """Drain everything currently available through a real streaming query.
+
+    Runs the plan with Trigger.AvailableNow into a memory sink (the
+    batch-ish way to integration-test a streaming pipeline) and returns
+    the sink contents as a batch DataFrame.
+    """
+    spark = stream_df.sparkSession
+    name = f"lens_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_dedup(stream_df: DataFrame, keys: list[str], *,
+                    ts_col: str | None = None,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exact dedup over an unbounded stream.
+
+    With ``ts_col``, state is bounded by the watermark
+    (dropDuplicatesWithinWatermark) — the 100 TB-safe mode: duplicate
+    keys arriving within the watermark horizon are dropped and state
+    older than the horizon is evicted. Without it, state grows with
+    distinct keys (only safe for bounded key domains).
+    """
+    if ts_col is not None:
+        return (stream_df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return stream_df.dropDuplicates(keys)
 
 
 def windowed_counts(stream_df: DataFrame, *, ts_col: str, window: str = "1 hour",

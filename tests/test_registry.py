@@ -1,0 +1,125 @@
+"""Registry surface tests (SURVEY.md §2.3 S1-S6).
+
+Mirrors the reference's node integration suite:
+- add/list round-trip + idempotent dedup (host-go/store/store.go:31-33,
+  tests/integration/node/add_list_test.go)
+- id validation + unknown-id identity
+  (tests/integration/node/transform_test.go:16-135)
+- txn commit/discard visibility (host-go/repository/txn.go:9-41,
+  tests/multiplier/txn_commit.go, txn_discard.go)
+- two-registry sync (tests/integration/node/add_sync_list_test.go)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark.errors import InvalidLensIdError, LensError
+from lens_spark.model import LensConfig, is_valid_content_id
+from lens_spark.registry import Registry
+
+RENAME = {"lenses": [{"name": "rename",
+                      "arguments": {"src": "Name", "dst": "FullName"}}]}
+ADD5 = {"lenses": [{"name": "add", "arguments": {"column": "Age", "magnitude": 5}}]}
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    return Registry(tmp_path / "reg")
+
+
+def test_add_is_idempotent_and_content_addressed(registry):
+    id1 = registry.add(RENAME)
+    # key-order / formatting variations canonicalize to the same id
+    id2 = registry.add(
+        '{"lenses": [{"arguments": {"dst": "FullName", "src": "Name"}, '
+        '"name": "rename"}]}'
+    )
+    assert id1 == id2
+    assert is_valid_content_id(id1)
+    assert len(list((registry.specs_dir).glob("lens1-*.json"))) == 1
+    assert registry.add(ADD5) != id1
+
+
+def test_list_and_reload(registry, tmp_path):
+    id1, id2 = registry.add(RENAME), registry.add(ADD5)
+    assert set(registry.list()) == {id1, id2}
+    # a second registry over the same root reconstructs everything (S3)
+    warm = Registry(tmp_path / "reg")
+    assert set(warm.list()) == {id1, id2}
+    assert warm.get(id1).to_dict() == LensConfig.from_dict(RENAME).to_dict()
+
+
+def test_transform_and_inverse_by_id(registry, people):
+    lens_id = registry.add(RENAME)
+    out = registry.transform(people, lens_id)
+    assert out.columns == ["FullName", "Age"]
+    back = registry.inverse(out, lens_id)
+    assert back.columns == ["Name", "Age"]
+    assert sorted(r.Name for r in back.collect()) == ["Fred", "John", "Orpheus"]
+
+
+def test_unknown_id_is_identity_but_malformed_id_raises(registry, people):
+    unknown = "lens1-" + "ab" * 32
+    assert registry.transform(people, unknown) is people
+    with pytest.raises(InvalidLensIdError):
+        registry.transform(people, "not-a-lens-id")
+
+
+def test_txn_commit_publishes_atomically(registry, tmp_path):
+    with registry.txn() as txn:
+        lens_id = txn.add(RENAME)
+        # staged spec visible inside the txn, not outside (S5)
+        assert txn.get(lens_id) is not None
+        assert registry.get(lens_id) is None
+    assert registry.get(lens_id) is not None
+    assert set(Registry(tmp_path / "reg").list()) == {lens_id}
+
+
+def test_txn_discard_drops_staged_writes(registry):
+    txn = registry.txn()
+    lens_id = txn.add(RENAME)
+    txn.discard()
+    assert registry.get(lens_id) is None
+    assert registry.list() == {}
+
+
+def test_txn_error_discards(registry):
+    with pytest.raises(RuntimeError):
+        with registry.txn() as txn:
+            txn.add(RENAME)
+            raise RuntimeError("boom")
+    assert registry.list() == {}
+
+
+def test_readonly_txn_rejects_writes(registry):
+    with pytest.raises(LensError):
+        registry.txn(readonly=True).add(RENAME)
+
+
+def test_txn_transform_sees_staged_spec(registry, people):
+    with registry.txn() as txn:
+        lens_id = txn.add(RENAME)
+        assert txn.transform(people, lens_id).columns == ["FullName", "Age"]
+
+
+def test_sync_from_copies_spec_with_same_id(registry, tmp_path):
+    remote = Registry(tmp_path / "remote")
+    lens_id = remote.add(RENAME)
+    assert registry.sync_from(remote, lens_id) == lens_id
+    assert registry.get(lens_id).to_dict() == remote.get(lens_id).to_dict()
+    with pytest.raises(LensError):
+        registry.sync_from(remote, "lens1-" + "00" * 32)
+
+
+def test_pipeline_inversion_through_registry(registry, people):
+    """E8 via stored spec: transform then inverse round-trips a 2-stage
+    pipeline (reverse order + flip each module)."""
+    spec = {"lenses": RENAME["lenses"] + ADD5["lenses"]}
+    lens_id = registry.add(spec)
+    out = registry.transform(people, lens_id)
+    assert out.columns == ["FullName", "Age"]
+    assert {r.Age for r in out.collect()} == {35, 36, 37}
+    back = registry.inverse(out, lens_id)
+    assert back.columns == ["Name", "Age"]
+    assert {r.Age for r in back.collect()} == {30, 31, 32}
