@@ -264,6 +264,107 @@ def q_x4_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational built-ins (SURVEY §2.6 — absent in the reference, exposed as
+# first-class lenses): join / window / rollup / set ops / python escape hatch
+# ---------------------------------------------------------------------------
+
+def q_join_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join chain with explicit broadcast of both dims, then a
+    map-side-combinable aggregate — the canonical 100 TB star-join shape."""
+    spec = {"lenses": [
+        {"name": "join", "arguments": {
+            "right": f"{sf_dir}/customer.parquet", "on": "o_custkey = c_custkey",
+            "broadcast": True, "select": ["c_custkey", "c_nationkey"]}},
+        {"name": "join", "arguments": {
+            "right": f"{sf_dir}/nation.parquet", "on": "c_nationkey = n_nationkey",
+            "broadcast": True, "select": ["n_nationkey", "n_name"]}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["n_name"],
+            "aggs": {"n_orders": "count(*)",
+                     "sum_totalprice": "round(sum(o_totalprice), 2)"}}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via the window lens (partitioned — no global funnel)."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {
+            "columns": ["o_orderkey", "o_orderpriority", "o_totalprice"]}},
+        {"name": "window", "arguments": {
+            "partition_by": ["o_orderpriority"],
+            "order_by": ["o_totalprice desc", "o_orderkey asc"],
+            "function": "row_number", "out": "rk", "k": 3}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["l_returnflag", "l_linestatus"], "mode": "rollup",
+        "aggs": {"sum_qty": "round(sum(l_quantity), 2)",
+                 "n_rows": "count(*)"}}}]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_sets_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custkeys with finished ('F') orders but no open ('O') ones —
+    filter + project + except (distinct set semantics) via views, so the
+    binary lens resolves its right side by registered view name."""
+    _read(spark, sf_dir, "orders").filter("o_orderstatus = 'O'") \
+        .createOrReplaceTempView("open_orders")
+    spec = {"lenses": [
+        {"name": "filter", "arguments": {"predicate": "o_orderstatus = 'F'"}},
+        {"name": "project", "arguments": {"columns": ["o_custkey"]}},
+        {"name": "except", "arguments": {
+            "right_view": "open_orders", "select": ["o_custkey"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def _price_bucket_fn(batches, params):
+    width = int(params.get("width", 1000))
+    for pdf in batches:
+        out = pdf[["o_orderkey"]].copy()
+        out["bucket"] = (pdf["o_totalprice"] // width).astype("int64")
+        yield out
+
+
+from lens_spark.operators import register_python_lens  # noqa: E402
+
+register_python_lens("price_bucket", _price_bucket_fn,
+                     "o_orderkey bigint, bucket bigint")
+
+
+def q_python_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The escape hatch: an arbitrary Python (Arrow-batched mapInPandas)
+    lens in a spec — ≙ a user WASM module in the reference."""
+    spec = {"lenses": [{"name": "python_udf", "arguments": {
+        "function": "price_bucket", "params": {"width": 1000}}}]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 embedding variant)."""
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_x2_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH pairs → connected components →
+    keep min-id representative (rows-only: iterative min-label
+    propagation isn't single-query SQL)."""
+    from lens_spark.operators.dedup import dedup_neardup
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_neardup(docs, "doc_id", "text", num_hashes=MH_NUM_HASHES,
+                         ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE,
+                         threshold=JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
 # X6: distinct counting
 # ---------------------------------------------------------------------------
 
@@ -340,6 +441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_pairs": q_x2_minhash_pairs,
         "x2_jaccard_verified": q_x2_jaccard_verified,
         "x2_simhash": q_x2_simhash,
+        "x2_embedding_neardup": q_x2_embedding_neardup,
+        "x2_dedup_neardup": q_x2_dedup_neardup,
+        "join_enriched_orders": q_join_enriched_orders,
+        "window_topk_orders": q_window_topk_orders,
+        "rollup_revenue": q_rollup_revenue,
+        "sets_except": q_sets_except,
+        "python_udf_bucket": q_python_udf_bucket,
         "x3_similarity_topk": q_x3_similarity_topk,
         "x3_ann_topk": q_x3_ann_topk,
         "x5_lang_id": q_x5_lang_id,
@@ -472,6 +580,44 @@ FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}
+""",
+        "join_enriched_orders": """
+SELECT n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "window_topk_orders": """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT * FROM ranked WHERE rk <= 3
+""",
+        "rollup_revenue": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "sets_except": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+            " EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "python_udf_bucket": (
+            "SELECT o_orderkey, CAST(floor(o_totalprice / 1000) AS BIGINT)"
+            " AS bucket FROM orders"
+        ),
+        "x2_embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
 """,
         "x3_similarity_topk": """
 WITH scored AS (

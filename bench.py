@@ -26,6 +26,8 @@ HEADLINE = [
     "m7_explode",            # N:1 collect + 1:N explode round-trip
     "m5_counter_large",      # distributed two-pass sequence assignment
     "x1_dedup_exact",        # exact dedup over a doubled table
+    "join_enriched_orders",  # broadcast star join + partial agg
+    "window_topk_orders",    # partitioned window top-k
     "x2_minhash_pairs",      # minhash + LSH band self-join
     "x2_jaccard_verified",   # LSH candidates + exact jaccard verify
     "x3_similarity_topk",    # broadcast brute-force cosine top-k

@@ -8,6 +8,7 @@ Importing this package registers all built-in lenses. Modules:
   similarity— X3 embedding cosine top-k (brute force + LSH-bucketed ANN)
   text      — X5 language-id, quality scoring, token counts, fingerprints
   multimodal— X4 binary media columns: decode/feature plumbing (stubbed codecs)
+  relational— join / aggregate / window / sort / limit / set ops (§2.6 built-ins)
 """
 
 from lens_spark.operators.base import (
@@ -24,6 +25,7 @@ from lens_spark.operators import dedup as _dedup  # noqa: F401
 from lens_spark.operators import similarity as _similarity  # noqa: F401
 from lens_spark.operators import text as _text  # noqa: F401
 from lens_spark.operators import multimodal as _multimodal  # noqa: F401
+from lens_spark.operators import relational as _relational  # noqa: F401
 
 __all__ = [
     "Lens",

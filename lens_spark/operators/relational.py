@@ -1,0 +1,185 @@
+"""Relational built-in lenses: join / aggregate / window / sort / limit /
+set operations.
+
+The reference engine has none of these (SURVEY.md §2.6 — a WASM lens
+sees a single input stream and the vocabulary is Transform/Inverse
+only); its capability is "arbitrary user transform in a pipeline".
+Re-expressed Spark-first, that capability includes the relational
+algebra, so these are first-class registered lenses that compose in
+lens files exactly like the M1-M7 archetypes and stay fully visible
+to Catalyst (predicate pushdown, join strategy selection, partial
+aggregation).
+
+Scale notes (100 TB):
+- ``join`` takes an explicit ``broadcast`` flag for dimension tables;
+  unflagged joins shuffle on the key and rely on AQE for skew splits.
+- ``aggregate`` uses native hash aggregation — partial (map-side)
+  combine before the exchange is automatic.
+- ``window`` requires ``partition_by`` by default: a global (empty
+  partition) window funnels every row through one task. Callers must
+  opt in with allow_global=true (small inputs only); prefer the
+  counter lens's distributed two-pass for global numbering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lens_spark.errors import LensError
+from lens_spark.operators.base import Lens, register_lens, require_arg
+
+_WINDOW_FNS = {
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+}
+
+
+def _read_right(df: DataFrame, arguments: Mapping[str, Any], lens: str) -> DataFrame:
+    """Resolve the second input of a binary lens: a file path or a view."""
+    path = arguments.get("right")
+    view = arguments.get("right_view")
+    if (path is None) == (view is None):
+        raise LensError(f"lens '{lens}' requires exactly one of 'right' (path) "
+                        "or 'right_view' (registered view name)")
+    spark = df.sparkSession
+    if view is not None:
+        return spark.table(str(view))
+    fmt = str(arguments.get("right_format", "parquet"))
+    return spark.read.format(fmt).load(str(path))
+
+
+def _order_cols(specs: list[Any]) -> list[Column]:
+    cols = []
+    for s in specs:
+        s = str(s)
+        if s.lower().endswith(" desc"):
+            cols.append(F.col(s[:-5].strip()).desc())
+        elif s.lower().endswith(" asc"):
+            cols.append(F.col(s[:-4].strip()).asc())
+        else:
+            cols.append(F.col(s).asc())
+    return cols
+
+
+@register_lens("join")
+def join_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: right (path) | right_view, on (list[str] | SQL expr),
+    how ("inner"), broadcast (false), select (optional right-side cols).
+
+    ``broadcast`` is the 100 TB dial: a dimension side ships to every
+    executor and the join never shuffles the fact side.
+    """
+    on = require_arg(arguments, "on", "join")
+    how = str(arguments.get("how", "inner"))
+    bc = bool(arguments.get("broadcast", False))
+    select = arguments.get("select")
+
+    def forward(df: DataFrame) -> DataFrame:
+        right = _read_right(df, arguments, "join")
+        if select:
+            right = right.select(*[str(c) for c in select])
+        if bc:
+            right = F.broadcast(right)
+        cond = [str(c) for c in on] if isinstance(on, list) else F.expr(str(on))
+        return df.join(right, cond, how)
+
+    return Lens("join", arguments, forward)
+
+
+@register_lens("aggregate")
+def aggregate_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), aggs ({out_name: SQL aggregate expr}),
+    mode ("group" | "rollup" | "cube")."""
+    keys = [str(k) for k in arguments.get("keys", [])]
+    aggs = require_arg(arguments, "aggs", "aggregate")
+    mode = str(arguments.get("mode", "group"))
+    exprs = [F.expr(str(e)).alias(str(out)) for out, e in dict(aggs).items()]
+
+    def forward(df: DataFrame) -> DataFrame:
+        if mode == "rollup":
+            grouped = df.rollup(*keys)
+        elif mode == "cube":
+            grouped = df.cube(*keys)
+        elif mode == "group":
+            grouped = df.groupBy(*keys)
+        else:
+            raise LensError(f"lens 'aggregate': unknown mode '{mode}'")
+        return grouped.agg(*exprs)
+
+    return Lens("aggregate", arguments, forward)
+
+
+@register_lens("window")
+def window_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: function ("row_number" | "rank" | "dense_rank"),
+    order_by (["col [asc|desc]", ...]), partition_by (list[str]),
+    out ("rank"), k (optional: keep only rows with value <= k),
+    allow_global (false)."""
+    fn_name = str(arguments.get("function", "row_number"))
+    fn = _WINDOW_FNS.get(fn_name)
+    if fn is None:
+        raise LensError(f"lens 'window': unknown function '{fn_name}' "
+                        f"(have {sorted(_WINDOW_FNS)})")
+    partition_by = [str(c) for c in arguments.get("partition_by", [])]
+    order_by = [str(c) for c in require_arg(arguments, "order_by", "window")]
+    out = str(arguments.get("out", "rank"))
+    k = arguments.get("k")
+    if not partition_by and not bool(arguments.get("allow_global", False)):
+        raise LensError("lens 'window': empty partition_by funnels all rows "
+                        "through one task; set allow_global=true for small "
+                        "inputs or use the counter lens")
+
+    def forward(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+        res = df.withColumn(out, fn().over(w).cast("bigint"))
+        if k is not None:
+            res = res.filter(F.col(out) <= int(k))
+        return res
+
+    def inverse(df: DataFrame) -> DataFrame:
+        return df.drop(out)
+
+    return Lens("window", arguments, forward, inverse)
+
+
+@register_lens("sort")
+def sort_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: by (["col [asc|desc]", ...]). Global range-partitioned
+    sort (Spark samples boundaries; no single-task funnel)."""
+    by = [str(c) for c in require_arg(arguments, "by", "sort")]
+    return Lens("sort", arguments, lambda df: df.orderBy(*_order_cols(by)))
+
+
+@register_lens("limit")
+def limit_lens(arguments: Mapping[str, Any]) -> Lens:
+    n = int(require_arg(arguments, "n", "limit"))
+    return Lens("limit", arguments, lambda df: df.limit(n))
+
+
+def _set_op_lens(name: str, op: str):
+    def factory(arguments: Mapping[str, Any]) -> Lens:
+        def forward(df: DataFrame) -> DataFrame:
+            right = _read_right(df, arguments, name)
+            if arguments.get("select"):
+                right = right.select(*[str(c) for c in arguments["select"]])
+            if op == "union":
+                out = df.unionByName(right)
+                return out.distinct() if bool(arguments.get("distinct", False)) else out
+            if op == "except":
+                return df.exceptAll(right) if bool(arguments.get("all", False)) \
+                    else df.subtract(right)
+            return df.intersectAll(right) if bool(arguments.get("all", False)) \
+                else df.intersect(right)
+
+        return Lens(name, arguments, forward)
+
+    return register_lens(name)(factory)
+
+
+union_lens = _set_op_lens("union", "union")
+except_lens = _set_op_lens("except", "except")
+intersect_lens = _set_op_lens("intersect", "intersect")

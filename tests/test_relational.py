@@ -1,0 +1,113 @@
+"""Relational built-in lens tests (join/aggregate/window/sort/limit/set ops).
+
+These lenses have no reference counterpart (SURVEY.md §2.6 — the engine
+vocabulary is Transform/Inverse only); they are the Spark-first
+expression of "arbitrary transform in a pipeline". Tests run the spec
+path end-to-end through engine.append.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.base import make_lens
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_join_broadcast_plan_and_rows(spark, orders):
+    spec = {"lenses": [{"name": "join", "arguments": {
+        "right": f"{SF}/customer.parquet", "on": "o_custkey = c_custkey",
+        "broadcast": True, "select": ["c_custkey", "c_name"]}}]}
+    out = engine.append(orders, spec)
+    assert out.count() == orders.count()  # every order has a customer
+    # the broadcast flag must actually produce a broadcast join
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_by_view_and_column_list(spark, orders):
+    spark.read.parquet(f"{SF}/customer.parquet") \
+        .withColumnRenamed("c_custkey", "o_custkey") \
+        .createOrReplaceTempView("cust_v")
+    spec = {"lenses": [{"name": "join", "arguments": {
+        "right_view": "cust_v", "on": ["o_custkey"], "how": "left",
+        "select": ["o_custkey", "c_mktsegment"]}}]}
+    out = engine.append(orders, spec)
+    assert "c_mktsegment" in out.columns
+    assert out.count() == orders.count()
+
+
+def test_join_requires_exactly_one_right(spark, orders):
+    with pytest.raises(LensError):
+        engine.append(orders, {"lenses": [{"name": "join",
+                                           "arguments": {"on": ["x"]}}]})
+
+
+def test_aggregate_group_and_rollup(spark, orders):
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["o_orderstatus"], "aggs": {"n": "count(*)"}}}]}
+    got = {r.o_orderstatus: r.n for r in engine.append(orders, spec).collect()}
+    want = {r.o_orderstatus: r["count"] for r in
+            orders.groupBy("o_orderstatus").count().collect()}
+    assert got == want
+
+    roll = engine.append(orders, {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["o_orderstatus"], "mode": "rollup",
+        "aggs": {"n": "count(*)"}}}]})
+    rows = {(r.o_orderstatus, r.n) for r in roll.collect()}
+    assert (None, orders.count()) in rows  # grand-total row
+    assert len(rows) == len(want) + 1
+
+
+def test_window_topk_and_global_guard(spark, orders):
+    spec = {"lenses": [{"name": "window", "arguments": {
+        "partition_by": ["o_orderpriority"],
+        "order_by": ["o_totalprice desc"], "k": 2, "out": "rk"}}]}
+    out = engine.append(orders, spec)
+    counts = out.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    # inverse drops the assigned column
+    assert "rk" not in make_lens("window", spec["lenses"][0]["arguments"]) \
+        .inverse(out).columns
+
+    with pytest.raises(LensError):
+        make_lens("window", {"order_by": ["o_totalprice"]})
+
+
+def test_sort_and_limit(spark, orders):
+    spec = {"lenses": [
+        {"name": "sort", "arguments": {"by": ["o_totalprice desc"]}},
+        {"name": "limit", "arguments": {"n": 5}},
+    ]}
+    rows = engine.append(orders, spec).collect()
+    assert len(rows) == 5
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_set_ops(spark, orders):
+    f = orders.filter("o_orderstatus = 'F'").select("o_custkey")
+    o = orders.filter("o_orderstatus = 'O'").select("o_custkey")
+    f.createOrReplaceTempView("f_orders")
+    o.createOrReplaceTempView("o_orders")
+
+    got = engine.append(f, {"lenses": [{"name": "except", "arguments": {
+        "right_view": "o_orders"}}]})
+    want = f.subtract(o)
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+    inter = engine.append(f, {"lenses": [{"name": "intersect", "arguments": {
+        "right_view": "o_orders"}}]})
+    assert inter.count() == f.intersect(o).count()
+
+    uni = engine.append(f, {"lenses": [{"name": "union", "arguments": {
+        "right_view": "o_orders", "distinct": True}}]})
+    assert uni.count() == f.union(o).distinct().count()
