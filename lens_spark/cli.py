@@ -17,7 +17,9 @@ from lens_spark.model import LensConfig
 from lens_spark.session import get_spark
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
+    """``_stop_session=False`` lets tests drive the CLI in-process
+    without tearing down their shared SparkSession."""
     parser = argparse.ArgumentParser(prog="lens_spark")
     parser.add_argument("lensfile", help="pipeline spec JSON (lens file)")
     parser.add_argument("--input", help="input path (parquet or json); default stdin JSON array")
@@ -62,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
             print()
         return 0
     finally:
-        spark.stop()
+        if _stop_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

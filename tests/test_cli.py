@@ -1,0 +1,111 @@
+"""CLI end-to-end golden tests — layer 3 of the reference's test pyramid
+(tests/integration/cli/: utlis.go TestCase{LensFile, Input,
+ExpectedOutput, ExpectedError}), run in-process against the shared
+session (a subprocess per case would pay ~10 s of Spark startup each;
+the code path exercised is identical).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from lens_spark.cli import main
+from lens_spark.errors import LensError
+
+
+def run_cli(tmp_path, monkeypatch, spec: dict, docs, extra_args: list[str] = ()):
+    lensfile = tmp_path / "lens.json"
+    lensfile.write_text(json.dumps(spec))
+    monkeypatch.setattr("sys.stdin", io.StringIO(json.dumps(docs)))
+    out = io.StringIO()
+    monkeypatch.setattr("sys.stdout", out)
+    rc = main([str(lensfile), *extra_args], _stop_session=False)
+    assert rc == 0
+    return json.loads(out.getvalue())
+
+
+PEOPLE = [{"Age": 30, "Name": "John"}, {"Age": 31, "Name": "Fred"}]
+
+
+def test_empty_pipeline_is_identity(spark, tmp_path, monkeypatch):
+    # ≙ simple_test.go:66-110
+    got = run_cli(tmp_path, monkeypatch, {"lenses": []}, PEOPLE)
+    assert sorted(got, key=lambda d: d["Age"]) == PEOPLE
+
+
+def test_rename_golden(spark, tmp_path, monkeypatch):
+    # ≙ simple_test.go:23-60 (rust_wasm32_simple: Name → FullName)
+    spec = {"lenses": [{"name": "rename",
+                        "arguments": {"src": "Name", "dst": "FullName"}}]}
+    got = run_cli(tmp_path, monkeypatch, spec, PEOPLE)
+    assert sorted(got, key=lambda d: d["Age"]) == [
+        {"Age": 30, "FullName": "John"}, {"Age": 31, "FullName": "Fred"}]
+
+
+def test_chained_modules_with_params(spark, tmp_path, monkeypatch):
+    # ≙ with_modules_params_test.go: two parameterized renames + add
+    spec = {"lenses": [
+        {"name": "rename", "arguments": {"src": "Name", "dst": "FirstName"}},
+        {"name": "rename", "arguments": {"src": "FirstName", "dst": "FullName"}},
+        {"name": "add", "arguments": {"column": "Age", "magnitude": 10}},
+    ]}
+    got = run_cli(tmp_path, monkeypatch, spec, PEOPLE)
+    assert sorted(got, key=lambda d: d["Age"]) == [
+        {"Age": 40, "FullName": "John"}, {"Age": 41, "FullName": "Fred"}]
+
+
+def test_filter_and_explode_change_length(spark, tmp_path, monkeypatch):
+    # ≙ with_len_change_test.go:9-104 (filter M6, normalize/explode M7)
+    docs = [{"__type": "pass", "Books": ["a", "b"]},
+            {"__type": "skip", "Books": ["c"]}]
+    spec = {"lenses": [
+        {"name": "filter", "arguments": {"column": "__type", "equals": "pass"}},
+        {"name": "explode", "arguments": {"column": "Books", "out": "Book"}},
+        {"name": "drop", "arguments": {"columns": ["__type"]}},
+    ]}
+    got = run_cli(tmp_path, monkeypatch, spec, docs)
+    assert sorted(got, key=lambda d: d["Book"]) == [{"Book": "a"}, {"Book": "b"}]
+
+
+def test_inverse_flag_applies_inverted_pipeline(spark, tmp_path, monkeypatch):
+    # ≙ with_inverse_test.go:14-52
+    spec = {"lenses": [{"name": "add",
+                        "arguments": {"column": "Age", "magnitude": 5}}]}
+    got = run_cli(tmp_path, monkeypatch, spec, PEOPLE, ["--inverse"])
+    assert sorted(d["Age"] for d in got) == [25, 26]
+
+
+def test_missing_inverse_errors(spark, tmp_path, monkeypatch):
+    # ≙ with_inverse_test.go:54-85 (module without inverse)
+    spec = {"lenses": [{"name": "filter",
+                        "arguments": {"column": "Name", "equals": "John"}}]}
+    with pytest.raises(LensError, match="does not define an inverse"):
+        run_cli(tmp_path, monkeypatch, spec, PEOPLE, ["--inverse"])
+
+
+def test_missing_column_error_text(spark, tmp_path, monkeypatch):
+    # ≙ rust_wasm32_rename error path (src/lib.rs:24-27)
+    spec = {"lenses": [{"name": "rename",
+                        "arguments": {"src": "Nope", "dst": "X"}}]}
+    with pytest.raises(LensError, match="property with name 'Nope' not found"):
+        run_cli(tmp_path, monkeypatch, spec, PEOPLE)
+
+
+def test_file_input_output_roundtrip(spark, tmp_path, monkeypatch):
+    src = spark.createDataFrame(PEOPLE)
+    in_path = str(tmp_path / "in.parquet")
+    out_path = str(tmp_path / "out.json")
+    src.write.parquet(in_path)
+    lensfile = tmp_path / "lens.json"
+    lensfile.write_text(json.dumps(
+        {"lenses": [{"name": "rename",
+                     "arguments": {"src": "Name", "dst": "FullName"}}]}))
+    rc = main([str(lensfile), "--input", in_path, "--output", out_path],
+              _stop_session=False)
+    assert rc == 0
+    back = spark.read.json(out_path)
+    assert set(back.columns) == {"Age", "FullName"}
+    assert back.count() == 2
