@@ -365,6 +365,53 @@ def q_x2_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal: as-of join + sessionization (no reference counterpart — the
+# reference has no time semantics; these are the event-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order matched to the customer's latest event at or before
+    the order date (union-sort as-of join: one shuffle per side)."""
+    from lens_spark.operators.temporal import asof_join
+    from lens_spark.sources import read_ns_timestamps
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"))
+    # unique (user, ts) right side => deterministic match; key aligned
+    # to the left column name
+    events = (read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("last_value"))
+              .withColumnRenamed("user_id", "o_custkey"))
+    out = asof_join(orders, events, on="o_custkey", left_time="o_ts",
+                    right_time="ts", payload=["last_value"])
+    return out.select("o_orderkey", "o_custkey", "last_value",
+                      F.col("ts_matched").alias("last_event_ts"))
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session index per user (30 min gap)."""
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    spec = {"lenses": [{"name": "sessionize", "arguments": {
+        "key": "user_id", "ts": "ts", "gap": "30 minutes",
+        "tie_break": ["event_id"], "out": "session_idx"}}]}
+    return engine.append(ev, spec).select("event_id", "user_id", "session_idx")
+
+
+def q_events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregate (same call runs on streams)."""
+    from lens_spark.operators.temporal import session_agg
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    return session_agg(ev, key="user_id", ts_col="ts", gap="30 minutes",
+                       aggs={"n_events": "count(*)"})
+
+
+# ---------------------------------------------------------------------------
 # X6: distinct counting
 # ---------------------------------------------------------------------------
 
@@ -448,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "sets_except": q_sets_except,
         "python_udf_bucket": q_python_udf_bucket,
+        "asof_last_event": q_asof_last_event,
+        "events_sessionized": q_events_sessionized,
+        "events_session_agg": q_events_session_agg,
         "x3_similarity_topk": q_x3_similarity_topk,
         "x3_ann_topk": q_x3_ann_topk,
         "x5_lang_id": q_x5_lang_id,
@@ -618,6 +668,55 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+""",
+        "asof_last_event": """
+WITH ev AS (
+  SELECT user_id AS o_custkey, ts, max(value) AS last_value
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, e.last_value, e.ts AS last_event_ts
+FROM o ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.o_custkey AND o.o_ts >= e.ts
+""",
+        "events_sessionized": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                     OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM o
+""",
+        "events_session_agg": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+              OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
 """,
         "x3_similarity_topk": """
 WITH scored AS (

@@ -9,6 +9,7 @@ Importing this package registers all built-in lenses. Modules:
   text      — X5 language-id, quality scoring, token counts, fingerprints
   multimodal— X4 binary media columns: decode/feature plumbing (stubbed codecs)
   relational— join / aggregate / window / sort / limit / set ops (§2.6 built-ins)
+  temporal  — as-of join, gap sessionization, session windows (batch+stream)
 """
 
 from lens_spark.operators.base import (
@@ -26,6 +27,7 @@ from lens_spark.operators import similarity as _similarity  # noqa: F401
 from lens_spark.operators import text as _text  # noqa: F401
 from lens_spark.operators import multimodal as _multimodal  # noqa: F401
 from lens_spark.operators import relational as _relational  # noqa: F401
+from lens_spark.operators import temporal as _temporal  # noqa: F401
 
 __all__ = [
     "Lens",

@@ -1,0 +1,174 @@
+"""Temporal operators: as-of join, gap sessionization, session windows.
+
+No reference counterpart (the reference has no time semantics at all —
+SURVEY.md §2.6); these are the operators a training-data/event pipeline
+needs that Spark lacks as single built-ins, composed here from native
+ops so Catalyst keeps optimizing them.
+
+Scale design (100 TB):
+- ``asof_join`` is the union-sort formulation: tag both inputs, union,
+  and take ``last(right, ignorenulls)`` over a per-key time-ordered
+  window. One hash shuffle per side on the join key, a per-key sort,
+  no range-explosion join and no per-row binary search. Skewed keys
+  ride on AQE; a time-bucketed variant (pre-bucket by coarse time,
+  then windows within buckets) is the next dial if one key's history
+  alone exceeds a task.
+- ``sessionize`` is two stacked per-key windows (lag → cumulative
+  sum) — same single shuffle, order within key only.
+- ``session_agg`` uses native ``session_window`` so the identical call
+  works on batch and on streams (with a watermark, state is evicted
+  when the gap closes a session).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lens_spark.errors import LensError
+from lens_spark.operators.base import Lens, register_lens, require_arg
+
+_L, _R = "__asof_l", "__asof_r"
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_time: str,
+              right_time: str, payload: list[str] | None = None,
+              direction: str = "backward",
+              tolerance: Column | str | None = None) -> DataFrame:
+    """For each left row, the latest right row with time ≤ left time
+    (``backward``; ``forward`` = earliest with time ≥ left time).
+
+    Right rows must be unique per (key, time) — pre-aggregate if not
+    (the match would otherwise be nondeterministic). Payload columns
+    come back null when no right row qualifies (left-join semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise LensError(f"asof_join: unknown direction '{direction}'")
+    payload = payload or [c for c in right.columns if c not in (on, right_time)]
+
+    lt = F.col(left_time).alias("__t")
+    l_tagged = left.select(
+        F.col(on).alias("__k"), lt.cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_l"), F.struct(*left.columns).alias(_L),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+          for c in payload],
+        F.lit(None).cast("timestamp").alias("__rt"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"), F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_l"), F.lit(None).cast(l_tagged.schema[_L].dataType).alias(_L),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(right_time).cast("timestamp").alias("__rt"),
+    )
+    both = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows at equal times, so an exact-time
+    # match is inclusive in both directions.
+    if direction == "backward":
+        w = (Window.partitionBy("__k")
+             .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (Window.partitionBy("__k")
+             .orderBy(F.col("__t").desc(), F.col("__is_l").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+
+    matched = both.select(
+        "__k", "__t", "__is_l", _L,
+        *[pick(f"__p_{c}").alias(f"__m_{c}") for c in payload],
+        pick("__rt").alias("__m_rt"),
+    ).filter(F.col("__is_l") == 1)
+
+    keep = F.lit(True)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        delta = (F.col("__t") - F.col("__m_rt")) if direction == "backward" \
+            else (F.col("__m_rt") - F.col("__t"))
+        keep = F.col("__m_rt").isNotNull() & (delta <= tol)
+
+    out_cols = [F.col(f"{_L}.{c}").alias(c) for c in left.columns]
+    out_cols += [F.when(keep, F.col(f"__m_{c}")).alias(c) for c in payload]
+    out_cols.append(F.when(keep, F.col("__m_rt")).alias(f"{right_time}_matched"))
+    return matched.select(*out_cols)
+
+
+def sessionize(df: DataFrame, *, key: str, ts_col: str, gap: str = "30 minutes",
+               out: str = "session_idx",
+               tie_break: list[str] | None = None) -> DataFrame:
+    """Gap-based session index per key (1-based, ordered by time).
+
+    A new session starts when the gap to the previous event of the same
+    key exceeds ``gap``. ``tie_break`` columns make ordering total when
+    timestamps collide.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tie_break or [])]
+    w_order = Window.partitionBy(key).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(F.col(ts_col)).over(w_order)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.sum(is_new).over(w_cum).cast("bigint"))
+
+
+def session_agg(df: DataFrame, *, key: str, ts_col: str, gap: str = "30 minutes",
+                watermark: str | None = None,
+                aggs: Mapping[str, str] | None = None) -> DataFrame:
+    """Native session-window aggregate — identical call for batch and
+    streams (streams need ``watermark`` so closed sessions evict state)."""
+    if df.isStreaming:
+        if watermark is None:
+            raise LensError("session_agg on a stream requires a watermark")
+        df = df.withWatermark(ts_col, watermark)
+    exprs = [F.expr(e).alias(n) for n, e in (aggs or {"n_events": "count(*)"}).items()]
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key))
+        .agg(*exprs)
+        .select(F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), F.col(key), *[
+                    F.col(n) for n in (aggs or {"n_events": None})])
+    )
+
+
+# --- lens registrations -------------------------------------------------
+
+@register_lens("asof_join")
+def asof_join_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: right (path) | right_view, on, left_time, right_time,
+    payload (cols), direction, tolerance (SQL interval expr)."""
+    from lens_spark.operators.relational import _read_right
+
+    def forward(df: DataFrame) -> DataFrame:
+        right = _read_right(df, arguments, "asof_join")
+        return asof_join(
+            df, right,
+            on=str(require_arg(arguments, "on", "asof_join")),
+            left_time=str(require_arg(arguments, "left_time", "asof_join")),
+            right_time=str(require_arg(arguments, "right_time", "asof_join")),
+            payload=[str(c) for c in arguments["payload"]] if arguments.get("payload") else None,
+            direction=str(arguments.get("direction", "backward")),
+            tolerance=arguments.get("tolerance"),
+        )
+
+    return Lens("asof_join", arguments, forward)
+
+
+@register_lens("sessionize")
+def sessionize_lens(arguments: Mapping[str, Any]) -> Lens:
+    def forward(df: DataFrame) -> DataFrame:
+        return sessionize(
+            df,
+            key=str(require_arg(arguments, "key", "sessionize")),
+            ts_col=str(require_arg(arguments, "ts", "sessionize")),
+            gap=str(arguments.get("gap", "30 minutes")),
+            out=str(arguments.get("out", "session_idx")),
+            tie_break=[str(c) for c in arguments.get("tie_break", [])],
+        )
+
+    out = str(arguments.get("out", "session_idx"))
+    return Lens("sessionize", arguments, forward, lambda df: df.drop(out))

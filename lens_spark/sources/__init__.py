@@ -50,7 +50,9 @@ def read_ns_timestamps(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     for c in ts_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+            # integer div: epoch-ns overflows double's 53-bit mantissa, so
+            # float division would corrupt the microsecond digit
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

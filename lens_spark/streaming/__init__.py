@@ -46,7 +46,9 @@ def read_file_stream(spark: SparkSession, path: str, *, fmt: str = "parquet",
     df = reader.load(path)
     for c in ts_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+            # integer div: epoch-ns overflows double's 53-bit mantissa, so
+            # float division would corrupt the microsecond digit
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
@@ -73,6 +75,40 @@ def run_available_now(stream_df: DataFrame, *, output_mode: str = "append",
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stateful_running_count(stream_df: DataFrame, keys: list[str],
+                           out: str = "running_count") -> DataFrame:
+    """Per-key running event count that survives micro-batches — the
+    streaming analogue of the M5 stateful counter lens (module state
+    across ``transform`` calls, rust_wasm32_counter), implemented as a
+    custom stateful operator over applyInPandasWithState.
+
+    State per key is one bigint; each micro-batch emits one row per key
+    seen in that batch with the cumulative total. State lives in the
+    state store (checkpointed, partitioned by key) — unbounded key
+    domains need a timeout policy; keep as-is only for bounded keys.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    key_schema = stream_df.select(*keys).schema
+    out_schema = StructType(list(key_schema.fields)).add(out, "long")
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        seen = sum(len(pdf) for pdf in pdf_iter)
+        (total,) = state.get if state.exists else (0,)
+        total += seen
+        state.update((total,))
+        yield pd.DataFrame([{**dict(zip(keys, key)), out: total}])
+
+    return (
+        stream_df.groupBy(*keys)
+        .applyInPandasWithState(update, out_schema, "total LONG",
+                                "update", GroupStateTimeout.NoTimeout)
+    )
 
 
 def streaming_dedup(stream_df: DataFrame, keys: list[str], *,

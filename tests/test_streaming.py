@@ -100,3 +100,29 @@ def test_stateful_counter_lens_on_stream_raises_cleanly(spark, events_dir):
                               ts_cols=("ts",))
     with pytest.raises(Exception):
         run_available_now(apply_stream(stream, spec))
+
+
+def test_stateful_running_count_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches
+    (≙ module state across transform calls,
+    host-go/engine/tests/wasm32_pipeline_with_state_test.go)."""
+    import pandas as pd
+    from lens_spark.streaming import read_file_stream, run_available_now, \
+        stateful_running_count
+
+    d = tmp_path / "counts_stream"
+    d.mkdir()
+    # two files + maxFilesPerTrigger=1 => two micro-batches
+    pd.DataFrame({"k": ["a", "a", "b"]}).to_parquet(d / "f1.parquet")
+    pd.DataFrame({"k": ["a", "b", "b"]}).to_parquet(d / "f2.parquet")
+    stream = read_file_stream(spark, str(d), schema_from=str(d / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    got = run_available_now(stateful_running_count(stream, ["k"]),
+                            output_mode="update")
+    # final cumulative totals must aggregate across both batches
+    final = {r.k: r.running_count
+             for r in got.groupBy("k")
+             .agg(F.max("running_count").alias("running_count")).collect()}
+    assert final == {"a": 3, "b": 3}
+    # more than one emission per key proves multiple micro-batches ran
+    assert got.count() > 2

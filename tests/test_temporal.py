@@ -1,0 +1,123 @@
+"""Temporal operator tests: as-of join, sessionization, session windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark import engine
+from lens_spark.operators.temporal import asof_join, session_agg, sessionize
+
+
+def ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(5), 11.0), (1, ts(10), 12.0),
+         (2, ts(3), 99.0)],
+        "key long, qts timestamp, price double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, ts(4)), (1, ts(5)), (1, ts(20)), (2, ts(0)), (3, ts(1))],
+        "key long, tts timestamp")
+
+
+def test_asof_backward_picks_latest_at_or_before(quotes, trades):
+    out = asof_join(trades, quotes, on="key", left_time="tts",
+                    right_time="qts", payload=["price"])
+    got = {(r.key, r.tts.minute): r.price for r in out.collect()}
+    assert got[(1, 4)] == 10.0    # latest quote before 12:04 is 12:00
+    assert got[(1, 5)] == 11.0    # exact-time match is inclusive
+    assert got[(1, 20)] == 12.0
+    assert got[(2, 0)] is None    # quote for key 2 is later than the trade
+    assert got[(3, 1)] is None    # unseen key → left join null
+
+
+def test_asof_forward(quotes, trades):
+    out = asof_join(trades, quotes, on="key", left_time="tts",
+                    right_time="qts", payload=["price"], direction="forward")
+    got = {(r.key, r.tts.minute): r.price for r in out.collect()}
+    assert got[(1, 4)] == 11.0    # next quote at/after 12:04 is 12:05
+    assert got[(1, 5)] == 11.0    # inclusive
+    assert got[(1, 20)] is None
+    assert got[(2, 0)] == 99.0
+
+
+def test_asof_tolerance(quotes, trades):
+    out = asof_join(trades, quotes, on="key", left_time="tts",
+                    right_time="qts", payload=["price"],
+                    tolerance="INTERVAL 2 MINUTES")
+    got = {(r.key, r.tts.minute): r.price for r in out.collect()}
+    assert got[(1, 4)] is None    # 12:00 quote is 4 min stale → dropped
+    assert got[(1, 5)] == 11.0    # exact match within tolerance
+    # row count preserved (left-join semantics, stale matches nulled)
+    assert out.count() == 5
+
+
+def test_asof_row_count_never_changes(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="key", left_time="tts", right_time="qts")
+    assert out.count() == trades.count()
+
+
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(10), 2), (1, ts(45), 3), (1, ts(50), 4),
+         (2, ts(0), 5)],
+        "user long, ts timestamp, eid long")
+    out = sessionize(ev, key="user", ts_col="ts", gap="30 minutes",
+                     tie_break=["eid"])
+    got = {r.eid: r.session_idx for r in out.collect()}
+    # 12:00+12:10 → session 1; 35-min gap → 12:45+12:50 session 2
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_lens_spec_and_inverse(spark):
+    ev = spark.createDataFrame([(1, ts(0)), (1, ts(40))], "user long, ts timestamp")
+    spec = {"lenses": [{"name": "sessionize", "arguments": {
+        "key": "user", "ts": "ts", "gap": "30 minutes"}}]}
+    out = engine.append(ev, spec)
+    assert sorted(r.session_idx for r in out.collect()) == [1, 2]
+    back = engine.append(out, engine.invert(spec))
+    assert back.columns == ev.columns
+
+
+def test_session_agg_matches_sessionize(spark):
+    ev = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(10), 1.0), (1, ts(45), 1.0)],
+        "user long, ts timestamp, value double")
+    out = session_agg(ev, key="user", ts_col="ts", gap="30 minutes")
+    rows = sorted(out.collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2
+    assert rows[0].n_events == 2 and rows[1].n_events == 1
+    # session extends gap past the last event
+    assert rows[0].session_end == ts(40)
+
+
+def test_session_agg_on_real_stream(spark, tmp_path):
+    import shutil
+    from lens_spark.streaming import read_file_stream, run_available_now
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "sessions_stream"
+    d.mkdir()
+    shutil.copy(src, d / "part-000.parquet")
+    stream = read_file_stream(spark, str(d), schema_from=src, ts_cols=("ts",))
+    got = run_available_now(
+        session_agg(stream, key="user_id", ts_col="ts", gap="30 minutes",
+                    watermark="1 hour"),
+        output_mode="append")
+    from lens_spark.sources import read_ns_timestamps
+    batch = session_agg(read_ns_timestamps(spark, src), key="user_id",
+                        ts_col="ts", gap="30 minutes")
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows, "no sessions emitted"
+    assert got_rows <= batch_rows  # watermark may withhold the tail
