@@ -420,6 +420,24 @@ def q_x6_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("o_custkey").alias("n_custkeys")))
 
 
+def q_x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (same definition as quantile_cont)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+def q_x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch quantiles (approx_percentile — rows-only; accuracy
+    asserted against the exact percentiles in tests)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"))
+
+
 def q_x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch (rows-only; tolerance asserted in tests)."""
     return (_read(spark, sf_dir, "orders")
@@ -506,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_media_metadata": q_x4_media_metadata,
         "x4_image_features": q_x4_image_features,
         "x6_exact_distinct": q_x6_exact_distinct,
+        "x6_quantiles": q_x6_quantiles,
+        "x6_approx_quantiles": q_x6_approx_quantiles,
         "x6_approx_distinct": q_x6_approx_distinct,
         "events_windowed": q_events_windowed,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -754,6 +774,11 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         ),
         "x6_exact_distinct": (
             "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys FROM orders"
+        ),
+        "x6_quantiles": (
+            "SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,"
+            " round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,"
+            " round(quantile_cont(l_extendedprice, 0.75), 2) AS p75 FROM lineitem"
         ),
         "events_windowed": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -160,6 +160,48 @@ def limit_lens(arguments: Mapping[str, Any]) -> Lens:
     return Lens("limit", arguments, lambda df: df.limit(n))
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: list[str], *,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt``
+    shuffle partitions.
+
+    The standard skew fix when the right side is too big to broadcast
+    and AQE's skew split isn't enough: left rows get a deterministic
+    salt derived from their non-key columns, the right side is
+    replicated ``salt`` times, and the join key becomes (key, salt) —
+    a single hot key fans out over ``salt`` tasks instead of one.
+    Cost: right side shuffles ``salt``× its size; pick the smaller
+    side as ``right`` and keep ``salt`` near the observed skew factor.
+    """
+    non_key = [c for c in left.columns if c not in on] or on
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = l.join(r, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
+@register_lens("salted_join")
+def salted_join_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: right (path) | right_view, on (list[str]),
+    salt (16), how ("inner"), select (optional right-side cols)."""
+    on = [str(c) for c in require_arg(arguments, "on", "salted_join")]
+
+    def forward(df: DataFrame) -> DataFrame:
+        right = _read_right(df, arguments, "salted_join")
+        if arguments.get("select"):
+            right = right.select(*[str(c) for c in arguments["select"]])
+        return salted_join(df, right, on,
+                           salt=int(arguments.get("salt", 16)),
+                           how=str(arguments.get("how", "inner")))
+
+    return Lens("salted_join", arguments, forward)
+
+
 def _set_op_lens(name: str, op: str):
     def factory(arguments: Mapping[str, Any]) -> Lens:
         def forward(df: DataFrame) -> DataFrame:

@@ -147,3 +147,21 @@ def test_sql_lens(customer):
     )
     assert out.columns == ["c_mktsegment", "n"]
     assert out.count() == customer.select("c_mktsegment").distinct().count()
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    """Sketch quantiles must land within 1% relative of exact (X6)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact, approx = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact, approx = o.agg(
+        F.countDistinct("o_custkey"), F.approx_count_distinct("o_custkey")
+    ).first()
+    assert abs(approx - exact) / exact < 0.05

@@ -111,3 +111,40 @@ def test_set_ops(spark, orders):
     uni = engine.append(f, {"lenses": [{"name": "union", "arguments": {
         "right_view": "o_orders", "distinct": True}}]})
     assert uni.count() == f.union(o).distinct().count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — only the key spread."""
+    import random
+    from lens_spark.operators.relational import salted_join
+
+    random.seed(7)
+    # heavy skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [(1 if random.random() < 0.9 else random.randint(2, 50), i)
+         for i in range(5000)], "k long, v long")
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(1, 51)],
+                                  "k long, payload string")
+    plain = left.join(right, ["k"])
+    salted = salted_join(left, right, ["k"], salt=8)
+    assert salted.count() == plain.count()
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
+    # outer rows with no match survive with nulls under left join
+    lonely = spark.createDataFrame([(999, 1)], "k long, v long")
+    lo = salted_join(left.union(lonely), right, ["k"], salt=8, how="left")
+    assert lo.count() == plain.count() + 1
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from lens_spark.operators.relational import salted_join
+    left = spark.createDataFrame([(1, i) for i in range(1000)], "k long, v long")
+    right = spark.createDataFrame([(1, "x")], "k long, p string")
+    out = salted_join(left, right, ["k"], salt=8)
+    # the single hot key must hash to several distinct salt values
+    import pyspark.sql.functions as F
+    n_salts = left.withColumn(
+        "__salt", F.pmod(F.xxhash64("v"), F.lit(8))
+    ).select("__salt").distinct().count()
+    assert n_salts == 8
+    assert out.count() == 1000
