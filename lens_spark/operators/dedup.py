@@ -79,10 +79,20 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, ngram: int = 3,
                        band_size: int = 4, max_bucket: int | None = None,
-                       shingle: str = "word") -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+                       shingle: str = "word", cache: bool = True) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    ``cache`` persists the (id, band_hash) table before the self-join —
+    without it both join sides re-run the whole shingle→signature
+    pipeline (2× the dominant cost; at production scale you'd
+    checkpoint the signature table to storage instead). The persisted
+    table is num_bands rows × (id, 32-char hash) per doc — small
+    relative to the corpus; evict with spark.catalog.clearCache().
+    """
     bands = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
                           ngram=ngram, band_size=band_size, shingle=shingle)
+    if cache:
+        bands = bands.persist()
     if max_bucket is not None:
         # Cap pathological buckets before the self-join (skew guard).
         sizes = bands.groupBy("band_hash").count()
@@ -134,34 +144,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()  # reused every iteration — never recompute the pair pipeline
     )
     labels = (
         edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
+        .persist()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src").agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src").agg(F.min("component").alias("nbr_component"))
             )
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                # materialize NOW: truncates the growing lineage so each
+                # iteration costs one pass, not a recompute of all
+                # previous iterations
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n").join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def dedup_neardup(df: DataFrame, id_col: str, text_col: str, **kwargs) -> DataFrame:
