@@ -85,6 +85,74 @@ def image_features(df: DataFrame, payload_col: str, *, feature_dim: int = 16,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_image(df: DataFrame, payload_col: str, *, width: int, height: int,
+                 fake: bool = False, keep: list[str] | None = None) -> DataFrame:
+    """Resize stub: 1:1 mapInPandas emitting the resized payload +
+    target dims. Real path wires Pillow's ``Image.resize``; the fake
+    re-hashes payload+dims so output bytes are deterministic and
+    dimension-dependent (resizing twice ≠ once)."""
+    keep = keep or []
+    out_schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in keep]
+        + [f"{payload_col} binary", "width int", "height int"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                payloads = [
+                    hashlib.sha256((p or b"") + f"|{width}x{height}".encode()).digest()
+                    for p in pdf[payload_col]
+                ]
+            else:
+                raise NotImplementedError(
+                    "image codec not available; use fake=True for the stub")
+            out = pd.DataFrame({payload_col: payloads})
+            out["width"] = width
+            out["height"] = height
+            for c in reversed(keep):
+                out.insert(0, c, pdf[c].values)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, payload_col: str, *, every_n: int = 10,
+                  max_frames: int = 8, fake: bool = False,
+                  keep: list[str] | None = None) -> DataFrame:
+    """Video frame sampling stub: 1:N mapInPandas — each video row
+    explodes into ``≤ max_frames`` frame rows (frame_idx, frame payload).
+    The cardinality change and batch shape are the real contract; the
+    fake derives a per-frame byte string from sha256(payload, idx).
+    Scale note: frames multiply row count ×max_frames — repartition
+    after sampling if the downstream op is CPU-heavy."""
+    keep = keep or []
+    out_schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in keep]
+        + ["frame_idx int", "frame binary"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                payload = rec[payload_col] or b""
+                if not fake:
+                    raise NotImplementedError(
+                        "video codec not available; use fake=True for the stub")
+                # fake "video length": one frame per every_n bytes
+                n = min(max_frames, max(1, len(payload) // every_n))
+                for i in range(n):
+                    rows.append({
+                        **{c: rec[c] for c in keep},
+                        "frame_idx": i,
+                        "frame": hashlib.sha256(payload + bytes([i])).digest(),
+                    })
+            yield pd.DataFrame(rows, columns=[*keep, "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str,
                           mime: str = "application/octet-stream") -> DataFrame:
     """Cheap JVM-side metadata (no decode): byte size, sha256, mime."""
@@ -114,3 +182,25 @@ def image_features_lens(arguments: Mapping[str, Any]) -> Lens:
     return Lens("image_features", arguments,
                 lambda df: image_features(df, payload_col, feature_dim=feature_dim,
                                           fake=fake, keep=keep))
+
+
+@register_lens("resize_image")
+def resize_image_lens(arguments: Mapping[str, Any]) -> Lens:
+    payload_col = str(require_arg(arguments, "column", "resize_image"))
+    return Lens("resize_image", arguments, lambda df: resize_image(
+        df, payload_col,
+        width=int(require_arg(arguments, "width", "resize_image")),
+        height=int(require_arg(arguments, "height", "resize_image")),
+        fake=bool(arguments.get("fake", False)),
+        keep=[str(c) for c in (arguments.get("keep") or [])]))
+
+
+@register_lens("sample_frames")
+def sample_frames_lens(arguments: Mapping[str, Any]) -> Lens:
+    payload_col = str(require_arg(arguments, "column", "sample_frames"))
+    return Lens("sample_frames", arguments, lambda df: sample_frames(
+        df, payload_col,
+        every_n=int(arguments.get("every_n", 10)),
+        max_frames=int(arguments.get("max_frames", 8)),
+        fake=bool(arguments.get("fake", False)),
+        keep=[str(c) for c in (arguments.get("keep") or [])]))
