@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): invariants the example-based suite
+can't sweep — random invertible pipelines round-trip, content ids are
+canonical under key reordering, sessionize never creates/destroys rows.
+
+The reference's suite is purely example-based (SURVEY.md §5); these
+properties generalize its golden tests.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lens_spark import engine
+from lens_spark.model import LensConfig
+
+# --- strategies -----------------------------------------------------------
+
+_COLS = ["Age", "Score"]
+
+_invertible_module = st.one_of(
+    st.builds(lambda c, m: {"name": "add", "arguments": {"column": c, "magnitude": m}},
+              st.sampled_from(_COLS), st.integers(-100, 100)),
+    st.builds(lambda c, m: {"name": "multiply",
+                            "arguments": {"column": c, "factor": m}},
+              st.sampled_from(_COLS), st.sampled_from([2, 4, 5, 10])),
+    st.builds(lambda d: {"name": "rename", "arguments": {"src": "Name", "dst": d}},
+              st.sampled_from(["FullName", "N2"])),
+)
+
+
+def _fix_renames(mods):
+    """Make rename chains well-formed: each rename's src is the current
+    name of the original 'Name' column."""
+    cur = "Name"
+    fixed = []
+    for m in mods:
+        if m["name"] == "rename":
+            if m["arguments"]["dst"] == cur:
+                continue
+            m = {"name": "rename",
+                 "arguments": {"src": cur, "dst": m["arguments"]["dst"]}}
+            cur = m["arguments"]["dst"]
+        fixed.append(m)
+    return fixed
+
+
+pipelines = st.lists(_invertible_module, min_size=1, max_size=4).map(_fix_renames) \
+    .filter(lambda m: len(m) > 0).map(lambda m: {"lenses": m})
+
+
+# --- properties -----------------------------------------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(spec=pipelines)
+def test_forward_then_inverse_is_identity(spark, spec):
+    df = spark.createDataFrame(
+        [("John", 30, 10.0), ("Fred", -4, 2.5)],
+        "Name string, Age long, Score double")
+    out = engine.append(engine.append(df, spec), engine.invert(spec))
+    assert out.columns == df.columns
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+
+
+@settings(max_examples=50, deadline=None)
+@given(spec=pipelines)
+def test_content_id_canonical_under_json_reordering(spec):
+    config = LensConfig.from_dict(spec)
+    # reserialize with shuffled key order / whitespace
+    noisy = json.dumps(config.to_dict(), sort_keys=False, indent=3)
+    assert LensConfig.from_json(noisy).content_id() == config.content_id()
+
+
+@settings(max_examples=50, deadline=None)
+@given(spec=pipelines)
+def test_double_inversion_is_original(spec):
+    config = LensConfig.from_dict(spec)
+    assert config.inverted().inverted() == config
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(1, 5),
+              st.integers(0, 10_000)),  # (user, seconds offset)
+    min_size=1, max_size=40))
+def test_sessionize_preserves_rows_and_orders_sessions(spark, rows):
+    import datetime as dt
+    from lens_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), i) for i, (u, s) in enumerate(rows)],
+        "user long, ts timestamp, eid long")
+    out = sessionize(df, key="user", ts_col="ts", gap="10 minutes",
+                     tie_break=["eid"]).collect()
+    assert len(out) == len(rows)  # 1:1, never drops/creates
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user, r.ts, r.eid)):
+        by_user.setdefault(r.user, []).append(r.session_idx)
+    for sessions in by_user.values():
+        assert sessions[0] == 1                      # 1-based
+        for a, b in zip(sessions, sessions[1:]):
+            assert b in (a, a + 1)                   # monotone, gapless
