@@ -6,9 +6,11 @@ same result with plain ANSI SQL. Column names/types are aligned on
 both sides; hash-fragile doubles are either rounded identically or
 computed through exact decimal aggregation.
 
-Operator coverage map (SURVEY.md §2): M1/M2/M4/M5/M6/M7, E1/E6/E7/E8
-engine semantics, X1/X2/X3/X5/X6 extensions, plus event-time windowed
-aggregation (streaming surface, batch-checked).
+Operator coverage map (SURVEY.md §2.8): M1/M2/M4/M5/M6/M7 archetypes,
+E1/E6/E7/E8 engine semantics, relational built-ins (join/window/rollup/
+set ops/python_udf), temporal (as-of join/sessionization/session
+windows), X1-X6 extensions, and event-time windowed aggregation
+(streaming surface, batch-checked).
 """
 
 from __future__ import annotations
@@ -248,6 +250,23 @@ def q_x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload_meta.n_bytes").alias("n_bytes"),
         F.col("payload_meta.sha256").alias("payload_sha256"),
     )
+
+
+def q_x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style 1:N frame sampling + per-frame resize over the binary
+    payload (stub codecs; rows-only — sha-derived bytes aren't SQL)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    spec = {"lenses": [
+        {"name": "sample_frames", "arguments": {
+            "column": "payload", "every_n": 64, "max_frames": 4,
+            "fake": True, "keep": ["doc_id"]}},
+        {"name": "resize_image", "arguments": {
+            "column": "frame", "width": 8, "height": 8, "fake": True,
+            "keep": ["doc_id", "frame_idx"]}},
+    ]}
+    return engine.append(docs, spec)
 
 
 def q_x4_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_media_metadata": q_x4_media_metadata,
         "x4_image_features": q_x4_image_features,
+        "x4_frame_sample": q_x4_frame_sample,
         "x6_exact_distinct": q_x6_exact_distinct,
         "x6_quantiles": q_x6_quantiles,
         "x6_approx_quantiles": q_x6_approx_quantiles,
