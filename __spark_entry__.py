@@ -409,6 +409,17 @@ def q_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ts_matched").alias("last_event_ts"))
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless path: typed field out of a raw JSON string column."""
+    from lens_spark.sources import read_ns_timestamps
+
+    spec = {"lenses": [{"name": "json_extract", "arguments": {
+        "column": "props", "fields": {"k": "$.k"}, "types": {"k": "bigint"}}}]}
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet") \
+        .select("event_id", "props")
+    return engine.append(ev, spec).select("event_id", "k")
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session index per user (30 min gap)."""
     from lens_spark.sources import read_ns_timestamps
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sets_except": q_sets_except,
         "python_udf_bucket": q_python_udf_bucket,
         "asof_last_event": q_asof_last_event,
+        "json_extract": q_json_extract,
         "events_sessionized": q_events_sessionized,
         "events_session_agg": q_events_session_agg,
         "x3_similarity_topk": q_x3_similarity_topk,
@@ -722,6 +734,10 @@ SELECT o.o_orderkey, o.o_custkey, e.last_value, e.ts AS last_event_ts
 FROM o ASOF LEFT JOIN ev e
   ON o.o_custkey = e.o_custkey AND o.o_ts >= e.ts
 """,
+        "json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            " AS k FROM events"
+        ),
         "events_sessionized": """
 WITH o AS (
   SELECT event_id, user_id, ts,

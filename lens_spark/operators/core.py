@@ -202,3 +202,48 @@ def sql_lens(arguments: Mapping[str, Any]) -> Lens:
         return df.sparkSession.sql(query)
 
     return Lens("sql", arguments, forward)
+
+
+@register_lens("json_extract")
+def json_extract_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Schemaless-document path: pull typed fields out of a JSON string
+    column (≙ the reference's documents are raw JSON maps, SURVEY §1.1;
+    here untyped payloads live in a string column until a lens gives
+    them a schema).
+
+    arguments: column, fields ({out_name: json_path}), types
+    (optional {out_name: spark type, default string}), drop (bool —
+    drop the raw JSON column after extraction).
+
+    JVM-side get_json_object — no Python, stays inside codegen; for
+    repeated multi-field extraction of large documents prefer one
+    from_json with an explicit schema (single parse), which this lens
+    uses automatically when every path is a simple top-level key.
+    """
+    col = str(require_arg(arguments, "column", "json_extract"))
+    fields = {str(k): str(v) for k, v in
+              dict(require_arg(arguments, "fields", "json_extract")).items()}
+    types = {str(k): str(v) for k, v in dict(arguments.get("types") or {}).items()}
+    drop = bool(arguments.get("drop", False))
+
+    simple = all(p.startswith("$.") and "." not in p[2:] and "[" not in p
+                 for p in fields.values())
+
+    def forward(df: DataFrame) -> DataFrame:
+        _check_column(df, col, "json_extract")
+        if simple:
+            # one parse for all fields
+            ddl = ", ".join(f"`{p[2:]}` {types.get(out, 'string')}"
+                            for out, p in fields.items())
+            parsed = F.from_json(F.col(col), ddl)
+            out_df = df
+            for out, p in fields.items():
+                out_df = out_df.withColumn(out, parsed.getItem(p[2:]))
+        else:
+            out_df = df
+            for out, p in fields.items():
+                c = F.get_json_object(F.col(col), p)
+                out_df = out_df.withColumn(out, c.cast(types.get(out, "string")))
+        return out_df.drop(col) if drop else out_df
+
+    return Lens("json_extract", arguments, forward)

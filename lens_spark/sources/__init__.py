@@ -62,3 +62,24 @@ def from_rows(spark: SparkSession, rows: Iterable[dict], schema=None) -> DataFra
     if schema is not None:
         return spark.createDataFrame(rows, schema=schema)
     return spark.createDataFrame(rows)
+
+
+def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str],
+                      fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Directory-partitioned sink: downstream filters on the partition
+    columns prune whole directories at plan time (PartitionFilters) —
+    the first scale lever for 100 TB layouts."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
+
+
+def write_bucketed(df: DataFrame, table: str, *, bucket_by: list[str],
+                   num_buckets: int, sort_by: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed managed table: joins/aggs on the bucket keys between
+    co-bucketed tables skip their shuffle entirely (no Exchange in the
+    plan). Size num_buckets to the target cluster's parallelism, not
+    today's data volume."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

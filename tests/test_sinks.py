@@ -1,0 +1,39 @@
+"""Sink/layout tests: partition pruning and bucketed co-located joins —
+the two table-layout levers the 100 TB design leans on."""
+
+from __future__ import annotations
+
+from lens_spark.sources import write_bucketed, write_partitioned
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a partition filter, not a row filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    want = orders.filter("o_orderstatus = 'F'").count()
+    assert back.count() == want
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                       "orders_b", bucket_by=["custkey"], num_buckets=4)
+        write_bucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+                       "customer_b", bucket_by=["custkey"], num_buckets=4)
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+        import shutil
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
