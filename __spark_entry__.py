@@ -130,6 +130,30 @@ def q_e1_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "lineitem"), spec)
 
 
+def q_arith_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3 family end-to-end: cast -> multiply -> add -> set in one
+    spec (each stage a pure Catalyst expression; codegen-fused)."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": ["s_suppkey", "s_acctbal"]}},
+        {"name": "cast", "arguments": {"column": "s_acctbal", "type": "double"}},
+        {"name": "multiply", "arguments": {"column": "s_acctbal", "factor": 2}},
+        {"name": "add", "arguments": {"column": "s_acctbal", "magnitude": 10}},
+        {"name": "set", "arguments": {"column": "currency", "value": "USD"}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "supplier"), spec)
+
+
+def q_s4_transform_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4: register a spec, then transform by content id through the
+    registry (the reference's Store.Transform path)."""
+    registry = Registry(tempfile.mkdtemp(prefix="lens_spark_reg_"))
+    lens_id = registry.add({"lenses": [
+        {"name": "filter", "arguments": {"predicate": "p_size >= 25"}},
+        {"name": "rename", "arguments": {"src": "p_name", "dst": "part_name"}},
+    ]})
+    return registry.transform(_read(spark, sf_dir, "part"), lens_id)
+
+
 def q_e7_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unknown (well-formed) lens id through the registry → identity."""
     registry = Registry(tempfile.mkdtemp(prefix="lens_spark_reg_"))
@@ -530,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_filter": q_m6_filter,
         "m7_explode": q_m7_explode,
         "e1_composition": q_e1_composition,
+        "arith_pipeline": q_arith_pipeline,
+        "s4_transform_by_id": q_s4_transform_by_id,
         "e7_identity": q_e7_identity,
         "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
         "x1_dedup_exact": q_x1_dedup_exact,
@@ -666,6 +692,14 @@ def oracle_sql() -> dict[str, str]:
             " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
             " l_shipdate, l_quantity + 5 AS qty"
             " FROM lineitem WHERE l_returnflag = 'R'"
+        ),
+        "arith_pipeline": (
+            "SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) * 2 + 10 AS s_acctbal,"
+            " 'USD' AS currency FROM supplier"
+        ),
+        "s4_transform_by_id": (
+            "SELECT p_partkey, p_brand, p_type, p_size, p_retailprice,"
+            " p_name AS part_name FROM part WHERE p_size >= 25"
         ),
         "e7_identity": "SELECT * FROM supplier",
         "e8_inversion_roundtrip": "SELECT * FROM part",
