@@ -34,6 +34,10 @@ HEADLINE = [
     "x5_text_stats",         # narrow text-metrics projection
     "x4_media_metadata",     # binary payload metadata (sha256)
     "events_windowed",       # event-time tumbling windows
+    "asof_last_event",       # union-sort as-of join (1 shuffle/side)
+    "events_sessionized",    # gap sessions (lag + cumsum windows)
+    "json_extract",          # schemaless JSON field extraction
+    "x2_dedup_neardup",      # full LSH dedup incl. connected components
 ]
 
 

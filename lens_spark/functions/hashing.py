@@ -49,7 +49,15 @@ def word_shingles(text: Column, w: int = 3, *, lowercase: bool = True) -> Column
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """array<string> of ``num_hashes`` lexicographic-min salted md5s."""
+    """array<string> of ``num_hashes`` lexicographic-min salted md5s.
+
+    Column-level convenience for small/interactive use. The operator
+    path (operators.dedup.minhash_bands) computes the same signature as
+    explode → groupBy(min) instead: this nested higher-order-function
+    form exceeds janino's method-size limit once composed into a larger
+    plan and silently drops to interpreted eval (~50× slower), and the
+    optimizer may duplicate the whole subtree across a self-join.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(

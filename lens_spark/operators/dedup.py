@@ -133,13 +133,41 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         *, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected pair graph.
+                         *, max_iter: int = 20,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
+    """Min-label components over an undirected pair graph.
 
-    Returns (id, component) where component = min id reachable. Each
-    iteration = one groupBy shuffle; converges in O(log(diameter))
-    iterations for near-dup graphs (mostly tiny cliques).
+    Returns (id, component) where component = min id reachable.
+
+    Adaptive strategy (same spirit as broadcast-vs-shuffle joins): when
+    the edge list fits comfortably on the driver (≤ ``driver_threshold``
+    pairs — LSH near-dup graphs are a sliver of the corpus), a local
+    union-find answers in one collect instead of paying per-iteration
+    job overhead. Above the threshold, distributed min-label
+    propagation: each iteration one groupBy shuffle with lineage
+    truncated by persist, converging in O(log diameter) rounds.
     """
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                # union by min so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        data = [(x, find(x)) for x in list(parent)]
+        schema_t = dict(pairs.dtypes)[id_a]
+        return pairs.sparkSession.createDataFrame(
+            data or [], f"id {schema_t}, component {schema_t}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -165,3 +165,18 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         F.countDistinct("o_custkey"), F.approx_count_distinct("o_custkey")
     ).first()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_connected_components_both_strategies_agree(spark):
+    from lens_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "id_a long, id_b long")
+    # chain 1-2-3-9-8 plus 5-6 → components {1: min 1, 5}
+    local = {r.id: r.component
+             for r in connected_components(pairs).collect()}
+    dist = {r.id: r.component
+            for r in connected_components(pairs, driver_threshold=0).collect()}
+    want = {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+    assert local == want
+    assert dist == want
