@@ -21,7 +21,7 @@ from lens_spark.operators.base import (
 from lens_spark.operators import core as _core  # noqa: F401  (registers lenses)
 from lens_spark.operators import counter as _counter  # noqa: F401
 from lens_spark.operators import udf as _udf  # noqa: F401
-from lens_spark.operators.udf import per_item, register_python_lens
+from lens_spark.operators.udf import per_item, register_grouped_lens, register_python_lens
 from lens_spark.operators import dedup as _dedup  # noqa: F401
 from lens_spark.operators import similarity as _similarity  # noqa: F401
 from lens_spark.operators import text as _text  # noqa: F401
@@ -34,6 +34,7 @@ __all__ = [
     "builtin_names",
     "make_lens",
     "register_lens",
+    "register_grouped_lens",
     "register_python_lens",
     "per_item",
 ]

@@ -132,6 +132,46 @@ def compose_batch_fns(stages: list[tuple[BatchFn, Mapping[str, Any]]]) -> Callab
     return fused
 
 
+_GROUPED_LENSES: dict[str, dict[str, Any]] = {}
+
+
+def register_grouped_lens(name: str, fn, schema: StructType | str) -> None:
+    """Register a per-group pandas function: fn(key_tuple, pdf, params)
+    -> pdf. The grouped-map N:M primitive (applyInPandas) — per-key
+    arbitrary Python where the whole group must be in one batch
+    (custom aggregations, per-entity model scoring). State is bounded
+    by the largest single group; shuffles once on the keys."""
+    _GROUPED_LENSES[name] = {"fn": fn, "schema": schema}
+
+
+def apply_grouped_lens(df: DataFrame, name: str, keys: list[str],
+                       params: Mapping[str, Any]) -> DataFrame:
+    entry = _GROUPED_LENSES.get(name)
+    if entry is None:
+        raise LensNotFoundError(f"unknown grouped python lens '{name}'")
+    fn = entry["fn"]
+
+    def run(key, pdf):
+        return fn(key, pdf, params)
+
+    return df.groupBy(*keys).applyInPandas(run, schema=entry["schema"])
+
+
+@register_lens("python_grouped")
+def python_grouped_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: function (registered grouped lens), keys (list[str]),
+    params (dict, optional)."""
+    from lens_spark.operators.base import require_arg
+
+    fn_name = str(require_arg(arguments, "function", "python_grouped"))
+    keys = [str(k) for k in require_arg(arguments, "keys", "python_grouped")]
+    params = dict(arguments.get("params") or {})
+    if fn_name not in _GROUPED_LENSES:
+        raise LensNotFoundError(f"unknown grouped python lens '{fn_name}'")
+    return Lens("python_grouped", arguments,
+                lambda df: apply_grouped_lens(df, fn_name, keys, params))
+
+
 @register_lens("python_udf")
 def python_udf_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: function (registered name), params (dict, optional),

@@ -153,3 +153,25 @@ def test_compose_concatenates():
     a = {"lenses": [{"name": "identity"}]}
     b = {"lenses": [{"name": "identity"}]}
     assert len(engine.compose(a, b).lenses) == 2
+
+
+def test_python_grouped_lens(spark):
+    """Grouped-map N:M primitive: per-key arbitrary Python over the
+    whole group in one batch (applyInPandas)."""
+    import pandas as pd
+    from lens_spark.operators.udf import register_grouped_lens
+
+    def span(key, pdf, params):
+        return pd.DataFrame([{
+            "k": key[0],
+            "span": float(pdf["v"].max() - pdf["v"].min()) * params.get("scale", 1),
+            "n": len(pdf),
+        }])
+
+    register_grouped_lens("value_span", span, "k string, span double, n long")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0)], "k string, v double")
+    spec = {"lenses": [{"name": "python_grouped", "arguments": {
+        "function": "value_span", "keys": ["k"], "params": {"scale": 2}}}]}
+    got = {r.k: (r.span, r.n) for r in engine.append(df, spec).collect()}
+    assert got == {"a": (8.0, 2), "b": (0.0, 1)}
