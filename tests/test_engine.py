@@ -175,3 +175,20 @@ def test_python_grouped_lens(spark):
         "function": "value_span", "keys": ["k"], "params": {"scale": 2}}}]}
     got = {r.k: (r.span, r.n) for r in engine.append(df, spec).collect()}
     assert got == {"a": (8.0, 2), "b": (0.0, 1)}
+
+
+def test_reset_semantics_reexecution_is_deterministic(spark):
+    """E5 Reset parity: the reference re-instantiates the WASM module so
+    state clears on Reset (runtimes/wasmtime/runtime.go:209-224). Here
+    DataFrames are immutable — re-running the SAME plan must give the
+    same result, including for the stateful counter lens."""
+    df = spark.createDataFrame(
+        [("c", 3), ("a", 1), ("b", 2)], "Name string, Age long")
+    spec = {"lenses": [{"name": "counter",
+                        "arguments": {"order_by": ["Age"], "out": "id"}}]}
+    out = engine.append(df, spec)
+    first = sorted(map(tuple, out.collect()))
+    second = sorted(map(tuple, out.collect()))   # "reset" = re-pull
+    third = sorted(map(tuple, engine.append(df, spec).collect()))  # rebuild
+    assert first == second == third
+    assert [r[2] for r in first] == [1, 2, 3]
