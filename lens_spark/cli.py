@@ -43,16 +43,24 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
                 return "parquet"
             return args.format or "parquet"
 
+        had_nil = False
         if args.input:
             df = spark.read.format(path_format(args.input)).load(args.input)
         else:
             docs = json.load(sys.stdin)
             if not isinstance(docs, list):
                 raise SystemExit("stdin must be a JSON array of documents")
-            df = spark.createDataFrame(docs) if docs else None
-            if df is None:
-                print("[]")
+            # Nil items (JSON null) are first-class in the reference
+            # (TypeId=0; cli/simple_test.go:168-218) — our row convention
+            # is the all-null row (SURVEY.md §1.6): {} contributes no
+            # fields, so every field is null.
+            had_nil = any(d is None for d in docs)
+            docs = [({} if d is None else d) for d in docs]
+            if not docs or all(d == {} for d in docs):
+                json.dump([None if had_nil else {} for d in docs], sys.stdout)
+                print()
                 return 0
+            df = spark.createDataFrame(docs)
 
         out = engine.append(df, spec)
 
@@ -60,6 +68,10 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
             out.write.format(path_format(args.output)).mode("overwrite").save(args.output)
         else:
             rows = [json.loads(r) for r in out.toJSON().collect()]
+            if had_nil:
+                # toJSON drops null fields: an all-null row serializes as
+                # {} — map it back to the nil item it came in as
+                rows = [None if r == {} else r for r in rows]
             json.dump(rows, sys.stdout, indent=2, default=str)
             print()
         return 0

@@ -83,17 +83,7 @@ def append(df: DataFrame, spec: Any) -> DataFrame:
     ``spec`` may be a LensConfig, dict, JSON string, LensModule, or an
     iterable of modules. Zero modules → identity.
     """
-    config = _coerce_config(spec)
-    stages = _instantiate(config)
-    out = df
-    for kind, *rest in _fuse_python_stages(stages):
-        if kind == "python":
-            fused_fn, schema = rest
-            out = out.mapInPandas(fused_fn, schema=schema)
-        else:
-            module, lens = rest
-            out = lens.inverse(out) if module.inverse else lens.forward(out)
-    return out
+    return Pipeline(_coerce_config(spec)).apply(df)
 
 
 def transform(df: DataFrame, spec: Any) -> DataFrame:
@@ -110,6 +100,45 @@ def invert(spec: Any) -> LensConfig:
 def inverse(df: DataFrame, spec: Any) -> DataFrame:
     """Apply the inverted pipeline (Store.Inverse, store.go:207-218)."""
     return append(df, invert(spec))
+
+
+class Pipeline:
+    """A compiled, reusable pipeline — apply it to any input DataFrame.
+
+    ≙ E9/E10: the reference pools pre-built pipelines and swaps their
+    source socket per use (repository.go:281-324, 359-403). Here the
+    expensive part (spec parsing + lens instantiation) happens once in
+    ``compile``; each ``apply`` just replays the cheap plan-building
+    closures against a new source.
+    """
+
+    def __init__(self, config: LensConfig) -> None:
+        self.config = config
+        self._stages = _fuse_python_stages(_instantiate(config))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = df
+        for kind, *rest in self._stages:
+            if kind == "python":
+                fused_fn, schema = rest
+                out = out.mapInPandas(fused_fn, schema=schema)
+            else:
+                module, lens = rest
+                out = lens.inverse(out) if module.inverse else lens.forward(out)
+        return out
+
+    __call__ = apply
+
+    def inverted(self) -> "Pipeline":
+        return Pipeline(self.config.inverted())
+
+    def content_id(self) -> str:
+        return self.config.content_id()
+
+
+def compile(spec: Any) -> Pipeline:  # noqa: A001 (mirrors module-compile, E4)
+    """Parse + instantiate once; reuse across inputs (E9/E10)."""
+    return Pipeline(_coerce_config(spec))
 
 
 def compose(*specs: Any) -> LensConfig:

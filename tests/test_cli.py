@@ -109,3 +109,18 @@ def test_file_input_output_roundtrip(spark, tmp_path, monkeypatch):
     back = spark.read.json(out_path)
     assert set(back.columns) == {"Age", "FullName"}
     assert back.count() == 2
+
+
+def test_nil_documents_flow_through(spark, tmp_path, monkeypatch):
+    # ≙ simple_test.go:168-218: JSON null items survive the pipeline
+    spec = {"lenses": [{"name": "rename",
+                        "arguments": {"src": "Name", "dst": "FullName"}}]}
+    got = run_cli(tmp_path, monkeypatch, spec, [None, {"Age": 30, "Name": "John"}])
+    assert None in got
+    assert {"Age": 30, "FullName": "John"} in got
+    assert len(got) == 2
+
+
+def test_all_nil_input(spark, tmp_path, monkeypatch):
+    got = run_cli(tmp_path, monkeypatch, {"lenses": []}, [None, None])
+    assert got == [None, None]

@@ -192,3 +192,18 @@ def test_reset_semantics_reexecution_is_deterministic(spark):
     third = sorted(map(tuple, engine.append(df, spec).collect()))  # rebuild
     assert first == second == third
     assert [r[2] for r in first] == [1, 2, 3]
+
+
+def test_compiled_pipeline_reuse_and_inversion(spark, people):
+    """E9/E10: one compiled pipeline applied to multiple inputs."""
+    pipeline = engine.compile({"lenses": [
+        {"name": "rename", "arguments": {"src": "Name", "dst": "FullName"}},
+        {"name": "add", "arguments": {"column": "Age", "magnitude": 5}},
+    ]})
+    out1 = pipeline(people)
+    out2 = pipeline(people.filter("Age > 30"))     # source socket swap (E10)
+    assert out1.columns == out2.columns == ["FullName", "Age"]
+    assert out1.count() == 3 and out2.count() == 2
+    back = pipeline.inverted()(out1)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, people.collect()))
+    assert pipeline.content_id().startswith("lens1-")
