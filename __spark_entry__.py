@@ -540,6 +540,143 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational widening: semi/anti joins, pivot/unpivot, grouping sets,
+# analytic windows, binned range join
+# ---------------------------------------------------------------------------
+
+def q_join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (existence probe): customers with ≥1 order.
+    Semi joins never duplicate or widen the left side — at scale the
+    orders side reduces to distinct keys before the shuffle."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": ["c_custkey", "c_name"]}},
+        {"name": "join", "arguments": {
+            "right": f"{sf_dir}/orders.parquet", "on": "c_custkey = o_custkey",
+            "how": "left_semi", "select": ["o_custkey"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "customer"), spec)
+
+
+def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value (>300k) order."""
+    _read(spark, sf_dir, "orders").filter("o_totalprice > 300000") \
+        .createOrReplaceTempView("big_orders")
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": ["c_custkey", "c_name"]}},
+        {"name": "join", "arguments": {
+            "right_view": "big_orders", "on": "c_custkey = o_custkey",
+            "how": "left_anti", "select": ["o_custkey"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "customer"), spec)
+
+
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (deterministic schema; no extra
+    distinct pass over the fact table)."""
+    spec = {"lenses": [{"name": "pivot", "arguments": {
+        "keys": ["o_orderpriority"], "pivot_col": "o_orderstatus",
+        "values": ["F", "O", "P"], "agg": "round(sum(o_totalprice), 2)"}}]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three price measures into (measure, value) rows —
+    a narrow op, shuffle-free at any scale."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": [
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+            "l_tax"]}},
+        {"name": "unpivot", "arguments": {
+            "ids": ["l_orderkey", "l_linenumber"],
+            "values": ["l_extendedprice", "l_discount", "l_tax"],
+            "var_name": "measure", "value_name": "value"}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — the general form rollup/cube specialize;
+    one Expand + one hash aggregate."""
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["l_returnflag", "l_linestatus"], "mode": "grouping_sets",
+        "sets": [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "aggs": {"sum_qty": "round(sum(l_quantity), 2)",
+                 "n_rows": "count(*)"}}}]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: per-customer running revenue (explicit ROWS
+    frame) + lag, composed as two window_agg stages over the same
+    partitioning — Catalyst plans a single Exchange + sort."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": [
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]}},
+        {"name": "window_agg", "arguments": {
+            "partition_by": ["o_custkey"],
+            "order_by": ["o_orderdate asc", "o_orderkey asc"],
+            "aggs": {"running_total_raw": "sum(o_totalprice)"},
+            "frame": "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"}},
+        {"name": "window_agg", "arguments": {
+            "partition_by": ["o_custkey"],
+            "order_by": ["o_orderdate asc", "o_orderkey asc"],
+            "aggs": {"prev_price": "lag(o_totalprice, 1)"}}},
+        {"name": "set", "arguments": {
+            "column": "running_total", "expr": "round(running_total_raw, 2)"}},
+        {"name": "drop", "arguments": {"columns": ["running_total_raw"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join: events falling inside 5-minute incident
+    windows. The bin equi-key keeps this a shuffled hash join (never a
+    nested loop) — the 100 TB-safe shape for pure range predicates."""
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    ev.filter("event_id % 199 = 0").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 5 MINUTES").alias("end_ts"),
+    ).createOrReplaceTempView("incidents")
+    spec = {"lenses": [
+        {"name": "range_join", "arguments": {
+            "right_view": "incidents", "ts": "ts",
+            "start": "start_ts", "end": "end_ts", "bin_seconds": 300,
+            "select": ["incident_id"]}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["incident_id"],
+            "aggs": {"n_events": "count(*)",
+                     "sum_value": "round(sum(value), 2)"}}},
+    ]}
+    return engine.append(ev, spec)
+
+
+def q_x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted-index join (no LSH):
+    the third dedup family next to MinHash and SimHash."""
+    from lens_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text",
+                               ngram=MH_SHINGLE_W,
+                               threshold=JACCARD_THRESHOLD)
+
+
+def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (approximate — rows-only check; recall asserted
+    against brute force in tests/test_similarity.py)."""
+    from lens_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                   k=10, nlist=16, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -587,6 +724,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_approx_distinct": q_x6_approx_distinct,
         "events_windowed": q_events_windowed,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "join_semi_customers": q_join_semi_customers,
+        "join_anti_customers": q_join_anti_customers,
+        "pivot_status_revenue": q_pivot_status_revenue,
+        "unpivot_price_measures": q_unpivot_price_measures,
+        "grouping_sets_qty": q_grouping_sets_qty,
+        "window_running_revenue": q_window_running_revenue,
+        "range_join_events": q_range_join_events,
+        "x2_ngram_jaccard": q_x2_ngram_jaccard,
+        "x3_ivf_topk": q_x3_ivf_topk,
     }
 
 
@@ -716,6 +862,67 @@ FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}
+""",
+        "join_semi_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS"
+            " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "join_anti_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS"
+            " (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+            "  AND o_totalprice > 300000)"
+        ),
+        "pivot_status_revenue": """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+        "unpivot_price_measures": """
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+       l_extendedprice AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+        "grouping_sets_qty": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+        "window_running_revenue": """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "range_join_events": """
+SELECT i.event_id AS incident_id, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM (SELECT * FROM events WHERE event_id % 199 = 0) i
+JOIN events e ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 5 MINUTE
+GROUP BY i.event_id
+""",
+        "x2_ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM common JOIN sizes na ON common.id_a = na.doc_id
+            JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
 """,
         "join_enriched_orders": """
 SELECT n_name, count(*) AS n_orders,

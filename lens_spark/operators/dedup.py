@@ -132,6 +132,56 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        ngram: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None,
+                        shingle: str = "word") -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index join.
+
+    Unlike MinHash-LSH (probabilistic candidates, then verify), this
+    computes the exact Jaccard for every pair sharing ≥1 shingle:
+    explode distinct shingles → self-join on the shingle (pairs only
+    materialize for co-occurring shingles, never O(n²)) → count common
+    per pair → |A∪B| = |A|+|B|-common.
+
+    Scale dial: ``max_df`` drops shingles appearing in more than that
+    many documents before the self-join — stop-shingles are the skew
+    hazard here (a shingle in 10k docs yields 10k²/2 pairs); cutting
+    them is the standard df-cut and only loses pairs whose overlap is
+    entirely stopword boilerplate.
+    """
+    shingled = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
+    )
+    shingled = shingled.persist()
+    sizes = shingled.groupBy("__id").agg(F.count("*").alias("__n"))
+    if max_df is not None:
+        dfreq = shingled.groupBy("__s").agg(F.count("*").alias("__df"))
+        shingled = (shingled.join(dfreq.filter(F.col("__df") <= max_df), "__s")
+                    .drop("__df"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        common.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__common")
+                    / (F.col("__na") + F.col("__nb") - F.col("__common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          *, max_iter: int = 20,
                          driver_threshold: int = 1_000_000) -> DataFrame:

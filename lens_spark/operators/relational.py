@@ -93,7 +93,12 @@ def join_lens(arguments: Mapping[str, Any]) -> Lens:
 @register_lens("aggregate")
 def aggregate_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: keys (list[str]), aggs ({out_name: SQL aggregate expr}),
-    mode ("group" | "rollup" | "cube")."""
+    mode ("group" | "rollup" | "cube" | "grouping_sets"),
+    sets (for grouping_sets: list of key subsets, e.g. [["a","b"],["a"],[]]).
+
+    All four modes are one hash aggregation with map-side partial
+    combine; rollup/cube/grouping_sets expand rows via Spark's native
+    Expand operator before the exchange."""
     keys = [str(k) for k in arguments.get("keys", [])]
     aggs = require_arg(arguments, "aggs", "aggregate")
     mode = str(arguments.get("mode", "group"))
@@ -104,6 +109,10 @@ def aggregate_lens(arguments: Mapping[str, Any]) -> Lens:
             grouped = df.rollup(*keys)
         elif mode == "cube":
             grouped = df.cube(*keys)
+        elif mode == "grouping_sets":
+            sets = require_arg(arguments, "sets", "aggregate")
+            grouped = df.groupingSets(
+                [[str(c) for c in s] for s in sets], *keys)
         elif mode == "group":
             grouped = df.groupBy(*keys)
         else:
@@ -144,6 +153,147 @@ def window_lens(arguments: Mapping[str, Any]) -> Lens:
         return df.drop(out)
 
     return Lens("window", arguments, forward, inverse)
+
+
+@register_lens("window_agg")
+def window_agg_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Analytic window expressions: running aggregates, lag/lead, shares.
+
+    arguments: partition_by (list[str], required — see window lens for
+    the global-window guard), order_by (["col [asc|desc]", ...]),
+    aggs ({out_name: SQL expr, e.g. "sum(o_totalprice)" or
+    "lag(o_totalprice, 1)"}), frame (optional SQL frame clause, e.g.
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" — applied to
+    every agg; omit for lag/lead/rank-family).
+
+    Each expression compiles to a native ``<expr> OVER (...)`` column,
+    so the whole lens is one Exchange on partition_by + one sort —
+    Catalyst collapses multiple aggs over the same window into a
+    single Window physical node.
+    """
+    partition_by = [str(c) for c in arguments.get("partition_by", [])]
+    order_by = [str(c) for c in require_arg(arguments, "order_by", "window_agg")]
+    aggs = dict(require_arg(arguments, "aggs", "window_agg"))
+    frame = str(arguments.get("frame", "")).strip()
+    if not partition_by and not bool(arguments.get("allow_global", False)):
+        raise LensError("lens 'window_agg': empty partition_by funnels all "
+                        "rows through one task; set allow_global=true for "
+                        "small inputs only")
+    over = ""
+    if partition_by:
+        over += "PARTITION BY " + ", ".join(partition_by)
+    over += (" " if over else "") + "ORDER BY " + ", ".join(order_by)
+    if frame:
+        over += " " + frame
+
+    def forward(df: DataFrame) -> DataFrame:
+        cols = [F.expr(f"{expr} OVER ({over})").alias(str(out))
+                for out, expr in aggs.items()]
+        return df.select("*", *cols)
+
+    def inverse(df: DataFrame) -> DataFrame:
+        return df.drop(*[str(out) for out in aggs])
+
+    return Lens("window_agg", arguments, forward, inverse)
+
+
+@register_lens("pivot")
+def pivot_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Rows→columns: one output column per declared pivot value.
+
+    arguments: keys (list[str]), pivot_col (str), values (list — REQUIRED:
+    an explicit value list keeps the output schema deterministic and
+    skips Spark's extra distinct-collect pass over 100 TB), agg (SQL
+    aggregate expr over the measure, e.g. "round(sum(o_totalprice), 2)").
+    """
+    keys = [str(k) for k in require_arg(arguments, "keys", "pivot")]
+    pivot_col = str(require_arg(arguments, "pivot_col", "pivot"))
+    values = [str(v) for v in require_arg(arguments, "values", "pivot")]
+    agg = str(require_arg(arguments, "agg", "pivot"))
+
+    def forward(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).pivot(pivot_col, values).agg(F.expr(agg))
+
+    return Lens("pivot", arguments, forward)
+
+
+@register_lens("unpivot")
+def unpivot_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Columns→rows (melt). arguments: ids (list[str]), values
+    (list[str] — measure columns), var_name ("measure"),
+    value_name ("value"). Narrow op: no shuffle at any scale.
+
+    Invertible: the inverse re-pivots with ``first(value)`` per measure
+    name, restoring one row per id tuple.
+    """
+    ids = [str(c) for c in require_arg(arguments, "ids", "unpivot")]
+    values = [str(c) for c in require_arg(arguments, "values", "unpivot")]
+    var_name = str(arguments.get("var_name", "measure"))
+    value_name = str(arguments.get("value_name", "value"))
+
+    def forward(df: DataFrame) -> DataFrame:
+        return df.unpivot(ids, values, var_name, value_name)
+
+    def inverse(df: DataFrame) -> DataFrame:
+        return (df.groupBy(*ids).pivot(var_name, values)
+                .agg(F.first(value_name)))
+
+    return Lens("unpivot", arguments, forward, inverse)
+
+
+@register_lens("range_join")
+def range_join_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Interval join: match left rows whose ``ts`` falls inside a right
+    interval [start, end). Pure range predicates otherwise force a
+    nested-loop join (O(n·m) — unusable at 100 TB); this lens turns the
+    range into an equi-join by time binning.
+
+    arguments: right (path) | right_view, ts (left timestamp col),
+    start / end (right interval cols), bin_seconds (bucket width — pick
+    ≳ the typical interval so most intervals explode into ≤2 bins),
+    equi (optional extra equi-key pairs ["l = r", ...]), select
+    (optional right-side cols to keep, besides start/end).
+
+    Mechanics: left rows get one bin each (epoch div bin); right
+    intervals explode into the bin range they cover (sequence —
+    distinct by construction, so no post-join dedup is needed); the
+    join is then a plain shuffled equi-join on bin (+ equi keys) with
+    the exact range predicate as a cheap post-filter. At scale both
+    sides hash-partition on the bin — no broadcast, no nested loop.
+    """
+    ts = str(require_arg(arguments, "ts", "range_join"))
+    start = str(require_arg(arguments, "start", "range_join"))
+    end = str(require_arg(arguments, "end", "range_join"))
+    bin_s = int(require_arg(arguments, "bin_seconds", "range_join"))
+    equi = [str(e) for e in arguments.get("equi", [])]
+    bin_us = bin_s * 1_000_000
+
+    def forward(df: DataFrame) -> DataFrame:
+        right = _read_right(df, arguments, "range_join")
+        if arguments.get("select"):
+            keep = {start, end, *[str(c) for c in arguments["select"]]}
+            right = right.select(*[c for c in right.columns if c in keep])
+        # End is exclusive: an interval touching a bin boundary must not
+        # leak into the next bin, hence (end_us - 1) div bin. SQL `div`,
+        # not `/`: epoch microseconds overflow double's mantissa.
+        l = df.withColumn("__bin", F.expr(f"unix_micros({ts}) div {bin_us}"))
+        r = right.withColumn(
+            "__bin",
+            F.explode(F.expr(
+                f"sequence(unix_micros({start}) div {bin_us}, "
+                f"(unix_micros({end}) - 1) div {bin_us})")),
+        )
+        conds = [l["__bin"] == r["__bin"],
+                 l[ts] >= r[start], l[ts] < r[end]]
+        for e in equi:
+            lc, rc = [s.strip() for s in e.split("=", 1)]
+            conds.append(l[lc] == r[rc])
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return l.join(r, cond, "inner").drop(l["__bin"]).drop(r["__bin"])
+
+    return Lens("range_join", arguments, forward)
 
 
 @register_lens("sort")

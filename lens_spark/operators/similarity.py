@@ -97,10 +97,57 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
     return _rank_topk(scored, "query_id", k)
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+             vec_col: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
+             exclude_self: bool = True) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize the corpus into
+    ``nlist`` cells, probe the ``nprobe`` nearest cells per query.
+
+    Centroids are the ``nlist`` lowest-id corpus vectors — deterministic
+    and model-free (a trained k-means would drop in here without
+    changing the dataflow). Assignment broadcasts the centroid table
+    (nlist × dim floats — KBs) against the corpus scan: one narrow
+    pass, no shuffle. The query side keeps its ``nprobe`` best cells,
+    and the candidate join is corpus-cell ⋈ broadcast(query-cells) —
+    scanning ~nprobe/nlist of the corpus instead of all of it, which is
+    the IVF cost/recall dial (vs. ann_topk's hash-bucket dial).
+    """
+    cent = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(F.col(id_col).alias("__cell"), F.col(vec_col).alias("__cent"))
+    )
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
+        rows = df.select(F.col(id_col).alias(id_alias),
+                         F.col(vec_col).alias(vec_alias))
+        scored = rows.crossJoin(cent).withColumn(
+            "__csim", cosine_similarity(F.col(vec_alias), F.col("__cent"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__csim").desc(), F.col("__cell").asc())
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= keep)
+                .select(id_alias, vec_alias, "__cell"))
+
+    c = assign(ensure_parallelism(corpus), "neighbor_id", "__cv", 1)
+    q = assign(queries, "query_id", "__qv", nprobe)
+    joined = c.join(F.broadcast(q), "__cell").drop("__cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        joined.select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+        .withColumn("score",
+                    F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    return _rank_topk(scored, "query_id", k)
+
+
 @register_lens("similarity_topk")
 def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, vector, k, query_predicate (SQL selecting the query
-    rows from the input), method ("brute" | "ann"), dim (for ann)."""
+    rows from the input), method ("brute" | "ann" | "ivf"), dim (for
+    ann), nlist/nprobe (for ivf)."""
     id_col = str(require_arg(arguments, "id", "similarity_topk"))
     vec_col = str(require_arg(arguments, "vector", "similarity_topk"))
     k = int(arguments.get("k", 10))
@@ -115,6 +162,10 @@ def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
                             k=k, num_bits=int(arguments.get("num_bits", 8)),
                             num_tables=int(arguments.get("num_tables", 4)),
                             seed=int(arguments.get("seed", 42)))
+        if method == "ivf":
+            return ivf_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k,
+                            nlist=int(arguments.get("nlist", 16)),
+                            nprobe=int(arguments.get("nprobe", 4)))
         return brute_force_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k)
 
     return Lens("similarity_topk", arguments, forward)

@@ -148,3 +148,108 @@ def test_salted_join_spreads_hot_key(spark):
     ).select("__salt").distinct().count()
     assert n_salts == 8
     assert out.count() == 1000
+
+
+def test_window_agg_running_and_lag(spark, orders):
+    spec = {"lenses": [
+        {"name": "window_agg", "arguments": {
+            "partition_by": ["o_custkey"],
+            "order_by": ["o_orderdate asc", "o_orderkey asc"],
+            "aggs": {"running": "sum(o_totalprice)"},
+            "frame": "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"}},
+        {"name": "window_agg", "arguments": {
+            "partition_by": ["o_custkey"],
+            "order_by": ["o_orderdate asc", "o_orderkey asc"],
+            "aggs": {"prev": "lag(o_totalprice, 1)"}}},
+    ]}
+    out = engine.append(orders, spec)
+    one = (out.filter(F.col("o_custkey") == out.select("o_custkey").first()[0])
+           .orderBy("o_orderdate", "o_orderkey").collect())
+    acc = 0.0
+    for i, r in enumerate(one):
+        acc += r.o_totalprice
+        assert abs(r.running - acc) < 1e-6
+        if i == 0:
+            assert r.prev is None
+        else:
+            assert r.prev == one[i - 1].o_totalprice
+    # Same partitioning + ordering in both stages → Catalyst must plan a
+    # single Exchange (one shuffle, two Window nodes or one merged).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_window_agg_global_guard(spark, orders):
+    with pytest.raises(LensError):
+        make_lens("window_agg", {"order_by": ["o_orderkey"],
+                                 "aggs": {"s": "sum(o_totalprice)"}})
+
+
+def test_pivot_unpivot_roundtrip(spark, orders):
+    pivot_spec = {"lenses": [{"name": "pivot", "arguments": {
+        "keys": ["o_orderpriority"], "pivot_col": "o_orderstatus",
+        "values": ["F", "O", "P"], "agg": "sum(o_totalprice)"}}]}
+    wide = engine.append(orders, pivot_spec)
+    assert sorted(wide.columns) == ["F", "O", "P", "o_orderpriority"]
+    # pivot cell == the plain filtered aggregate
+    cell = wide.filter("o_orderpriority = '1-URGENT'").select("F").first()[0]
+    expect = orders.filter(
+        "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
+    ).agg(F.sum("o_totalprice")).first()[0]
+    assert abs(cell - expect) < 1e-6
+
+    # unpivot then its inverse (re-pivot by first) restores the wide shape
+    unpivot = make_lens("unpivot", {
+        "ids": ["o_orderpriority"], "values": ["F", "O", "P"],
+        "var_name": "measure", "value_name": "value"})
+    tall = unpivot.forward(wide)
+    assert tall.count() == wide.count() * 3
+    back = unpivot.inverse(tall)
+    assert sorted(back.columns) == sorted(wide.columns)
+    assert back.count() == wide.count()
+
+
+def test_grouping_sets_matches_union_of_groupbys(spark, orders):
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["o_orderstatus", "o_orderpriority"], "mode": "grouping_sets",
+        "sets": [["o_orderstatus"], ["o_orderpriority"]],
+        "aggs": {"n": "count(*)"}}}]}
+    out = engine.append(orders, spec)
+    n_status = orders.select("o_orderstatus").distinct().count()
+    n_prio = orders.select("o_orderpriority").distinct().count()
+    assert out.count() == n_status + n_prio
+
+
+def test_range_join_matches_nested_loop(spark):
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{SF}/events.parquet")
+    inc = ev.filter("event_id % 97 = 0").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 7 MINUTES").alias("end_ts"))
+    inc.createOrReplaceTempView("rj_incidents")
+    spec = {"lenses": [{"name": "range_join", "arguments": {
+        "right_view": "rj_incidents", "ts": "ts", "start": "start_ts",
+        "end": "end_ts", "bin_seconds": 180,  # < interval: spans ≥3 bins
+        "select": ["incident_id"]}}]}
+    got = engine.append(ev, spec).select("incident_id", "event_id")
+    expect = ev.join(inc, (ev.ts >= inc.start_ts) & (ev.ts < inc.end_ts)) \
+        .select("incident_id", "event_id")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    # and the binned form must be an equi hash join, not a nested loop
+    plan = engine.append(ev, spec)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_semi_anti_join_lenses(spark, orders):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    spec = {"lenses": [{"name": "join", "arguments": {
+        "right": f"{SF}/orders.parquet", "on": "c_custkey = o_custkey",
+        "how": "left_semi"}}]}
+    semi = engine.append(cust, spec)
+    assert semi.columns == cust.columns  # semi join never widens
+    with_orders = cust.join(orders.select("o_custkey").distinct(),
+                            cust.c_custkey == F.col("o_custkey")).count()
+    assert semi.count() == with_orders

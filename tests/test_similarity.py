@@ -1,0 +1,81 @@
+"""X2/X3 approximate-operator accuracy tests: ANN recall vs brute
+force, IVF recall vs brute force, and exact n-gram Jaccard pairs vs a
+direct pairwise computation (small SF only — the operators themselves
+never materialize O(n²) at scale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.operators.dedup import ngram_jaccard_pairs
+from lens_spark.operators.similarity import ann_topk, brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+K = 10
+N_QUERIES = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _recall(approx, exact) -> float:
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_ivf_recall_vs_brute(spark, emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=K)
+    approx = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                      k=K, nlist=16, nprobe=4)
+    # probing 4/16 cells must still find most true neighbors
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_probe_all_cells_is_exact(spark, emb):
+    """nprobe == nlist degrades IVF to brute force — recall must be 1."""
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=K)
+    full = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                    k=K, nlist=8, nprobe=8)
+    assert _recall(full, exact) == 1.0
+
+
+def test_ngram_jaccard_matches_pairwise(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                        ngram=3, threshold=0.3).collect()}
+    # direct O(n²) cross-join reference on the tiny SF
+    from lens_spark.functions.hashing import jaccard_shingles, word_shingles
+
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("s")) \
+        .filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    expect = {(r.id_a, r.id_b): r.j
+              for r in a.join(b, F.col("id_a") < F.col("id_b"))
+              .withColumn("j", F.round(jaccard_shingles(F.col("sa"), F.col("sb")), 6))
+              .filter(F.col("j") >= 0.3).collect()}
+    assert got == expect
+
+
+def test_ngram_jaccard_df_cut_drops_stop_shingles(spark):
+    docs = spark.createDataFrame(
+        [(1, "the common tail a b c"), (2, "the common tail d e f"),
+         (3, "the common tail g h i")],
+        "doc_id long, text string")
+    # every pair shares only the boilerplate shingles; df-cut at 2 kills
+    # shingles present in all 3 docs, so no pair survives
+    cut = ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3,
+                              threshold=0.01, max_df=2)
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3,
+                               threshold=0.01)
+    assert full.count() > 0
+    assert cut.count() < full.count()
