@@ -664,6 +664,30 @@ def q_x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=JACCARD_THRESHOLD)
 
 
+def q_x7_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (md5-prefix threshold):
+    reproducible across runs/engines/partitionings, uniform over keys."""
+    spec = {"lenses": [
+        {"name": "sample_hash", "arguments": {
+            "keys": ["doc_id"], "fraction": 0.25}},
+        {"name": "project", "arguments": {"columns": ["doc_id", "source"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
+def q_x7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/test/val assignment by hash range; checked as the
+    per-split membership count."""
+    spec = {"lenses": [
+        {"name": "hash_split", "arguments": {
+            "keys": ["doc_id"],
+            "splits": {"train": 0.8, "test": 0.1, "val": 0.1}}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["split"], "aggs": {"n_docs": "count(*)"}}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
 def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (approximate — rows-only check; recall asserted
     against brute force in tests/test_similarity.py)."""
@@ -733,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "x2_ngram_jaccard": q_x2_ngram_jaccard,
         "x3_ivf_topk": q_x3_ivf_topk,
+        "x7_sample_hash": q_x7_sample_hash,
+        "x7_hash_split": q_x7_hash_split,
     }
 
 
@@ -786,6 +812,31 @@ WITH scores AS (SELECT doc_id, {scores} FROM documents),
 ranked AS (SELECT doc_id, {best} AS best, * FROM scores)
 SELECT doc_id, CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
 FROM ranked
+"""
+
+
+def _sample_oracle_sql() -> str:
+    from lens_spark.operators.sampling import fraction_to_threshold
+
+    thr = fraction_to_threshold(0.25)
+    return (
+        "SELECT doc_id, source FROM documents"
+        f" WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'"
+    )
+
+
+def _split_oracle_sql() -> str:
+    from lens_spark.operators.sampling import fraction_to_threshold
+
+    t_train = fraction_to_threshold(0.8)
+    t_test = fraction_to_threshold(0.9)
+    return f"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t_test}'
+            THEN 'test' ELSE 'val' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
 """
 
 
@@ -924,6 +975,8 @@ FROM common JOIN sizes na ON common.id_a = na.doc_id
             JOIN sizes nb ON common.id_b = nb.doc_id
 WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
 """,
+        "x7_sample_hash": _sample_oracle_sql(),
+        "x7_hash_split": _split_oracle_sql(),
         "join_enriched_orders": """
 SELECT n_name, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_totalprice

@@ -28,6 +28,7 @@ from lens_spark.operators import text as _text  # noqa: F401
 from lens_spark.operators import multimodal as _multimodal  # noqa: F401
 from lens_spark.operators import relational as _relational  # noqa: F401
 from lens_spark.operators import temporal as _temporal  # noqa: F401
+from lens_spark.operators import sampling as _sampling  # noqa: F401
 
 __all__ = [
     "Lens",

@@ -1,0 +1,119 @@
+"""Deterministic content-hash sampling and splitting.
+
+Training-data pipelines need samples and train/eval splits that are
+(a) reproducible across runs and engines, (b) stable under
+repartitioning, and (c) skew-free regardless of key distribution.
+``rand()``-based sampling fails (a)/(b); modulo-on-key sampling fails
+(c) for structured keys. Hashing each row's key with md5 and comparing
+the hex prefix lexicographically gives all three: md5 is
+engine-portable (Spark and DuckDB agree byte-for-byte — the property
+the oracle gate relies on), and the prefix is uniform over [0, 16^w).
+
+No reference counterpart (the reference has no row-selection operators
+at all, SURVEY.md §2.6) — these are X-series extensions registered as
+ordinary lenses. Both are pure narrow ops: no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lens_spark.errors import LensError
+from lens_spark.operators.base import Lens, register_lens, require_arg
+
+# Width of the hex prefix compared against thresholds: 8 hex digits =
+# 32 bits of resolution, i.e. sampling-rate granularity of 2^-32.
+_PREFIX_W = 8
+
+
+def _hash_prefix(key_cols: list[str], salt: str) -> Column:
+    parts: list[Column] = [F.lit(salt)] if salt else []
+    for c in key_cols:
+        parts.append(F.col(c).cast("string"))
+    return F.substring(F.md5(F.concat_ws("|", *parts)), 1, _PREFIX_W)
+
+
+def fraction_to_threshold(fraction: float) -> str:
+    """Hex string h such that P[md5_prefix < h] == fraction (to 2^-32).
+
+    Thresholds compare lexicographically against the fixed-width hex
+    prefix, so they must stay the same width; fraction == 1 would need
+    a 9-digit value, which sorts *below* "f..." as a string — return
+    "g" instead (one char above the hex alphabet, above every prefix).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise LensError(f"sample fraction must be in [0, 1], got {fraction}")
+    v = int(round(fraction * (16 ** _PREFIX_W)))
+    if v >= 16 ** _PREFIX_W:
+        return "g"
+    return format(v, f"0{_PREFIX_W}x")
+
+
+def sample_hash(df: DataFrame, key_cols: list[str], fraction: float,
+                *, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key content hash.
+
+    The same key always lands on the same side — re-running, scaling
+    up, or changing partitioning never changes membership; ``salt``
+    derives an independent sample from the same keys.
+    """
+    return df.filter(
+        _hash_prefix(key_cols, salt) < fraction_to_threshold(fraction))
+
+
+def hash_split(df: DataFrame, key_cols: list[str],
+               splits: Mapping[str, float], *, out: str = "split",
+               salt: str = "") -> DataFrame:
+    """Assign each row to a named split by hash range.
+
+    ``splits`` maps name → fraction; fractions must sum to 1. Ranges
+    are half-open consecutive intervals of the hash space in the given
+    order, so adding a new split at the end never reshuffles existing
+    membership of earlier splits (stable extension — the property that
+    matters when an eval set must stay frozen across dataset versions).
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise LensError(f"split fractions must sum to 1, got {total}")
+    prefix = _hash_prefix(key_cols, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = prefix < fraction_to_threshold(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
+@register_lens("sample_hash")
+def sample_hash_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), fraction (float), salt ("")."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "sample_hash")]
+    fraction = float(require_arg(arguments, "fraction", "sample_hash"))
+    salt = str(arguments.get("salt", ""))
+    return Lens("sample_hash", arguments,
+                lambda df: sample_hash(df, keys, fraction, salt=salt))
+
+
+@register_lens("hash_split")
+def hash_split_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), splits ({name: fraction}),
+    out ("split"), salt (""). Inverse drops the split column."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "hash_split")]
+    splits = dict(require_arg(arguments, "splits", "hash_split"))
+    out = str(arguments.get("out", "split"))
+    salt = str(arguments.get("salt", ""))
+    return Lens(
+        "hash_split", arguments,
+        lambda df: hash_split(df, keys, {str(k): float(v)
+                                         for k, v in splits.items()},
+                              out=out, salt=salt),
+        lambda df: df.drop(out),
+    )

@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting lens tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.base import make_lens
+from lens_spark.operators.sampling import (
+    fraction_to_threshold,
+    hash_split,
+    sample_hash,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_threshold_endpoints():
+    assert fraction_to_threshold(0.0) == "00000000"
+    assert fraction_to_threshold(1.0) == "g"  # sorts above any hex prefix
+    with pytest.raises(LensError):
+        fraction_to_threshold(1.5)
+
+
+def test_sample_is_deterministic_and_stable_under_repartition(spark, docs):
+    a = {r.doc_id for r in sample_hash(docs, ["doc_id"], 0.3).collect()}
+    b = {r.doc_id for r in
+         sample_hash(docs.repartition(13), ["doc_id"], 0.3).collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the asked fraction
+
+
+def test_sample_salt_gives_independent_sample(spark, docs):
+    a = {r.doc_id for r in sample_hash(docs, ["doc_id"], 0.3).collect()}
+    c = {r.doc_id for r in
+         sample_hash(docs, ["doc_id"], 0.3, salt="v2").collect()}
+    assert a != c
+
+
+def test_split_partitions_every_row_exactly_once(spark, docs):
+    out = hash_split(docs, ["doc_id"], {"train": 0.8, "test": 0.1, "val": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "test", "val"}
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_split_membership_stable_when_splits_extend(spark, docs):
+    """Consecutive-range assignment: re-cutting val into val+holdout
+    must not move any train/test row."""
+    base = hash_split(docs, ["doc_id"], {"train": 0.8, "test": 0.1, "val": 0.1})
+    ext = hash_split(docs, ["doc_id"],
+                     {"train": 0.8, "test": 0.1, "val": 0.05, "holdout": 0.05})
+    b = {(r.doc_id, r.split) for r in base.collect() if r.split in ("train", "test")}
+    e = {(r.doc_id, r.split) for r in ext.collect() if r.split in ("train", "test")}
+    assert b == e
+
+
+def test_split_fractions_must_sum_to_one(spark, docs):
+    with pytest.raises(LensError):
+        hash_split(docs, ["doc_id"], {"train": 0.8, "test": 0.1}).collect()
+
+
+def test_lens_spec_path(spark, docs):
+    spec = {"lenses": [
+        {"name": "hash_split", "arguments": {
+            "keys": ["doc_id"], "splits": {"a": 0.5, "b": 0.5}}},
+        {"name": "sample_hash", "arguments": {
+            "keys": ["doc_id"], "fraction": 1.0}},
+    ]}
+    out = engine.append(docs, spec)
+    assert out.count() == docs.count()
+    inv = make_lens("hash_split", {"keys": ["doc_id"],
+                                   "splits": {"a": 0.5, "b": 0.5}})
+    assert "split" not in inv.inverse(out).columns
