@@ -38,6 +38,11 @@ HEADLINE = [
     "events_sessionized",    # gap sessions (lag + cumsum windows)
     "json_extract",          # schemaless JSON field extraction
     "x2_dedup_neardup",      # full LSH dedup incl. connected components
+    "range_join_events",     # interval join via bin equi-key (no nested loop)
+    "window_running_revenue",  # analytic frames: running sum + lag, 1 shuffle
+    "x2_ngram_jaccard",      # exact all-pairs jaccard, inverted-index join
+    "x3_ann_topk",           # hyperplane-LSH ANN (vectorized bucket UDF)
+    "x7_hash_split",         # deterministic md5-range train/test split
 ]
 
 

@@ -152,7 +152,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     """
     shingled = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col).alias("__id"),
-        F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
+        F.explode(_shingles(text_col, ngram, shingle)).alias("__s0"),
+    ).select(
+        # 64-bit shingle fingerprint: the self-join shuffles 8-byte keys
+        # instead of raw shingle strings (collision odds ~n²/2⁶⁴ — nil).
+        "__id", F.xxhash64("__s0").alias("__s"),
     )
     shingled = shingled.persist()
     sizes = shingled.groupBy("__id").agg(F.count("*").alias("__n"))

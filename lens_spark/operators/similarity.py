@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,22 +55,45 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     return _rank_topk(scored, "query_id", k)
 
 
-def _hyperplane_sign_bits(vec, dim: int, num_bits: int, table: int, seed: int):
-    """Deterministic random-hyperplane bucket id for one LSH table.
+def _plane_coef(seed: int, table: int, bit: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): md5 of
+    (seed,table,bit,dim), centered. Computed driver-side — no model
+    state, reproducible everywhere."""
+    import hashlib
 
-    Plane component (bit b, dim d) = centered xxhash64 of (seed,table,b,d)
-    — pseudo-random, reproducible, computed inline with no model state.
+    h = int.from_bytes(
+        hashlib.md5(f"{seed}:{table}:{bit}:{dim}".encode()).digest()[:8],
+        "big")
+    return (h % 10007) / 5003.5 - 1.0
+
+
+def _bucket_array_udf(dim: int, num_bits: int, num_tables: int, seed: int):
+    """Vectorized bucket assignment: all tables' sign-bit buckets in one
+    numpy matmul per Arrow batch.
+
+    The first cut unrolled (tables × bits × dims) expression terms
+    JVM-side; at 64 dims that exceeds janino's 64 KB method limit and
+    Spark silently drops to per-row interpreted eval (~50× slower).
+    A Pandas UDF is the honest fast path for a dense numeric kernel:
+    one (batch × dim) @ (dim × tables·bits) product, Arrow transfer,
+    still a narrow op that scales linearly with partitions.
     """
-    bucket = F.lit(table * (1 << num_bits)).cast("bigint")
-    for b in range(num_bits):
-        acc = F.lit(0.0)
-        for d in range(dim):
-            h = F.xxhash64(F.lit(f"{seed}:{table}:{b}:{d}"))
-            coef = (h % F.lit(10007)).cast("double") / F.lit(5003.5) - F.lit(1.0)
-            acc = acc + vec.getItem(d).cast("double") * coef
-        bit = F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-        bucket = bucket + bit * F.lit(1 << b).cast("bigint")
-    return bucket
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array([[_plane_coef(seed, t, b, d) for d in range(dim)]
+                  for t in range(num_tables) for b in range(num_bits)])
+    powers = np.tile(1 << np.arange(num_bits), num_tables)
+    offsets = np.repeat(np.arange(num_tables) << num_bits, num_bits)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())            # (n, dim)
+        bits = (x @ w.T) >= 0                    # (n, tables*bits)
+        cells = bits * powers + offsets          # bit-weighted, per table
+        out = cells.reshape(len(x), num_tables, num_bits).sum(axis=2)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str,
@@ -76,13 +101,11 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
              seed: int = 42, exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: only bucket-mates (any table) are scored."""
 
+    bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
+
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         rows = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-        buckets = F.array(*[
-            _hyperplane_sign_bits(F.col(vec_alias), dim, num_bits, t, seed)
-            for t in range(num_tables)
-        ])
-        return rows.withColumn("__bucket", F.explode(buckets))
+        return rows.withColumn("__bucket", F.explode(bucket_udf(F.col(vec_alias))))
 
     c = with_buckets(ensure_parallelism(corpus), "neighbor_id", "__cv")
     q = with_buckets(queries, "query_id", "__qv")

@@ -9,6 +9,7 @@ registry-view registration).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,3 +84,38 @@ def write_bucketed(df: DataFrame, table: str, *, bucket_by: list[str],
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_dataset(spark: SparkSession, path: str, *,
+                    target_file_mb: int = 256, fmt: str = "parquet",
+                    partition_by: list[str] | None = None) -> int:
+    """Rewrite a dataset into ~target-sized files; returns the new file
+    count.
+
+    Long-running ingestion (streaming micro-batches, per-hour jobs)
+    accretes thousands of KB-sized files; at 100 TB the resulting task
+    and scheduler overhead dominates scan cost. Compaction sizes the
+    output from the dataset's actual bytes (not row counts), writes to
+    a temp dir, then atomically swaps directories — readers never see a
+    half-compacted dataset. With ``partition_by``, files are rewritten
+    within the same directory layout so partition pruning is preserved.
+    """
+    import math
+    import shutil
+
+    src = Path(path)
+    total_bytes = sum(f.stat().st_size for f in src.rglob("*")
+                      if f.is_file() and not f.name.startswith(("_", ".")))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * (1 << 20))))
+    df = spark.read.format(fmt).load(str(src))
+    tmp = src.with_name(src.name + "__compacting")
+    writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(str(tmp))
+    old = src.with_name(src.name + "__old")
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    return sum(1 for f in src.rglob("*" + {"parquet": ".parquet"}.get(fmt, ""))
+               if f.is_file() and not f.name.startswith(("_", ".")))

@@ -1,0 +1,74 @@
+"""Plan-quality regression tests: the properties that make operators
+survive a 100× scale-up. These assert on the *physical plan*, not the
+result — a query can be correct and still read every column, skip
+pushdown, or fall out of codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark import engine
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_filter_lens_pushes_predicate_to_scan(spark, orders):
+    out = engine.append(orders, {"lenses": [{"name": "filter", "arguments": {
+        "predicate": "o_orderstatus = 'F'"}}]})
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_projection_prunes_scan_schema(spark, orders):
+    out = engine.append(orders, {"lenses": [{"name": "project", "arguments": {
+        "columns": ["o_orderkey", "o_totalprice"]}}]})
+    plan = _plan(out)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in schema and "o_totalprice" in schema
+    assert "o_orderpriority" not in schema  # unused column never read
+
+
+def test_rename_add_chain_stays_in_one_codegen_stage(spark, orders):
+    """Chained narrow lenses must fuse (the Catalyst analogue of the
+    reference's raw-byte pipe handoff) — no exchange, one codegen span."""
+    out = engine.append(orders, {"lenses": [
+        {"name": "rename", "arguments": {"src": "o_orderkey", "dst": "id"}},
+        {"name": "add", "arguments": {"column": "o_totalprice", "magnitude": 1}},
+        {"name": "filter", "arguments": {"predicate": "o_totalprice > 100"}},
+    ]})
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    # "*(1)" marks whole-stage-codegen stage 1; a second stage or an
+    # un-starred operator between scan and project would mean the chain
+    # broke out of the fused span
+    assert "*(1) Project" in plan
+    assert "*(2)" not in plan
+
+
+def test_aggregate_does_partial_before_exchange(spark, orders):
+    out = engine.append(orders, {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["o_orderstatus"], "aggs": {"n": "count(*)"}}}]})
+    plan = _plan(out)
+    # map-side combine: a HashAggregate must appear below the Exchange
+    assert plan.index("Exchange") < plan.rindex("HashAggregate")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_join_has_no_shuffle_on_fact_side(spark, orders):
+    out = engine.append(orders, {"lenses": [{"name": "join", "arguments": {
+        "right": f"{SF}/customer.parquet", "on": "o_custkey = c_custkey",
+        "broadcast": True, "select": ["c_custkey", "c_nationkey"]}}]})
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -3,6 +3,8 @@ the two table-layout levers the 100 TB design leans on."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lens_spark.sources import write_bucketed, write_partitioned
 
 
@@ -37,3 +39,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
         import shutil
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_compact_dataset_reduces_file_count(spark, tmp_path):
+    from lens_spark.sources import compact_dataset
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = len([f for f in (tmp_path / "frag").glob("*.parquet")])
+    assert before >= 32
+    after = compact_dataset(spark, path, target_file_mb=256)
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_dataset_preserves_partition_layout(spark, tmp_path):
+    from lens_spark.sources import compact_dataset
+
+    path = str(tmp_path / "bypart")
+    df = spark.range(1_000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(16).write.partitionBy("p").parquet(path)
+    compact_dataset(spark, path, target_file_mb=256, partition_by=["p"])
+    subdirs = sorted(d.name for d in (tmp_path / "bypart").iterdir()
+                     if d.is_dir())
+    assert subdirs == ["p=0", "p=1", "p=2"]
+    assert spark.read.parquet(path).count() == 1_000
