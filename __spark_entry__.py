@@ -664,6 +664,21 @@ def q_x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=JACCARD_THRESHOLD)
 
 
+def q_x5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: tokenize → explode → top-20 by
+    frequency (map-side combine + TakeOrderedAndProject; no global
+    sort). Deterministic tie-break on the token."""
+    spec = {"lenses": [
+        {"name": "project", "arguments": {"columns": ["doc_id", "text"]}},
+        {"name": "set", "arguments": {
+            "column": "token",
+            "expr": "filter(split(lower(text), '\\\\s+'), t -> t != '')"}},
+        {"name": "explode", "arguments": {"column": "token"}},
+        {"name": "heavy_hitters", "arguments": {"keys": ["token"], "k": 20}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec).select("token", "n")
+
+
 def q_x7_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (md5-prefix threshold):
     reproducible across runs/engines/partitionings, uniform over keys."""
@@ -759,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ivf_topk": q_x3_ivf_topk,
         "x7_sample_hash": q_x7_sample_hash,
         "x7_hash_split": q_x7_hash_split,
+        "x5_top_tokens": q_x5_top_tokens,
     }
 
 
@@ -974,6 +990,11 @@ SELECT id_a, id_b,
 FROM common JOIN sizes na ON common.id_a = na.doc_id
             JOIN sizes nb ON common.id_b = nb.doc_id
 WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
+""",
+        "x5_top_tokens": f"""
+WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+SELECT token, count(*) AS n FROM t GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 20
 """,
         "x7_sample_hash": _sample_oracle_sql(),
         "x7_hash_split": _split_oracle_sql(),

@@ -296,6 +296,32 @@ def range_join_lens(arguments: Mapping[str, Any]) -> Lens:
     return Lens("range_join", arguments, forward)
 
 
+@register_lens("heavy_hitters")
+def heavy_hitters_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Global top-k groups by an aggregate metric (frequency by default).
+
+    arguments: keys (list[str]), k (int), metric (SQL aggregate expr,
+    default "count(*)"), out (metric column name, default "n").
+
+    Scale shape: the groupBy does map-side partial aggregation, the
+    per-group result is tiny relative to the input, and the final
+    top-k is a TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows — never a global sort of the grouped output).
+    Ties at rank k break deterministically on the key columns.
+    """
+    keys = [str(c) for c in require_arg(arguments, "keys", "heavy_hitters")]
+    k = int(require_arg(arguments, "k", "heavy_hitters"))
+    metric = str(arguments.get("metric", "count(*)"))
+    out = str(arguments.get("out", "n"))
+
+    def forward(df: DataFrame) -> DataFrame:
+        agg = df.groupBy(*keys).agg(F.expr(metric).alias(out))
+        order = [F.col(out).desc()] + [F.col(c).asc() for c in keys]
+        return agg.orderBy(*order).limit(k)
+
+    return Lens("heavy_hitters", arguments, forward)
+
+
 @register_lens("sort")
 def sort_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: by (["col [asc|desc]", ...]). Global range-partitioned

@@ -126,3 +126,29 @@ def test_stateful_running_count_across_microbatches(spark, tmp_path):
     assert final == {"a": 3, "b": 3}
     # more than one emission per key proves multiple micro-batches ran
     assert got.count() > 2
+
+
+def test_stream_static_broadcast_join(spark, events_dir):
+    """Enriching a stream with a dimension table — the canonical
+    stream-static join. The static side broadcasts per micro-batch;
+    the stream side never shuffles. The join lens spec is identical
+    to the batch form."""
+    users = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("cohort"))
+    users.createOrReplaceTempView("user_dim")
+    spec = {"lenses": [
+        {"name": "join", "arguments": {
+            "right_view": "user_dim", "on": ["user_id"],
+            "broadcast": True, "how": "left"}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["cohort"], "aggs": {"n": "count(*)"}}},
+    ]}
+    stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
+                              ts_cols=("ts",))
+    got = run_available_now(apply_stream(stream, spec),
+                            output_mode="complete")
+    batch = read_ns_timestamps(spark, EVENTS) \
+        .join(users, "user_id", "left").groupBy("cohort").count()
+    assert {(r.cohort, r.n) for r in got.collect()} == \
+        {(r.cohort, r["count"]) for r in batch.collect()}
