@@ -395,6 +395,18 @@ def q_x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+def q_x2_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup (the 100 TB path: hyperplane-LSH
+    candidates, exact-cosine verify — rows-only; subset/recall asserted
+    in tests/test_similarity.py)."""
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                   threshold=0.45, method="lsh", dim=64,
+                                   num_bits=4, num_tables=8)
+
+
 def q_x2_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: LSH pairs → connected components →
     keep min-id representative (rows-only: iterative min-label
@@ -739,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_jaccard_verified": q_x2_jaccard_verified,
         "x2_simhash": q_x2_simhash,
         "x2_embedding_neardup": q_x2_embedding_neardup,
+        "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x2_dedup_neardup": q_x2_dedup_neardup,
         "join_enriched_orders": q_join_enriched_orders,
         "window_topk_orders": q_window_topk_orders,

@@ -306,17 +306,48 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
-                            threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, via self-join).
+                            threshold: float = 0.95, method: str = "exact",
+                            dim: int | None = None, num_bits: int = 8,
+                            num_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
 
-    The O(n²) fallback — at scale, route through
-    lens_spark.operators.similarity.ann_topk buckets instead.
+    method="exact": all-pairs self-join — O(n²), oracle-checkable,
+    small corpora only. method="lsh": the 100 TB path — vectors hash to
+    random-hyperplane sign buckets (same vectorized kernel as
+    similarity.ann_topk); only bucket-mates in ≥1 of ``num_tables``
+    tables are scored, then verified with the exact cosine, so every
+    emitted pair is a true positive and only recall is approximate.
+    Near-duplicate vectors agree on most hyperplane signs, which is
+    exactly when bucket collision probability is highest — the higher
+    the threshold, the better the recall.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if method == "lsh":
+        from lens_spark.operators.similarity import _bucket_array_udf
+
+        if dim is None:
+            raise LensError("embedding_neardup_pairs(method='lsh') needs dim")
+        bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
+        bucketed = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+            F.explode(bucket_udf(F.col(vec_col))).alias("__bucket"),
+        )
+        a = bucketed.select(F.col("__id").alias("id_a"),
+                            F.col("__v").alias("__va"), "__bucket")
+        b = bucketed.select(F.col("__id").alias("id_b"),
+                            F.col("__v").alias("__vb"), "__bucket")
+        cand = (
+            a.join(b, ["__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb").distinct()
+        )
+    elif method == "exact":
+        av = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        bv = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        cand = av.join(bv, F.col("id_a") < F.col("id_b"))
+    else:
+        raise LensError(f"embedding_neardup_pairs: unknown method '{method}'")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        cand.withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

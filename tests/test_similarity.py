@@ -79,3 +79,20 @@ def test_ngram_jaccard_df_cut_drops_stop_shingles(spark):
                                threshold=0.01)
     assert full.count() > 0
     assert cut.count() < full.count()
+
+
+def test_embedding_neardup_lsh_is_verified_subset(spark, emb):
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_neardup_pairs(
+                 emb, "vec_id", "embedding", threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_neardup_pairs(
+               emb, "vec_id", "embedding", threshold=0.4, method="lsh",
+               dim=64, num_bits=4, num_tables=8).collect()}
+    # every LSH pair is a true positive with the exact score
+    for pair, cos in lsh.items():
+        assert exact[pair] == cos
+    # and recall is meaningful at these parameters
+    assert len(lsh) >= 0.5 * len(exact) > 0
