@@ -691,6 +691,31 @@ def q_x5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "documents"), spec).select("token", "n")
 
 
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library parity (date / string / math /
+    conditional) — the reference has no built-in scalar vocabulary at
+    all (SURVEY §2.6: all scalar logic lives inside user WASM); here it
+    is the whole ANSI surface, run through the sql lens and checked
+    cross-engine. Every expression is whole-stage-codegen'd."""
+    spec = {"lenses": [{"name": "sql", "arguments": {"query": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS order_year,
+               month(o_orderdate) AS order_month,
+               date_trunc('quarter', o_orderdate) AS order_quarter,
+               upper(substring(o_orderpriority, 3, 20)) AS prio_word,
+               concat(o_orderstatus, '-', cast(o_custkey AS string)) AS tag,
+               length(o_orderpriority) AS prio_len,
+               round(sqrt(o_totalprice), 4) AS sqrt_price,
+               round(ln(o_totalprice + 1), 6) AS ln_price,
+               abs(o_totalprice - 150000.0) AS dist_mid,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'low' END AS band,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_full
+        FROM _input"""}}]}
+    return engine.append(_read(spark, sf_dir, "orders"), spec)
+
+
 def q_x7_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (md5-prefix threshold):
     reproducible across runs/engines/partitionings, uniform over keys."""
@@ -788,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_sample_hash": q_x7_sample_hash,
         "x7_hash_split": q_x7_hash_split,
         "x5_top_tokens": q_x5_top_tokens,
+        "scalar_functions": q_scalar_functions,
     }
 
 
@@ -1008,6 +1034,23 @@ WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
 WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
 SELECT token, count(*) AS n FROM t GROUP BY token
 ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "scalar_functions": """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       date_trunc('quarter', o_orderdate) AS order_quarter,
+       upper(substring(o_orderpriority, 3, 20)) AS prio_word,
+       concat(o_orderstatus, '-', CAST(o_custkey AS VARCHAR)) AS tag,
+       length(o_orderpriority) AS prio_len,
+       round(sqrt(o_totalprice), 4) AS sqrt_price,
+       round(ln(o_totalprice + 1), 6) AS ln_price,
+       abs(o_totalprice - 150000.0) AS dist_mid,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'low' END AS band,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_full
+FROM orders
 """,
         "x7_sample_hash": _sample_oracle_sql(),
         "x7_hash_split": _split_oracle_sql(),
