@@ -691,6 +691,24 @@ def q_x5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "documents"), spec).select("token", "n")
 
 
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate vocabulary (corr/covar/stddev/variance/
+    min/max spread) per group — one hash aggregate with map-side
+    partials, rounded coarsely enough (4dp) that cross-engine fp
+    summation order cannot flip a digit."""
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["l_returnflag"],
+        "aggs": {
+            "corr_qty_price": "round(corr(l_quantity, l_extendedprice), 4)",
+            "covar_qty_disc": "round(covar_samp(l_quantity, l_discount), 4)",
+            "stddev_price": "round(stddev_samp(l_extendedprice), 2)",
+            "var_qty": "round(var_samp(l_quantity), 4)",
+            "price_spread": "round(max(l_extendedprice) - min(l_extendedprice), 2)",
+            "n_rows": "count(*)",
+        }}}]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library parity (date / string / math /
     conditional) — the reference has no built-in scalar vocabulary at
@@ -814,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_hash_split": q_x7_hash_split,
         "x5_top_tokens": q_x5_top_tokens,
         "scalar_functions": q_scalar_functions,
+        "stats_aggregates": q_stats_aggregates,
     }
 
 
@@ -1034,6 +1053,16 @@ WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
 WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
 SELECT token, count(*) AS n FROM t GROUP BY token
 ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "stats_aggregates": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(max(l_extendedprice) - min(l_extendedprice), 2) AS price_spread,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
 """,
         "scalar_functions": """
 SELECT o_orderkey,
