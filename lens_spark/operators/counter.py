@@ -49,27 +49,38 @@ def assign_sequence(df: DataFrame, order_by: list[str], out: str = "id",
         raise LensError(f"lens 'counter': unknown strategy '{strategy}'")
 
     num_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # One full-data shuffle total: range-partition + in-partition sort,
+    # then a narrow monotonically_increasing_id — its per-partition
+    # value is a dense 0-based row index in sorted order, so
+    # (mid - min(mid per partition)) is the local rank with NO window
+    # (a row_number window partitioned by pid would re-Exchange the
+    # whole dataset on pid — a second full shuffle for nothing).
     parts = (
         df.repartitionByRange(num_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()  # pin range boundaries across the two passes
+        .withColumn("__lens_mid", F.monotonically_increasing_id())
+        .persist()  # pin partition layout + ids across the two passes
     )
     try:
-        sizes = {r[_PID]: r["cnt"] for r in
-                 parts.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        offsets, acc = {}, start - 1
-        for pid in sorted(sizes):
-            offsets[pid] = acc
-            acc += sizes[pid]
-        offset_expr = F.element_at(
-            F.create_map(*[F.lit(x) for pid in sorted(offsets)
-                           for x in (pid, offsets[pid])]),
+        stats = {r[_PID]: (r["cnt"], r["mmin"]) for r in
+                 parts.groupBy(_PID).agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.min("__lens_mid").alias("mmin")).collect()}
+        base, acc = {}, start - 1
+        for pid in sorted(stats):
+            cnt, mmin = stats[pid]
+            # seq = acc + 1 + (mid - mmin)  ⇒  add (acc + 1 - mmin)
+            base[pid] = acc + 1 - mmin
+            acc += cnt
+        base_expr = F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(base)
+                           for x in (pid, base[pid])]),
             F.col(_PID),
         )
-        w = Window.partitionBy(_PID).orderBy(*order_cols)
         out_df = (
-            parts.withColumn(out, (F.row_number().over(w) + offset_expr).cast("bigint"))
-            .drop(_PID)
+            parts.withColumn(out, (F.col("__lens_mid") + base_expr).cast("bigint"))
+            .drop(_PID, "__lens_mid")
         )
         # Materialization note: out_df still reads from `parts` (persisted);
         # callers that hold the result long-term should checkpoint/write it.
