@@ -7,10 +7,14 @@ both sides; hash-fragile doubles are either rounded identically or
 computed through exact decimal aggregation.
 
 Operator coverage map (SURVEY.md §2.8): M1/M2/M4/M5/M6/M7 archetypes,
-E1/E6/E7/E8 engine semantics, relational built-ins (join/window/rollup/
-set ops/python_udf), temporal (as-of join/sessionization/session
-windows), X1-X6 extensions, and event-time windowed aggregation
-(streaming surface, batch-checked).
+E1/E6/E7/E8 engine semantics, relational built-ins (join incl.
+semi/anti, range join, window rank + analytic frames, rollup/cube/
+grouping sets, pivot/unpivot, heavy hitters, set ops, scalar +
+statistical aggregate vocabulary, python_udf), temporal (as-of join/
+sessionization/session windows), X1-X7 extensions (dedup families,
+similarity search, multimodal, text analysis, deterministic
+sampling/splits), and event-time windowed aggregation (streaming
+surface, batch-checked).
 """
 
 from __future__ import annotations
