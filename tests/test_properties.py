@@ -105,3 +105,31 @@ def test_sessionize_preserves_rows_and_orders_sessions(spark, rows):
         assert sessions[0] == 1                      # 1-based
         for a, b in zip(sessions, sessions[1:]):
             assert b in (a, a + 1)                   # monotone, gapless
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(f1=st.floats(0.05, 0.45), f2=st.floats(0.5, 0.95))
+def test_sample_fractions_are_nested(spark, f1, f2):
+    """Hash-threshold sampling is monotone: the f1 sample is a strict
+    subset of any larger-fraction sample over the same keys — the
+    property that lets a pipeline grow its sample without resampling."""
+    from lens_spark.operators.sampling import sample_hash
+
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    small = {r.k for r in sample_hash(df, ["k"], f1).collect()}
+    large = {r.k for r in sample_hash(df, ["k"], f2).collect()}
+    assert small <= large
+
+
+def test_sample_equals_first_split_mass(spark):
+    """sample_hash(f) selects exactly the rows hash_split assigns to a
+    first split of fraction f (same salt ⇒ same hash ranges)."""
+    from lens_spark.operators.sampling import hash_split, sample_hash
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    sampled = {r.k for r in sample_hash(df, ["k"], 0.8).collect()}
+    train = {r.k for r in
+             hash_split(df, ["k"], {"train": 0.8, "rest": 0.2}).collect()
+             if r.split == "train"}
+    assert sampled == train
