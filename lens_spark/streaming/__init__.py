@@ -77,6 +77,45 @@ def run_available_now(stream_df: DataFrame, *, output_mode: str = "append",
     return spark.table(name)
 
 
+def stream_to_dataset(stream_df: DataFrame, path: str, *, spec=None,
+                      partition_by: list[str] | None = None,
+                      fmt: str = "parquet", available_now: bool = True,
+                      checkpoint: str | None = None, timeout: int = 120):
+    """Production sink path: run a lens pipeline per micro-batch and
+    append the result to a partitioned dataset via ``foreachBatch``.
+
+    foreachBatch (rather than a direct file sink) because the batch is
+    a plain DataFrame: the full lens vocabulary applies — including
+    binary lenses (stream-static joins resolve views per batch) — and
+    the write inherits exactly-once via the checkpointed batch id.
+    ``partition_by`` keeps the landing layout prunable; pair with
+    ``sources.compact_dataset`` on a schedule, since micro-batches are
+    the canonical small-file generator at scale.
+    """
+    from lens_spark import engine as _engine
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = _engine.append(batch_df, spec) if spec else batch_df
+        writer = out.write.format(fmt).mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        return None
+    return writer.start()
+
+
 def stateful_running_count(stream_df: DataFrame, keys: list[str],
                            out: str = "running_count") -> DataFrame:
     """Per-key running event count that survives micro-batches — the

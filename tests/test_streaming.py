@@ -152,3 +152,28 @@ def test_stream_static_broadcast_join(spark, events_dir):
         .join(users, "user_id", "left").groupBy("cohort").count()
     assert {(r.cohort, r.n) for r in got.collect()} == \
         {(r.cohort, r["count"]) for r in batch.collect()}
+
+
+def test_stream_to_dataset_foreachbatch_sink(spark, events_dir, tmp_path):
+    """Stream → lens pipeline → partitioned parquet landing zone, the
+    production write path (exactly-once per checkpointed batch id)."""
+    from lens_spark.streaming import stream_to_dataset
+
+    out_dir = str(tmp_path / "landing")
+    spec = {"lenses": [
+        {"name": "filter", "arguments": {"predicate": "value > 0"}},
+        {"name": "project", "arguments": {
+            "columns": ["event_id", "event_type", "value"]}},
+    ]}
+    stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
+                              ts_cols=("ts",))
+    stream_to_dataset(stream, out_dir, spec=spec,
+                      partition_by=["event_type"],
+                      checkpoint=str(tmp_path / "ckpt"))
+    landed = spark.read.parquet(out_dir)
+    expect = read_ns_timestamps(spark, EVENTS).filter("value > 0")
+    assert landed.count() == expect.count()
+    # partitioned layout: one dir per event_type
+    subdirs = {d.name.split("=")[0] for d in (tmp_path / "landing").iterdir()
+               if d.is_dir()}
+    assert subdirs == {"event_type"}
