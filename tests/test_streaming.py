@@ -177,3 +177,23 @@ def test_stream_to_dataset_foreachbatch_sink(spark, events_dir, tmp_path):
     subdirs = {d.name.split("=")[0] for d in (tmp_path / "landing").iterdir()
                if d.is_dir()}
     assert subdirs == {"event_type"}
+
+
+def test_stream_to_dataset_restart_does_not_duplicate(spark, events_dir, tmp_path):
+    """Re-running with the same checkpoint replays no batches: the
+    exactly-once property the landing zone depends on."""
+    from lens_spark.streaming import stream_to_dataset
+
+    out_dir = str(tmp_path / "landing2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run():
+        stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
+                                  ts_cols=("ts",))
+        stream_to_dataset(stream, out_dir, checkpoint=ckpt)
+
+    run()
+    n1 = spark.read.parquet(out_dir).count()
+    run()  # same checkpoint: all source files already committed
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 > 0 and n2 == n1
