@@ -353,6 +353,57 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     )
 
 
+def dedup_incremental(df: DataFrame, index_path: str, *,
+                      columns: list[str] | None = None,
+                      update_index: bool = True) -> DataFrame:
+    """Dedup a new batch against everything previously accepted.
+
+    Ongoing ingestion can't re-scan the accepted corpus per batch; it
+    keeps a fingerprint index (xxhash64 of the identity columns — the
+    index stores 8 bytes/row no matter how wide the data is). A batch
+    is deduped internally, anti-joined against the index, and the
+    survivors' fingerprints are appended back. At scale the anti-join
+    shuffles only fingerprints; AQE broadcasts the batch side when it's
+    small relative to the index.
+
+    First call bootstraps an empty index at ``index_path``.
+    """
+    from pathlib import Path
+
+    cols = [str(c) for c in (columns or df.columns)]
+    fp = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    batch = df.withColumn("__fp", fp).dropDuplicates(["__fp"])
+    spark = df.sparkSession
+    if Path(index_path).exists():
+        seen = spark.read.parquet(index_path)
+        fresh = batch.join(seen, batch["__fp"] == seen["fp"], "left_anti")
+    else:
+        fresh = batch
+    if update_index:
+        # Truncate lineage before appending: a persist is not enough —
+        # the append invalidates the scan cache for index_path and a
+        # later action would re-evaluate the anti-join against the
+        # just-updated index (returning nothing). localCheckpoint pins
+        # the survivors as stored partitions with no upstream plan.
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.select(F.col("__fp").alias("fp")).write.mode("append") \
+            .parquet(index_path)
+    return fresh.drop("__fp")
+
+
+@register_lens("dedup_incremental")
+def dedup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: index (path), columns (optional identity cols),
+    update_index (true)."""
+    index_path = str(require_arg(arguments, "index", "dedup_incremental"))
+    columns = arguments.get("columns")
+    cols = [str(c) for c in columns] if columns else None
+    update = bool(arguments.get("update_index", True))
+    return Lens("dedup_incremental", arguments,
+                lambda df: dedup_incremental(df, index_path, columns=cols,
+                                             update_index=update))
+
+
 # --- lens registrations -------------------------------------------------
 
 @register_lens("dedup_exact")

@@ -180,3 +180,40 @@ def test_connected_components_both_strategies_agree(spark):
     want = {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
     assert local == want
     assert dist == want
+
+
+def test_dedup_incremental_across_batches(spark, tmp_path):
+    """Batch 2 drops rows already accepted in batch 1; the index stores
+    fingerprints only."""
+    from lens_spark.operators.dedup import dedup_incremental
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "k long, v string")
+    out1 = dedup_incremental(b1, idx, columns=["k", "v"])
+    assert out1.count() == 3  # internal dup collapsed
+
+    b2 = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, "d")], "k long, v string")
+    out2 = dedup_incremental(b2, idx, columns=["k", "v"])
+    assert {(r.k, r.v) for r in out2.collect()} == {(4, "d")}
+
+    # replaying an already-ingested batch yields nothing new
+    out3 = dedup_incremental(b2, idx, columns=["k", "v"])
+    assert out3.count() == 0
+    # the index holds one 8-byte fingerprint per accepted row
+    assert spark.read.parquet(idx).columns == ["fp"]
+    assert spark.read.parquet(idx).count() == 4
+
+
+def test_dedup_incremental_read_only_mode(spark, tmp_path):
+    from lens_spark.operators.dedup import dedup_incremental
+
+    idx = str(tmp_path / "fp_index_ro")
+    b = spark.createDataFrame([(1, "a")], "k long, v string")
+    dedup_incremental(b, idx, columns=["k", "v"])
+    probe = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+    out = dedup_incremental(probe, idx, columns=["k", "v"],
+                            update_index=False)
+    assert {r.k for r in out.collect()} == {9}
+    assert spark.read.parquet(idx).count() == 1  # untouched
