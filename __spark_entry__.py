@@ -299,15 +299,22 @@ def q_x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x4_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode → feature extraction over mapInPandas with the
-    deterministic fake codec (real codec stubbed: no image libs here).
-    Rows-only check (sha-derived floats aren't SQL-expressible)."""
+    deterministic fake codec. Output is atomic columns only (the
+    driver's canonicalizer sorts every column — arrays are unhashable):
+    feature bytes are projected back to exact ints (round(f*255)), so
+    the whole row is oracle-checkable via sha256(varchar) in DuckDB."""
     docs = _read(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     spec = {"lenses": [{"name": "image_features",
                         "arguments": {"column": "payload", "feature_dim": 8,
                                       "fake": True, "keep": ["doc_id"]}}]}
-    return engine.append(docs, spec)
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id", "width", "height", "mode",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+        F.round(F.element_at("feature", 8) * 255).cast("int").alias("f7"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -893,6 +900,29 @@ FROM ranked
 """
 
 
+def _hexbyte_sql(expr: str, k: int) -> str:
+    """Byte ``k`` of a lowercase hex digest as an integer (portable SQL:
+    two strpos lookups — no unhex/blob needed)."""
+    hi = f"substr({expr}, {2 * k + 1}, 1)"
+    lo = f"substr({expr}, {2 * k + 2}, 1)"
+    return (f"((strpos('0123456789abcdef', {hi}) - 1) * 16"
+            f" + strpos('0123456789abcdef', {lo}) - 1)")
+
+
+def _image_features_oracle_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, sha256(text) AS d1 FROM documents),
+s AS (SELECT doc_id, d1, sha256(d1) AS s1 FROM d)
+SELECT doc_id,
+       CAST(1 + {_hexbyte_sql('d1', 0)} % 64 AS INT) AS width,
+       CAST(1 + {_hexbyte_sql('d1', 1)} % 64 AS INT) AS height,
+       'RGB' AS mode,
+       CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
+       CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
+FROM s
+"""
+
+
 def _sample_oracle_sql() -> str:
     from lens_spark.operators.sampling import fraction_to_threshold
 
@@ -1208,6 +1238,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS first_doc
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
+        "x4_image_features": _image_features_oracle_sql(),
         "x4_media_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
             " sha256(text) AS payload_sha256 FROM documents"

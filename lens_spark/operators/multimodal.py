@@ -40,14 +40,21 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
 def _fake_decode(payload: bytes, feature_dim: int) -> dict[str, Any]:
     """Deterministic fake decode: metadata + feature vector derived from
-    a sha256 stream over the payload (stable across runs/machines)."""
-    digest = hashlib.sha256(payload or b"").digest()
-    width = 1 + digest[0] % 64
-    height = 1 + digest[1] % 64
-    feature, seed = [], digest
+    a sha256 stream over the payload (stable across runs/machines).
+
+    The stream re-hashes the lowercase *hex* digest (ASCII bytes), not
+    the raw digest, so every derived byte is expressible in ANSI SQL
+    (``sha256(varchar)`` exists cross-engine; ``sha256(blob)`` does
+    not) — this is what lets ``x4_image_features`` carry a full DuckDB
+    oracle instead of a rows-only check.
+    """
+    hexd = hashlib.sha256(payload or b"").hexdigest()
+    width = 1 + int(hexd[0:2], 16) % 64
+    height = 1 + int(hexd[2:4], 16) % 64
+    feature, seed = [], hexd
     while len(feature) < feature_dim:
-        seed = hashlib.sha256(seed).digest()
-        feature.extend(b / 255.0 for b in seed)
+        seed = hashlib.sha256(seed.encode("ascii")).hexdigest()
+        feature.extend(int(seed[i:i + 2], 16) / 255.0 for i in range(0, 64, 2))
     return {
         "width": int(width),
         "height": int(height),
