@@ -26,6 +26,7 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lens_spark.errors import LensError
 from lens_spark.operators.base import Lens, register_lens, require_arg
@@ -34,7 +35,18 @@ _PID = "__lens_pid"
 
 
 def assign_sequence(df: DataFrame, order_by: list[str], out: str = "id",
-                    start: int = 1, strategy: str = "distributed") -> DataFrame:
+                    start: int = 1, strategy: str = "distributed",
+                    materialize: bool = True) -> DataFrame:
+    """``materialize=True`` (default) localCheckpoints the numbered
+    result and releases the intermediate cache before returning — no
+    dataset-sized persist stays pinned for the session (the checkpoint
+    blocks themselves are reclaimed by the ContextCleaner when the
+    returned DataFrame is garbage-collected). ``materialize=False``
+    returns the lazy plan over the persisted intermediate for callers
+    that immediately write the result and manage the cache themselves
+    (the persist uses MEMORY_AND_DISK, so it spills instead of
+    evicting — eviction would trigger a range-repartition recompute).
+    """
     for c in order_by:
         if c not in df.columns:
             raise LensError(f"lens 'counter': property with name '{c}' not found")
@@ -60,7 +72,10 @@ def assign_sequence(df: DataFrame, order_by: list[str], out: str = "id",
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn("__lens_mid", F.monotonically_increasing_id())
-        .persist()  # pin partition layout + ids across the two passes
+        # pin partition layout + ids across the two passes; spill to
+        # disk rather than evict (eviction would recompute the range
+        # repartition with fresh sampled boundaries)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
         stats = {r[_PID]: (r["cnt"], r["mmin"]) for r in
@@ -82,8 +97,12 @@ def assign_sequence(df: DataFrame, order_by: list[str], out: str = "id",
             parts.withColumn(out, (F.col("__lens_mid") + base_expr).cast("bigint"))
             .drop(_PID, "__lens_mid")
         )
-        # Materialization note: out_df still reads from `parts` (persisted);
-        # callers that hold the result long-term should checkpoint/write it.
+        if materialize:
+            # Truncate lineage into checkpoint blocks, then release the
+            # intermediate cache — success path no longer leaves a
+            # dataset-sized persist pinned for the session.
+            out_df = out_df.localCheckpoint(eager=True)
+            parts.unpersist()
         return out_df
     except Exception:
         parts.unpersist()

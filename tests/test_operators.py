@@ -97,6 +97,21 @@ def test_m5_counter_distributed_at_scale(spark, sf_dir):
     assert (stats["lo"], stats["hi"], stats["n"]) == (1, n, n)
 
 
+def test_m5_counter_releases_intermediate_cache(spark, sf_dir):
+    """Success path must not leave the dataset-sized two-pass persist
+    pinned: only the checkpointed result may remain registered."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    out = assign_sequence(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"], out="seq",
+    )
+    assert out.count() > 0
+    after = sc.getPersistentRDDs().size()
+    assert after - before <= 1  # leaked persist would make this 2
+
+
 def test_m5_counter_start_and_missing_column(region):
     out = assign_sequence(region, ["r_regionkey"], out="rid", start=100)
     assert min(r["rid"] for r in rows(out)) == 100
