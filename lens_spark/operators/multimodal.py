@@ -6,11 +6,15 @@ size). Heavy payloads (>~1 MB) should be *pointers* (object-store
 paths read via ``spark.read.format("binaryFile")``) rather than inline
 blobs — keep shuffle rows small.
 
-The decode step is environment-dependent (no image/audio libs in this
-container), so codecs are stubbed: ``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake decoder is
-requested. Everything around the stub — schema, Arrow batch shape,
-mapInPandas plumbing, partition sizing — is real and tested.
+Two decode paths per operator:
+
+- **real** (default): PNG/BMP via the pure-stdlib codecs in
+  ``lens_spark.functions.imagecodec`` (Pillow preferred when
+  importable). Features are a normalized luminance histogram; resize is
+  nearest-neighbor with PNG re-encode; frame sampling splits a
+  concatenated-PNG stream.
+- **fake=True**: deterministic sha256-derived stand-in, kept for
+  format-agnostic contract queries and cross-engine oracles.
 """
 
 from __future__ import annotations
@@ -18,11 +22,18 @@ from __future__ import annotations
 import hashlib
 from typing import Any, Iterator, Mapping
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lens_spark.functions.imagecodec import (
+    decode_image_auto,
+    encode_png,
+    resize_nearest,
+    split_png_stream,
+)
 from lens_spark.operators.base import Lens, register_lens, require_arg
 
 IMAGE_FEATURE_SCHEMA = (
@@ -30,12 +41,27 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> dict[str, Any]:
-    """Real decoder hook — wire Pillow/libvips here when available."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake=True for the deterministic stub decoder"
-    )
+def decode_image(payload: bytes, feature_dim: int = 16) -> dict[str, Any]:
+    """Real decode + feature extraction: PNG/BMP (or anything Pillow
+    handles, when installed) → luminance histogram with ``feature_dim``
+    bins, normalized to sum 1 — deterministic and lib-independent."""
+    img = decode_image_auto(payload)
+    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+    if img["channels"] > 1:
+        px = px.reshape(-1, img["channels"])
+        # mean over color channels (alpha excluded) = luminance proxy
+        color_ch = 3 if img["channels"] >= 3 else 1
+        lum = px[:, :color_ch].mean(axis=1)
+    else:
+        lum = px.astype(np.float64)
+    hist, _ = np.histogram(lum, bins=feature_dim, range=(0.0, 256.0))
+    feature = (hist / max(len(lum), 1)).astype(float)
+    return {
+        "width": img["width"],
+        "height": img["height"],
+        "mode": img["mode"],
+        "feature": [float(x) for x in feature],
+    }
 
 
 def _fake_decode(payload: bytes, feature_dim: int) -> dict[str, Any]:
@@ -81,7 +107,7 @@ def image_features(df: DataFrame, payload_col: str, *, feature_dim: int = 16,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _fake_decode(p, feature_dim) if fake else decode_image(p)
+                _fake_decode(p, feature_dim) if fake else decode_image(p, feature_dim)
                 for p in pdf[payload_col]
             ]
             out = pd.DataFrame(decoded)
@@ -94,10 +120,10 @@ def image_features(df: DataFrame, payload_col: str, *, feature_dim: int = 16,
 
 def resize_image(df: DataFrame, payload_col: str, *, width: int, height: int,
                  fake: bool = False, keep: list[str] | None = None) -> DataFrame:
-    """Resize stub: 1:1 mapInPandas emitting the resized payload +
-    target dims. Real path wires Pillow's ``Image.resize``; the fake
-    re-hashes payload+dims so output bytes are deterministic and
-    dimension-dependent (resizing twice ≠ once)."""
+    """Resize via 1:1 mapInPandas emitting the resized payload + target
+    dims. Real path: decode (PNG/BMP) → nearest-neighbor resample →
+    PNG re-encode. The fake re-hashes payload+dims so output bytes are
+    deterministic and dimension-dependent (resizing twice ≠ once)."""
     keep = keep or []
     out_schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in keep]
@@ -112,8 +138,11 @@ def resize_image(df: DataFrame, payload_col: str, *, width: int, height: int,
                     for p in pdf[payload_col]
                 ]
             else:
-                raise NotImplementedError(
-                    "image codec not available; use fake=True for the stub")
+                payloads = []
+                for p in pdf[payload_col]:
+                    small = resize_nearest(decode_image_auto(p), width, height)
+                    payloads.append(encode_png(small["width"], small["height"],
+                                               small["mode"], small["pixels"]))
             out = pd.DataFrame({payload_col: payloads})
             out["width"] = width
             out["height"] = height
@@ -127,12 +156,16 @@ def resize_image(df: DataFrame, payload_col: str, *, width: int, height: int,
 def sample_frames(df: DataFrame, payload_col: str, *, every_n: int = 10,
                   max_frames: int = 8, fake: bool = False,
                   keep: list[str] | None = None) -> DataFrame:
-    """Video frame sampling stub: 1:N mapInPandas — each video row
-    explodes into ``≤ max_frames`` frame rows (frame_idx, frame payload).
-    The cardinality change and batch shape are the real contract; the
-    fake derives a per-frame byte string from sha256(payload, idx).
-    Scale note: frames multiply row count ×max_frames — repartition
-    after sampling if the downstream op is CPU-heavy."""
+    """Video frame sampling: 1:N mapInPandas — each video row explodes
+    into ``≤ max_frames`` frame rows (frame_idx, frame payload).
+
+    Real path: the payload is a concatenated-PNG stream (the lib-free
+    'video container'); every ``every_n``-th frame is kept, up to
+    ``max_frames``, with frame_idx = position in the source stream.
+    Fake path derives a per-frame byte string from sha256(payload, idx)
+    with one frame per ``every_n`` payload bytes. Scale note: frames
+    multiply row count ×max_frames — repartition after sampling if the
+    downstream op is CPU-heavy."""
     keep = keep or []
     out_schema = ", ".join(
         [f"{c} {dict(df.dtypes)[c]}" for c in keep]
@@ -144,16 +177,23 @@ def sample_frames(df: DataFrame, payload_col: str, *, every_n: int = 10,
             rows = []
             for _, rec in pdf.iterrows():
                 payload = rec[payload_col] or b""
-                if not fake:
-                    raise NotImplementedError(
-                        "video codec not available; use fake=True for the stub")
-                # fake "video length": one frame per every_n bytes
-                n = min(max_frames, max(1, len(payload) // every_n))
-                for i in range(n):
+                if fake:
+                    # fake "video length": one frame per every_n bytes
+                    n = min(max_frames, max(1, len(payload) // every_n))
+                    sampled = [
+                        (i, hashlib.sha256(payload + bytes([i])).digest())
+                        for i in range(n)
+                    ]
+                else:
+                    frames = split_png_stream(payload)
+                    sampled = [(i, frames[i])
+                               for i in range(0, len(frames), max(every_n, 1))
+                               ][:max_frames]
+                for i, frame in sampled:
                     rows.append({
                         **{c: rec[c] for c in keep},
                         "frame_idx": i,
-                        "frame": hashlib.sha256(payload + bytes([i])).digest(),
+                        "frame": frame,
                     })
             yield pd.DataFrame(rows, columns=[*keep, "frame_idx", "frame"])
 

@@ -1,9 +1,9 @@
-"""X4 multimodal plumbing tests: binary columns + stubbed codecs.
+"""X4 multimodal tests: binary columns, real PNG/BMP codecs, fakes.
 
-The codecs are stubbed (no image/audio libs in this container); what
-these tests pin down is the real part — schemas, Arrow batch shape,
-cardinality contracts, determinism, and the NotImplementedError gate
-on the non-fake path.
+Covers schemas, Arrow batch shape, cardinality contracts, determinism,
+the real decode path (pure-stdlib PNG/BMP — see
+lens_spark/functions/imagecodec.py and tests/test_imagecodec.py), and
+the error gate on undecodable payloads.
 """
 
 from __future__ import annotations
@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import PythonException
 
 from lens_spark import engine
+from lens_spark.functions.imagecodec import decode_png, encode_png
 from lens_spark.operators.multimodal import (
     attach_media_metadata,
     image_features,
@@ -21,12 +22,24 @@ from lens_spark.operators.multimodal import (
 )
 
 
+def _png(width: int, height: int, seed: int) -> bytes:
+    px = bytes((seed * 37 + i * 11) % 256 for i in range(width * height * 3))
+    return encode_png(width, height, "RGB", px)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     docs = spark.createDataFrame(
         [(1, b"a" * 100), (2, b"b" * 35), (3, b"")],
         "media_id long, payload binary")
     return docs
+
+
+@pytest.fixture(scope="module")
+def png_media(spark):
+    return spark.createDataFrame(
+        [(1, _png(6, 4, 1)), (2, _png(3, 5, 2)), (3, _png(8, 8, 3))],
+        "media_id long, payload binary")
 
 
 def test_metadata_is_jvm_side_and_exact(spark, media):
@@ -51,11 +64,45 @@ def test_image_features_schema_and_determinism(spark, media):
     assert all(0.0 <= x <= 1.0 for v in a.values() for x in v)
 
 
-def test_real_codec_path_raises_not_implemented(spark, media):
-    with pytest.raises(PythonException, match="NotImplementedError"):
+def test_real_path_rejects_undecodable_payloads(spark, media):
+    with pytest.raises(PythonException, match="ImageFormatError"):
         image_features(media, "payload", fake=False).collect()
-    with pytest.raises(PythonException, match="NotImplementedError"):
+    with pytest.raises(PythonException, match="ImageFormatError"):
         resize_image(media, "payload", width=8, height=8, fake=False).collect()
+
+
+def test_real_image_features_histogram(spark, png_media):
+    out = image_features(png_media, "payload", feature_dim=8, fake=False,
+                         keep=["media_id"])
+    rows = {r.media_id: r for r in out.collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (6, 4, "RGB")
+    assert (rows[2].width, rows[2].height) == (3, 5)
+    for r in rows.values():
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # normalized histogram
+    # determinism across runs
+    again = {r.media_id: r.feature for r in out.collect()}
+    assert {k: v.feature for k, v in rows.items()} == again
+
+
+def test_real_resize_reencodes_png(spark, png_media):
+    out = resize_image(png_media, "payload", width=4, height=4, fake=False,
+                       keep=["media_id"])
+    for r in out.collect():
+        img = decode_png(bytes(r.payload))
+        assert (img["width"], img["height"], img["mode"]) == (4, 4, "RGB")
+        assert (r.width, r.height) == (4, 4)
+
+
+def test_real_sample_frames_from_png_stream(spark):
+    frames = [_png(2, 2, s) for s in range(6)]
+    stream = b"".join(frames)
+    df = spark.createDataFrame([(1, stream)], "media_id long, payload binary")
+    out = sample_frames(df, "payload", every_n=2, max_frames=2, fake=False,
+                        keep=["media_id"])
+    got = {r.frame_idx: bytes(r.frame) for r in out.collect()}
+    # every 2nd frame of 6, capped at 2 → source indices 0 and 2
+    assert got == {0: frames[0], 2: frames[2]}
 
 
 def test_resize_changes_payload_deterministically(spark, media):
