@@ -53,24 +53,33 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
             # Nil items (JSON null) are first-class in the reference
             # (TypeId=0; cli/simple_test.go:168-218) — our row convention
             # is the all-null row (SURVEY.md §1.6): {} contributes no
-            # fields, so every field is null.
+            # fields, so every field is null. Nil-ness rides in a hidden
+            # per-row flag so a nil input maps back to exactly one nil
+            # output — an input {} (or a row whose fields all became
+            # null) is NOT conflated with nil.
             had_nil = any(d is None for d in docs)
-            docs = [({} if d is None else d) for d in docs]
-            if not docs or all(d == {} for d in docs):
-                json.dump([None if had_nil else {} for d in docs], sys.stdout)
+            if not docs or all(d is None or d == {} for d in docs):
+                json.dump([None if d is None else {} for d in docs], sys.stdout)
                 print()
                 return 0
+            docs = [dict(({} if d is None else d), __lens_nil=(d is None))
+                    for d in docs]
             df = spark.createDataFrame(docs)
 
         out = engine.append(df, spec)
 
         if args.output:
+            if "__lens_nil" in out.columns:
+                out = out.drop("__lens_nil")
             out.write.format(path_format(args.output)).mode("overwrite").save(args.output)
         else:
             rows = [json.loads(r) for r in out.toJSON().collect()]
-            if had_nil:
-                # toJSON drops null fields: an all-null row serializes as
-                # {} — map it back to the nil item it came in as
+            if "__lens_nil" in out.columns:
+                rows = [None if r.pop("__lens_nil", False) else r for r in rows]
+            elif had_nil:
+                # flag column dropped by a projecting lens: fall back to
+                # the all-null heuristic (toJSON drops null fields, so an
+                # all-null row serializes as {})
                 rows = [None if r == {} else r for r in rows]
             json.dump(rows, sys.stdout, indent=2, default=str)
             print()

@@ -86,7 +86,12 @@ def multiply_lens(arguments: Mapping[str, Any]) -> Lens:
 
     def inverse(df: DataFrame) -> DataFrame:
         _check_column(df, column, "multiply")
-        return df.withColumn(column, F.col(column) / F.lit(factor))
+        # Division widens to double; cast back to the column's incoming
+        # dtype so an integer column round-trips as an integer (forward
+        # guarantees multiples of factor) instead of silently becoming
+        # double. Float columns keep their fp tolerance (documented).
+        dtype = dict(df.dtypes)[column]
+        return df.withColumn(column, (F.col(column) / F.lit(factor)).cast(dtype))
 
     return Lens("multiply", arguments, forward, inverse)
 

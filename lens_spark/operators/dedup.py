@@ -198,8 +198,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     pairs — LSH near-dup graphs are a sliver of the corpus), a local
     union-find answers in one collect instead of paying per-iteration
     job overhead. Above the threshold, distributed min-label
-    propagation: each iteration one groupBy shuffle with lineage
-    truncated by persist, converging in O(log diameter) rounds.
+    propagation *with pointer jumping*: each iteration propagates the
+    neighbor minimum, then looks the received label up in the previous
+    label table (component-of-component) — labels skip along discovered
+    paths, giving the claimed O(log diameter) rounds instead of
+    one-hop-per-round. Emits a RuntimeWarning if ``max_iter`` exhausts
+    before convergence (labels would be split across a component).
     """
     n_pairs = pairs.limit(driver_threshold + 1).count()
     if n_pairs <= driver_threshold:
@@ -228,19 +232,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .persist()  # reused every iteration — never recompute the pair pipeline
     )
+    # localCheckpoint (not persist) on the label table: labels feed THREE
+    # plan legs per iteration (neighbor-min join, propagate join, jump
+    # lookup), so without logical-plan truncation the plan tree grows
+    # ~3x per round — exponential analysis cost long before any data
+    # moves. Checkpoint blocks are reclaimed by the ContextCleaner as
+    # old iterations go out of reference.
     labels = (
         edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     try:
+        converged = False
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src").agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = (
+            propagated = (
                 labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                 .select(
                     "id",
@@ -249,19 +259,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                     ).alias("component"),
                 )
-                # materialize NOW: truncates the growing lineage so each
-                # iteration costs one pass, not a recompute of all
-                # previous iterations
-                .persist()
+            )
+            # Pointer jumping against the (persisted) previous label
+            # table: whatever label a node just received, follow it one
+            # more step — doubles the effective hop distance per round.
+            lookup = labels.select(F.col("id").alias("__cid"),
+                                   F.col("component").alias("__cmin"))
+            new_labels = (
+                propagated.join(lookup, propagated.component == F.col("__cid"),
+                                "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__cmin"), F.col("component")),
+                    ).alias("component"),
+                )
+                # materialize NOW into checkpoint blocks: truncates the
+                # logical plan so each iteration costs one pass and a
+                # constant-size plan tree
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n").join(labels.alias("o"), "id")
                 .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: not converged after max_iter={max_iter} "
+                "iterations — component labels may be split (raise max_iter)",
+                RuntimeWarning, stacklevel=2)
         return labels
     finally:
         edges.unpersist()

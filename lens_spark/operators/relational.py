@@ -348,7 +348,17 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str], *,
     a single hot key fans out over ``salt`` tasks instead of one.
     Cost: right side shuffles ``salt``× its size; pick the smaller
     side as ``right`` and keep ``salt`` near the observed skew factor.
+
+    Only join types where unmatched *right* rows never surface are
+    allowed — the right side exists in ``salt`` replicas, so a right/
+    full outer join would emit each unmatched right row ``salt`` times.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise LensError(
+            f"salted_join: how='{how}' not supported — the right side is "
+            f"replicated {salt}x, so unmatched right rows would duplicate; "
+            f"use one of {sorted(allowed)}")
     non_key = [c for c in left.columns if c not in on] or on
     l = left.withColumn(
         "__salt",

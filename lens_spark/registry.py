@@ -12,10 +12,12 @@ Semantics preserved:
 - List/Reload reconstruct every persisted config (store.go:157-237).
 - Transform/Inverse validate the id *format* and treat well-formed but
   unknown ids as identity (store.go:194-218, repository.go:250-254).
-- Transactions stage writes and publish atomically on commit; discard
-  drops them (repository/txn.go:9-41). Publishing is a tempfile +
-  ``os.replace`` per spec — atomic on POSIX; on an object store this
-  becomes a conditional PUT.
+- Transactions stage writes and publish on commit; discard drops them
+  (repository/txn.go:9-41). Atomicity is per-spec (tempfile +
+  ``os.replace`` — atomic on POSIX; a conditional PUT on an object
+  store). Commit is two-phase (serialize everything, then rename
+  everything) so a mid-commit crash can only land between renames, and
+  content-addressed idempotency makes re-commit safe.
 
 P2P lens sync (host-go/p2p/p2p.go:19-88) maps to ``sync_from``: copy a
 spec by id from another registry root (a remote warehouse path).
@@ -64,10 +66,36 @@ class Txn:
         return self._registry._apply(df, lens_id, inverse=True, extra=self._staged)
 
     def commit(self) -> None:
+        """Two-phase publish: write every staged spec to a tempfile
+        first, then a second pass of pure ``os.replace`` renames.
+
+        Atomicity is per-spec (each rename is atomic on POSIX); the
+        two-phase split shrinks the partial-publish window to the
+        rename loop — a crash during the (slow) serialization phase
+        publishes nothing. Content-addressing makes a partial publish
+        recoverable anyway: re-committing the same transaction is
+        idempotent.
+        """
         if self._closed:
             raise LensError("transaction already closed")
-        for lens_id, config in self._staged.items():
-            self._registry._publish(lens_id, config)
+        staged_files: list[tuple[str, Path]] = []
+        try:
+            for lens_id, config in self._staged.items():
+                path = self._registry.specs_dir / f"{lens_id}.json"
+                if path.exists():  # idempotent dedup (S1)
+                    continue
+                fd, tmp = tempfile.mkstemp(dir=self._registry.specs_dir,
+                                           suffix=".tmp")
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    f.write(config.to_json(canonical=True))
+                staged_files.append((tmp, path))
+        except BaseException:
+            for tmp, _ in staged_files:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            raise
+        for tmp, path in staged_files:
+            os.replace(tmp, path)
         self._registry.reload()
         self._closed = True
 

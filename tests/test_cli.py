@@ -124,3 +124,20 @@ def test_nil_documents_flow_through(spark, tmp_path, monkeypatch):
 def test_all_nil_input(spark, tmp_path, monkeypatch):
     got = run_cli(tmp_path, monkeypatch, {"lenses": []}, [None, None])
     assert got == [None, None]
+
+
+def test_nil_not_conflated_with_empty_doc(spark, tmp_path, monkeypatch):
+    # [{}, null] must round-trip as [{}, null] — nil (TypeId=0) and an
+    # empty json doc are distinct kinds in the reference protocol
+    got = run_cli(tmp_path, monkeypatch, {"lenses": []}, [{}, None])
+    assert got == [{}, None]
+
+
+def test_nil_not_conflated_with_all_null_row(spark, tmp_path, monkeypatch):
+    # A row whose fields all BECOME null is still a json doc, not nil:
+    # nil-ness is tracked per input item, not inferred from the output
+    spec = {"lenses": [{"name": "set",
+                        "arguments": {"column": "Age",
+                                      "expr": "CAST(NULL AS BIGINT)"}}]}
+    got = run_cli(tmp_path, monkeypatch, spec, [{"Age": 1}, None])
+    assert got == [{}, None]  # nulled-out doc serializes as {}, nil stays nil

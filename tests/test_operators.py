@@ -136,6 +136,35 @@ def test_cast_multiply_set_lenses(people):
         {"lenses": [{"name": "multiply", "inverse": True, "arguments": {"column": "Age", "factor": 2}}]},
     )
     assert sorted(r["Age"] for r in rows(back)) == [30.0, 31.0, 32.0]
+    # inverse restores the pre-forward dtype: an integer column must not
+    # round-trip as double (division widens; the lens casts back)
+    assert dict(back.dtypes)["Age"] == dict(people.dtypes)["Age"]
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node path has diameter far beyond 12 iterations of one-hop
+    propagation — pointer jumping must converge it in O(log n)."""
+    from lens_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(chain, driver_threshold=0,
+                                          max_iter=12).collect()}
+    assert set(comp.values()) == {0}  # one component rooted at min id
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    import warnings
+
+    from lens_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, driver_threshold=0, max_iter=1).collect()
+    assert any("not converged" in str(w.message) for w in caught)
 
 
 def test_nil_row_preservation(spark):

@@ -136,6 +136,17 @@ def test_salted_join_equals_plain_join(spark):
     assert lo.count() == plain.count() + 1
 
 
+def test_salted_join_rejects_right_preserving_how(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(LensError, match="not supported"):
+            salted_join(left, right, ["k"], salt=4, how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     from lens_spark.operators.relational import salted_join
     left = spark.createDataFrame([(1, i) for i in range(1000)], "k long, v long")
