@@ -399,7 +399,10 @@ def q_python_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (X2 embedding variant)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs mode — the
+    small-corpus ORACLE variant only (O(n²) self-join; kept out of the
+    headline bench set). The flagship/scale path is
+    ``x2_embedding_neardup_lsh`` below."""
     from lens_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -407,15 +410,36 @@ def q_x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x2_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed embedding near-dup (the 100 TB path: hyperplane-LSH
-    candidates, exact-cosine verify — rows-only; subset/recall asserted
-    in tests/test_similarity.py)."""
+    """FLAGSHIP embedding near-dup: hyperplane-LSH buckets + exact-
+    cosine verify — every emitted pair is a true positive; only recall
+    is approximate (rows-only; subset-of-exact + recall asserted in
+    tests/test_similarity.py). No O(n²) join anywhere in the plan
+    (pinned by tests/test_plans.py)."""
     from lens_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, "vec_id", "embedding",
                                    threshold=0.45, method="lsh", dim=64,
                                    num_bits=4, num_tables=8)
+
+
+def q_x2_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch near-dup dedup against a persistent MinHash
+    index: even doc_ids are ingested as the accepted corpus, then odd
+    doc_ids dedup against it (plus within-batch). Rows-only: the
+    component-collapse + index round-trip isn't single-query SQL;
+    semantics are pinned by tests/test_operators.py."""
+    from lens_spark.operators.dedup import neardup_incremental
+
+    docs = _read(spark, sf_dir, "documents")
+    index = tempfile.mkdtemp(prefix="lens_spark_ndidx_") + "/idx"
+    kw = dict(num_hashes=MH_NUM_HASHES, ngram=MH_SHINGLE_W,
+              band_size=MH_BAND_SIZE, threshold=JACCARD_THRESHOLD)
+    neardup_incremental(docs.filter("doc_id % 2 = 0"), index,
+                        "doc_id", "text", **kw)
+    out = neardup_incremental(docs.filter("doc_id % 2 = 1"), index,
+                              "doc_id", "text", update_index=False, **kw)
+    return out.select("doc_id", "source")
 
 
 def q_x2_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_embedding_neardup": q_x2_embedding_neardup,
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x2_dedup_neardup": q_x2_dedup_neardup,
+        "x2_neardup_incremental": q_x2_neardup_incremental,
         "join_enriched_orders": q_join_enriched_orders,
         "window_topk_orders": q_window_topk_orders,
         "rollup_revenue": q_rollup_revenue,

@@ -38,6 +38,8 @@ HEADLINE = [
     "events_sessionized",    # gap sessions (lag + cumsum windows)
     "json_extract",          # schemaless JSON field extraction
     "x2_dedup_neardup",      # full LSH dedup incl. connected components
+    "x2_embedding_neardup_lsh",  # flagship embedding near-dup (LSH + verify)
+    "x2_neardup_incremental",    # batch-over-batch dedup vs minhash index
     "range_join_events",     # interval join via bin equi-key (no nested loop)
     "window_running_revenue",  # analytic frames: running sum + lag, 1 shuffle
     "x2_ngram_jaccard",      # exact all-pairs jaccard, inverted-index join

@@ -43,10 +43,10 @@ def _shingles(text_col: str, ngram: int, shingle: str):
     return word_shingles(F.col(text_col), ngram)
 
 
-def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
-                  num_hashes: int = 16, ngram: int = 3,
-                  band_size: int = 4, shingle: str = "word") -> DataFrame:
-    """(id, band_hash) table: explode shingles → min-hash per salt → bands.
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
+                      num_hashes: int = 16, ngram: int = 3,
+                      shingle: str = "word") -> DataFrame:
+    """(id, __h0..__h{k-1}) minhash signature table.
 
     Scale shape: the only wide op is the groupBy on id, and partial
     (map-side) aggregation collapses each partition to ≤1 row per doc
@@ -62,18 +62,31 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
         F.col(id_col),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
     )
-    sig = sh.groupBy(id_col).agg(*[
+    return sh.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("__s")))).alias(f"__h{h}")
         for h in range(num_hashes)
     ])
+
+
+def _band_exprs(num_hashes: int, band_size: int) -> list:
     num_bands = num_hashes // band_size
-    band_exprs = [
+    return [
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"__h{b * band_size + j}")
                             for j in range(band_size)]))
         for b in range(num_bands)
     ]
-    return sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("band_hash"))
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
+                  num_hashes: int = 16, ngram: int = 3,
+                  band_size: int = 4, shingle: str = "word") -> DataFrame:
+    """(id, band_hash) table: explode shingles → min-hash per salt → bands."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
+                            ngram=ngram, shingle=shingle)
+    return sig.select(F.col(id_col),
+                      F.explode(F.array(*_band_exprs(num_hashes, band_size))
+                                ).alias("band_hash"))
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
@@ -205,9 +218,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     one-hop-per-round. Emits a RuntimeWarning if ``max_iter`` exhausts
     before convergence (labels would be split across a component).
     """
+    # The pair pipeline (typically LSH join + verify) feeds several
+    # actions below (threshold probe, then collect OR the two edge-union
+    # legs) — persist it once instead of re-running it per action.
+    pairs = pairs.persist()
     n_pairs = pairs.limit(driver_threshold + 1).count()
     if n_pairs <= driver_threshold:
-        rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
+        try:
+            rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
+        finally:
+            pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -243,6 +263,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
         .localCheckpoint(eager=True)
     )
+    # building labels materialized (and cached) edges — the raw pair
+    # pipeline is no longer needed
+    pairs.unpersist()
     try:
         converged = False
         for _ in range(max_iter):
@@ -422,6 +445,109 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
         fresh.select(F.col("__fp").alias("fp")).write.mode("append") \
             .parquet(index_path)
     return fresh.drop("__fp")
+
+
+def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
+                        text_col: str, *, num_hashes: int = 16,
+                        ngram: int = 3, band_size: int = 4,
+                        threshold: float = 0.5, shingle: str = "word",
+                        update_index: bool = True) -> DataFrame:
+    """Near-dup dedup of a new batch against everything previously
+    accepted — the streaming-ingest counterpart of ``dedup_neardup``
+    (which is batch-global), and the MinHash extension of
+    ``dedup_incremental`` (which is exact-fingerprint only).
+
+    The index at ``index_path`` holds two parquet tables:
+    ``bands/`` (band_hash, id) and ``sigs/`` (id, sig array) — a few
+    hundred bytes per accepted doc regardless of document size. Flow:
+
+    1. the batch is near-deduped internally (LSH pairs → components →
+       min-id representative);
+    2. survivors' bands LSH-join against the stored band index — only
+       bucket-mates are compared, never batch × corpus;
+    3. candidates verify with the minhash estimate of Jaccard
+       (fraction of agreeing signature positions ≥ ``threshold``; the
+       estimator's stderr is ~1/sqrt(num_hashes), so size num_hashes
+       to the selectivity you need);
+    4. survivors' bands + signatures append to the index
+       (localCheckpointed first — appending to a path a lazy plan
+       still reads would silently re-evaluate against the new files).
+    """
+    from pathlib import Path
+
+    spark = df.sparkSession
+    bands_path = f"{index_path}/bands"
+    sigs_path = f"{index_path}/sigs"
+    kw = dict(num_hashes=num_hashes, ngram=ngram, band_size=band_size,
+              shingle=shingle)
+
+    # Checkpoint the within-batch dedup ONCE: its plan (shingle explode →
+    # LSH join → components → anti-join) would otherwise re-execute for
+    # the signature pass, the corpus anti-join, and the caller's action.
+    # Incremental ingest is inherently eager anyway — it updates an index.
+    batch = dedup_neardup(df, id_col, text_col, threshold=threshold, **kw) \
+        .localCheckpoint(eager=True)
+    sig = minhash_signature(batch, id_col, text_col, num_hashes=num_hashes,
+                            ngram=ngram, shingle=shingle).persist()
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
+    bands = sig.select(F.col(id_col),
+                       F.explode(F.array(*_band_exprs(num_hashes, band_size))
+                                 ).alias("band_hash"))
+    try:
+        if Path(bands_path).exists():
+            corpus_bands = spark.read.parquet(bands_path) \
+                .withColumnRenamed(id_col, "__cid")
+            cand = (bands.join(corpus_bands, "band_hash")
+                    .select(id_col, "__cid").distinct())
+            corpus_sigs = spark.read.parquet(sigs_path).select(
+                F.col(id_col).alias("__cid"), F.col("sig").alias("__csig"))
+            est = (
+                cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
+                .withColumn(
+                    "__est_j",
+                    F.expr("size(filter(zip_with(sig, __csig,"
+                           " (a, b) -> a = b), x -> x))")
+                    / F.lit(num_hashes))
+            )
+            dup_ids = (est.filter(F.col("__est_j") >= threshold)
+                       .select(id_col).distinct())
+            fresh = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            fresh = batch
+        if update_index:
+            # fresh's plan reads the index parquet we are about to append
+            # to (via dup_ids) — checkpoint BEFORE the append or a later
+            # action would re-evaluate against the new files. The band/
+            # sig writes below need no checkpoint: they derive only from
+            # the persisted sig table and the checkpointed fresh ids.
+            fresh = fresh.localCheckpoint(eager=True)
+            fresh_ids = fresh.select(id_col)
+            bands.join(fresh_ids, id_col, "left_semi") \
+                .write.mode("append").parquet(bands_path)
+            sig_arr.join(fresh_ids, id_col, "left_semi") \
+                .write.mode("append").parquet(sigs_path)
+        return fresh
+    finally:
+        sig.unpersist()
+
+
+@register_lens("neardup_incremental")
+def neardup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: index (path), id, column (text), num_hashes, ngram,
+    band_size, threshold, shingle, update_index (true)."""
+    index_path = str(require_arg(arguments, "index", "neardup_incremental"))
+    id_col = str(require_arg(arguments, "id", "neardup_incremental"))
+    text_col = str(require_arg(arguments, "column", "neardup_incremental"))
+    return Lens("neardup_incremental", arguments, lambda df: neardup_incremental(
+        df, index_path, id_col, text_col,
+        num_hashes=int(arguments.get("num_hashes", 16)),
+        ngram=int(arguments.get("ngram", 3)),
+        band_size=int(arguments.get("band_size", 4)),
+        threshold=float(arguments.get("threshold", 0.5)),
+        shingle=str(arguments.get("shingle", "word")),
+        update_index=bool(arguments.get("update_index", True))))
 
 
 @register_lens("dedup_incremental")

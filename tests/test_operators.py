@@ -250,6 +250,58 @@ def test_dedup_incremental_across_batches(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 4
 
 
+_ND_A = ("the quick brown fox jumps over the lazy dog while the bright sun "
+         "shines over the quiet green hill in the early morning light")
+_ND_A2 = _ND_A.replace("morning", "evening")     # near-dup of A
+_ND_B = ("completely different text about spark shuffles partitions and "
+         "broadcast joins at terabyte scale with adaptive execution")
+_ND_C = ("yet another unrelated document discussing minhash signatures "
+         "banding buckets and jaccard similarity estimation theory")
+_ND_C2 = _ND_C.replace("theory", "practice")     # near-dup of C
+
+
+def test_neardup_incremental_across_batches(spark, tmp_path):
+    """Batch 2 drops near-dups of batch 1 (via the persistent MinHash
+    index) AND near-dups within itself; novel docs survive."""
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_index")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A), (2, _ND_B)], "id long, text string")
+    out1 = neardup_incremental(b1, idx, "id", "text", **kw)
+    assert {r.id for r in out1.collect()} == {1, 2}
+
+    # 3 = near-dup of corpus doc 1; 4/5 = near-dups of each other (novel
+    # vs corpus) → min-id representative 4 survives
+    b2 = spark.createDataFrame(
+        [(3, _ND_A2), (4, _ND_C), (5, _ND_C2)], "id long, text string")
+    out2 = neardup_incremental(b2, idx, "id", "text", **kw)
+    assert {r.id for r in out2.collect()} == {4}
+
+    # the index persisted batch 2's survivor: replaying C' now dedups
+    # against it, and a batch-1 near-dup still dedups after "restart"
+    b3 = spark.createDataFrame(
+        [(6, _ND_C2), (7, _ND_A2), (8, "tiny")], "id long, text string")
+    out3 = neardup_incremental(b3, idx, "id", "text", **kw)
+    assert {r.id for r in out3.collect()} == {8}  # shingle-less doc passes
+
+
+def test_neardup_incremental_read_only_mode(spark, tmp_path):
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_index_ro")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A)], "id long, text string")
+    neardup_incremental(b1, idx, "id", "text", **kw)
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    probe = spark.createDataFrame(
+        [(2, _ND_A2), (3, _ND_B)], "id long, text string")
+    out = neardup_incremental(probe, idx, "id", "text",
+                              update_index=False, **kw)
+    assert {r.id for r in out.collect()} == {3}
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands  # untouched
+
+
 def test_dedup_incremental_read_only_mode(spark, tmp_path):
     from lens_spark.operators.dedup import dedup_incremental
 

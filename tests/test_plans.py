@@ -72,3 +72,17 @@ def test_broadcast_join_has_no_shuffle_on_fact_side(spark, orders):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_embedding_neardup_lsh_plan_has_no_quadratic_join(spark):
+    """The flagship embedding near-dup must stay bucketed: an equi-join
+    on the LSH bucket key, never a cartesian/nested-loop pair blowup."""
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                  threshold=0.45, method="lsh", dim=64,
+                                  num_bits=4, num_tables=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
