@@ -28,8 +28,15 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
                         help="fallback format when a path's extension doesn't decide")
     parser.add_argument("--inverse", action="store_true",
                         help="apply the inverted pipeline (E8)")
+    parser.add_argument("--allow-module-paths", action="store_true",
+                        help="opt in to executing file:/data: Python lens "
+                             "modules referenced by the lens file")
     args = parser.parse_args(argv)
 
+    if args.allow_module_paths:
+        from lens_spark.modules import allow_module_paths
+
+        allow_module_paths(True)
     spec = LensConfig.load(args.lensfile)
     if args.inverse:
         spec = spec.inverted()

@@ -16,12 +16,45 @@ fuses them for free.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 
+from lens_spark.errors import LensError
 from lens_spark.model import LensConfig, LensModule
 from lens_spark.operators.base import Lens, make_lens
+
+# Lenses whose reference counterparts carry mutable per-instance state
+# across items. Repeating one with IDENTICAL arguments in a single spec
+# is the reference's shared-instance pattern (one module appended twice
+# keeps counting across both stages —
+# /root/reference/host-go/engine/tests/wasm32_pipeline_with_state_test.go:15-100);
+# this engine re-derives state per stage, so that pattern would silently
+# produce different numbers. We refuse it instead (SURVEY.md §7.4d).
+# Index-backed lenses (dedup_incremental, neardup_incremental) are NOT
+# listed: their state lives in the external index path, which IS shared
+# across stages, matching the reference semantics.
+_STATEFUL_LENSES = {"counter"}
+
+
+def _check_shared_state(config: LensConfig) -> None:
+    seen: set[tuple[str, str]] = set()
+    for m in config.lenses:
+        if m.name not in _STATEFUL_LENSES:
+            continue
+        key = (m.name, json.dumps(dict(m.arguments), sort_keys=True, default=str))
+        if key in seen:
+            raise LensError(
+                f"lens '{m.name}' appears more than once with identical "
+                "arguments in one pipeline: the reference engine shares a "
+                "single stateful module instance across such stages (its "
+                "counter keeps counting), while this engine derives state "
+                "per stage — a documented divergence (SURVEY.md §7.4d). "
+                "Give each stage distinct arguments (e.g. a different "
+                "'out' column) or use a single stage."
+            )
+        seen.add(key)
 
 
 def _coerce_config(spec: Any) -> LensConfig:
@@ -113,6 +146,7 @@ class Pipeline:
     """
 
     def __init__(self, config: LensConfig) -> None:
+        _check_shared_state(config)
         self.config = config
         self._stages = _fuse_python_stages(_instantiate(config))
 

@@ -39,10 +39,17 @@ def _resolve_name(raw: Mapping[str, Any]) -> str:
     for scheme in _BUILTIN_SCHEMES:
         if path.startswith(scheme):
             return path[len(scheme):]
-    if "://" in path or path.startswith(("file:", "data:")):
+    if path.startswith(("file:", "data:")):
+        # Python batch-fn module loading — opt-in only; raises a clear
+        # error otherwise (lens_spark/modules.py).
+        from lens_spark.modules import load_module_path
+
+        return load_module_path(path)
+    if "://" in path:
         raise LensError(
             f"unsupported module path {path!r}: this engine executes "
-            "registered built-in / python lenses, not WASM modules"
+            "registered built-in / python lenses (plus opted-in "
+            "file:/data: Python modules), not WASM or remote modules"
         )
     return path
 

@@ -1,0 +1,140 @@
+"""External lens modules: ``file:`` / ``data:`` Python batch-fn loading.
+
+≙ the reference's module resolution — a lens-file stage points at a
+module by path and the engine fetches + instantiates it
+(/root/reference/host-go/engine/engine.go:67-104 accepts file/http/
+data URLs for WASM blobs). This engine is Spark-native, so the loadable
+unit is a *Python batch-fn module*: a ``.py`` source defining
+
+    OUTPUT_SCHEMA = "col type, ..."          # DDL of the output rows
+    def transform(batches, params): ...      # Arrow-batch iterator fn
+    # optional bidirectionality:
+    INVERSE_SCHEMA = "col type, ..."
+    def inverse(batches, params): ...
+
+The stage's ``arguments`` arrive as ``params`` (≙ set_param). Modules
+are content-addressed: the registered lens name is ``pymod_<sha256
+prefix>`` of the source bytes, so identical sources are loaded once and
+a lens file referencing a module by path produces the same pipeline
+anywhere the same source resolves.
+
+Loading EXECUTES arbitrary code, so it is **disabled by default** and
+gated behind an explicit opt-in: call ``allow_module_paths(True)``, set
+``LENS_SPARK_ALLOW_MODULE_PATHS=1``, or pass ``--allow-module-paths``
+to the CLI. ``http(s):`` module URLs are never loaded (code over the
+network); fetch them yourself and load via ``file:``/``data:``.
+
+Supported URL forms (RFC 2397 for data):
+- ``file:/abs/path/lens.py`` or ``file:///abs/path/lens.py``
+- ``data:text/x-python;base64,<b64>`` / ``data:,<urlencoded source>``
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import urllib.parse
+from typing import Any, Mapping
+
+from lens_spark.errors import LensError
+
+_ALLOW: bool | None = None  # None → consult the environment variable
+
+_LOADED: dict[str, str] = {}  # source sha → registered lens name
+
+
+def allow_module_paths(enabled: bool = True) -> None:
+    """Process-wide opt-in for executing file:/data: lens modules."""
+    global _ALLOW
+    _ALLOW = bool(enabled)
+
+
+def module_paths_allowed() -> bool:
+    if _ALLOW is not None:
+        return _ALLOW
+    return os.environ.get("LENS_SPARK_ALLOW_MODULE_PATHS", "").lower() in (
+        "1", "true", "yes")
+
+
+def _read_source(path: str) -> bytes:
+    if path.startswith("data:"):
+        header, sep, payload = path[len("data:"):].partition(",")
+        if not sep:
+            raise LensError(f"malformed data: URL in module path {path!r}")
+        if header.endswith(";base64"):
+            return base64.b64decode(payload)
+        return urllib.parse.unquote_to_bytes(payload)
+    if path.startswith("file:"):
+        fs_path = urllib.parse.urlparse(path).path or path[len("file:"):]
+        with open(fs_path, "rb") as f:
+            return f.read()
+    raise LensError(f"unsupported module path scheme: {path!r}")
+
+
+def load_module_path(path: str) -> str:
+    """Resolve a ``file:``/``data:`` module path to a registered lens
+    name (content-addressed, idempotent). Raises unless the explicit
+    opt-in is active."""
+    if not module_paths_allowed():
+        raise LensError(
+            f"unsupported module path {path!r}: executing external lens "
+            "modules is disabled. This engine runs registered built-in / "
+            "python lenses; to load file:/data: Python batch-fn modules, "
+            "opt in via lens_spark.modules.allow_module_paths(True), "
+            "LENS_SPARK_ALLOW_MODULE_PATHS=1, or --allow-module-paths "
+            "(WASM and http(s) modules are never executed)"
+        )
+    source = _read_source(path)
+    digest = hashlib.sha256(source).hexdigest()
+    if digest in _LOADED:
+        return _LOADED[digest]
+    name = f"pymod_{digest[:12]}"
+
+    namespace: dict[str, Any] = {}
+    try:
+        exec(compile(source, name, "exec"), namespace)  # noqa: S102 — opt-in
+    except LensError:
+        raise
+    except Exception as exc:
+        raise LensError(f"module {path!r} failed to load: {exc}") from exc
+    fn = namespace.get("transform")
+    schema = namespace.get("OUTPUT_SCHEMA")
+    if not callable(fn) or not isinstance(schema, str):
+        raise LensError(
+            f"module {path!r} must define transform(batches, params) and an "
+            "OUTPUT_SCHEMA DDL string")
+    inverse_fn = namespace.get("inverse")
+    inverse_schema = namespace.get("INVERSE_SCHEMA")
+
+    _register_module_lens(name, fn, schema,
+                          inverse_fn if callable(inverse_fn) else None,
+                          inverse_schema if isinstance(inverse_schema, str) else None)
+    _LOADED[digest] = name
+    return name
+
+
+def _register_module_lens(name: str, fn, schema: str, inverse_fn,
+                          inverse_schema: str | None) -> None:
+    from lens_spark.operators.base import Lens, register_lens
+    from lens_spark.operators.udf import apply_python_lens, register_python_lens
+
+    register_python_lens(name, fn, schema, inverse_fn,
+                         inverse_schema or schema)
+
+    @register_lens(name)
+    def factory(arguments: Mapping[str, Any]) -> Lens:
+        params = dict(arguments or {})
+        lens = Lens(
+            name, arguments,
+            forward_fn=lambda df: apply_python_lens(df, name, params, False),
+            inverse_fn=((lambda df: apply_python_lens(df, name, params, True))
+                        if inverse_fn is not None else None),
+        )
+        # expose the raw batch fn so the engine fuses adjacent python
+        # stages into one mapInPandas crossing (see engine.py)
+        lens.fusable_iter = (fn, params, schema)
+        if inverse_fn is not None:
+            lens.fusable_iter_inverse = (inverse_fn, params,
+                                         inverse_schema or schema)
+        return lens

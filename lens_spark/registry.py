@@ -29,7 +29,7 @@ import json
 import os
 import tempfile
 from pathlib import Path
-from typing import Any, Iterator
+from typing import Any, Iterator, Sequence
 
 from pyspark.sql import DataFrame
 
@@ -210,6 +210,34 @@ class Registry:
         got = self.add(config)
         assert got == lens_id, "content id changed during sync"
         return got
+
+    def sync_from_any(self, roots: "Sequence[Registry | str | Path]",
+                      lens_id: str, *, timeout: float = 5.0,
+                      retry_interval: float = 0.25) -> str:
+        """P2P fetch-until-timeout (host-go/p2p/p2p.go:19-88;
+        add_sync_list_test.go:18-117): poll every candidate peer root for
+        ``lens_id`` until one serves it or the deadline passes — the
+        shared-object-store translation of "ask connected peers,
+        retrying, until the block arrives or the context times out".
+        Peers are re-read each round (a publish may land mid-poll), and
+        an unreachable root is skipped, not fatal."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            for root in roots:
+                try:
+                    peer = root if isinstance(root, Registry) else Registry(root)
+                    peer.reload()  # pick up publishes since the last round
+                except OSError:
+                    continue  # unreachable peer — keep asking the others
+                if peer.get(lens_id) is not None:
+                    return self.sync_from(peer, lens_id)
+            if time.monotonic() >= deadline:
+                raise LensError(
+                    f"lens '{lens_id}' not found in any of {len(roots)} "
+                    f"peer registries within {timeout}s")
+            time.sleep(retry_interval)
 
     def ids(self) -> Iterator[str]:
         return iter(self._cache)

@@ -126,6 +126,35 @@ def test_all_nil_input(spark, tmp_path, monkeypatch):
     assert got == [None, None]
 
 
+_CLI_MODULE_SRC = """
+OUTPUT_SCHEMA = "Name string, Age bigint"
+
+def transform(batches, params):
+    for pdf in batches:
+        out = pdf.copy()
+        out["Age"] = out["Age"] * int(params.get("factor", 1))
+        yield out
+"""
+
+
+def test_lens_file_with_module_path_needs_opt_in(spark, tmp_path, monkeypatch):
+    # golden rejection, then success with --allow-module-paths: the
+    # reference loads module paths unconditionally (engine.go:67-104);
+    # here executing external Python is an explicit CLI decision
+    mod = tmp_path / "mod.py"
+    mod.write_text(_CLI_MODULE_SRC)
+    spec = {"lenses": [{"path": f"file:{mod}", "arguments": {"factor": 2}}]}
+    with pytest.raises(LensError, match="disabled"):
+        run_cli(tmp_path, monkeypatch, spec, PEOPLE)
+    got = run_cli(tmp_path, monkeypatch, spec, PEOPLE,
+                  extra_args=["--allow-module-paths"])
+    assert sorted(d["Age"] for d in got) == [60, 62]
+    # reset the process-wide opt-in the flag switched on
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(False)
+
+
 def test_nil_not_conflated_with_empty_doc(spark, tmp_path, monkeypatch):
     # [{}, null] must round-trip as [{}, null] — nil (TypeId=0) and an
     # empty json doc are distinct kinds in the reference protocol

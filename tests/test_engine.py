@@ -194,6 +194,29 @@ def test_reset_semantics_reexecution_is_deterministic(spark):
     assert [r[2] for r in first] == [1, 2, 3]
 
 
+def test_repeated_stateful_lens_is_refused(spark):
+    """Divergence guard (SURVEY §7.4d): the reference shares ONE module
+    instance when the same stateful lens is appended twice — its counter
+    keeps counting across both stages
+    (host-go/engine/tests/wasm32_pipeline_with_state_test.go:15-100).
+    This engine derives state per stage, so the pattern is refused
+    rather than silently numbering differently."""
+    df = spark.createDataFrame([("a", 1)], "Name string, Age long")
+    dup = {"lenses": [
+        {"name": "counter", "arguments": {"order_by": ["Age"], "out": "id"}},
+        {"name": "counter", "arguments": {"order_by": ["Age"], "out": "id"}},
+    ]}
+    with pytest.raises(LensError, match="documented divergence"):
+        engine.append(df, dup)
+    # distinct arguments = distinct instances in the reference too — fine
+    ok = {"lenses": [
+        {"name": "counter", "arguments": {"order_by": ["Age"], "out": "id"}},
+        {"name": "counter", "arguments": {"order_by": ["Age"], "out": "id2"}},
+    ]}
+    row = engine.append(df, ok).collect()[0]
+    assert (row.id, row.id2) == (1, 1)
+
+
 def test_compiled_pipeline_reuse_and_inversion(spark, people):
     """E9/E10: one compiled pipeline applied to multiple inputs."""
     pipeline = engine.compile({"lenses": [

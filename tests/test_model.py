@@ -23,9 +23,79 @@ def test_path_key_accepted_like_reference_lens_files():
     assert cfg.lenses[0].name == "rename"
 
 
-def test_wasm_paths_rejected():
-    with pytest.raises(LensError):
-        LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.wasm"}]})
+def test_module_paths_rejected_by_default():
+    # golden rejection text: the lens-file portability gap is an
+    # explicit, documented error until the user opts in
+    with pytest.raises(LensError, match="disabled.*allow_module_paths"):
+        LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.py"}]})
+    with pytest.raises(LensError, match="disabled"):
+        LensConfig.from_dict({"lenses": [{"path": "data:,x = 1"}]})
+    # remote/WASM module urls are never loadable, opt-in or not
+    with pytest.raises(LensError, match="not WASM or remote"):
+        LensConfig.from_dict({"lenses": [{"path": "https://x.test/lens.wasm"}]})
+
+
+_MODULE_SRC = """
+import pandas as pd
+
+OUTPUT_SCHEMA = "Name string, Age bigint"
+
+def transform(batches, params):
+    shift = int(params.get("shift", 0))
+    for pdf in batches:
+        out = pdf.copy()
+        out["Age"] = out["Age"] + shift
+        yield out
+
+INVERSE_SCHEMA = OUTPUT_SCHEMA
+
+def inverse(batches, params):
+    shift = int(params.get("shift", 0))
+    for pdf in batches:
+        out = pdf.copy()
+        out["Age"] = out["Age"] - shift
+        yield out
+"""
+
+
+@pytest.fixture
+def module_paths_enabled():
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(True)
+    yield
+    allow_module_paths(False)
+
+
+def test_data_url_module_loads_and_runs(spark, module_paths_enabled):
+    import base64
+
+    from lens_spark import engine
+
+    url = ("data:text/x-python;base64,"
+           + base64.b64encode(_MODULE_SRC.encode()).decode())
+    spec = {"lenses": [{"path": url, "arguments": {"shift": 5}}]}
+    df = spark.createDataFrame([("John", 30)], "Name string, Age long")
+    out = engine.append(df, spec).collect()
+    assert (out[0].Name, out[0].Age) == ("John", 35)
+    # bidirectional: the module's inverse round-trips
+    back = engine.inverse(engine.append(df, spec), spec).collect()
+    assert (back[0].Name, back[0].Age) == ("John", 30)
+
+
+def test_file_module_content_addressed_idempotent(tmp_path, module_paths_enabled):
+    from lens_spark.modules import load_module_path
+
+    p = tmp_path / "lens_mod.py"
+    p.write_text(_MODULE_SRC)
+    name1 = load_module_path(f"file:{p}")
+    name2 = load_module_path(f"file://{p}")  # same content → same lens
+    assert name1 == name2 and name1.startswith("pymod_")
+
+
+def test_module_missing_contract_rejected(module_paths_enabled):
+    with pytest.raises(LensError, match="must define transform"):
+        LensConfig.from_dict({"lenses": [{"path": "data:,x%20%3D%201"}]})
 
 
 def test_content_id_deterministic_and_argument_order_insensitive():

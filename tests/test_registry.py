@@ -112,6 +112,47 @@ def test_sync_from_copies_spec_with_same_id(registry, tmp_path):
         registry.sync_from(remote, "lens1-" + "00" * 32)
 
 
+def test_sync_from_any_first_serving_peer_wins(registry, tmp_path):
+    empty = Registry(tmp_path / "peer_empty")
+    holder = Registry(tmp_path / "peer_holder")
+    lens_id = holder.add(RENAME)
+    got = registry.sync_from_any(
+        [tmp_path / "peer_missing", empty, holder], lens_id, timeout=2.0)
+    assert got == lens_id and registry.get(lens_id) is not None
+
+
+def test_sync_from_any_polls_until_late_publish(registry, tmp_path):
+    """The reference's add-sync fetches from peers until the block
+    arrives or the context times out (p2p.go:19-88) — a publish landing
+    mid-poll must be picked up."""
+    import threading
+
+    peer = Registry(tmp_path / "peer_late")
+    lens_id = LensConfig.from_dict(RENAME).content_id()
+
+    def publish_later():
+        import time
+
+        time.sleep(0.6)
+        peer.add(RENAME)
+
+    t = threading.Thread(target=publish_later)
+    t.start()
+    try:
+        got = registry.sync_from_any([peer], lens_id, timeout=10.0,
+                                     retry_interval=0.1)
+    finally:
+        t.join()
+    assert got == lens_id
+
+
+def test_sync_from_any_times_out(registry, tmp_path):
+    peer = Registry(tmp_path / "peer_never")
+    with pytest.raises(LensError, match="within"):
+        registry.sync_from_any([peer], "lens1-" + "00" * 32,
+                               timeout=0.5, retry_interval=0.1)
+
+
 def test_pipeline_inversion_through_registry(registry, people):
     """E8 via stored spec: transform then inverse round-trips a 2-stage
     pipeline (reverse order + flip each module)."""
