@@ -80,10 +80,18 @@ def _band_exprs(num_hashes: int, band_size: int) -> list:
 
 def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
                   num_hashes: int = 16, ngram: int = 3,
-                  band_size: int = 4, shingle: str = "word") -> DataFrame:
-    """(id, band_hash) table: explode shingles → min-hash per salt → bands."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
-                            ngram=ngram, shingle=shingle)
+                  band_size: int = 4, shingle: str = "word",
+                  sig: DataFrame | None = None) -> DataFrame:
+    """(id, band_hash) table: explode shingles → min-hash per salt → bands.
+
+    ``sig`` short-circuits the signature computation with a caller-held
+    (typically persisted) signature table — the shingle→md5 pass is the
+    dominant cost and callers that need both bands and signatures
+    (incremental ingest) should compute it exactly once.
+    """
+    if sig is None:
+        sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
+                                ngram=ngram, shingle=shingle)
     return sig.select(F.col(id_col),
                       F.explode(F.array(*_band_exprs(num_hashes, band_size))
                                 ).alias("band_hash"))
@@ -92,7 +100,8 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, ngram: int = 3,
                        band_size: int = 4, max_bucket: int | None = None,
-                       shingle: str = "word", cache: bool = True) -> DataFrame:
+                       shingle: str = "word", cache: bool = True,
+                       sig: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     ``cache`` persists the (id, band_hash) table before the self-join —
@@ -103,7 +112,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
     relative to the corpus; evict with spark.catalog.clearCache().
     """
     bands = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
-                          ngram=ngram, band_size=band_size, shingle=shingle)
+                          ngram=ngram, band_size=band_size, shingle=shingle,
+                          sig=sig)
     if cache:
         bands = bands.persist()
     if max_bucket is not None:
@@ -125,11 +135,12 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                   num_hashes: int = 16, ngram: int = 3, band_size: int = 4,
                   threshold: float | None = None,
                   max_bucket: int | None = None,
-                  shingle: str = "word") -> DataFrame:
+                  shingle: str = "word",
+                  sig: DataFrame | None = None) -> DataFrame:
     """LSH candidates, optionally verified with exact shingle Jaccard."""
     pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
                                ngram=ngram, band_size=band_size,
-                               max_bucket=max_bucket, shingle=shingle)
+                               max_bucket=max_bucket, shingle=shingle, sig=sig)
     if threshold is None:
         return pairs
     shingled = ensure_parallelism(df, by=[id_col]).select(
@@ -378,25 +389,62 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     the threshold, the better the recall.
     """
     if method == "lsh":
+        import numpy as np
+        import pandas as pd
+
         from lens_spark.operators.similarity import _bucket_array_udf
 
         if dim is None:
             raise LensError("embedding_neardup_pairs(method='lsh') needs dim")
         bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
+        # One shuffle total: explode (table, bucket) cells, group by
+        # cell, and verify WITHIN each bucket with a blocked numpy
+        # matmul (applyInPandas). A candidate-pair equi-join would
+        # materialize every bucket-mate pair as a row (at a low
+        # threshold that's a large fraction of n²) and score each with
+        # per-row expression cosine; the grouped kernel scores the same
+        # pairs at BLAS speed and only true positives ever become rows.
+        # Bucket size is bounded by num_bits (and the block loop keeps
+        # memory flat for a skewed bucket), so no task sees more than
+        # one bucket's vectors.
+        id_type = dict(df.dtypes)[id_col]
+        thr = float(threshold)
+
+        def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            ids = pdf["__id"].to_numpy()
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            out_a, out_b, out_c = [], [], []
+            block = 2048
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                sims = x[lo:hi] @ x[lo:].T  # only j >= lo: upper triangle
+                for r in range(hi - lo):
+                    i = lo + r
+                    row = sims[r, r + 1:]
+                    js = np.nonzero(row >= thr)[0] + i + 1
+                    for j in js:
+                        a, b = ids[i], ids[j]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(round(float(sims[r, j - lo]), 6))
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
         bucketed = ensure_parallelism(df).select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
             F.explode(bucket_udf(F.col(vec_col))).alias("__bucket"),
         )
-        a = bucketed.select(F.col("__id").alias("id_a"),
-                            F.col("__v").alias("__va"), "__bucket")
-        b = bucketed.select(F.col("__id").alias("id_b"),
-                            F.col("__v").alias("__vb"), "__bucket")
-        cand = (
-            a.join(b, ["__bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb").distinct()
-        )
-    elif method == "exact":
+        pairs = bucketed.groupBy("__bucket").applyInPandas(
+            verify_bucket,
+            f"id_a {id_type}, id_b {id_type}, cosine double")
+        # a pair can collide in several tables — emit it once
+        return pairs.select("id_a", "id_b", "cosine").distinct()
+    if method == "exact":
         av = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         bv = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         cand = av.join(bv, F.col("id_a") < F.col("id_b"))
@@ -461,14 +509,20 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     ``bands/`` (band_hash, id) and ``sigs/`` (id, sig array) — a few
     hundred bytes per accepted doc regardless of document size. Flow:
 
-    1. the batch is near-deduped internally (LSH pairs → components →
-       min-id representative);
+    1. the batch is near-deduped internally (LSH self-join on the
+       bands → minhash-estimate verify → components → min-id
+       representative);
     2. survivors' bands LSH-join against the stored band index — only
        bucket-mates are compared, never batch × corpus;
-    3. candidates verify with the minhash estimate of Jaccard
-       (fraction of agreeing signature positions ≥ ``threshold``; the
-       estimator's stderr is ~1/sqrt(num_hashes), so size num_hashes
-       to the selectivity you need);
+    3. candidates (both within-batch and vs-corpus) verify with the
+       minhash estimate of Jaccard (fraction of agreeing signature
+       positions ≥ ``threshold``; the estimator's stderr is
+       ~1/sqrt(num_hashes), so size num_hashes to the selectivity you
+       need). Estimate verify is the only option vs the corpus — the
+       index stores signatures, not shingles — and using it within the
+       batch too keeps the two sides consistent AND avoids a second
+       shingle pass over the text (``dedup_neardup`` stays the
+       exact-Jaccard batch-global path);
     4. survivors' bands + signatures append to the index
        (localCheckpointed first — appending to a path a lazy plan
        still reads would silently re-evaluate against the new files).
@@ -478,23 +532,48 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     spark = df.sparkSession
     bands_path = f"{index_path}/bands"
     sigs_path = f"{index_path}/sigs"
-    kw = dict(num_hashes=num_hashes, ngram=ngram, band_size=band_size,
-              shingle=shingle)
 
-    # Checkpoint the within-batch dedup ONCE: its plan (shingle explode →
-    # LSH join → components → anti-join) would otherwise re-execute for
-    # the signature pass, the corpus anti-join, and the caller's action.
-    # Incremental ingest is inherently eager anyway — it updates an index.
-    batch = dedup_neardup(df, id_col, text_col, threshold=threshold, **kw) \
-        .localCheckpoint(eager=True)
-    sig = minhash_signature(batch, id_col, text_col, num_hashes=num_hashes,
+    # ONE signature pass for the whole batch (persisted): the shingle→md5
+    # explode+groupBy is the dominant cost, and everything below —
+    # within-batch bands, estimate verify, corpus join, index append —
+    # derives from it.
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
                             ngram=ngram, shingle=shingle).persist()
-    sig_arr = sig.select(
+    sig_arr_all = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
-    bands = sig.select(F.col(id_col),
-                       F.explode(F.array(*_band_exprs(num_hashes, band_size))
-                                 ).alias("band_hash"))
+    bands_all = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*_band_exprs(num_hashes, band_size))
+                  ).alias("band_hash"))
+    est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
+                       " x -> x))") / F.lit(num_hashes))
+
+    # Within-batch near-dup: band self-join → estimate verify →
+    # components → drop non-representatives.
+    ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
+    bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
+    batch_pairs = (ba.join(bb, "band_hash")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b").distinct())
+    sa = sig_arr_all.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sig_arr_all.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
+                .filter(est_expr >= F.lit(threshold))
+                .select("id_a", "id_b"))
+    comp = connected_components(verified)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    # Checkpoint the within-batch survivors ONCE: their plan would
+    # otherwise re-execute for the corpus anti-join and the caller's
+    # action. Incremental ingest is inherently eager anyway — it
+    # updates an index.
+    batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
+        .localCheckpoint(eager=True)
+    batch_ids = batch.select(F.col(id_col))
+    # sig covers the pre-dedup batch; restrict the index side to the
+    # within-batch survivors (semi-joins against the checkpointed ids).
+    sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
+    bands = bands_all.join(batch_ids, id_col, "left_semi")
     try:
         if Path(bands_path).exists():
             corpus_bands = spark.read.parquet(bands_path) \
