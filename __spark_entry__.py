@@ -806,6 +806,127 @@ def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus hygiene & curation: repetition/quality filtering, PII
+# redaction, benchmark decontamination, stratified mixing, TF-IDF/BM25
+# ranking, int8 quantization, sequence packing
+# ---------------------------------------------------------------------------
+
+def q_x5_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity metrics — narrow list
+    expressions, value-checked against DuckDB list lambdas."""
+    spec = {"lenses": [
+        {"name": "repetition_stats", "arguments": {"column": "text"}},
+        {"name": "project", "arguments": {"columns": [
+            "doc_id", "n_tokens", "mean_word_len", "unique_ratio",
+            "top_token_frac", "top_bigram_frac"]}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
+def q_x5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule filter (token window + diversity + repetition
+    caps): the standard pre-training cleaning pass, as one lens."""
+    spec = {"lenses": [{"name": "quality_filter", "arguments": {
+        "column": "text", "min_tokens": 20, "max_tokens": 95,
+        "min_unique_ratio": 0.35, "max_top_token_frac": 0.2,
+        "max_top_bigram_frac": 0.12}}]}
+    out = engine.append(_read(spark, sf_dir, "documents"), spec)
+    return out.select("doc_id", "source")
+
+
+def q_x5_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministic synthetic spans (the corpus
+    itself is PII-free): email/SSN/phone/IPv4 → category tokens, with
+    per-category counts. Both engines build the same augmented text,
+    so redacted output and counts value-match."""
+    docs = _read(spark, sf_dir, "documents").withColumn("text", F.expr(
+        "concat(text, case when doc_id % 7 = 0 then concat(' reach user',"
+        " doc_id, '@example.com or 555-123-4567')"
+        " when doc_id % 11 = 0 then concat(' host 10.0.', doc_id % 256,"
+        " '.1 ssn 123-45-6789') else '' end)"))
+    spec = {"lenses": [{"name": "pii_redact", "arguments": {
+        "column": "text", "counts": True}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "text", "n_email", "n_ssn", "n_phone",
+                      "n_ipv4")
+
+
+def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    held-out set (doc_id % 97 == 0) are dropped from the train side —
+    the train/test-leakage guard of a real corpus build."""
+    from lens_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    train = docs.filter("doc_id % 97 <> 0")
+    out = decontaminate(train, bench, "doc_id", "text", ngram=3,
+                        min_overlaps=1)
+    return out.select("doc_id", "source")
+
+
+def q_x8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, deterministic
+    tie-break) — topic/keyword extraction for corpus curation."""
+    spec = {"lenses": [{"name": "tfidf_top_terms", "arguments": {
+        "id": "doc_id", "column": "text", "k": 5}}]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
+def q_x8_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-50 docs for a fixed
+    query bag — the lexical-search baseline next to X3's vector path."""
+    spec = {"lenses": [{"name": "bm25_score", "arguments": {
+        "id": "doc_id", "column": "text",
+        "query": ["spark", "shuffle", "hash", "join"], "limit": 50}}]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
+def q_x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic mixing: downsample src0 to 10%, src1 to
+    50%, keep the rest — the corpus-recipe primitive. Membership is
+    content-hashed (reproducible, partition-stable)."""
+    spec = {"lenses": [
+        {"name": "sample_stratified", "arguments": {
+            "keys": ["doc_id"], "strata": "source",
+            "fractions": {"src0": 0.1, "src1": 0.5},
+            "default_fraction": 1.0}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["source"], "aggs": {"n_docs": "count(*)"}}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
+def q_x3_quantize_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (symmetric, per-vector scale) —
+    checked via scalar digests of the quantized vector (the driver
+    canonicalizer can't sort array columns, the x4 round-1 lesson)."""
+    spec = {"lenses": [{"name": "quantize_embedding", "arguments": {
+        "column": "embedding"}}]}
+    out = engine.append(_read(spark, sf_dir, "embeddings"), spec)
+    q = F.col("embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("embedding_scale"), 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x.cast("bigint"))).alias("q_l1"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+    )
+
+
+def q_x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (greedy, shard-deterministic) —
+    rows-only: the greedy fill is recursive per shard, not single-query
+    SQL; invariants (budget respected, all docs packed, reproducible)
+    are pinned in tests/test_packing.py."""
+    spec = {"lenses": [{"name": "pack_sequences", "arguments": {
+        "id": "doc_id", "column": "text", "max_tokens": 512}}]}
+    out = engine.append(_read(spark, sf_dir, "documents"), spec)
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_pos")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -869,6 +990,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_top_tokens": q_x5_top_tokens,
         "scalar_functions": q_scalar_functions,
         "stats_aggregates": q_stats_aggregates,
+        "x5_repetition_stats": q_x5_repetition_stats,
+        "x5_quality_filter": q_x5_quality_filter,
+        "x5_pii_redact": q_x5_pii_redact,
+        "x2_decontaminate": q_x2_decontaminate,
+        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        "x8_bm25": q_x8_bm25,
+        "x7_stratified_sample": q_x7_stratified_sample,
+        "x3_quantize_embedding": q_x3_quantize_embedding,
+        "x8_pack_sequences": q_x8_pack_sequences,
     }
 
 
@@ -945,6 +1075,69 @@ SELECT doc_id,
        CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
        CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
 FROM s
+"""
+
+
+# Repetition/diversity metric block (DuckDB list-lambda twins of
+# functions.text mean_word_length/unique_token_ratio/top_*_fraction).
+_REP_METRICS_CTE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL_INNER} AS w FROM documents),
+big AS (SELECT doc_id, source, w,
+        list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i + 1])) AS b
+        FROM toks),
+rep AS (SELECT doc_id, source,
+  len(w) AS n_tokens,
+  round(CASE WHEN len(w) > 0 THEN
+        CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+        ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN len(w) > 0 THEN
+        CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+        ELSE 0.0 END, 6) AS unique_ratio,
+  round(CASE WHEN len(w) > 0 THEN
+        CAST(list_max(list_transform(list_distinct(w),
+             d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+        ELSE 0.0 END, 6) AS top_token_frac,
+  round(CASE WHEN len(b) > 0 THEN
+        CAST(list_max(list_transform(list_distinct(b),
+             d -> len(list_filter(b, x -> x = d)))) AS DOUBLE) / len(b)
+        ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM big)
+"""
+
+# Distinct word 3-grams (the decontamination shingle).
+_W3_SQL = ("list_distinct(list_transform(range(1, len(w) - 1), "
+           "i -> array_to_string(list_slice(w, i, i + 2), ' ')))")
+
+
+def _pii_oracle_sql() -> str:
+    from lens_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    for _, pattern, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pattern}')) AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS)
+    return (
+        "WITH aug AS (SELECT doc_id, concat(text, CASE"
+        " WHEN doc_id % 7 = 0 THEN concat(' reach user', doc_id,"
+        " '@example.com or 555-123-4567')"
+        " WHEN doc_id % 11 = 0 THEN concat(' host 10.0.', doc_id % 256,"
+        " '.1 ssn 123-45-6789') ELSE '' END) AS text FROM documents)"
+        f" SELECT doc_id, {red} AS text, {counts} FROM aug"
+    )
+
+
+def _stratified_oracle_sql() -> str:
+    from lens_spark.operators.sampling import fraction_to_threshold
+
+    t0, t1 = fraction_to_threshold(0.1), fraction_to_threshold(0.5)
+    return f"""
+SELECT source, count(*) AS n_docs FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source = 'src0' THEN '{t0}'
+           WHEN source = 'src1' THEN '{t1}' ELSE 'g' END
+GROUP BY source
 """
 
 
@@ -1289,5 +1482,72 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "x5_repetition_stats": _REP_METRICS_CTE + """
+SELECT doc_id, n_tokens, mean_word_len, unique_ratio,
+       top_token_frac, top_bigram_frac
+FROM rep
+""",
+        "x5_quality_filter": _REP_METRICS_CTE + """
+SELECT doc_id, source FROM rep
+WHERE n_tokens >= 20 AND n_tokens <= 95 AND unique_ratio >= 0.35
+  AND top_token_frac <= 0.2 AND top_bigram_frac <= 0.12
+""",
+        "x5_pii_redact": _pii_oracle_sql(),
+        "x2_decontaminate": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_W3_SQL} AS s FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) t
+        JOIN bench ON t.g = bench.g)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        "x8_tfidf_top_terms": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT doc_id, term,
+           round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS score
+           FROM tf JOIN d USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5
+""",
+        "x8_bm25": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ('hash', 'join', 'shuffle', 'spark') GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n,
+                 avg(len({_TOKENS_SQL})) AS avgdl FROM documents),
+dl AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+scored AS (SELECT tf.doc_id,
+  ln(1.0e0 + (n - d.df + 0.5e0) / (d.df + 0.5e0))
+    * (tf.tf * (1.2e0 + 1)) / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats)
+SELECT doc_id, round(sum(c), 6) AS bm25 FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+""",
+        "x7_stratified_sample": _stratified_oracle_sql(),
+        "x3_quantize_embedding": """
+WITH m AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings),
+q AS (SELECT vec_id, ma,
+        CASE WHEN ma > 0 THEN list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / (ma / 127.0e0)) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM m)
+SELECT vec_id, round(ma / 127.0e0, 6) AS scale_r,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM q
 """,
     }

@@ -93,3 +93,93 @@ def fingerprint(text: Column) -> Column:
     Identical in DuckDB: md5(trim(regexp_replace(lower(text),'\\s+',' ','g')))."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity metrics (Gopher-style quality rules). All pure
+# Catalyst list expressions with exact DuckDB twins (list_transform /
+# list_filter / list_distinct lambdas), so the filter thresholds can be
+# oracle-checked value-for-value. Per-row cost is O(tokens · distinct
+# tokens) for the top-fraction metrics — bounded by document length,
+# embarrassingly parallel, no shuffle.
+# ---------------------------------------------------------------------------
+
+def mean_word_length(text: Column) -> Column:
+    """Mean token length over whitespace tokens (0.0 for empty docs)."""
+    toks = tokens(text, lowercase=False)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0,
+                  total.cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def unique_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (lowercased)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0,
+                  F.size(F.array_distinct(toks)).cast("double")
+                  / F.size(toks).cast("double")).otherwise(F.lit(0.0))
+
+
+def _top_fraction(items: Column) -> Column:
+    """Fraction of the list covered by its most frequent element."""
+    counts = F.transform(
+        F.array_distinct(items),
+        lambda d: F.size(F.filter(items, lambda x: x == d)))
+    return F.when(F.size(items) > 0,
+                  F.array_max(counts).cast("double")
+                  / F.size(items).cast("double")).otherwise(F.lit(0.0))
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent lowercased token bigrams joined with one space."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_token_fraction(text: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token —
+    high values flag keyword-stuffed / repetitive documents."""
+    return _top_fraction(tokens(text))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of bigrams taken by the most frequent bigram."""
+    return _top_fraction(bigrams(text))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. Pattern set is deliberately RE2-and-Java-compatible
+# (no backreferences/lookaround, unambiguous shapes) so the Spark
+# expression and the DuckDB oracle replace the exact same spans.
+# Applied in a fixed order — email before phone so the digits of a
+# mailbox name never half-match a later pattern.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with its category token."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII span counts (before redaction)."""
+    return {name: F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+            for name, pattern, _ in PII_PATTERNS}

@@ -23,3 +23,35 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: q = round(x / s), s = max|x| / 127.
+
+    Zero vectors quantize to zeros. JVM-side (transform/aggregate), so
+    quantizing a 100 TB embedding column is a narrow codegen'd scan.
+    DuckDB twin: list_transform with the same scale expression.
+    """
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / F.lit(127.0)
+    return F.when(
+        max_abs > 0,
+        F.transform(vec, lambda x: F.round(x.cast("double") / scale)
+                    .cast("tinyint")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+
+
+def dequantize_int8(qvec: Column, scale: Column) -> Column:
+    """Inverse of quantize_int8 given the per-vector scale (max|x|/127)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def quantization_error(vec: Column) -> Column:
+    """Max absolute reconstruction error of the int8 round-trip —
+    bounded by s/2; a cheap per-row audit column for quantized stores."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / F.lit(127.0)
+    err = F.zip_with(
+        vec, quantize_int8(vec),
+        lambda x, q: F.abs(x.cast("double") - q.cast("double") * scale))
+    return F.when(max_abs > 0, F.array_max(err)).otherwise(F.lit(0.0))

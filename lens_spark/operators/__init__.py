@@ -29,6 +29,8 @@ from lens_spark.operators import multimodal as _multimodal  # noqa: F401
 from lens_spark.operators import relational as _relational  # noqa: F401
 from lens_spark.operators import temporal as _temporal  # noqa: F401
 from lens_spark.operators import sampling as _sampling  # noqa: F401
+from lens_spark.operators import ranking as _ranking  # noqa: F401
+from lens_spark.operators import packing as _packing  # noqa: F401
 
 __all__ = [
     "Lens",

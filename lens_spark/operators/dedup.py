@@ -680,3 +680,60 @@ def simhash_lens(arguments: Mapping[str, Any]) -> Lens:
     out = str(arguments.get("out", "simhash"))
     return Lens("simhash", arguments,
                 lambda df: df.withColumn(out, simhash64(tokens(F.col(text_col)))))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, *, bench_text_col: str | None = None,
+                  ngram: int = 8, min_overlaps: int = 1,
+                  shingle: str = "word") -> DataFrame:
+    """Benchmark decontamination: drop documents sharing ≥
+    ``min_overlaps`` distinct ``ngram``-grams with any benchmark text.
+
+    The standard guard against train/test leakage when assembling LLM
+    training corpora (word 8-gram overlap is the common rule; tighten
+    ``ngram`` / raise ``min_overlaps`` per benchmark size).
+
+    Scale shape: the benchmark n-gram set is hashed to 8-byte keys and
+    deduplicated — typically a few million rows regardless of corpus
+    size, so the semi-join broadcasts. The corpus side is a narrow
+    explode; the only wide ops are the per-doc overlap count (map-side
+    combined) and the final anti-join on id. Never corpus × benchmark.
+    """
+    grams = _shingles(text_col, ngram, shingle)
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
+                      ).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
+    )
+    doc_grams = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__gh"))
+    contaminated = (
+        doc_grams.join(bench_grams, "__gh", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_overlaps)
+        .select(id_col)
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+@register_lens("decontaminate")
+def decontaminate_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: benchmark (path to parquet/json of benchmark texts),
+    id, column, bench_column (defaults to column), ngram (8),
+    min_overlaps (1), shingle ("word")."""
+    bench_path = str(require_arg(arguments, "benchmark", "decontaminate"))
+    id_col = str(require_arg(arguments, "id", "decontaminate"))
+    text_col = str(require_arg(arguments, "column", "decontaminate"))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        benchmark = df.sparkSession.read.parquet(bench_path)
+        return decontaminate(
+            df, benchmark, id_col, text_col,
+            bench_text_col=arguments.get("bench_column"),
+            ngram=int(arguments.get("ngram", 8)),
+            min_overlaps=int(arguments.get("min_overlaps", 1)),
+            shingle=str(arguments.get("shingle", "word")))
+
+    return Lens("decontaminate", arguments, fwd)

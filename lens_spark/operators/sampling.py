@@ -117,3 +117,41 @@ def hash_split_lens(arguments: Mapping[str, Any]) -> Lens:
                               out=out, salt=salt),
         lambda df: df.drop(out),
     )
+
+
+def sample_stratified(df: DataFrame, key_cols: list[str], strata_col: str,
+                      fractions: Mapping[str, float], *,
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (downsample/rebalance).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    keep ``default_fraction``. Same content-hash machinery as
+    ``sample_hash`` — membership is reproducible and repartition-stable
+    per stratum, which is how corpus mixing recipes (e.g. downweight a
+    crawl source, keep all curated text) stay frozen across runs.
+    Narrow op: no shuffle at any scale.
+    """
+    prefix = _hash_prefix(key_cols, salt)
+    expr: Column = F.lit(fraction_to_threshold(default_fraction))
+    for value, frac in fractions.items():
+        expr = F.when(F.col(strata_col).cast("string") == str(value),
+                      F.lit(fraction_to_threshold(float(frac)))).otherwise(expr)
+    return df.filter(prefix < expr)
+
+
+@register_lens("sample_stratified")
+def sample_stratified_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), strata (column), fractions
+    ({value: fraction}), default_fraction (0.0), salt ("")."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "sample_stratified")]
+    strata = str(require_arg(arguments, "strata", "sample_stratified"))
+    fractions = {str(k): float(v) for k, v in
+                 dict(require_arg(arguments, "fractions",
+                                  "sample_stratified")).items()}
+    return Lens(
+        "sample_stratified", arguments,
+        lambda df: sample_stratified(
+            df, keys, strata, fractions,
+            default_fraction=float(arguments.get("default_fraction", 0.0)),
+            salt=str(arguments.get("salt", ""))))

@@ -192,3 +192,30 @@ def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
         return brute_force_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k)
 
     return Lens("similarity_topk", arguments, forward)
+
+
+@register_lens("quantize_embedding")
+def quantize_embedding_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Int8-quantize an embedding column in place (scale kept in
+    ``<col>_scale``); inverse dequantizes (lossy round-trip — max
+    error ≤ scale/2, see functions.vectors.quantization_error).
+
+    arguments: column, out (default in-place + "_scale" sidecar).
+    """
+    from lens_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    vec_col = str(require_arg(arguments, "column", "quantize_embedding"))
+    scale_col = f"{vec_col}_scale"
+
+    def fwd(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col)
+        max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        return (df.withColumn(scale_col, max_abs / F.lit(127.0))
+                .withColumn(vec_col, quantize_int8(v)))
+
+    def inv(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            vec_col, dequantize_int8(F.col(vec_col), F.col(scale_col))
+        ).drop(scale_col)
+
+    return Lens("quantize_embedding", arguments, fwd, inv)

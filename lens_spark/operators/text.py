@@ -20,6 +20,7 @@ from lens_spark.functions.text import (
     stopword_ratio,
     whitespace_token_count,
 )
+from lens_spark.errors import LensError
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
@@ -67,3 +68,117 @@ def fingerprint_lens(arguments: Mapping[str, Any]) -> Lens:
     out = str(arguments.get("out", "fingerprint"))
     return Lens("fingerprint", arguments,
                 lambda df: df.withColumn(out, fingerprint(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition/quality filtering and PII redaction. Narrow
+# column expressions only — no shuffle at any scale; thresholds are
+# plain arguments so a lens file can encode a full cleaning policy.
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
+    """Append the repetition/diversity metric block (Gopher-style)."""
+    from lens_spark.functions.text import (
+        mean_word_length,
+        top_bigram_fraction,
+        top_token_fraction,
+        unique_token_ratio,
+        whitespace_token_count,
+    )
+
+    t = F.col(text_col)
+    df = ensure_parallelism(df)  # O(tokens·distinct) per row; fan out
+    return (
+        df.withColumn(f"{prefix}n_tokens", whitespace_token_count(t))
+        .withColumn(f"{prefix}mean_word_len", F.round(mean_word_length(t), 6))
+        .withColumn(f"{prefix}unique_ratio", F.round(unique_token_ratio(t), 6))
+        .withColumn(f"{prefix}top_token_frac", F.round(top_token_fraction(t), 6))
+        .withColumn(f"{prefix}top_bigram_frac", F.round(top_bigram_fraction(t), 6))
+    )
+
+
+# (name, metric factory, is_lower_bound) — bounds default to None (off).
+_GOPHER_RULES: tuple[tuple[str, str], ...] = (
+    ("min_tokens", "lower"), ("max_tokens", "upper"),
+    ("min_mean_word_len", "lower"), ("max_mean_word_len", "upper"),
+    ("min_unique_ratio", "lower"),
+    ("max_top_token_frac", "upper"), ("max_top_bigram_frac", "upper"),
+)
+
+_GOPHER_METRIC = {
+    "min_tokens": "n_tokens", "max_tokens": "n_tokens",
+    "min_mean_word_len": "mean_word_len", "max_mean_word_len": "mean_word_len",
+    "min_unique_ratio": "unique_ratio",
+    "max_top_token_frac": "top_token_frac",
+    "max_top_bigram_frac": "top_bigram_frac",
+}
+
+
+def quality_filter(df: DataFrame, text_col: str,
+                   bounds: Mapping[str, float]) -> DataFrame:
+    """Keep documents inside every configured metric bound.
+
+    ``bounds`` maps rule name → threshold; omitted rules are off. Rules
+    mirror the Gopher quality heuristics: token-count window, mean word
+    length window, minimum lexical diversity, maximum single-token and
+    single-bigram coverage (repetition guards).
+    """
+    unknown = set(bounds) - {name for name, _ in _GOPHER_RULES}
+    if unknown:
+        raise LensError(f"quality_filter: unknown rules {sorted(unknown)}")
+    stats = repetition_stats(df, text_col, prefix="__qf_")
+    cond = F.lit(True)
+    for name, kind in _GOPHER_RULES:
+        if name not in bounds:
+            continue
+        col = F.col("__qf_" + _GOPHER_METRIC[name])
+        limit = F.lit(float(bounds[name]))
+        cond = cond & (col >= limit if kind == "lower" else col <= limit)
+    return stats.filter(cond).drop(*[c for c in stats.columns
+                                     if c.startswith("__qf_")])
+
+
+@register_lens("repetition_stats")
+def repetition_stats_lens(arguments: Mapping[str, Any]) -> Lens:
+    text_col = str(require_arg(arguments, "column", "repetition_stats"))
+    prefix = str(arguments.get("prefix", ""))
+    return Lens("repetition_stats", arguments,
+                lambda df: repetition_stats(df, text_col, prefix))
+
+
+@register_lens("quality_filter")
+def quality_filter_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, plus any of min_tokens/max_tokens/
+    min_mean_word_len/max_mean_word_len/min_unique_ratio/
+    max_top_token_frac/max_top_bigram_frac."""
+    text_col = str(require_arg(arguments, "column", "quality_filter"))
+    bounds = {k: float(v) for k, v in arguments.items()
+              if k in _GOPHER_METRIC}
+    return Lens("quality_filter", arguments,
+                lambda df: quality_filter(df, text_col, bounds))
+
+
+def pii_redact(df: DataFrame, text_col: str, *, out: str | None = None,
+               counts: bool = False) -> DataFrame:
+    """Redact PII spans in ``text_col`` (email/SSN/phone/IPv4 →
+    category tokens); ``counts`` appends per-category span counts."""
+    from lens_spark.functions.text import pii_counts, redact_pii
+
+    t = F.col(text_col)
+    res = df
+    if counts:
+        for name, col in pii_counts(t).items():
+            res = res.withColumn(f"n_{name}", col)
+    return res.withColumn(out or text_col, redact_pii(t))
+
+
+@register_lens("pii_redact")
+def pii_redact_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, out (default in-place), counts (false)."""
+    text_col = str(require_arg(arguments, "column", "pii_redact"))
+    out = arguments.get("out")
+    counts = bool(arguments.get("counts", False))
+    return Lens("pii_redact", arguments,
+                lambda df: pii_redact(df, text_col,
+                                      out=str(out) if out else None,
+                                      counts=counts))

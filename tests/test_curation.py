@@ -1,0 +1,186 @@
+"""Corpus-curation lens tests: repetition/quality filtering, PII
+redaction, benchmark decontamination, stratified sampling, int8
+embedding quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.dedup import decontaminate
+from lens_spark.operators.sampling import sample_stratified
+from lens_spark.operators.text import pii_redact, quality_filter, repetition_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# --- repetition stats / quality filter --------------------------------------
+
+def test_repetition_metrics_on_crafted_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                    # maximal repetition
+            (2, "one two three four"),         # fully diverse
+            (3, ""),                           # empty doc
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in repetition_stats(df, "text").collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].unique_ratio == pytest.approx(0.25)
+    assert rows[1].top_token_frac == pytest.approx(1.0)
+    assert rows[1].top_bigram_frac == pytest.approx(1.0)
+    assert rows[2].unique_ratio == pytest.approx(1.0)
+    assert rows[2].top_token_frac == pytest.approx(0.25)
+    assert rows[2].mean_word_len == pytest.approx((3 + 3 + 5 + 4) / 4)
+    assert rows[3].n_tokens == 0 and rows[3].unique_ratio == 0.0
+
+
+def test_quality_filter_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # repetitive
+            (2, "a genuinely varied simple sentence"),  # clean
+            (3, "hi"),                                  # too short
+        ],
+        "id long, text string",
+    )
+    kept = quality_filter(df, "text", {
+        "min_tokens": 3, "max_top_token_frac": 0.5})
+    assert [r.id for r in kept.collect()] == [2]
+    # metric scratch columns must not leak
+    assert kept.columns == ["id", "text"]
+
+
+def test_quality_filter_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(LensError):
+        quality_filter(df, "text", {"min_sparkle": 1.0})
+
+
+# --- PII redaction -----------------------------------------------------------
+
+def test_pii_redact_all_categories(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x.io call 555-867-5309 ssn 123-45-6789 ip 10.1.2.3")],
+        "id long, text string",
+    )
+    row = pii_redact(df, "text", counts=True).collect()[0]
+    assert row.text == "mail [EMAIL] call [PHONE] ssn [ID] ip [IP]"
+    assert (row.n_email, row.n_ssn, row.n_phone, row.n_ipv4) == (1, 1, 1, 1)
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here")],
+                               "id long, text string")
+    row = pii_redact(df, "text", counts=True).collect()[0]
+    assert row.text == "nothing sensitive here"
+    assert row.n_email == row.n_ssn == row.n_phone == row.n_ipv4 == 0
+
+
+def test_pii_redact_out_column(spark):
+    df = spark.createDataFrame([(1, "x@y.io")], "id long, text string")
+    row = pii_redact(df, "text", out="clean").collect()[0]
+    assert row.text == "x@y.io" and row.clean == "[EMAIL]"
+
+
+# --- benchmark decontamination -----------------------------------------------
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated training document here"),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox appears in this benchmark")],
+        "id long, text string",
+    )
+    out = decontaminate(train, bench, "id", "text", ngram=3)
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_decontaminate_min_overlaps(spark):
+    # exactly one shared 3-gram → kept when min_overlaps=2
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma totally different tail")],
+        "id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma other words")], "id long, text string")
+    assert decontaminate(train, bench, "id", "text", ngram=3,
+                         min_overlaps=2).count() == 1
+    assert decontaminate(train, bench, "id", "text", ngram=3,
+                         min_overlaps=1).count() == 0
+
+
+# --- stratified sampling ------------------------------------------------------
+
+def test_stratified_fractions_respected(docs):
+    out = sample_stratified(docs, ["doc_id"], "source",
+                            {"src0": 0.0, "src1": 1.0},
+                            default_fraction=0.5)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "src0" not in counts
+    assert counts["src1"] == full["src1"]
+    others = sum(v for k, v in counts.items() if k not in ("src0", "src1"))
+    total = sum(v for k, v in full.items() if k not in ("src0", "src1"))
+    assert 0.25 * total < others < 0.75 * total
+
+
+def test_stratified_stable_under_repartition(docs):
+    frac = {"src0": 0.3, "src1": 0.7}
+    a = {r.doc_id for r in
+         sample_stratified(docs, ["doc_id"], "source", frac).collect()}
+    b = {r.doc_id for r in
+         sample_stratified(docs.repartition(13), ["doc_id"], "source",
+                           frac).collect()}
+    assert a == b and a  # non-empty and identical membership
+
+
+def test_stratified_subset_of_source(docs):
+    out = sample_stratified(docs, ["doc_id"], "source", {"src0": 0.4})
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert {r.doc_id for r in out.collect()} <= all_ids
+
+
+# --- int8 quantization ---------------------------------------------------------
+
+def test_quantize_roundtrip_error_bounded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    spec = {"lenses": [{"name": "quantize_embedding",
+                        "arguments": {"column": "embedding"}}]}
+    q = engine.append(emb, spec)
+    assert dict(q.dtypes)["embedding"] == "array<tinyint>"
+    # inverse (dequantize) restores within scale/2 per component
+    back = engine.inverse(q, spec)
+    joined = (back.alias("b").join(emb.alias("o"), "vec_id")
+              .select(F.array_max(F.zip_with(
+                  F.col("b.embedding"), F.col("o.embedding"),
+                  lambda x, y: F.abs(x - y.cast("double")))).alias("err"),
+                  F.array_max(F.transform(
+                      F.col("o.embedding"),
+                      lambda x: F.abs(x.cast("double")))).alias("ma")))
+    bad = joined.filter(F.col("err") > F.col("ma") / 127.0 / 2 + 1e-12)
+    assert bad.count() == 0
+    assert back.columns == emb.columns  # scale sidecar dropped on invert
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               "id long, embedding array<float>")
+    spec = {"lenses": [{"name": "quantize_embedding",
+                        "arguments": {"column": "embedding"}}]}
+    row = engine.append(df, spec).collect()[0]
+    assert row.embedding == [0, 0, 0] and row.embedding_scale == 0.0

@@ -1,0 +1,96 @@
+"""Sequence-packing invariants (operators.packing).
+
+No SQL oracle exists for the greedy per-shard fill (inherently
+sequential), so these tests ARE the correctness contract:
+budget respected, every doc packed exactly once, deterministic and
+repartition-stable layout, oversized docs flagged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.packing import pack_sequences
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 128
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def packed(docs):
+    return pack_sequences(docs, "doc_id", max_tokens=BUDGET,
+                          text_col="text").cache()
+
+
+def test_every_doc_packed_exactly_once(docs, packed):
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_budget_respected_or_oversized_alone(packed):
+    per_seq = (packed.groupBy("seq_id")
+               .agg(F.sum("n_tokens").alias("tot"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.col("truncate").cast("int")).alias("trunc")))
+    # over-budget sequences must be a single truncate-flagged document
+    bad = per_seq.filter((F.col("tot") > BUDGET)
+                         & ((F.col("n") > 1) | (F.col("trunc") == 0)))
+    assert bad.count() == 0
+
+
+def test_seq_pos_contiguous(packed):
+    agg = (packed.groupBy("seq_id")
+           .agg(F.min("seq_pos").alias("lo"), F.max("seq_pos").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("seq_pos").alias("nd")))
+    bad = agg.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+                     | (F.col("nd") != F.col("n")))
+    assert bad.count() == 0
+
+
+def test_truncate_flag_iff_doc_exceeds_budget(packed):
+    bad = packed.filter(F.col("truncate") != (F.col("n_tokens") > BUDGET))
+    assert bad.count() == 0
+
+
+def test_layout_stable_under_repartition(docs, packed):
+    again = pack_sequences(docs.repartition(17), "doc_id",
+                           max_tokens=BUDGET, text_col="text")
+    a = {(r.doc_id, r.seq_id, r.seq_pos) for r in packed.collect()}
+    b = {(r.doc_id, r.seq_id, r.seq_pos) for r in again.collect()}
+    assert a == b
+
+
+def test_precomputed_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 200)], "id long, nt long")
+    out = pack_sequences(df, "id", max_tokens=100, token_count_col="nt",
+                         num_shards=1).collect()
+    by_id = {r.id: r for r in out}
+    # greedy in id order within one shard: 1 alone+2 won't fit → [1], [2], ...
+    assert by_id[1].seq_id != by_id[2].seq_id  # 60+60 > 100
+    assert by_id[4].truncate and by_id[4].seq_pos == 0
+    seq4 = [r for r in out if r.seq_id == by_id[4].seq_id]
+    assert len(seq4) == 1  # oversized doc gets its own sequence
+
+
+def test_requires_a_token_source(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(LensError):
+        pack_sequences(df, "id", max_tokens=10)
+
+
+def test_lens_registration(docs):
+    spec = {"lenses": [{"name": "pack_sequences", "arguments": {
+        "id": "doc_id", "column": "text", "max_tokens": BUDGET}}]}
+    out = engine.append(docs, spec)
+    assert {"doc_id", "n_tokens", "seq_id", "seq_pos", "truncate"} <= set(out.columns)
+    assert out.count() == docs.count()
