@@ -931,73 +931,95 @@ def q_x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declared contract queries, **in driver-significance order**.
+
+    The external correctness harness checks the first 50 dict entries;
+    ordering is therefore part of the contract (round-2 lesson: an
+    insertion mid-dict silently evicted ``range_join_events`` from the
+    checked window). Layout, pinned by tests/test_entry_contract.py:
+
+    1. slots 1-50 — hash-checkable queries only (every one has an
+       ``oracle_sql`` entry), at least one per SURVEY §2 operator;
+    2. slots 51-57 — hash-checkable queries whose operator is already
+       covered by an in-window sibling (m2_inverse_roundtrip by
+       e8_inversion_roundtrip + m2_add; m5_counter by m5_counter_large;
+       x2_minhash_pairs by x2_jaccard_verified; arith_pipeline by
+       e1_composition + m2_add; m4_rename_chain by m1_rename;
+       agg_pricing_summary by rollup_revenue/grouping_sets_qty;
+       x6_exact_distinct by x6_quantiles);
+    3. tail — the 10 rows-only (``no_oracle``) queries, each backed by
+       an accuracy/equivalence pytest instead of a DuckDB hash.
+    """
     return {
+        # --- slots 1-50: hash-checkable, one per operator -------------
         "m1_rename": q_m1_rename,
         "m2_add": q_m2_add,
-        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
-        "m4_rename_chain": q_m4_rename_chain,
-        "m5_counter": q_m5_counter,
         "m5_counter_large": q_m5_counter_large,
         "m6_filter": q_m6_filter,
         "m7_explode": q_m7_explode,
         "e1_composition": q_e1_composition,
-        "arith_pipeline": q_arith_pipeline,
         "s4_transform_by_id": q_s4_transform_by_id,
         "e7_identity": q_e7_identity,
         "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
         "x1_dedup_exact": q_x1_dedup_exact,
-        "x2_minhash_pairs": q_x2_minhash_pairs,
         "x2_jaccard_verified": q_x2_jaccard_verified,
-        "x2_simhash": q_x2_simhash,
         "x2_embedding_neardup": q_x2_embedding_neardup,
-        "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
-        "x2_dedup_neardup": q_x2_dedup_neardup,
-        "x2_neardup_incremental": q_x2_neardup_incremental,
+        "x2_ngram_jaccard": q_x2_ngram_jaccard,
+        "x2_decontaminate": q_x2_decontaminate,
         "join_enriched_orders": q_join_enriched_orders,
+        "join_semi_customers": q_join_semi_customers,
+        "join_anti_customers": q_join_anti_customers,
+        "range_join_events": q_range_join_events,
+        "asof_last_event": q_asof_last_event,
         "window_topk_orders": q_window_topk_orders,
+        "window_running_revenue": q_window_running_revenue,
         "rollup_revenue": q_rollup_revenue,
+        "grouping_sets_qty": q_grouping_sets_qty,
+        "stats_aggregates": q_stats_aggregates,
+        "pivot_status_revenue": q_pivot_status_revenue,
+        "unpivot_price_measures": q_unpivot_price_measures,
         "sets_except": q_sets_except,
         "python_udf_bucket": q_python_udf_bucket,
-        "asof_last_event": q_asof_last_event,
         "json_extract": q_json_extract,
+        "scalar_functions": q_scalar_functions,
         "events_sessionized": q_events_sessionized,
         "events_session_agg": q_events_session_agg,
+        "events_windowed": q_events_windowed,
         "x3_similarity_topk": q_x3_similarity_topk,
-        "x3_ann_topk": q_x3_ann_topk,
+        "x3_quantize_embedding": q_x3_quantize_embedding,
         "x5_lang_id": q_x5_lang_id,
         "x5_text_stats": q_x5_text_stats,
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
-        "x4_media_metadata": q_x4_media_metadata,
-        "x4_image_features": q_x4_image_features,
-        "x4_frame_sample": q_x4_frame_sample,
-        "x6_exact_distinct": q_x6_exact_distinct,
-        "x6_quantiles": q_x6_quantiles,
-        "x6_approx_quantiles": q_x6_approx_quantiles,
-        "x6_approx_distinct": q_x6_approx_distinct,
-        "events_windowed": q_events_windowed,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_semi_customers": q_join_semi_customers,
-        "join_anti_customers": q_join_anti_customers,
-        "pivot_status_revenue": q_pivot_status_revenue,
-        "unpivot_price_measures": q_unpivot_price_measures,
-        "grouping_sets_qty": q_grouping_sets_qty,
-        "window_running_revenue": q_window_running_revenue,
-        "range_join_events": q_range_join_events,
-        "x2_ngram_jaccard": q_x2_ngram_jaccard,
-        "x3_ivf_topk": q_x3_ivf_topk,
-        "x7_sample_hash": q_x7_sample_hash,
-        "x7_hash_split": q_x7_hash_split,
         "x5_top_tokens": q_x5_top_tokens,
-        "scalar_functions": q_scalar_functions,
-        "stats_aggregates": q_stats_aggregates,
         "x5_repetition_stats": q_x5_repetition_stats,
         "x5_quality_filter": q_x5_quality_filter,
         "x5_pii_redact": q_x5_pii_redact,
-        "x2_decontaminate": q_x2_decontaminate,
+        "x7_sample_hash": q_x7_sample_hash,
+        "x7_hash_split": q_x7_hash_split,
+        "x7_stratified_sample": q_x7_stratified_sample,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
         "x8_bm25": q_x8_bm25,
-        "x7_stratified_sample": q_x7_stratified_sample,
-        "x3_quantize_embedding": q_x3_quantize_embedding,
+        "x4_media_metadata": q_x4_media_metadata,
+        "x4_image_features": q_x4_image_features,
+        "x6_quantiles": q_x6_quantiles,
+        # --- slots 51-57: hash-checkable, operator covered above ------
+        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
+        "m4_rename_chain": q_m4_rename_chain,
+        "m5_counter": q_m5_counter,
+        "arith_pipeline": q_arith_pipeline,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "x2_minhash_pairs": q_x2_minhash_pairs,
+        "x6_exact_distinct": q_x6_exact_distinct,
+        # --- tail: rows-only (no_oracle), pytest-backed ---------------
+        "x2_simhash": q_x2_simhash,
+        "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
+        "x2_dedup_neardup": q_x2_dedup_neardup,
+        "x2_neardup_incremental": q_x2_neardup_incremental,
+        "x3_ann_topk": q_x3_ann_topk,
+        "x3_ivf_topk": q_x3_ivf_topk,
+        "x4_frame_sample": q_x4_frame_sample,
+        "x6_approx_quantiles": q_x6_approx_quantiles,
+        "x6_approx_distinct": q_x6_approx_distinct,
         "x8_pack_sequences": q_x8_pack_sequences,
     }
 

@@ -47,3 +47,32 @@ def test_every_oracle_is_valid_sql_with_matching_columns(spark, con):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+def test_driver_window_holds_only_hash_checkable_queries():
+    """The external harness checks the first 50 queries() entries in
+    dict order (round-2 lesson: a mid-dict insertion evicted
+    range_join_events from the window). Pin the layout: every one of
+    the first 50 has an oracle, rows-only entries sit at the tail, and
+    every operator family has in-window coverage."""
+    qkeys = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    window = qkeys[:50]
+    missing = [k for k in window if k not in oracles]
+    assert not missing, f"rows-only queries inside the checked window: {missing}"
+    # every rows-only query is declared after every hash-checkable one
+    first_rows_only = min(
+        (i for i, k in enumerate(qkeys) if k not in oracles), default=len(qkeys))
+    last_hash = max(i for i, k in enumerate(qkeys) if k in oracles)
+    assert last_hash < first_rows_only, (
+        "hash-checkable query declared after a rows-only one")
+    # the 15 queries unchecked in round 2 + the round-2 regression
+    must_be_in_window = {
+        "range_join_events", "x2_ngram_jaccard", "x7_sample_hash",
+        "x7_hash_split", "x5_top_tokens", "scalar_functions",
+        "stats_aggregates", "x5_repetition_stats", "x5_quality_filter",
+        "x5_pii_redact", "x2_decontaminate", "x8_tfidf_top_terms",
+        "x8_bm25", "x7_stratified_sample", "x3_quantize_embedding",
+    }
+    out = must_be_in_window - set(window)
+    assert not out, f"required queries outside the checked window: {out}"
