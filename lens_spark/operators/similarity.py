@@ -3,9 +3,10 @@
 Two paths:
 - ``brute_force_topk``: exact top-k by cosine. The query set is
   broadcast (it is small by construction); the corpus is scanned once,
-  scored JVM-side, and ranked with a per-query window. At 100 TB the
-  scan parallelizes freely; the only shuffle is the per-query top-k
-  (tiny after per-partition pre-ranking).
+  scored JVM-side, and ranked with a two-stage top-k: a partition-local
+  rank prunes each (query, partition) group to ≤k rows before the
+  per-query window, so no single task ever sorts a whole query's
+  candidate set (see ``_rank_topk``).
 - ``ann_topk``: LSH-bucketed approximate NN via random-hyperplane
   signs. Hyperplanes are derived deterministically from a seed via
   xxhash64 (no stored model); corpus and queries hash to sign-bit
@@ -27,11 +28,33 @@ from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, r
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+    """Two-stage top-k, the 100 TB-safe shape.
+
+    A single ``row_number() OVER (PARTITION BY query_id)`` funnels every
+    scored row for one query into one task — at corpus scale a single
+    query's candidates serialize through one core. Instead: rank within
+    ``(query_id, input-partition)`` first and keep ≤k rows per group (a
+    per-query top-k is invariant under pruning each partition to its
+    local top-k by the same total order), so the final per-query window
+    sorts ≤ k · num_partitions rows. The first exchange spreads the
+    full scored set *evenly* over (query, pid) groups; the second moves
+    only the pruned survivors.
+
+    ``spark_partition_id()`` is materialized via a Project first —
+    nondeterministic expressions are not allowed directly in a window
+    PARTITION BY clause.
+    """
+    order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    local_w = Window.partitionBy(query_id, "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
     )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 

@@ -74,6 +74,22 @@ def test_broadcast_join_has_no_shuffle_on_fact_side(spark, orders):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_brute_topk_preranks_before_global_window(spark):
+    """brute_force_topk must prune per (query, input-partition) before
+    the per-query window: two Window stages, the first partitioned by
+    spark_partition_id, so no single task sorts a whole query's
+    candidate set."""
+    from lens_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(5)
+    out = brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=10)
+    plan = _plan(out)
+    assert plan.count("Window") >= 2, "pre-rank stage missing"
+    assert "SPARK_PARTITION_ID" in plan.upper(), (
+        "local pre-rank must partition by spark_partition_id")
+
+
 def test_embedding_neardup_lsh_plan_has_no_quadratic_join(spark):
     """The flagship embedding near-dup must stay bucketed: an equi-join
     on the LSH bucket key, never a cartesian/nested-loop pair blowup."""
