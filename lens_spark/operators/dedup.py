@@ -28,6 +28,7 @@ from lens_spark.functions.hashing import (
     simhash64,
     word_shingles,
 )
+from lens_spark.errors import LensError
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
@@ -104,18 +105,22 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        sig: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    ``cache`` persists the (id, band_hash) table before the self-join —
-    without it both join sides re-run the whole shingle→signature
-    pipeline (2× the dominant cost; at production scale you'd
-    checkpoint the signature table to storage instead). The persisted
-    table is num_bands rows × (id, 32-char hash) per doc — small
-    relative to the corpus; evict with spark.catalog.clearCache().
+    ``cache`` lazily localCheckpoints the (id, band_hash) table before
+    the self-join — without it both join sides re-run the whole
+    shingle→signature pipeline (2× the dominant cost; at production
+    scale you'd checkpoint the signature table to storage instead).
+    Unlike a bare ``persist()`` (the round-2 leak class), checkpoint
+    blocks are released by the ContextCleaner once the result goes out
+    of reference — nothing stays pinned for the session and
+    construction stays lazy (eager=False: first action materializes).
+    The table is num_bands rows × (id, 32-char hash) per doc — small
+    relative to the corpus.
     """
     bands = minhash_bands(df, id_col, text_col, num_hashes=num_hashes,
                           ngram=ngram, band_size=band_size, shingle=shingle,
                           sig=sig)
     if cache:
-        bands = bands.persist()
+        bands = bands.localCheckpoint(eager=False)
     if max_bucket is not None:
         # Cap pathological buckets before the self-join (skew guard).
         sizes = bands.groupBy("band_hash").count()
@@ -182,7 +187,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
         # instead of raw shingle strings (collision odds ~n²/2⁶⁴ — nil).
         "__id", F.xxhash64("__s0").alias("__s"),
     )
-    shingled = shingled.persist()
+    # Lazy localCheckpoint, not persist(): the table feeds up to four
+    # plan legs (sizes, df-cut, both self-join sides) and must compute
+    # once — but a bare persist() stays pinned for the session (the
+    # counter.py round-2 leak class). Checkpoint blocks are freed by
+    # the ContextCleaner when the result goes out of reference, and
+    # eager=False keeps construction lazy.
+    shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy("__id").agg(F.count("*").alias("__n"))
     if max_df is not None:
         dfreq = shingled.groupBy("__s").agg(F.count("*").alias("__df"))
@@ -231,52 +242,58 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     """
     # The pair pipeline (typically LSH join + verify) feeds several
     # actions below (threshold probe, then collect OR the two edge-union
-    # legs) — persist it once instead of re-running it per action.
+    # legs) — persist it once instead of re-running it per action. The
+    # try/finally spans *every* action that reads it, so the cache is
+    # released on all exception paths, not just the happy one.
     pairs = pairs.persist()
-    n_pairs = pairs.limit(driver_threshold + 1).count()
-    if n_pairs <= driver_threshold:
-        try:
+    try:
+        n_pairs = pairs.limit(driver_threshold + 1).count()
+        if n_pairs <= driver_threshold:
             rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
-        finally:
-            pairs.unpersist()
-        parent: dict = {}
+            parent: dict = {}
 
-        def find(x):
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]  # path halving
+                    x = parent[x]
+                return x
 
-        for r in rows:
-            ra, rb = find(r[0]), find(r[1])
-            if ra != rb:
-                # union by min so the root IS the component label
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        data = [(x, find(x)) for x in list(parent)]
-        schema_t = dict(pairs.dtypes)[id_a]
-        return pairs.sparkSession.createDataFrame(
-            data or [], f"id {schema_t}, component {schema_t}")
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()  # reused every iteration — never recompute the pair pipeline
-    )
-    # localCheckpoint (not persist) on the label table: labels feed THREE
-    # plan legs per iteration (neighbor-min join, propagate join, jump
-    # lookup), so without logical-plan truncation the plan tree grows
-    # ~3x per round — exponential analysis cost long before any data
-    # moves. Checkpoint blocks are reclaimed by the ContextCleaner as
-    # old iterations go out of reference.
-    labels = (
-        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    # building labels materialized (and cached) edges — the raw pair
-    # pipeline is no longer needed
-    pairs.unpersist()
+            for r in rows:
+                ra, rb = find(r[0]), find(r[1])
+                if ra != rb:
+                    # union by min so the root IS the component label
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            data = [(x, find(x)) for x in list(parent)]
+            schema_t = dict(pairs.dtypes)[id_a]
+            return pairs.sparkSession.createDataFrame(
+                data or [], f"id {schema_t}, component {schema_t}")
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()
+            .persist()  # reused every iteration — never recompute the pair pipeline
+        )
+        try:
+            # localCheckpoint (not persist) on the label table: labels feed
+            # THREE plan legs per iteration (neighbor-min join, propagate
+            # join, jump lookup), so without logical-plan truncation the
+            # plan tree grows ~3x per round — exponential analysis cost
+            # long before any data moves. Checkpoint blocks are reclaimed
+            # by the ContextCleaner as old iterations go out of reference.
+            labels = (
+                edges.select("src")
+                .union(edges.select(F.col("dst").alias("src"))).distinct()
+                .select(F.col("src").alias("id"), F.col("src").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+        except Exception:
+            edges.unpersist()
+            raise
+    finally:
+        # building labels materialized (and cached) edges — the raw pair
+        # pipeline is no longer needed on any path
+        pairs.unpersist()
     try:
         converged = False
         for _ in range(max_iter):

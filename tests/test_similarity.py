@@ -96,3 +96,19 @@ def test_embedding_neardup_lsh_is_verified_subset(spark, emb):
         assert exact[pair] == cos
     # and recall is meaningful at these parameters
     assert len(lsh) >= 0.5 * len(exact) > 0
+
+
+def test_embedding_neardup_error_paths_raise_lens_error(spark, emb):
+    """Round-2 regression: these raised NameError (LensError referenced
+    but never imported in dedup.py) instead of the intended error."""
+    import pytest
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+
+    with pytest.raises(LensError, match="needs dim"):
+        embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                threshold=0.4, method="lsh")
+    with pytest.raises(LensError, match="unknown method"):
+        embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                threshold=0.4, method="bogus")
