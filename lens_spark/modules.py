@@ -57,6 +57,26 @@ def module_paths_allowed() -> bool:
         "1", "true", "yes")
 
 
+_WASM_MAGIC = b"\x00asm"  # WebAssembly binary magic (public wasm spec §5.5.16)
+
+
+def _wasm_error(path: str) -> LensError:
+    return LensError(
+        f"WASM lens modules are not supported ({path!r}): this engine is "
+        "Spark-native and loads Python batch-fn modules (a .py source "
+        "defining transform(batches, params) + OUTPUT_SCHEMA) via "
+        "file:/data: paths — re-express the lens as a Python module; "
+        "see README"
+    )
+
+
+def _looks_like_wasm_path(path: str) -> bool:
+    if path.startswith("data:"):
+        header = path[len("data:"):].partition(",")[0]
+        return "wasm" in header.lower()
+    return urllib.parse.urlparse(path).path.lower().endswith(".wasm")
+
+
 def _read_source(path: str) -> bytes:
     if path.startswith("data:"):
         header, sep, payload = path[len("data:"):].partition(",")
@@ -75,7 +95,13 @@ def _read_source(path: str) -> bytes:
 def load_module_path(path: str) -> str:
     """Resolve a ``file:``/``data:`` module path to a registered lens
     name (content-addressed, idempotent). Raises unless the explicit
-    opt-in is active."""
+    opt-in is active. A ``.wasm`` path or payload gets its own explicit
+    rejection (opt-in or not) — the reference's loadable unit is a WASM
+    binary (host-go/engine/engine.go:67-104); ours is a Python module,
+    and exec-ing a binary as Python would die with a useless generic
+    error."""
+    if _looks_like_wasm_path(path):
+        raise _wasm_error(path)
     if not module_paths_allowed():
         raise LensError(
             f"unsupported module path {path!r}: executing external lens "
@@ -86,6 +112,8 @@ def load_module_path(path: str) -> str:
             "(WASM and http(s) modules are never executed)"
         )
     source = _read_source(path)
+    if source[:4] == _WASM_MAGIC:
+        raise _wasm_error(path)
     digest = hashlib.sha256(source).hexdigest()
     if digest in _LOADED:
         return _LOADED[digest]

@@ -35,6 +35,30 @@ def test_module_paths_rejected_by_default():
         LensConfig.from_dict({"lenses": [{"path": "https://x.test/lens.wasm"}]})
 
 
+def test_wasm_module_paths_get_explicit_rejection(tmp_path, module_paths_enabled):
+    """A reference lens file pointing at a .wasm binary must fail with
+    the golden WASM message — never be exec'd as Python source (round-2
+    gap: it died with a generic 'failed to load')."""
+    # by path extension, even before any read
+    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+        LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.wasm"}]})
+    # by data: mime
+    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+        LensConfig.from_dict(
+            {"lenses": [{"path": "data:application/wasm;base64,AGFzbQE="}]})
+    # by payload magic, whatever the extension claims
+    p = tmp_path / "sneaky.py"
+    p.write_bytes(b"\x00asm\x01\x00\x00\x00")
+    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+        LensConfig.from_dict({"lenses": [{"path": f"file:{p}"}]})
+    # and the rejection fires with the opt-in OFF too
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(False)
+    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+        LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.wasm"}]})
+
+
 _MODULE_SRC = """
 import pandas as pd
 
