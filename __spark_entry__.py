@@ -425,10 +425,13 @@ def q_x2_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x2_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-over-batch near-dup dedup against a persistent MinHash
-    index: even doc_ids are ingested as the accepted corpus, then odd
-    doc_ids dedup against it (plus within-batch). Rows-only: the
+    index: even doc_ids are ingested as the accepted corpus, then a 5%
+    batch dedups against it (plus within-batch) — the realistic
+    incremental-ingest shape (large standing corpus, small arriving
+    batch; a 50/50 split benched corpus *bootstrap*, not ingest, and
+    dominated the round-2 headline at 19%). Rows-only: the
     component-collapse + index round-trip isn't single-query SQL;
-    semantics are pinned by tests/test_operators.py."""
+    two-batch semantics are pinned by tests/test_operators.py."""
     from lens_spark.operators.dedup import neardup_incremental
 
     docs = _read(spark, sf_dir, "documents")
@@ -437,7 +440,7 @@ def q_x2_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
               band_size=MH_BAND_SIZE, threshold=JACCARD_THRESHOLD)
     neardup_incremental(docs.filter("doc_id % 2 = 0"), index,
                         "doc_id", "text", **kw)
-    out = neardup_incremental(docs.filter("doc_id % 2 = 1"), index,
+    out = neardup_incremental(docs.filter("doc_id % 20 = 1"), index,
                               "doc_id", "text", update_index=False, **kw)
     return out.select("doc_id", "source")
 

@@ -45,6 +45,8 @@ HEADLINE = [
     "x2_ngram_jaccard",      # exact all-pairs jaccard, inverted-index join
     "x3_ann_topk",           # hyperplane-LSH ANN (vectorized bucket UDF)
     "x7_hash_split",         # deterministic md5-range train/test split
+    "x5_quality_filter",     # Gopher-style quality bounds (narrow exprs)
+    "x2_decontaminate",      # benchmark n-gram semi/anti join decontamination
 ]
 
 

@@ -104,9 +104,8 @@ def fingerprint(text: Column) -> Column:
 # embarrassingly parallel, no shuffle.
 # ---------------------------------------------------------------------------
 
-def mean_word_length(text: Column) -> Column:
-    """Mean token length over whitespace tokens (0.0 for empty docs)."""
-    toks = tokens(text, lowercase=False)
+def mean_word_length_of(toks: Column) -> Column:
+    """Mean token length over a token array (0.0 for empty docs)."""
     total = F.aggregate(toks, F.lit(0).cast("bigint"),
                         lambda acc, x: acc + F.length(x))
     return F.when(F.size(toks) > 0,
@@ -114,27 +113,51 @@ def mean_word_length(text: Column) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
-def unique_token_ratio(text: Column) -> Column:
-    """Lexical diversity: distinct tokens / tokens (lowercased)."""
-    toks = tokens(text)
+def mean_word_length(text: Column) -> Column:
+    """Mean token length over whitespace tokens (0.0 for empty docs)."""
+    return mean_word_length_of(tokens(text))
+
+
+def unique_token_ratio_of(toks: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
     return F.when(F.size(toks) > 0,
                   F.size(F.array_distinct(toks)).cast("double")
                   / F.size(toks).cast("double")).otherwise(F.lit(0.0))
 
 
-def _top_fraction(items: Column) -> Column:
-    """Fraction of the list covered by its most frequent element."""
-    counts = F.transform(
-        F.array_distinct(items),
-        lambda d: F.size(F.filter(items, lambda x: x == d)))
+def unique_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (lowercased)."""
+    return unique_token_ratio_of(tokens(text))
+
+
+def top_fraction_of(items: Column) -> Column:
+    """Fraction of the list covered by its most frequent element.
+
+    Sort, then fold once keeping (prev, current-run, best-run) — the
+    longest equal-run of the sorted list IS the top frequency. O(n log
+    n) per row; the first cut mapped distinct→filter→count, which is
+    O(distinct·n) string comparisons per row and made the Gopher
+    quality pass ~25× slower end-to-end. The null initial ``prev``
+    never equals a real element, so the first run starts at 1.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"), F.lit(0).alias("best"))
+    run = lambda acc, x: F.when(  # noqa: E731 — local expr shorthand
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+    best = F.aggregate(
+        F.array_sort(items), acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"), run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best")),
+        lambda acc: acc["best"])
     return F.when(F.size(items) > 0,
-                  F.array_max(counts).cast("double")
-                  / F.size(items).cast("double")).otherwise(F.lit(0.0))
+                  best.cast("double") / F.size(items).cast("double")
+                  ).otherwise(F.lit(0.0))
 
 
-def bigrams(text: Column) -> Column:
-    """Adjacent lowercased token bigrams joined with one space."""
-    toks = tokens(text)
+def bigrams_of(toks: Column) -> Column:
+    """Adjacent bigrams of a token array, joined with one space."""
     n = F.size(toks)
     return F.when(
         n >= 2,
@@ -144,15 +167,20 @@ def bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def bigrams(text: Column) -> Column:
+    """Adjacent lowercased token bigrams joined with one space."""
+    return bigrams_of(tokens(text))
+
+
 def top_token_fraction(text: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token —
     high values flag keyword-stuffed / repetitive documents."""
-    return _top_fraction(tokens(text))
+    return top_fraction_of(tokens(text))
 
 
 def top_bigram_fraction(text: Column) -> Column:
     """Fraction of bigrams taken by the most frequent bigram."""
-    return _top_fraction(bigrams(text))
+    return top_fraction_of(bigrams(text))
 
 
 # ---------------------------------------------------------------------------

@@ -77,23 +77,37 @@ def fingerprint_lens(arguments: Mapping[str, Any]) -> Lens:
 # ---------------------------------------------------------------------------
 
 def repetition_stats(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
-    """Append the repetition/diversity metric block (Gopher-style)."""
+    """Append the repetition/diversity metric block (Gopher-style).
+
+    Tokenizes ONCE into a shared array column that every metric reads
+    (CollapseProject keeps a multiply-referenced non-trivial alias in
+    its own Project, so the split really is evaluated once per row —
+    the first cut re-split the text five times), then O(n log n)
+    run-length top-fractions. All narrow; no shuffle at any scale.
+    """
     from lens_spark.functions.text import (
-        mean_word_length,
-        top_bigram_fraction,
-        top_token_fraction,
-        unique_token_ratio,
-        whitespace_token_count,
+        bigrams_of,
+        mean_word_length_of,
+        tokens,
+        top_fraction_of,
+        unique_token_ratio_of,
     )
 
-    t = F.col(text_col)
-    df = ensure_parallelism(df)  # O(tokens·distinct) per row; fan out
+    toks_col = f"__{prefix}rs_toks"
+    df = ensure_parallelism(df)
+    toks = F.col(toks_col)
     return (
-        df.withColumn(f"{prefix}n_tokens", whitespace_token_count(t))
-        .withColumn(f"{prefix}mean_word_len", F.round(mean_word_length(t), 6))
-        .withColumn(f"{prefix}unique_ratio", F.round(unique_token_ratio(t), 6))
-        .withColumn(f"{prefix}top_token_frac", F.round(top_token_fraction(t), 6))
-        .withColumn(f"{prefix}top_bigram_frac", F.round(top_bigram_fraction(t), 6))
+        df.withColumn(toks_col, tokens(F.col(text_col)))
+        .withColumn(f"{prefix}n_tokens", F.size(toks).cast("bigint"))
+        .withColumn(f"{prefix}mean_word_len",
+                    F.round(mean_word_length_of(toks), 6))
+        .withColumn(f"{prefix}unique_ratio",
+                    F.round(unique_token_ratio_of(toks), 6))
+        .withColumn(f"{prefix}top_token_frac",
+                    F.round(top_fraction_of(toks), 6))
+        .withColumn(f"{prefix}top_bigram_frac",
+                    F.round(top_fraction_of(bigrams_of(toks)), 6))
+        .drop(toks_col)
     )
 
 
