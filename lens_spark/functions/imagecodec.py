@@ -59,8 +59,10 @@ def decode_png(data: bytes) -> dict[str, Any]:
         chunk = data[pos + 8:pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(chunk) < 13:
+                raise ImageFormatError("PNG: truncated IHDR chunk")
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", chunk)
+                struct.unpack(">IIBBBBB", chunk[:13])
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
@@ -76,7 +78,12 @@ def decode_png(data: bytes) -> dict[str, Any]:
         raise ImageFormatError("PNG: interlaced images not supported")
     mode = _COLOR_TYPE_TO_MODE[color_type]
     ch = _MODE_CHANNELS[mode]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the documented contract: malformed-but-header-valid
+        # payloads still raise ImageFormatError, never a bare zlib.error
+        raise ImageFormatError(f"PNG: corrupt IDAT stream ({exc})") from exc
     stride = width * ch
     if len(raw) != (stride + 1) * height:
         raise ImageFormatError("PNG: IDAT size does not match dimensions")
@@ -143,7 +150,15 @@ def decode_bmp(data: bytes) -> dict[str, Any]:
             f"BMP: only 24-bit uncompressed supported (bpp={bpp}, comp={compression})")
     bottom_up = height > 0
     height = abs(height)
+    if width < 0:
+        raise ImageFormatError("BMP: negative width")
     row_size = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(data) < pixel_offset + row_size * height:
+        # truncated pixel array: fail the documented contract up front
+        # instead of a bare ValueError from the per-pixel unpack below
+        raise ImageFormatError(
+            "BMP: payload shorter than the declared pixel array "
+            f"(need {pixel_offset + row_size * height} bytes, have {len(data)})")
     out = bytearray(width * height * 3)
     for y in range(height):
         src_y = (height - 1 - y) if bottom_up else y
@@ -182,11 +197,16 @@ def _try_pillow(data: bytes) -> dict[str, Any] | None:
         from PIL import Image  # type: ignore
     except ImportError:
         return None
-    img = Image.open(io.BytesIO(data))
-    if img.mode not in _MODE_CHANNELS:
-        img = img.convert("RGB")
-    return {"width": img.width, "height": img.height, "mode": img.mode,
-            "channels": _MODE_CHANNELS[img.mode], "pixels": img.tobytes()}
+    try:
+        img = Image.open(io.BytesIO(data))
+        if img.mode not in _MODE_CHANNELS:
+            img = img.convert("RGB")
+        return {"width": img.width, "height": img.height, "mode": img.mode,
+                "channels": _MODE_CHANNELS[img.mode], "pixels": img.tobytes()}
+    except Exception:
+        # Pillow couldn't identify/decode it — fall through to the pure
+        # decoders, whose errors honor the ImageFormatError contract.
+        return None
 
 
 def decode_image_auto(data: bytes) -> dict[str, Any]:

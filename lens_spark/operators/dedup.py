@@ -34,8 +34,17 @@ from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
+def _identity_columns(df: DataFrame) -> list[str]:
+    """Default identity columns: everything except reserved engine
+    metadata (``__lens_``-prefixed, e.g. the CLI's nil-row flag) — so a
+    spec run through the CLI dedups identically to the library API."""
+    from lens_spark.operators.udf import META_PREFIX
+
+    return [c for c in df.columns if not c.startswith(META_PREFIX)]
+
+
 def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    return df.dropDuplicates(columns) if columns else df.dropDuplicates()
+    return df.dropDuplicates(columns or _identity_columns(df))
 
 
 def _shingles(text_col: str, ngram: int, shingle: str):
@@ -489,13 +498,13 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
 
     First call bootstraps an empty index at ``index_path``.
     """
-    from pathlib import Path
+    from lens_spark.sources import dataset_exists
 
-    cols = [str(c) for c in (columns or df.columns)]
+    cols = [str(c) for c in (columns or _identity_columns(df))]
     fp = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     batch = df.withColumn("__fp", fp).dropDuplicates(["__fp"])
     spark = df.sparkSession
-    if Path(index_path).exists():
+    if dataset_exists(spark, index_path):
         seen = spark.read.parquet(index_path)
         fresh = batch.join(seen, batch["__fp"] == seen["fp"], "left_anti")
     else:
@@ -544,7 +553,7 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
        (localCheckpointed first — appending to a path a lazy plan
        still reads would silently re-evaluate against the new files).
     """
-    from pathlib import Path
+    from lens_spark.sources import dataset_exists
 
     spark = df.sparkSession
     bands_path = f"{index_path}/bands"
@@ -592,7 +601,7 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
     bands = bands_all.join(batch_ids, id_col, "left_semi")
     try:
-        if Path(bands_path).exists():
+        if dataset_exists(spark, bands_path):
             corpus_bands = spark.read.parquet(bands_path) \
                 .withColumnRenamed(id_col, "__cid")
             cand = (bands.join(corpus_bands, "band_hash")

@@ -73,9 +73,23 @@ def per_item(fn: Callable[[dict[str, Any], Mapping[str, Any]], list[dict[str, An
     return batch_fn
 
 
+META_PREFIX = "__lens_"
+"""Reserved column prefix for engine metadata (e.g. the CLI's nil-row
+flag ``__lens_nil``). Metadata columns ride through native lenses but
+are hidden from user batch-fns so a module sees exactly the columns the
+library API would hand it."""
+
+
+def _strip_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        meta = [c for c in pdf.columns if c.startswith(META_PREFIX)]
+        yield pdf.drop(columns=meta) if meta else pdf
+
+
 def _bind(fn: BatchFn, params: Mapping[str, Any], permissive: bool,
           out_fields: list[str] | None = None):
     def bound(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = _strip_meta(batches)
         if not permissive:
             yield from fn(batches, params)
             return
@@ -124,7 +138,7 @@ def compose_batch_fns(stages: list[tuple[BatchFn, Mapping[str, Any]]]) -> Callab
     """Fuse N python lens stages into one iterator function (P2 analogue)."""
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        stream = batches
+        stream = _strip_meta(batches)
         for fn, params in stages:
             stream = fn(stream, params)
         return stream

@@ -15,6 +15,19 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def dataset_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so it answers
+    correctly for every URI scheme Spark itself can read (local paths,
+    ``hdfs:``, ``s3a:``, ...). A driver-local ``Path.exists()`` would
+    silently report a remote dataset as absent — for the incremental
+    dedup indexes that meant skipping corpus dedup and appending
+    duplicate rows whenever the index lived on cluster storage."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
                    **options) -> DataFrame:
     """Read a document table (any Spark-native format)."""

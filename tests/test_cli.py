@@ -155,6 +155,43 @@ def test_lens_file_with_module_path_needs_opt_in(spark, tmp_path, monkeypatch):
     allow_module_paths(False)
 
 
+_COLS_SPY_SRC = """
+OUTPUT_SCHEMA = "seen string"
+
+def transform(batches, params):
+    import pandas as pd
+    for pdf in batches:
+        yield pd.DataFrame({"seen": [",".join(sorted(pdf.columns))] * len(pdf)})
+"""
+
+
+def test_module_fn_never_sees_reserved_meta_columns(spark, tmp_path, monkeypatch):
+    # advisory fix: the CLI's hidden __lens_nil flag must not leak into
+    # user batch-fns — a module sees exactly the library-API columns
+    mod = tmp_path / "spy.py"
+    mod.write_text(_COLS_SPY_SRC)
+    spec = {"lenses": [{"path": f"file:{mod}"}]}
+    got = run_cli(tmp_path, monkeypatch, spec,
+                  [None, {"Age": 30, "Name": "John"}],
+                  extra_args=["--allow-module-paths"])
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(False)
+    seen = {d["seen"] for d in got if d is not None}
+    assert seen == {"Age,Name"}, f"module saw meta columns: {seen}"
+
+
+def test_cli_dedup_matches_library_semantics(spark, tmp_path, monkeypatch):
+    # all-columns dedup must ignore the hidden nil flag: identical docs
+    # dedup identically whether the spec runs via CLI or library API
+    spec = {"lenses": [{"name": "dedup_exact"}]}
+    got = run_cli(tmp_path, monkeypatch, spec,
+                  [{"Age": 1}, {"Age": 1}, None, {"Age": 2}])
+    assert sorted(
+        (json.dumps(d, sort_keys=True) for d in got)
+    ) == ["null", '{"Age": 1}', '{"Age": 2}']
+
+
 def test_nil_not_conflated_with_empty_doc(spark, tmp_path, monkeypatch):
     # [{}, null] must round-trip as [{}, null] — nil (TypeId=0) and an
     # empty json doc are distinct kinds in the reference protocol

@@ -137,6 +137,27 @@ def test_auto_dispatch_and_errors():
         decode_image_auto(b"")
 
 
+def test_malformed_but_header_valid_payloads_keep_error_contract():
+    """Truncated/corrupt payloads with valid magic+header must raise
+    ImageFormatError — not bare ValueError/zlib.error (advisory fix)."""
+    # corrupt PNG IDAT: valid signature + IHDR, garbage compressed data
+    png = encode_png(2, 2, "RGB", _pixels(2, 2, 3))
+    idat_at = png.find(b"IDAT") - 4
+    (idat_len,) = struct.unpack(">I", png[idat_at:idat_at + 4])
+    corrupt = (png[:idat_at + 8]
+               + b"\xff" * idat_len + png[idat_at + 8 + idat_len:])
+    with pytest.raises(ImageFormatError, match="corrupt IDAT"):
+        decode_png(corrupt)
+    # truncated PNG IHDR chunk
+    with pytest.raises(ImageFormatError, match="truncated IHDR"):
+        decode_png(PNG_SIGNATURE + struct.pack(">I", 4) + b"IHDR"
+                   + b"\x00" * 8)
+    # truncated BMP: header declares more pixel data than present
+    bmp = _bmp_24(4, 4, [[(1, 2, 3)] * 4] * 4)
+    with pytest.raises(ImageFormatError, match="shorter than the declared"):
+        decode_bmp(bmp[:60])
+
+
 def test_split_png_stream():
     frames = [encode_png(2, 2, "L", _pixels(2, 2, 1, seed=s)) for s in range(3)]
     stream = b"junk-prefix" + b"".join(frames)
