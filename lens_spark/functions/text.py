@@ -26,6 +26,23 @@ BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 PUNCT_PATTERN = r"[^\w\s]"
 
 
+def let_(value: Column, body) -> Column:
+    """Bind ``value`` ONCE per row and evaluate ``body`` against it.
+
+    Catalyst has no common-subexpression sharing across an interpreted
+    expression tree: referencing a Column twice embeds (and evaluates)
+    its whole subtree twice, and a filter pushed below a projection
+    re-inlines every aliased metric it references. Wrapping the value
+    in a one-element array and reading it back through a higher-order
+    ``transform`` lambda variable gives a true let-binding — the
+    subtree is evaluated once per row no matter how many times the
+    body references it. (This took ``quality_filter`` from ~11 s to
+    sub-second at sf0.1: the pushed-down condition was re-tokenizing
+    and re-sorting per predicate.)
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column, *, lowercase: bool = True) -> Column:
     """Whitespace tokens, empty strings removed."""
     t = F.lower(text) if lowercase else text
@@ -133,27 +150,37 @@ def unique_token_ratio(text: Column) -> Column:
 def top_fraction_of(items: Column) -> Column:
     """Fraction of the list covered by its most frequent element.
 
-    Sort, then fold once keeping (prev, current-run, best-run) — the
-    longest equal-run of the sorted list IS the top frequency. O(n log
-    n) per row; the first cut mapped distinct→filter→count, which is
-    O(distinct·n) string comparisons per row and made the Gopher
-    quality pass ~25× slower end-to-end. The null initial ``prev``
-    never equals a real element, so the first run starts at 1.
+    Sort, find the run boundaries (positions where sorted neighbors
+    differ), and take the longest gap between consecutive boundaries —
+    the longest equal-run of the sorted list IS the top frequency.
+    O(n log n) per row with one string comparison per adjacent pair.
+    The earlier struct-accumulator fold evaluated its run counter
+    twice per element and allocated a struct per step; before that, a
+    distinct→filter→count mapping was O(distinct·n) and ~25× slower
+    end-to-end. Both the sorted array and the boundary list are
+    let_-bound: HOF trees re-evaluate per reference otherwise.
     """
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"), F.lit(0).alias("best"))
-    run = lambda acc, x: F.when(  # noqa: E731 — local expr shorthand
-        x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
-    best = F.aggregate(
-        F.array_sort(items), acc0,
-        lambda acc, x: F.struct(
-            x.alias("prev"), run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best")),
-        lambda acc: acc["best"])
-    return F.when(F.size(items) > 0,
-                  best.cast("double") / F.size(items).cast("double")
-                  ).otherwise(F.lit(0.0))
+
+    def from_sorted(arr: Column) -> Column:
+        n = F.size(arr)
+        # 1-indexed positions where a run ends; n>=2 guard because
+        # sequence(1, 0) would count DOWN, not produce an empty range
+        bounds = F.when(
+            n >= 2,
+            F.filter(F.sequence(F.lit(1), n - 1),
+                     lambda i: F.element_at(arr, i) != F.element_at(arr, i + 1)),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def best_run(ends: Column) -> Column:
+            starts = F.concat(F.array(F.lit(0)),
+                              F.slice(ends, 1, F.size(ends) - 1))
+            return F.array_max(F.zip_with(ends, starts, lambda e, s: e - s))
+
+        best = let_(F.concat(bounds, F.array(n)), best_run)
+        return F.when(n > 0, best.cast("double") / n.cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    return let_(F.array_sort(items), from_sorted)
 
 
 def bigrams_of(toks: Column) -> Column:

@@ -12,12 +12,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.functions.text import (
+    bigrams_of,
     bpe_ish_token_count,
     fingerprint,
+    let_,
+    mean_word_length_of,
     predict_lang,
     punct_ratio,
     quality_score,
     stopword_ratio,
+    tokens,
+    top_fraction_of,
+    unique_token_ratio_of,
     whitespace_token_count,
 )
 from lens_spark.errors import LensError
@@ -128,6 +134,15 @@ _GOPHER_METRIC = {
 }
 
 
+_METRIC_EXPRS = {
+    "n_tokens": lambda toks: F.size(toks).cast("bigint"),
+    "mean_word_len": lambda toks: F.round(mean_word_length_of(toks), 6),
+    "unique_ratio": lambda toks: F.round(unique_token_ratio_of(toks), 6),
+    "top_token_frac": lambda toks: F.round(top_fraction_of(toks), 6),
+    "top_bigram_frac": lambda toks: F.round(top_fraction_of(bigrams_of(toks)), 6),
+}
+
+
 def quality_filter(df: DataFrame, text_col: str,
                    bounds: Mapping[str, float]) -> DataFrame:
     """Keep documents inside every configured metric bound.
@@ -136,20 +151,30 @@ def quality_filter(df: DataFrame, text_col: str,
     mirror the Gopher quality heuristics: token-count window, mean word
     length window, minimum lexical diversity, maximum single-token and
     single-bigram coverage (repetition guards).
+
+    The whole rule set compiles to ONE let_-bound filter expression —
+    tokenize once per row, evaluate every configured bound against the
+    bound array. The first cut filtered on `repetition_stats` output
+    columns; filter pushdown re-inlined each metric's full expression
+    tree into the condition, re-tokenizing and re-sorting per predicate
+    (~11 s → sub-second at sf0.1 for the same rows).
     """
     unknown = set(bounds) - {name for name, _ in _GOPHER_RULES}
     if unknown:
         raise LensError(f"quality_filter: unknown rules {sorted(unknown)}")
-    stats = repetition_stats(df, text_col, prefix="__qf_")
-    cond = F.lit(True)
-    for name, kind in _GOPHER_RULES:
-        if name not in bounds:
-            continue
-        col = F.col("__qf_" + _GOPHER_METRIC[name])
-        limit = F.lit(float(bounds[name]))
-        cond = cond & (col >= limit if kind == "lower" else col <= limit)
-    return stats.filter(cond).drop(*[c for c in stats.columns
-                                     if c.startswith("__qf_")])
+
+    def cond_body(toks):
+        cond = F.lit(True)
+        for name, kind in _GOPHER_RULES:
+            if name not in bounds:
+                continue
+            metric = _METRIC_EXPRS[_GOPHER_METRIC[name]](toks)
+            limit = F.lit(float(bounds[name]))
+            cond = cond & (metric >= limit if kind == "lower" else metric <= limit)
+        return cond
+
+    df = ensure_parallelism(df)
+    return df.filter(let_(tokens(F.col(text_col)), cond_body))
 
 
 @register_lens("repetition_stats")
