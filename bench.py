@@ -5,6 +5,20 @@ Prints ONE JSON line:
 
 Each query is forced to full materialization with the noop sink (no
 driver collect, no disk write) so timings measure the distributed plan.
+
+Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and
+`queries` reports the per-query MEDIAN; `query_stats` carries
+{median,min,max,runs} per query for variance visibility. Single-shot
+timing in this sandbox has been observed to swing untouched trivial
+queries 1.7-4x run-to-run, which made round-over-round headline deltas
+uninterpretable; the median of n>=3 is the official signal.
+
+Workload-comparability note for round-over-round deltas: in round 3
+`x2_neardup_incremental` deliberately changed shape (dedup batch
+shrank from doc_id%2=1 to doc_id%20=1 — the realistic "small batch vs
+large corpus" ingest shape), so its r3+ numbers are NOT comparable to
+r1/r2; and from round 4 the headline set itself may grow. Compare
+per-query medians, not totals, across rounds.
 """
 
 from __future__ import annotations
@@ -12,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -69,7 +84,10 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     warm = os.path.isdir(warm_dir)
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
         if warm:
@@ -78,9 +96,18 @@ def main() -> int:
                     fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
                 except Exception:
                     break
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(samples), 3)
+        stats[name] = {
+            "median": round(statistics.median(samples), 3),
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+            "runs": n_runs,
+        }
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -88,6 +115,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_stats": stats,
         "sf": sf,
     }))
     spark.stop()
