@@ -248,10 +248,23 @@ def q_x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x5_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate groups by normalized-text fingerprint."""
-    docs = _read(spark, sf_dir, "documents")
+    """Exact-duplicate groups by normalized-text fingerprint.
+
+    `documents` has no natural exact dups at small SF (a bare run returns
+    0 rows, which made the oracle hash-match vacuous), so union a
+    case/whitespace-mutated copy of the table (the x1_dedup_exact
+    doubling trick): every doc then forms a 2-member group iff
+    fingerprint normalization (lowercase + whitespace-collapse + trim)
+    actually canonicalizes the mutation. The corpus is ASCII, so
+    upper→lower round-trips identically in Spark and DuckDB.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" \t")).alias("text"),
+    )
     spec = {"lenses": [{"name": "fingerprint", "arguments": {"column": "text"}}]}
-    fp = engine.append(docs, spec)
+    fp = engine.append(docs.unionAll(mutated), spec)
     return (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1477,9 +1490,16 @@ SELECT doc_id,
 FROM documents
 """,
         "x5_fingerprint_dups": """
+WITH both_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || upper(text) || ' ' || chr(9) AS text
+    FROM documents
+)
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS first_doc
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM both_docs GROUP BY 1 HAVING count(*) > 1
 """,
         "x4_image_features": _image_features_oracle_sql(),
         "x4_media_metadata": (
