@@ -65,9 +65,12 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
             # output — an input {} (or a row whose fields all became
             # null) is NOT conflated with nil. The __lens_ prefix is
             # reserved engine metadata: python batch-fns never see such
-            # columns (udf._strip_meta) and all-columns operators exclude
-            # them from identity (dedup._identity_columns), so a spec
-            # behaves the same through the CLI and the library API.
+            # columns (udf._strip_meta). Dedup identity keeps the nil
+            # flag itself (dedup._identity_columns) — nil is a distinct
+            # item kind, so a nil row and a genuine all-null document
+            # never collapse into one survivor — while other transient
+            # meta columns stay out of identity, so a spec behaves the
+            # same through the CLI and the library API.
             had_nil = any(d is None for d in docs)
             if not docs or all(d is None or d == {} for d in docs):
                 json.dump([None if d is None else {} for d in docs], sys.stdout)

@@ -18,6 +18,17 @@ class LensNotFoundError(LensError):
     """Unknown built-in lens name / unresolvable module path."""
 
 
+class ConcurrentIndexWriterError(LensError):
+    """Another writer holds an incremental-dedup index's writer lock.
+
+    The incremental dedup flow is read-index → dedup → append-index;
+    two concurrent writers would each dedup against the pre-append
+    index and both accept the same (near-)duplicates — a lost update
+    the append itself cannot detect. Ingest jobs sharing an index must
+    serialize; this error is the engine refusing to corrupt the index.
+    """
+
+
 class InvalidLensIdError(LensError):
     """A registry id that is not a valid content id.
 

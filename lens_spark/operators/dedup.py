@@ -17,6 +17,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
@@ -28,19 +29,27 @@ from lens_spark.functions.hashing import (
     simhash64,
     word_shingles,
 )
-from lens_spark.errors import LensError
+from lens_spark.errors import ConcurrentIndexWriterError, LensError
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
 def _identity_columns(df: DataFrame) -> list[str]:
-    """Default identity columns: everything except reserved engine
-    metadata (``__lens_``-prefixed, e.g. the CLI's nil-row flag) — so a
-    spec run through the CLI dedups identically to the library API."""
-    from lens_spark.operators.udf import META_PREFIX
+    """Default identity columns: user columns plus the CLI's hidden
+    nil-row flag, excluding other reserved engine metadata.
 
-    return [c for c in df.columns if not c.startswith(META_PREFIX)]
+    Keeping ``__lens_nil`` in the identity preserves the reference's
+    item-kind distinction (TypeId=0 nil vs a JSON doc whose fields are
+    all null, host-go/engine/module/protocol.go:42-52): a nil item and
+    a genuine all-null document must NOT collapse into one dedup
+    survivor. Transient engine columns (counter partition ids etc.)
+    stay excluded so a spec run through the CLI dedups identically to
+    the library API."""
+    from lens_spark.operators.udf import META_PREFIX, NIL_COL
+
+    return [c for c in df.columns
+            if not c.startswith(META_PREFIX) or c == NIL_COL]
 
 
 def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -483,6 +492,64 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     )
 
 
+INDEX_LOCK_STALE_SEC = 3600
+"""A writer lock older than this is presumed abandoned (crashed writer
+that never reached its finally) and is broken by the next writer. Size
+it above your longest expected ingest batch."""
+
+
+@contextlib.contextmanager
+def _index_writer_lock(spark, index_path: str, *,
+                       stale_after_sec: float = INDEX_LOCK_STALE_SEC):
+    """Exclusive writer lease over an incremental-dedup index.
+
+    The incremental flow is read-index → dedup → append-index. Two
+    concurrent writers each dedup against the pre-append index and both
+    accept the same (near-)duplicates — a lost update that staging the
+    appends cannot detect, because the damage happens at *read* time.
+    So mutual exclusion covers the whole flow: the lock is taken before
+    the index is first read and released only after the appends commit.
+
+    Mechanism: atomic create-exclusive of ``<index>/_writer.lock`` via
+    the Hadoop FileSystem API (``createNewFile`` — atomic on local FS
+    and HDFS; on object stores without atomic create, e.g. bare S3,
+    this is best-effort, the same guarantee level as the Hadoop commit
+    protocol itself there). The leading underscore keeps the lock file
+    invisible to Spark's data-file listing. A lock older than
+    ``stale_after_sec`` is broken; a live one raises
+    ``ConcurrentIndexWriterError`` rather than corrupting the index.
+    """
+    import time
+
+    jvm = spark._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_writer.lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(index_path))
+    acquired = fs.createNewFile(lock)
+    if not acquired:
+        try:
+            age = time.time() \
+                - fs.getFileStatus(lock).getModificationTime() / 1000.0
+        except Exception:
+            # lock vanished between create and stat: a racing writer is
+            # mid-flight — treat as contended, not stale
+            age = 0.0
+        if age > stale_after_sec:
+            fs.delete(lock, False)
+            acquired = fs.createNewFile(lock)
+    if not acquired:
+        raise ConcurrentIndexWriterError(
+            f"incremental dedup index at {index_path!r} is locked by "
+            f"another writer ({index_path}/_writer.lock, held for less "
+            f"than {stale_after_sec:.0f}s). Ingest jobs sharing an index "
+            "must run serially; if the holder crashed, delete the lock "
+            "file or wait for the stale window to pass.")
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
 def dedup_incremental(df: DataFrame, index_path: str, *,
                       columns: list[str] | None = None,
                       update_index: bool = True) -> DataFrame:
@@ -496,28 +563,39 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
     shuffles only fingerprints; AQE broadcasts the batch side when it's
     small relative to the index.
 
-    First call bootstraps an empty index at ``index_path``.
+    First call bootstraps an empty index at ``index_path``. Writers are
+    serialized by ``_index_writer_lock`` (concurrent ingests would both
+    dedup against the pre-append index); read-only calls
+    (``update_index=False``) take no lock.
     """
-    from lens_spark.sources import dataset_exists
+    from lens_spark.sources import dataset_nonempty
 
     cols = [str(c) for c in (columns or _identity_columns(df))]
     fp = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     batch = df.withColumn("__fp", fp).dropDuplicates(["__fp"])
     spark = df.sparkSession
-    if dataset_exists(spark, index_path):
-        seen = spark.read.parquet(index_path)
-        fresh = batch.join(seen, batch["__fp"] == seen["fp"], "left_anti")
-    else:
-        fresh = batch
-    if update_index:
-        # Truncate lineage before appending: a persist is not enough —
-        # the append invalidates the scan cache for index_path and a
-        # later action would re-evaluate the anti-join against the
-        # just-updated index (returning nothing). localCheckpoint pins
-        # the survivors as stored partitions with no upstream plan.
-        fresh = fresh.localCheckpoint(eager=True)
-        fresh.select(F.col("__fp").alias("fp")).write.mode("append") \
-            .parquet(index_path)
+    lock = (_index_writer_lock(spark, index_path) if update_index
+            else contextlib.nullcontext())
+    with lock:
+        if dataset_nonempty(spark, index_path):
+            seen = spark.read.parquet(index_path)
+            fresh = batch.join(seen, batch["__fp"] == seen["fp"], "left_anti")
+        else:
+            fresh = batch
+        if update_index:
+            # Truncate lineage before appending: a persist is not enough —
+            # the append invalidates the scan cache for index_path and a
+            # later action would re-evaluate the anti-join against the
+            # just-updated index (returning nothing). localCheckpoint pins
+            # the survivors as stored partitions with no upstream plan.
+            # Fault-tolerance tradeoff: checkpoint blocks are
+            # executor-local and unreplicated — losing an executor after
+            # this point fails the job instead of recomputing. Acceptable
+            # here because the checkpoint is consumed within the same job
+            # (the append below) and ingest batches are retryable units.
+            fresh = fresh.localCheckpoint(eager=True)
+            fresh.select(F.col("__fp").alias("fp")).write.mode("append") \
+                .parquet(index_path)
     return fresh.drop("__fp")
 
 
@@ -531,13 +609,19 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     (which is batch-global), and the MinHash extension of
     ``dedup_incremental`` (which is exact-fingerprint only).
 
-    The index at ``index_path`` holds two parquet tables:
-    ``bands/`` (band_hash, id) and ``sigs/`` (id, sig array) — a few
-    hundred bytes per accepted doc regardless of document size. Flow:
+    The index at ``index_path`` is ONE parquet dataset ``parts/``
+    partitioned by ``kind`` (``kind=bands`` rows: (id, band_hash);
+    ``kind=sigs`` rows: (id, sig array)) — a few hundred bytes per
+    accepted doc regardless of document size. One dataset so the two
+    per-batch appends commit as one write job (one job's scheduling +
+    one pass over the survivor semi-joins instead of two); partition
+    pruning hands each reader only its own files. Flow:
 
     1. the batch is near-deduped internally (LSH self-join on the
        bands → minhash-estimate verify → components → min-id
-       representative);
+       representative); a batch with NO verified within-batch pairs —
+       the common case for small clean ingest batches — short-circuits
+       past the component machinery and its full-batch checkpoint;
     2. survivors' bands LSH-join against the stored band index — only
        bucket-mates are compared, never batch × corpus;
     3. candidates (both within-batch and vs-corpus) verify with the
@@ -552,12 +636,16 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     4. survivors' bands + signatures append to the index
        (localCheckpointed first — appending to a path a lazy plan
        still reads would silently re-evaluate against the new files).
+
+    Writers are serialized by ``_index_writer_lock`` held from the
+    first index read to the append commit (concurrent ingests would
+    each dedup against the pre-append index and both accept the same
+    near-dups); read-only calls (``update_index=False``) take no lock.
     """
-    from lens_spark.sources import dataset_exists
+    from lens_spark.sources import dataset_nonempty
 
     spark = df.sparkSession
-    bands_path = f"{index_path}/bands"
-    sigs_path = f"{index_path}/sigs"
+    parts_path = f"{index_path}/parts"
 
     # ONE signature pass for the whole batch (persisted): the shingle→md5
     # explode+groupBy is the dominant cost, and everything below —
@@ -565,74 +653,104 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     # derives from it.
     sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
                             ngram=ngram, shingle=shingle).persist()
-    sig_arr_all = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
-    bands_all = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*_band_exprs(num_hashes, band_size))
-                  ).alias("band_hash"))
-    est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
-                       " x -> x))") / F.lit(num_hashes))
-
-    # Within-batch near-dup: band self-join → estimate verify →
-    # components → drop non-representatives.
-    ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
-    bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
-    batch_pairs = (ba.join(bb, "band_hash")
-                   .filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b").distinct())
-    sa = sig_arr_all.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
-    sb = sig_arr_all.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
-    verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
-                .filter(est_expr >= F.lit(threshold))
-                .select("id_a", "id_b"))
-    comp = connected_components(verified)
-    losers = comp.filter(F.col("id") != F.col("component")).select("id")
-    # Checkpoint the within-batch survivors ONCE: their plan would
-    # otherwise re-execute for the corpus anti-join and the caller's
-    # action. Incremental ingest is inherently eager anyway — it
-    # updates an index.
-    batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
-        .localCheckpoint(eager=True)
-    batch_ids = batch.select(F.col(id_col))
-    # sig covers the pre-dedup batch; restrict the index side to the
-    # within-batch survivors (semi-joins against the checkpointed ids).
-    sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
-    bands = bands_all.join(batch_ids, id_col, "left_semi")
     try:
-        if dataset_exists(spark, bands_path):
-            corpus_bands = spark.read.parquet(bands_path) \
-                .withColumnRenamed(id_col, "__cid")
-            cand = (bands.join(corpus_bands, "band_hash")
-                    .select(id_col, "__cid").distinct())
-            corpus_sigs = spark.read.parquet(sigs_path).select(
-                F.col(id_col).alias("__cid"), F.col("sig").alias("__csig"))
-            est = (
-                cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
-                .withColumn(
-                    "__est_j",
-                    F.expr("size(filter(zip_with(sig, __csig,"
-                           " (a, b) -> a = b), x -> x))")
-                    / F.lit(num_hashes))
-            )
-            dup_ids = (est.filter(F.col("__est_j") >= threshold)
-                       .select(id_col).distinct())
-            fresh = batch.join(dup_ids, id_col, "left_anti")
+        sig_arr_all = sig.select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
+        bands_all = sig.select(
+            F.col(id_col),
+            F.explode(F.array(*_band_exprs(num_hashes, band_size))
+                      ).alias("band_hash"))
+        est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
+                           " x -> x))") / F.lit(num_hashes))
+
+        # Within-batch near-dup: band self-join → estimate verify →
+        # components → drop non-representatives.
+        ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
+        bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
+        batch_pairs = (ba.join(bb, "band_hash")
+                       .filter(F.col("id_a") < F.col("id_b"))
+                       .select("id_a", "id_b").distinct())
+        sa = sig_arr_all.select(F.col(id_col).alias("id_a"),
+                                F.col("sig").alias("__sa"))
+        sb = sig_arr_all.select(F.col(id_col).alias("id_b"),
+                                F.col("sig").alias("__sb"))
+        verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
+                    .filter(est_expr >= F.lit(threshold))
+                    .select("id_a", "id_b"))
+        if verified.isEmpty():
+            # Clean batch: no within-batch near-dups, so skip the
+            # component machinery AND the full-batch checkpoint — batch
+            # IS the caller's input; nothing below re-derives it. The
+            # isEmpty probe is a take(1) that early-exits on the first
+            # verified pair, so dirty batches pay only a partial pass.
+            batch = df
         else:
-            fresh = batch
-        if update_index:
-            # fresh's plan reads the index parquet we are about to append
-            # to (via dup_ids) — checkpoint BEFORE the append or a later
-            # action would re-evaluate against the new files. The band/
-            # sig writes below need no checkpoint: they derive only from
-            # the persisted sig table and the checkpointed fresh ids.
-            fresh = fresh.localCheckpoint(eager=True)
-            fresh_ids = fresh.select(id_col)
-            bands.join(fresh_ids, id_col, "left_semi") \
-                .write.mode("append").parquet(bands_path)
-            sig_arr.join(fresh_ids, id_col, "left_semi") \
-                .write.mode("append").parquet(sigs_path)
+            comp = connected_components(verified)
+            losers = comp.filter(F.col("id") != F.col("component")).select("id")
+            # Checkpoint the within-batch survivors ONCE: their plan
+            # would otherwise re-execute for the corpus anti-join and
+            # the caller's action. Incremental ingest is inherently
+            # eager anyway — it updates an index. (localCheckpoint
+            # blocks are executor-local/unreplicated: an executor loss
+            # fails the job rather than recomputing — acceptable, the
+            # ingest batch is the retryable unit.)
+            batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
+                .localCheckpoint(eager=True)
+        batch_ids = batch.select(F.col(id_col))
+        # sig covers the pre-dedup batch; restrict the index side to the
+        # within-batch survivors (semi-joins against the survivor ids).
+        sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
+        bands = bands_all.join(batch_ids, id_col, "left_semi")
+        lock = (_index_writer_lock(spark, index_path) if update_index
+                else contextlib.nullcontext())
+        with lock:
+            if dataset_nonempty(spark, parts_path):
+                parts = spark.read.parquet(parts_path)
+                corpus_bands = (parts.filter(F.col("kind") == "bands")
+                                .select(F.col(id_col).alias("__cid"),
+                                        "band_hash"))
+                cand = (bands.join(corpus_bands, "band_hash")
+                        .select(id_col, "__cid").distinct())
+                corpus_sigs = (parts.filter(F.col("kind") == "sigs")
+                               .select(F.col(id_col).alias("__cid"),
+                                       F.col("sig").alias("__csig")))
+                est = (
+                    cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
+                    .withColumn(
+                        "__est_j",
+                        F.expr("size(filter(zip_with(sig, __csig,"
+                               " (a, b) -> a = b), x -> x))")
+                        / F.lit(num_hashes))
+                )
+                dup_ids = (est.filter(F.col("__est_j") >= threshold)
+                           .select(id_col).distinct())
+                fresh = batch.join(dup_ids, id_col, "left_anti")
+            else:
+                fresh = batch
+            if update_index:
+                # fresh's plan reads the index parquet we are about to
+                # append to (via dup_ids) — checkpoint BEFORE the append
+                # or a later action would re-evaluate against the new
+                # files. The payload write below needs no checkpoint: it
+                # derives only from the persisted sig table and the
+                # materialized fresh ids.
+                fresh = fresh.localCheckpoint(eager=True)
+                fresh_ids = fresh.select(id_col)
+                payload = (
+                    bands.join(fresh_ids, id_col, "left_semi")
+                    .select(F.col(id_col), F.col("band_hash"),
+                            F.lit(None).cast("array<string>").alias("sig"),
+                            F.lit("bands").alias("kind"))
+                    .unionByName(
+                        sig_arr.join(fresh_ids, id_col, "left_semi")
+                        .select(F.col(id_col),
+                                F.lit(None).cast("string").alias("band_hash"),
+                                F.col("sig"),
+                                F.lit("sigs").alias("kind")))
+                )
+                payload.write.mode("append").partitionBy("kind") \
+                    .parquet(parts_path)
         return fresh
     finally:
         sig.unpersist()

@@ -79,6 +79,12 @@ flag ``__lens_nil``). Metadata columns ride through native lenses but
 are hidden from user batch-fns so a module sees exactly the columns the
 library API would hand it."""
 
+NIL_COL = f"{META_PREFIX}nil"
+"""The CLI's hidden nil-row flag (reference TypeId=0,
+host-go/engine/module/protocol.go:42-52). Unlike other meta columns it
+participates in dedup identity — nil is a distinct item *kind*, not a
+document that happens to have null fields."""
+
 
 def _strip_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:

@@ -28,6 +28,28 @@ def dataset_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def dataset_nonempty(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one *visible* file.
+
+    Names starting with ``_`` or ``.`` (Hadoop commit markers, our
+    incremental-index writer lock) don't count — a directory created
+    only to host ``_writer.lock`` must still read as a missing index,
+    or the bootstrap path would try to infer a parquet schema from an
+    empty dataset. Same Hadoop FS routing as ``dataset_exists`` so the
+    answer is correct on ``hdfs:``/``s3a:`` too."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
                    **options) -> DataFrame:
     """Read a document table (any Spark-native format)."""

@@ -293,13 +293,13 @@ def test_neardup_incremental_read_only_mode(spark, tmp_path):
     kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
     b1 = spark.createDataFrame([(1, _ND_A)], "id long, text string")
     neardup_incremental(b1, idx, "id", "text", **kw)
-    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    n_index = spark.read.parquet(f"{idx}/parts").count()
     probe = spark.createDataFrame(
         [(2, _ND_A2), (3, _ND_B)], "id long, text string")
     out = neardup_incremental(probe, idx, "id", "text",
                               update_index=False, **kw)
     assert {r.id for r in out.collect()} == {3}
-    assert spark.read.parquet(f"{idx}/bands").count() == n_bands  # untouched
+    assert spark.read.parquet(f"{idx}/parts").count() == n_index  # untouched
 
 
 def test_dedup_incremental_read_only_mode(spark, tmp_path):
@@ -313,3 +313,78 @@ def test_dedup_incremental_read_only_mode(spark, tmp_path):
                             update_index=False)
     assert {r.k for r in out.collect()} == {9}
     assert spark.read.parquet(idx).count() == 1  # untouched
+
+
+def test_incremental_index_concurrent_writer_refused(spark, tmp_path):
+    """The incremental flow is read-index → dedup → append-index; two
+    concurrent writers would both dedup against the pre-append index
+    and double-accept the same dups. A live writer lock must make the
+    second ingest raise instead of corrupting the index; read-only
+    probes take no lock."""
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.operators.dedup import dedup_incremental
+
+    idx_dir = tmp_path / "fp_idx_lock"
+    idx = str(idx_dir)
+    b = spark.createDataFrame([(1, "a")], "k long, v string")
+    dedup_incremental(b, idx, columns=["k", "v"])
+    assert not (idx_dir / "_writer.lock").exists()  # released after commit
+    (idx_dir / "_writer.lock").touch()  # simulate a live concurrent writer
+    with pytest.raises(ConcurrentIndexWriterError,
+                       match="locked by another writer"):
+        dedup_incremental(b, idx, columns=["k", "v"])
+    out = dedup_incremental(b, idx, columns=["k", "v"], update_index=False)
+    assert out.count() == 0  # read-only path unaffected by the lock
+
+
+def test_incremental_index_stale_lock_broken(spark, tmp_path):
+    """A lock older than the stale window is presumed a crashed writer
+    (one that never reached its finally) and broken; ingest proceeds
+    and releases its own lock afterwards."""
+    import os
+    import time
+
+    from lens_spark.operators.dedup import dedup_incremental
+
+    idx_dir = tmp_path / "fp_idx_stale"
+    idx_dir.mkdir()
+    lock = idx_dir / "_writer.lock"
+    lock.touch()
+    old = time.time() - 7200  # well past INDEX_LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    b = spark.createDataFrame([(1, "a")], "k long, v string")
+    out = dedup_incremental(b, str(idx_dir), columns=["k", "v"])
+    assert out.count() == 1
+    assert not lock.exists()
+
+
+def test_neardup_incremental_concurrent_writer_refused(spark, tmp_path):
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx_dir = tmp_path / "nd_idx_lock"
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A)], "id long, text string")
+    neardup_incremental(b1, str(idx_dir), "id", "text", **kw)
+    assert not (idx_dir / "_writer.lock").exists()  # released after commit
+    (idx_dir / "_writer.lock").touch()
+    with pytest.raises(ConcurrentIndexWriterError):
+        neardup_incremental(b1, str(idx_dir), "id", "text", **kw)
+    # read-only dedup against the locked index still works
+    out = neardup_incremental(b1, str(idx_dir), "id", "text",
+                              update_index=False, **kw)
+    assert out.count() == 0
+
+
+def test_dedup_nil_not_conflated_with_all_null(spark):
+    """A nil item (reference TypeId=0) and a genuine all-null document
+    are distinct item *kinds* (host-go/engine/module/protocol.go:42-52)
+    — default dedup identity keeps the hidden nil flag so they never
+    collapse into one survivor."""
+    from lens_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, None, True), (None, None, False), (None, None, True)],
+        "Name string, Age long, __lens_nil boolean")
+    got = {(r["Name"], r["Age"], r["__lens_nil"]) for r in exact_dedup(df).collect()}
+    assert got == {(None, None, True), (None, None, False)}
