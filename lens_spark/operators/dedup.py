@@ -647,113 +647,118 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     spark = df.sparkSession
     parts_path = f"{index_path}/parts"
 
-    # ONE signature pass for the whole batch (persisted): the shingle→md5
+    # ONE signature pass for the whole batch: the shingle→md5
     # explode+groupBy is the dominant cost, and everything below —
     # within-batch bands, estimate verify, corpus join, index append —
-    # derives from it.
+    # derives from it. Lazy localCheckpoint, not persist(): the caller's
+    # own action on the returned (lazy) result ALSO re-reads sig, and a
+    # persist would have to be released before return (recomputing the
+    # whole signature pipeline per downstream leg) or leak for the
+    # session. Checkpoint blocks are freed by the ContextCleaner when
+    # the result goes out of reference. (Blocks are executor-local and
+    # unreplicated — an executor loss fails the job rather than
+    # recomputing; acceptable, the ingest batch is the retryable unit.)
     sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
-                            ngram=ngram, shingle=shingle).persist()
-    try:
-        sig_arr_all = sig.select(
-            F.col(id_col),
-            F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
-        bands_all = sig.select(
-            F.col(id_col),
-            F.explode(F.array(*_band_exprs(num_hashes, band_size))
-                      ).alias("band_hash"))
-        est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
-                           " x -> x))") / F.lit(num_hashes))
+                            ngram=ngram, shingle=shingle) \
+        .localCheckpoint(eager=False)
+    sig_arr_all = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("sig"))
+    bands_all = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*_band_exprs(num_hashes, band_size))
+                  ).alias("band_hash"))
+    est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
+                       " x -> x))") / F.lit(num_hashes))
 
-        # Within-batch near-dup: band self-join → estimate verify →
-        # components → drop non-representatives.
-        ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
-        bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
-        batch_pairs = (ba.join(bb, "band_hash")
-                       .filter(F.col("id_a") < F.col("id_b"))
-                       .select("id_a", "id_b").distinct())
-        sa = sig_arr_all.select(F.col(id_col).alias("id_a"),
-                                F.col("sig").alias("__sa"))
-        sb = sig_arr_all.select(F.col(id_col).alias("id_b"),
-                                F.col("sig").alias("__sb"))
-        verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
-                    .filter(est_expr >= F.lit(threshold))
-                    .select("id_a", "id_b"))
-        if verified.isEmpty():
-            # Clean batch: no within-batch near-dups, so skip the
-            # component machinery AND the full-batch checkpoint — batch
-            # IS the caller's input; nothing below re-derives it. The
-            # isEmpty probe is a take(1) that early-exits on the first
-            # verified pair, so dirty batches pay only a partial pass.
-            batch = df
+    # Within-batch near-dup: band self-join → estimate verify →
+    # components → drop non-representatives. The verified pair table is
+    # lazily checkpointed too: the emptiness probe below and the
+    # component pass both read it, and checkpoint blocks carry the
+    # partial work between them.
+    ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
+    bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
+    batch_pairs = (ba.join(bb, "band_hash")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b").distinct())
+    sa = sig_arr_all.select(F.col(id_col).alias("id_a"),
+                            F.col("sig").alias("__sa"))
+    sb = sig_arr_all.select(F.col(id_col).alias("id_b"),
+                            F.col("sig").alias("__sb"))
+    verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
+                .filter(est_expr >= F.lit(threshold))
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=False))
+    if verified.isEmpty():
+        # Clean batch: no within-batch near-dups, so skip the component
+        # machinery AND the full-batch checkpoint — batch IS the
+        # caller's input; nothing below re-derives it.
+        batch = df
+    else:
+        comp = connected_components(verified)
+        losers = comp.filter(F.col("id") != F.col("component")).select("id")
+        # Checkpoint the within-batch survivors ONCE: their plan would
+        # otherwise re-execute for the corpus anti-join and the
+        # caller's action. Incremental ingest is inherently eager
+        # anyway — it updates an index.
+        batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
+            .localCheckpoint(eager=True)
+    batch_ids = batch.select(F.col(id_col))
+    # sig covers the pre-dedup batch; restrict the index side to the
+    # within-batch survivors (semi-joins against the survivor ids).
+    sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
+    bands = bands_all.join(batch_ids, id_col, "left_semi")
+    lock = (_index_writer_lock(spark, index_path) if update_index
+            else contextlib.nullcontext())
+    with lock:
+        if dataset_nonempty(spark, parts_path):
+            parts = spark.read.parquet(parts_path)
+            corpus_bands = (parts.filter(F.col("kind") == "bands")
+                            .select(F.col(id_col).alias("__cid"),
+                                    "band_hash"))
+            cand = (bands.join(corpus_bands, "band_hash")
+                    .select(id_col, "__cid").distinct())
+            corpus_sigs = (parts.filter(F.col("kind") == "sigs")
+                           .select(F.col(id_col).alias("__cid"),
+                                   F.col("sig").alias("__csig")))
+            est = (
+                cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
+                .withColumn(
+                    "__est_j",
+                    F.expr("size(filter(zip_with(sig, __csig,"
+                           " (a, b) -> a = b), x -> x))")
+                    / F.lit(num_hashes))
+            )
+            dup_ids = (est.filter(F.col("__est_j") >= threshold)
+                       .select(id_col).distinct())
+            fresh = batch.join(dup_ids, id_col, "left_anti")
         else:
-            comp = connected_components(verified)
-            losers = comp.filter(F.col("id") != F.col("component")).select("id")
-            # Checkpoint the within-batch survivors ONCE: their plan
-            # would otherwise re-execute for the corpus anti-join and
-            # the caller's action. Incremental ingest is inherently
-            # eager anyway — it updates an index. (localCheckpoint
-            # blocks are executor-local/unreplicated: an executor loss
-            # fails the job rather than recomputing — acceptable, the
-            # ingest batch is the retryable unit.)
-            batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
-                .localCheckpoint(eager=True)
-        batch_ids = batch.select(F.col(id_col))
-        # sig covers the pre-dedup batch; restrict the index side to the
-        # within-batch survivors (semi-joins against the survivor ids).
-        sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
-        bands = bands_all.join(batch_ids, id_col, "left_semi")
-        lock = (_index_writer_lock(spark, index_path) if update_index
-                else contextlib.nullcontext())
-        with lock:
-            if dataset_nonempty(spark, parts_path):
-                parts = spark.read.parquet(parts_path)
-                corpus_bands = (parts.filter(F.col("kind") == "bands")
-                                .select(F.col(id_col).alias("__cid"),
-                                        "band_hash"))
-                cand = (bands.join(corpus_bands, "band_hash")
-                        .select(id_col, "__cid").distinct())
-                corpus_sigs = (parts.filter(F.col("kind") == "sigs")
-                               .select(F.col(id_col).alias("__cid"),
-                                       F.col("sig").alias("__csig")))
-                est = (
-                    cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
-                    .withColumn(
-                        "__est_j",
-                        F.expr("size(filter(zip_with(sig, __csig,"
-                               " (a, b) -> a = b), x -> x))")
-                        / F.lit(num_hashes))
-                )
-                dup_ids = (est.filter(F.col("__est_j") >= threshold)
-                           .select(id_col).distinct())
-                fresh = batch.join(dup_ids, id_col, "left_anti")
-            else:
-                fresh = batch
-            if update_index:
+            fresh = batch
+        if update_index:
+            if fresh is not batch:
                 # fresh's plan reads the index parquet we are about to
-                # append to (via dup_ids) — checkpoint BEFORE the append
-                # or a later action would re-evaluate against the new
-                # files. The payload write below needs no checkpoint: it
-                # derives only from the persisted sig table and the
-                # materialized fresh ids.
+                # append to (via dup_ids) — checkpoint BEFORE the
+                # append or a later action would re-evaluate against
+                # the new files. When the index didn't exist yet
+                # (bootstrap: fresh IS batch) nothing reads it and the
+                # extra materialization pass is skipped.
                 fresh = fresh.localCheckpoint(eager=True)
-                fresh_ids = fresh.select(id_col)
-                payload = (
-                    bands.join(fresh_ids, id_col, "left_semi")
-                    .select(F.col(id_col), F.col("band_hash"),
-                            F.lit(None).cast("array<string>").alias("sig"),
-                            F.lit("bands").alias("kind"))
-                    .unionByName(
-                        sig_arr.join(fresh_ids, id_col, "left_semi")
-                        .select(F.col(id_col),
-                                F.lit(None).cast("string").alias("band_hash"),
-                                F.col("sig"),
-                                F.lit("sigs").alias("kind")))
-                )
-                payload.write.mode("append").partitionBy("kind") \
-                    .parquet(parts_path)
-        return fresh
-    finally:
-        sig.unpersist()
+            fresh_ids = fresh.select(id_col)
+            payload = (
+                bands.join(fresh_ids, id_col, "left_semi")
+                .select(F.col(id_col), F.col("band_hash"),
+                        F.lit(None).cast("array<string>").alias("sig"),
+                        F.lit("bands").alias("kind"))
+                .unionByName(
+                    sig_arr.join(fresh_ids, id_col, "left_semi")
+                    .select(F.col(id_col),
+                            F.lit(None).cast("string").alias("band_hash"),
+                            F.col("sig"),
+                            F.lit("sigs").alias("kind")))
+            )
+            payload.write.mode("append").partitionBy("kind") \
+                .parquet(parts_path)
+    return fresh
 
 
 @register_lens("neardup_incremental")
