@@ -17,8 +17,11 @@ Workload-comparability note for round-over-round deltas: in round 3
 `x2_neardup_incremental` deliberately changed shape (dedup batch
 shrank from doc_id%2=1 to doc_id%20=1 — the realistic "small batch vs
 large corpus" ingest shape), so its r3+ numbers are NOT comparable to
-r1/r2; and from round 4 the headline set itself may grow. Compare
-per-query medians, not totals, across rounds.
+r1/r2. In round 4 `x3_ann_topk` changed shape too: it now emits a
+measured recall_at_k column (adds an in-query brute-force reference
+pass) and runs at higher-recall LSH parameters (num_bits 6→4,
+num_tables 4→16) — not comparable to r1-r3 either. Compare per-query
+medians, not totals, across rounds.
 """
 
 from __future__ import annotations

@@ -135,10 +135,15 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
     joined = c.join(F.broadcast(q), "__bucket").drop("__bucket")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    # Score BEFORE deduplicating bucket collisions: a pair colliding in
+    # m tables is scored m times (cosine is ~dim multiplies — cheap),
+    # but the distinct then shuffles (query_id, neighbor_id, score)
+    # scalars instead of two dim-float vectors per row — at 16 tables
+    # the vector-carrying distinct was the dominant exchange.
     scored = (
-        joined.select("query_id", "neighbor_id", "__qv", "__cv").distinct()
-        .withColumn("score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-        .select("query_id", "neighbor_id", "score")
+        joined.withColumn(
+            "score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "score").distinct()
     )
     return _rank_topk(scored, "query_id", k)
 
@@ -180,13 +185,58 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     joined = c.join(F.broadcast(q), "__cell").drop("__cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    # Score before distinct — shuffle scalars, not vectors (see ann_topk).
     scored = (
-        joined.select("query_id", "neighbor_id", "__qv", "__cv").distinct()
-        .withColumn("score",
-                    F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-        .select("query_id", "neighbor_id", "score")
+        joined.withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "score").distinct()
     )
     return _rank_topk(scored, "query_id", k)
+
+
+def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+                     vec_col: str, k: int = 10, method: str = "ann",
+                     **params: Any) -> DataFrame:
+    """Approximate top-k annotated with measured per-query recall@k.
+
+    Output: (query_id, neighbor_id, score, rank, recall_at_k) — the
+    approximate result plus, per query, the fraction of the TRUE top-k
+    (in-query brute force over the same corpus/queries) it recovered.
+    Same contract style as approx_count_distinct checked against exact
+    COUNT(DISTINCT): the output carries its own accuracy measurement,
+    so a driver/rows-level check pins the quality contract, not just
+    "it ran".
+
+    Cost: one extra brute-force pass over the corpus for the (small,
+    broadcast) query set — this is a QA/audit wrapper for query
+    samples, not the serving path; at full scale run it on a sampled
+    query panel.
+    """
+    if method == "ann":
+        approx = ann_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                          k=k, **params)
+    elif method == "ivf":
+        approx = ivf_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                          k=k, **params)
+    else:
+        raise ValueError(f"topk_with_recall: unknown method {method!r}")
+    # the approx result feeds two legs (hit count + final output); it is
+    # k·|queries| rows — checkpoint so the ANN pipeline runs once
+    approx = approx.localCheckpoint(eager=False)
+    brute = brute_force_topk(corpus, queries, id_col=id_col,
+                             vec_col=vec_col, k=k).localCheckpoint(eager=False)
+    truth = brute.groupBy("query_id").agg(F.count("*").alias("__n_true"))
+    hits = (approx.join(brute.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("__hits")))
+    return (approx.join(truth, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .withColumn(
+                "recall_at_k",
+                F.round(F.coalesce(F.col("__hits"), F.lit(0))
+                        / F.greatest(F.col("__n_true"), F.lit(1)), 3))
+            .drop("__hits", "__n_true"))
 
 
 @register_lens("similarity_topk")

@@ -37,6 +37,46 @@ def test_ivf_recall_vs_brute(spark, emb):
     assert _recall(approx, exact) >= 0.5
 
 
+def test_topk_with_recall_ann_meets_contract(spark, emb):
+    """The driver-visible quality contract: the recall_at_k column the
+    x3_ann_topk query emits must average >= 0.9 at the entry-point
+    parameters (deterministic — planes derive from a fixed seed)."""
+    from lens_spark.operators.similarity import topk_with_recall
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = topk_with_recall(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=K, method="ann",
+                           dim=64, num_bits=4, num_tables=16)
+    per_q = out.select("query_id", "recall_at_k").distinct()
+    assert per_q.count() == N_QUERIES
+    assert per_q.agg(F.avg("recall_at_k")).first()[0] >= 0.9
+
+
+def test_topk_with_recall_ivf_meets_contract(spark, emb):
+    from lens_spark.operators.similarity import topk_with_recall
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = topk_with_recall(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=K, method="ivf",
+                           nlist=16, nprobe=8)
+    per_q = out.select("query_id", "recall_at_k").distinct()
+    assert per_q.agg(F.avg("recall_at_k")).first()[0] >= 0.9
+
+
+def test_topk_with_recall_exact_method_scores_one(spark, emb):
+    """Degenerate check that the recall computation itself is right:
+    IVF probing every cell IS brute force, so every query's measured
+    recall must be exactly 1.0."""
+    from lens_spark.operators.similarity import topk_with_recall
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = topk_with_recall(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=K, method="ivf",
+                           nlist=8, nprobe=8)
+    recalls = {r.recall_at_k for r in out.select("recall_at_k").collect()}
+    assert recalls == {1.0}
+
+
 def test_ivf_probe_all_cells_is_exact(spark, emb):
     """nprobe == nlist degrades IVF to brute force — recall must be 1."""
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
