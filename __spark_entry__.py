@@ -572,6 +572,30 @@ def q_x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming surface (batch-checked): event-time tumbling windows
 # ---------------------------------------------------------------------------
 
+def q_streaming_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming path driven END-TO-END by the driver:
+    events replayed through a real file-source stream
+    (Trigger.AvailableNow → memory sink) into the same tumbling-window
+    count/sum as the batch surface (streaming.windowed_counts).
+    outputMode=complete, so the bounded replay emits every window and
+    the result equals the batch plan exactly — equality is asserted in
+    tests/test_streaming.py. Rows-only: a streaming query isn't a
+    single SQL statement (the batch twin events_windowed carries the
+    oracle for the window semantics)."""
+    import os
+    import shutil
+
+    from lens_spark.streaming import read_file_stream, run_available_now
+
+    src = f"{sf_dir}/events.parquet"
+    staged = tempfile.mkdtemp(prefix="lens_spark_stream_")
+    shutil.copy(src, os.path.join(staged, "part-000.parquet"))
+    stream = read_file_stream(spark, staged, schema_from=src, ts_cols=("ts",))
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour",
+                          keys=["event_type"])
+    return run_available_now(agg, output_mode="complete")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lens_spark.sources import read_ns_timestamps
 
@@ -1046,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_approx_quantiles": q_x6_approx_quantiles,
         "x6_approx_distinct": q_x6_approx_distinct,
         "x8_pack_sequences": q_x8_pack_sequences,
+        "streaming_events_windowed": q_streaming_events_windowed,
     }
 
 

@@ -131,7 +131,13 @@ def mean_word_length_of(toks: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
-    """Mean token length over whitespace tokens (0.0 for empty docs)."""
+    """Mean token length over whitespace tokens (0.0 for empty docs).
+
+    Lengths are measured on LOWERCASED tokens (``tokens()`` default),
+    matching the DuckDB oracle, which always lowercases. For Unicode
+    where case-mapping changes codepoint count (e.g. 'İ' → 'i̇') this
+    differs from the raw-token length; a round-3 change — the previous
+    behavior measured raw tokens."""
     return mean_word_length_of(tokens(text))
 
 

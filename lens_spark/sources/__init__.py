@@ -74,21 +74,32 @@ def read_media(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def read_ns_timestamps(spark: SparkSession, path: str,
                        ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Read parquet containing TIMESTAMP(NANOS) columns.
+    """Read parquet event tables, normalizing timestamp columns to the
+    session-zoned TIMESTAMP type whatever precision the writer used.
 
-    Spark has no nanosecond timestamp type; the legacy conf surfaces the
-    raw int64 and we convert to microsecond timestamps (truncation, not
-    rounding — an event never moves across a window boundary).
+    Two writer shapes occur in the wild (and across driver testdata
+    generations — round 4 switched from ns to µs): TIMESTAMP(NANOS),
+    which Spark has no type for (the legacy conf surfaces raw int64
+    epoch-ns; converted by integer division — truncation, not rounding,
+    so an event never moves across a window boundary; float division
+    would corrupt the microsecond digit since epoch-ns overflows a
+    double's 53-bit mantissa), and TIMESTAMP(MICROS) without UTC
+    adjustment, which surfaces as TIMESTAMP_NTZ (cast to TIMESTAMP —
+    the session zone is UTC, so wall-clock values are preserved and
+    time functions like unix_micros/window accept the column).
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in ts_cols:
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            # integer div: epoch-ns overflows double's 53-bit mantissa, so
-            # float division would corrupt the microsecond digit
+        if c not in df.columns:
+            continue
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

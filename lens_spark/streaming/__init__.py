@@ -34,8 +34,9 @@ def read_file_stream(spark: SparkSession, path: str, *, fmt: str = "parquet",
 
     Streams need an explicit schema; ``schema_from`` infers it from an
     existing file/dir with the batch reader. ``ts_cols`` applies the
-    same nanos→micros conversion as sources.read_ns_timestamps so
-    event-time columns work under watermarks.
+    same timestamp normalization as sources.read_ns_timestamps
+    (ns-as-long and µs-NTZ shapes both supported) so event-time
+    columns work under watermarks.
     """
     if schema is None and schema_from is not None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,11 +45,18 @@ def read_file_stream(spark: SparkSession, path: str, *, fmt: str = "parquet",
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.load(path)
+    dtypes = dict(df.dtypes)
     for c in ts_cols:
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        if c not in df.columns:
+            continue
+        if dtypes.get(c) == "bigint":
             # integer div: epoch-ns overflows double's 53-bit mantissa, so
             # float division would corrupt the microsecond digit
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # µs parquet without UTC adjustment surfaces as NTZ; session
+            # zone is UTC so the cast preserves wall-clock values
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -76,3 +76,22 @@ def test_driver_window_holds_only_hash_checkable_queries():
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
+
+
+def test_tail_hash_checkable_queries_match_oracle_locally(spark, con):
+    """Hash-checkable queries parked OUTSIDE the driver's 50-slot window
+    (slots 51+) lose their external end-to-end check — run the same
+    rows/columns/values comparison here so eviction from the window
+    never means unchecked. Uses the oracle harness's own compare
+    (tools/oracle_check.py) at sf0.001."""
+    from tools.oracle_check import compare
+
+    qdict = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    tail = [k for k in list(qdict)[50:] if k in oracles]
+    assert tail, "no hash-checkable tail queries — window layout changed?"
+    for name in tail:
+        spark_pdf = qdict[name](spark, SF).toPandas()
+        oracle_pdf = con.sql(oracles[name]).df()
+        verdict = compare(name, spark_pdf, oracle_pdf)
+        assert verdict == "OK", f"{name}: {verdict}"

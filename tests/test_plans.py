@@ -90,6 +90,34 @@ def test_brute_topk_preranks_before_global_window(spark):
         "local pre-rank must partition by spark_partition_id")
 
 
+def test_quality_filter_tokenizes_once_per_row(spark):
+    """The 7x quality-filter win (functions/text.py let_) depends on
+    CollapseProject / filter pushdown NOT re-inlining the bound token
+    array into each predicate. Pin it: the physical plan must contain
+    exactly ONE tokenizing split() for the whole rule set. The pre-r3
+    formulation (filter on repetition_stats output columns) inlines one
+    split per metric reference and fails this test."""
+    from lens_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bounds = {"min_tokens": 5, "max_tokens": 100000,
+              "min_mean_word_len": 1.0, "max_mean_word_len": 12.0,
+              "min_unique_ratio": 0.1, "max_top_token_frac": 0.9,
+              "max_top_bigram_frac": 0.9}
+    plan = _plan(quality_filter(docs, "text", bounds))
+    # the condition prints twice (Filter node + the scan's DataFilters
+    # metadata listing) — count tokenizations within the Filter node,
+    # which is what actually evaluates per row
+    filter_lines = [l for l in plan.splitlines() if "Filter " in l
+                    and "FileScan" not in l]
+    assert filter_lines, f"no Filter node in plan:\n{plan}"
+    n_split = sum(l.count("split(") for l in filter_lines)
+    assert n_split == 1, (
+        f"expected exactly 1 tokenize split() in the Filter condition, found "
+        f"{n_split} — the let_ binding is being re-inlined (per-predicate "
+        "re-tokenization, the ~11s-at-sf0.1 regression class)")
+
+
 def test_embedding_neardup_lsh_plan_has_no_quadratic_join(spark):
     """The flagship embedding near-dup must stay bucketed: an equi-join
     on the LSH bucket key, never a cartesian/nested-loop pair blowup."""

@@ -79,6 +79,20 @@ def test_windowed_counts_with_watermark_on_stream(spark, events_dir):
             "a window older than an emitted one was withheld"
 
 
+def test_driver_streaming_query_equals_batch(spark):
+    """The driver-visible streaming query (entry tail slot) must equal
+    the batch windowed aggregate exactly: complete output mode on a
+    bounded replay emits every window."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_events_windowed"](spark, sf_dir)
+    batch = windowed_counts(read_ns_timestamps(spark, f"{sf_dir}/events.parquet"),
+                            ts_col="ts", window="1 hour", keys=["event_type"])
+    assert {tuple(r) for r in streamed.collect()} \
+        == {tuple(r) for r in batch.collect()}
+
+
 def test_streaming_dedup_within_watermark(spark, events_dir):
     stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
                               ts_cols=("ts",))
