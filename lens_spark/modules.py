@@ -142,6 +142,18 @@ def load_module_path(path: str) -> str:
     return name
 
 
+def load_module_artifact(registry, artifact_id: str) -> str:
+    """Load a Python batch-fn module stored as a registry artifact
+    (chunked block storage, Registry.add_artifact — the analogue of the
+    reference serving a lens's WASM bytes back out of its block store,
+    host-go/store/block.go:248-302). Routed through the same ``data:``
+    path as any external module, so the execution opt-in gate and the
+    WASM rejection apply unchanged."""
+    data = registry.get_artifact(artifact_id)
+    b64 = base64.b64encode(data).decode("ascii")
+    return load_module_path(f"data:text/x-python;base64,{b64}")
+
+
 def _register_module_lens(name: str, fn, schema: str, inverse_fn,
                           inverse_schema: str | None) -> None:
     from lens_spark.operators.base import Lens, register_lens

@@ -25,6 +25,7 @@ spec by id from another registry root (a remote warehouse path).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -241,3 +242,100 @@ class Registry:
 
     def ids(self) -> Iterator[str]:
         return iter(self._cache)
+
+    # -- chunked artifact blocks (≙ block.go:135-172) -----------------------
+
+    ARTIFACT_CHUNK_SIZE = 3 * 1024 * 1024
+    """Reference's maxBlockSize (host-go/store/store.go:27): blobs above
+    the cap are chunked for transportability (IPFS ~4 MB transport
+    limit, host-go/node/option.go:74-84)."""
+
+    @staticmethod
+    def artifact_id(data: bytes) -> str:
+        return f"lens1b-{hashlib.sha256(data).hexdigest()}"
+
+    @staticmethod
+    def is_valid_artifact_id(artifact_id: str) -> bool:
+        if not isinstance(artifact_id, str) or not artifact_id.startswith("lens1b-"):
+            return False
+        digest = artifact_id[len("lens1b-"):]
+        return len(digest) == 64 and all(c in "0123456789abcdef" for c in digest)
+
+    @property
+    def blocks_dir(self) -> Path:
+        return self.root / "blocks"
+
+    def add_artifact(self, data: bytes, *,
+                     chunk_size: int | None = None) -> str:
+        """Content-addressed, chunked artifact storage — the registry
+        analogue of the reference's LensBlock chunking for large WASM
+        binaries (host-go/store/block.go:135-172). Artifacts here are
+        typically Python lens-module sources (see
+        modules.load_module_artifact), but any bytes store.
+
+        Chunks land in a staging dir first and publish via one atomic
+        rename, so a reader never sees a half-written artifact; adding
+        identical bytes twice is a no-op returning the same id (S1
+        idempotence). ``lens1b-`` ids are disjoint from spec ids, so an
+        artifact can never shadow a pipeline spec.
+        """
+        chunk_size = int(chunk_size or self.ARTIFACT_CHUNK_SIZE)
+        if chunk_size <= 0:
+            raise LensError("add_artifact: chunk_size must be positive")
+        art_id = self.artifact_id(data)
+        final = self.blocks_dir / art_id
+        if final.exists():
+            return art_id
+        self.blocks_dir.mkdir(parents=True, exist_ok=True)
+        staging = Path(tempfile.mkdtemp(dir=self.blocks_dir,
+                                        prefix=".staging-"))
+        try:
+            n_chunks = max(1, (len(data) + chunk_size - 1) // chunk_size)
+            for i in range(n_chunks):
+                chunk = data[i * chunk_size:(i + 1) * chunk_size]
+                with open(staging / f"{i:08d}.chunk", "wb") as f:
+                    f.write(chunk)
+            try:
+                staging.rename(final)  # atomic publish
+            except OSError:
+                if final.exists():  # raced another writer: same content won
+                    return art_id
+                raise
+        finally:
+            if staging.exists():
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+        return art_id
+
+    def get_artifact(self, artifact_id: str) -> bytes:
+        """Reassemble an artifact from its chunks, verifying the content
+        hash — a corrupted or truncated block store must fail loudly,
+        never hand back wrong bytes."""
+        if not self.is_valid_artifact_id(artifact_id):
+            raise InvalidLensIdError(
+                f"'{artifact_id}' is not a valid artifact id")
+        final = self.blocks_dir / artifact_id
+        if not final.is_dir():
+            raise LensError(f"artifact '{artifact_id}' not found")
+        chunks = sorted(final.glob("*.chunk"))
+        data = b"".join(p.read_bytes() for p in chunks)
+        if self.artifact_id(data) != artifact_id:
+            raise LensError(
+                f"artifact '{artifact_id}' failed content verification "
+                f"({len(chunks)} chunks, {len(data)} bytes) — block store "
+                "corrupted")
+        return data
+
+    def has_artifact(self, artifact_id: str) -> bool:
+        return (self.blocks_dir / artifact_id).is_dir()
+
+    def sync_artifact_from(self, other: "Registry | str | Path",
+                           artifact_id: str) -> str:
+        """S6 for artifacts: copy chunked blocks by id from a peer root
+        (verified on read, re-chunked at the local cap)."""
+        if not isinstance(other, Registry):
+            other = Registry(other)
+        got = self.add_artifact(other.get_artifact(artifact_id))
+        assert got == artifact_id, "artifact id changed during sync"
+        return got

@@ -164,3 +164,86 @@ def test_pipeline_inversion_through_registry(registry, people):
     back = registry.inverse(out, lens_id)
     assert back.columns == ["Name", "Age"]
     assert {r.Age for r in back.collect()} == {30, 31, 32}
+
+
+# -- chunked artifact blocks (block.go:135-172 analogue) ---------------------
+
+def test_artifact_chunked_roundtrip_and_idempotence(registry):
+    """Bytes above the chunk cap split into multiple blocks and
+    reassemble exactly; identical bytes store once (S1 idempotence)."""
+    data = bytes(range(256)) * 1000  # 256 KB
+    art_id = registry.add_artifact(data, chunk_size=100_000)
+    assert registry.is_valid_artifact_id(art_id)
+    chunk_files = sorted((registry.blocks_dir / art_id).glob("*.chunk"))
+    assert len(chunk_files) == 3  # 256000 / 100000 -> 3 chunks
+    assert registry.get_artifact(art_id) == data
+    assert registry.add_artifact(data, chunk_size=50_000) == art_id
+    # idempotent add didn't re-chunk the existing artifact
+    assert sorted((registry.blocks_dir / art_id).glob("*.chunk")) == chunk_files
+
+
+def test_artifact_corruption_fails_loudly(registry):
+    data = b"x" * 10_000
+    art_id = registry.add_artifact(data, chunk_size=4_000)
+    victim = sorted((registry.blocks_dir / art_id).glob("*.chunk"))[1]
+    victim.write_bytes(b"tampered")
+    with pytest.raises(LensError, match="content verification"):
+        registry.get_artifact(art_id)
+
+
+def test_artifact_unknown_and_malformed_ids(registry):
+    with pytest.raises(LensError, match="not found"):
+        registry.get_artifact("lens1b-" + "00" * 32)
+    from lens_spark.errors import InvalidLensIdError
+
+    with pytest.raises(InvalidLensIdError):
+        registry.get_artifact("not-an-artifact-id")
+
+
+def test_artifact_sync_between_registries(registry, tmp_path):
+    peer = Registry(tmp_path / "peer_blocks")
+    data = b"shared module bytes" * 500
+    art_id = peer.add_artifact(data, chunk_size=1_000)
+    assert not registry.has_artifact(art_id)
+    got = registry.sync_artifact_from(peer, art_id)
+    assert got == art_id and registry.get_artifact(art_id) == data
+
+
+_ARTIFACT_MODULE_SRC = """
+OUTPUT_SCHEMA = "Name string, Age bigint"
+
+def transform(batches, params):
+    for pdf in batches:
+        out = pdf.copy()
+        out["Age"] = out["Age"] + int(params.get("shift", 0))
+        yield out
+"""
+
+
+def test_module_loads_from_registry_artifact(registry, people):
+    """A Python lens module stored as a chunked registry artifact loads
+    and runs through the normal opt-in gate (the reference serves lens
+    WASM bytes back out of its block store the same way)."""
+    from lens_spark import engine
+    from lens_spark.modules import allow_module_paths, load_module_artifact
+
+    art_id = registry.add_artifact(_ARTIFACT_MODULE_SRC.encode(),
+                                   chunk_size=64)
+    allow_module_paths(True)
+    try:
+        name = load_module_artifact(registry, art_id)
+    finally:
+        allow_module_paths(False)
+    out = engine.append(
+        people, {"lenses": [{"name": name, "arguments": {"shift": 5}}]})
+    assert {r.Age for r in out.collect()} == {35, 36, 37}
+
+
+def test_module_artifact_respects_optin_gate(registry):
+    from lens_spark.modules import allow_module_paths, load_module_artifact
+
+    art_id = registry.add_artifact(b"OUTPUT_SCHEMA = 'a string'\n"
+                                   b"def transform(b, p):\n    yield None\n")
+    allow_module_paths(False)
+    with pytest.raises(LensError, match="disabled"):
+        load_module_artifact(registry, art_id)
