@@ -1083,10 +1083,32 @@ _SHINGLES_SQL = (
     "i -> array_to_string(list_slice(w, i, i + {wm1}), ' ')))"
 ).format(wm1=MH_SHINGLE_W - 1, wm2=MH_SHINGLE_W - 2)
 
-_SIG_SQL = (
-    "list_transform(range(0, {k}), h -> list_min(list_transform(s, "
-    "x -> md5(concat(CAST(h AS VARCHAR), ':', x)))))"
-).format(k=MH_NUM_HASHES)
+def _hex2int_sql(expr: str) -> str:
+    """Hex string → BIGINT, digit-fold via list_reduce — portable and
+    bit-exact with Spark's conv(substr(md5(x), a, n), 16, 10)."""
+    return (f"list_reduce(list_transform(range(1, len({expr}) + 1), "
+            f"j -> CAST(strpos('0123456789abcdef', substr({expr}, j, 1)) - 1 "
+            f"AS BIGINT)), (acc, d) -> acc * 16 + d)")
+
+
+# 2-universal minhash twin of operators.dedup.minhash_signature: one md5
+# per shingle folded to h = hex48 mod p, then hash_i = (a_i*h + b_i) mod p
+# with the same deterministic coefficients — integers match Spark exactly.
+def _sig_sql() -> str:
+    from lens_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(MH_NUM_HASHES)
+    a_list = ", ".join(str(a) for a, _ in coeffs)
+    b_list = ", ".join(str(b) for _, b in coeffs)
+    hb = f"({_hex2int_sql('substr(md5(x), 1, 12)')} % {MINHASH_PRIME})"
+    return (
+        f"list_transform(range(0, {MH_NUM_HASHES}), h -> list_min("
+        f"list_transform(s, x -> ([{a_list}][h + 1] * {hb} + "
+        f"[{b_list}][h + 1]) % {MINHASH_PRIME})))"
+    )
+
+
+_SIG_SQL = _sig_sql()
 
 _BANDS_SQL = (
     "list_transform(range(0, {b}), bb -> md5(concat(CAST(bb AS VARCHAR), '|', "

@@ -62,36 +62,83 @@ def _shingles(text_col: str, ngram: int, shingle: str):
     return word_shingles(F.col(text_col), ngram)
 
 
+MINHASH_PRIME = 2038074743
+"""Hash-family modulus — the same 31-bit prime Spark MLlib's
+MinHashLSH uses (org.apache.spark.ml.feature.MinHashLSH.HASH_PRIME)."""
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the 2-universal family
+    ``hash_i(x) = (a_i·x + b_i) mod p`` — derived from md5 so the
+    DuckDB oracle embeds the identical constants."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"lens-mh-{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_PRIME - 1) + 1  # 1..p-1
+        b = int(d[8:16], 16) % MINHASH_PRIME          # 0..p-1
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
                       num_hashes: int = 16, ngram: int = 3,
                       shingle: str = "word") -> DataFrame:
-    """(id, __h0..__h{k-1}) minhash signature table.
+    """(id, __h0..__h{k-1}) minhash signature table (bigint hashes).
 
     Scale shape: the only wide op is the groupBy on id, and partial
     (map-side) aggregation collapses each partition to ≤1 row per doc
-    before the exchange, so the shuffle carries ``num_hashes`` hashes
-    per doc — not the shingle set. All expressions are flat scalar md5
-    calls that stay inside whole-stage codegen; the nested
-    higher-order-function formulation (transform-of-transform) blows
-    past janino's method-size limit and falls back to interpreted
+    before the exchange, so the shuffle carries ``num_hashes`` bigints
+    per doc (~128 B) — not the shingle set, and not the 32-char hex
+    strings of the one-md5-per-hash formulation (4× wider and ~0.5 s
+    slower per pass at sf0.1 from computing 16 digests per shingle).
+
+    Hash family: ONE md5 per shingle folded to a base integer
+    ``h = hex48 mod p``, then the textbook 2-universal permutations
+    ``hash_i = (a_i·h + b_i) mod p`` with p = MINHASH_PRIME (the
+    construction Spark MLlib's MinHashLSH uses). All operands stay
+    below 2^62, bigint-safe under ANSI. NOT the Kirsch-Mitzenmacher
+    ``h1 + i·h2`` split: that is fine for Bloom-filter membership but
+    breaks MIN-wise hashing — linear-in-i combinations preserve the
+    argmin across positions (a lower envelope of lines), so one
+    unshared shingle can disagree every position (observed: exact
+    Jaccard 0.85, estimated 0.0). Distinct random multipliers scramble
+    the order per position, restoring E[agreement] = Jaccard.
+
+    The DuckDB oracle reproduces the exact integers via a
+    strpos/list_reduce hex parse (__spark_entry__._hex2int_sql). All
+    expressions are flat scalars in whole-stage codegen; nested HOF
+    formulations blow janino's method limit and drop to interpreted
     eval, ~50× slower. Docs with no shingles (fewer than ``ngram``
     tokens) have no signature and drop out.
     """
+    base = (F.conv(F.substring(F.col("__d"), 1, 12), 16, 10).cast("bigint")
+            % F.lit(MINHASH_PRIME))
     sh = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
+    ).select(
+        F.col(id_col), F.md5(F.col("__s")).alias("__d")
+    ).select(
+        F.col(id_col), base.alias("__hb")
     )
+    coeffs = _minhash_coeffs(num_hashes)
     return sh.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("__s")))).alias(f"__h{h}")
-        for h in range(num_hashes)
+        F.min((F.lit(a) * F.col("__hb") + F.lit(b)) % F.lit(MINHASH_PRIME)
+              ).alias(f"__h{h}")
+        for h, (a, b) in enumerate(coeffs)
     ])
 
 
 def _band_exprs(num_hashes: int, band_size: int) -> list:
     num_bands = num_hashes // band_size
     return [
+        # explicit string casts: signature values are bigints and the
+        # oracle's array_to_string renders plain decimal — keep both
+        # sides byte-identical before the digest
         F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"__h{b * band_size + j}")
+                          *[F.col(f"__h{b * band_size + j}").cast("string")
                             for j in range(band_size)]))
         for b in range(num_bands)
     ]
@@ -747,7 +794,7 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
             payload = (
                 bands.join(fresh_ids, id_col, "left_semi")
                 .select(F.col(id_col), F.col("band_hash"),
-                        F.lit(None).cast("array<string>").alias("sig"),
+                        F.lit(None).cast("array<bigint>").alias("sig"),
                         F.lit("bands").alias("kind"))
                 .unionByName(
                     sig_arr.join(fresh_ids, id_col, "left_semi")
