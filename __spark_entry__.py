@@ -840,6 +840,24 @@ def q_x7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "documents"), spec)
 
 
+def q_x5_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal: every document gets a
+    shared navigation header and copyright footer injected, and the
+    operator must strip exactly those (line df = |corpus|) while
+    keeping each doc's unique body line (df = 1) — so the cleaned text
+    equals the original and the oracle comparison is self-checking."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    with_boiler = docs.withColumn(
+        "text",
+        F.concat(F.lit("HOME | PRODUCTS | ABOUT | CONTACT\n"),
+                 F.col("text"),
+                 F.lit("\ncopyright 2026 example corp all rights reserved")))
+    spec = {"lenses": [{"name": "line_dedup", "arguments": {
+        "id": "doc_id", "column": "text", "min_df": 2}}]}
+    return engine.append(with_boiler, spec).select(
+        "doc_id", F.col("text").alias("text_clean"))
+
+
 def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN with its measured quality contract IN the output
     (see q_x3_ann_topk): recall_at_k per query vs in-query brute force;
@@ -1059,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "x2_minhash_pairs": q_x2_minhash_pairs,
         "x6_exact_distinct": q_x6_exact_distinct,
+        "x5_line_dedup": q_x5_line_dedup,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_simhash": q_x2_simhash,
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
@@ -1325,6 +1344,32 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x5_line_dedup": """
+WITH src AS (
+  SELECT doc_id,
+         concat('HOME | PRODUCTS | ABOUT | CONTACT', chr(10), text, chr(10),
+                'copyright 2026 example corp all rights reserved') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM src
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  ANTI JOIN boiler b ON l.line = b.line
+)
+SELECT s.doc_id, coalesce(k.text_clean, '') AS text_clean
+FROM src s LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
         "x2_jaccard_verified": _MINHASH_CTES + f"""
 SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -838,6 +838,64 @@ def dedup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
                                              update_index=update))
 
 
+def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
+               min_df: int = 2, delimiter: str = "\n",
+               out: str | None = None) -> DataFrame:
+    """Corpus-level boilerplate line removal (RefinedWeb/CCNet-style
+    repetition cleaning): lines occurring in ≥ ``min_df`` distinct
+    documents are dropped from EVERY document — navigation menus,
+    cookie banners, footers. Complements document-level dedup: the
+    duplicated unit is a line shared across otherwise-unique docs.
+
+    Scale shape: posexplode lines (narrow) → df-count groupBy on the
+    line's xxhash64 (agg; the exchange carries 8-byte keys, never line
+    text) → left_anti join of lines against the boilerplate keys →
+    per-doc reassembly ordered by original line position (one agg).
+    Docs whose every line was boilerplate stay in the output with an
+    empty string (left join + coalesce), preserving row count.
+    """
+    import re as _re
+
+    out = out or text_col
+    split_pat = _re.escape(delimiter)
+    lines = df.select(
+        F.col(id_col).alias("__ld_id"),
+        F.posexplode(F.split(F.col(text_col), split_pat, -1))
+        .alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line"))
+    boiler = (lines.groupBy("__lh")
+              .agg(F.count_distinct("__ld_id").alias("__df"))
+              .filter(F.col("__df") >= int(min_df))
+              .select("__lh"))
+    clean = (
+        lines.join(boiler, "__lh", "left_anti")
+        .groupBy("__ld_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"]),
+            delimiter).alias("__ld_clean"))
+    )
+    joined = df.join(clean, df[id_col] == clean["__ld_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__ld_clean"), F.lit(""))
+    ).drop("__ld_id", "__ld_clean")
+
+
+@register_lens("line_dedup")
+def line_dedup_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), min_df (2), delimiter (newline),
+    out (default in-place)."""
+    id_col = str(require_arg(arguments, "id", "line_dedup"))
+    text_col = str(require_arg(arguments, "column", "line_dedup"))
+    out = arguments.get("out")
+    return Lens("line_dedup", arguments, lambda df: line_dedup(
+        df, id_col, text_col,
+        min_df=int(arguments.get("min_df", 2)),
+        delimiter=str(arguments.get("delimiter", "\n")),
+        out=str(out) if out else None))
+
+
 # --- lens registrations -------------------------------------------------
 
 @register_lens("dedup_exact")

@@ -388,3 +388,36 @@ def test_dedup_nil_not_conflated_with_all_null(spark):
         "Name string, Age long, __lens_nil boolean")
     got = {(r["Name"], r["Age"], r["__lens_nil"]) for r in exact_dedup(df).collect()}
     assert got == {(None, None, True), (None, None, False)}
+
+
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    """Lines in >= min_df distinct docs vanish from every doc; unique
+    lines keep their original order; an all-boilerplate doc stays in
+    the output as an empty string."""
+    from lens_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "MENU\nalpha body\nFOOTER"),
+         (2, "MENU\nbeta body\nmore beta\nFOOTER"),
+         (3, "MENU\nFOOTER")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           line_dedup(df, "doc_id", "text", min_df=2).collect()}
+    assert out == {1: "alpha body", 2: "beta body\nmore beta", 3: ""}
+
+
+def test_line_dedup_min_df_dial_and_out_column(spark):
+    from lens_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared\nuniq1"), (2, "shared\nuniq2")],
+        "doc_id long, text string")
+    # min_df above corpus size: nothing is boilerplate
+    untouched = line_dedup(df, "doc_id", "text", min_df=3)
+    assert {r.text for r in untouched.collect()} \
+        == {"shared\nuniq1", "shared\nuniq2"}
+    # out= writes the cleaned text next to the original
+    side = line_dedup(df, "doc_id", "text", min_df=2, out="clean")
+    rows = {r.doc_id: (r.text, r.clean) for r in side.collect()}
+    assert rows == {1: ("shared\nuniq1", "uniq1"),
+                    2: ("shared\nuniq2", "uniq2")}
