@@ -858,6 +858,20 @@ def q_x5_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("text_clean"))
 
 
+def q_x7_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional oversampling — the upsampling half of a
+    corpus mixing recipe: src0 at weight 2.5 (2 copies + hash-chosen
+    50% a third), src1 at 0.4 (a 40% sample), src2 dropped, everything
+    else kept once. Copy indexes keep downstream keys unique."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    spec = {"lenses": [{"name": "oversample", "arguments": {
+        "keys": ["doc_id"], "strata": "source",
+        "weights": {"src0": 2.5, "src1": 0.4, "src2": 0.0}}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "source",
+                      F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
+
+
 def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN with its measured quality contract IN the output
     (see q_x3_ann_topk): recall_at_k per query vs in-query brute force;
@@ -1078,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_pairs": q_x2_minhash_pairs,
         "x6_exact_distinct": q_x6_exact_distinct,
         "x5_line_dedup": q_x5_line_dedup,
+        "x7_oversample": q_x7_oversample,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_simhash": q_x2_simhash,
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
@@ -1101,6 +1116,34 @@ _SHINGLES_SQL = (
     "list_distinct(list_transform(range(1, len(w) - {wm2}), "
     "i -> array_to_string(list_slice(w, i, i + {wm1}), ' ')))"
 ).format(wm1=MH_SHINGLE_W - 1, wm2=MH_SHINGLE_W - 2)
+
+def _oversample_oracle_sql() -> str:
+    """Twin of q_x7_oversample: per-source floor(weight) copies plus one
+    more when the md5 prefix clears the fractional-part threshold —
+    thresholds generated by the operator's own fraction_to_threshold so
+    the two sides can't drift."""
+    from lens_spark.operators.sampling import fraction_to_threshold
+
+    weights = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+    floor_case = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items())
+    thresh_case = " ".join(
+        f"WHEN '{s}' THEN '{fraction_to_threshold(w - int(w))}'"
+        for s, w in weights.items())
+    default_thresh = fraction_to_threshold(0.0)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE source {floor_case} ELSE 1 END)
+         + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                      (CASE source {thresh_case} ELSE '{default_thresh}' END)
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS repeat_idx
+FROM base WHERE n > 0
+"""
+
 
 def _hex2int_sql(expr: str) -> str:
     """Hex string → BIGINT, digit-fold via list_reduce — portable and
@@ -1344,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x7_oversample": _oversample_oracle_sql(),
         "x5_line_dedup": """
 WITH src AS (
   SELECT doc_id,

@@ -65,6 +65,7 @@ HEADLINE = [
     "x7_hash_split",         # deterministic md5-range train/test split
     "x5_quality_filter",     # Gopher-style quality bounds (narrow exprs)
     "x2_decontaminate",      # benchmark n-gram semi/anti join decontamination
+    "x5_line_dedup",         # corpus boilerplate line removal (new in r4)
 ]
 
 

@@ -140,6 +140,61 @@ def sample_stratified(df: DataFrame, key_cols: list[str], strata_col: str,
     return df.filter(prefix < expr)
 
 
+def oversample(df: DataFrame, key_cols: list[str], strata_col: str,
+               weights: Mapping[str, float], *, default_weight: float = 1.0,
+               out: str = "repeat_idx", salt: str = "") -> DataFrame:
+    """Deterministic fractional oversampling per stratum — the
+    upsampling half of a corpus mixing recipe (``sample_stratified`` is
+    the downsampling half). Weight 2.5 → every row of that stratum
+    appears twice, and a content-hash-chosen 50% of its rows a third
+    time; weight 0.4 → a 40% sample. ``out`` numbers the copies
+    (1..n) so downstream keys stay unique and which-copy is stable.
+
+    Same md5-prefix machinery as ``sample_hash``: membership of the
+    fractional copy is reproducible across runs/engines and stable
+    under repartitioning. Narrow op — explode of a ≤⌈w⌉-element
+    sequence, no shuffle at any scale.
+    """
+    w_floor: Column = F.lit(int(float(default_weight)))
+    thresh: Column = F.lit(
+        fraction_to_threshold(float(default_weight) - int(float(default_weight))))
+    for value, w in weights.items():
+        w = float(w)
+        if w < 0:
+            raise LensError(f"oversample weight must be >= 0, got {w}")
+        match = F.col(strata_col).cast("string") == str(value)
+        w_floor = F.when(match, F.lit(int(w))).otherwise(w_floor)
+        thresh = F.when(match,
+                        F.lit(fraction_to_threshold(w - int(w)))).otherwise(thresh)
+    n = w_floor + F.when(_hash_prefix(key_cols, salt) < thresh, 1).otherwise(0)
+    return (
+        df.withColumn("__os_n", n)
+        .filter(F.col("__os_n") > 0)
+        .withColumn(out, F.explode(F.sequence(F.lit(1), F.col("__os_n"))))
+        .drop("__os_n")
+    )
+
+
+@register_lens("oversample")
+def oversample_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), strata (column), weights
+    ({value: weight}), default_weight (1.0), out ("repeat_idx"),
+    salt (""). Inverse keeps copy 1 and drops the index column."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "oversample")]
+    strata = str(require_arg(arguments, "strata", "oversample"))
+    weights = {str(k): float(v) for k, v in
+               dict(require_arg(arguments, "weights", "oversample")).items()}
+    out = str(arguments.get("out", "repeat_idx"))
+    return Lens(
+        "oversample", arguments,
+        lambda df: oversample(
+            df, keys, strata, weights,
+            default_weight=float(arguments.get("default_weight", 1.0)),
+            out=out, salt=str(arguments.get("salt", ""))),
+        lambda df: df.filter(F.col(out) == 1).drop(out),
+    )
+
+
 @register_lens("sample_stratified")
 def sample_stratified_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: keys (list[str]), strata (column), fractions

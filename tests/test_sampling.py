@@ -81,3 +81,48 @@ def test_lens_spec_path(spark, docs):
     inv = make_lens("hash_split", {"keys": ["doc_id"],
                                    "splits": {"a": 0.5, "b": 0.5}})
     assert "split" not in inv.inverse(out).columns
+
+
+def test_oversample_weights_and_copy_indexes(spark):
+    """Weight 3.0 -> exactly 3 indexed copies; 1.0 -> one; 0.0 -> gone;
+    fractional parts choose a stable content-hash subset."""
+    from lens_spark.operators.sampling import oversample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else ("b" if i < 20 else "c")) for i in range(30)],
+        "id long, src string")
+    out = oversample(df, ["id"], "src", {"a": 3.0, "c": 0.0})
+    rows = [(r.id, r.src, r.repeat_idx) for r in out.collect()]
+    by_src = {}
+    for i, s, ri in rows:
+        by_src.setdefault(s, []).append((i, ri))
+    # 10 ids in "a", tripled with copy indexes 1..3
+    assert len(by_src["a"]) == 30 and {ri for _, ri in by_src["a"]} == {1, 2, 3}
+    # default weight 1.0: the 10 "b" ids appear exactly once
+    assert len(by_src["b"]) == 10 and {ri for _, ri in by_src["b"]} == {1}
+    assert "c" not in by_src
+
+
+def test_oversample_fractional_is_deterministic_and_invertible(spark):
+    from lens_spark import engine
+    from lens_spark.operators.sampling import oversample
+
+    df = spark.createDataFrame([(i, "w") for i in range(200)],
+                               "id long, src string")
+    a = oversample(df, ["id"], "src", {"w": 1.5})
+    b = oversample(df.repartition(7), ["id"], "src", {"w": 1.5})
+    ra = sorted((r.id, r.repeat_idx) for r in a.collect())
+    rb = sorted((r.id, r.repeat_idx) for r in b.collect())
+    assert ra == rb  # reproducible across plans
+    n_extra = sum(1 for _, ri in ra if ri == 2)
+    assert 60 <= n_extra <= 140  # ~50% of 200, content-chosen
+    # lens inverse: keep copy 1, drop the index column -> original rows
+    spec = {"lenses": [{"name": "oversample", "arguments": {
+        "keys": ["id"], "strata": "src", "weights": {"w": 2.5}}}]}
+    fwd = engine.append(df, spec)
+    back = engine.append(fwd, {"lenses": [{"name": "oversample",
+                                           "inverse": True,
+                                           "arguments": {
+        "keys": ["id"], "strata": "src", "weights": {"w": 2.5}}}]})
+    assert sorted(r.id for r in back.collect()) == sorted(r.id for r in df.collect())
+    assert back.columns == df.columns
