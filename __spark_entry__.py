@@ -872,6 +872,28 @@ def q_x7_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x2_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage scoring: the corpus is unioned with
+    "remix" docs carrying the first half of each original's tokens, so
+    every original's first-half spans become corpus-duplicated while
+    its tail stays unique — per-doc dup_span_frac lands strictly
+    between 0 and 1 and the oracle comparison exercises the whole
+    span→df→coverage pipeline (a 0-duplication corpus would be
+    vacuous)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    half = F.concat_ws(
+        " ", F.slice(toks, F.lit(1),
+                     F.floor(F.size(toks) / 2).cast("int")))
+    remix = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        half.alias("text"))
+    spec = {"lenses": [{"name": "dup_span_stats", "arguments": {
+        "id": "doc_id", "column": "text", "span": 8, "min_df": 2}}]}
+    out = engine.append(docs.unionAll(remix), spec)
+    return out.select("doc_id", "n_spans", "n_dup_spans", "dup_span_frac")
+
+
 def q_x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN with its measured quality contract IN the output
     (see q_x3_ann_topk): recall_at_k per query vs in-query brute force;
@@ -1093,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_exact_distinct": q_x6_exact_distinct,
         "x5_line_dedup": q_x5_line_dedup,
         "x7_oversample": q_x7_oversample,
+        "x2_dup_span_stats": q_x2_dup_span_stats,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_simhash": q_x2_simhash,
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
@@ -1388,6 +1411,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
         "x7_oversample": _oversample_oracle_sql(),
+        "x2_dup_span_stats": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+both_docs AS (
+  SELECT doc_id, w FROM toks
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_slice(w, 1, CAST(floor(len(w) / 2) AS INT)) AS w
+  FROM toks
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS s
+  FROM both_docs
+),
+dfreq AS (SELECT s, count(DISTINCT doc_id) AS dfc FROM sp GROUP BY s),
+per_doc AS (
+  SELECT sp.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM sp JOIN dfreq USING (s) GROUP BY sp.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(n_spans, 0) > 0
+            THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
+FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
         "x5_line_dedup": """
 WITH src AS (
   SELECT doc_id,

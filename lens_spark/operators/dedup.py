@@ -286,6 +286,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *,
+                   span: int = 8, min_df: int = 2,
+                   shingle: str = "word") -> DataFrame:
+    """Per-document duplicated-span metrics: how much of each document
+    is token spans (w-shingles) that also occur in ≥ ``min_df`` other
+    documents. The flag-and-filter analogue of exact-substring dedup
+    (suffix-array text rewriting à la "Deduplicating Training Data
+    Makes Language Models Better" is an offline batch job; the standard
+    Spark-shaped first step is scoring docs by duplicated-span coverage
+    and filtering/routing on it).
+
+    Appends ``n_spans`` (distinct spans in the doc), ``n_dup_spans``
+    (those whose corpus document-frequency ≥ min_df) and
+    ``dup_span_frac``. Docs shorter than ``span`` tokens score 0/0/0.
+
+    Scale shape: explode distinct spans (narrow) → df-count groupBy on
+    xxhash64(span) (agg; 8-byte keys) → semi-style join of spans
+    against duplicated keys → per-doc count (agg). Exchanges carry
+    hashes and ids only, never span text.
+    """
+    spans = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__ds_id"),
+        F.explode(_shingles(text_col, span, shingle)).alias("__sp"),
+    ).select("__ds_id", F.xxhash64("__sp").alias("__sh"))
+    dfreq = (spans.groupBy("__sh")
+             .agg(F.count_distinct("__ds_id").alias("__df")))
+    per_doc = (
+        spans.join(dfreq, "__sh")
+        .groupBy("__ds_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.when(F.col("__df") >= int(min_df), 1).otherwise(0)
+                   ).alias("n_dup_spans"))
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["__ds_id"], "left")
+    return (
+        joined
+        .withColumn("n_spans",
+                    F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint"))
+        .withColumn("n_dup_spans",
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "dup_span_frac",
+            F.when(F.col("n_spans") > 0,
+                   F.round(F.col("n_dup_spans").cast("double")
+                           / F.col("n_spans").cast("double"), 6))
+            .otherwise(F.lit(0.0)))
+        .drop("__ds_id")
+    )
+
+
+@register_lens("dup_span_stats")
+def dup_span_stats_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), span (8), min_df (2),
+    shingle ("word")."""
+    id_col = str(require_arg(arguments, "id", "dup_span_stats"))
+    text_col = str(require_arg(arguments, "column", "dup_span_stats"))
+    return Lens("dup_span_stats", arguments, lambda df: dup_span_stats(
+        df, id_col, text_col,
+        span=int(arguments.get("span", 8)),
+        min_df=int(arguments.get("min_df", 2)),
+        shingle=str(arguments.get("shingle", "word"))))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          *, max_iter: int = 20,
                          driver_threshold: int = 1_000_000) -> DataFrame:

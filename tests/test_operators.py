@@ -421,3 +421,23 @@ def test_line_dedup_min_df_dial_and_out_column(spark):
     rows = {r.doc_id: (r.text, r.clean) for r in side.collect()}
     assert rows == {1: ("shared\nuniq1", "uniq1"),
                     2: ("shared\nuniq2", "uniq2")}
+
+
+def test_dup_span_stats_scores_copied_spans(spark):
+    """A doc sharing its first 4-token span with another doc scores
+    that span as duplicated; unique tails don't; short docs score 0."""
+    from lens_spark.operators.dedup import dup_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d unique tail one"),
+         (2, "a b c d different ending words"),
+         (3, "totally distinct text with no overlap at all"),
+         (4, "tiny")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+           for r in dup_span_stats(df, "doc_id", "text", span=4).collect()}
+    # 7 tokens -> 4 distinct 4-spans; only "a b c d" is shared
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (4, 1, 0.25)
+    assert out[3][1] == 0 and out[3][2] == 0.0
+    assert out[4] == (0, 0, 0.0)  # shorter than the span width
