@@ -118,6 +118,28 @@ def test_quality_filter_tokenizes_once_per_row(spark):
         "re-tokenization, the ~11s-at-sf0.1 regression class)")
 
 
+def test_oversample_plan_is_narrow(spark):
+    """Fractional oversampling must stay a pure projection/explode —
+    zero exchanges at any scale."""
+    from lens_spark.operators.sampling import oversample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(oversample(docs, ["doc_id"], "source", {"src0": 2.5}))
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_plan_joins_on_hashes(spark):
+    """Boilerplate line removal must never degrade to a quadratic join,
+    and its aggregations must combine map-side before exchanging."""
+    from lens_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final df-count
+
+
 def test_embedding_neardup_lsh_plan_has_no_quadratic_join(spark):
     """The flagship embedding near-dup must stay bucketed: an equi-join
     on the LSH bucket key, never a cartesian/nested-loop pair blowup."""
