@@ -1099,7 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_sample_hash": q_x7_sample_hash,
         "x7_hash_split": q_x7_hash_split,
-        "x7_stratified_sample": q_x7_stratified_sample,
+        # oversample took stratified_sample's window slot in round 4 so
+        # the NEW mixing operator gets official driver verification; the
+        # sampling family keeps 3 in-window queries and the evictee is
+        # oracle-compared locally by the entry-contract tail test.
+        "x7_oversample": q_x7_oversample,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
         "x8_bm25": q_x8_bm25,
         "x4_media_metadata": q_x4_media_metadata,
@@ -1114,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_pairs": q_x2_minhash_pairs,
         "x6_exact_distinct": q_x6_exact_distinct,
         "x5_line_dedup": q_x5_line_dedup,
-        "x7_oversample": q_x7_oversample,
+        "x7_stratified_sample": q_x7_stratified_sample,
         "x2_dup_span_stats": q_x2_dup_span_stats,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_simhash": q_x2_simhash,
