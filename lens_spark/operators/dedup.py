@@ -799,14 +799,18 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                 .filter(est_expr >= F.lit(threshold))
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=False))
-    if verified.isEmpty():
-        # Clean batch: no within-batch near-dups, so skip the component
-        # machinery AND the full-batch checkpoint — batch IS the
+    comp = connected_components(verified)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    # comp is already materialized by connected_components (driver
+    # union-find result or checkpointed labels), so this emptiness
+    # probe costs a near-free local scan — NOT a re-run of the verify
+    # pipeline.
+    if losers.isEmpty():
+        # Clean batch (the common small-ingest case): no within-batch
+        # near-dups, so skip the full-batch checkpoint — batch IS the
         # caller's input; nothing below re-derives it.
         batch = df
     else:
-        comp = connected_components(verified)
-        losers = comp.filter(F.col("id") != F.col("component")).select("id")
         # Checkpoint the within-batch survivors ONCE: their plan would
         # otherwise re-execute for the corpus anti-join and the
         # caller's action. Incremental ingest is inherently eager
