@@ -84,8 +84,13 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
                       num_hashes: int = 16, ngram: int = 3,
-                      shingle: str = "word") -> DataFrame:
+                      shingle: str = "word",
+                      shingled: DataFrame | None = None) -> DataFrame:
     """(id, __h0..__h{k-1}) minhash signature table (bigint hashes).
+
+    ``shingled`` optionally supplies a precomputed (id, __sh
+    array<string>) table so a caller that also needs the shingle sets
+    (exact-Jaccard verify) shingles the text once, not twice.
 
     Scale shape: the only wide op is the groupBy on id, and partial
     (map-side) aggregation collapses each partition to ≤1 row per doc
@@ -113,11 +118,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
     eval, ~50× slower. Docs with no shingles (fewer than ``ngram``
     tokens) have no signature and drop out.
     """
+    if shingled is None:
+        shingled = ensure_parallelism(df, by=[id_col]).select(
+            F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh"))
     base = (F.conv(F.substring(F.col("__d"), 1, 12), 16, 10).cast("bigint")
             % F.lit(MINHASH_PRIME))
-    sh = ensure_parallelism(df, by=[id_col]).select(
-        F.col(id_col),
-        F.explode(_shingles(text_col, ngram, shingle)).alias("__s"),
+    sh = shingled.select(
+        F.col(id_col), F.explode(F.col("__sh")).alias("__s")
     ).select(
         F.col(id_col), F.md5(F.col("__s")).alias("__d")
     ).select(
@@ -207,15 +214,30 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                   max_bucket: int | None = None,
                   shingle: str = "word",
                   sig: DataFrame | None = None) -> DataFrame:
-    """LSH candidates, optionally verified with exact shingle Jaccard."""
+    """LSH candidates, optionally verified with exact shingle Jaccard.
+
+    The verified path shingles the text ONCE: the same lazily
+    checkpointed (id, shingle-array) table feeds both the signature
+    pipeline and the exact-Jaccard verify legs (previously two full
+    tokenize+slice passes over the corpus).
+    """
+    shingled = None
+    if threshold is not None and sig is None:
+        shingled = ensure_parallelism(df, by=[id_col]).select(
+            F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh")
+        ).localCheckpoint(eager=False)
+        sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
+                                ngram=ngram, shingle=shingle,
+                                shingled=shingled)
     pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
                                ngram=ngram, band_size=band_size,
                                max_bucket=max_bucket, shingle=shingle, sig=sig)
     if threshold is None:
         return pairs
-    shingled = ensure_parallelism(df, by=[id_col]).select(
-        F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh")
-    )
+    if shingled is None:
+        shingled = ensure_parallelism(df, by=[id_col]).select(
+            F.col(id_col), _shingles(text_col, ngram, shingle).alias("__sh")
+        )
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
