@@ -64,27 +64,39 @@ def punct_ratio(text: Column) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    toks = tokens(text)
+def stopword_ratio_of(toks: Column,
+                      markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Stopword ratio over an existing token array."""
     hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
     return F.when(F.size(toks) > 0,
                   hits.cast("double") / F.size(toks).cast("double")
                   ).otherwise(F.lit(0.0))
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language (over whitespace tokens)."""
-    toks = tokens(text)
+def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    # let-bound: the ratio references the token array three times
+    return let_(tokens(text), lambda tk: stopword_ratio_of(tk, markers))
+
+
+def lang_scores_of(toks: Column) -> dict[str, Column]:
+    """Marker-hit count per language over an existing token array."""
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def predict_lang(text: Column, *, default: str = "und") -> Column:
-    """argmax language by marker hits; ties broken by language-code order;
-    all-zero → ``default``."""
-    scores = lang_scores(text)
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language (over whitespace tokens). Each
+    returned column tokenizes independently — for several scores in one
+    projection, materialize a tokens column and use lang_scores_of."""
+    return lang_scores_of(tokens(text))
+
+
+def predict_lang_of(toks: Column, *, default: str = "und") -> Column:
+    """argmax language by marker hits over an existing token array;
+    ties broken by language-code order; all-zero → ``default``."""
+    scores = lang_scores_of(toks)
     ordered = sorted(scores)  # deterministic tie-break: alphabetical
     best_score = F.greatest(*[scores[lang] for lang in ordered])
     expr = F.lit(default)
@@ -93,10 +105,29 @@ def predict_lang(text: Column, *, default: str = "und") -> Column:
     return expr
 
 
+def predict_lang(text: Column, *, default: str = "und") -> Column:
+    """argmax language by marker hits; ties broken by language-code order;
+    all-zero → ``default``. Let-bound: the naive form tokenizes once per
+    language score per reference (6 scores × 2 references each)."""
+    return let_(tokens(text), lambda tk: predict_lang_of(tk, default=default))
+
+
+def quality_score_of(text: Column, toks: Column) -> Column:
+    """Quality heuristic with the token array supplied by the caller
+    (for projections that compute several token metrics at once)."""
+    length = F.length(text).cast("double")
+    len_component = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio_of(toks) * 4.0, F.lit(1.0))
+    score = (len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3)
+    return F.round(score, 6)
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic 0..1 quality heuristic: rewards mid-length docs and
     word-like content, penalizes punctuation soup. Rounded to 6dp so the
-    double is hash-stable across engines."""
+    double is hash-stable across engines. (The stopword component's
+    tokenize is let-bound via stopword_ratio.)"""
     length = F.length(text).cast("double")
     len_component = F.least(length / F.lit(500.0), F.lit(1.0))
     punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))

@@ -20,28 +20,44 @@ from lens_spark.functions.text import (
     predict_lang,
     punct_ratio,
     quality_score,
-    stopword_ratio,
     tokens,
     top_fraction_of,
     unique_token_ratio_of,
-    whitespace_token_count,
 )
 from lens_spark.errors import LensError
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
 
 
 def text_stats(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
-    """Append the full text-metrics block in one narrow projection."""
+    """Append the full text-metrics block in one narrow projection.
+
+    Tokenizes ONCE into a shared array column read by every token
+    metric (n_tokens, stopword ratio, quality's stop component, the 6
+    language scores) — the naive per-metric form re-split the text
+    ~9× per row. Same trick as repetition_stats: CollapseProject keeps
+    a multiply-referenced non-trivial alias in its own Project.
+    """
+    from lens_spark.functions.text import (
+        predict_lang_of,
+        quality_score_of,
+        stopword_ratio_of,
+        tokens,
+    )
+
     t = F.col(text_col)
+    toks_col = f"__{prefix}ts_toks"
+    toks = F.col(toks_col)
     df = ensure_parallelism(df)  # regex-heavy per row; fan out small scans
     return (
-        df.withColumn(f"{prefix}n_tokens", whitespace_token_count(t))
+        df.withColumn(toks_col, tokens(t))
+        .withColumn(f"{prefix}n_tokens", F.size(toks).cast("bigint"))
         .withColumn(f"{prefix}n_bpe_tokens", bpe_ish_token_count(t))
         .withColumn(f"{prefix}punct_ratio", F.round(punct_ratio(t), 6))
-        .withColumn(f"{prefix}stopword_ratio", F.round(stopword_ratio(t), 6))
-        .withColumn(f"{prefix}quality", quality_score(t))
-        .withColumn(f"{prefix}pred_lang", predict_lang(t))
+        .withColumn(f"{prefix}stopword_ratio", F.round(stopword_ratio_of(toks), 6))
+        .withColumn(f"{prefix}quality", quality_score_of(t, toks))
+        .withColumn(f"{prefix}pred_lang", predict_lang_of(toks))
         .withColumn(f"{prefix}fingerprint", fingerprint(t))
+        .drop(toks_col)
     )
 
 
