@@ -22,9 +22,10 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
     without tearing down their shared SparkSession."""
     parser = argparse.ArgumentParser(prog="lens_spark")
     parser.add_argument("lensfile", help="pipeline spec JSON (lens file)")
-    parser.add_argument("--input", help="input path (parquet or json); default stdin JSON array")
-    parser.add_argument("--output", help="output path (parquet or json); default stdout JSON array")
-    parser.add_argument("--format", default=None, choices=["parquet", "json"],
+    parser.add_argument("--input", help="input path (parquet/json/jsonl/csv/orc); default stdin JSON array")
+    parser.add_argument("--output", help="output path (parquet/json/jsonl/csv/orc); default stdout JSON array")
+    parser.add_argument("--format", default=None,
+                        choices=["parquet", "json", "csv", "orc"],
                         help="fallback format when a path's extension doesn't decide")
     parser.add_argument("--inverse", action="store_true",
                         help="apply the inverted pipeline (E8)")
@@ -44,15 +45,21 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
     spark = get_spark("lens_spark.cli")
     try:
         def path_format(path: str) -> str:
-            if path.endswith(".json"):
-                return "json"
-            if path.endswith(".parquet"):
-                return "parquet"
+            for ext, fmt in ((".jsonl", "json"), (".json", "json"),
+                             (".parquet", "parquet"), (".csv", "csv"),
+                             (".orc", "orc")):
+                if path.endswith(ext):
+                    return fmt
             return args.format or "parquet"
 
         had_nil = False
         if args.input:
-            df = spark.read.format(path_format(args.input)).load(args.input)
+            reader = spark.read.format(path_format(args.input))
+            if path_format(args.input) == "csv":
+                # header + schema inference: the CLI contract is typed
+                # documents, not all-string rows
+                reader = reader.option("header", True).option("inferSchema", True)
+            df = reader.load(args.input)
         else:
             docs = json.load(sys.stdin)
             if not isinstance(docs, list):
@@ -85,7 +92,10 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
         if args.output:
             if "__lens_nil" in out.columns:
                 out = out.drop("__lens_nil")
-            out.write.format(path_format(args.output)).mode("overwrite").save(args.output)
+            writer = out.write.format(path_format(args.output)).mode("overwrite")
+            if path_format(args.output) == "csv":
+                writer = writer.option("header", True)
+            writer.save(args.output)
         else:
             rows = [json.loads(r) for r in out.toJSON().collect()]
             if "__lens_nil" in out.columns:

@@ -111,6 +111,26 @@ def test_file_input_output_roundtrip(spark, tmp_path, monkeypatch):
     assert back.count() == 2
 
 
+def test_csv_input_output_roundtrip(spark, tmp_path, monkeypatch):
+    """CSV in → pipeline → CSV out, with headers and inferred types
+    (the CLI contract is typed documents, not all-string rows)."""
+    src = spark.createDataFrame(PEOPLE)
+    in_path = str(tmp_path / "in.csv")
+    out_path = str(tmp_path / "out.csv")
+    src.write.option("header", True).csv(in_path)
+    lensfile = tmp_path / "lens.json"
+    lensfile.write_text(json.dumps(
+        {"lenses": [{"name": "add",
+                     "arguments": {"column": "Age", "magnitude": 1}}]}))
+    rc = main([str(lensfile), "--input", in_path, "--output", out_path],
+              _stop_session=False)
+    assert rc == 0
+    back = spark.read.option("header", True).option("inferSchema", True) \
+        .csv(out_path)
+    assert set(back.columns) == {"Age", "Name"}
+    assert {r.Age for r in back.collect()} == {31, 32}  # typed, incremented
+
+
 def test_nil_documents_flow_through(spark, tmp_path, monkeypatch):
     # ≙ simple_test.go:168-218: JSON null items survive the pipeline
     spec = {"lenses": [{"name": "rename",
