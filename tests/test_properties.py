@@ -133,3 +133,57 @@ def test_sample_equals_first_split_mass(spark):
              hash_split(df, ["k"], {"train": 0.8, "rest": 0.2}).collect()
              if r.split == "train"}
     assert sampled == train
+
+
+# --- corpus curation invariants -------------------------------------------
+
+_line = st.sampled_from(["menu", "footer", "alpha beta", "gamma", "delta e",
+                         "zeta", "eta theta", "iota", "kappa l", "mu nu"])
+_doc_texts = st.lists(
+    st.lists(_line, min_size=0, max_size=5).map("\n".join),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_doc_texts, st.integers(2, 3))
+def test_line_dedup_is_idempotent_and_preserves_rows(spark, texts, min_df):
+    """Once boilerplate (df >= min_df) is removed, every surviving line
+    has df < min_df by construction — a second pass must be a no-op.
+    Row count is always preserved (emptied docs stay as '')."""
+    from lens_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = line_dedup(df, "doc_id", "text", min_df=min_df)
+    twice = line_dedup(once, "doc_id", "text", min_df=min_df)
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b
+    assert len(a) == len(texts)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 40),
+       st.floats(0.0, 3.0).map(lambda w: round(w, 2)))
+def test_oversample_copy_count_matches_weight(spark, n, w):
+    """Total output size is n*floor(w) + |fractional sample|, the
+    fractional sample is a subset of the rows, and copy indexes are
+    exactly 1..n_i per row."""
+    from lens_spark.operators.sampling import oversample
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)],
+                               "id long, src string")
+    out = [(r.id, r.repeat_idx) for r in
+           oversample(df, ["id"], "src", {"s": w}).collect()]
+    per_id = {}
+    for i, ri in out:
+        per_id.setdefault(i, set()).add(ri)
+    frac_rows = sum(1 for copies in per_id.values()
+                    if len(copies) == int(w) + 1)
+    for copies in per_id.values():
+        assert copies == set(range(1, len(copies) + 1))
+        assert len(copies) in (int(w), int(w) + 1)
+    assert len(out) == n * int(w) + frac_rows
+    if w == 0.0:
+        assert not out
