@@ -92,6 +92,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         if warm:
@@ -101,27 +102,35 @@ def main() -> int:
                 except Exception:
                     break
         samples: list[float] = []
-        for _ in range(n_runs):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
+        try:
+            for _ in range(n_runs):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+        except Exception as exc:  # one broken query must not zero the file
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            if not samples:
+                continue
         timings[name] = round(statistics.median(samples), 3)
         stats[name] = {
             "median": round(statistics.median(samples), 3),
             "min": round(min(samples), 3),
             "max": round(max(samples), 3),
-            "runs": n_runs,
+            "runs": len(samples),
         }
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "lens_spark_headline_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "query_stats": stats,
         "sf": sf,
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
     return 0
 
