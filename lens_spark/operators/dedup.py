@@ -676,8 +676,20 @@ def _index_writer_lock(spark, index_path: str, *,
             # mid-flight — treat as contended, not stale
             age = 0.0
         if age > stale_after_sec:
-            fs.delete(lock, False)
-            acquired = fs.createNewFile(lock)
+            # Break the stale lock via atomic RENAME, not delete+create:
+            # two writers finding the same stale lock would both delete
+            # and both create (double-acquire). Of N concurrent breakers
+            # exactly one rename succeeds; losers fall through to the
+            # contended error. A writer that sneaks createNewFile in
+            # between our rename and create simply wins the lock — we
+            # then correctly report contended.
+            import uuid as _uuid
+
+            stale = jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/_writer.lock.stale-{_uuid.uuid4().hex[:8]}")
+            if fs.rename(lock, stale):
+                fs.delete(stale, False)
+                acquired = fs.createNewFile(lock)
     if not acquired:
         raise ConcurrentIndexWriterError(
             f"incremental dedup index at {index_path!r} is locked by "
