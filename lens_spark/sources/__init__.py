@@ -142,26 +142,46 @@ def compact_dataset(spark: SparkSession, path: str, *,
     accretes thousands of KB-sized files; at 100 TB the resulting task
     and scheduler overhead dominates scan cost. Compaction sizes the
     output from the dataset's actual bytes (not row counts), writes to
-    a temp dir, then atomically swaps directories — readers never see a
-    half-compacted dataset. With ``partition_by``, files are rewritten
-    within the same directory layout so partition pruning is preserved.
+    a temp dir, then swaps directories via two renames — readers never
+    see a half-compacted dataset (the swap window is the instant
+    between the two renames; atomic on local FS and HDFS, best-effort
+    on object stores, like the commit protocol itself). With
+    ``partition_by``, files are rewritten within the same directory
+    layout so partition pruning is preserved.
+
+    All filesystem access goes through the Hadoop FS API so the same
+    call works on ``hdfs:``/``s3a:`` paths — a driver-local
+    ``Path.rglob`` would silently see an empty remote dataset (the
+    dataset_exists defect class).
     """
     import math
-    import shutil
 
-    src = Path(path)
-    total_bytes = sum(f.stat().st_size for f in src.rglob("*")
-                      if f.is_file() and not f.name.startswith(("_", ".")))
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def visible_files(p):
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().startswith(("_", ".")):
+                out.append(st)
+        return out
+
+    total_bytes = sum(st.getLen() for st in visible_files(hpath))
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * (1 << 20))))
-    df = spark.read.format(fmt).load(str(src))
-    tmp = src.with_name(src.name + "__compacting")
+    df = spark.read.format(fmt).load(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
     writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(str(tmp))
-    old = src.with_name(src.name + "__old")
-    src.rename(old)
-    tmp.rename(src)
-    shutil.rmtree(old)
-    return sum(1 for f in src.rglob("*" + {"parquet": ".parquet"}.get(fmt, ""))
-               if f.is_file() and not f.name.startswith(("_", ".")))
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_dataset: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back: restore the original dataset
+        raise IOError(f"compact_dataset: could not publish compacted {path}")
+    fs.delete(old, True)
+    return len(visible_files(hpath))
