@@ -9,7 +9,6 @@ registry-view registration).
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
