@@ -201,7 +201,10 @@ def q_x2_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash table (xxhash64-based — no cross-engine oracle; rows-only)."""
+    """SimHash table — 60-bit md5-based (functions.hashing.SIMHASH_BITS)
+    so DuckDB reproduces the exact packed integers: per bit, majority
+    vote over the token hashes, oracle-checked value-for-value.
+    (Round-4 change: previously xxhash64-based and rows-only.)"""
     return simhash_table(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -1120,8 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_line_dedup": q_x5_line_dedup,
         "x7_stratified_sample": q_x7_stratified_sample,
         "x2_dup_span_stats": q_x2_dup_span_stats,
-        # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_simhash": q_x2_simhash,
+        # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x2_dedup_neardup": q_x2_dedup_neardup,
         "x2_neardup_incremental": q_x2_neardup_incremental,
@@ -1143,6 +1146,37 @@ _SHINGLES_SQL = (
     "list_distinct(list_transform(range(1, len(w) - {wm2}), "
     "i -> array_to_string(list_slice(w, i, i + {wm1}), ' ')))"
 ).format(wm1=MH_SHINGLE_W - 1, wm2=MH_SHINGLE_W - 2)
+
+def _simhash_oracle_sql() -> str:
+    """Twin of operators.dedup.simhash_table: token hash = top 60 bits
+    of md5 (same _hex2int_sql parse), per-bit majority vote, positive
+    power-of-two packing. Bit widths/weights generated from the
+    operator's own SIMHASH_BITS so the two sides cannot drift."""
+    from lens_spark.functions.hashing import SIMHASH_BITS
+
+    h = _hex2int_sql("substr(md5(t), 1, 15)")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN b{i} * 2 >= n THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL_INNER}) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+packed AS (SELECT doc_id, {packed} AS simhash FROM bits)
+SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+"""
+
 
 def _oversample_oracle_sql() -> str:
     """Twin of q_x7_oversample: per-source floor(weight) copies plus one
@@ -1415,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
         "x7_oversample": _oversample_oracle_sql(),
+        "x2_simhash": _simhash_oracle_sql(),
         "x2_dup_span_stats": """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),

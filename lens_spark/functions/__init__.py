@@ -24,7 +24,7 @@ from lens_spark.functions.hashing import (
     char_shingles,
     jaccard_shingles,
     minhash_signature,
-    simhash64,
+    simhash60,
 )
 from lens_spark.functions.vectors import (
     cosine_similarity,
@@ -46,7 +46,7 @@ __all__ = [
     "predict_lang",
     "punct_ratio",
     "quality_score",
-    "simhash64",
+    "simhash60",
     "stopword_ratio",
     "tokens",
     "whitespace_token_count",

@@ -95,14 +95,25 @@ def jaccard_shingles(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
-def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash over a token array, entirely JVM-side.
+SIMHASH_BITS = 60
+"""SimHash width: 60 bits = the top 15 hex chars of each token's md5.
+60, not 64, so (a) every weight is a positive signed-bigint power of
+two — no two's-complement edge case — and (b) DuckDB reproduces the
+exact integers (hex parse + bit tests), making SimHash queries
+oracle-checkable instead of rows-only. Hamming-similarity behavior is
+unchanged; width is a parameter of the scheme."""
 
-    Per bit position i: the bit is 1 iff ≥half the token xxhash64 values
-    have bit i set (majority vote). Uses Spark's xxhash64 — fast, but
-    not reproducible in DuckDB, so SimHash queries get rows-only checks.
+
+def simhash60(tokens_col: Column) -> Column:
+    """60-bit SimHash over a token array, entirely JVM-side.
+
+    Per bit position i: the bit is 1 iff ≥half the token hash values
+    have bit i set (majority vote). Token hash = top 60 bits of md5,
+    cross-engine-reproducible (DuckDB twin in __spark_entry__).
     """
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        tokens_col,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
     n_tokens = F.size(hashes)
 
     def bit(i: int):
@@ -111,10 +122,7 @@ def simhash64(tokens_col: Column) -> Column:
             F.lit(0).cast("bigint")
         )
 
-    # Unrolled: bit i contributes 2^i; bit 63 contributes -2^63 (two's
-    # complement) to stay inside signed bigint.
     packed = F.lit(0).cast("bigint")
-    for i in range(64):
-        weight = -(1 << 63) if i == 63 else (1 << i)
-        packed = packed + bit(i) * F.lit(weight).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        packed = packed + bit(i) * F.lit(1 << i).cast("bigint")
     return F.when(n_tokens > 0, packed).otherwise(F.lit(0).cast("bigint"))

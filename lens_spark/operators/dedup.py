@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from lens_spark.functions.hashing import (
     char_shingles,
     jaccard_shingles,
-    simhash64,
+    simhash60,
     word_shingles,
 )
 from lens_spark.errors import ConcurrentIndexWriterError, LensError
@@ -522,26 +522,33 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) via explode → per-bit popcount agg → pack.
 
     Same scale shape as minhash_bands: explode tokens (narrow), one
-    map-side-combined groupBy carrying 64 small sums + a count per
+    map-side-combined groupBy carrying 60 small sums + a count per
     doc, then a flat packing projection. The expression-level
-    ``simhash64`` recomputes the token-hash array once per bit (64×);
+    ``simhash60`` recomputes the token-hash array once per bit (60×);
     this form hashes each token exactly once. Docs with no tokens get
-    simhash 0 (left join keeps them), matching ``simhash64``.
+    simhash 0 (left join keeps them), matching ``simhash60``. Token
+    hash = top 60 bits of md5 (functions.hashing.SIMHASH_BITS), so the
+    DuckDB oracle reproduces the exact integers.
     """
+    from lens_spark.functions.hashing import SIMHASH_BITS
+
     df = ensure_parallelism(df, by=[id_col])
     ids = df.select(F.col(id_col))
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("bigint").alias("__h"))
     bits = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.getbit(F.col("__h"), F.lit(i))).alias(f"__b{i}") for i in range(64)],
+        *[F.sum(F.getbit(F.col("__h"), F.lit(i))).alias(f"__b{i}")
+          for i in range(SIMHASH_BITS)],
     )
     packed = F.lit(0).cast("bigint")
-    for i in range(64):
-        weight = -(1 << 63) if i == 63 else (1 << i)
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1)).otherwise(F.lit(0))
-        packed = packed + bit.cast("bigint") * F.lit(weight).cast("bigint")
+        packed = packed + bit.cast("bigint") * F.lit(1 << i).cast("bigint")
     sh = bits.select(F.col(id_col), packed.alias("simhash"))
     return ids.join(sh, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash")
@@ -1047,7 +1054,7 @@ def simhash_lens(arguments: Mapping[str, Any]) -> Lens:
     text_col = str(require_arg(arguments, "column", "simhash"))
     out = str(arguments.get("out", "simhash"))
     return Lens("simhash", arguments,
-                lambda df: df.withColumn(out, simhash64(tokens(F.col(text_col)))))
+                lambda df: df.withColumn(out, simhash60(tokens(F.col(text_col)))))
 
 
 def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,

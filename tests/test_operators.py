@@ -441,3 +441,26 @@ def test_dup_span_stats_scores_copied_spans(spark):
     assert out[2] == (4, 1, 0.25)
     assert out[3][1] == 0 and out[3][2] == 0.0
     assert out[4] == (0, 0, 0.0)  # shorter than the span width
+
+
+def test_simhash_table_matches_expression_form(spark):
+    """The agg form (one hash per token, 60 popcount sums) and the
+    expression form (per-bit array filters) must pack identical
+    integers; tokenless docs score 0 in both."""
+    from lens_spark.functions.hashing import simhash60
+    from lens_spark.functions.text import tokens
+    from lens_spark.operators.dedup import simhash_table
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "a completely different document body"), (4, "")],
+        "doc_id long, text string")
+    via_table = {r.doc_id: r.simhash
+                 for r in simhash_table(df, "doc_id", "text").collect()}
+    via_expr = {r.doc_id: r.sh for r in df.select(
+        "doc_id", simhash60(tokens(F.col("text"))).alias("sh")).collect()}
+    assert via_table == via_expr
+    assert via_table[1] == via_table[2]  # identical text, identical hash
+    assert via_table[1] != via_table[3]
+    assert via_table[4] == 0
+    assert all(0 <= v < (1 << 60) for v in via_table.values())
