@@ -18,6 +18,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import contextlib
+import logging
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,9 @@ from lens_spark.errors import ConcurrentIndexWriterError, LensError
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+
+
+_LOG = logging.getLogger("lens_spark.dedup")
 
 
 def _identity_columns(df: DataFrame) -> list[str]:
@@ -183,7 +187,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, ngram: int = 3,
                        band_size: int = 4, max_bucket: int | None = None,
                        shingle: str = "word", cache: bool = True,
-                       sig: DataFrame | None = None) -> DataFrame:
+                       sig: DataFrame | None = None,
+                       drop_metrics: dict | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     ``cache`` lazily localCheckpoints the (id, band_hash) table before
@@ -203,8 +208,28 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str, *,
     if cache:
         bands = bands.localCheckpoint(eager=False)
     if max_bucket is not None:
-        # Cap pathological buckets before the self-join (skew guard).
+        # Cap pathological buckets before the self-join (skew guard) —
+        # and REPORT the cut (no-silent-caps): at 100 TB the dropped
+        # boilerplate clusters are exactly what an operator needs to
+        # route through exact-fingerprint dedup first. The stats
+        # aggregation is one extra small job over the (id, band_hash)
+        # table; it also materializes the lazy checkpoint above, which
+        # the self-join reuses, so most of its cost is amortized.
         sizes = bands.groupBy("band_hash").count()
+        stats = (sizes.filter(F.col("count") > max_bucket)
+                 .agg(F.count("*").alias("buckets"),
+                      F.coalesce(F.sum("count"), F.lit(0)).alias("rows"))
+                 .first())
+        if drop_metrics is not None:
+            drop_metrics["dropped_buckets"] = int(stats["buckets"])
+            drop_metrics["dropped_rows"] = int(stats["rows"])
+        if stats["buckets"]:
+            _LOG.warning(
+                "minhash_candidates: skew cap max_bucket=%d dropped "
+                "%d bucket(s) / %d band rows before the self-join; "
+                "route such boilerplate clusters through "
+                "exact-fingerprint dedup first",
+                max_bucket, stats["buckets"], stats["rows"])
         bands = bands.join(sizes.filter(F.col("count") <= max_bucket), "band_hash").drop("count")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -222,7 +247,8 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                   threshold: float | None = None,
                   max_bucket: int | None = None,
                   shingle: str = "word",
-                  sig: DataFrame | None = None) -> DataFrame:
+                  sig: DataFrame | None = None,
+                  drop_metrics: dict | None = None) -> DataFrame:
     """LSH candidates, optionally verified with exact shingle Jaccard.
 
     The verified path shingles the text ONCE: the same lazily
@@ -240,7 +266,8 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                                 shingled=shingled)
     pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
                                ngram=ngram, band_size=band_size,
-                               max_bucket=max_bucket, shingle=shingle, sig=sig)
+                               max_bucket=max_bucket, shingle=shingle, sig=sig,
+                               drop_metrics=drop_metrics)
     if threshold is None:
         return pairs
     if shingled is None:
@@ -793,9 +820,16 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
        batch too keeps the two sides consistent AND avoids a second
        shingle pass over the text (``dedup_neardup`` stays the
        exact-Jaccard batch-global path);
-    4. survivors' bands + signatures append to the index
-       (localCheckpointed first — appending to a path a lazy plan
-       still reads would silently re-evaluate against the new files).
+    4. survivors' bands + signatures append to the index. Append
+       safety: the only plan leg that reads the index files being
+       appended to is the vs-corpus duplicate-id set, which is
+       eagerly localCheckpointed (id-only blocks — far cheaper than
+       r4's full-width survivor checkpoint) before the append, so no
+       later action re-evaluates against the new files.
+
+    A legacy (pre-r4) ``bands/``+``sigs/`` index layout is detected and
+    migrated into ``parts/`` under the writer lock; a half-migrated
+    index (both layouts present) raises instead of guessing.
 
     Writers are serialized by ``_index_writer_lock`` held from the
     first index read to the append commit (concurrent ingests would
@@ -806,6 +840,49 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
 
     spark = df.sparkSession
     parts_path = f"{index_path}/parts"
+
+    def _has_legacy_layout() -> bool:
+        # Pre-r4 indexes stored two datasets bands/ + sigs/ instead of the
+        # kind-partitioned parts/. Silently treating such an index as empty
+        # would re-accept every previously indexed near-duplicate.
+        return (dataset_nonempty(spark, f"{index_path}/bands")
+                or dataset_nonempty(spark, f"{index_path}/sigs"))
+
+    def _migrate_legacy_index() -> None:
+        """Rewrite a legacy bands/ + sigs/ index into parts/ (in-lock).
+
+        Only runs when parts/ is still empty; a half-migrated index
+        (both layouts non-empty, e.g. a crash between the parts write
+        and the legacy delete) is ambiguous and raises instead of
+        guessing. The legacy dirs are deleted only after the parts
+        write commits, so a crash mid-migration is always detectable.
+        """
+        if dataset_nonempty(spark, parts_path):
+            raise LensError(
+                f"neardup_incremental: index at {index_path!r} has BOTH "
+                "a legacy bands/+sigs/ layout and a parts/ dataset — "
+                "likely a crashed migration. Inspect and delete one "
+                "layout, then retry.")
+        legacy_bands = spark.read.parquet(f"{index_path}/bands")
+        payload = (
+            legacy_bands.select(
+                F.col(id_col), F.col("band_hash"),
+                F.lit(None).cast("array<bigint>").alias("sig"),
+                F.lit("bands").alias("kind")))
+        if dataset_nonempty(spark, f"{index_path}/sigs"):
+            legacy_sigs = spark.read.parquet(f"{index_path}/sigs")
+            payload = payload.unionByName(
+                legacy_sigs.select(
+                    F.col(id_col),
+                    F.lit(None).cast("string").alias("band_hash"),
+                    F.col("sig"), F.lit("sigs").alias("kind")))
+        payload.write.mode("append").partitionBy("kind").parquet(parts_path)
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(parts_path).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for leg in ("bands", "sigs"):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_path}/{leg}"),
+                      True)
 
     # ONE signature pass for the whole batch: the shingle→md5
     # explode+groupBy is the dominant cost, and everything below —
@@ -879,6 +956,14 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     lock = (_index_writer_lock(spark, index_path) if update_index
             else contextlib.nullcontext())
     with lock:
+        if _has_legacy_layout():
+            if not update_index:
+                raise LensError(
+                    f"neardup_incremental: index at {index_path!r} uses "
+                    "the legacy bands/+sigs/ layout; run once with "
+                    "update_index=True to migrate it to parts/ before "
+                    "read-only use.")
+            _migrate_legacy_index()
         if dataset_nonempty(spark, parts_path):
             parts = spark.read.parquet(parts_path)
             corpus_bands = (parts.filter(F.col("kind") == "bands")
@@ -897,20 +982,27 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                            " (a, b) -> a = b), x -> x))")
                     / F.lit(num_hashes))
             )
+            # Checkpoint the TINY dup-id set eagerly, not the full-width
+            # survivor rows: after this, nothing downstream (the
+            # anti-join, the append payload, the caller's action) reads
+            # the index parquet we're about to append to — the one plan
+            # leg that did is pinned as id-only checkpoint blocks. This
+            # replaces r4's full-batch survivor checkpoint (a second
+            # materialization of every surviving row) with one job whose
+            # output is just the duplicate ids.
             dup_ids = (est.filter(F.col("__est_j") >= threshold)
-                       .select(id_col).distinct())
-            fresh = batch.join(dup_ids, id_col, "left_anti")
+                       .select(id_col).distinct()
+                       .localCheckpoint(eager=True))
+            if dup_ids.isEmpty():
+                # Clean vs-corpus leg (the common ingest case): the
+                # anti-join would be a no-op — skip it so `fresh` keeps
+                # batch's (possibly checkpoint-free) plan.
+                fresh = batch
+            else:
+                fresh = batch.join(dup_ids, id_col, "left_anti")
         else:
             fresh = batch
         if update_index:
-            if fresh is not batch:
-                # fresh's plan reads the index parquet we are about to
-                # append to (via dup_ids) — checkpoint BEFORE the
-                # append or a later action would re-evaluate against
-                # the new files. When the index didn't exist yet
-                # (bootstrap: fresh IS batch) nothing reads it and the
-                # extra materialization pass is skipped.
-                fresh = fresh.localCheckpoint(eager=True)
             fresh_ids = fresh.select(id_col)
             payload = (
                 bands.join(fresh_ids, id_col, "left_semi")

@@ -230,12 +230,28 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     hits = (approx.join(brute.select("query_id", "neighbor_id"),
                         ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id").agg(F.count("*").alias("__hits")))
-    return (approx.join(truth, "query_id", "left")
-            .join(hits, "query_id", "left")
-            .withColumn(
-                "recall_at_k",
-                F.round(F.coalesce(F.col("__hits"), F.lit(0))
-                        / F.greatest(F.col("__n_true"), F.lit(1)), 3))
+    # Anchor on the brute-force query set, NOT the approx side: a query
+    # whose LSH/IVF candidate set came back empty has no approx rows, and
+    # hanging everything off approx would silently drop it — overstating
+    # mean recall exactly when the ANN parameters are worst. Anchored on
+    # truth, such a query surfaces as one row with null neighbor/score
+    # and recall_at_k = 0.0.
+    annotated = (approx.join(truth, "query_id", "left")
+                 .join(hits, "query_id", "left")
+                 .withColumn(
+                     "recall_at_k",
+                     F.round(F.coalesce(F.col("__hits"), F.lit(0))
+                             / F.greatest(F.col("__n_true"), F.lit(1)), 3)))
+    missed = (truth.join(approx.select("query_id").distinct(),
+                         "query_id", "left_anti")
+              .select("query_id",
+                      *[F.lit(None).cast(annotated.schema[c].dataType)
+                        .alias(c)
+                        for c in annotated.columns
+                        if c not in ("query_id", "recall_at_k", "__n_true")],
+                      F.col("__n_true"),
+                      F.lit(0.0).alias("recall_at_k")))
+    return (annotated.unionByName(missed.select(*annotated.columns))
             .drop("__hits", "__n_true"))
 
 

@@ -328,6 +328,10 @@ class Registry:
         return data
 
     def has_artifact(self, artifact_id: str) -> bool:
+        # Validate before touching the filesystem: ids like
+        # '../specs/<id>' must not probe directories outside blocks_dir.
+        if not self.is_valid_artifact_id(artifact_id):
+            return False
         return (self.blocks_dir / artifact_id).is_dir()
 
     def sync_artifact_from(self, other: "Registry | str | Path",

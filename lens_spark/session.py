@@ -38,6 +38,13 @@ def get_spark(app_name: str = "lens_spark", *, shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Timestamps in testdata are ns-precision parquet.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # The sources layer reinterprets TIMESTAMP_NTZ as TIMESTAMP, which is
+        # only zone-independent if the session zone is pinned. Without this,
+        # a non-UTC JVM default shifts event instants by the zone offset and
+        # window boundaries/unix_micros diverge from the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

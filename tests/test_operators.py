@@ -3,6 +3,8 @@ semantics ported from the reference module tests (tests/modules/*)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -464,3 +466,83 @@ def test_simhash_table_matches_expression_form(spark):
     assert via_table[1] != via_table[3]
     assert via_table[4] == 0
     assert all(0 <= v < (1 << 60) for v in via_table.values())
+
+
+def test_neardup_incremental_legacy_layout_migrates(spark, tmp_path):
+    """A pre-r4 bands/+sigs/ index is migrated into parts/ (not silently
+    treated as empty, which would re-accept indexed near-dups)."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_index_legacy")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A), (2, _ND_B)], "id long, text string")
+    neardup_incremental(b1, idx, "id", "text", **kw)
+
+    # Rewrite the modern parts/ index into the legacy two-dataset layout.
+    parts = spark.read.parquet(f"{idx}/parts")
+    parts.filter("kind = 'bands'").select("id", "band_hash") \
+        .write.parquet(f"{idx}/bands")
+    parts.filter("kind = 'sigs'").select("id", "sig") \
+        .write.parquet(f"{idx}/sigs")
+    import shutil
+    shutil.rmtree(f"{idx}/parts")
+
+    # Read-only calls cannot migrate: loud error, not empty-index dedup.
+    probe = spark.createDataFrame([(3, _ND_A2)], "id long, text string")
+    with pytest.raises(LensError, match="legacy"):
+        neardup_incremental(probe, idx, "id", "text",
+                            update_index=False, **kw)
+
+    # An updating call migrates, then dedups against the migrated corpus.
+    out = neardup_incremental(probe, idx, "id", "text", **kw)
+    assert out.count() == 0  # near-dup of legacy-indexed doc 1
+    assert not os.path.exists(f"{idx}/bands")
+    assert not os.path.exists(f"{idx}/sigs")
+    kinds = {r.kind for r in
+             spark.read.parquet(f"{idx}/parts").select("kind").distinct().collect()}
+    assert kinds == {"bands", "sigs"}
+
+
+def test_neardup_incremental_half_migrated_index_refused(spark, tmp_path):
+    """Both layouts present (crashed migration) is ambiguous: raise."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_index_half")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A)], "id long, text string")
+    neardup_incremental(b1, idx, "id", "text", **kw)
+    spark.read.parquet(f"{idx}/parts").filter("kind = 'bands'") \
+        .select("id", "band_hash").write.parquet(f"{idx}/bands")
+    with pytest.raises(LensError, match="BOTH"):
+        neardup_incremental(b1, idx, "id", "text", **kw)
+
+
+def test_minhash_max_bucket_drop_is_reported(spark):
+    """The skew cap must not be a silent cut: drop_metrics carries the
+    dropped bucket/row counts for a synthetic boilerplate-heavy corpus."""
+    from lens_spark.operators.dedup import minhash_candidates
+
+    boiler = [(i, _ND_A) for i in range(30)]          # one giant LSH bucket
+    rows = boiler + [(100, _ND_B), (101, _ND_C)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    metrics: dict = {}
+    pairs = minhash_candidates(df, "id", "text", num_hashes=16, band_size=4,
+                               max_bucket=10, drop_metrics=metrics)
+    assert metrics["dropped_buckets"] >= 1
+    # every band of the 30-doc boilerplate cluster exceeds the cap
+    assert metrics["dropped_rows"] >= 30
+    got = pairs.collect()
+    assert all(r.id_a >= 100 and r.id_b >= 100 for r in got)
+
+
+def test_minhash_max_bucket_clean_corpus_reports_zero(spark):
+    from lens_spark.operators.dedup import minhash_candidates
+
+    df = spark.createDataFrame(
+        [(1, _ND_A), (2, _ND_B), (3, _ND_C)], "id long, text string")
+    metrics: dict = {}
+    minhash_candidates(df, "id", "text", num_hashes=16, band_size=4,
+                       max_bucket=50, drop_metrics=metrics).collect()
+    assert metrics == {"dropped_buckets": 0, "dropped_rows": 0}

@@ -247,3 +247,16 @@ def test_module_artifact_respects_optin_gate(registry):
     allow_module_paths(False)
     with pytest.raises(LensError, match="disabled"):
         load_module_artifact(registry, art_id)
+
+
+def test_has_artifact_rejects_invalid_ids(tmp_path):
+    """Traversal-shaped ids must return False without touching the FS."""
+    from lens_spark.registry import Registry
+
+    registry = Registry(tmp_path / "reg_artval")
+    art_id = registry.add_artifact(b"payload bytes", chunk_size=4)
+    assert registry.has_artifact(art_id)
+    assert not registry.has_artifact("../specs/" + art_id)
+    assert not registry.has_artifact("..")
+    assert not registry.has_artifact("")
+    assert not registry.has_artifact("ZZ/not-hex")

@@ -152,3 +152,35 @@ def test_embedding_neardup_error_paths_raise_lens_error(spark, emb):
     with pytest.raises(LensError, match="unknown method"):
         embedding_neardup_pairs(emb, "vec_id", "embedding",
                                 threshold=0.4, method="bogus")
+
+
+def test_topk_with_recall_surfaces_zero_candidate_queries(spark, monkeypatch):
+    """A query whose approximate candidate set is empty must appear in
+    the output with recall_at_k = 0.0 — dropping it would overstate mean
+    recall exactly when the ANN parameters are worst."""
+    import lens_spark.operators.similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "id long, vec array<double>")
+    queries = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (7, [7.0, 1.0])], "id long, vec array<double>")
+
+    real_ann = sim.ann_topk
+
+    def starved_ann(c, q, **kw):
+        # simulate LSH starvation: query 7 gets no candidates at all
+        return real_ann(c, q, **kw).filter(F.col("query_id") != 7)
+
+    monkeypatch.setattr(sim, "ann_topk", starved_ann)
+    out = sim.topk_with_recall(corpus, queries, id_col="id", vec_col="vec",
+                               k=3, method="ann", dim=2, num_bits=1,
+                               num_tables=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert 7 in by_q, "starved query must not vanish from the output"
+    assert len(by_q[7]) == 1
+    assert by_q[7][0].recall_at_k == 0.0
+    assert by_q[7][0].neighbor_id is None
+    assert all(r.recall_at_k is not None for rs in by_q.values() for r in rs)
