@@ -62,7 +62,8 @@ HEADLINE = [
     "range_join_events",     # interval join via bin equi-key (no nested loop)
     "window_running_revenue",  # analytic frames: running sum + lag, 1 shuffle
     "x2_ngram_jaccard",      # exact all-pairs jaccard, inverted-index join
-    "x3_ann_topk",           # hyperplane-LSH ANN (vectorized bucket UDF)
+    "x3_ann_topk",           # ANN + recall QA wrapper (incl. brute reference)
+    "x3_ann_serving",        # ANN serving path alone (r1-r3-comparable shape)
     "x7_hash_split",         # deterministic md5-range train/test split
     "x5_quality_filter",     # Gopher-style quality bounds (narrow exprs)
     "x2_decontaminate",      # benchmark n-gram semi/anti join decontamination

@@ -66,19 +66,31 @@ def test_driver_window_holds_only_hash_checkable_queries():
     last_hash = max(i for i, k in enumerate(qkeys) if k in oracles)
     assert last_hash < first_rows_only, (
         "hash-checkable query declared after a rows-only one")
-    # the queries unchecked in round 2 + the round-2 regression. Round 4
-    # deliberately swapped x7_stratified_sample out for x7_oversample
-    # (new operator gets the official driver check; the evictee is
-    # oracle-compared locally by the tail test below).
+    # Rotation policy (round 5): queries with NO external CORRECTNESS
+    # row yet must be in-window; queries ≥3 rounds driver-green may
+    # rotate out to slots 51+ (where the tail test below still
+    # oracle-checks them locally) PROVIDED an operator-family sibling
+    # stays in-window. Round-5 rotation: x2_simhash, x2_dup_span_stats,
+    # x5_line_dedup, x7_stratified_sample in; e7_identity,
+    # join_semi_customers, stats_aggregates, x7_sample_hash out.
     must_be_in_window = {
-        "range_join_events", "x2_ngram_jaccard", "x7_sample_hash",
-        "x7_hash_split", "x5_top_tokens", "scalar_functions",
-        "stats_aggregates", "x5_repetition_stats", "x5_quality_filter",
-        "x5_pii_redact", "x2_decontaminate", "x8_tfidf_top_terms",
-        "x8_bm25", "x7_oversample", "x3_quantize_embedding",
+        "range_join_events", "x2_ngram_jaccard", "x7_hash_split",
+        "x5_top_tokens", "scalar_functions", "x5_repetition_stats",
+        "x5_quality_filter", "x5_pii_redact", "x2_decontaminate",
+        "x8_tfidf_top_terms", "x8_bm25", "x7_oversample",
+        "x3_quantize_embedding",
+        # never externally checked before round 5:
+        "x2_simhash", "x2_dup_span_stats", "x5_line_dedup",
+        "x7_stratified_sample",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
+    # rotation evictees must keep their oracle (hash-checkable tail)
+    oracles = set(entrymod.oracle_sql())
+    for name in ("e7_identity", "join_semi_customers", "stats_aggregates",
+                 "x7_sample_hash"):
+        assert name in qkeys[50:] and name in oracles, (
+            f"{name} must sit in the hash-checkable tail")
 
 
 def test_tail_hash_checkable_queries_match_oracle_locally(spark, con):
