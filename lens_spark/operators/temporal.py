@@ -10,9 +10,12 @@ Scale design (100 TB):
   and take ``last(right, ignorenulls)`` over a per-key time-ordered
   window. One hash shuffle per side on the join key, a per-key sort,
   no range-explosion join and no per-row binary search. Skewed keys
-  ride on AQE; a time-bucketed variant (pre-bucket by coarse time,
-  then windows within buckets) is the next dial if one key's history
-  alone exceeds a task.
+  ride on AQE; when one key's history alone exceeds a task, pass
+  ``bucket="1 day"``: windows then partition by (key, time-bucket) —
+  bounding any single sort to one bucket of one key — and the
+  last-known (backward) / next-known (forward) right value crosses
+  bucket boundaries via carry rows computed on the per-(key, bucket)
+  summary table (one row per key×bucket, shuffle-cheap).
 - ``sessionize`` is two stacked per-key windows (lag → cumulative
   sum) — same single shuffle, order within key only.
 - ``session_agg`` uses native ``session_window`` so the identical call
@@ -36,21 +39,33 @@ _L, _R = "__asof_l", "__asof_r"
 def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_time: str,
               right_time: str, payload: list[str] | None = None,
               direction: str = "backward",
-              tolerance: Column | str | None = None) -> DataFrame:
+              tolerance: Column | str | None = None,
+              bucket: str | None = None) -> DataFrame:
     """For each left row, the latest right row with time ≤ left time
     (``backward``; ``forward`` = earliest with time ≥ left time).
 
     Right rows must be unique per (key, time) — pre-aggregate if not
     (the match would otherwise be nondeterministic). Payload columns
     come back null when no right row qualifies (left-join semantics).
+
+    ``bucket`` (an interval string, e.g. ``"1 day"``) switches to the
+    time-bucketed formulation for keys whose full history exceeds one
+    task's sort: window partitions become (key, tumbling-bucket), and
+    matches crossing bucket boundaries are served by one synthetic
+    carry row per (key, bucket) — the latest earlier-bucket (backward)
+    or earliest later-bucket (forward) right event — computed on the
+    per-(key, bucket) summary table, which holds one row per key×bucket
+    regardless of event counts. Results are identical to the unbucketed
+    path (equivalence-tested); the extra cost is one groupBy over the
+    right side and one tiny window over the summary.
     """
     if direction not in ("backward", "forward"):
         raise LensError(f"asof_join: unknown direction '{direction}'")
     payload = payload or [c for c in right.columns if c not in (on, right_time)]
+    bwd = direction == "backward"
 
-    lt = F.col(left_time).alias("__t")
     l_tagged = left.select(
-        F.col(on).alias("__k"), lt.cast("timestamp").alias("__t"),
+        F.col(on).alias("__k"), F.col(left_time).cast("timestamp").alias("__t"),
         F.lit(1).alias("__is_l"), F.struct(*left.columns).alias(_L),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
           for c in payload],
@@ -62,20 +77,61 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_time: str,
         *[F.col(c).alias(f"__p_{c}") for c in payload],
         F.col(right_time).cast("timestamp").alias("__rt"),
     )
-    both = l_tagged.unionByName(r_tagged)
 
-    # Right rows sort before left rows at equal times, so an exact-time
-    # match is inclusive in both directions.
-    if direction == "backward":
-        w = (Window.partitionBy("__k")
-             .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    # Right rows sort before left rows at equal times (__is_l asc tie
+    # break), so an exact-time match is inclusive in both directions;
+    # carry rows (__is_l = -1) sort before both at the bucket edge.
+    order = ([F.col("__t").asc()] if bwd else [F.col("__t").desc()]) \
+        + [F.col("__is_l").asc()]
+
+    if bucket is None:
+        both = l_tagged.unionByName(r_tagged)
+        part = ["__k"]
     else:
-        w = (Window.partitionBy("__k")
-             .orderBy(F.col("__t").desc(), F.col("__is_l").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        bucket_start = F.window(F.col("__t"), bucket).getItem("start")
+        l_b = l_tagged.withColumn("__b", bucket_start)
+        r_b = r_tagged.withColumn("__b", bucket_start)
+        # Per-(key, bucket) right summary: that bucket's latest
+        # (backward) / earliest (forward) event — one row per
+        # key×bucket however many events the bucket holds.
+        pick_in_bucket = F.max_by if bwd else F.min_by
+        summary = r_b.groupBy("__k", "__b").agg(
+            pick_in_bucket(
+                F.struct(F.col("__rt").alias("__rt"),
+                         *[F.col(f"__p_{c}").alias(f"__p_{c}")
+                           for c in payload]),
+                F.col("__t")).alias("__s"))
+        # Carry for bucket B = the summary of the nearest earlier
+        # (backward) / later (forward) bucket with right events, over
+        # every (key, bucket) either side touches. The window runs on
+        # the summary table (|keys|×|buckets| rows), not on events.
+        kb = l_b.select("__k", "__b").unionByName(
+            r_b.select("__k", "__b")).distinct()
+        wb = (Window.partitionBy("__k")
+              .orderBy(F.col("__b").asc() if bwd else F.col("__b").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (kb.join(summary, ["__k", "__b"], "left")
+                 .withColumn("__carry", F.last("__s", ignorenulls=True).over(wb))
+                 .filter(F.col("__carry").isNotNull()))
+        # The carry row sorts first within its bucket: at the bucket
+        # start (backward, asc order) or bucket end (forward, desc
+        # order — in-bucket times are strictly below the end boundary).
+        carry_t = F.col("__b") if bwd \
+            else F.col("__b") + F.expr(f"INTERVAL {bucket}")
+        carry_rows = carry.select(
+            "__k", carry_t.alias("__t"), F.lit(-1).alias("__is_l"),
+            F.lit(None).cast(l_tagged.schema[_L].dataType).alias(_L),
+            *[F.col("__carry").getItem(f"__p_{c}").alias(f"__p_{c}")
+              for c in payload],
+            F.col("__carry").getItem("__rt").alias("__rt"),
+            F.col("__b"),
+        )
+        both = l_b.unionByName(r_b).unionByName(carry_rows)
+        part = ["__k", "__b"]
+
+    w = (Window.partitionBy(*part).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
 
     matched = both.select(
         "__k", "__t", "__is_l", _L,
@@ -140,7 +196,8 @@ def session_agg(df: DataFrame, *, key: str, ts_col: str, gap: str = "30 minutes"
 @register_lens("asof_join")
 def asof_join_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: right (path) | right_view, on, left_time, right_time,
-    payload (cols), direction, tolerance (SQL interval expr)."""
+    payload (cols), direction, tolerance (SQL interval expr), bucket
+    (interval string — time-bucketed windows for oversized keys)."""
     from lens_spark.operators.relational import _read_right
 
     def forward(df: DataFrame) -> DataFrame:
@@ -153,6 +210,8 @@ def asof_join_lens(arguments: Mapping[str, Any]) -> Lens:
             payload=[str(c) for c in arguments["payload"]] if arguments.get("payload") else None,
             direction=str(arguments.get("direction", "backward")),
             tolerance=arguments.get("tolerance"),
+            bucket=(str(arguments["bucket"]) if arguments.get("bucket")
+                    else None),
         )
 
     return Lens("asof_join", arguments, forward)

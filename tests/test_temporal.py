@@ -121,3 +121,68 @@ def test_session_agg_on_real_stream(spark, tmp_path):
     batch_rows = {tuple(r) for r in batch.collect()}
     assert got_rows, "no sessions emitted"
     assert got_rows <= batch_rows  # watermark may withhold the tail
+
+
+# --- time-bucketed asof (bucket=): equivalence + plan shape -------------
+
+def _rand_events(spark, seed=7):
+    """Randomized left/right with events straddling many 1-hour buckets,
+    empty buckets, exact-boundary times, and right-empty keys."""
+    import random
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for k in range(6):
+        for _ in range(40):
+            lrows.append((k, base + dt.timedelta(
+                minutes=rng.randrange(0, 60 * 48))))
+        if k != 5:  # key 5 has no right rows at all
+            for i in range(rng.randrange(1, 25)):
+                rrows.append((k, base + dt.timedelta(
+                    minutes=rng.randrange(0, 60 * 48)), float(k * 100 + i)))
+    # exact bucket-boundary collisions
+    lrows.append((0, base + dt.timedelta(hours=7)))
+    rrows.append((0, base + dt.timedelta(hours=7), 777.0))
+    left = spark.createDataFrame(lrows, "key long, tts timestamp")
+    right = spark.createDataFrame(
+        rrows, "key long, qts timestamp, price double").dropDuplicates(
+        ["key", "qts"])
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_bucketed_equivalent_to_unbucketed(spark, direction):
+    left, right = _rand_events(spark)
+    kw = dict(on="key", left_time="tts", right_time="qts",
+              payload=["price"], direction=direction)
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join(left, right, bucket="1 hour", **kw)
+    key = lambda r: (r.key, r.tts, r.price, r.qts_matched)  # noqa: E731
+    assert sorted(map(key, plain.collect())) == \
+        sorted(map(key, bucketed.collect()))
+
+
+def test_asof_bucketed_equivalent_with_tolerance(spark):
+    left, right = _rand_events(spark, seed=11)
+    kw = dict(on="key", left_time="tts", right_time="qts",
+              payload=["price"], tolerance="INTERVAL 90 minutes")
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join(left, right, bucket="1 hour", **kw)
+    key = lambda r: (r.key, r.tts, r.price, r.qts_matched)  # noqa: E731
+    assert sorted(map(key, plain.collect())) == \
+        sorted(map(key, bucketed.collect()))
+
+
+def test_asof_bucketed_plan_partitions_by_key_and_bucket(quotes, trades):
+    """The point of bucket=: the big window must partition by
+    (key, bucket) so no single key's full history lands in one sort."""
+    out = asof_join(trades, quotes, on="key", left_time="tts",
+                    right_time="qts", payload=["price"], bucket="1 hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    big = [s for s in win_specs if "__is_l" in s]
+    assert big, f"no event window found in plan:\n{plan[:2000]}"
+    assert all("__b" in s and "__k" in s for s in big), (
+        f"event window not partitioned by (key, bucket): {big}")
