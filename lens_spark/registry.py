@@ -334,6 +334,50 @@ class Registry:
             return False
         return (self.blocks_dir / artifact_id).is_dir()
 
+    def vacuum_artifacts(self, *, keep: Sequence[str] = (),
+                         staging_grace_sec: float = 3600.0) -> dict:
+        """Sweep artifact blocks no stored spec references.
+
+        Artifacts are content-addressed and nothing ever deletes them:
+        a spec that stops naming its module artifact (overwrite then
+        txn discard, or plain spec deletion) strands the chunk blocks
+        forever. Liveness here = the artifact id appears in some
+        persisted spec's canonical JSON (the only place a spec can name
+        one) or in the caller's ``keep`` list. Everything else under
+        blocks/ goes, plus ``.staging-*`` dirs older than
+        ``staging_grace_sec`` (younger ones may belong to an in-flight
+        ``add_artifact``). Returns {"removed", "kept", "bytes_freed"}.
+        """
+        import re
+        import shutil
+        import time
+
+        self.reload()
+        live = {a for a in keep}
+        pattern = re.compile(r"lens1b-[0-9a-f]{64}")
+        for config in self._cache.values():
+            live.update(pattern.findall(config.to_json(canonical=True)))
+        removed: list[str] = []
+        kept = 0
+        freed = 0
+        if not self.blocks_dir.is_dir():
+            return {"removed": removed, "kept": 0, "bytes_freed": 0}
+        now = time.time()
+        for entry in self.blocks_dir.iterdir():
+            if entry.name.startswith(".staging-"):
+                if now - entry.stat().st_mtime > staging_grace_sec:
+                    shutil.rmtree(entry, ignore_errors=True)
+                continue
+            if not self.is_valid_artifact_id(entry.name):
+                continue  # never touch names we don't own
+            if entry.name in live:
+                kept += 1
+                continue
+            freed += sum(p.stat().st_size for p in entry.glob("*.chunk"))
+            shutil.rmtree(entry)
+            removed.append(entry.name)
+        return {"removed": removed, "kept": kept, "bytes_freed": freed}
+
     def sync_artifact_from(self, other: "Registry | str | Path",
                            artifact_id: str) -> str:
         """S6 for artifacts: copy chunked blocks by id from a peer root

@@ -260,3 +260,55 @@ def test_has_artifact_rejects_invalid_ids(tmp_path):
     assert not registry.has_artifact("..")
     assert not registry.has_artifact("")
     assert not registry.has_artifact("ZZ/not-hex")
+
+
+def test_vacuum_artifacts_sweeps_unreferenced_blocks(tmp_path):
+    """Write → reference one artifact from a spec → discard another in a
+    txn → vacuum: the unreferenced block is removed and storage shrinks,
+    the referenced one survives."""
+    from lens_spark.registry import Registry
+
+    registry = Registry(tmp_path / "reg_gc")
+    live_id = registry.add_artifact(b"live module bytes " * 100, chunk_size=256)
+    dead_id = registry.add_artifact(b"orphaned bytes " * 100, chunk_size=256)
+
+    # a committed spec references live_id in its arguments
+    registry.add({"lenses": [{"name": "identity",
+                              "arguments": {"module_artifact": live_id}}]})
+    # an overwrite staged in a txn then discarded leaves dead_id orphaned
+    with registry.txn() as txn:
+        txn.add({"lenses": [{"name": "identity",
+                             "arguments": {"module_artifact": dead_id}}]})
+        txn.discard()
+
+    def du(reg):
+        return sum(p.stat().st_size for p in reg.blocks_dir.rglob("*.chunk"))
+
+    before = du(registry)
+    report = registry.vacuum_artifacts()
+    assert report["removed"] == [dead_id]
+    assert report["kept"] == 1
+    assert report["bytes_freed"] > 0
+    assert du(registry) == before - report["bytes_freed"]
+    assert registry.has_artifact(live_id)
+    assert not registry.has_artifact(dead_id)
+    # referenced artifact still reassembles intact
+    assert registry.get_artifact(live_id) == b"live module bytes " * 100
+
+
+def test_vacuum_artifacts_keep_list_and_fresh_staging(tmp_path):
+    from lens_spark.registry import Registry
+
+    registry = Registry(tmp_path / "reg_gc2")
+    pinned = registry.add_artifact(b"pinned but unreferenced", chunk_size=8)
+    # simulate an in-flight writer: fresh staging dir must survive
+    staging = registry.blocks_dir / ".staging-inflight"
+    staging.mkdir()
+    (staging / "00000000.chunk").write_bytes(b"partial")
+    report = registry.vacuum_artifacts(keep=[pinned])
+    assert report["removed"] == []
+    assert registry.has_artifact(pinned)
+    assert staging.exists()
+    # aged-out staging dirs are reaped
+    report = registry.vacuum_artifacts(keep=[pinned], staging_grace_sec=0.0)
+    assert not staging.exists()
