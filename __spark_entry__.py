@@ -878,6 +878,41 @@ def q_x5_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("text_clean"))
 
 
+def q_x5_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (the rewrite counterpart of
+    dup_span_stats' scoring): the corpus is unioned with "remix" docs
+    carrying the lowercased first half of each original's tokens, so
+    every original's first-half 8-token spans become corpus-duplicated
+    — span_dedup must cut exactly the covered positions from both the
+    original and the remix (remix docs with ≥8 tokens collapse to "")
+    while each original keeps its unique tail."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    half = F.concat_ws(
+        " ", F.slice(toks, F.lit(1),
+                     F.floor(F.size(toks) / 2).cast("int")))
+    remix = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        half.alias("text"))
+    spec = {"lenses": [{"name": "span_dedup", "arguments": {
+        "id": "doc_id", "column": "text", "span": 8, "min_df": 2}}]}
+    out = engine.append(docs.unionAll(remix), spec)
+    return out.select("doc_id", F.col("text").alias("text_clean"))
+
+
+def q_x5_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: mean per-token surprisal under the
+    corpus' own add-0.5-smoothed unigram model (the engine-native
+    stand-in for CCNet's KenLM perplexity bucketing). Scores land on
+    every doc; the companion filter is an ordinary m6 range filter on
+    the appended column."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "unigram_logprob", "arguments": {
+        "id": "doc_id", "column": "text"}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "mean_logprob")
+
+
 def q_x7_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional oversampling — the upsampling half of a
     corpus mixing recipe: src0 at weight 2.5 (2 copies + hash-chosen
@@ -1147,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_customers": q_join_semi_customers,
         "stats_aggregates": q_stats_aggregates,
         "x7_sample_hash": q_x7_sample_hash,
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x2_dedup_neardup": q_x2_dedup_neardup,
@@ -1505,6 +1542,60 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x5_span_dedup": r"""
+WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+src AS (
+  SELECT doc_id, w FROM toks0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_slice(list_transform(w, t -> lower(t)), 1,
+                    CAST(floor(len(w) / 2) AS INT)) AS w
+  FROM toks0
+),
+tok_pos AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos FROM src
+),
+starts AS (
+  SELECT doc_id, unnest(range(1, len(w) - 6)) AS s,
+         unnest(list_transform(range(1, len(w) - 6),
+                i -> lower(array_to_string(list_slice(w, i, i + 7), ' ')))) AS sp
+  FROM src WHERE len(w) >= 8
+),
+dup AS (SELECT sp FROM starts GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+dup_starts AS (SELECT doc_id, s FROM starts JOIN dup USING (sp)),
+covered AS (
+  SELECT doc_id, unnest(range(s, s + 8)) AS pos FROM dup_starts
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok_pos t
+  ANTI JOIN (SELECT DISTINCT doc_id, pos FROM covered) c
+  ON t.doc_id = c.doc_id AND t.pos = c.pos
+)
+SELECT s.doc_id, coalesce(k.text_clean, '') AS text_clean
+FROM src s LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+        "x5_unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS lp
+  FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.lp, 0.0) AS mean_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
         "x5_line_dedup": """
 WITH src AS (

@@ -1095,6 +1095,95 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__ld_id", "__ld_clean")
 
 
+def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
+               span: int = 8, min_df: int = 2,
+               out: str | None = None) -> DataFrame:
+    """Remove corpus-duplicated token spans from every document — the
+    rewrite counterpart of ``dup_span_stats`` (which only scores), and
+    the token-granular Spark shape of exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better": cut
+    the duplicated substring, keep the unique remainder). ``line_dedup``
+    is the special case where the duplicated unit is a whole line; this
+    handles boilerplate that flows through line breaks (inlined terms
+    blocks, templated sentences, licence paragraphs).
+
+    A token position is removed when ANY ``span``-token window covering
+    it occurs in ≥ ``min_df`` distinct documents (df counts documents,
+    not occurrences — within-doc repetition is repetition_stats'
+    concern). Remaining tokens reassemble in original order, joined by
+    single spaces — output text is whitespace-normalized (same contract
+    as the tokenizer). Docs shorter than ``span`` tokens pass through
+    (normalized); fully-duplicated docs become "" but keep their row.
+
+    Span matching is case-insensitive (lowercased span hash); kept
+    tokens preserve original case.
+
+    Scale shape: positional span hashes (narrow transform over the
+    token array) → df-count groupBy on xxhash64 (agg; 8-byte keys) →
+    join of starts against duplicated keys → explode covered positions
+    (ids + ints, ≤ span rows per duplicated start) → anti-join tokens
+    on (id, pos) → per-doc ordered reassembly (one agg). Only the final
+    reassembly exchange carries token text; everything before moves
+    hashes, ids, and ints.
+    """
+    out = out or text_col
+    toks_expr = tokens(F.col(text_col), lowercase=False)
+    base = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__sd_id"), toks_expr.alias("__tk"))
+    # (doc, 0-based start, span hash); 0-based start s covers 1-based
+    # token positions s+1 .. s+span.
+    starts = base.select(
+        "__sd_id",
+        F.posexplode(
+            F.when(
+                F.size("__tk") >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - F.lit(span - 1)),
+                    lambda i: F.xxhash64(
+                        F.lower(F.concat_ws(" ", F.slice("__tk", i, span))))))
+            .otherwise(F.array().cast("array<bigint>"))
+        ).alias("__start", "__sh"))
+    dup_keys = (starts.groupBy("__sh")
+                .agg(F.count_distinct("__sd_id").alias("__df"))
+                .filter(F.col("__df") >= int(min_df))
+                .select("__sh"))
+    covered = (
+        starts.join(dup_keys, "__sh")
+        .select("__sd_id",
+                F.explode(F.sequence(F.col("__start") + 1,
+                                     F.col("__start") + span)).alias("__pos")))
+    toks_pos = base.select(
+        "__sd_id", F.posexplode("__tk").alias("__p0", "__tok")
+    ).select("__sd_id", (F.col("__p0") + 1).alias("__pos"), "__tok")
+    clean = (
+        toks_pos.join(covered, ["__sd_id", "__pos"], "left_anti")
+        .groupBy("__sd_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"]),
+            " ").alias("__sd_clean"))
+    )
+    joined = df.join(clean, df[id_col] == clean["__sd_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__sd_clean"), F.lit(""))
+    ).drop("__sd_id", "__sd_clean")
+
+
+@register_lens("span_dedup")
+def span_dedup_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), span (8), min_df (2),
+    out (default in-place)."""
+    id_col = str(require_arg(arguments, "id", "span_dedup"))
+    text_col = str(require_arg(arguments, "column", "span_dedup"))
+    out = arguments.get("out")
+    return Lens("span_dedup", arguments, lambda df: span_dedup(
+        df, id_col, text_col,
+        span=int(arguments.get("span", 8)),
+        min_df=int(arguments.get("min_df", 2)),
+        out=str(out) if out else None))
+
+
 @register_lens("line_dedup")
 def line_dedup_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), min_df (2), delimiter (newline),

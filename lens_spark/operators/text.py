@@ -213,6 +213,67 @@ def quality_filter_lens(arguments: Mapping[str, Any]) -> Lens:
                 lambda df: quality_filter(df, text_col, bounds))
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
+                    out: str = "mean_logprob", k: float = 0.5) -> DataFrame:
+    """Per-document mean surprisal −log₂ p(token) under the corpus' own
+    add-k-smoothed unigram LM — the engine-native stand-in for the
+    KenLM perplexity filter in CCNet-style quality bucketing (very high
+    mean → rare-token gibberish/spam; very low → boilerplate of stock
+    phrases; the middle is typical prose). Appends ``out`` (rounded to
+    6 decimals; 0.0 for token-less docs — kept, not dropped, so the
+    operator composes with an explicit downstream filter).
+
+    p(t) = (count(t) + k) / (total_tokens + k·|vocab|), both statistics
+    computed from the input corpus itself in the same job.
+
+    Scale shape: one tokenize+explode pass (checkpointed — it feeds the
+    count agg AND the scoring join) → token-count groupBy on
+    xxhash64(token) (agg; map-side partial, 8-byte keys) → 1-row
+    corpus-totals agg cross-joined back (broadcast of two scalars) →
+    score join on the hash (AQE handles stop-token skew) → per-doc avg
+    (agg on id). Exchanges carry hashes, ids, and doubles — never token
+    text. Token identity is the 64-bit hash: at web scale two rare
+    tokens may conflate counts with probability ~n²/2⁶⁴ — harmless for
+    a smoothed frequency estimate.
+    """
+    toks = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__lp_id"),
+                F.explode(tokens(F.col(text_col))).alias("__t0"))
+        .select("__lp_id", F.xxhash64("__t0").alias("__th"))
+        .localCheckpoint(eager=False)
+    )
+    counts = toks.groupBy("__th").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(F.sum("__c").alias("__total"),
+                        F.count(F.lit(1)).alias("__vocab"))
+    lp = -F.log2((F.col("__c") + F.lit(float(k)))
+                 / (F.col("__total") + F.lit(float(k)) * F.col("__vocab")))
+    per_doc = (
+        toks.join(counts, "__th")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("__lp_id")
+        .agg(F.round(F.avg(lp), 6).alias("__lp_mean"))
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["__lp_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__lp_mean"), F.lit(0.0))
+    ).drop("__lp_id", "__lp_mean")
+
+
+@register_lens("unigram_logprob")
+def unigram_logprob_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), out ("mean_logprob"), k (0.5
+    smoothing). Inverse drops the appended column."""
+    id_col = str(require_arg(arguments, "id", "unigram_logprob"))
+    text_col = str(require_arg(arguments, "column", "unigram_logprob"))
+    out = str(arguments.get("out", "mean_logprob"))
+    return Lens(
+        "unigram_logprob", arguments,
+        lambda df: unigram_logprob(df, id_col, text_col, out=out,
+                                   k=float(arguments.get("k", 0.5))),
+        lambda df: df.drop(out))
+
+
 def pii_redact(df: DataFrame, text_col: str, *, out: str | None = None,
                counts: bool = False) -> DataFrame:
     """Redact PII spans in ``text_col`` (email/SSN/phone/IPv4 →

@@ -546,3 +546,87 @@ def test_minhash_max_bucket_clean_corpus_reports_zero(spark):
     minhash_candidates(df, "id", "text", num_hashes=16, band_size=4,
                        max_bucket=50, drop_metrics=metrics).collect()
     assert metrics == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_span_dedup_removes_covered_positions(spark):
+    """Tokens covered by any corpus-duplicated 4-token span vanish;
+    unique tails survive in order; a fully-duplicated doc becomes ""
+    but keeps its row; short docs pass through."""
+    from lens_spark.operators.dedup import span_dedup
+
+    common = "one two three four"
+    df = spark.createDataFrame(
+        [(1, f"{common} tail alpha"),
+         (2, f"{common} tail beta"),
+         (3, "totally unique words here indeed"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           span_dedup(df, "doc_id", "text", span=4, min_df=2).collect()}
+    # "tail" is inside the duplicated window of doc1/doc2? spans are
+    # positions 1..3 of 7 tokens: [one two three four], [two three four
+    # tail], [three four tail alpha] — only span 1 is duplicated (docs
+    # differ from token 6 on... doc1: one two three four tail alpha;
+    # doc2: ... tail beta. Span 2 "two three four tail" occurs in BOTH
+    # → duplicated; span 3 differs. Covered = positions 1..5 → "alpha"/
+    # "beta" survive.
+    assert out == {1: "alpha", 2: "beta",
+                   3: "totally unique words here indeed", 4: "tiny doc"}
+
+
+def test_span_dedup_case_insensitive_match_preserves_case(spark):
+    from lens_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Alpha Beta Gamma Delta KEEP1"),
+         (2, "alpha beta gamma delta KEEP2")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           span_dedup(df, "doc_id", "text", span=4, min_df=2).collect()}
+    assert out == {1: "KEEP1", 2: "KEEP2"}
+
+
+def test_span_dedup_min_df_dial_and_out_column(spark):
+    from lens_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "a b c d y")],
+        "doc_id long, text string")
+    untouched = span_dedup(df, "doc_id", "text", span=4, min_df=3)
+    assert {r.text for r in untouched.collect()} \
+        == {"a b c d x", "a b c d y"}
+    side = span_dedup(df, "doc_id", "text", span=4, min_df=2, out="clean")
+    rows = {r.doc_id: (r.text, r.clean) for r in side.collect()}
+    assert rows == {1: ("a b c d x", "x"), 2: ("a b c d y", "y")}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """mean_logprob matches the add-k unigram formula computed by hand;
+    token-less docs keep their row at 0.0."""
+    import math
+
+    from lens_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.mean_logprob for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    # counts: a=2 b=2 c=1; total=5 vocab=3; denom = 5 + 0.5*3
+    lp = {t: -math.log2((c + 0.5) / 6.5) for t, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((lp["b"] + lp["c"]) / 2, 6)
+    assert out[3] == 0.0
+    assert abs(out[1] - exp1) < 1e-9 and abs(out[2] - exp2) < 1e-9
+
+
+def test_unigram_logprob_ranks_rare_above_common(spark):
+    from lens_spark.operators.text import unigram_logprob
+
+    rows = [(i, "the same common phrase") for i in range(10)]
+    rows.append((99, "zxqv wmbr ktjp"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.mean_logprob for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[99] > out[0]
