@@ -463,6 +463,32 @@ def q_x2_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    num_bits=4, num_tables=8)
 
 
+def q_x3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: per-vector
+    cluster assignment plus per-cluster sizes as a sanity surface
+    (rows-only: distributed float partial-sum ordering makes boundary
+    assignments non-oracle-able; local-reference equivalence +
+    determinism asserted in tests/test_clustering.py)."""
+    from lens_spark.operators.clustering import kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans(emb, "vec_id", "embedding", k=8, max_iter=5)
+    return out.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+
+
+def q_x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup semantic dedup: k-means clusters, within-cluster
+    blocked-matmul cosine verify, component collapse — survivors only
+    (rows-only; k=1-equals-exact + planted-dup removal asserted in
+    tests/test_clustering.py)."""
+    from lens_spark.operators.clustering import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", k=8, threshold=0.98,
+                   max_iter=3)
+    return out.select("vec_id", "label")
+
+
 def q_x2_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-over-batch near-dup dedup against a persistent MinHash
     index: even doc_ids are ingested as the accepted corpus, then a 5%
@@ -1186,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_unigram_logprob": q_x5_unigram_logprob,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
+        "x3_kmeans": q_x3_kmeans,
+        "x2_semdedup": q_x2_semdedup,
         "x2_dedup_neardup": q_x2_dedup_neardup,
         "x2_neardup_incremental": q_x2_neardup_incremental,
         "x3_ann_topk": q_x3_ann_topk,

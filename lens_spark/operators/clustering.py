@@ -1,0 +1,218 @@
+"""X3-adjacent embedding clustering: distributed Lloyd's k-means and
+SemDedup-style semantic deduplication.
+
+No reference counterpart (the reference has no vector operators at all
+— SURVEY.md §2.6); these are X-series extensions for the LLM-pipeline
+surface: k-means supplies trained centroids for ``ivf_topk`` (whose
+docstring declares the drop-in slot) and the cluster structure that
+SemDedup ("SemDedup: Data-efficient learning at web-scale through
+semantic deduplication", Abbas et al. 2023) prunes within.
+
+Scale design (100 TB):
+- The model state (k × dim centroids) lives on the driver and is
+  broadcast each iteration — the same shape as Spark MLlib's KMeans;
+  KBs for realistic k/dim, never a per-row structure.
+- Assignment is one narrow pass per iteration: a vectorized numpy
+  kernel (Arrow-batched pandas UDF) computes all k distances in one
+  matmul per batch. The Catalyst-expression alternative unrolls k × dim
+  terms and trips janino's 64 KB method limit (the similarity.py
+  lesson), silently dropping to interpreted eval.
+- The update step is posexplode → groupBy(cell, dim) with map-side
+  partial aggregation: the exchange carries ≤ k·dim partial sums per
+  partition, not vectors; the driver collects k·dim numbers.
+- SemDedup's within-cluster verification reuses the blocked-matmul
+  grouped kernel shape of ``embedding_neardup_pairs(method="lsh")``
+  (dedup.py): only true-positive pairs ever become rows. Cluster size
+  is the task-memory dial — size k so n/k vectors fit a task (the
+  SemDedup recipe already wants k large, ~sqrt(n) or more).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lens_spark.errors import LensError
+from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment: argmin L2 over all k centroids in
+    one (batch × dim) @ (dim × k) product per Arrow batch.
+
+    dist²(x, c) = |x|² − 2·x·c + |c|²; |x|² is constant per row so the
+    argmin needs only −2·x·c + |c|².
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids.astype(np.float64)            # (k, dim)
+    c_sq = (c * c).sum(axis=1)                  # (k,)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = -2.0 * (x @ c.T) + c_sq        # (n, k), argmin == argmin dist²
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
+               max_iter: int = 10, tol: float = 1e-4) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column; returns the trained
+    centroids (k × dim driver-side list — model state, same contract as
+    MLlib's KMeansModel.clusterCenters).
+
+    Init is deterministic and spread without a shuffle: the k smallest
+    md5(id) rows — a content-hash uniform sample of the corpus (the
+    sampling.py determinism machinery applied to seeding). Each
+    iteration: one narrow assignment pass + one (cell, dim) partial-sum
+    aggregation; converges when the max centroid shift drops below
+    ``tol``. Empty cells keep their previous centroid.
+
+    Floating-point note: distributed partial sums add in partition
+    order, so centroid doubles can differ across runs in the last ulp —
+    k-means output is therefore rows-only territory (boundary points
+    may flip cluster), verified by equivalence tests against a local
+    reference, not a SQL oracle.
+    """
+    base = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .localCheckpoint(eager=False)  # read max_iter+1 times
+    )
+    seed_rows = (base.withColumn("__hk", F.md5(F.col("__id").cast("string")))
+                 .orderBy("__hk").limit(int(k)).select("__v").collect())
+    if len(seed_rows) < k:
+        raise LensError(
+            f"kmeans_fit: corpus has {len(seed_rows)} rows < k={k}")
+    cent = np.array([list(r["__v"]) for r in seed_rows], dtype=np.float64)
+    dim = cent.shape[1]
+    for _ in range(int(max_iter)):
+        assigned = base.withColumn("__cell", _assign_udf(cent)(F.col("__v")))
+        sums = (
+            assigned.select("__cell", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        counts = np.zeros(k)
+        acc = np.zeros((k, dim))
+        for r in sums:
+            acc[r["__cell"], r["__d"]] = r["__s"]
+            counts[r["__cell"]] = r["__n"]
+        nonempty = counts > 0
+        new_cent[nonempty] = acc[nonempty] / counts[nonempty, None]
+        shift = float(np.max(np.linalg.norm(new_cent - cent, axis=1)))
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent.tolist()
+
+
+def kmeans_assign(df: DataFrame, vec_col: str,
+                  centroids: Sequence[Sequence[float]], *,
+                  out: str = "cluster") -> DataFrame:
+    """Append the nearest-centroid cluster id (narrow; one kernel pass)."""
+    cent = np.array([list(c) for c in centroids], dtype=np.float64)
+    return df.withColumn(out, _assign_udf(cent)(F.col(vec_col)))
+
+
+def kmeans(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
+           max_iter: int = 10, tol: float = 1e-4,
+           out: str = "cluster") -> DataFrame:
+    """Fit + assign in one call: input rows plus a ``out`` cluster id."""
+    cent = kmeans_fit(df, id_col, vec_col, k=k, max_iter=max_iter, tol=tol)
+    return kmeans_assign(df, vec_col, cent, out=out)
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
+             threshold: float = 0.95, max_iter: int = 5,
+             keep: str = "min") -> DataFrame:
+    """SemDedup: drop semantic near-duplicates found WITHIN k-means
+    clusters (Abbas et al. 2023) — the scale path for embedding dedup
+    when hyperplane-LSH recall is not enough: clustering adapts to the
+    data distribution where random hyperplanes don't.
+
+    Pipeline: k-means (above) → per-cluster blocked-matmul cosine
+    verification (grouped kernel, only pairs ≥ ``threshold`` become
+    rows — same shape as embedding_neardup_pairs(method="lsh")) →
+    connected components → keep one representative per component
+    (``keep="min"``: smallest id). Pairs split across clusters are
+    missed — that is SemDedup's documented recall trade; raise k for
+    smaller/faster tasks, lower k for higher recall.
+    """
+    from lens_spark.operators.dedup import connected_components
+
+    assigned = (
+        kmeans(ensure_parallelism(df, by=[id_col]), id_col, vec_col,
+               k=k, max_iter=max_iter)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                "cluster")
+    )
+    thr = float(threshold)
+
+    def verify_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf["__id"].to_numpy()
+        x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        out_a, out_b = [], []
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = x[lo:hi] @ x[lo:].T  # only j >= lo: upper triangle
+            for r in range(hi - lo):
+                i = lo + r
+                js = np.nonzero(sims[r, r + 1:] >= thr)[0] + i + 1
+                for j in js:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    id_type = dict(df.dtypes)[id_col]
+    pairs = (assigned.groupBy("cluster")
+             .applyInPandas(verify_cluster,
+                            schema=f"id_a {id_type}, id_b {id_type}")
+             .distinct())
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+@register_lens("kmeans")
+def kmeans_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, vector, k (16), max_iter (10), tol (1e-4),
+    out ("cluster"). Inverse drops the cluster column."""
+    id_col = str(require_arg(arguments, "id", "kmeans"))
+    vec_col = str(require_arg(arguments, "vector", "kmeans"))
+    out = str(arguments.get("out", "cluster"))
+    return Lens(
+        "kmeans", arguments,
+        lambda df: kmeans(df, id_col, vec_col,
+                          k=int(arguments.get("k", 16)),
+                          max_iter=int(arguments.get("max_iter", 10)),
+                          tol=float(arguments.get("tol", 1e-4)), out=out),
+        lambda df: df.drop(out))
+
+
+@register_lens("semdedup")
+def semdedup_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, vector, k (16), threshold (0.95), max_iter (5)."""
+    id_col = str(require_arg(arguments, "id", "semdedup"))
+    vec_col = str(require_arg(arguments, "vector", "semdedup"))
+    return Lens("semdedup", arguments, lambda df: semdedup(
+        df, id_col, vec_col,
+        k=int(arguments.get("k", 16)),
+        threshold=float(arguments.get("threshold", 0.95)),
+        max_iter=int(arguments.get("max_iter", 5))))
