@@ -642,6 +642,37 @@ def q_streaming_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
+def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with cross-batch dedup driven end-to-end: the
+    documents table split into two replayed micro-batch files with
+    overlapping doc ranges; survivors land in parquet and the second
+    batch's duplicates of the first are dropped via the persistent
+    fingerprint index (unbounded horizon — state lives on disk, not in
+    the engine). Rows-only: a foreachBatch pipeline isn't a single SQL
+    statement; cross-run index semantics are pinned by
+    tests/test_streaming.py."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.streaming import read_file_stream, stream_ingest_dedup
+
+    src = f"{sf_dir}/documents.parquet"
+    pdf = pd.read_parquet(src, columns=["doc_id", "text"])
+    staged = tempfile.mkdtemp(prefix="lens_spark_sid_src_")
+    n = len(pdf)
+    # overlapping thirds: batch2 re-sends the middle third of batch1
+    pdf.iloc[: 2 * n // 3].to_parquet(os.path.join(staged, "b1.parquet"))
+    pdf.iloc[n // 3:].to_parquet(os.path.join(staged, "b2.parquet"))
+    landing = tempfile.mkdtemp(prefix="lens_spark_sid_out_") + "/landing"
+    index = tempfile.mkdtemp(prefix="lens_spark_sid_idx_") + "/idx"
+    stream = read_file_stream(spark, staged, schema_from=src,
+                              maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream, landing, index, mode="exact",
+                        columns=["doc_id"])
+    return spark.read.parquet(landing).select("doc_id")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lens_spark.sources import read_ns_timestamps
 
@@ -953,6 +984,22 @@ def q_x7_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to per-source token budgets: replication weights
+    computed from the data (budget / stratum token total), then
+    deterministic fractional oversampling. src0 gets a 20k-token
+    budget, src1 5k, every other source is dropped — at sf0.01 that
+    oversamples (~6.7x / ~1.7x), at sf0.1 it downsamples, so both
+    regimes are exercised by the same query."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    spec = {"lenses": [{"name": "mix_by_token_budget", "arguments": {
+        "keys": ["doc_id"], "strata": "source", "column": "text",
+        "budgets": {"src0": 20000, "src1": 5000}, "default_weight": 0.0}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "source",
+                      F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
+
+
 def q_x2_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span coverage scoring: the corpus is unioned with
     "remix" docs carrying the first half of each original's tokens, so
@@ -1210,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_sample_hash": q_x7_sample_hash,
         "x5_span_dedup": q_x5_span_dedup,
         "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1224,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_approx_distinct": q_x6_approx_distinct,
         "x8_pack_sequences": q_x8_pack_sequences,
         "streaming_events_windowed": q_streaming_events_windowed,
+        "streaming_ingest_dedup": q_streaming_ingest_dedup,
     }
 
 
@@ -1570,6 +1619,37 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x7_token_budget_mix": r"""
+WITH ntok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt
+  FROM documents
+),
+tot AS (SELECT source, sum(nt) AS total FROM ntok GROUP BY source),
+w AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 20000.0 / total
+                     WHEN 'src1' THEN 5000.0 / total
+                     ELSE 0.0 END AS wt
+  FROM tot
+),
+base AS (
+  SELECT n.doc_id, n.source, w.wt,
+         ('0x' || substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+  FROM ntok n JOIN w USING (source)
+),
+cnt AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS BIGINT)
+         + CASE WHEN h < CAST(round((wt - floor(wt)) * 4294967296)
+                             AS UBIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS repeat_idx
+FROM cnt WHERE n_copies > 0
 """,
         "x5_span_dedup": r"""
 WITH toks0 AS (

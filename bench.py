@@ -21,7 +21,9 @@ large corpus" ingest shape), so its r3+ numbers are NOT comparable to
 r1/r2. In round 4 `x3_ann_topk` changed shape too: it now emits a
 measured recall_at_k column (adds an in-query brute-force reference
 pass) and runs at higher-recall LSH parameters (num_bits 6→4,
-num_tables 4→16) — not comparable to r1-r3 either. Compare per-query
+num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds three
+new headline queries (x5_span_dedup, x5_unigram_logprob, x2_semdedup),
+so the r5 TOTAL covers 31 queries vs r4's 28. Compare per-query
 medians, not totals, across rounds.
 """
 
@@ -68,6 +70,9 @@ HEADLINE = [
     "x5_quality_filter",     # Gopher-style quality bounds (narrow exprs)
     "x2_decontaminate",      # benchmark n-gram semi/anti join decontamination
     "x5_line_dedup",         # corpus boilerplate line removal (new in r4)
+    "x5_span_dedup",         # duplicate-span removal + positional reassembly (r5)
+    "x5_unigram_logprob",    # corpus-LM surprisal scoring (r5)
+    "x2_semdedup",           # k-means + within-cluster cosine dedup (r5)
 ]
 
 

@@ -433,9 +433,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     # released on all exception paths, not just the happy one.
     pairs = pairs.persist()
     try:
-        n_pairs = pairs.limit(driver_threshold + 1).count()
-        if n_pairs <= driver_threshold:
-            rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
+        # ONE action probes the size AND fetches the edges: take() of
+        # threshold+1 rows either returns the whole (small) edge list —
+        # no second collect job — or proves the graph is over-threshold
+        # (the extra ≤1M-row driver transfer on that rare path is
+        # bounded at ~16 MB of id pairs).
+        rows = pairs.select(F.col(id_a), F.col(id_b)).take(driver_threshold + 1)
+        if len(rows) <= driver_threshold:
             parent: dict = {}
 
             def find(x):
@@ -807,8 +811,13 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     1. the batch is near-deduped internally (LSH self-join on the
        bands → minhash-estimate verify → components → min-id
        representative); a batch with NO verified within-batch pairs —
-       the common case for small clean ingest batches — short-circuits
-       past the component machinery and its full-batch checkpoint;
+       the common case for small clean ingest batches — is detected by
+       probing the verified-pair set itself and short-circuits past
+       the component machinery and the survivor semi-joins. Survivors
+       are never checkpointed (r5): the loser set is already
+       materialized by connected_components, so re-running the
+       anti-join per consumer costs column-pruned scans, cheaper than
+       writing full-width rows to checkpoint blocks;
     2. survivors' bands LSH-join against the stored band index — only
        bucket-mates are compared, never batch × corpus;
     3. candidates (both within-batch and vs-corpus) verify with the
@@ -926,33 +935,44 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                 .filter(est_expr >= F.lit(threshold))
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=False))
-    comp = connected_components(verified)
-    losers = comp.filter(F.col("id") != F.col("component")).select("id")
-    # comp is already materialized by connected_components (driver
-    # union-find result or checkpointed labels), so this emptiness
-    # probe costs a near-free local scan — NOT a re-run of the verify
-    # pipeline.
-    if losers.isEmpty():
-        # Clean batch (the common small-ingest case): no within-batch
-        # near-dups, so skip the full-batch checkpoint — batch IS the
-        # caller's input; nothing below re-derives it.
+    # Probe the VERIFIED PAIRS, not the component losers: zero pairs ⟹
+    # zero losers (every pair contributes a non-min member), so a clean
+    # batch — the common small-ingest case — is decided by one action
+    # that materializes the lazy verify checkpoint and skips the
+    # component machinery entirely. A dup-carrying batch pays the same
+    # single materialization; connected_components then reads the
+    # checkpoint blocks, not the pipeline.
+    clean_batch = verified.isEmpty()
+    if clean_batch:
         batch = df
     else:
-        # Checkpoint the within-batch survivors ONCE, EAGERLY: their
-        # plan feeds several legs (batch_ids semi-joins, the corpus
-        # anti-join, the caller's action). A lazy checkpoint measured
-        # WORSE here (~15% on the ingest+dedup query): downstream
-        # stages that run concurrently within one job race to
-        # materialize the not-yet-checkpointed RDD and each recompute
-        # it — the dedicated materialization job is cheaper than the
-        # duplicated work.
-        batch = df.join(losers, df[id_col] == losers.id, "left_anti") \
-            .localCheckpoint(eager=True)
-    batch_ids = batch.select(F.col(id_col))
+        comp = connected_components(verified)
+        losers = comp.filter(F.col("id") != F.col("component")).select("id")
+        # NO checkpoint on the survivors (changed in r5, measured ~30%
+        # off the whole ingest+dedup query): `losers` is already
+        # materialized — connected_components returns either a
+        # driver-local relation or checkpoint-backed labels — so no
+        # downstream leg can re-run the verify pipeline. What the
+        # legs DO re-run is this anti-join over the input scan, and
+        # column pruning makes that cheap: the id-only consumers
+        # (semi-join keys, payload ids) scan just the id column, and
+        # the one full-width read is the caller's own action. r4's
+        # eager full-width checkpoint paid a dedicated job writing
+        # every surviving row to checkpoint blocks to avoid those
+        # re-scans — strictly worse on measurement. (The r4 note about
+        # lazy *checkpoints* racing concurrent materialization applied
+        # to checkpoint block writes, not to plain lazy plans.)
+        batch = df.join(losers, df[id_col] == losers.id, "left_anti")
     # sig covers the pre-dedup batch; restrict the index side to the
-    # within-batch survivors (semi-joins against the survivor ids).
-    sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
-    bands = bands_all.join(batch_ids, id_col, "left_semi")
+    # within-batch survivors (semi-joins against the survivor ids). A
+    # clean batch needs no restriction — the survivors ARE the batch —
+    # so the two semi-join exchanges are skipped outright.
+    if clean_batch:
+        sig_arr, bands = sig_arr_all, bands_all
+    else:
+        batch_ids = batch.select(F.col(id_col))
+        sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
+        bands = bands_all.join(batch_ids, id_col, "left_semi")
     lock = (_index_writer_lock(spark, index_path) if update_index
             else contextlib.nullcontext())
     with lock:
@@ -982,35 +1002,52 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                            " (a, b) -> a = b), x -> x))")
                     / F.lit(num_hashes))
             )
-            # Checkpoint the TINY dup-id set eagerly, not the full-width
-            # survivor rows: after this, nothing downstream (the
-            # anti-join, the append payload, the caller's action) reads
-            # the index parquet we're about to append to — the one plan
-            # leg that did is pinned as id-only checkpoint blocks. This
-            # replaces r4's full-batch survivor checkpoint (a second
-            # materialization of every surviving row) with one job whose
-            # output is just the duplicate ids.
             dup_ids = (est.filter(F.col("__est_j") >= threshold)
-                       .select(id_col).distinct()
-                       .localCheckpoint(eager=True))
-            if dup_ids.isEmpty():
-                # Clean vs-corpus leg (the common ingest case): the
-                # anti-join would be a no-op — skip it so `fresh` keeps
-                # batch's (possibly checkpoint-free) plan.
-                fresh = batch
+                       .select(id_col).distinct())
+            if update_index:
+                # Checkpoint the TINY dup-id set eagerly, not the
+                # full-width survivor rows: after this, nothing
+                # downstream (the anti-join, the append payload, the
+                # caller's action) reads the index parquet we're about
+                # to append to — the one plan leg that did is pinned as
+                # id-only checkpoint blocks. This replaces r4's
+                # full-batch survivor checkpoint (a second
+                # materialization of every surviving row) with one job
+                # whose output is just the duplicate ids.
+                dup_ids = dup_ids.localCheckpoint(eager=True)
+                if dup_ids.isEmpty():
+                    # Clean vs-corpus leg (the common ingest case): the
+                    # anti-join would be a no-op — skip it so `fresh`
+                    # keeps batch's (possibly checkpoint-free) plan.
+                    fresh = batch
+                else:
+                    fresh = batch.join(dup_ids, id_col, "left_anti")
             else:
+                # Read-only call: no append, so no index-file hazard —
+                # the checkpoint job and the emptiness probe buy
+                # nothing. Leave the anti-join lazy; the caller's one
+                # action computes the whole pipeline in one job (AQE
+                # broadcasts the dup-id side when it's small).
                 fresh = batch.join(dup_ids, id_col, "left_anti")
         else:
             fresh = batch
         if update_index:
-            fresh_ids = fresh.select(id_col)
+            if fresh is batch:
+                # No vs-corpus dups: bands/sig_arr already cover exactly
+                # the surviving ids — the fresh_ids semi-joins would be
+                # identity exchanges.
+                out_bands, out_sigs = bands, sig_arr
+            else:
+                fresh_ids = fresh.select(id_col)
+                out_bands = bands.join(fresh_ids, id_col, "left_semi")
+                out_sigs = sig_arr.join(fresh_ids, id_col, "left_semi")
             payload = (
-                bands.join(fresh_ids, id_col, "left_semi")
+                out_bands
                 .select(F.col(id_col), F.col("band_hash"),
                         F.lit(None).cast("array<bigint>").alias("sig"),
                         F.lit("bands").alias("kind"))
                 .unionByName(
-                    sig_arr.join(fresh_ids, id_col, "left_semi")
+                    out_sigs
                     .select(F.col(id_col),
                             F.lit(None).cast("string").alias("band_hash"),
                             F.col("sig"),

@@ -175,6 +175,77 @@ def oversample(df: DataFrame, key_cols: list[str], strata_col: str,
     )
 
 
+def mix_by_token_budget(df: DataFrame, key_cols: list[str], strata_col: str,
+                        budgets: Mapping[str, float], *,
+                        token_count_col: str | None = None,
+                        text_col: str | None = None,
+                        default_weight: float = 1.0,
+                        out: str = "repeat_idx", salt: str = "") -> DataFrame:
+    """Corpus mixing to per-source TOKEN budgets (the practical mixing
+    recipe: "200B tokens of crawl, 30B of curated"): each stratum's
+    replication weight is computed FROM the data — weight =
+    budget_tokens / stratum_tokens — then applied with the
+    deterministic fractional machinery of ``oversample`` (weight < 1
+    downsamples, > 1 replicates with hash-chosen fractional copies).
+    Strata without a budget keep ``default_weight`` (1.0 = pass
+    through; 0.0 = drop).
+
+    Token totals per stratum are a small agg collected driver-side
+    (model state, like kmeans centroids: #strata rows); membership is
+    expected-value — ~budget tokens per stratum in expectation via the
+    md5-prefix CDF, no sort. The exact greedy fill-to-budget
+    (cumulative-sum window ordered by md5) gives budgets to the token,
+    but orders a whole stratum through one window partition — a
+    single-task straggler at web scale; the threshold form is narrow.
+    """
+    if token_count_col is None:
+        if text_col is None:
+            raise LensError(
+                "mix_by_token_budget needs token_count_col or text_col")
+        from lens_spark.functions.text import whitespace_token_count
+
+        df = df.withColumn("__mix_nt", whitespace_token_count(F.col(text_col)))
+        token_count_col = "__mix_nt"
+    totals = {
+        r["__s"]: r["__t"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .agg(F.sum(F.col(token_count_col)).alias("__t")).collect()
+    }
+    weights = {
+        s: (float(b) / totals[s]) if totals.get(s) else 0.0
+        for s, b in budgets.items()
+    }
+    mixed = oversample(df, key_cols, strata_col, weights,
+                       default_weight=default_weight, out=out, salt=salt)
+    return mixed.drop("__mix_nt") if token_count_col == "__mix_nt" else mixed
+
+
+@register_lens("mix_by_token_budget")
+def mix_by_token_budget_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), strata (column), budgets
+    ({stratum: token budget}), token_count_col | column (text),
+    default_weight (1.0), out ("repeat_idx"), salt ("")."""
+    keys = [str(c) for c in require_arg(arguments, "keys",
+                                        "mix_by_token_budget")]
+    strata = str(require_arg(arguments, "strata", "mix_by_token_budget"))
+    budgets = {str(k): float(v) for k, v in
+               dict(require_arg(arguments, "budgets",
+                                "mix_by_token_budget")).items()}
+    tcc = arguments.get("token_count_col")
+    text_col = arguments.get("column")
+    out = str(arguments.get("out", "repeat_idx"))
+    return Lens(
+        "mix_by_token_budget", arguments,
+        lambda df: mix_by_token_budget(
+            df, keys, strata, budgets,
+            token_count_col=str(tcc) if tcc else None,
+            text_col=str(text_col) if text_col else None,
+            default_weight=float(arguments.get("default_weight", 1.0)),
+            out=out, salt=str(arguments.get("salt", ""))),
+        lambda df: df.filter(F.col(out) == 1).drop(out),
+    )
+
+
 @register_lens("oversample")
 def oversample_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: keys (list[str]), strata (column), weights

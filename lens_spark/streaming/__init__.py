@@ -197,3 +197,82 @@ def windowed_counts(stream_df: DataFrame, *, ts_col: str, window: str = "1 hour"
             F.round(F.col("sum_value"), 6).alias("sum_value"),
         )
     )
+
+
+def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
+                        index_path: str, *, mode: str = "exact",
+                        id_col: str | None = None,
+                        text_col: str | None = None,
+                        columns: list[str] | None = None,
+                        partition_by: list[str] | None = None,
+                        fmt: str = "parquet", available_now: bool = True,
+                        checkpoint: str | None = None, timeout: int = 120,
+                        **neardup_kw):
+    """Streaming ingest with CROSS-BATCH dedup: each micro-batch dedups
+    against the persistent incremental index — everything accepted by
+    earlier batches, in this run or any previous one — and survivors
+    append to the landing dataset. ``streaming_dedup`` bounds state by
+    a watermark horizon; this is the unbounded-horizon complement,
+    backed by the on-disk fingerprint (``mode="exact"``) or MinHash
+    (``mode="neardup"``) index of operators.dedup, whose footprint is
+    bytes per accepted doc, not engine state.
+
+    Micro-batches are sequential within a query, so the per-batch
+    index writer lease never self-contends; it still excludes OTHER
+    ingest jobs sharing the index.
+
+    Delivery contract (documented, not hidden): the landing write
+    commits BEFORE the index append — data is never lost to a crash
+    between the two. A batch replayed after such a crash re-appends its
+    rows (the usual at-least-once foreachBatch append) and re-accepts
+    what that batch added (its fingerprints never committed); a replay
+    AFTER the index append dedups against the batch's own fingerprints
+    and lands zero rows — also fine, the rows are already down. Runs
+    needing exactly-once landings should pair this with a batch-id
+    partitioned sink and idempotent overwrite.
+    """
+    from lens_spark.operators.dedup import dedup_incremental, neardup_incremental
+
+    if mode not in ("exact", "neardup"):
+        raise ValueError(f"stream_ingest_dedup: unknown mode {mode!r}")
+    if mode == "neardup" and not (id_col and text_col):
+        raise ValueError(
+            "stream_ingest_dedup(mode='neardup') needs id_col and text_col")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "exact":
+            fresh = dedup_incremental(batch_df, index_path, columns=columns,
+                                      update_index=False)
+        else:
+            fresh = neardup_incremental(batch_df, index_path, id_col,
+                                        text_col, update_index=False,
+                                        **neardup_kw)
+        # Land survivors first (see delivery contract above) …
+        fresh = fresh.localCheckpoint(eager=True)
+        writer = fresh.write.format(fmt).mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(out_path)
+        # … then commit their fingerprints/signatures to the index via
+        # the same operators in index-update mode on the already-
+        # deduped survivors (their dedup legs are no-ops; the calls
+        # exist for their append machinery + writer lease).
+        if mode == "exact":
+            dedup_incremental(fresh, index_path, columns=columns)
+        else:
+            neardup_incremental(fresh, index_path, id_col, text_col,
+                                **neardup_kw)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        return None
+    return writer.start()

@@ -152,3 +152,35 @@ def test_embedding_neardup_lsh_plan_has_no_quadratic_join(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_plan_joins_on_hashes_no_quadratic(spark):
+    """Duplicate-span removal must stay an equi-join pipeline: df-count
+    and reassembly aggregations combine map-side, the dup-key and
+    covered-position joins are hash/sort-merge equi-joins, and no
+    cartesian/nested-loop pair blowup anywhere."""
+    from lens_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(span_dedup(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final df-count
+    assert "xxhash64" in plan  # span identity moves as 8-byte hashes
+
+
+def test_unigram_logprob_plan_partial_aggs_and_broadcast_totals(spark):
+    """Corpus-LM scoring: token counts partial-aggregate before the
+    exchange, the 1-row totals side is broadcast, and the score join is
+    an equi-join on the token hash."""
+    from lens_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_logprob(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or \
+        "BuildRight" in plan  # 1-row totals may plan as broadcast NLJ
+    # token-count agg AND per-doc avg both partial-combine map-side
+    assert "partial_count" in plan and "partial_avg" in plan
+    # (the tokenize+xxhash64 subtree sits behind the shared lazy
+    # checkpoint, so it is not visible in this executed-plan string)

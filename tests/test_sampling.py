@@ -126,3 +126,44 @@ def test_oversample_fractional_is_deterministic_and_invertible(spark):
         "keys": ["id"], "strata": "src", "weights": {"w": 2.5}}}]})
     assert sorted(r.id for r in back.collect()) == sorted(r.id for r in df.collect())
     assert back.columns == df.columns
+
+
+def test_mix_by_token_budget_weights_from_data(spark):
+    """weight = budget / stratum token total: a stratum whose budget is
+    2.5x its token count behaves exactly like oversample(weight=2.5);
+    unlisted strata honor default_weight."""
+    from lens_spark.operators.sampling import mix_by_token_budget, oversample
+
+    rows = [(i, "a", "one two") for i in range(50)]          # 100 tokens
+    rows += [(100 + i, "b", "three four five") for i in range(20)]  # 60 tokens
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    mixed = mix_by_token_budget(df, ["id"], "src", {"a": 250},
+                                text_col="text", default_weight=0.0)
+    over = oversample(df.filter("src = 'a'"), ["id"], "src", {"a": 2.5})
+    got = {(r.id, r.repeat_idx) for r in mixed.collect()}
+    exp = {(r.id, r.repeat_idx) for r in over.collect()}
+    assert got == exp
+    assert all(r.src == "a" for r in mixed.collect())  # default 0 drops 'b'
+
+
+def test_mix_by_token_budget_downsamples_to_budget(spark):
+    """budget << stratum tokens: kept token mass lands near the budget
+    (expected-value contract of the md5-prefix CDF)."""
+    from lens_spark.operators.sampling import mix_by_token_budget
+
+    rows = [(i, "a", "tok " * 10) for i in range(500)]  # 5000 tokens
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    mixed = mix_by_token_budget(df, ["id"], "src", {"a": 1000},
+                                text_col="text", default_weight=0.0)
+    kept_tokens = mixed.count() * 10
+    assert 600 <= kept_tokens <= 1400  # ~1000 expected, binomial spread
+
+
+def test_mix_by_token_budget_needs_token_source(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.sampling import mix_by_token_budget
+
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "id long, src string, text string")
+    with pytest.raises(LensError, match="token_count_col or text_col"):
+        mix_by_token_budget(df, ["id"], "src", {"a": 10})

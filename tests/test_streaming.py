@@ -211,3 +211,81 @@ def test_stream_to_dataset_restart_does_not_duplicate(spark, events_dir, tmp_pat
     run()  # same checkpoint: all source files already committed
     n2 = spark.read.parquet(out_dir).count()
     assert n1 > 0 and n2 == n1
+
+
+def test_stream_ingest_dedup_exact_cross_batch(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the second batch's
+    duplicates of the first are dropped via the persistent index, and
+    a LATER RUN over new files still dedups against everything the
+    first run accepted (the unbounded-horizon contract streaming_dedup
+    can't give)."""
+    from lens_spark.streaming import read_file_stream, stream_ingest_dedup
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(src / "f1.parquet")
+    out = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream, out, idx, mode="exact", columns=["k", "v"],
+                        checkpoint=str(tmp_path / "ck1"))
+    assert spark.read.parquet(out).count() == 2
+
+    # second run, new file: one dup of run 1, one fresh row
+    pd.DataFrame({"k": [2, 3], "v": ["b", "c"]}).to_parquet(src / "f2.parquet")
+    stream2 = read_file_stream(spark, str(src),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream2, out, idx, mode="exact", columns=["k", "v"],
+                        checkpoint=str(tmp_path / "ck1"))
+    landed = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert landed == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_stream_ingest_dedup_neardup_mode(spark, tmp_path):
+    """MinHash mode: a second batch containing a near-duplicate of an
+    accepted doc lands only its genuinely novel docs."""
+    from lens_spark.streaming import read_file_stream, stream_ingest_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    import pandas as pd
+
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": [base]}).to_parquet(src / "f1.parquet")
+    out = str(tmp_path / "nlanding")
+    idx = str(tmp_path / "nidx")
+    kw = dict(mode="neardup", id_col="doc_id", text_col="text",
+              num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream, out, idx,
+                        checkpoint=str(tmp_path / "nck"), **kw)
+    pd.DataFrame({
+        "doc_id": [2, 3],
+        "text": [base + " extra",  # near-dup of doc 1
+                 "completely different words about spark shuffles and "
+                 "partitions and exchanges and codegen stages here"],
+    }).to_parquet(src / "f2.parquet")
+    stream2 = read_file_stream(spark, str(src),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream2, out, idx,
+                        checkpoint=str(tmp_path / "nck"), **kw)
+    landed = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert landed == [1, 3]
+
+
+def test_stream_ingest_dedup_rejects_bad_mode(spark, tmp_path):
+    from lens_spark.streaming import stream_ingest_dedup
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        stream_ingest_dedup(None, "x", "y", mode="fuzzy")
+    with pytest.raises(ValueError, match="needs id_col"):
+        stream_ingest_dedup(None, "x", "y", mode="neardup")
