@@ -1000,6 +1000,16 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x7_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: content-hash shard +
+    stable in-shard position (the reproducible training-order export;
+    rand() gives neither reproducibility nor repartition stability)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    spec = {"lenses": [{"name": "shuffle_shards", "arguments": {
+        "keys": ["doc_id"], "num_shards": 8}}]}
+    return engine.append(docs, spec)
+
+
 def q_x2_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span coverage scoring: the corpus is unioned with
     "remix" docs carrying the first half of each original's tokens, so
@@ -1258,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_span_dedup": q_x5_span_dedup,
         "x5_unigram_logprob": q_x5_unigram_logprob,
         "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_shuffle_shards": q_x7_shuffle_shards,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1619,6 +1630,17 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x7_shuffle_shards": """
+WITH h AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || hp)::UBIGINT % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY ('0x' || hp)::UBIGINT % 8
+                               ORDER BY hp, doc_id) AS BIGINT) AS shard_pos
+FROM h
 """,
         "x7_token_budget_mix": r"""
 WITH ntok AS (

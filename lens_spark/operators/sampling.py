@@ -220,6 +220,58 @@ def mix_by_token_budget(df: DataFrame, key_cols: list[str], strata_col: str,
     return mixed.drop("__mix_nt") if token_count_col == "__mix_nt" else mixed
 
 
+def shuffle_shards(df: DataFrame, key_cols: list[str], num_shards: int, *,
+                   salt: str = "", shard_out: str = "shard",
+                   pos_out: str = "shard_pos") -> DataFrame:
+    """Deterministic global training shuffle: every row gets a
+    content-hash-chosen shard and a stable position inside it — the
+    export-side op that turns a curated corpus into a reproducible
+    training order (write partitioned by ``shard_out``, stream shards
+    in ``pos_out`` order). ``rand()``-based shuffles are neither
+    reproducible nor repartition-stable; ordering by a content hash is
+    both, and ``salt`` derives an independent epoch order from the
+    same keys.
+
+    Scale shape: shard assignment is narrow (hash mod); positions are
+    ONE row_number window per shard, so a whole shard's (hash, key)
+    tuples sort in one task — ``num_shards`` is the task-size dial,
+    the same contract as pack_sequences' shards (size so corpus/N rows
+    of a few dozen bytes fit a task; at 100 TB that's just a larger N).
+    One exchange total, carrying keys + an 8-char hash.
+    """
+    from pyspark.sql import Window
+
+    if num_shards < 1:
+        raise LensError(f"num_shards must be >= 1, got {num_shards}")
+    prefix = _hash_prefix(key_cols, salt)
+    with_shard = df.withColumn("__ss_h", prefix).withColumn(
+        shard_out,
+        (F.conv(F.col("__ss_h"), 16, 10).cast("bigint")
+         % F.lit(int(num_shards))))
+    w = Window.partitionBy(shard_out).orderBy(
+        F.col("__ss_h"), *[F.col(c) for c in key_cols])
+    return (with_shard
+            .withColumn(pos_out, F.row_number().over(w).cast("bigint"))
+            .drop("__ss_h"))
+
+
+@register_lens("shuffle_shards")
+def shuffle_shards_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), num_shards, salt (""),
+    shard_out ("shard"), pos_out ("shard_pos"). Inverse drops both."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "shuffle_shards")]
+    n = int(require_arg(arguments, "num_shards", "shuffle_shards"))
+    shard_out = str(arguments.get("shard_out", "shard"))
+    pos_out = str(arguments.get("pos_out", "shard_pos"))
+    return Lens(
+        "shuffle_shards", arguments,
+        lambda df: shuffle_shards(df, keys, n,
+                                  salt=str(arguments.get("salt", "")),
+                                  shard_out=shard_out, pos_out=pos_out),
+        lambda df: df.drop(shard_out, pos_out),
+    )
+
+
 @register_lens("mix_by_token_budget")
 def mix_by_token_budget_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: keys (list[str]), strata (column), budgets

@@ -167,3 +167,42 @@ def test_mix_by_token_budget_needs_token_source(spark):
                                "id long, src string, text string")
     with pytest.raises(LensError, match="token_count_col or text_col"):
         mix_by_token_budget(df, ["id"], "src", {"a": 10})
+
+
+def test_shuffle_shards_deterministic_and_stable(spark):
+    """Same shards/positions across runs AND across repartitioning; all
+    shards used; positions are 1..shard_size without gaps."""
+    from lens_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = {r.id: (r.shard, r.shard_pos)
+         for r in shuffle_shards(df, ["id"], 4).collect()}
+    b = {r.id: (r.shard, r.shard_pos)
+         for r in shuffle_shards(df.repartition(7), ["id"], 4).collect()}
+    assert a == b
+    shards = {}
+    for s, p in a.values():
+        shards.setdefault(s, []).append(p)
+    assert set(shards) == {0, 1, 2, 3}
+    for ps in shards.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_shuffle_shards_salt_changes_order_not_membership(spark):
+    from lens_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = {r.id: (r.shard, r.shard_pos)
+         for r in shuffle_shards(df, ["id"], 4).collect()}
+    b = {r.id: (r.shard, r.shard_pos)
+         for r in shuffle_shards(df, ["id"], 4, salt="epoch2").collect()}
+    assert a != b                      # a different epoch order…
+    assert set(a) == set(b)            # …over exactly the same rows
+
+
+def test_shuffle_shards_rejects_bad_shard_count(spark):
+    from lens_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(LensError, match="num_shards"):
+        shuffle_shards(df, ["id"], 0)
