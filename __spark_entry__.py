@@ -1000,6 +1000,31 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP COMPOSITION: the full pre-training curation story as
+    ONE lens spec — Gopher quality bounds → corpus-LM surprisal scoring
+    (statistics computed on the post-filter corpus, in the same job) →
+    perplexity-band filter → frozen train/test/val split → per-split
+    audit aggregate. Exercises E1 composition across the X-operator
+    families end-to-end with a single DuckDB oracle."""
+    spec = {"lenses": [
+        {"name": "quality_filter", "arguments": {
+            "column": "text", "min_tokens": 20, "max_top_token_frac": 0.2}},
+        {"name": "unigram_logprob", "arguments": {
+            "id": "doc_id", "column": "text"}},
+        {"name": "filter", "arguments": {
+            "predicate": "mean_logprob BETWEEN 4.0 AND 4.92"}},
+        {"name": "hash_split", "arguments": {
+            "keys": ["doc_id"],
+            "splits": {"train": 0.8, "test": 0.1, "val": 0.1}}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["split"],
+            "aggs": {"n_docs": "count(*)",
+                     "avg_logprob": "round(avg(mean_logprob), 6)"}}},
+    ]}
+    return engine.append(_read(spark, sf_dir, "documents"), spec)
+
+
 def q_x7_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training shuffle: content-hash shard +
     stable in-shard position (the reproducible training-order export;
@@ -1269,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_unigram_logprob": q_x5_unigram_logprob,
         "x7_token_budget_mix": q_x7_token_budget_mix,
         "x7_shuffle_shards": q_x7_shuffle_shards,
+        "x9_curation_pipeline": q_x9_curation_pipeline,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1630,6 +1656,41 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x9_curation_pipeline": r"""
+WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+q AS (
+  SELECT doc_id, w FROM toks0
+  WHERE len(w) >= 20
+    AND round(CASE WHEN len(w) > 0 THEN
+          CAST(list_max(list_transform(list_distinct(w),
+               d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+          ELSE 0.0 END, 6) <= 0.2
+),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM q),
+counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+lp AS (
+  SELECT doc_id,
+         round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS mean_logprob
+  FROM tok JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
+),
+kept AS (
+  SELECT q.doc_id, coalesce(lp.mean_logprob, 0.0) AS mean_logprob
+  FROM q LEFT JOIN lp USING (doc_id)
+  WHERE coalesce(lp.mean_logprob, 0.0) BETWEEN 4.0 AND 4.92
+)
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            THEN 'test' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       round(avg(mean_logprob), 6) AS avg_logprob
+FROM kept GROUP BY 1
 """,
         "x7_shuffle_shards": """
 WITH h AS (

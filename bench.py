@@ -73,6 +73,7 @@ HEADLINE = [
     "x5_span_dedup",         # duplicate-span removal + positional reassembly (r5)
     "x5_unigram_logprob",    # corpus-LM surprisal scoring (r5)
     "x2_semdedup",           # k-means + within-cluster cosine dedup (r5)
+    "x9_curation_pipeline",  # flagship E1xX composition: quality->LM->split (r5)
 ]
 
 
