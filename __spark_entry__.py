@@ -1000,6 +1000,31 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x5_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedding (signed md5 buckets, L2-norm):
+    the no-model bridge from the text surface to the vector surface
+    (similarity/kmeans/semdedup run on its output). Checked via scalar
+    digests of the vector (L1, index-weighted sum, nonzero count,
+    first component — the array-canonicalizer lesson, see
+    q_x3_quantize_embedding)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "hash_embedding", "arguments": {
+        "id": "doc_id", "column": "text", "dim": 16}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
+        F.round(F.expr(
+            "aggregate(zip_with(embedding, sequence(1,16),"
+            " (v,i) -> v * cast(i as double)), cast(0 as double),"
+            " (a,x) -> a+x)"), 6).alias("emb_wsum"),
+        F.expr("size(filter(embedding, x -> x != 0d))")
+        .cast("bigint").alias("n_nonzero"),
+        F.round(F.element_at("embedding", 1), 6).alias("c0"),
+    )
+
+
 def q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP COMPOSITION: the full pre-training curation story as
     ONE lens spec — Gopher quality bounds → corpus-LM surprisal scoring
@@ -1295,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_token_budget_mix": q_x7_token_budget_mix,
         "x7_shuffle_shards": q_x7_shuffle_shards,
         "x9_curation_pipeline": q_x9_curation_pipeline,
+        "x5_hash_embedding": q_x5_hash_embedding,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1656,6 +1682,37 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x5_hash_embedding": r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, list_transform(range(0, 16), i ->
+    CAST(coalesce(list_sum(list_transform(w, t ->
+      CASE WHEN ('0x' || substr(md5(t), 1, 8))::UBIGINT % 16 = i
+           THEN CASE WHEN substr(md5(t), 9, 1) < '8' THEN 1 ELSE -1 END
+           ELSE 0 END)), 0) AS DOUBLE)) AS r
+  FROM lt
+),
+nrm AS (SELECT doc_id, r,
+               sqrt(list_sum(list_transform(r, x -> x * x))) AS nn
+        FROM raw),
+vec AS (
+  SELECT doc_id,
+         CASE WHEN nn > 0 THEN list_transform(r, x -> round(x / nn, 6))
+              ELSE r END AS v
+  FROM nrm
+)
+SELECT doc_id,
+       round(list_sum(list_transform(v, x -> abs(x))), 6) AS emb_l1,
+       round(list_sum(list_transform(range(1, 17), i -> v[i] * i)), 6)
+         AS emb_wsum,
+       CAST(len(list_filter(v, x -> x <> 0)) AS BIGINT) AS n_nonzero,
+       round(v[1], 6) AS c0
+FROM vec
 """,
         "x9_curation_pipeline": r"""
 WITH toks0 AS (

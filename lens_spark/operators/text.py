@@ -274,6 +274,80 @@ def unigram_logprob_lens(arguments: Mapping[str, Any]) -> Lens:
         lambda df: df.drop(out))
 
 
+def hash_embedding(df: DataFrame, id_col: str, text_col: str, *,
+                   dim: int = 16, out: str = "embedding",
+                   normalize: bool = True) -> DataFrame:
+    """Deterministic hashed bag-of-words embedding (the
+    feature-hashing trick): token t adds sign(t) ∈ {+1, −1} to bucket
+    md5(t) mod ``dim`` (sign from the next md5 hex digit — the signed
+    variant keeps inner products unbiased), optionally L2-normalized.
+    Bridges the text surface to the vector surface: output feeds
+    similarity_topk / kmeans / semdedup / embedding near-dup straight
+    from raw text, no external model. md5-derived buckets are
+    engine-portable, so the DuckDB oracle reproduces vectors
+    bit-for-bit.
+
+    Scale shape (the explode+agg form, NOT a per-row O(dim·n)
+    expression): explode tokens → (id, bucket, sign) — the exchange
+    carries ids + two small ints — groupBy (id, bucket) sum (map-side
+    partial), per-doc map assembly, one dense transform. Token-less
+    docs keep their row with the zero vector.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col("__he_t")), 1, 8), 16, 10)
+              .cast("bigint") % F.lit(int(dim)))
+    sign = F.when(F.substring(F.md5(F.col("__he_t")), 9, 1) < "8",
+                  F.lit(1.0)).otherwise(F.lit(-1.0))
+    pairs = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__he_id"),
+                F.explode(tokens(F.col(text_col))).alias("__he_t"))
+        .select("__he_id", bucket.alias("__he_b"), sign.alias("__he_s"))
+    )
+    sums = (pairs.groupBy("__he_id", "__he_b")
+            .agg(F.sum("__he_s").alias("__he_v")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__he_m"),
+                                          i.cast("bigint")), F.lit(0.0)))
+    vecs = (
+        sums.groupBy("__he_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("__he_b", "__he_v"))).alias("__he_m"))
+        .select("__he_id", dense.alias("__he_raw"))
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(F.col("__he_raw"), F.lit(0.0),
+                                  lambda a, x: a + x * x))
+        vec = F.when(
+            norm > 0,
+            F.transform(F.col("__he_raw"),
+                        lambda x: F.round(x / norm, 6))
+        ).otherwise(F.col("__he_raw"))
+    else:
+        vec = F.transform(F.col("__he_raw"), lambda x: F.round(x, 6))
+    vecs = vecs.select("__he_id", vec.alias("__he_vec"))
+    joined = df.join(vecs, df[id_col] == vecs["__he_id"], "left")
+    zeros = F.array_repeat(F.lit(0.0), int(dim))
+    return joined.withColumn(
+        out, F.coalesce(F.col("__he_vec"), zeros)
+    ).drop("__he_id", "__he_vec")
+
+
+@register_lens("hash_embedding")
+def hash_embedding_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), dim (16), out ("embedding"),
+    normalize (true). Inverse drops the embedding column."""
+    id_col = str(require_arg(arguments, "id", "hash_embedding"))
+    text_col = str(require_arg(arguments, "column", "hash_embedding"))
+    out = str(arguments.get("out", "embedding"))
+    return Lens(
+        "hash_embedding", arguments,
+        lambda df: hash_embedding(
+            df, id_col, text_col, dim=int(arguments.get("dim", 16)),
+            out=out, normalize=bool(arguments.get("normalize", True))),
+        lambda df: df.drop(out))
+
+
 def pii_redact(df: DataFrame, text_col: str, *, out: str | None = None,
                counts: bool = False) -> DataFrame:
     """Redact PII spans in ``text_col`` (email/SSN/phone/IPv4 →

@@ -630,3 +630,43 @@ def test_unigram_logprob_ranks_rare_above_common(spark):
     out = {r.doc_id: r.mean_logprob for r in
            unigram_logprob(df, "doc_id", "text").collect()}
     assert out[99] > out[0]
+
+
+def test_hash_embedding_unit_norm_and_determinism(spark):
+    """Nonzero vectors are L2-normalized; identical texts map to
+    identical vectors; token-less docs keep their row as the zero
+    vector of the right dimension."""
+    import math
+
+    from lens_spark.operators.text import hash_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words"), (4, "   ")],
+        "doc_id long, text string")
+    out = {r.doc_id: list(r.embedding) for r in
+           hash_embedding(df, "doc_id", "text", dim=8).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[4] == [0.0] * 8
+    for d in (1, 3):
+        norm = math.sqrt(sum(x * x for x in out[d]))
+        assert abs(norm - 1.0) < 1e-4  # rounded components, near-unit
+
+
+def test_hash_embedding_feeds_vector_surface(spark):
+    """The text→vector bridge composes: near-identical docs land as
+    embedding near-dups of each other via exact cosine."""
+    from lens_spark.operators.dedup import embedding_neardup_pairs
+    from lens_spark.operators.text import hash_embedding
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " eleven"), (3, "utterly unrelated text")],
+        "doc_id long, text string")
+    emb = hash_embedding(df, "doc_id", "text", dim=16)
+    pairs = embedding_neardup_pairs(emb, "doc_id", "embedding",
+                                    threshold=0.8, method="exact")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
