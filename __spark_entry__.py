@@ -1000,6 +1000,17 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x2_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme): per-window minimum gram
+    hash, distinct picks — any shared run of ≥ window+k−1 tokens
+    shares a fingerprint; the local-substring dup primitive between
+    exhaustive spans and whole-doc minhash."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "winnow_fingerprints", "arguments": {
+        "id": "doc_id", "column": "text", "k": 4, "window": 4}}]}
+    return engine.append(docs, spec)
+
+
 def q_x5_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embedding (signed md5 buckets, L2-norm):
     the no-model bridge from the text surface to the vector surface
@@ -1321,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_shuffle_shards": q_x7_shuffle_shards,
         "x9_curation_pipeline": q_x9_curation_pipeline,
         "x5_hash_embedding": q_x5_hash_embedding,
+        "x2_winnow_fps": q_x2_winnow_fps,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1682,6 +1694,24 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x2_winnow_fps": r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 2), i ->
+           ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 3),
+                                               ' ')), 1, 8))::BIGINT) AS gh
+  FROM lt WHERE len(w) >= 7
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+         j -> list_min(list_slice(gh, j, j + 3))))) AS fp
+FROM h
 """,
         "x5_hash_embedding": r"""
 WITH lt AS (

@@ -1132,6 +1132,57 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__ld_id", "__ld_clean")
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 4, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every k-token gram, slide a window of
+    ``window`` consecutive gram hashes, keep the minimum of each
+    window, emit the distinct picks as (id, fp) rows. Guarantee: two
+    documents sharing any run of ≥ window+k−1 tokens share ≥1
+    fingerprint — local-substring dup detection at a fraction of the
+    full shingle set's size (expected density 2/(window+1)), the
+    standard plagiarism/boilerplate primitive between dup_span_stats
+    (exhaustive spans) and minhash (whole-doc similarity).
+
+    Scale shape: fingerprint selection is one NARROW projection (array
+    ops per row — gram hashes, per-window minima, distinct); only the
+    selected ~2n/(window+1) 8-byte fingerprints ever explode into
+    rows. Downstream dup detection is a df-count or self-join on fp —
+    the exchanges carry (id, fp) only. Hashes are md5-derived 32-bit
+    ints so the DuckDB oracle reproduces them exactly.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(F.col("__wf_tk"))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), m - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("__wf_tk"), i, k))),
+                1, 8), 16, 10).cast("bigint"))
+    picks = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__wf_h")) - F.lit(window - 1)),
+        lambda j: F.array_min(F.slice(F.col("__wf_h"), j, window))))
+    return (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col), toks.alias("__wf_tk"))
+        .filter(F.size(F.col("__wf_tk")) >= k + window - 1)
+        .select(F.col(id_col), gram_hashes.alias("__wf_h"))
+        .select(F.col(id_col), F.explode(picks).alias("fp"))
+    )
+
+
+@register_lens("winnow_fingerprints")
+def winnow_fingerprints_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), k (4), window (4)."""
+    id_col = str(require_arg(arguments, "id", "winnow_fingerprints"))
+    text_col = str(require_arg(arguments, "column", "winnow_fingerprints"))
+    return Lens("winnow_fingerprints", arguments,
+                lambda df: winnow_fingerprints(
+                    df, id_col, text_col,
+                    k=int(arguments.get("k", 4)),
+                    window=int(arguments.get("window", 4))))
+
+
 def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
                span: int = 8, min_df: int = 2,
                out: str | None = None) -> DataFrame:

@@ -670,3 +670,37 @@ def test_hash_embedding_feeds_vector_surface(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Docs sharing a run of >= window+k-1 tokens share >= 1
+    fingerprint (the winnowing guarantee); disjoint docs share none;
+    docs shorter than k+window-1 tokens emit nothing."""
+    from lens_spark.operators.dedup import winnow_fingerprints
+
+    run = "a b c d e f g h"  # 8 tokens >= 4+4-1
+    df = spark.createDataFrame(
+        [(1, f"{run} unique1 tail1"),
+         (2, f"prefix2 other2 {run}"),
+         (3, "totally disjoint words with nothing in common here"),
+         (4, "too short")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", k=4, window=4).collect()
+    by_doc: dict = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # guarantee
+    assert not (by_doc[1] & by_doc[3])    # disjoint
+    assert 4 not in by_doc                # short doc emits nothing
+
+
+def test_winnow_fingerprints_density(spark):
+    """Winnowing keeps far fewer hashes than the full gram set (the
+    point of the scheme) but at least one per doc."""
+    from lens_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n = winnow_fingerprints(df, "doc_id", "text", k=4, window=4).count()
+    n_grams = 100 - 4 + 1
+    assert 1 <= n < n_grams / 2  # expected density 2/(w+1) = 0.4
