@@ -1000,6 +1000,16 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x7_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling (frozen eval panels):
+    30 docs per source, chosen as the stratum's global md5 top-k via
+    the two-phase candidate pre-filter."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    spec = {"lenses": [{"name": "sample_exact_k", "arguments": {
+        "keys": ["doc_id"], "strata": "source", "k": 30}}]}
+    return engine.append(docs, spec)
+
+
 def q_x2_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS scheme): per-window minimum gram
     hash, distinct picks — any shared run of ≥ window+k−1 tokens
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_curation_pipeline": q_x9_curation_pipeline,
         "x5_hash_embedding": q_x5_hash_embedding,
         "x2_winnow_fps": q_x2_winnow_fps,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1694,6 +1705,16 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x7_sample_exact_k": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rn
+  FROM documents) t
+WHERE rn <= 30
 """,
         "x2_winnow_fps": r"""
 WITH lt AS (

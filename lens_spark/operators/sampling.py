@@ -220,6 +220,76 @@ def mix_by_token_budget(df: DataFrame, key_cols: list[str], strata_col: str,
     return mixed.drop("__mix_nt") if token_count_col == "__mix_nt" else mixed
 
 
+def sample_exact_k(df: DataFrame, key_cols: list[str], strata_col: str,
+                   k: int, *, salt: str = "", safety: int = 8) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (all rows of smaller strata),
+    chosen deterministically by content hash — frozen eval panels and
+    few-shot pools, where ``sample_stratified``'s expected-fraction
+    contract isn't tight enough. Same md5 machinery: membership is
+    the global hash top-k of the stratum, so it is reproducible,
+    repartition-stable, and SHRINK-STABLE — adding new rows to a
+    stratum only ever replaces panel members with lower-hash rows,
+    never reshuffles the survivors' order.
+
+    Scale shape (two-phase, the top-k trick applied to sampling): a
+    per-stratum hash-threshold pre-filter keeps an expected
+    ``safety``·k candidates (narrow), and only the candidates enter
+    the per-stratum rank window — the window sorts ~safety·k rows per
+    stratum, never the stratum itself. Stratum sizes and candidate
+    counts are two KB-sized driver aggs; a stratum whose candidate
+    set came up short of k (P ≈ exp(−Θ(safety·k)), but possible)
+    falls back to ranking that stratum in full — correct by
+    construction: the threshold pre-filter keeps a hash-prefix
+    superset of the hash top-k whenever it keeps ≥ k rows.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise LensError(f"sample_exact_k needs k >= 1, got {k}")
+    prefix = _hash_prefix(key_cols, salt)
+    sizes = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    thr: Column = F.lit("g")  # default: whole stratum is candidate
+    for s, n in sizes.items():
+        frac = min(1.0, float(safety) * k / n) if n else 1.0
+        thr = F.when(F.col(strata_col).cast("string") == s,
+                     F.lit(fraction_to_threshold(frac))).otherwise(thr)
+    cand = df.withColumn("__ek_h", prefix).filter(F.col("__ek_h") < thr)
+    cand_sizes = {
+        r["__s"]: r["__n"]
+        for r in cand.groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    short = {s for s, n in sizes.items()
+             if cand_sizes.get(s, 0) < min(k, n)}
+    if short:
+        fallback = df.filter(
+            F.col(strata_col).cast("string").isin(*short)
+        ).withColumn("__ek_h", prefix)
+        cand = cand.filter(
+            ~F.col(strata_col).cast("string").isin(*short)
+        ).unionByName(fallback)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__ek_h"), *[F.col(c) for c in key_cols])
+    return (cand.withColumn("__ek_r", F.row_number().over(w))
+            .filter(F.col("__ek_r") <= k).drop("__ek_h", "__ek_r"))
+
+
+@register_lens("sample_exact_k")
+def sample_exact_k_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), strata (column), k, salt ("")."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "sample_exact_k")]
+    strata = str(require_arg(arguments, "strata", "sample_exact_k"))
+    k = int(require_arg(arguments, "k", "sample_exact_k"))
+    return Lens("sample_exact_k", arguments,
+                lambda df: sample_exact_k(
+                    df, keys, strata, k,
+                    salt=str(arguments.get("salt", ""))))
+
+
 def shuffle_shards(df: DataFrame, key_cols: list[str], num_shards: int, *,
                    salt: str = "", shard_out: str = "shard",
                    pos_out: str = "shard_pos") -> DataFrame:
