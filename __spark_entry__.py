@@ -1251,23 +1251,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked window). Layout, pinned by tests/test_entry_contract.py:
 
     1. slots 1-50 — hash-checkable queries only (every one has an
-       ``oracle_sql`` entry), at least one per SURVEY §2 operator;
-    2. slots 51-61 — hash-checkable queries whose operator is already
-       covered by an in-window sibling (m2_inverse_roundtrip by
+       ``oracle_sql`` entry), at least one per SURVEY §2 operator
+       family, with priority to queries that have never had an
+       external CORRECTNESS row (the round-5 rotation note below);
+    2. slots 51+ — hash-checkable queries whose operator is already
+       covered by an in-window sibling (e.g. m2_inverse_roundtrip by
        e8_inversion_roundtrip + m2_add; m5_counter by m5_counter_large;
-       x2_minhash_pairs by x2_jaccard_verified; arith_pipeline by
-       e1_composition + m2_add; m4_rename_chain by m1_rename;
-       agg_pricing_summary by rollup_revenue/grouping_sets_qty;
-       x6_exact_distinct by x6_quantiles; and the round-5 rotation
-       evictees e7_identity [by s4_transform_by_id], join_semi_customers
-       [by join_anti_customers], stats_aggregates [by rollup_revenue],
-       x7_sample_hash [by x7_hash_split] — each ≥3 rounds driver-green);
-    3. tail — the 10 rows-only (``no_oracle``) queries, each backed by
+       x2_minhash_pairs by x2_jaccard_verified; m1_rename/m4_rename_chain
+       by the in-window core chain; agg_pricing_summary and the
+       rollup/pivot/window-frame evictees by grouping_sets_qty /
+       unpivot_price_measures / window_topk_orders; x5_lang_id and
+       x5_fingerprint_dups by x5_text_stats; x4_image_features by
+       x4_media_metadata — each ≥3 rounds driver-green). The tail test
+       in tests/test_entry_contract.py oracle-checks every one of
+       these locally each run, so eviction never means unchecked;
+    3. tail — the rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        "m1_rename": q_m1_rename,
+        # round-5 late rotation: the eight operators NEW this round
+        # (span_dedup, unigram_logprob, token_budget_mix,
+        # shuffle_shards, sample_exact_k, winnow_fingerprints,
+        # hash_embedding, curation pipeline) take window slots so their
+        # FIRST external CORRECTNESS row lands this round; the evicted
+        # queries (m1_rename, rollup_revenue, pivot_status_revenue,
+        # window_running_revenue, events_session_agg, x5_lang_id,
+        # x5_fingerprint_dups, x4_image_features — each >=3 rounds
+        # driver-green, each with an operator-family sibling still
+        # in-window) keep the local tail-test oracle check.
         "m2_add": q_m2_add,
         "m5_counter_large": q_m5_counter_large,
         "m6_filter": q_m6_filter,
@@ -1294,23 +1306,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "asof_last_event": q_asof_last_event,
         "window_topk_orders": q_window_topk_orders,
-        "window_running_revenue": q_window_running_revenue,
-        "rollup_revenue": q_rollup_revenue,
         "grouping_sets_qty": q_grouping_sets_qty,
-        "pivot_status_revenue": q_pivot_status_revenue,
         "unpivot_price_measures": q_unpivot_price_measures,
         "sets_except": q_sets_except,
         "python_udf_bucket": q_python_udf_bucket,
         "json_extract": q_json_extract,
         "scalar_functions": q_scalar_functions,
         "events_sessionized": q_events_sessionized,
-        "events_session_agg": q_events_session_agg,
         "events_windowed": q_events_windowed,
         "x3_similarity_topk": q_x3_similarity_topk,
         "x3_quantize_embedding": q_x3_quantize_embedding,
-        "x5_lang_id": q_x5_lang_id,
         "x5_text_stats": q_x5_text_stats,
-        "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x5_top_tokens": q_x5_top_tokens,
         "x5_repetition_stats": q_x5_repetition_stats,
         "x5_quality_filter": q_x5_quality_filter,
@@ -1322,9 +1328,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
         "x8_bm25": q_x8_bm25,
         "x4_media_metadata": q_x4_media_metadata,
-        "x4_image_features": q_x4_image_features,
         "x6_quantiles": q_x6_quantiles,
-        # --- slots 51-61: hash-checkable, operator covered above ------
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_shuffle_shards": q_x7_shuffle_shards,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "x2_winnow_fps": q_x2_winnow_fps,
+        "x5_hash_embedding": q_x5_hash_embedding,
+        "x9_curation_pipeline": q_x9_curation_pipeline,
+        # --- slots 51+: hash-checkable, operator covered above --------
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
         "m4_rename_chain": q_m4_rename_chain,
         "m5_counter": q_m5_counter,
@@ -1336,14 +1349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_customers": q_join_semi_customers,
         "stats_aggregates": q_stats_aggregates,
         "x7_sample_hash": q_x7_sample_hash,
-        "x5_span_dedup": q_x5_span_dedup,
-        "x5_unigram_logprob": q_x5_unigram_logprob,
-        "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_shuffle_shards": q_x7_shuffle_shards,
-        "x9_curation_pipeline": q_x9_curation_pipeline,
-        "x5_hash_embedding": q_x5_hash_embedding,
-        "x2_winnow_fps": q_x2_winnow_fps,
-        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "m1_rename": q_m1_rename,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_status_revenue": q_pivot_status_revenue,
+        "window_running_revenue": q_window_running_revenue,
+        "events_session_agg": q_events_session_agg,
+        "x5_lang_id": q_x5_lang_id,
+        "x5_fingerprint_dups": q_x5_fingerprint_dups,
+        "x4_image_features": q_x4_image_features,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,

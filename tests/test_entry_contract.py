@@ -70,9 +70,13 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # row yet must be in-window; queries ≥3 rounds driver-green may
     # rotate out to slots 51+ (where the tail test below still
     # oracle-checks them locally) PROVIDED an operator-family sibling
-    # stays in-window. Round-5 rotation: x2_simhash, x2_dup_span_stats,
-    # x5_line_dedup, x7_stratified_sample in; e7_identity,
-    # join_semi_customers, stats_aggregates, x7_sample_hash out.
+    # stays in-window. Round-5 rotations: x2_simhash,
+    # x2_dup_span_stats, x5_line_dedup, x7_stratified_sample in (for
+    # e7_identity, join_semi_customers, stats_aggregates,
+    # x7_sample_hash); then the eight operators NEW in round 5 in (for
+    # m1_rename, rollup_revenue, pivot_status_revenue,
+    # window_running_revenue, events_session_agg, x5_lang_id,
+    # x5_fingerprint_dups, x4_image_features).
     must_be_in_window = {
         "range_join_events", "x2_ngram_jaccard", "x7_hash_split",
         "x5_top_tokens", "scalar_functions", "x5_repetition_stats",
@@ -82,13 +86,20 @@ def test_driver_window_holds_only_hash_checkable_queries():
         # never externally checked before round 5:
         "x2_simhash", "x2_dup_span_stats", "x5_line_dedup",
         "x7_stratified_sample",
+        # new operators in round 5 — first external check this round:
+        "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
+        "x7_shuffle_shards", "x7_sample_exact_k", "x2_winnow_fps",
+        "x5_hash_embedding", "x9_curation_pipeline",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
     # rotation evictees must keep their oracle (hash-checkable tail)
     oracles = set(entrymod.oracle_sql())
     for name in ("e7_identity", "join_semi_customers", "stats_aggregates",
-                 "x7_sample_hash"):
+                 "x7_sample_hash", "m1_rename", "rollup_revenue",
+                 "pivot_status_revenue", "window_running_revenue",
+                 "events_session_agg", "x5_lang_id", "x5_fingerprint_dups",
+                 "x4_image_features"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
