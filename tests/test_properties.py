@@ -187,3 +187,65 @@ def test_oversample_copy_count_matches_weight(spark, n, w):
     assert len(out) == n * int(w) + frac_rows
     if w == 0.0:
         assert not out
+
+
+_span_texts = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                              "zeta", "eta", "theta"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=2, max_size=8)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_span_texts, st.integers(3, 5))
+def test_span_dedup_preserves_rows_and_never_invents_tokens(spark, texts, span):
+    """Row count is preserved (emptied docs stay as ''), and the output
+    tokens of each doc are a subsequence of its input tokens —
+    span_dedup only ever deletes."""
+    from lens_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           span_dedup(df, "doc_id", "text", span=span, min_df=2).collect()}
+    assert len(out) == len(texts)
+    for i, original in enumerate(texts):
+        src = original.split()
+        got = out[i].split() if out[i] else []
+        it = iter(src)
+        assert all(tok in it for tok in got), (src, got)  # subsequence
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 120), st.integers(1, 6), st.text("ab", max_size=3))
+def test_shuffle_shards_is_a_bijection_onto_dense_positions(spark, n, shards, salt):
+    """Every row keeps exactly one (shard, pos); positions per shard
+    are dense 1..size; total mass is preserved."""
+    from lens_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = [(r.id, r.shard, r.shard_pos) for r in
+           shuffle_shards(df, ["id"], shards, salt=salt).collect()]
+    assert len(got) == n and len({g[0] for g in got}) == n
+    per_shard: dict = {}
+    for _, s, p in got:
+        per_shard.setdefault(s, []).append(p)
+    assert set(per_shard) <= set(range(shards))
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 60), st.integers(1, 10))
+def test_sample_exact_k_returns_min_k_n_rows(spark, n, k):
+    """Output size is exactly min(k, n) and a subset of the input."""
+    from lens_spark.operators.sampling import sample_exact_k
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)],
+                               "id long, src string")
+    got = [r.id for r in sample_exact_k(df, ["id"], "src", k).collect()]
+    assert len(got) == min(k, n)
+    assert set(got) <= set(range(n))
