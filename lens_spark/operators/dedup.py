@@ -1216,8 +1216,13 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
     """
     out = out or text_col
     toks_expr = tokens(F.col(text_col), lowercase=False)
+    # Lazy checkpoint: the tokenized table feeds BOTH the span-start leg
+    # (hashing every w-slice) and the positional-token leg — without it
+    # each leg re-scans the text and re-tokenizes (measured ~20% on the
+    # whole query at sf0.1). Blocks are freed by the ContextCleaner.
     base = ensure_parallelism(df, by=[id_col]).select(
-        F.col(id_col).alias("__sd_id"), toks_expr.alias("__tk"))
+        F.col(id_col).alias("__sd_id"), toks_expr.alias("__tk")) \
+        .localCheckpoint(eager=False)
     # (doc, 0-based start, span hash); 0-based start s covers 1-based
     # token positions s+1 .. s+span.
     starts = base.select(
