@@ -1177,6 +1177,20 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x2_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap audit: per-doc fraction of distinct word
+    3-grams shared with the held-out set (doc_id % 97 == 0) — grade
+    the leakage distribution BEFORE choosing decontaminate's drop
+    threshold."""
+    from lens_spark.operators.dedup import contamination_score
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    train = docs.filter("doc_id % 97 <> 0")
+    out = contamination_score(train, bench, "doc_id", "text", ngram=3)
+    return out.select("doc_id", "contamination")
+
+
 def q_x8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf, deterministic
     tie-break) — topic/keyword extraction for corpus curation."""
@@ -1265,7 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        x4_media_metadata — each ≥3 rounds driver-green). The tail test
        in tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 14 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
@@ -1357,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_lang_id": q_x5_lang_id,
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_image_features": q_x4_image_features,
+        "x2_contamination_score": q_x2_contamination_score,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1718,6 +1733,32 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x2_contamination_score": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+per AS (
+  SELECT e.doc_id, count(*) AS n,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) e
+  LEFT JOIN bench b ON e.g = b.g
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN coalesce(per.n, 0) > 0 THEN round(hits / n, 6)
+            ELSE 0.0 END AS contamination
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN per USING (doc_id)
 """,
         "x7_sample_exact_k": """
 SELECT doc_id, source FROM (

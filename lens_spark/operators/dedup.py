@@ -1367,6 +1367,70 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     return df.join(contaminated, id_col, "left_anti")
 
 
+def contamination_score(df: DataFrame, benchmark: DataFrame, id_col: str,
+                        text_col: str, *, bench_text_col: str | None = None,
+                        ngram: int = 8, shingle: str = "word",
+                        out: str = "contamination") -> DataFrame:
+    """Append each document's benchmark-overlap FRACTION (distinct
+    n-grams shared with the benchmark / distinct n-grams in the doc) —
+    the audit counterpart of ``decontaminate``: grade a corpus's
+    leakage distribution before committing to a drop threshold, or
+    route borderline docs for review instead of deleting them. Docs
+    with fewer than ``ngram`` tokens score 0.0 and keep their row.
+
+    Same scale shape as decontaminate: hashed distinct benchmark grams
+    (a few million 8-byte keys — broadcastable), narrow corpus explode,
+    per-doc counts map-side combined, one join back on id. Never
+    corpus × benchmark.
+    """
+    grams = _shingles(text_col, ngram, shingle)
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
+                      ).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
+        .withColumn("__in_bench", F.lit(1))
+    )
+    doc_grams = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__cs_id"), F.explode(grams).alias("__g")
+    ).select(F.col("__cs_id"), F.xxhash64(F.col("__g")).alias("__gh"))
+    per_doc = (
+        doc_grams.join(bench_grams, "__gh", "left")
+        .groupBy("__cs_id")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum(F.coalesce(F.col("__in_bench"), F.lit(0))).alias("__hits"))
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["__cs_id"], "left")
+    return joined.withColumn(
+        out,
+        F.when(F.col("__n") > 0,
+               F.round(F.col("__hits") / F.col("__n"), 6)).otherwise(F.lit(0.0))
+    ).drop("__cs_id", "__n", "__hits")
+
+
+@register_lens("contamination_score")
+def contamination_score_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: benchmark (parquet path), id, column, bench_column
+    (defaults to column), ngram (8), shingle ("word"),
+    out ("contamination"). Inverse drops the score column."""
+    bench_path = str(require_arg(arguments, "benchmark",
+                                 "contamination_score"))
+    id_col = str(require_arg(arguments, "id", "contamination_score"))
+    text_col = str(require_arg(arguments, "column", "contamination_score"))
+    out = str(arguments.get("out", "contamination"))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        benchmark = df.sparkSession.read.parquet(bench_path)
+        return contamination_score(
+            df, benchmark, id_col, text_col,
+            bench_text_col=arguments.get("bench_column"),
+            ngram=int(arguments.get("ngram", 8)),
+            shingle=str(arguments.get("shingle", "word")), out=out)
+
+    return Lens("contamination_score", arguments, fwd,
+                lambda df: df.drop(out))
+
+
 @register_lens("decontaminate")
 def decontaminate_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: benchmark (path to parquet/json of benchmark texts),

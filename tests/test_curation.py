@@ -184,3 +184,29 @@ def test_quantize_zero_vector(spark):
                         "arguments": {"column": "embedding"}}]}
     row = engine.append(df, spec).collect()[0]
     assert row.embedding == [0, 0, 0] and row.embedding_scale == 0.0
+
+
+def test_contamination_score_fraction_and_row_preservation(spark):
+    """Score = shared distinct grams / doc distinct grams; clean docs
+    score 0.0; short docs keep their row at 0.0; full copies score 1.0."""
+    from lens_spark.operators.dedup import contamination_score
+
+    bench = spark.createDataFrame([(100, "a b c d e")],
+                                  "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),            # identical: all 3 grams shared
+         (2, "a b c x y z"),          # shares 1 of 4 distinct 3-grams
+         (3, "p q r s t"),            # disjoint
+         (4, "hi")],                  # < ngram tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r.contamination for r in
+           contamination_score(df, bench, "doc_id", "text",
+                               ngram=3).collect()}
+    assert out == {1: 1.0, 2: 0.25, 3: 0.0, 4: 0.0}
+    # threshold-at-1 equivalence with decontaminate: score>0 == dropped
+    from lens_spark.operators.dedup import decontaminate
+
+    kept = {r.doc_id for r in
+            decontaminate(df, bench, "doc_id", "text", ngram=3,
+                          min_overlaps=1).collect()}
+    assert kept == {d for d, c in out.items() if c == 0.0}
