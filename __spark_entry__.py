@@ -1177,6 +1177,17 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x5_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) corpus-LM surprisal: one rung up from
+    x5_unigram_logprob toward KenLM filtering — catches shuffled word
+    salad that unigram stats score as normal."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "bigram_logprob", "arguments": {
+        "id": "doc_id", "column": "text"}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "mean_bigram_logprob")
+
+
 def q_x2_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-overlap audit: per-doc fraction of distinct word
     3-grams shared with the held-out set (doc_id % 97 == 0) — grade
@@ -1372,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_image_features": q_x4_image_features,
         "x2_contamination_score": q_x2_contamination_score,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1733,6 +1745,30 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x5_bigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_slice(w, 1, len(w) - 1)) AS p,
+         unnest(list_slice(w, 2, len(w))) AS t
+  FROM toks WHERE len(w) >= 2
+),
+c2 AS (SELECT p, t, count(*) AS n2 FROM bg GROUP BY p, t),
+c1 AS (SELECT p, count(*) AS n1 FROM bg GROUP BY p),
+vocab AS (SELECT count(DISTINCT t) AS v FROM bg),
+per_doc AS (
+  SELECT doc_id,
+         round(avg(-log2((n2 + 0.5) / (n1 + 0.5 * v))), 6) AS lp
+  FROM bg JOIN c2 USING (p, t) JOIN c1 USING (p) CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per_doc.lp, 0.0) AS mean_bigram_logprob
+FROM documents d LEFT JOIN per_doc USING (doc_id)
 """,
         "x2_contamination_score": r"""
 WITH toks AS (

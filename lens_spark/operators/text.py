@@ -260,6 +260,69 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__lp_id", "__lp_mean")
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
+                   out: str = "mean_bigram_logprob",
+                   k: float = 0.5) -> DataFrame:
+    """Per-document mean conditional surprisal −log₂ p(token | prev)
+    under the corpus' own add-k-smoothed bigram LM — one rung up from
+    ``unigram_logprob`` toward the KenLM filter: catches shuffled-
+    word-salad that unigram statistics score as normal (every word
+    common, every transition rare). p(t|prev) = (c(prev,t) + k) /
+    (c(prev,·) + k·|V|), all statistics from the input corpus in the
+    same job; |V| counts distinct following-tokens. Docs with < 2
+    tokens score 0.0 and keep their row.
+
+    Scale shape: one positional-bigram explode pass (checkpointed — it
+    feeds the pair-count agg, the context-count agg, and the scoring
+    join) → two map-side-combined groupBys on 8-byte hashes → score
+    joins on (prev, tok) and prev (AQE splits stop-bigram skew) →
+    per-doc avg. Exchanges carry hashes, ids, and doubles only.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__bl_id"), toks.alias("__bl_tk"))
+        .filter(F.size("__bl_tk") >= 2)
+        .select("__bl_id",
+                F.explode(F.expr(
+                    "transform(sequence(2, size(__bl_tk)), i -> "
+                    "struct(xxhash64(element_at(__bl_tk, i - 1)) AS p, "
+                    "xxhash64(element_at(__bl_tk, i)) AS t))")).alias("__bg"))
+        .select("__bl_id", F.col("__bg.p").alias("__p"),
+                F.col("__bg.t").alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = pairs.groupBy("__p", "__t").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = pairs.groupBy("__p").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = pairs.agg(F.count_distinct("__t").alias("__v"))
+    lp = -F.log2((F.col("__c2") + F.lit(float(k)))
+                 / (F.col("__c1") + F.lit(float(k)) * F.col("__v")))
+    per_doc = (
+        pairs.join(c2, ["__p", "__t"]).join(c1, "__p")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__bl_id")
+        .agg(F.round(F.avg(lp), 6).alias("__bl_mean"))
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["__bl_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__bl_mean"), F.lit(0.0))
+    ).drop("__bl_id", "__bl_mean")
+
+
+@register_lens("bigram_logprob")
+def bigram_logprob_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), out ("mean_bigram_logprob"),
+    k (0.5 smoothing). Inverse drops the appended column."""
+    id_col = str(require_arg(arguments, "id", "bigram_logprob"))
+    text_col = str(require_arg(arguments, "column", "bigram_logprob"))
+    out = str(arguments.get("out", "mean_bigram_logprob"))
+    return Lens(
+        "bigram_logprob", arguments,
+        lambda df: bigram_logprob(df, id_col, text_col, out=out,
+                                  k=float(arguments.get("k", 0.5))),
+        lambda df: df.drop(out))
+
+
 @register_lens("unigram_logprob")
 def unigram_logprob_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), out ("mean_logprob"), k (0.5

@@ -704,3 +704,40 @@ def test_winnow_fingerprints_density(spark):
     n = winnow_fingerprints(df, "doc_id", "text", k=4, window=4).count()
     n_grams = 100 - 4 + 1
     assert 1 <= n < n_grams / 2  # expected density 2/(w+1) = 0.4
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """mean_bigram_logprob matches the add-k conditional formula by
+    hand; sub-2-token docs keep their row at 0.0."""
+    import math
+
+    from lens_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.mean_bigram_logprob for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # bigram table: doc1: (a,b) (b,a) (a,b); doc2: (b,a)
+    # c2: (a,b)=2 (b,a)=2; c1: a=2 b=2; V = |{a,b}| = 2
+    lp_ab = -math.log2((2 + 0.5) / (2 + 0.5 * 2))
+    exp1 = round((2 * lp_ab + lp_ab) / 3, 6)  # all transitions same prob
+    assert out[3] == 0.0
+    assert abs(out[1] - exp1) < 1e-9
+    assert abs(out[2] - round(lp_ab, 6)) < 1e-9
+
+
+def test_bigram_logprob_flags_word_salad_unigram_misses(spark):
+    """A doc built from common words in UNSEEN order scores higher than
+    in-order docs — the transition signal unigram stats can't see."""
+    from lens_spark.operators.text import bigram_logprob, unigram_logprob
+
+    rows = [(i, "the quick brown fox jumps") for i in range(10)]
+    rows.append((99, "jumps the fox brown quick"))  # same words, shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = {r.doc_id: r.mean_bigram_logprob for r in
+          bigram_logprob(df, "doc_id", "text").collect()}
+    uni = {r.doc_id: r.mean_logprob for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    assert bi[99] > bi[0]                      # bigram LM flags it
+    assert abs(uni[99] - uni[0]) < 0.2         # unigram barely moves
