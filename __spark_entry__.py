@@ -1177,6 +1177,17 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x2_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage near-dup pairs: docs sharing >= 2 winnowing
+    fingerprints, with the shared count — catches shared passages that
+    whole-doc MinHash similarity misses."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "winnow_pairs", "arguments": {
+        "id": "doc_id", "column": "text", "k": 4, "window": 4,
+        "min_shared": 2}}]}
+    return engine.append(docs, spec)
+
+
 def q_x5_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) corpus-LM surprisal: one rung up from
     x5_unigram_logprob toward KenLM filtering — catches shuffled word
@@ -1384,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_image_features": q_x4_image_features,
         "x2_contamination_score": q_x2_contamination_score,
         "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1745,6 +1757,29 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x2_winnow_pairs": r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 2), i ->
+           ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 3),
+                                               ' ')), 1, 8))::BIGINT) AS gh
+  FROM lt WHERE len(w) >= 7
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+           j -> list_min(list_slice(gh, j, j + 3))))) AS fp
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "x5_bigram_logprob": r"""
 WITH toks AS (

@@ -1183,6 +1183,55 @@ def winnow_fingerprints_lens(arguments: Mapping[str, Any]) -> Lens:
                     window=int(arguments.get("window", 4))))
 
 
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                 k: int = 4, window: int = 4, min_shared: int = 2,
+                 max_df: int | None = None) -> DataFrame:
+    """Local-substring near-dup candidate pairs: documents sharing ≥
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    the actionable layer over ``winnow_fingerprints`` (MinHash finds
+    whole-doc similarity; this finds docs sharing substantial VERBATIM
+    passages even when globally dissimilar — quote farms, templated
+    articles, licence blocks).
+
+    Scale shape: inverted-index self-join on the fingerprint (8-byte
+    keys, same shape as ngram_jaccard_pairs) → per-pair count (agg).
+    ``max_df`` drops fingerprints present in more than that many docs
+    before the join — a universal boilerplate passage is the skew
+    hazard (df² /2 pairs); cutting it loses only pairs whose overlap
+    is entirely that boilerplate.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window) \
+        .localCheckpoint(eager=False)
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        fps = fps.join(dfreq.filter(F.col("__df") <= int(max_df)), "fp") \
+            .drop("__df")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+@register_lens("winnow_pairs")
+def winnow_pairs_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), k (4), window (4), min_shared (2),
+    max_df (optional df-cut)."""
+    id_col = str(require_arg(arguments, "id", "winnow_pairs"))
+    text_col = str(require_arg(arguments, "column", "winnow_pairs"))
+    md = arguments.get("max_df")
+    return Lens("winnow_pairs", arguments, lambda df: winnow_pairs(
+        df, id_col, text_col,
+        k=int(arguments.get("k", 4)),
+        window=int(arguments.get("window", 4)),
+        min_shared=int(arguments.get("min_shared", 2)),
+        max_df=int(md) if md is not None else None))
+
+
 def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
                span: int = 8, min_df: int = 2,
                out: str | None = None) -> DataFrame:

@@ -741,3 +741,29 @@ def test_bigram_logprob_flags_word_salad_unigram_misses(spark):
            unigram_logprob(df, "doc_id", "text").collect()}
     assert bi[99] > bi[0]                      # bigram LM flags it
     assert abs(uni[99] - uni[0]) < 0.2         # unigram barely moves
+
+
+def test_winnow_pairs_finds_shared_passages_and_max_df_cut(spark):
+    """Docs sharing a long verbatim passage pair up with n_shared >= 2;
+    globally dissimilar docs without passages don't; a boilerplate
+    passage present in EVERY doc is killed by the max_df cut."""
+    from lens_spark.operators.dedup import winnow_pairs
+
+    passage = " ".join(f"p{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, f"{passage} unique one two three"),
+         (2, f"other stuff here {passage}"),
+         (3, "completely different text with nothing shared at all ok")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared for r in
+           winnow_pairs(df, "doc_id", "text", min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in p for p in got)
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    df2 = spark.createDataFrame(
+        [(i, f"{boiler} doc{i} filler{i} more{i} words{i}")
+         for i in range(6)],
+        "doc_id long, text string")
+    cut = winnow_pairs(df2, "doc_id", "text", min_shared=1, max_df=3)
+    assert cut.count() == 0  # universal boilerplate fps dropped
