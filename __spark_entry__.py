@@ -1177,6 +1177,30 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x5_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: deterministic synthetic crawl
+    URLs (scheme/www/case/trailing-slash/tracking-param variants built
+    from doc_id — the corpus has no URL column) collapse onto their
+    canonical form; output is per-canonical collapse counts with the
+    extracted domain. Exercises every normalization rule."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".com/Articles/"),
+        F.floor(d / 10).cast("bigint").cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=s"), d.cast("string"))
+    spec = {"lenses": [
+        {"name": "url_normalize", "arguments": {
+            "column": "url", "domain_out": "domain"}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["url", "domain"], "aggs": {"n_raw": "count(*)"}}},
+    ]}
+    return engine.append(docs.withColumn("url", url).drop("doc_id"), spec)
+
+
 def q_x2_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-passage near-dup pairs: docs sharing >= 2 winnowing
     fingerprints, with the shared count — catches shared passages that
@@ -1396,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_contamination_score": q_x2_contamination_score,
         "x5_bigram_logprob": q_x5_bigram_logprob,
         "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x5_url_dedup": q_x5_url_dedup,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1757,6 +1782,31 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x5_url_dedup": r"""
+WITH raw AS (
+  SELECT concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+           'Site', CAST(doc_id % 7 AS VARCHAR), '.com/Articles/',
+           CAST(doc_id // 10 AS VARCHAR),
+           CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+           '?utm_source=s', CAST(doc_id AS VARCHAR)) AS u
+  FROM documents
+),
+canon AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(u), '^https?://', ''),
+               '^www\.', ''),
+             '[?#].*$', ''),
+           '/$', '') AS url
+  FROM raw
+)
+SELECT url, regexp_extract(url, '^([^/]+)', 1) AS domain,
+       count(*) AS n_raw
+FROM canon GROUP BY 1, 2
 """,
         "x2_winnow_pairs": r"""
 WITH lt AS (

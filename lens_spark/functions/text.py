@@ -275,3 +275,27 @@ def pii_counts(text: Column) -> dict[str, Column]:
     """Per-category PII span counts (before redaction)."""
     return {name: F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
             for name, pattern, _ in PII_PATTERNS}
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization. Patterns are RE2-and-Java-compatible and each
+# matches at most once per URL (anchored), so Spark's replace-all and
+# DuckDB's replace-first semantics agree and the oracle reproduces the
+# canonical form byte-for-byte.
+# ---------------------------------------------------------------------------
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL dedup key: lowercase; scheme and leading ``www.``
+    stripped; query string and fragment dropped (the standard
+    crawl-pipeline canonicalization — tracking params make raw URLs
+    near-unique); trailing slash trimmed. Narrow expression."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of a (raw or canonical) URL."""
+    return F.regexp_extract(normalize_url(url), r"^([^/]+)", 1)

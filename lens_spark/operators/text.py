@@ -435,3 +435,28 @@ def pii_redact_lens(arguments: Mapping[str, Any]) -> Lens:
                 lambda df: pii_redact(df, text_col,
                                       out=str(out) if out else None,
                                       counts=counts))
+
+
+@register_lens("url_normalize")
+def url_normalize_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Canonicalize a URL column (lowercase, scheme/www stripped,
+    query+fragment dropped, trailing slash trimmed) and optionally
+    extract the domain — the key-preparation step for URL-level dedup
+    of crawled corpora (raw crawl URLs are near-unique because of
+    tracking parameters; canonical ones collapse).
+
+    arguments: column, out (default in-place), domain_out (optional
+    column for the extracted host)."""
+    from lens_spark.functions.text import normalize_url, url_domain
+
+    url_col = str(require_arg(arguments, "column", "url_normalize"))
+    out = str(arguments.get("out", url_col))
+    domain_out = arguments.get("domain_out")
+
+    def fwd(df: DataFrame) -> DataFrame:
+        res = df.withColumn(out, normalize_url(F.col(url_col)))
+        if domain_out:
+            res = res.withColumn(str(domain_out), url_domain(F.col(out)))
+        return res
+
+    return Lens("url_normalize", arguments, fwd)

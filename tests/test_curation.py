@@ -210,3 +210,22 @@ def test_contamination_score_fraction_and_row_preservation(spark):
             decontaminate(df, bench, "doc_id", "text", ngram=3,
                           min_overlaps=1).collect()}
     assert kept == {d for d, c in out.items() if c == 0.0}
+
+
+def test_url_normalize_rules_and_collapse(spark):
+    """scheme/www/case/query/fragment/trailing-slash variants collapse
+    onto one canonical form; domain extraction matches."""
+    from lens_spark import engine
+
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.com/A/B?utm_source=x"),
+         (2, "http://example.com/a/b#frag"),
+         (3, "HTTPS://EXAMPLE.COM/a/b/"),
+         (4, "http://other.org/path")],
+        "id long, url string")
+    out = engine.append(df, {"lenses": [{"name": "url_normalize",
+                                         "arguments": {"column": "url",
+                                                       "domain_out": "dom"}}]})
+    rows = {r.id: (r.url, r.dom) for r in out.collect()}
+    assert rows[1] == rows[2] == rows[3] == ("example.com/a/b", "example.com")
+    assert rows[4] == ("other.org/path", "other.org")
