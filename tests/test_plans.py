@@ -184,3 +184,41 @@ def test_unigram_logprob_plan_partial_aggs_and_broadcast_totals(spark):
     assert "partial_count" in plan and "partial_avg" in plan
     # (the tokenize+xxhash64 subtree sits behind the shared lazy
     # checkpoint, so it is not visible in this executed-plan string)
+
+
+def test_winnow_pairs_plan_is_equi_join_on_fps(spark):
+    """The fingerprint self-join must be an equi-join on the 8-byte fp
+    key with map-side partial pair counts — no pair blowup operator."""
+    from lens_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_pairs(docs, "doc_id", "text", max_df=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_contamination_score_plan_no_corpus_cross_benchmark(spark):
+    from lens_spark.operators.dedup import contamination_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter("doc_id % 97 = 0")
+    plan = _plan(contamination_score(docs, bench, "doc_id", "text", ngram=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_semdedup_pairs_stay_grouped_no_quadratic_join(spark):
+    """SemDedup's verification is the grouped per-cluster kernel — the
+    physical plan must contain the applyInPandas stage and no
+    cartesian/nested-loop pair join."""
+    from lens_spark.operators.clustering import kmeans
+    import pandas  # noqa: F401  (kernel dependency sanity)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = kmeans(emb, "vec_id", "embedding", k=4, max_iter=2)
+    plan = _plan(assigned)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # kernel stage
