@@ -1177,6 +1177,23 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x2_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash near-dup (fuzzy decontamination): train
+    docs whose minhash-estimated Jaccard vs any held-out doc
+    (doc_id % 10 == 0) clears the threshold — catches paraphrased
+    contamination the exact n-gram path (x2_decontaminate) misses.
+    Band join train x heldout, never a cross product."""
+    from lens_spark.operators.dedup import neardup_against
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter("doc_id % 10 = 0")
+    batch = docs.filter("doc_id % 10 <> 0")
+    return neardup_against(batch, ref, "doc_id", "text",
+                           num_hashes=MH_NUM_HASHES, ngram=MH_SHINGLE_W,
+                           band_size=MH_BAND_SIZE,
+                           threshold=JACCARD_THRESHOLD, mode="pairs")
+
+
 def q_x5_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup: deterministic synthetic crawl
     URLs (scheme/www/case/trailing-slash/tracking-param variants built
@@ -1421,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_bigram_logprob": q_x5_bigram_logprob,
         "x2_winnow_pairs": q_x2_winnow_pairs,
         "x5_url_dedup": q_x5_url_dedup,
+        "x2_cross_neardup": q_x2_cross_neardup,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1782,6 +1800,27 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x2_cross_neardup": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+sig AS (SELECT doc_id, {_SIG_SQL} AS g FROM sh WHERE len(s) > 0),
+sa AS (SELECT doc_id, g FROM sig WHERE doc_id % 10 <> 0),
+sb AS (SELECT doc_id, g FROM sig WHERE doc_id % 10 = 0),
+ba AS (SELECT doc_id, unnest({_BANDS_SQL}) AS bh FROM sa),
+bb AS (SELECT doc_id, unnest({_BANDS_SQL}) AS bh FROM sb),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+  FROM ba JOIN bb ON ba.bh = bb.bh
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_filter(range(1, {MH_NUM_HASHES} + 1),
+                             i -> sa.g[i] = sb.g[i]))
+             / {MH_NUM_HASHES}.0, 6) AS est_jaccard
+FROM cand c JOIN sa ON c.id_a = sa.doc_id JOIN sb ON c.id_b = sb.doc_id
+WHERE round(len(list_filter(range(1, {MH_NUM_HASHES} + 1),
+                            i -> sa.g[i] = sb.g[i]))
+            / {MH_NUM_HASHES}.0, 6) >= {JACCARD_THRESHOLD}
 """,
         "x5_url_dedup": r"""
 WITH raw AS (

@@ -1132,6 +1132,90 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__ld_id", "__ld_clean")
 
 
+def neardup_against(df: DataFrame, reference: DataFrame, id_col: str,
+                    text_col: str, *, ref_id_col: str | None = None,
+                    ref_text_col: str | None = None, num_hashes: int = 16,
+                    ngram: int = 3, band_size: int = 4,
+                    threshold: float = 0.5, shingle: str = "word",
+                    mode: str = "pairs") -> DataFrame:
+    """Cross-corpus MinHash near-dup: documents of ``df`` that are
+    near-duplicates of ANY document in ``reference`` — the fuzzy
+    counterpart of ``decontaminate`` (exact n-gram overlap misses
+    paraphrased or lightly-edited benchmark contamination; MinHash
+    similarity catches it), and the batch analogue of
+    ``neardup_incremental``'s vs-corpus leg with an in-memory
+    reference instead of an on-disk index.
+
+    ``mode="pairs"``: (id_a from df, id_b from reference, est_jaccard).
+    ``mode="drop"``: df rows whose best match clears ``threshold`` are
+    removed (fuzzy decontamination).
+
+    Scale shape: one signature pass per side (the df side's estimator
+    is the same ``1/sqrt(num_hashes)``-stderr agreement fraction the
+    incremental index uses) → band equi-join df-bands × ref-bands
+    (never df × reference) → estimate verify → distinct. Exchanges
+    carry band hashes and signatures, never text.
+    """
+    rid = ref_id_col or id_col
+    rtext = ref_text_col or text_col
+    sig_a = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
+                              ngram=ngram, shingle=shingle) \
+        .localCheckpoint(eager=False)
+    sig_b = minhash_signature(reference, rid, rtext, num_hashes=num_hashes,
+                              ngram=ngram, shingle=shingle) \
+        .localCheckpoint(eager=False)
+    band_arr = F.array(*_band_exprs(num_hashes, band_size))
+    ba = sig_a.select(F.col(id_col).alias("id_a"),
+                      F.explode(band_arr).alias("band_hash"))
+    bb = sig_b.select(F.col(rid).alias("id_b"),
+                      F.explode(band_arr).alias("band_hash"))
+    cand = ba.join(bb, "band_hash").select("id_a", "id_b").distinct()
+    sa = sig_a.select(
+        F.col(id_col).alias("id_a"),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("__sa"))
+    sb = sig_b.select(
+        F.col(rid).alias("id_b"),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("__sb"))
+    est = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
+                  " x -> x))") / F.lit(num_hashes))
+    pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+             .withColumn("est_jaccard", F.round(est, 6))
+             .filter(F.col("est_jaccard") >= float(threshold))
+             .select("id_a", "id_b", "est_jaccard"))
+    if mode == "pairs":
+        return pairs
+    if mode == "drop":
+        hit = pairs.select(F.col("id_a").alias(id_col)).distinct()
+        return df.join(hit, id_col, "left_anti")
+    raise LensError(f"neardup_against: unknown mode {mode!r}")
+
+
+@register_lens("neardup_against")
+def neardup_against_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: reference (parquet path), id, column, ref_id /
+    ref_column (default same), num_hashes (16), ngram (3),
+    band_size (4), threshold (0.5), shingle ("word"),
+    mode ("drop" | "pairs")."""
+    ref_path = str(require_arg(arguments, "reference", "neardup_against"))
+    id_col = str(require_arg(arguments, "id", "neardup_against"))
+    text_col = str(require_arg(arguments, "column", "neardup_against"))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        reference = df.sparkSession.read.parquet(ref_path)
+        return neardup_against(
+            df, reference, id_col, text_col,
+            ref_id_col=arguments.get("ref_id"),
+            ref_text_col=arguments.get("ref_column"),
+            num_hashes=int(arguments.get("num_hashes", 16)),
+            ngram=int(arguments.get("ngram", 3)),
+            band_size=int(arguments.get("band_size", 4)),
+            threshold=float(arguments.get("threshold", 0.5)),
+            shingle=str(arguments.get("shingle", "word")),
+            mode=str(arguments.get("mode", "drop")))
+
+    return Lens("neardup_against", arguments, fwd)
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
                         k: int = 4, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,

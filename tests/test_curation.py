@@ -229,3 +229,40 @@ def test_url_normalize_rules_and_collapse(spark):
     rows = {r.id: (r.url, r.dom) for r in out.collect()}
     assert rows[1] == rows[2] == rows[3] == ("example.com/a/b", "example.com")
     assert rows[4] == ("other.org/path", "other.org")
+
+
+def test_neardup_against_catches_paraphrase_exact_ngram_misses(spark):
+    """A lightly-edited copy of a benchmark doc slips under exact
+    8-gram decontamination tuned against false positives
+    (min_overlaps=5: the edit leaves only 4 verbatim 8-grams) but
+    clears the MinHash similarity bar; clean docs survive both.
+    mode='drop' removes exactly the fuzzy hits."""
+    from lens_spark.operators.dedup import decontaminate, neardup_against
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    toks = base.split()
+    edited = toks[:]
+    edited[8], edited[9] = edited[9], edited[8]  # one mid-doc swap
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, " ".join(edited)),
+         (2, "totally unrelated words about something else entirely "
+             "with no shared vocabulary at all in this document")],
+        "doc_id long, text string")
+    # the swap at 1-based positions 9-10 breaks every 8-gram window
+    # except starts {1, 11, 12, 13}: exactly 4 verbatim overlaps, so a
+    # min_overlaps=5 exact rule keeps BOTH docs
+    exact = {r.doc_id for r in
+             decontaminate(df, bench, "doc_id", "text", ngram=8,
+                           min_overlaps=5).collect()}
+    assert exact == {1, 2}
+    # fuzzy near-dup drops the paraphrase, keeps the clean doc
+    fuzzy = {r.doc_id for r in
+             neardup_against(df, bench, "doc_id", "text", ngram=3,
+                             threshold=0.5, mode="drop").collect()}
+    assert fuzzy == {2}
+    pairs = neardup_against(df, bench, "doc_id", "text", ngram=3,
+                            threshold=0.5, mode="pairs").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 100)}
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in pairs)
