@@ -1177,6 +1177,24 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x9_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version audit: old = documents; new = a deterministic
+    revision (every 13th doc dropped, every 7th's text edited, a new
+    doc per 11th id) — dataset_diff must label exactly the
+    added/removed/changed keys, comparing value digests, not payloads."""
+    from lens_spark.operators.relational import dataset_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (docs.filter("doc_id % 13 <> 0")
+           .withColumn("text", F.when(d % 7 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text")))
+           .unionAll(docs.filter("doc_id % 11 = 0")
+                     .select((d + 1000000).alias("doc_id"), "text")))
+    return dataset_diff(docs, new, ["doc_id"]).select("doc_id", "status")
+
+
 def q_x2_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus MinHash near-dup (fuzzy decontamination): train
     docs whose minhash-estimated Jaccard vs any held-out doc
@@ -1439,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_winnow_pairs": q_x2_winnow_pairs,
         "x5_url_dedup": q_x5_url_dedup,
         "x2_cross_neardup": q_x2_cross_neardup,
+        "x9_dataset_diff": q_x9_dataset_diff,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1800,6 +1819,26 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x9_dataset_diff": """
+WITH old_v AS (SELECT doc_id, text FROM documents),
+new_v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+),
+diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old_v o FULL JOIN new_v n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM diff WHERE status <> 'unchanged'
 """,
         "x2_cross_neardup": f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),

@@ -411,3 +411,66 @@ def _set_op_lens(name: str, op: str):
 union_lens = _set_op_lens("union", "union")
 except_lens = _set_op_lens("except", "except")
 intersect_lens = _set_op_lens("intersect", "intersect")
+
+
+def dataset_diff(old: DataFrame, new: DataFrame, keys: list[str], *,
+                 compare: list[str] | None = None,
+                 include_unchanged: bool = False) -> DataFrame:
+    """Key-level diff between two dataset versions: (keys…, status) with
+    status ∈ added | removed | changed (| unchanged) — the audit
+    companion to the registry's versioned-corpus story (what did this
+    pipeline revision actually do to the data?).
+
+    ``compare`` names the value columns whose change flips a key to
+    "changed" (default: all shared non-key columns). Values are
+    compared as one xxhash64 per side, so the full-outer join exchanges
+    keys + an 8-byte digest — never the row payloads. One shuffle per
+    side; at 100 TB this is the standard keyed reconciliation shape.
+    """
+    shared = [c for c in old.columns if c in set(new.columns)]
+    cmp_cols = [str(c) for c in
+                (compare if compare is not None
+                 else [c for c in shared if c not in keys])]
+    missing = [c for c in cmp_cols
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise LensError(f"dataset_diff: compare columns {missing} absent "
+                        "from one side")
+
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        h = (F.xxhash64(*[F.col(c).cast("string") for c in cmp_cols])
+             if cmp_cols else F.lit(0).cast("bigint"))
+        return df.select(*[F.col(k) for k in keys], h.alias(alias))
+
+    a = digest(old, "__dd_old")
+    b = digest(new, "__dd_new")
+    joined = a.join(b, keys, "full_outer")
+    status = (
+        F.when(F.col("__dd_old").isNull(), F.lit("added"))
+        .when(F.col("__dd_new").isNull(), F.lit("removed"))
+        .when(F.col("__dd_old") != F.col("__dd_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    out = joined.withColumn("status", status).drop("__dd_old", "__dd_new")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+@register_lens("dataset_diff")
+def dataset_diff_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: right (parquet path of the NEW version; the input df
+    is the old), keys (list[str]), compare (optional columns),
+    include_unchanged (false)."""
+    right_path = str(require_arg(arguments, "right", "dataset_diff"))
+    keys = [str(k) for k in require_arg(arguments, "keys", "dataset_diff")]
+    compare = arguments.get("compare")
+
+    def fwd(df: DataFrame) -> DataFrame:
+        new = df.sparkSession.read.parquet(right_path)
+        return dataset_diff(
+            df, new, keys,
+            compare=[str(c) for c in compare] if compare else None,
+            include_unchanged=bool(arguments.get("include_unchanged",
+                                                 False)))
+
+    return Lens("dataset_diff", arguments, fwd)

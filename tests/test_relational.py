@@ -264,3 +264,36 @@ def test_semi_anti_join_lenses(spark, orders):
     with_orders = cust.join(orders.select("o_custkey").distinct(),
                             cust.c_custkey == F.col("o_custkey")).count()
     assert semi.count() == with_orders
+
+
+def test_dataset_diff_labels_and_digest_compare(spark):
+    """added/removed/changed labeled per key; unchanged excluded by
+    default and included on request; compare= restricts which columns
+    count as change."""
+    from lens_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, txt string, score long")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)],
+        "id long, txt string, score long")
+    got = {r.id: r.status for r in
+           dataset_diff(old, new, ["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    full = {r.id: r.status for r in
+            dataset_diff(old, new, ["id"], include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 4
+    # comparing only `score`: row 2's txt edit no longer counts
+    scored = {r.id: r.status for r in
+              dataset_diff(old, new, ["id"], compare=["score"]).collect()}
+    assert scored == {3: "removed", 4: "added"}
+
+
+def test_dataset_diff_rejects_unknown_compare_column(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.relational import dataset_diff
+
+    df = spark.createDataFrame([(1, "x")], "id long, txt string")
+    with pytest.raises(LensError, match="compare columns"):
+        dataset_diff(df, df, ["id"], compare=["nope"])
