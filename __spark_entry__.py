@@ -1177,6 +1177,19 @@ def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_x9_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric data-quality envelope: docs whose n_chars sits within
+    1 sample-sigma of the corpus mean (a deliberately tight envelope so
+    the filter provably cuts — ~43% of this corpus) (the broadcast-scalars one-pass
+    measure-then-filter shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    from lens_spark.operators.relational import outlier_filter
+
+    out = outlier_filter(docs.select("doc_id", "source", "n_chars"),
+                         "n_chars", method="zscore", k=1.0)
+    return out.select("doc_id", "source")
+
+
 def q_x9_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version audit: old = documents; new = a deterministic
     revision (every 13th doc dropped, every 7th's text edited, a new
@@ -1458,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_url_dedup": q_x5_url_dedup,
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1819,6 +1833,12 @@ SELECT b.doc_id,
        CASE WHEN coalesce(n_spans, 0) > 0
             THEN round(n_dup_spans / n_spans, 6) ELSE 0.0 END AS dup_span_frac
 FROM both_docs b LEFT JOIN per_doc ON b.doc_id = per_doc.doc_id
+""",
+        "x9_outlier_filter": """
+WITH s AS (SELECT avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+           FROM documents)
+SELECT doc_id, source FROM documents, s
+WHERE abs(n_chars - mu) <= 1.0 * sd
 """,
         "x9_dataset_diff": """
 WITH old_v AS (SELECT doc_id, text FROM documents),

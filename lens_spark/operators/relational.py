@@ -474,3 +474,47 @@ def dataset_diff_lens(arguments: Mapping[str, Any]) -> Lens:
                                                  False)))
 
     return Lens("dataset_diff", arguments, fwd)
+
+
+def outlier_filter(df: DataFrame, column: str, *, method: str = "zscore",
+                   k: float = 3.0) -> DataFrame:
+    """Numeric data-quality guard: keep rows whose ``column`` is inside
+    the corpus' own dispersion envelope — ``zscore`` (|x−μ| ≤ k·σ,
+    sample σ) or ``iqr`` (Tukey fences: [q1 − k·iqr, q3 + k·iqr],
+    exact percentiles). Nulls are dropped (they are outside any
+    envelope; filter them beforehand to keep them).
+
+    Scale shape: the envelope is a 1-row aggregate broadcast back over
+    the scan (two scalars) — one pass to measure, one narrow pass to
+    filter. The exact-percentile IQR agg is a sort-based aggregate; at
+    extreme scale swap in approx_percentile and accept the sketch
+    tolerance (x6's documented trade).
+    """
+    c = F.col(column).cast("double")
+    if method == "zscore":
+        stats = df.agg(F.avg(c).alias("__mu"),
+                       F.stddev_samp(c).alias("__sd"))
+        joined = df.crossJoin(F.broadcast(stats))
+        keep = (F.abs(c - F.col("__mu"))
+                <= F.lit(float(k)) * F.col("__sd"))
+        return joined.filter(keep).drop("__mu", "__sd")
+    if method == "iqr":
+        stats = df.agg(
+            F.expr(f"percentile({column}, 0.25)").alias("__q1"),
+            F.expr(f"percentile({column}, 0.75)").alias("__q3"))
+        joined = df.crossJoin(F.broadcast(stats))
+        iqr = F.col("__q3") - F.col("__q1")
+        keep = ((c >= F.col("__q1") - F.lit(float(k)) * iqr)
+                & (c <= F.col("__q3") + F.lit(float(k)) * iqr))
+        return joined.filter(keep).drop("__q1", "__q3")
+    raise LensError(f"outlier_filter: unknown method {method!r}")
+
+
+@register_lens("outlier_filter")
+def outlier_filter_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, method ("zscore" | "iqr"), k (3.0)."""
+    column = str(require_arg(arguments, "column", "outlier_filter"))
+    return Lens("outlier_filter", arguments, lambda df: outlier_filter(
+        df, column,
+        method=str(arguments.get("method", "zscore")),
+        k=float(arguments.get("k", 3.0))))

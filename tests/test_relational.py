@@ -297,3 +297,21 @@ def test_dataset_diff_rejects_unknown_compare_column(spark):
     df = spark.createDataFrame([(1, "x")], "id long, txt string")
     with pytest.raises(LensError, match="compare columns"):
         dataset_diff(df, df, ["id"], compare=["nope"])
+
+
+def test_outlier_filter_zscore_and_iqr(spark):
+    """A planted extreme value is dropped by both envelopes; the bulk
+    survives; unknown method raises."""
+    from lens_spark.operators.relational import outlier_filter
+
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 8,
+                                                 10, 11, 9, 1000])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    z = {r.id for r in outlier_filter(df, "v", method="zscore",
+                                      k=2.0).collect()}
+    i = {r.id for r in outlier_filter(df, "v", method="iqr",
+                                      k=1.5).collect()}
+    assert 9 not in z and 9 not in i          # the 1000 row
+    assert z >= set(range(9)) - {9} and i >= set(range(9))
+    with pytest.raises(LensError, match="unknown method"):
+        outlier_filter(df, "v", method="mad").collect()
