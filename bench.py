@@ -21,9 +21,10 @@ large corpus" ingest shape), so its r3+ numbers are NOT comparable to
 r1/r2. In round 4 `x3_ann_topk` changed shape too: it now emits a
 measured recall_at_k column (adds an in-query brute-force reference
 pass) and runs at higher-recall LSH parameters (num_bits 6→4,
-num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds four
-new headline queries (x5_span_dedup, x5_unigram_logprob, x2_semdedup,
-x9_curation_pipeline), so the r5 TOTAL covers 32 queries vs r4's 28.
+num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds five
+new headline entries (x3_ann_serving — the serving-path split of the
+reshaped x3_ann_topk — plus x5_span_dedup, x5_unigram_logprob,
+x2_semdedup, x9_curation_pipeline), growing the list 27 → 32 queries.
 Compare per-query medians, not totals, across rounds.
 """
 

@@ -142,12 +142,16 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
     Pipeline: k-means (above) → per-cluster blocked-matmul cosine
     verification (grouped kernel, only pairs ≥ ``threshold`` become
     rows — same shape as embedding_neardup_pairs(method="lsh")) →
-    connected components → keep one representative per component
-    (``keep="min"``: smallest id). Pairs split across clusters are
-    missed — that is SemDedup's documented recall trade; raise k for
+    connected components → keep one representative per component:
+    ``keep="min"`` (smallest id — oldest/first-seen) or ``keep="max"``
+    (largest id — newest). Pairs split across clusters are missed —
+    that is SemDedup's documented recall trade; raise k for
     smaller/faster tasks, lower k for higher recall.
     """
     from lens_spark.operators.dedup import connected_components
+
+    if keep not in ("min", "max"):
+        raise LensError(f"semdedup: keep must be 'min' or 'max', got {keep!r}")
 
     assigned = (
         kmeans(ensure_parallelism(df, by=[id_col]), id_col, vec_col,
@@ -186,7 +190,15 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
                             schema=f"id_a {id_type}, id_b {id_type}")
              .distinct())
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    if keep == "min":
+        # component label IS the min member — non-representatives are
+        # exactly the rows whose id differs from their label
+        losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    else:
+        reps = (comp.groupBy("component")
+                .agg(F.max("id").alias("__rep")))
+        losers = (comp.join(reps, "component")
+                  .filter(F.col("id") != F.col("__rep")).select("id"))
     return df.join(losers, df[id_col] == losers.id, "left_anti")
 
 
@@ -208,11 +220,13 @@ def kmeans_lens(arguments: Mapping[str, Any]) -> Lens:
 
 @register_lens("semdedup")
 def semdedup_lens(arguments: Mapping[str, Any]) -> Lens:
-    """arguments: id, vector, k (16), threshold (0.95), max_iter (5)."""
+    """arguments: id, vector, k (16), threshold (0.95), max_iter (5),
+    keep ("min" | "max")."""
     id_col = str(require_arg(arguments, "id", "semdedup"))
     vec_col = str(require_arg(arguments, "vector", "semdedup"))
     return Lens("semdedup", arguments, lambda df: semdedup(
         df, id_col, vec_col,
         k=int(arguments.get("k", 16)),
         threshold=float(arguments.get("threshold", 0.95)),
-        max_iter=int(arguments.get("max_iter", 5))))
+        max_iter=int(arguments.get("max_iter", 5)),
+        keep=str(arguments.get("keep", "min"))))

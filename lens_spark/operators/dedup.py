@@ -151,6 +151,16 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
     ])
 
 
+def _sig_agreement(num_hashes: int, a: str = "__sa", b: str = "__sb"):
+    """MinHash signature agreement fraction between array columns ``a``
+    and ``b`` — the Jaccard estimator (stderr ≈ 1/√num_hashes) shared
+    by every signature-verify site (within-batch, vs-index, and
+    cross-corpus legs) so the estimator can never drift between them
+    or from the DuckDB oracle's formulation."""
+    return (F.expr(f"size(filter(zip_with({a}, {b}, (x, y) -> x = y),"
+                   " v -> v))") / F.lit(num_hashes))
+
+
 def _band_exprs(num_hashes: int, band_size: int) -> list:
     num_bands = num_hashes // band_size
     return [
@@ -743,7 +753,8 @@ def _index_writer_lock(spark, index_path: str, *,
 
 def dedup_incremental(df: DataFrame, index_path: str, *,
                       columns: list[str] | None = None,
-                      update_index: bool = True) -> DataFrame:
+                      update_index: bool = True,
+                      locked: bool = True) -> DataFrame:
     """Dedup a new batch against everything previously accepted.
 
     Ongoing ingestion can't re-scan the accepted corpus per batch; it
@@ -757,7 +768,10 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
     First call bootstraps an empty index at ``index_path``. Writers are
     serialized by ``_index_writer_lock`` (concurrent ingests would both
     dedup against the pre-append index); read-only calls
-    (``update_index=False``) take no lock.
+    (``update_index=False``) take no lock, and ``locked=False`` skips
+    acquisition for callers that already hold the lease over a wider
+    critical section (streaming.stream_ingest_dedup — the lock file is
+    not reentrant).
     """
     from lens_spark.sources import dataset_nonempty
 
@@ -765,8 +779,8 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
     fp = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     batch = df.withColumn("__fp", fp).dropDuplicates(["__fp"])
     spark = df.sparkSession
-    lock = (_index_writer_lock(spark, index_path) if update_index
-            else contextlib.nullcontext())
+    lock = (_index_writer_lock(spark, index_path)
+            if (update_index and locked) else contextlib.nullcontext())
     with lock:
         if dataset_nonempty(spark, index_path):
             seen = spark.read.parquet(index_path)
@@ -794,7 +808,8 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                         text_col: str, *, num_hashes: int = 16,
                         ngram: int = 3, band_size: int = 4,
                         threshold: float = 0.5, shingle: str = "word",
-                        update_index: bool = True) -> DataFrame:
+                        update_index: bool = True,
+                        locked: bool = True) -> DataFrame:
     """Near-dup dedup of a new batch against everything previously
     accepted — the streaming-ingest counterpart of ``dedup_neardup``
     (which is batch-global), and the MinHash extension of
@@ -843,7 +858,10 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     Writers are serialized by ``_index_writer_lock`` held from the
     first index read to the append commit (concurrent ingests would
     each dedup against the pre-append index and both accept the same
-    near-dups); read-only calls (``update_index=False``) take no lock.
+    near-dups); read-only calls (``update_index=False``) take no lock,
+    and ``locked=False`` skips acquisition for callers already holding
+    the lease over a wider critical section (the lock file is not
+    reentrant).
     """
     from lens_spark.sources import dataset_nonempty
 
@@ -872,19 +890,25 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                 "a legacy bands/+sigs/ layout and a parts/ dataset — "
                 "likely a crashed migration. Inspect and delete one "
                 "layout, then retry.")
-        legacy_bands = spark.read.parquet(f"{index_path}/bands")
-        payload = (
-            legacy_bands.select(
-                F.col(id_col), F.col("band_hash"),
-                F.lit(None).cast("array<bigint>").alias("sig"),
-                F.lit("bands").alias("kind")))
+        # Either leg may be absent (a crash can leave sigs/ without
+        # bands/ or vice versa) — migrate whichever exists; the
+        # has-legacy probe already guaranteed at least one is nonempty.
+        payload = None
+        if dataset_nonempty(spark, f"{index_path}/bands"):
+            legacy_bands = spark.read.parquet(f"{index_path}/bands")
+            payload = (
+                legacy_bands.select(
+                    F.col(id_col), F.col("band_hash"),
+                    F.lit(None).cast("array<bigint>").alias("sig"),
+                    F.lit("bands").alias("kind")))
         if dataset_nonempty(spark, f"{index_path}/sigs"):
             legacy_sigs = spark.read.parquet(f"{index_path}/sigs")
-            payload = payload.unionByName(
-                legacy_sigs.select(
+            sigs_part = (legacy_sigs.select(
                     F.col(id_col),
                     F.lit(None).cast("string").alias("band_hash"),
                     F.col("sig"), F.lit("sigs").alias("kind")))
+            payload = (sigs_part if payload is None
+                       else payload.unionByName(sigs_part))
         payload.write.mode("append").partitionBy("kind").parquet(parts_path)
         jvm = spark._jvm
         fs = jvm.org.apache.hadoop.fs.Path(parts_path).getFileSystem(
@@ -914,8 +938,7 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
         F.col(id_col),
         F.explode(F.array(*_band_exprs(num_hashes, band_size))
                   ).alias("band_hash"))
-    est_expr = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
-                       " x -> x))") / F.lit(num_hashes))
+    est_expr = _sig_agreement(num_hashes)
 
     # Within-batch near-dup: band self-join → estimate verify →
     # components → drop non-representatives. The verified pair table is
@@ -973,8 +996,8 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
         batch_ids = batch.select(F.col(id_col))
         sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
         bands = bands_all.join(batch_ids, id_col, "left_semi")
-    lock = (_index_writer_lock(spark, index_path) if update_index
-            else contextlib.nullcontext())
+    lock = (_index_writer_lock(spark, index_path)
+            if (update_index and locked) else contextlib.nullcontext())
     with lock:
         if _has_legacy_layout():
             if not update_index:
@@ -996,11 +1019,8 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                                    F.col("sig").alias("__csig")))
             est = (
                 cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
-                .withColumn(
-                    "__est_j",
-                    F.expr("size(filter(zip_with(sig, __csig,"
-                           " (a, b) -> a = b), x -> x))")
-                    / F.lit(num_hashes))
+                .withColumn("__est_j",
+                            _sig_agreement(num_hashes, "sig", "__csig"))
             )
             dup_ids = (est.filter(F.col("__est_j") >= threshold)
                        .select(id_col).distinct())
@@ -1176,8 +1196,7 @@ def neardup_against(df: DataFrame, reference: DataFrame, id_col: str,
     sb = sig_b.select(
         F.col(rid).alias("id_b"),
         F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("__sb"))
-    est = (F.expr("size(filter(zip_with(__sa, __sb, (a, b) -> a = b),"
-                  " x -> x))") / F.lit(num_hashes))
+    est = _sig_agreement(num_hashes)
     pairs = (cand.join(sa, "id_a").join(sb, "id_b")
              .withColumn("est_jaccard", F.round(est, 6))
              .filter(F.col("est_jaccard") >= float(threshold))

@@ -426,6 +426,12 @@ def dataset_diff(old: DataFrame, new: DataFrame, keys: list[str], *,
     compared as one xxhash64 per side, so the full-outer join exchanges
     keys + an 8-byte digest — never the row payloads. One shuffle per
     side; at 100 TB this is the standard keyed reconciliation shape.
+
+    NULL discipline: the digest hashes the JSON rendering of the
+    compared struct with null fields KEPT — Spark's bare hash
+    expressions skip NULL inputs entirely, which would make
+    (NULL, 'x') and ('x', NULL) collide and report a changed row as
+    unchanged.
     """
     shared = [c for c in old.columns if c in set(new.columns)]
     cmp_cols = [str(c) for c in
@@ -438,7 +444,10 @@ def dataset_diff(old: DataFrame, new: DataFrame, keys: list[str], *,
                         "from one side")
 
     def digest(df: DataFrame, alias: str) -> DataFrame:
-        h = (F.xxhash64(*[F.col(c).cast("string") for c in cmp_cols])
+        h = (F.xxhash64(F.to_json(
+                F.struct(*[F.col(c).cast("string").alias(c)
+                           for c in cmp_cols]),
+                {"ignoreNullFields": "false"}))
              if cmp_cols else F.lit(0).cast("bigint"))
         return df.select(*[F.col(k) for k in keys], h.alias(alias))
 
@@ -488,20 +497,23 @@ def outlier_filter(df: DataFrame, column: str, *, method: str = "zscore",
     the scan (two scalars) — one pass to measure, one narrow pass to
     filter. The exact-percentile IQR agg is a sort-based aggregate; at
     extreme scale swap in approx_percentile and accept the sketch
-    tolerance (x6's documented trade).
+    tolerance (x6's documented trade). A corpus too small to measure
+    dispersion (sample σ undefined below 2 rows) passes through
+    unfiltered rather than silently vanishing into a NULL predicate.
     """
     c = F.col(column).cast("double")
     if method == "zscore":
         stats = df.agg(F.avg(c).alias("__mu"),
                        F.stddev_samp(c).alias("__sd"))
         joined = df.crossJoin(F.broadcast(stats))
-        keep = (F.abs(c - F.col("__mu"))
-                <= F.lit(float(k)) * F.col("__sd"))
+        keep = (F.col("__sd").isNull()
+                | (F.abs(c - F.col("__mu"))
+                   <= F.lit(float(k)) * F.col("__sd")))
         return joined.filter(keep).drop("__mu", "__sd")
     if method == "iqr":
         stats = df.agg(
-            F.expr(f"percentile({column}, 0.25)").alias("__q1"),
-            F.expr(f"percentile({column}, 0.75)").alias("__q3"))
+            F.expr(f"percentile(`{column}`, 0.25)").alias("__q1"),
+            F.expr(f"percentile(`{column}`, 0.75)").alias("__q3"))
         joined = df.crossJoin(F.broadcast(stats))
         iqr = F.col("__q3") - F.col("__q1")
         keep = ((c >= F.col("__q1") - F.lit(float(k)) * iqr)

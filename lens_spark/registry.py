@@ -346,7 +346,12 @@ class Registry:
         one) or in the caller's ``keep`` list. Everything else under
         blocks/ goes, plus ``.staging-*`` dirs older than
         ``staging_grace_sec`` (younger ones may belong to an in-flight
-        ``add_artifact``). Returns {"removed", "kept", "bytes_freed"}.
+        ``add_artifact``). The same grace window also protects FINAL
+        block dirs: an artifact becomes final at ``add_artifact``'s
+        rename BEFORE the spec referencing it is persisted, so a young
+        unreferenced block may be a publish-in-progress, not garbage —
+        only blocks older than the window are swept. Returns
+        {"removed", "kept", "bytes_freed"}.
         """
         import re
         import shutil
@@ -372,6 +377,9 @@ class Registry:
                 continue  # never touch names we don't own
             if entry.name in live:
                 kept += 1
+                continue
+            if now - entry.stat().st_mtime <= staging_grace_sec:
+                kept += 1  # young + unreferenced: maybe mid-publish
                 continue
             freed += sum(p.stat().st_size for p in entry.glob("*.chunk"))
             shutil.rmtree(entry)

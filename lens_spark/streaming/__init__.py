@@ -79,9 +79,14 @@ def run_available_now(stream_df: DataFrame, *, output_mode: str = "append",
         .start()
     )
     try:
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
     finally:
         q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"run_available_now: query exceeded {timeout}s before "
+            "draining the source — results would be incomplete; raise "
+            "timeout=")
     return spark.table(name)
 
 
@@ -117,9 +122,15 @@ def stream_to_dataset(stream_df: DataFrame, path: str, *, spec=None,
     if available_now:
         q = writer.trigger(availableNow=True).start()
         try:
-            q.awaitTermination(timeout)
+            finished = q.awaitTermination(timeout)
         finally:
             q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"stream_to_dataset: availableNow run exceeded {timeout}s "
+                "before draining the source — the landing dataset is "
+                "INCOMPLETE; re-run with the same checkpoint to continue, "
+                "or raise timeout=")
         return None
     return writer.start()
 
@@ -217,9 +228,12 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     (``mode="neardup"``) index of operators.dedup, whose footprint is
     bytes per accepted doc, not engine state.
 
-    Micro-batches are sequential within a query, so the per-batch
-    index writer lease never self-contends; it still excludes OTHER
-    ingest jobs sharing the index.
+    The index writer lease is held for the WHOLE per-batch critical
+    section — dedup read, landing write, index append — so another
+    ingest job sharing the index cannot interleave between this
+    batch's read and its append (both would accept the same rows);
+    micro-batches within one query are sequential and never
+    self-contend.
 
     Delivery contract (documented, not hidden): the landing write
     commits BEFORE the index append — data is never lost to a crash
@@ -231,7 +245,11 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     needing exactly-once landings should pair this with a batch-id
     partitioned sink and idempotent overwrite.
     """
-    from lens_spark.operators.dedup import dedup_incremental, neardup_incremental
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        dedup_incremental,
+        neardup_incremental,
+    )
 
     if mode not in ("exact", "neardup"):
         raise ValueError(f"stream_ingest_dedup: unknown mode {mode!r}")
@@ -240,28 +258,32 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
             "stream_ingest_dedup(mode='neardup') needs id_col and text_col")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if mode == "exact":
-            fresh = dedup_incremental(batch_df, index_path, columns=columns,
-                                      update_index=False)
-        else:
-            fresh = neardup_incremental(batch_df, index_path, id_col,
-                                        text_col, update_index=False,
-                                        **neardup_kw)
-        # Land survivors first (see delivery contract above) …
-        fresh = fresh.localCheckpoint(eager=True)
-        writer = fresh.write.format(fmt).mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(out_path)
-        # … then commit their fingerprints/signatures to the index via
-        # the same operators in index-update mode on the already-
-        # deduped survivors (their dedup legs are no-ops; the calls
-        # exist for their append machinery + writer lease).
-        if mode == "exact":
-            dedup_incremental(fresh, index_path, columns=columns)
-        else:
-            neardup_incremental(fresh, index_path, id_col, text_col,
-                                **neardup_kw)
+        with _index_writer_lock(batch_df.sparkSession, index_path):
+            if mode == "exact":
+                fresh = dedup_incremental(batch_df, index_path,
+                                          columns=columns,
+                                          update_index=False)
+            else:
+                fresh = neardup_incremental(batch_df, index_path, id_col,
+                                            text_col, update_index=False,
+                                            **neardup_kw)
+            # Land survivors first (see delivery contract above) …
+            fresh = fresh.localCheckpoint(eager=True)
+            writer = fresh.write.format(fmt).mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(out_path)
+            # … then commit their fingerprints/signatures to the index
+            # via the same operators on the already-deduped survivors
+            # (their dedup legs are no-ops; the calls exist for their
+            # append machinery). locked=False: we already hold the
+            # lease — the lock file is not reentrant.
+            if mode == "exact":
+                dedup_incremental(fresh, index_path, columns=columns,
+                                  locked=False)
+            else:
+                neardup_incremental(fresh, index_path, id_col, text_col,
+                                    locked=False, **neardup_kw)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
@@ -271,8 +293,14 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     if available_now:
         q = writer.trigger(availableNow=True).start()
         try:
-            q.awaitTermination(timeout)
+            finished = q.awaitTermination(timeout)
         finally:
             q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"stream_ingest_dedup: availableNow run exceeded "
+                f"{timeout}s before draining the source — the landing "
+                "dataset is INCOMPLETE; re-run with the same checkpoint "
+                "to continue, or raise timeout=")
         return None
     return writer.start()

@@ -137,3 +137,20 @@ def test_kmeans_lens_registration_and_inverse(spark):
         "id": "vec_id", "vector": "embedding", "k": 3, "max_iter": 3}}]}
     out = engine.append(df, spec)
     assert "cluster" in out.columns and out.count() == 30
+
+
+def test_semdedup_keep_max_and_invalid(spark):
+    """keep='max' retains the largest id per near-dup component; an
+    unknown keep raises instead of silently defaulting."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.clustering import semdedup
+
+    rows = _blob_rows(per=10)
+    rows.append((5000, [v + 1e-7 for v in rows[0][1]]))  # dup of id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in
+            semdedup(df, "vec_id", "embedding", k=3, threshold=0.999999,
+                     keep="max").collect()}
+    assert 5000 in kept and 0 not in kept
+    with pytest.raises(LensError, match="keep must be"):
+        semdedup(df, "vec_id", "embedding", k=3, keep="first")

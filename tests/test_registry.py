@@ -285,7 +285,13 @@ def test_vacuum_artifacts_sweeps_unreferenced_blocks(tmp_path):
         return sum(p.stat().st_size for p in reg.blocks_dir.rglob("*.chunk"))
 
     before = du(registry)
-    report = registry.vacuum_artifacts()
+    # default grace window protects the JUST-written unreferenced block
+    # (it may be a publish-in-progress: add_artifact renames to final
+    # before the referencing spec persists)
+    untouched = registry.vacuum_artifacts()
+    assert untouched["removed"] == [] and untouched["kept"] == 2
+    # grace 0 = operator asserts no publish is in flight
+    report = registry.vacuum_artifacts(staging_grace_sec=0.0)
     assert report["removed"] == [dead_id]
     assert report["kept"] == 1
     assert report["bytes_freed"] > 0

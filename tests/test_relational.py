@@ -315,3 +315,16 @@ def test_outlier_filter_zscore_and_iqr(spark):
     assert z >= set(range(9)) - {9} and i >= set(range(9))
     with pytest.raises(LensError, match="unknown method"):
         outlier_filter(df, "v", method="mad").collect()
+
+
+def test_dataset_diff_null_column_swap_is_changed(spark):
+    """(NULL, 'x') -> ('x', NULL) must be 'changed' — bare hash exprs
+    skip NULLs and would collide the two digests."""
+    from lens_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame([(1, None, "x")],
+                                "id long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)],
+                                "id long, a string, b string")
+    got = {r.id: r.status for r in dataset_diff(old, new, ["id"]).collect()}
+    assert got == {1: "changed"}
