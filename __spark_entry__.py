@@ -1225,6 +1225,22 @@ def q_x2_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            threshold=JACCARD_THRESHOLD, mode="pairs")
 
 
+def q_x5_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level C4-style cleaning: every document gets a numeric
+    junk segment and a one-token segment injected; the rules
+    (min_tokens=2, min_alpha_ratio=0.5) must strip exactly those and
+    reassemble the original body."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    with_junk = docs.withColumn(
+        "text",
+        F.concat(F.lit("12345 67890 11\n"), F.col("text"), F.lit("\nok")))
+    spec = {"lenses": [{"name": "segment_filter", "arguments": {
+        "id": "doc_id", "column": "text", "min_tokens": 2,
+        "min_alpha_ratio": 0.5}}]}
+    out = engine.append(with_junk, spec)
+    return out.select("doc_id", F.col("text").alias("text_clean"))
+
+
 def q_x5_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup: deterministic synthetic crawl
     URLs (scheme/www/case/trailing-slash/tracking-param variants built
@@ -1469,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_bigram_logprob": q_x5_bigram_logprob,
         "x2_winnow_pairs": q_x2_winnow_pairs,
         "x5_url_dedup": q_x5_url_dedup,
+        "x5_segment_filter": q_x5_segment_filter,
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
@@ -1880,6 +1897,30 @@ FROM cand c JOIN sa ON c.id_a = sa.doc_id JOIN sb ON c.id_b = sb.doc_id
 WHERE round(len(list_filter(range(1, {MH_NUM_HASHES} + 1),
                             i -> sa.g[i] = sb.g[i]))
             / {MH_NUM_HASHES}.0, 6) >= {JACCARD_THRESHOLD}
+""",
+        "x5_segment_filter": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat('12345 67890 11', chr(10), text, chr(10), 'ok') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS seg,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM src
+),
+kept AS (
+  SELECT doc_id, seg, pos FROM segs
+  WHERE len(list_filter(string_split_regex(seg, '\s+'), x -> x <> '')) >= 2
+    AND len(seg) > 0
+    AND len(regexp_replace(seg, '[^A-Za-z]', '', 'g')) / len(seg) >= 0.5
+)
+SELECT s.doc_id, coalesce(k.text_clean, '') AS text_clean
+FROM src s LEFT JOIN (
+  SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
 """,
         "x5_url_dedup": r"""
 WITH raw AS (

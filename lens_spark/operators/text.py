@@ -437,6 +437,84 @@ def pii_redact_lens(arguments: Mapping[str, Any]) -> Lens:
                                       counts=counts))
 
 
+def segment_filter(df: DataFrame, id_col: str, text_col: str, *,
+                   delimiter: str = "\n", min_tokens: int = 0,
+                   max_tokens: int | None = None,
+                   min_alpha_ratio: float | None = None,
+                   end_punct: bool = False,
+                   out: str | None = None) -> DataFrame:
+    """Segment-level cleaning (the C4/FineWeb line rules): split each
+    document on ``delimiter``, drop segments failing any configured
+    intrinsic rule, reassemble the survivors in original order.
+    Complements ``line_dedup`` (corpus-frequency rule) with per-segment
+    content rules: token-count window, minimum letter fraction
+    (boilerplate/code/ascii-art guard), and C4's terminal-punctuation
+    rule (``end_punct`` keeps only segments ending in . ! ? or a
+    closing quote). Docs whose every segment fails stay in the output
+    as "" (row count preserved).
+
+    Scale shape: posexplode segments (narrow) → per-segment metric
+    projection (narrow Catalyst expressions) → per-doc ordered
+    reassembly (ONE agg) → join back on id. The only exchange carrying
+    text is the reassembly agg — the same contract as line_dedup.
+    """
+    import re as _re
+
+    out = out or text_col
+    segs = df.select(
+        F.col(id_col).alias("__sg_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delimiter), -1))
+        .alias("__pos", "__seg"),
+    )
+    keep = F.lit(True)
+    n_tok = F.size(F.filter(F.split(F.col("__seg"), r"\s+"),
+                            lambda x: x != ""))
+    if min_tokens:
+        keep = keep & (n_tok >= int(min_tokens))
+    if max_tokens is not None:
+        keep = keep & (n_tok <= int(max_tokens))
+    if min_alpha_ratio is not None:
+        n_alpha = F.length(F.regexp_replace(F.col("__seg"),
+                                            "[^A-Za-z]", ""))
+        keep = keep & (F.length("__seg") > 0) \
+            & (n_alpha / F.length("__seg") >= float(min_alpha_ratio))
+    if end_punct:
+        keep = keep & F.col("__seg").rlike('[.!?"]\\s*$')
+    clean = (
+        segs.filter(keep)
+        .groupBy("__sg_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"]),
+            delimiter).alias("__sg_clean"))
+    )
+    joined = df.join(clean, df[id_col] == clean["__sg_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__sg_clean"), F.lit(""))
+    ).drop("__sg_id", "__sg_clean")
+
+
+@register_lens("segment_filter")
+def segment_filter_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), delimiter (newline), min_tokens
+    (0), max_tokens, min_alpha_ratio, end_punct (false), out
+    (default in-place)."""
+    id_col = str(require_arg(arguments, "id", "segment_filter"))
+    text_col = str(require_arg(arguments, "column", "segment_filter"))
+    mt = arguments.get("max_tokens")
+    mar = arguments.get("min_alpha_ratio")
+    out = arguments.get("out")
+    return Lens("segment_filter", arguments, lambda df: segment_filter(
+        df, id_col, text_col,
+        delimiter=str(arguments.get("delimiter", "\n")),
+        min_tokens=int(arguments.get("min_tokens", 0)),
+        max_tokens=int(mt) if mt is not None else None,
+        min_alpha_ratio=float(mar) if mar is not None else None,
+        end_punct=bool(arguments.get("end_punct", False)),
+        out=str(out) if out else None))
+
+
 @register_lens("url_normalize")
 def url_normalize_lens(arguments: Mapping[str, Any]) -> Lens:
     """Canonicalize a URL column (lowercase, scheme/www stripped,

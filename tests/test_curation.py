@@ -266,3 +266,34 @@ def test_neardup_against_catches_paraphrase_exact_ngram_misses(spark):
                             threshold=0.5, mode="pairs").collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 100)}
     assert all(0.5 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def test_segment_filter_rules_and_reassembly(spark):
+    """Token-window, alpha-ratio, and terminal-punctuation rules each
+    drop their target segments; survivors keep original order; a doc
+    with no surviving segment stays as ''."""
+    from lens_spark.operators.text import segment_filter
+
+    df = spark.createDataFrame(
+        [(1, "A good first sentence.\n12 34 56\nok\nAnother good one!"),
+         (2, "#### ---- ####")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           segment_filter(df, "doc_id", "text", min_tokens=2,
+                          min_alpha_ratio=0.5).collect()}
+    assert out[1] == "A good first sentence.\nAnother good one!"
+    assert out[2] == ""
+    # C4 terminal punctuation: 'no punct here' dropped
+    df2 = spark.createDataFrame(
+        [(1, "Keeps this one.\nno punct here\nAnd this?")],
+        "doc_id long, text string")
+    got = segment_filter(df2, "doc_id", "text", end_punct=True) \
+        .collect()[0].text
+    assert got == "Keeps this one.\nAnd this?"
+    # max_tokens window
+    df3 = spark.createDataFrame(
+        [(1, "one two\none two three four five six")],
+        "doc_id long, text string")
+    got3 = segment_filter(df3, "doc_id", "text", max_tokens=3) \
+        .collect()[0].text
+    assert got3 == "one two"
