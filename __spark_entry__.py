@@ -1225,6 +1225,24 @@ def q_x2_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            threshold=JACCARD_THRESHOLD, mode="pairs")
 
 
+def q_x5_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization: every doc gets a decomposed
+    accent (e + U+0301), an NBSP, a tab, an em-space, and a control
+    char injected; normalize_text must produce the NFC, control-free,
+    single-spaced form — byte-identical across both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    polluted = docs.select(
+        "doc_id",
+        F.concat(F.lit("Cafe"), F.lit(chr(0x301)), F.lit(chr(0xA0)),
+                 F.lit("menu"), F.lit(chr(0x07)), F.lit(chr(9)),
+                 F.lit(" item "), F.lit(chr(0x2003)),
+                 F.col("text")).alias("text"))
+    spec = {"lenses": [{"name": "normalize_text",
+                        "arguments": {"column": "text"}}]}
+    out = engine.append(polluted, spec)
+    return out.select("doc_id", F.col("text").alias("text_clean"))
+
+
 def q_x5_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level C4-style cleaning: every document gets a numeric
     junk segment and a one-token segment injected; the rules
@@ -1486,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_winnow_pairs": q_x2_winnow_pairs,
         "x5_url_dedup": q_x5_url_dedup,
         "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
@@ -1897,6 +1916,21 @@ FROM cand c JOIN sa ON c.id_a = sa.doc_id JOIN sb ON c.id_b = sb.doc_id
 WHERE round(len(list_filter(range(1, {MH_NUM_HASHES} + 1),
                             i -> sa.g[i] = sb.g[i]))
             / {MH_NUM_HASHES}.0, 6) >= {JACCARD_THRESHOLD}
+""",
+        "x5_normalize_text": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat('Cafe', chr(769), chr(160), 'menu', chr(7), chr(9),
+                ' item ', chr(8195), text) AS t
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(nfc_normalize(t),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+         '[\s\x{00a0}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]+',
+         ' ', 'g')) AS text_clean
+FROM src
 """,
         "x5_segment_filter": r"""
 WITH src AS (

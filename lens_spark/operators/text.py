@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -493,6 +494,67 @@ def segment_filter(df: DataFrame, id_col: str, text_col: str, *,
     return joined.withColumn(
         out, F.coalesce(F.col("__sg_clean"), F.lit(""))
     ).drop("__sg_id", "__sg_clean")
+
+
+def normalize_text(df: DataFrame, text_col: str, *, form: str = "NFC",
+                   lowercase: bool = False,
+                   collapse_whitespace: bool = True,
+                   strip_control: bool = True,
+                   out: str | None = None) -> DataFrame:
+    """Text canonicalization — the step BEFORE any hashing/dedup op so
+    byte-different renderings of the same text (decomposed accents,
+    NBSP runs, stray control chars) collapse onto one form: Unicode
+    normalization (NFC/NFKC/NFD/NFKD), optional lowercasing, control
+    character removal, and whitespace collapsing (any run of Unicode
+    whitespace → one space, trimmed).
+
+    Narrow op. The regex steps are JVM-side Catalyst expressions; the
+    Unicode normalization itself has no Spark SQL builtin, so it runs
+    as an Arrow-batched vectorized pandas kernel
+    (``Series.str.normalize`` — C-loop per batch, not per-row Python;
+    the documented UDF exception class, like the ANN bucket kernel).
+    Both engines implement the same Unicode standard, so the DuckDB
+    oracle (``nfc_normalize``) reproduces the output byte-for-byte.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise LensError(f"normalize_text: unknown form {form!r}")
+
+    @pandas_udf("string")
+    def _unorm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = _unorm(F.col(text_col))
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        # \s alone misses the Unicode spaces web text is full of —
+        # NBSP, the en/em-space block, narrow NBSP, math space,
+        # ideographic space — include them explicitly (Java \uXXXX
+        # escapes; the DuckDB oracle mirrors with RE2 \x{...})
+        c = F.trim(F.regexp_replace(
+            c, "[\\s\\u00A0\\u2000-\\u200A\\u202F\\u205F\\u3000]+",
+            " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out or text_col, c)
+
+
+@register_lens("normalize_text")
+def normalize_text_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, form ("NFC"), lowercase (false),
+    collapse_whitespace (true), strip_control (true),
+    out (default in-place)."""
+    text_col = str(require_arg(arguments, "column", "normalize_text"))
+    out = arguments.get("out")
+    return Lens("normalize_text", arguments, lambda df: normalize_text(
+        df, text_col,
+        form=str(arguments.get("form", "NFC")),
+        lowercase=bool(arguments.get("lowercase", False)),
+        collapse_whitespace=bool(arguments.get("collapse_whitespace", True)),
+        strip_control=bool(arguments.get("strip_control", True)),
+        out=str(out) if out else None))
 
 
 @register_lens("segment_filter")

@@ -297,3 +297,23 @@ def test_segment_filter_rules_and_reassembly(spark):
     got3 = segment_filter(df3, "doc_id", "text", max_tokens=3) \
         .collect()[0].text
     assert got3 == "one two"
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    """NFC composition, control stripping, Unicode-space collapsing,
+    optional lowercasing; newlines collapse too (they are \\s); unknown
+    form raises."""
+    from lens_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Cafe" + chr(0x301) + chr(0xA0) + " X" + chr(7) + "\n y ")],
+        "id long, text string")
+    got = normalize_text(df, "text").collect()[0].text
+    assert got == "Café X y"
+    low = normalize_text(df, "text", lowercase=True).collect()[0].text
+    assert low == "café x y"
+    keep_ws = normalize_text(df, "text",
+                             collapse_whitespace=False).collect()[0].text
+    assert "\n" in keep_ws
+    with pytest.raises(LensError, match="unknown form"):
+        normalize_text(df, "text", form="NFX")
