@@ -249,3 +249,46 @@ def test_sample_exact_k_returns_min_k_n_rows(spark, n, k):
     got = [r.id for r in sample_exact_k(df, ["id"], "src", k).collect()]
     assert len(got) == min(k, n)
     assert set(got) <= set(range(n))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_span_texts, st.integers(1, 3))
+def test_segment_filter_preserves_rows_and_only_deletes_segments(
+        spark, texts, min_tokens):
+    """Row count preserved; each output doc's segments are a
+    subsequence of its input segments (segment_filter only deletes,
+    never rewrites); idempotent (intrinsic rules are per-segment)."""
+    from lens_spark.operators.text import segment_filter
+
+    docs = [(i, "\n".join(texts[i:i + 3])) for i in range(len(texts))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = segment_filter(df, "doc_id", "text", min_tokens=min_tokens)
+    out = {r.doc_id: r.text for r in once.collect()}
+    assert len(out) == len(docs)
+    for i, original in docs:
+        src = original.split("\n")
+        got = out[i].split("\n") if out[i] else []
+        it = iter(src)
+        assert all(seg in it for seg in got), (src, got)
+    twice = segment_filter(once, "doc_id", "text", min_tokens=min_tokens)
+    assert {(r.doc_id, r.text) for r in twice.collect()} \
+        == {(r.doc_id, r.text) for r in once.collect()}
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=600),
+                        max_size=40), min_size=1, max_size=6))
+def test_normalize_text_idempotent(spark, texts):
+    """Canonicalization is a projection onto its own fixed points:
+    applying it twice equals applying it once."""
+    from lens_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    once = {r.id: r.text for r in
+            normalize_text(df, "text").collect()}
+    twice = {r.id: r.text for r in
+             normalize_text(normalize_text(df, "text"), "text").collect()}
+    assert once == twice
