@@ -614,6 +614,16 @@ def q_x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("o_custkey").alias("n_custkeys_approx")))
 
 
+def q_x6_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate frequent items over order priorities
+    (rows-only: the sketch admits false positives; the no-false-
+    negative guarantee is asserted in tests/test_relational.py)."""
+    docs = _read(spark, sf_dir, "orders").select("o_orderpriority")
+    spec = {"lenses": [{"name": "frequent_items", "arguments": {
+        "column": "o_orderpriority", "support": 0.1}}]}
+    return engine.append(docs, spec)
+
+
 # ---------------------------------------------------------------------------
 # streaming surface (batch-checked): event-time tumbling windows
 # ---------------------------------------------------------------------------
@@ -1523,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_pack_sequences": q_x8_pack_sequences,
         "streaming_events_windowed": q_streaming_events_windowed,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
+        "x6_freq_items": q_x6_freq_items,
     }
 
 

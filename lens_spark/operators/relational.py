@@ -530,3 +530,27 @@ def outlier_filter_lens(arguments: Mapping[str, Any]) -> Lens:
         df, column,
         method=str(arguments.get("method", "zscore")),
         k=float(arguments.get("k", 3.0))))
+
+
+@register_lens("frequent_items")
+def frequent_items_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Single-pass approximate frequent items (Karp/Shenker/Papadimitriou
+    — Spark's native `df.stat.freqItems`): every value with frequency
+    ≥ ``support`` is guaranteed present (no false negatives; false
+    positives possible — the sketch trade, like approx_count_distinct).
+    The exact counterpart is the ``heavy_hitters`` lens; this one never
+    shuffles values — per-partition summaries merge on the driver,
+    KB-sized regardless of input.
+
+    arguments: column, support (0.01). Output: one row per candidate
+    frequent item (column ``item``).
+    """
+    column = str(require_arg(arguments, "column", "frequent_items"))
+    support = float(arguments.get("support", 0.01))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        freq = df.stat.freqItems([column], support)
+        return freq.select(
+            F.explode(F.col(f"{column}_freqItems")).alias("item"))
+
+    return Lens("frequent_items", arguments, fwd)

@@ -328,3 +328,20 @@ def test_dataset_diff_null_column_swap_is_changed(spark):
                                 "id long, a string, b string")
     got = {r.id: r.status for r in dataset_diff(old, new, ["id"]).collect()}
     assert got == {1: "changed"}
+
+
+def test_frequent_items_no_false_negatives(spark):
+    """Every value with true frequency >= support appears (the sketch's
+    guarantee); a value far below support with many distinct siblings
+    is typically pruned."""
+    from lens_spark import engine
+
+    rows = [(i, "hot") for i in range(60)]            # 60% frequency
+    rows += [(100 + i, "warm") for i in range(25)]    # 25%
+    rows += [(1000 + i, f"cold{i}") for i in range(15)]  # 1% each
+    df = spark.createDataFrame(rows, "id long, v string")
+    out = engine.append(df, {"lenses": [{"name": "frequent_items",
+                                         "arguments": {"column": "v",
+                                                       "support": 0.2}}]})
+    items = {r.item for r in out.collect()}
+    assert {"hot", "warm"} <= items
