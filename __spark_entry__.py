@@ -1939,7 +1939,7 @@ SELECT doc_id,
        trim(regexp_replace(
          regexp_replace(nfc_normalize(t),
                         '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-         '[\s\x{00a0}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]+',
+         '[\s\x{0085}\x{00a0}\x{1680}\x{180e}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
          ' ', 'g')) AS text_clean
 FROM src
 """,

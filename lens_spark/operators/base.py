@@ -105,3 +105,31 @@ def ensure_parallelism(df: DataFrame, *, by: list[str] | None = None,
     if by:
         return df.repartition(target, *[F.col(c) for c in by])
     return df.repartition(target)
+
+
+def reassemble_by_position(df: DataFrame, id_col: str, kept: DataFrame, *,
+                           key: str, pos: str, seg: str, delimiter: str,
+                           out: str) -> DataFrame:
+    """Order-preserving reassembly shared by the segment-granular
+    rewrite operators (line_dedup, span_dedup, segment_filter): group
+    the surviving ``(key, pos, seg)`` rows per document, sort by
+    original position, join with ``delimiter``, and LEFT-join back onto
+    the input so fully-cleaned documents keep their row as "". One
+    aggregation — the only exchange in these operators that carries
+    text — plus the join back on id. Shared so a fix to the
+    reassembly contract can never drift between the three operators.
+    """
+    from pyspark.sql import functions as F
+
+    clean = (
+        kept.groupBy(key)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos, seg))),
+                lambda s: s[seg]),
+            delimiter).alias("__ra_clean"))
+    )
+    joined = df.join(clean, df[id_col] == clean[key], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__ra_clean"), F.lit(""))
+    ).drop(key, "__ra_clean")

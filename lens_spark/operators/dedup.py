@@ -33,7 +33,13 @@ from lens_spark.functions.hashing import (
 from lens_spark.errors import ConcurrentIndexWriterError, LensError
 from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
-from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+from lens_spark.operators.base import (
+    Lens,
+    ensure_parallelism,
+    reassemble_by_position,
+    register_lens,
+    require_arg,
+)
 
 
 _LOG = logging.getLogger("lens_spark.dedup")
@@ -688,6 +694,25 @@ it above your longest expected ingest batch."""
 
 
 @contextlib.contextmanager
+def _refresh_writer_lock(spark, index_path: str) -> None:
+    """Bump the held lock file's mtime so a LONG critical section is
+    not mistaken for a crashed holder: the stale-break window compares
+    against mtime, and a batch whose work exceeds the window would
+    otherwise get its live lock broken by a peer. Callers holding the
+    lease across multi-stage work (streaming ingest batches) should
+    refresh between stages; a single stage longer than the window is
+    the documented residual risk — raise ``stale_after_sec`` for such
+    workloads."""
+    import time
+
+    jvm = spark._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_writer.lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    with contextlib.suppress(Exception):  # best-effort: losing the
+        # refresh only narrows the stale margin, never correctness
+        fs.setTimes(lock, int(time.time() * 1000), -1)
+
+
 def _index_writer_lock(spark, index_path: str, *,
                        stale_after_sec: float = INDEX_LOCK_STALE_SEC):
     """Exclusive writer lease over an incremental-dedup index.
@@ -1137,19 +1162,10 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
               .agg(F.count_distinct("__ld_id").alias("__df"))
               .filter(F.col("__df") >= int(min_df))
               .select("__lh"))
-    clean = (
-        lines.join(boiler, "__lh", "left_anti")
-        .groupBy("__ld_id")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                lambda s: s["__line"]),
-            delimiter).alias("__ld_clean"))
-    )
-    joined = df.join(clean, df[id_col] == clean["__ld_id"], "left")
-    return joined.withColumn(
-        out, F.coalesce(F.col("__ld_clean"), F.lit(""))
-    ).drop("__ld_id", "__ld_clean")
+    kept = lines.join(boiler, "__lh", "left_anti")
+    return reassemble_by_position(df, id_col, kept, key="__ld_id",
+                                  pos="__pos", seg="__line",
+                                  delimiter=delimiter, out=out)
 
 
 def neardup_against(df: DataFrame, reference: DataFrame, id_col: str,
@@ -1400,19 +1416,10 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
     toks_pos = base.select(
         "__sd_id", F.posexplode("__tk").alias("__p0", "__tok")
     ).select("__sd_id", (F.col("__p0") + 1).alias("__pos"), "__tok")
-    clean = (
-        toks_pos.join(covered, ["__sd_id", "__pos"], "left_anti")
-        .groupBy("__sd_id")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"]),
-            " ").alias("__sd_clean"))
-    )
-    joined = df.join(clean, df[id_col] == clean["__sd_id"], "left")
-    return joined.withColumn(
-        out, F.coalesce(F.col("__sd_clean"), F.lit(""))
-    ).drop("__sd_id", "__sd_clean")
+    kept = toks_pos.join(covered, ["__sd_id", "__pos"], "left_anti")
+    return reassemble_by_position(df, id_col, kept, key="__sd_id",
+                                  pos="__pos", seg="__tok",
+                                  delimiter=" ", out=out)
 
 
 @register_lens("span_dedup")

@@ -476,9 +476,12 @@ def dataset_diff_lens(arguments: Mapping[str, Any]) -> Lens:
 
     def fwd(df: DataFrame) -> DataFrame:
         new = df.sparkSession.read.parquet(right_path)
+        # `compare: []` is a meaningful request (presence-only diff) —
+        # only a genuinely absent key means "compare all shared columns"
         return dataset_diff(
             df, new, keys,
-            compare=[str(c) for c in compare] if compare else None,
+            compare=([str(c) for c in compare]
+                     if compare is not None else None),
             include_unchanged=bool(arguments.get("include_unchanged",
                                                  False)))
 
@@ -506,9 +509,13 @@ def outlier_filter(df: DataFrame, column: str, *, method: str = "zscore",
         stats = df.agg(F.avg(c).alias("__mu"),
                        F.stddev_samp(c).alias("__sd"))
         joined = df.crossJoin(F.broadcast(stats))
-        keep = (F.col("__sd").isNull()
-                | (F.abs(c - F.col("__mu"))
-                   <= F.lit(float(k)) * F.col("__sd")))
+        # NULL values always drop; an unmeasurable envelope (sample σ
+        # undefined below 2 non-null rows) passes the NON-null rows
+        # through — same degenerate-corpus contract as the iqr branch
+        keep = c.isNotNull() & (
+            F.col("__sd").isNull()
+            | (F.abs(c - F.col("__mu"))
+               <= F.lit(float(k)) * F.col("__sd")))
         return joined.filter(keep).drop("__mu", "__sd")
     if method == "iqr":
         stats = df.agg(
@@ -516,8 +523,10 @@ def outlier_filter(df: DataFrame, column: str, *, method: str = "zscore",
             F.expr(f"percentile(`{column}`, 0.75)").alias("__q3"))
         joined = df.crossJoin(F.broadcast(stats))
         iqr = F.col("__q3") - F.col("__q1")
-        keep = ((c >= F.col("__q1") - F.lit(float(k)) * iqr)
-                & (c <= F.col("__q3") + F.lit(float(k)) * iqr))
+        keep = c.isNotNull() & (
+            F.col("__q1").isNull()
+            | ((c >= F.col("__q1") - F.lit(float(k)) * iqr)
+               & (c <= F.col("__q3") + F.lit(float(k)) * iqr)))
         return joined.filter(keep).drop("__q1", "__q3")
     raise LensError(f"outlier_filter: unknown method {method!r}")
 
@@ -542,6 +551,12 @@ def frequent_items_lens(arguments: Mapping[str, Any]) -> Lens:
     shuffles values — per-partition summaries merge on the driver,
     KB-sized regardless of input.
 
+    EAGER at pipeline-construction time: freqItems is a DataFrame
+    action, so the upstream plan executes when the spec is applied
+    (the same documented exception class as the counter lens's offset
+    collect), and streaming inputs are refused with a clear error —
+    the summary cannot run incrementally.
+
     arguments: column, support (0.01). Output: one row per candidate
     frequent item (column ``item``).
     """
@@ -549,6 +564,11 @@ def frequent_items_lens(arguments: Mapping[str, Any]) -> Lens:
     support = float(arguments.get("support", 0.01))
 
     def fwd(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise LensError(
+                "lens 'frequent_items' is an eager batch summary and "
+                "cannot run on a streaming DataFrame; compute it on a "
+                "bounded snapshot (e.g. the landed dataset) instead")
         freq = df.stat.freqItems([column], support)
         return freq.select(
             F.explode(F.col(f"{column}_freqItems")).alias("item"))

@@ -481,19 +481,11 @@ def segment_filter(df: DataFrame, id_col: str, text_col: str, *,
             & (n_alpha / F.length("__seg") >= float(min_alpha_ratio))
     if end_punct:
         keep = keep & F.col("__seg").rlike('[.!?"]\\s*$')
-    clean = (
-        segs.filter(keep)
-        .groupBy("__sg_id")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
-                lambda s: s["__seg"]),
-            delimiter).alias("__sg_clean"))
-    )
-    joined = df.join(clean, df[id_col] == clean["__sg_id"], "left")
-    return joined.withColumn(
-        out, F.coalesce(F.col("__sg_clean"), F.lit(""))
-    ).drop("__sg_id", "__sg_clean")
+    from lens_spark.operators.base import reassemble_by_position
+
+    return reassemble_by_position(df, id_col, segs.filter(keep),
+                                  key="__sg_id", pos="__pos", seg="__seg",
+                                  delimiter=delimiter, out=out)
 
 
 def normalize_text(df: DataFrame, text_col: str, *, form: str = "NFC",
@@ -529,12 +521,15 @@ def normalize_text(df: DataFrame, text_col: str, *, form: str = "NFC",
     if strip_control:
         c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     if collapse_whitespace:
-        # \s alone misses the Unicode spaces web text is full of —
-        # NBSP, the en/em-space block, narrow NBSP, math space,
+        # \s alone misses the Unicode whitespace web text is full of —
+        # NEL, NBSP, ogham/mongolian spaces, the en/em-space block,
+        # line/paragraph separators, narrow NBSP, math space,
         # ideographic space — include them explicitly (Java \uXXXX
         # escapes; the DuckDB oracle mirrors with RE2 \x{...})
         c = F.trim(F.regexp_replace(
-            c, "[\\s\\u00A0\\u2000-\\u200A\\u202F\\u205F\\u3000]+",
+            c, "[\\s\\u0085\\u00A0\\u1680\\u180E"
+               "\\u2000-\\u200A\\u2028\\u2029\\u202F"
+               "\\u205F\\u3000]+",
             " "))
     if lowercase:
         c = F.lower(c)

@@ -247,6 +247,7 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     """
     from lens_spark.operators.dedup import (
         _index_writer_lock,
+        _refresh_writer_lock,
         dedup_incremental,
         neardup_incremental,
     )
@@ -269,10 +270,15 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
                                             **neardup_kw)
             # Land survivors first (see delivery contract above) …
             fresh = fresh.localCheckpoint(eager=True)
+            # heartbeat between the lease's stages: a long dedup pass
+            # must not leave the lock looking stale to a peer while the
+            # landing write and index append still run under it
+            _refresh_writer_lock(batch_df.sparkSession, index_path)
             writer = fresh.write.format(fmt).mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.save(out_path)
+            _refresh_writer_lock(batch_df.sparkSession, index_path)
             # … then commit their fingerprints/signatures to the index
             # via the same operators on the already-deduped survivors
             # (their dedup legs are no-ops; the calls exist for their
