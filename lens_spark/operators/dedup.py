@@ -693,7 +693,6 @@ that never reached its finally) and is broken by the next writer. Size
 it above your longest expected ingest batch."""
 
 
-@contextlib.contextmanager
 def _refresh_writer_lock(spark, index_path: str) -> None:
     """Bump the held lock file's mtime so a LONG critical section is
     not mistaken for a crashed holder: the stale-break window compares
@@ -713,6 +712,7 @@ def _refresh_writer_lock(spark, index_path: str) -> None:
         fs.setTimes(lock, int(time.time() * 1000), -1)
 
 
+@contextlib.contextmanager
 def _index_writer_lock(spark, index_path: str, *,
                        stale_after_sec: float = INDEX_LOCK_STALE_SEC):
     """Exclusive writer lease over an incremental-dedup index.
