@@ -1394,6 +1394,55 @@ def q_x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_x5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (size=64 tokens, overlap=16): one doc →
+    N overlapping training chunks. Fully narrow — tokenize once,
+    inline-explode the chunk indices, slice the bound token array; no
+    exchange at any corpus size."""
+    from lens_spark.operators.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "text", size=64, overlap=16)
+
+
+def q_x1_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection: per content-fingerprint
+    group keep the longest copy (tie → max doc_id) via one
+    max_by(struct) hash aggregate with map-side partial combine — the
+    curation-grade upgrade of x1_dedup_exact's arbitrary-survivor
+    semantics. Input is the doubled corpus (original + whitespace/case
+    mutated copy), so every group has a deterministic best row: the
+    mutated copy is 4 chars longer."""
+    from lens_spark.functions.text import fingerprint
+    from lens_spark.operators.dedup import dedup_keep_best
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" \t"))
+        .alias("text"))
+    keyed = (docs.unionAll(mutated)
+             .withColumn("fp", fingerprint(F.col("text")))
+             .withColumn("score", F.length("text").cast("bigint")))
+    return dedup_keep_best(keyed, ["fp"], "score", "doc_id")
+
+
+def q_x5_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal: wrap each doc in realistic HTML (tags, a script
+    block whose content must vanish, a comment, entities) and strip it
+    back to clean text — narrow Catalyst regexp chain, byte-identical
+    in the RE2 oracle."""
+    from lens_spark.operators.text import html_to_text
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(F.lit('<html><body><p class="c">'), F.col("text"),
+                 F.lit('</p><script>var a = "<b>1</b>";</script>'
+                       '<!-- footer -->&amp; fin</body></html>')))
+    return html_to_text(wrapped, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -1518,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
+        "x5_chunk_docs": q_x5_chunk_docs,
+        "x1_keep_best": q_x1_keep_best,
+        "x5_html_text": q_x5_html_text,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1886,6 +1938,74 @@ WITH s AS (SELECT avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
            FROM documents)
 SELECT doc_id, source FROM documents, s
 WHERE abs(n_chars - mu) <= 1.0 * sd
+""",
+        # size=64, overlap=16 -> stride 48; chunk i covers 1-based token
+        # positions [i*48+1, i*48+64]; n_chunks = 1+ceil(max(n-64,0)/48).
+        # Tokens are NOT lowercased (chunk text preserves case).
+        "x5_chunk_docs": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CAST(1 + CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT) AS nc
+  FROM t WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, toks, CAST(unnest(range(nc)) AS INT) AS chunk_index FROM b
+)
+SELECT doc_id, chunk_index,
+       array_to_string(list_slice(toks, chunk_index * 48 + 1,
+                                  chunk_index * 48 + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_index * 48 + 1,
+                           chunk_index * 48 + 64)) AS BIGINT) AS chunk_tokens
+FROM e
+""",
+        # max_by(struct(row), struct(score, tie)) == row_number ordered
+        # by (score DESC, tie DESC) = 1: both pick the max (score, tie).
+        "x1_keep_best": """
+WITH both_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || upper(text) || ' ' || chr(9) AS text
+    FROM documents
+), keyed AS (
+    SELECT doc_id, text,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(length(text) AS BIGINT) AS score
+    FROM both_docs
+)
+SELECT doc_id, text, fp, score FROM keyed
+QUALIFY row_number() OVER (PARTITION BY fp
+                           ORDER BY score DESC, doc_id DESC) = 1
+""",
+        # Same regex chain + entity replace order as html_to_text
+        # (script/style content, comments, tags, entities with &amp;
+        # LAST, whitespace collapse).
+        "x5_html_text": """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><body><p class="c">' || text ||
+         '</p><script>var a = "<b>1</b>";</script>' ||
+         '<!-- footer -->&amp; fin</body></html>' AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+         '\\s+', ' ', 'g')) AS text
+FROM wrapped
 """,
         "x9_dataset_diff": """
 WITH old_v AS (SELECT doc_id, text FROM documents),

@@ -66,6 +66,44 @@ def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(columns or _identity_columns(df))
 
 
+def dedup_keep_best(df: DataFrame, key_cols: list[str], score_col: str,
+                    tie_col: str) -> DataFrame:
+    """Keep, per duplicate-key group, the single row maximizing
+    ``(score_col, tie_col)`` — quality-aware representative selection
+    (plain dedup keeps an arbitrary survivor; a curation pipeline
+    wants the longest / highest-quality / most-recent copy of each
+    canonical URL or content fingerprint). ``tie_col`` must be unique
+    per row (a doc id) so the ordering is total and the survivor
+    deterministic.
+
+    Scale shape: ONE hash aggregate — ``max_by(struct(row),
+    struct(score, tie))`` with map-side partial combine, so each
+    partition forwards at most one candidate row per key. Beats the
+    window formulation (row_number over the group) which must sort
+    every replica group; max_by is the same single-exchange shape as
+    exact_dedup's first-wins agg. Preserves input schema and column
+    order; no row survives twice.
+    """
+    order = F.struct(F.col(score_col), F.col(tie_col))
+    best = (
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max_by(F.struct(*df.columns), order).alias("__kb"))
+        .select("__kb.*")
+    )
+    return best
+
+
+@register_lens("dedup_keep_best")
+def dedup_keep_best_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list), score, tie."""
+    keys = require_arg(arguments, "keys", "dedup_keep_best")
+    score = str(require_arg(arguments, "score", "dedup_keep_best"))
+    tie = str(require_arg(arguments, "tie", "dedup_keep_best"))
+    return Lens("dedup_keep_best", arguments,
+                lambda df: dedup_keep_best(df, [str(k) for k in keys],
+                                           score, tie))
+
+
 def _shingles(text_col: str, ngram: int, shingle: str):
     if shingle == "char":
         return char_shingles(F.col(text_col), ngram)

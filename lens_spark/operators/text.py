@@ -572,6 +572,118 @@ def segment_filter_lens(arguments: Mapping[str, Any]) -> Lens:
         out=str(out) if out else None))
 
 
+def chunk_documents(df: DataFrame, text_col: str, *,
+                    size: int, overlap: int = 0,
+                    index_out: str = "chunk_index",
+                    text_out: str = "chunk_text",
+                    tokens_out: str = "chunk_tokens") -> DataFrame:
+    """Split each document into fixed token-count windows — the
+    context-length packing/pretraining prep step (one doc → N training
+    chunks of ≤ ``size`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens so no boundary context is lost).
+
+    Chunk i covers tokens [i·stride, i·stride + size) with
+    stride = size − overlap; every chunk is non-empty and the last one
+    may be short. Chunk text is the tokens re-joined with single
+    spaces (original intra-document whitespace is not preserved —
+    chunking is a tokenizer-level operation). Token-less documents
+    produce no chunks (this op changes cardinality by design, unlike
+    the row-preserving rewrite ops). All non-text input columns are
+    carried onto every chunk.
+
+    Scale shape: tokenize ONCE into a shared array column, inline-
+    explode a ``sequence(0, n_chunks-1)`` (the SCALE.md inline-explode
+    lesson: aliasing the generated array in its own Project first
+    materializes it per row), then slice + join per chunk — fully
+    narrow, zero exchanges at any corpus size. The chunk text is built
+    from the one bound token array, never by re-splitting.
+    """
+    size = int(size)
+    overlap = int(overlap)
+    if size <= 0:
+        raise LensError("chunk_documents: size must be > 0")
+    if not (0 <= overlap < size):
+        raise LensError("chunk_documents: overlap must be in [0, size)")
+    stride = size - overlap
+
+    carry = [c for c in df.columns if c != text_col]
+    toks = F.col("__ck_toks")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.size(toks) - F.lit(size), F.lit(0))
+                 / F.lit(float(stride)))
+    ).cast("int")
+    start = F.col(index_out) * stride + 1  # F.slice is 1-based
+    chunk = F.slice(toks, start, F.lit(size))
+    return (
+        ensure_parallelism(df)
+        .withColumn("__ck_toks", tokens(F.col(text_col), lowercase=False))
+        .filter(F.size("__ck_toks") > 0)
+        .select(*carry, "__ck_toks",
+                F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                .alias(index_out))
+        .withColumn(text_out, F.array_join(chunk, " "))
+        .withColumn(tokens_out, F.size(chunk).cast("bigint"))
+        .drop("__ck_toks")
+    )
+
+
+@register_lens("chunk_documents")
+def chunk_documents_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (text), size, overlap (0), index_out
+    ("chunk_index"), text_out ("chunk_text"), tokens_out
+    ("chunk_tokens")."""
+    text_col = str(require_arg(arguments, "column", "chunk_documents"))
+    size = int(require_arg(arguments, "size", "chunk_documents"))
+    return Lens("chunk_documents", arguments, lambda df: chunk_documents(
+        df, text_col, size=size,
+        overlap=int(arguments.get("overlap", 0)),
+        index_out=str(arguments.get("index_out", "chunk_index")),
+        text_out=str(arguments.get("text_out", "chunk_text")),
+        tokens_out=str(arguments.get("tokens_out", "chunk_tokens"))))
+
+
+def html_to_text(df: DataFrame, text_col: str, *,
+                 out: str | None = None) -> DataFrame:
+    """Markup removal for crawled corpora: drop <script>/<style>
+    blocks and HTML comments wholesale, strip the remaining tags,
+    decode the common named entities (&nbsp; &lt; &gt; &quot; &#39;
+    &apos;, with &amp; decoded LAST so &amp;lt; round-trips to the
+    literal string "&lt;" rather than double-decoding), and collapse
+    the whitespace the removed markup leaves behind.
+
+    This is the regex tier of HTML cleaning (the scale of C4's
+    original pipeline), not a DOM parser: malformed nesting degrades
+    gracefully to over-stripping, never to a crash. Narrow Catalyst
+    regexp chain — JVM-side, codegen'd, zero exchanges; both regex
+    dialects (Java here, RE2 in the DuckDB oracle) support the inline
+    (?is) flags and non-greedy spans used, so the oracle reproduces
+    the output byte-for-byte.
+    """
+    c = F.col(text_col)
+    # Block elements whose CONTENT must go too, then comments, then tags.
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                     ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out or text_col, c)
+
+
+@register_lens("html_to_text")
+def html_to_text_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, out (default in-place)."""
+    text_col = str(require_arg(arguments, "column", "html_to_text"))
+    out = arguments.get("out")
+    return Lens("html_to_text", arguments,
+                lambda df: html_to_text(df, text_col,
+                                        out=str(out) if out else None))
+
+
 @register_lens("url_normalize")
 def url_normalize_lens(arguments: Mapping[str, Any]) -> Lens:
     """Canonicalize a URL column (lowercase, scheme/www stripped,

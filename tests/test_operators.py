@@ -767,3 +767,79 @@ def test_winnow_pairs_finds_shared_passages_and_max_df_cut(spark):
         "doc_id long, text string")
     cut = winnow_pairs(df2, "doc_id", "text", min_shared=1, max_df=3)
     assert cut.count() == 0  # universal boilerplate fps dropped
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """size=4/overlap=0: tokens partition exactly; size=4/overlap=2:
+    consecutive chunks share 2 tokens and reconstruct the doc; empty
+    docs vanish; metadata columns ride along on every chunk."""
+    from lens_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "web"),
+         (2, "a b c", "book"),
+         (3, "   ", "web")],
+        "doc_id long, text string, source string")
+    flat = chunk_documents(df, "text", size=4).collect()
+    by_doc = {}
+    for r in sorted(flat, key=lambda r: (r.doc_id, r.chunk_index)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_text, r.chunk_tokens))
+    assert by_doc[1] == [("t1 t2 t3 t4", 4), ("t5 t6 t7 t8", 4),
+                        ("t9 t10", 2)]
+    assert by_doc[2] == [("a b c", 3)]
+    assert 3 not in by_doc                       # token-less doc: no chunks
+    assert all(r.source in ("web", "book") for r in flat)  # carry columns
+
+    lapped = chunk_documents(df.filter("doc_id = 1"), "text",
+                             size=4, overlap=2).collect()
+    texts = [r.chunk_text for r in sorted(lapped, key=lambda r: r.chunk_index)]
+    # stride-2 windows over 10 tokens: starts 0,2,4,6 — the last window
+    # reaches the final token, so no extra runt chunk is emitted
+    assert texts == ["t1 t2 t3 t4", "t3 t4 t5 t6",
+                     "t5 t6 t7 t8", "t7 t8 t9 t10"]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for kwargs in ({"size": 0}, {"size": 4, "overlap": 4},
+                   {"size": 4, "overlap": -1}):
+        try:
+            chunk_documents(df, "text", **kwargs)
+            assert False, f"accepted {kwargs}"
+        except LensError:
+            pass
+
+
+def test_html_to_text_strips_markup_decodes_entities(spark):
+    from lens_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<html><head><style>p {color: red}</style>"
+             "<script type='t'>var x = '<p>';</script></head>"
+             "<body><p>Hello &amp; welcome.</p><!-- note -->"
+             "<div>A&nbsp;&lt;tag&gt; &#39;quoted&#39;</div></body></html>"),
+         (2, "plain text stays"),
+         (3, "double-encoded &amp;lt; survives as literal")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in html_to_text(df, "text").collect()}
+    assert out[1] == "Hello & welcome. A <tag> 'quoted'"
+    assert out[2] == "plain text stays"
+    assert out[3] == "double-encoded &lt; survives as literal"
+
+
+def test_dedup_keep_best_picks_max_score_deterministically(spark):
+    from lens_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "k1", 10.0), (2, "k1", 30.0), (3, "k1", 30.0),
+         (4, "k2", 5.0), (5, "k3", 1.0)],
+        "doc_id long, key string, score double")
+    got = {r.key: r.doc_id for r in
+           dedup_keep_best(df, ["key"], "score", "doc_id").collect()}
+    # k1: max score 30 ties between 2 and 3 -> max tie_col wins (3)
+    assert got == {"k1": 3, "k2": 4, "k3": 5}
+    out_cols = dedup_keep_best(df, ["key"], "score", "doc_id").columns
+    assert out_cols == df.columns                # schema + order preserved
