@@ -1443,6 +1443,38 @@ def q_x5_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text(wrapped, "text")
 
 
+def q_x2_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — IDENTICAL output to
+    x2_decontaminate (the bitset has no false negatives and every hit
+    is confirmed by the exact semi-join), different physical path: the
+    corpus gram stream is cut by a broadcast bloom bitset BEFORE any
+    join shuffles, the 10⁹-gram benchmark-suite shape. Oracle = the
+    exact-decontamination SQL, which is the point."""
+    from lens_spark.operators.dedup import bloom_decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    train = docs.filter("doc_id % 97 <> 0")
+    out = bloom_decontaminate(train, bench, "doc_id", "text", ngram=3,
+                              min_overlaps=1)
+    return out.select("doc_id", "source")
+
+
+def q_x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance over 6-byte codes,
+    m=8×6-bit) with exact re-rank of the 4k shortlist and measured
+    per-query recall@k in the output — the memory-scale path next to
+    ann_topk's hash dial and ivf_topk's scan dial."""
+    from lens_spark.operators.similarity import topk_with_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = topk_with_recall(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=10, method="pq",
+                           dim=64, m=8, nbits=6, rerank=100)
+    return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -1570,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_chunk_docs": q_x5_chunk_docs,
         "x1_keep_best": q_x1_keep_best,
         "x5_html_text": q_x5_html_text,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1579,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ann_topk": q_x3_ann_topk,
         "x3_ann_serving": q_x3_ann_serving,
         "x3_ivf_topk": q_x3_ivf_topk,
+        "x3_pq_topk": q_x3_pq_topk,
         "x4_frame_sample": q_x4_frame_sample,
         "x6_approx_quantiles": q_x6_approx_quantiles,
         "x6_approx_distinct": q_x6_approx_distinct,
@@ -2672,6 +2706,17 @@ WHERE n_tokens >= 20 AND n_tokens <= 95 AND unique_ratio >= 0.35
 """,
         "x5_pii_redact": _pii_oracle_sql(),
         "x2_decontaminate": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_W3_SQL} AS s FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) t
+        JOIN bench ON t.g = bench.g)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        # bloom prefilter + exact confirm == exact decontamination
+        "x2_bloom_decontaminate": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL_INNER} AS w FROM documents),
 sh AS (SELECT doc_id, {_W3_SQL} AS s FROM toks),
 bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),

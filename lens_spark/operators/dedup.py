@@ -21,6 +21,8 @@ import contextlib
 import logging
 from typing import Any, Mapping
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1562,6 +1564,114 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
         .select(id_col)
     )
     return df.join(contaminated, id_col, "left_anti")
+
+
+def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
+                        text_col: str, *, bench_text_col: str | None = None,
+                        ngram: int = 8, min_overlaps: int = 1,
+                        shingle: str = "word", bits_per_gram: int = 12,
+                        max_driver_grams: int = 50_000_000) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter: EXACTLY the same
+    output (the filter has no false negatives and every bloom hit is
+    confirmed by the exact semi-join), but the per-gram membership test
+    runs against a broadcast BITSET instead of a join-side hash table.
+
+    Why this is the 100 TB shape: the exact path broadcasts the
+    benchmark gram set as 8-byte keys — fine to ~100M grams, but a
+    many-benchmark suite (every eval set ever published) reaches 10⁹
+    grams, where the hash relation is tens of GB per executor while the
+    bloom bitset at 12 bits/gram is ~1.5 GB (fp rate ≈ 0.4% at the
+    optimal probe count) — and the corpus-side gram stream shrinks by
+    1/fp before the exact confirm join ever shuffles. The confirm join
+    then handles only bloom survivors, so its build side stays the full
+    benchmark but its probe side is ~fp · corpus_grams + true hits.
+
+    Driver memory is bounded by ``max_driver_grams`` (the bitset is
+    built driver-side from one distinct-hash scan); beyond it the
+    operator refuses loudly rather than silently OOMing — at that point
+    build the bitset offline and shard it, or fall back to
+    ``decontaminate``.
+
+    Membership runs as an Arrow-batched numpy kernel (k dependent
+    bit-probes via double hashing, Kirsch-Mitzenmacher — safe here
+    because bloom probes need k *dependent* hash functions by design,
+    unlike the minhash family where K-M correlation broke row
+    distinctness, dedup.py:106-112).
+    """
+    import math
+
+    grams = _shingles(text_col, ngram, shingle)
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
+                      ).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
+    )
+    hashes = (bench_grams.limit(max_driver_grams + 1).toPandas()["__gh"]
+              .to_numpy(dtype=np.int64).view(np.uint64))
+    if len(hashes) > max_driver_grams:
+        raise LensError(
+            f"bloom_decontaminate: benchmark gram set exceeds "
+            f"max_driver_grams={max_driver_grams}; shard the benchmark or "
+            f"use decontaminate()")
+    n = max(len(hashes), 1)
+    m_bits = 1 << max(int(math.ceil(math.log2(n * bits_per_gram))), 6)
+    k_probes = max(1, round(0.6931 * m_bits / n))
+    bitset = np.zeros(m_bits >> 3, dtype=np.uint8)
+    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    for i in range(k_probes):
+        idx = (hashes + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        np.bitwise_or.at(bitset, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitset)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(s: pd.Series) -> pd.Series:
+        bits = bc.value
+        h = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        hh2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        hit = np.ones(len(h), dtype=bool)
+        for i in range(k_probes):
+            idx = (h + np.uint64(i) * hh2) & np.uint64(m_bits - 1)
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    doc_grams = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__gh"))
+    suspects = doc_grams.filter(might_contain(F.col("__gh")))
+    contaminated = (
+        suspects.join(bench_grams, "__gh", "left_semi")  # exact confirm
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_overlaps)
+        .select(id_col)
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+@register_lens("bloom_decontaminate")
+def bloom_decontaminate_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: benchmark (path), id, column, bench_column, ngram (8),
+    min_overlaps (1), shingle ("word"), bits_per_gram (12)."""
+    bench_path = str(require_arg(arguments, "benchmark", "bloom_decontaminate"))
+    id_col = str(require_arg(arguments, "id", "bloom_decontaminate"))
+    text_col = str(require_arg(arguments, "column", "bloom_decontaminate"))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        bench = df.sparkSession.read.parquet(bench_path)
+        return bloom_decontaminate(
+            df, bench, id_col, text_col,
+            bench_text_col=arguments.get("bench_column"),
+            ngram=int(arguments.get("ngram", 8)),
+            min_overlaps=int(arguments.get("min_overlaps", 1)),
+            shingle=str(arguments.get("shingle", "word")),
+            bits_per_gram=int(arguments.get("bits_per_gram", 12)))
+
+    return Lens("bloom_decontaminate", arguments, fwd)
 
 
 def contamination_score(df: DataFrame, benchmark: DataFrame, id_col: str,

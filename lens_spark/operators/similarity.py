@@ -12,6 +12,9 @@ Two paths:
   xxhash64 (no stored model); corpus and queries hash to sign-bit
   buckets; candidates = same bucket in ≥1 of ``num_tables`` tables.
   Turns the scan into a bucket join — the standard recall/cost dial.
+- ``ivf_topk``: coarse cells + nprobe — the scan-fraction dial.
+- ``pq_topk``: product quantization + asymmetric distance — the
+  memory/bandwidth dial (codes replace vectors in the scan).
 """
 
 from __future__ import annotations
@@ -195,6 +198,143 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     return _rank_topk(scored, "query_id", k)
 
 
+def _pq_train_codebooks(sample: np.ndarray, m: int, ksub: int,
+                        iters: int) -> np.ndarray:
+    """Driver-side Lloyd's per subspace over the (bounded) training
+    sample → (m, ksub, dsub) codebooks. Deterministic: init picks
+    evenly-spaced rows of the id-ordered sample; empty cells keep their
+    previous centroid. Runtime is O(iters · n_sample · ksub · dim) on
+    KB-scale arrays — negligible next to one corpus scan."""
+    n, dim = sample.shape
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub:(j + 1) * dsub]
+        cent = x[np.linspace(0, n - 1, ksub).astype(int)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+            vec_col: str, dim: int, k: int = 10, m: int = 4, nbits: int = 4,
+            train_size: int = 2048, iters: int = 8, rerank: int | None = None,
+            exclude_self: bool = True) -> DataFrame:
+    """Product-quantization ANN (the memory-scale path): corpus vectors
+    compress to ``m`` sub-space codes of ``nbits`` bits (dim·4 bytes →
+    m·nbits/8 — 64-d float32 at m=4/nbits=4 is 128×), and search runs
+    entirely over codes via asymmetric distance computation: per Arrow
+    batch, score = table lookups into per-query LUTs, no float-vector
+    math per candidate. At 100 TB of embeddings this is the difference
+    between scanning compressed codes that fit in page cache and
+    re-reading the raw vectors every query panel.
+
+    Dataflow: (1) train codebooks driver-side on the id-ordered first
+    ``train_size`` corpus vectors (bounded collect, faiss's train-on-
+    sample practice; deterministic); (2) one narrow encode pass
+    (vectorized argmin kernel); (3) one narrow scan of the encoded
+    corpus with the query LUTs broadcast — each batch emits only its
+    local top-k per query (≤ k rows per query per batch), then the
+    shared two-stage ``_rank_topk`` finishes. No shuffle touches a
+    vector or a code: only (query_id, neighbor_id, score) scalars.
+
+    Scores are approximate cosine against the RECONSTRUCTED corpus
+    vector (IP and norm both from lookup tables), rounded to 6dp.
+    Queries stay exact (asymmetric): only the corpus side quantizes.
+
+    ``rerank``: the IVFADC-with-refinement practice — take the top
+    ``rerank`` ADC candidates per query, fetch just those candidates'
+    TRUE vectors (a semi-join on ids — ≤ rerank·|queries| rows, never
+    a second corpus scan at full width thanks to column pruning on
+    id+vec), and exact-rescore before the final top-k. Quantization
+    error then only costs recall when a true neighbor falls outside
+    the shortlist, not when ADC misorders the shortlist.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ksub = 1 << int(nbits)
+    if dim % m != 0:
+        from lens_spark.errors import LensError
+        raise LensError(f"pq_topk: dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    sample = np.stack(
+        corpus.orderBy(F.col(id_col).asc()).limit(int(train_size))
+        .select(vec_col).toPandas()[vec_col].to_numpy())
+    books = _pq_train_codebooks(sample, m, ksub, int(iters))   # (m,ksub,dsub)
+    sqnorm = (books ** 2).sum(axis=2)                          # (m,ksub)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())                          # (n,dim)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]                 # (n,dsub)
+            d = (xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T + sqnorm[j]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qv = np.stack(qpdf[vec_col].to_numpy())                    # (nq,dim)
+    qnorm = np.sqrt((qv ** 2).sum(axis=1))
+    # per-query IP lookup tables: (nq, m, ksub)
+    lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)
+
+    enc = (ensure_parallelism(corpus)
+           .select(F.col(id_col).alias("neighbor_id"),
+                   encode(F.col(vec_col)).alias("__codes")))
+
+    out_schema = "query_id long, neighbor_id long, score double"
+    # batch-local prune depth: the rerank shortlist must survive it
+    keep_n = max(int(rerank), k) if rerank else k
+
+    def score_batches(batches):
+        for pdf in batches:
+            nid = pdf["neighbor_id"].to_numpy()
+            codes = np.stack(pdf["__codes"].to_numpy())        # (n,m)
+            ip = np.zeros((len(nid), len(qids)))
+            rn2 = np.zeros(len(nid))
+            for j in range(m):
+                ip += lut[:, j, codes[:, j]].T                 # (n,nq)
+                rn2 += sqnorm[j][codes[:, j]]
+            denom = np.sqrt(np.maximum(rn2, 1e-12))[:, None] * qnorm[None, :]
+            s = np.round(ip / np.maximum(denom, 1e-12), 6)     # (n,nq)
+            rows = []
+            kk = min(keep_n + 1 if exclude_self else keep_n, len(nid))
+            for qi in range(len(qids)):
+                top = np.argpartition(-s[:, qi], kk - 1)[:kk]
+                rows.append(pd.DataFrame({
+                    "query_id": qids[qi], "neighbor_id": nid[top],
+                    "score": s[top, qi]}))
+            yield pd.concat(rows, ignore_index=True)
+
+    scored = enc.mapInPandas(score_batches, out_schema)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    if not rerank:
+        return _rank_topk(scored, "query_id", k)
+    shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
+                 .select("query_id", "neighbor_id"))
+    cand = shortlist.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv")), "neighbor_id")
+    qdf = queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("__qv"))
+    exact = (cand.join(F.broadcast(qdf), "query_id")
+             .withColumn("score", F.round(
+                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+             .select("query_id", "neighbor_id", "score"))
+    return _rank_topk(exact, "query_id", k)
+
+
 def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                      vec_col: str, k: int = 10, method: str = "ann",
                      **params: Any) -> DataFrame:
@@ -219,6 +359,9 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     elif method == "ivf":
         approx = ivf_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
                           k=k, **params)
+    elif method == "pq":
+        approx = pq_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                         k=k, **params)
     else:
         raise ValueError(f"topk_with_recall: unknown method {method!r}")
     # the approx result feeds two legs (hit count + final output); it is
@@ -278,6 +421,15 @@ def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
             return ivf_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k,
                             nlist=int(arguments.get("nlist", 16)),
                             nprobe=int(arguments.get("nprobe", 4)))
+        if method == "pq":
+            dim = int(require_arg(arguments, "dim", "similarity_topk"))
+            return pq_topk(df, queries, id_col=id_col, vec_col=vec_col,
+                           dim=dim, k=k, m=int(arguments.get("m", 4)),
+                           nbits=int(arguments.get("nbits", 4)),
+                           train_size=int(arguments.get("train_size", 2048)),
+                           iters=int(arguments.get("iters", 8)),
+                           rerank=(int(arguments["rerank"])
+                                   if arguments.get("rerank") else None))
         return brute_force_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k)
 
     return Lens("similarity_topk", arguments, forward)

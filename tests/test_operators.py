@@ -843,3 +843,42 @@ def test_dedup_keep_best_picks_max_score_deterministically(spark):
     assert got == {"k1": 3, "k2": 4, "k3": 5}
     out_cols = dedup_keep_best(df, ["key"], "score", "doc_id").columns
     assert out_cols == df.columns                # schema + order preserved
+
+
+def test_bloom_decontaminate_equals_exact_even_with_tiny_filter(spark):
+    """The bloom path must produce EXACTLY decontaminate's output: with
+    a generous bitset (few false positives) and with a deliberately
+    saturated 1-bit-per-gram bitset (fp ~ 1: every gram survives the
+    prefilter and the exact confirm does all the work)."""
+    from lens_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("text").alias("bench_text"))
+    exact = {r.doc_id for r in decontaminate(
+        docs, bench, "doc_id", "text", bench_text_col="bench_text",
+        ngram=5).collect()}
+    for bpg in (12, 1):
+        got = {r.doc_id for r in bloom_decontaminate(
+            docs, bench, "doc_id", "text", bench_text_col="bench_text",
+            ngram=5, bits_per_gram=bpg).collect()}
+        assert got == exact, f"bits_per_gram={bpg} diverged"
+    assert len(exact) < docs.count()                # something was dropped
+
+
+def test_bloom_decontaminate_guard_refuses_oversized_benchmark(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(20)],
+        "doc_id long, text string")
+    try:
+        bloom_decontaminate(docs, bench, "doc_id", "text", ngram=3,
+                            max_driver_grams=10)
+        assert False, "guard did not trip"
+    except LensError as e:
+        assert "max_driver_grams" in str(e)
