@@ -1475,6 +1475,25 @@ def q_x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
 
 
+def q_x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of x4_image_features: binary payload → metadata +
+    energy-envelope feature block over mapInPandas with the
+    deterministic fake codec (the real path is the stdlib WAV/RIFF
+    parser, exercised by test_multimodal). Feature bytes project back
+    to exact ints so the whole row is sha256(varchar)-oracle-checkable."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    spec = {"lenses": [{"name": "audio_features",
+                        "arguments": {"column": "payload", "feature_dim": 8,
+                                      "fake": True, "keep": ["doc_id"]}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id", "sample_rate", "channels", "n_frames", "duration_s", "zcr",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+        F.round(F.element_at("feature", 6) * 255).cast("int").alias("f5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -1603,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_keep_best": q_x1_keep_best,
         "x5_html_text": q_x5_html_text,
         "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
+        "x4_audio_features": q_x4_audio_features,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1777,6 +1797,33 @@ SELECT doc_id,
        CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
        CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
 FROM s
+"""
+
+
+def _audio_features_oracle_sql() -> str:
+    """Twin of multimodal._fake_decode_audio: every value derives from
+    the sha256 hex stream; rates divide 10^6 so duration_s is exact at
+    6 decimals (no round-tie divergence)."""
+    b0 = _hexbyte_sql('d1', 0)
+    b1 = _hexbyte_sql('d1', 1)
+    b2 = _hexbyte_sql('d1', 2)
+    b3 = _hexbyte_sql('d1', 3)
+    b4 = _hexbyte_sql('d1', 4)
+    return f"""
+WITH d AS (SELECT doc_id, sha256(text) AS d1 FROM documents),
+s AS (SELECT doc_id, d1, sha256(d1) AS s1 FROM d),
+m AS (SELECT doc_id, s1,
+      CASE {b0} % 3 WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END
+          AS sample_rate,
+      CAST(1 + {b1} % 2 AS INT) AS channels,
+      CAST(1 + {b2} * 256 + {b3} AS BIGINT) AS n_frames,
+      round({b4} / 255.0, 6) AS zcr
+      FROM s)
+SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate, channels, n_frames,
+       round(CAST(n_frames AS DOUBLE) / sample_rate, 6) AS duration_s, zcr,
+       CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
+       CAST({_hexbyte_sql('s1', 5)} AS INT) AS f5
+FROM m
 """
 
 
@@ -2668,6 +2715,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
 FROM both_docs GROUP BY 1 HAVING count(*) > 1
 """,
         "x4_image_features": _image_features_oracle_sql(),
+        "x4_audio_features": _audio_features_oracle_sql(),
         "x4_media_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
             " sha256(text) AS payload_sha256 FROM documents"

@@ -106,6 +106,15 @@ def main() -> int:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Release the previous queries' driver-GC-gated state (broadcast
+        # blocks, localCheckpoint RDDs — Spark's ContextCleaner only
+        # frees them after a driver GC, and the default periodicGC
+        # interval is 30 min, longer than this whole bench): without
+        # this, heavy queries late in the 33-query list measured ~2×
+        # their isolated time from accumulated executor memory pressure.
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         if warm:
             for _ in range(2):
                 try:

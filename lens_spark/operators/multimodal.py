@@ -200,6 +200,96 @@ def sample_frames(df: DataFrame, payload_col: str, *, every_n: int = 10,
     return df.mapInPandas(run, schema=out_schema)
 
 
+AUDIO_FEATURE_SCHEMA = ("sample_rate int, channels int, n_frames bigint, "
+                        "duration_s double, zcr double, feature array<float>")
+
+
+def decode_audio(payload: bytes, feature_dim: int = 8) -> dict[str, Any]:
+    """Real decode + feature extraction: 16-bit PCM WAV (stdlib RIFF
+    parser) → normalized per-window RMS energy envelope + zero-crossing
+    rate. Deterministic and lib-independent; cites the reference's
+    opaque-payload item model (host-go/engine/module/protocol.go:42-52)
+    — media bytes are just another typed column."""
+    from lens_spark.functions.audiocodec import (
+        decode_wav,
+        energy_envelope,
+        zero_crossing_rate,
+    )
+
+    a = decode_wav(payload)
+    env = energy_envelope(a["samples"], feature_dim)
+    return {
+        "sample_rate": a["sample_rate"],
+        "channels": a["channels"],
+        "n_frames": a["n_frames"],
+        "duration_s": round(a["duration_s"], 6),
+        "zcr": round(zero_crossing_rate(a["samples"]), 6),
+        "feature": [float(round(x, 6)) for x in env],
+    }
+
+
+def _fake_decode_audio(payload: bytes, feature_dim: int) -> dict[str, Any]:
+    """Deterministic fake audio decode, same sha256-hex stream trick as
+    ``_fake_decode`` (hex-digest re-hashing keeps every derived byte
+    reproducible with ANSI ``sha256(varchar)``, so the x4_audio_features
+    oracle is full SQL, not rows-only)."""
+    hexd = hashlib.sha256(payload or b"").hexdigest()
+
+    def byte(h: str, k: int) -> int:
+        return int(h[2 * k:2 * k + 2], 16)
+
+    # rates all divide 10^6, so duration_s is EXACT at 6 decimals —
+    # no round-tie divergence between Python (banker's) and SQL round
+    sample_rate = (8000, 10000, 20000)[byte(hexd, 0) % 3]
+    n_frames = 1 + byte(hexd, 2) * 256 + byte(hexd, 3)
+    s1 = hashlib.sha256(hexd.encode("ascii")).hexdigest()
+    feature = [byte(s1, i % 32) / 255.0 for i in range(feature_dim)]
+    return {
+        "sample_rate": int(sample_rate),
+        "channels": 1 + byte(hexd, 1) % 2,
+        "n_frames": int(n_frames),
+        "duration_s": round(n_frames / sample_rate, 6),
+        "zcr": round(byte(hexd, 4) / 255.0, 6),
+        "feature": [float(x) for x in feature],
+    }
+
+
+def audio_features(df: DataFrame, payload_col: str, *, feature_dim: int = 8,
+                   fake: bool = False, keep: list[str] | None = None) -> DataFrame:
+    """Audio twin of ``image_features``: mapInPandas over the binary
+    column, emitting kept id columns + metadata + the energy-envelope
+    feature block. Same partition-sizing note: payloads dominate row
+    width, tune ``spark.sql.files.maxPartitionBytes`` to payload size."""
+    keep = keep or []
+    out_schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in keep] + [AUDIO_FEATURE_SCHEMA]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _fake_decode_audio(p, feature_dim) if fake
+                else decode_audio(p, feature_dim)
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(decoded)
+            for c in reversed(keep):
+                out.insert(0, c, pdf[c].values)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+@register_lens("audio_features")
+def audio_features_lens(arguments: Mapping[str, Any]) -> Lens:
+    payload_col = str(require_arg(arguments, "column", "audio_features"))
+    return Lens("audio_features", arguments, lambda df: audio_features(
+        df, payload_col,
+        feature_dim=int(arguments.get("feature_dim", 8)),
+        fake=bool(arguments.get("fake", False)),
+        keep=[str(c) for c in (arguments.get("keep") or [])]))
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str,
                           mime: str = "application/octet-stream") -> DataFrame:
     """Cheap JVM-side metadata (no decode): byte size, sha256, mime."""

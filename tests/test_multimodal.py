@@ -143,3 +143,68 @@ def test_multimodal_lens_pipeline_composes(spark, media):
     out = engine.append(media, spec)
     assert out.columns == ["media_id", "frame_idx", "frame", "width", "height"]
     assert out.count() == 12  # 8 + 3 + 1 frames
+
+
+def test_wav_codec_round_trip():
+    """encode_wav → decode_wav recovers rate/channels/frames and the
+    samples to 16-bit precision; stereo mixes down to mono."""
+    import numpy as np
+
+    from lens_spark.functions.audiocodec import decode_wav, encode_wav
+
+    t = np.arange(1600) / 16000.0
+    mono = np.sin(2 * np.pi * 440 * t)
+    payload = encode_wav(mono, sample_rate=16000, channels=1)
+    a = decode_wav(payload)
+    assert (a["sample_rate"], a["channels"], a["n_frames"]) == (16000, 1, 1600)
+    assert abs(a["duration_s"] - 0.1) < 1e-9
+    assert np.abs(a["samples"] - mono).max() < 1e-3   # 16-bit quantization
+
+    stereo = np.stack([mono, -mono], axis=1).reshape(-1)  # L/R cancel
+    a2 = decode_wav(encode_wav(stereo, sample_rate=8000, channels=2))
+    assert a2["channels"] == 2 and np.abs(a2["samples"]).max() < 1e-3
+
+
+def test_audio_features_real_path_envelope_and_zcr(spark):
+    """A half-silent / half-tone clip concentrates envelope energy in
+    the second half; white-noise-ish alternating samples have zcr ~ 1,
+    a pure DC-offset clip has zcr 0."""
+    import numpy as np
+
+    from lens_spark.functions.audiocodec import encode_wav
+    from lens_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 200 * t)
+    half = np.concatenate([np.zeros(sr), tone])
+    alt = np.tile([0.5, -0.5], sr // 2)
+    dc = np.full(sr, 0.25)
+    df = spark.createDataFrame(
+        [(1, encode_wav(half, sample_rate=sr)),
+         (2, encode_wav(alt, sample_rate=sr)),
+         (3, encode_wav(dc, sample_rate=sr))],
+        "clip_id long, payload binary")
+    got = {r.clip_id: r for r in
+           audio_features(df, "payload", feature_dim=4,
+                          keep=["clip_id"]).collect()}
+    assert got[1].sample_rate == sr and got[1].duration_s == 2.0
+    env = got[1].feature
+    assert sum(env[:2]) < 0.01 and sum(env[2:]) > 0.99
+    assert abs(sum(env) - 1.0) < 1e-4
+    assert got[2].zcr > 0.9
+    assert got[3].zcr == 0.0
+
+
+def test_audio_features_fake_is_deterministic_and_undecodable_raises(spark, media):
+    from lens_spark.operators.multimodal import audio_features
+
+    fake1 = audio_features(media, "payload", fake=True,
+                           keep=["media_id"]).collect()
+    fake2 = audio_features(media, "payload", fake=True,
+                           keep=["media_id"]).collect()
+    assert fake1 == fake2
+    rates = {r.sample_rate for r in fake1}
+    assert rates <= {8000, 10000, 20000}
+    with pytest.raises(PythonException):
+        audio_features(media, "payload").collect()   # not WAV payloads
