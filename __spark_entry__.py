@@ -1532,9 +1532,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x5_fingerprint_dups, x4_image_features — each >=3 rounds
         # driver-green, each with an operator-family sibling still
         # in-window) keep the local tail-test oracle check.
-        "m2_add": q_m2_add,
+        # round-5 late additions (chunk_documents, dedup_keep_best,
+        # html_to_text, bloom_decontaminate, audio_features) take the
+        # slots of m2_add / m6_filter / join_anti_customers /
+        # asof_last_event / x4_media_metadata (each ≥3 rounds
+        # driver-green; filter+add stay covered by e1_composition /
+        # x5_quality_filter / e8_inversion_roundtrip, joins by
+        # join_enriched_orders, temporal by range_join_events +
+        # events_sessionized, x4 by x4_audio_features).
+        "x5_chunk_docs": q_x5_chunk_docs,
+        "x1_keep_best": q_x1_keep_best,
         "m5_counter_large": q_m5_counter_large,
-        "m6_filter": q_m6_filter,
         "m7_explode": q_m7_explode,
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
@@ -1554,9 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_simhash": q_x2_simhash,
         "x2_dup_span_stats": q_x2_dup_span_stats,
         "join_enriched_orders": q_join_enriched_orders,
-        "join_anti_customers": q_join_anti_customers,
+        "x5_html_text": q_x5_html_text,
         "range_join_events": q_range_join_events,
-        "asof_last_event": q_asof_last_event,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
         "window_topk_orders": q_window_topk_orders,
         "grouping_sets_qty": q_grouping_sets_qty,
         "unpivot_price_measures": q_unpivot_price_measures,
@@ -1579,7 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_oversample": q_x7_oversample,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
         "x8_bm25": q_x8_bm25,
-        "x4_media_metadata": q_x4_media_metadata,
+        "x4_audio_features": q_x4_audio_features,
         "x6_quantiles": q_x6_quantiles,
         "x5_span_dedup": q_x5_span_dedup,
         "x5_unigram_logprob": q_x5_unigram_logprob,
@@ -1590,6 +1598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_hash_embedding": q_x5_hash_embedding,
         "x9_curation_pipeline": q_x9_curation_pipeline,
         # --- slots 51+: hash-checkable, operator covered above --------
+        "m2_add": q_m2_add,
+        "m6_filter": q_m6_filter,
+        "join_anti_customers": q_join_anti_customers,
+        "asof_last_event": q_asof_last_event,
+        "x4_media_metadata": q_x4_media_metadata,
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
         "m4_rename_chain": q_m4_rename_chain,
         "m5_counter": q_m5_counter,
@@ -1618,11 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
-        "x5_chunk_docs": q_x5_chunk_docs,
-        "x1_keep_best": q_x1_keep_best,
-        "x5_html_text": q_x5_html_text,
-        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "x4_audio_features": q_x4_audio_features,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,

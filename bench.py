@@ -21,12 +21,12 @@ large corpus" ingest shape), so its r3+ numbers are NOT comparable to
 r1/r2. In round 4 `x3_ann_topk` changed shape too: it now emits a
 measured recall_at_k column (adds an in-query brute-force reference
 pass) and runs at higher-recall LSH parameters (num_bits 6→4,
-num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds six
+num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds eight
 new headline entries (x3_ann_serving — the serving-path split of the
 reshaped x3_ann_topk — plus x5_span_dedup, x5_unigram_logprob,
-x2_semdedup, x9_curation_pipeline, x2_cross_neardup), growing the
-list 27 → 33 queries. Compare per-query medians, not totals, across
-rounds.
+x2_semdedup, x9_curation_pipeline, x2_cross_neardup,
+x2_bloom_decontaminate, x3_pq_topk), growing the list 27 → 35
+queries. Compare per-query medians, not totals, across rounds.
 """
 
 from __future__ import annotations
@@ -77,6 +77,8 @@ HEADLINE = [
     "x2_semdedup",           # k-means + within-cluster cosine dedup (r5)
     "x9_curation_pipeline",  # flagship E1xX composition: quality->LM->split (r5)
     "x2_cross_neardup",      # cross-corpus MinHash band join (fuzzy decontam, r5)
+    "x2_bloom_decontaminate",  # broadcast-bitset prefilter + exact confirm (r5)
+    "x3_pq_topk",            # product-quantization ADC + re-rank + recall (r5)
 ]
 
 

@@ -90,6 +90,11 @@ def test_driver_window_holds_only_hash_checkable_queries():
         "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
         "x7_shuffle_shards", "x7_sample_exact_k", "x2_winnow_fps",
         "x5_hash_embedding", "x9_curation_pipeline",
+        # round-5 late additions (swap for m2_add, m6_filter,
+        # join_anti_customers, asof_last_event, x4_media_metadata —
+        # each >=3 rounds green, families still in-window):
+        "x5_chunk_docs", "x1_keep_best", "x5_html_text",
+        "x2_bloom_decontaminate", "x4_audio_features",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
@@ -99,7 +104,9 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x7_sample_hash", "m1_rename", "rollup_revenue",
                  "pivot_status_revenue", "window_running_revenue",
                  "events_session_agg", "x5_lang_id", "x5_fingerprint_dups",
-                 "x4_image_features"):
+                 "x4_image_features", "m2_add", "m6_filter",
+                 "join_anti_customers", "asof_last_event",
+                 "x4_media_metadata"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
