@@ -1475,6 +1475,32 @@ def q_x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
 
 
+def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent ANN index on parquet: 90% of the embedding table is
+    ingested as the accepted corpus (hyperplane cells + int8 codes),
+    then a 10% batch — half near-copies of indexed vectors, half
+    genuinely new — dedups against it. Rows-only: the index round-trip
+    isn't single-query SQL; cross-batch semantics are pinned by
+    tests/test_operators.py."""
+    from lens_spark.operators.dedup import embedding_neardup_incremental
+
+    emb = _read(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="lens_spark_vecidx_") + "/idx"
+    kw = dict(dim=64, threshold=0.99, num_bits=6, num_tables=8)
+    indexed = emb.filter("vec_id % 10 <> 0")
+    embedding_neardup_incremental(indexed, index, "vec_id", "embedding", **kw)
+    # the batch: exact copies of indexed vectors under new ids (must be
+    # rejected) + held-out unseen vectors (must be accepted)
+    copies = indexed.filter("vec_id % 7 = 1").withColumn(
+        "vec_id", F.col("vec_id") + 1000000)
+    held = emb.filter("vec_id % 10 = 0").withColumn(
+        "vec_id", F.col("vec_id") + 2000000)
+    batch = held.unionByName(copies)
+    out = embedding_neardup_incremental(batch, index, "vec_id", "embedding",
+                                        update_index=False, **kw)
+    return out.select("vec_id")
+
+
 def q_x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of x4_image_features: binary payload → metadata +
     energy-envelope feature block over mapInPandas with the
@@ -1637,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_semdedup": q_x2_semdedup,
         "x2_dedup_neardup": q_x2_dedup_neardup,
         "x2_neardup_incremental": q_x2_neardup_incremental,
+        "x2_embedding_index": q_x2_embedding_index,
         "x3_ann_topk": q_x3_ann_topk,
         "x3_ann_serving": q_x3_ann_serving,
         "x3_ivf_topk": q_x3_ivf_topk,

@@ -1160,6 +1160,143 @@ def neardup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
         update_index=bool(arguments.get("update_index", True))))
 
 
+def embedding_neardup_incremental(df: DataFrame, index_path: str,
+                                  id_col: str, vec_col: str, *, dim: int,
+                                  threshold: float = 0.95,
+                                  num_bits: int = 8, num_tables: int = 4,
+                                  seed: int = 42,
+                                  update_index: bool = True,
+                                  locked: bool = True) -> DataFrame:
+    """Embedding-cosine near-dup of a new batch against everything
+    previously accepted — the vector-surface counterpart of
+    ``neardup_incremental`` (same index conventions: ONE
+    kind-partitioned ``parts/`` parquet dataset, the shared exclusive
+    writer lease, clean-batch short-circuits, checkpoint-before-append
+    discipline). This is a persistent ANN index on plain parquet: no
+    vector-database service, just files an object store already holds.
+
+    Index rows, a few hundred bytes per accepted vector regardless of
+    the caller's row width:
+
+    - ``kind=cells``: (id, cell) — ``num_tables`` random-hyperplane
+      sign-bucket cells per vector (the ann_topk kernel, seed-derived,
+      no stored model);
+    - ``kind=vecs``: (id, qvec) — the int8-quantized vector. Cosine is
+      scale-invariant, so the verify join needs no dequantization
+      scale: cos(q·s, v) = cos(q, v). Quantization error perturbs the
+      estimate by ≤ ~1% — the same estimate-verify tradeoff
+      neardup_incremental makes by storing signatures instead of
+      shingles (exact verify would mean storing float32 vectors: 4×
+      the bytes).
+
+    Flow per batch: (1) within-batch LSH near-dup (bucket-grouped
+    blocked-matmul verify — every within-batch pair is a true
+    positive); a batch with no pairs short-circuits past the component
+    machinery; (2) survivors' cells join the corpus cell index — only
+    cell-mates are scored, never batch × corpus; (3) candidates verify
+    with exact-JVM cosine against the int8-reconstructed corpus vector;
+    (4) the tiny dup-id set is eagerly checkpointed before the append
+    (nothing downstream re-reads the files being appended), survivors'
+    cells + int8 codes append as one write job.
+    """
+    from lens_spark.operators.similarity import _bucket_array_udf
+    from lens_spark.functions.vectors import quantize_int8
+    from lens_spark.sources import dataset_nonempty
+
+    spark = df.sparkSession
+    parts_path = f"{index_path}/parts"
+    bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
+
+    # Within-batch near-dup (exact-verified pairs) → representatives.
+    pairs = embedding_neardup_pairs(
+        df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+        method="lsh", dim=dim, threshold=threshold, num_bits=num_bits,
+        num_tables=num_tables, seed=seed,
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    clean_batch = pairs.isEmpty()
+    if clean_batch:
+        batch = df
+    else:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select("id")
+        batch = df.join(losers, df[id_col] == losers.id, "left_anti")
+
+    # One narrow pass derives both index payloads for the survivors.
+    base = batch.select(F.col(id_col), F.col(vec_col))
+    cells = base.select(
+        F.col(id_col), F.explode(bucket_udf(F.col(vec_col))).alias("cell"))
+
+    lock = (_index_writer_lock(spark, index_path)
+            if (update_index and locked) else contextlib.nullcontext())
+    with lock:
+        if dataset_nonempty(spark, parts_path):
+            parts = spark.read.parquet(parts_path)
+            corpus_cells = (parts.filter(F.col("kind") == "cells")
+                            .select(F.col(id_col).alias("__cid"), "cell"))
+            cand = (cells.join(corpus_cells, "cell")
+                    .select(id_col, "__cid").distinct())
+            corpus_vecs = (parts.filter(F.col("kind") == "vecs")
+                           .select(F.col(id_col).alias("__cid"),
+                                   F.col("qvec").alias("__cq")))
+            est = (cand.join(base, id_col).join(corpus_vecs, "__cid")
+                   .withColumn("__cos", cosine_similarity(
+                       F.col(vec_col),
+                       F.transform(F.col("__cq"),
+                                   lambda q: q.cast("double")))))
+            dup_ids = (est.filter(F.col("__cos") >= float(threshold))
+                       .select(id_col).distinct())
+            if update_index:
+                dup_ids = dup_ids.localCheckpoint(eager=True)
+                fresh = (batch if dup_ids.isEmpty()
+                         else batch.join(dup_ids, id_col, "left_anti"))
+            else:
+                fresh = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            fresh = batch
+        if update_index:
+            if fresh is batch:
+                out_base, out_cells = base, cells
+            else:
+                fresh_ids = fresh.select(id_col)
+                out_base = base.join(fresh_ids, id_col, "left_semi")
+                out_cells = cells.join(fresh_ids, id_col, "left_semi")
+            payload = (
+                out_cells.select(
+                    F.col(id_col), F.col("cell"),
+                    F.lit(None).cast("array<tinyint>").alias("qvec"),
+                    F.lit("cells").alias("kind"))
+                .unionByName(out_base.select(
+                    F.col(id_col),
+                    F.lit(None).cast("bigint").alias("cell"),
+                    quantize_int8(F.col(vec_col)).alias("qvec"),
+                    F.lit("vecs").alias("kind")))
+            )
+            payload.write.mode("append").partitionBy("kind") \
+                .parquet(parts_path)
+    return fresh
+
+
+@register_lens("embedding_neardup_incremental")
+def embedding_neardup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: index (path), id, vector, dim, threshold (0.95),
+    num_bits (8), num_tables (4), seed (42), update_index (true)."""
+    index_path = str(require_arg(arguments, "index",
+                                 "embedding_neardup_incremental"))
+    id_col = str(require_arg(arguments, "id", "embedding_neardup_incremental"))
+    vec_col = str(require_arg(arguments, "vector",
+                              "embedding_neardup_incremental"))
+    dim = int(require_arg(arguments, "dim", "embedding_neardup_incremental"))
+    return Lens(
+        "embedding_neardup_incremental", arguments,
+        lambda df: embedding_neardup_incremental(
+            df, index_path, id_col, vec_col, dim=dim,
+            threshold=float(arguments.get("threshold", 0.95)),
+            num_bits=int(arguments.get("num_bits", 8)),
+            num_tables=int(arguments.get("num_tables", 4)),
+            seed=int(arguments.get("seed", 42)),
+            update_index=bool(arguments.get("update_index", True))))
+
+
 @register_lens("dedup_incremental")
 def dedup_incremental_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: index (path), columns (optional identity cols),

@@ -882,3 +882,66 @@ def test_bloom_decontaminate_guard_refuses_oversized_benchmark(spark):
         assert False, "guard did not trip"
     except LensError as e:
         assert "max_driver_grams" in str(e)
+
+
+def _unit(v):
+    import numpy as np
+    x = np.array(v, dtype=float)
+    return [float(t) for t in x / np.linalg.norm(x)]
+
+
+def test_embedding_neardup_incremental_across_batches(spark, tmp_path):
+    """Batch 1 bootstraps the index; batch 2's near-copies of batch-1
+    vectors are rejected while genuinely new directions are accepted;
+    batch 3 re-sending an accepted vector is rejected (the index
+    remembers across calls)."""
+    import numpy as np
+
+    from lens_spark.operators.dedup import embedding_neardup_incremental
+
+    idx = str(tmp_path / "vecidx")
+    kw = dict(dim=8, threshold=0.95, num_bits=2, num_tables=4)
+    rng = [_unit([1, 0, 0, 0, 1, 0, 0, 0]),
+           _unit([0, 1, 0, 0, 0, 1, 0, 0]),
+           _unit([0, 0, 1, 0, 0, 0, 1, 0])]
+    b1 = spark.createDataFrame(
+        [(i, rng[i]) for i in range(3)], "id long, vec array<float>")
+    out1 = embedding_neardup_incremental(b1, idx, "id", "vec", **kw)
+    assert {r.id for r in out1.collect()} == {0, 1, 2}
+
+    near0 = _unit(list(np.array(rng[0]) + 0.01))       # ~copy of id 0
+    newdir = _unit([0, 0, 0, 1, 0, 0, 0, -1])
+    b2 = spark.createDataFrame(
+        [(10, near0), (11, newdir)], "id long, vec array<float>")
+    out2 = embedding_neardup_incremental(b2, idx, "id", "vec", **kw)
+    assert {r.id for r in out2.collect()} == {11}
+
+    b3 = spark.createDataFrame([(20, rng[1])], "id long, vec array<float>")
+    out3 = embedding_neardup_incremental(b3, idx, "id", "vec", **kw)
+    assert out3.count() == 0
+
+
+def test_embedding_neardup_incremental_within_batch_and_readonly(spark, tmp_path):
+    import numpy as np
+
+    from lens_spark.operators.dedup import embedding_neardup_incremental
+
+    idx = str(tmp_path / "vecidx2")
+    kw = dict(dim=8, threshold=0.95, num_bits=2, num_tables=4)
+    v = _unit([1, 2, 3, 4, 5, 6, 7, 8])
+    vnear = _unit(list(np.array(v) + 0.005))
+    other = _unit([8, -7, 6, -5, 4, -3, 2, -1])
+    batch = spark.createDataFrame(
+        [(1, v), (2, vnear), (3, other)], "id long, vec array<float>")
+    out = embedding_neardup_incremental(batch, idx, "id", "vec", **kw)
+    # within-batch near-pair collapses to the min-id representative
+    assert {r.id for r in out.collect()} == {1, 3}
+
+    # read-only: rejects dups without growing the index
+    probe = spark.createDataFrame([(30, v)], "id long, vec array<float>")
+    ro = embedding_neardup_incremental(probe, idx, "id", "vec",
+                                       update_index=False, **kw)
+    assert ro.count() == 0
+    again = embedding_neardup_incremental(probe, idx, "id", "vec",
+                                          update_index=False, **kw)
+    assert again.count() == 0  # index unchanged by the read-only call
