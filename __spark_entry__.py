@@ -1501,6 +1501,15 @@ def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column corpus audit (null_frac + distinct cardinality) in
+    ONE aggregate pass (exact=True here for the oracle; the default
+    approx path is the single-scan 100 TB shape)."""
+    from lens_spark.operators.relational import dataset_profile
+
+    return dataset_profile(_read(spark, sf_dir, "documents"), exact=True)
+
+
 def q_x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of x4_image_features: binary payload → metadata +
     energy-envelope feature block over mapInPandas with the
@@ -1657,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_cross_neardup": q_x2_cross_neardup,
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2055,6 +2065,13 @@ WITH s AS (SELECT avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
 SELECT doc_id, source FROM documents, s
 WHERE abs(n_chars - mu) <= 1.0 * sd
 """,
+        "x9_profile": "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS col_name, "
+            f"round(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) / greatest(count(*), 1), 6) AS null_frac, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+            f"FROM documents"
+            for c in ("doc_id", "text", "lang", "source", "n_chars")),
         # size=64, overlap=16 -> stride 48; chunk i covers 1-based token
         # positions [i*48+1, i*48+64]; n_chunks = 1+ceil(max(n-64,0)/48).
         # Tokens are NOT lowercased (chunk text preserves case).

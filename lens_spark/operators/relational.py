@@ -574,3 +574,49 @@ def frequent_items_lens(arguments: Mapping[str, Any]) -> Lens:
             F.explode(F.col(f"{column}_freqItems")).alias("item"))
 
     return Lens("frequent_items", arguments, fwd)
+
+
+def dataset_profile(df: DataFrame, columns: list[str] | None = None, *,
+                    exact: bool = False) -> DataFrame:
+    """Per-column data-quality profile — (col_name, null_frac,
+    n_distinct) — the "know your corpus" audit that fronts every
+    training-data decision (which columns are join-safe keys, where the
+    nulls concentrate, whether an id column actually identifies).
+
+    ONE aggregate pass. ``exact=False`` (default, the scale path) uses
+    HLL ``approx_count_distinct`` so all statistics come from a single
+    map-side-combined scan; ``exact=True`` uses COUNT(DISTINCT) —
+    Spark expands multiple exact distincts with an Expand operator
+    (one pass, rows × columns intermediate), acceptable for
+    oracle-grade audits, not for 100 TB routine profiling. Output is
+    long-format, one row per profiled column.
+    """
+    cols = [str(c) for c in (columns or df.columns)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nu{i}"))
+        nd = (F.count_distinct(F.col(c)) if exact
+              else F.approx_count_distinct(F.col(c)))
+        aggs.append(nd.alias(f"__nd{i}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', __nu{i}, __nd{i}" for i, c in enumerate(cols))
+    return (
+        row.selectExpr(
+            "__n AS __n_rows",
+            f"stack({len(cols)}, {stack}) AS (col_name, __n_nulls, __nd)")
+        .select(
+            "col_name",
+            F.round(F.col("__n_nulls") / F.greatest(F.col("__n_rows"),
+                                                    F.lit(1)), 6)
+            .alias("null_frac"),
+            F.col("__nd").cast("bigint").alias("n_distinct"))
+    )
+
+
+@register_lens("dataset_profile")
+def dataset_profile_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: columns (default all), exact (false)."""
+    columns = arguments.get("columns")
+    exact = bool(arguments.get("exact", False))
+    return Lens("dataset_profile", arguments, lambda df: dataset_profile(
+        df, [str(c) for c in columns] if columns else None, exact=exact))

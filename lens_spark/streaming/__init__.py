@@ -214,6 +214,7 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
                         index_path: str, *, mode: str = "exact",
                         id_col: str | None = None,
                         text_col: str | None = None,
+                        vec_col: str | None = None,
                         columns: list[str] | None = None,
                         partition_by: list[str] | None = None,
                         fmt: str = "parquet", available_now: bool = True,
@@ -224,9 +225,11 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     earlier batches, in this run or any previous one — and survivors
     append to the landing dataset. ``streaming_dedup`` bounds state by
     a watermark horizon; this is the unbounded-horizon complement,
-    backed by the on-disk fingerprint (``mode="exact"``) or MinHash
-    (``mode="neardup"``) index of operators.dedup, whose footprint is
-    bytes per accepted doc, not engine state.
+    backed by the on-disk fingerprint (``mode="exact"``), MinHash
+    (``mode="neardup"``), or hyperplane-cell + int8-code vector
+    (``mode="embedding"``, needs ``vec_col`` and ``dim=``) index of
+    operators.dedup, whose footprint is bytes per accepted doc, not
+    engine state.
 
     The index writer lease is held for the WHOLE per-batch critical
     section — dedup read, landing write, index append — so another
@@ -249,14 +252,19 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
         _index_writer_lock,
         _refresh_writer_lock,
         dedup_incremental,
+        embedding_neardup_incremental,
         neardup_incremental,
     )
 
-    if mode not in ("exact", "neardup"):
+    if mode not in ("exact", "neardup", "embedding"):
         raise ValueError(f"stream_ingest_dedup: unknown mode {mode!r}")
     if mode == "neardup" and not (id_col and text_col):
         raise ValueError(
             "stream_ingest_dedup(mode='neardup') needs id_col and text_col")
+    if mode == "embedding" and not (id_col and vec_col
+                                    and "dim" in neardup_kw):
+        raise ValueError("stream_ingest_dedup(mode='embedding') needs "
+                         "id_col, vec_col, and dim=")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         with _index_writer_lock(batch_df.sparkSession, index_path):
@@ -264,6 +272,10 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
                 fresh = dedup_incremental(batch_df, index_path,
                                           columns=columns,
                                           update_index=False)
+            elif mode == "embedding":
+                fresh = embedding_neardup_incremental(
+                    batch_df, index_path, id_col, vec_col,
+                    update_index=False, **neardup_kw)
             else:
                 fresh = neardup_incremental(batch_df, index_path, id_col,
                                             text_col, update_index=False,
@@ -287,6 +299,10 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
             if mode == "exact":
                 dedup_incremental(fresh, index_path, columns=columns,
                                   locked=False)
+            elif mode == "embedding":
+                embedding_neardup_incremental(fresh, index_path, id_col,
+                                              vec_col, locked=False,
+                                              **neardup_kw)
             else:
                 neardup_incremental(fresh, index_path, id_col, text_col,
                                     locked=False, **neardup_kw)

@@ -345,3 +345,22 @@ def test_frequent_items_no_false_negatives(spark):
                                                        "support": 0.2}}]})
     items = {r.item for r in out.collect()}
     assert {"hot", "warm"} <= items
+
+
+def test_dataset_profile_nulls_and_distincts(spark):
+    from lens_spark.operators.relational import dataset_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string")
+    got = {r.col_name: (r.null_frac, r.n_distinct) for r in
+           dataset_profile(df, exact=True).collect()}
+    assert got == {"k": (0.25, 3), "v": (0.25, 2)}
+    # approx path: same shape, HLL cardinality within 10% here
+    approx = {r.col_name: r.n_distinct for r in
+              dataset_profile(df).collect()}
+    assert set(approx) == {"k", "v"}
+    assert abs(approx["k"] - 3) <= 1 and abs(approx["v"] - 2) <= 1
+    # column subset respected
+    sub = dataset_profile(df, ["v"], exact=True).collect()
+    assert len(sub) == 1 and sub[0].col_name == "v"

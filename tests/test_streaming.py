@@ -289,3 +289,53 @@ def test_stream_ingest_dedup_rejects_bad_mode(spark, tmp_path):
         stream_ingest_dedup(None, "x", "y", mode="fuzzy")
     with pytest.raises(ValueError, match="needs id_col"):
         stream_ingest_dedup(None, "x", "y", mode="neardup")
+
+
+def test_stream_ingest_dedup_embedding_mode(spark, tmp_path):
+    """Vector mode: a second batch's near-copy of an accepted embedding
+    is rejected via the persistent cell+int8 index; the novel vector
+    lands. Also: missing vec_col/dim raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from lens_spark.streaming import read_file_stream, stream_ingest_dedup
+
+    def unit(v):
+        x = np.array(v, dtype=np.float32)
+        return (x / np.linalg.norm(x)).tolist()
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    v1 = unit([1, 0, 2, 0, 3, 0, 4, 0])
+    v2 = unit([0, 5, 0, -1, 0, 2, 0, -3])
+    pd.DataFrame({"vid": [1, 2], "emb": [v1, v2]}).to_parquet(
+        src / "f1.parquet")
+    out = str(tmp_path / "vlanding")
+    idx = str(tmp_path / "vidx")
+    kw = dict(mode="embedding", id_col="vid", vec_col="emb", dim=8,
+              threshold=0.98, num_bits=2, num_tables=4)
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream, out, idx, checkpoint=str(tmp_path / "vck"),
+                        **kw)
+    assert spark.read.parquet(out).count() == 2
+
+    near1 = unit(list(np.array(v1) + 0.003))
+    novel = unit([7, 7, -7, 7, 0, 0, 1, 0])
+    pd.DataFrame({"vid": [10, 11], "emb": [near1, novel]}).to_parquet(
+        src / "f2.parquet")
+    stream2 = read_file_stream(spark, str(src),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    stream_ingest_dedup(stream2, out, idx, checkpoint=str(tmp_path / "vck"),
+                        **kw)
+    assert {r.vid for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+
+    with _pytest.raises(ValueError):
+        stream_ingest_dedup(stream2, out, idx, mode="embedding",
+                            id_col="vid", dim=8)          # no vec_col
+    with _pytest.raises(ValueError):
+        stream_ingest_dedup(stream2, out, idx, mode="embedding",
+                            id_col="vid", vec_col="emb")  # no dim
