@@ -617,8 +617,12 @@ def chunk_documents(df: DataFrame, text_col: str, *,
     chunk = F.slice(toks, start, F.lit(size))
     return (
         ensure_parallelism(df)
+        # ≥1 token ⟺ any non-whitespace char: the rlike form keeps the
+        # pre-explode filter from re-tokenizing every row (Catalyst
+        # inlines a size(__ck_toks) predicate through the Project,
+        # evaluating the split twice — seen in the PLANS.md audit)
+        .filter(F.col(text_col).rlike(r"\S"))
         .withColumn("__ck_toks", tokens(F.col(text_col), lowercase=False))
-        .filter(F.size("__ck_toks") > 0)
         .select(*carry, "__ck_toks",
                 F.explode(F.sequence(F.lit(0), n_chunks - 1))
                 .alias(index_out))
