@@ -1501,6 +1501,22 @@ def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def q_x3_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING path alone — same parameters as q_x3_pq_topk but
+    without the recall QA wrapper (no in-query brute-force reference),
+    mirroring the ann_topk/ann_serving split: the bench times serving
+    here, recall *measurement* in x3_pq_topk. Rows-only: the quality
+    contract lives in x3_pq_topk's recall_at_k column and
+    tests/test_similarity.py's recall assertions."""
+    from lens_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                  dim=64, k=10, m=8, nbits=6, rerank=100)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus audit (null_frac + distinct cardinality) in
     ONE aggregate pass (exact=True here for the oracle; the default
@@ -1678,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ann_serving": q_x3_ann_serving,
         "x3_ivf_topk": q_x3_ivf_topk,
         "x3_pq_topk": q_x3_pq_topk,
+        "x3_pq_serving": q_x3_pq_serving,
         "x4_frame_sample": q_x4_frame_sample,
         "x6_approx_quantiles": q_x6_approx_quantiles,
         "x6_approx_distinct": q_x6_approx_distinct,

@@ -292,3 +292,36 @@ def test_normalize_text_idempotent(spark, texts):
     twice = {r.id: r.text for r in
              normalize_text(normalize_text(df, "text"), "text").collect()}
     assert once == twice
+
+
+@given(st.lists(st.text(alphabet="ab cd", min_size=0, max_size=30),
+                min_size=1, max_size=6),
+       st.integers(1, 7), st.integers(0, 6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_covers_tokens_exactly(spark, texts, size, overlap):
+    """For any corpus and any valid (size, overlap): concatenating each
+    doc's chunk token-lists with the overlap removed reproduces the
+    doc's token sequence exactly — no token lost, duplicated (beyond
+    the declared overlap), or reordered. Token-less docs emit nothing."""
+    from lens_spark.operators.text import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = chunk_documents(df, "text", size=size, overlap=overlap).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)):
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(toks) == r.chunk_tokens
+        assert 1 <= r.chunk_tokens <= size
+        prev = got.setdefault(r.doc_id, [])
+        prev.extend(toks if r.chunk_index == 0 else toks[overlap:])
+    for i, t in enumerate(texts):
+        expect = [w for w in t.split() if w]
+        if expect:
+            assert got[i] == expect, (i, t, size, overlap)
+        else:
+            assert i not in got
