@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dataset_exists(spark: SparkSession, path: str) -> bool:
@@ -63,6 +64,31 @@ def read_json_docs(spark: SparkSession, path: str, *, multiline: bool = True,
     if permissive:
         reader = reader.option("mode", "PERMISSIVE")
     return reader.json(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str, *,
+                     line_per_doc: bool = True,
+                     id_out: str = "doc_id", text_out: str = "text",
+                     path_out: str = "source_path") -> DataFrame:
+    """Raw text corpora (.txt / .jsonl-as-lines / crawl dumps) as a
+    document table: ``line_per_doc=True`` (default) treats each line as
+    a document (the JSONL/CC-style layout — splittable, parallel
+    within large files); ``False`` treats each FILE as one document
+    (wholetext — an unsplittable file becomes one row, the layout dial
+    for many-small-file corpora).
+
+    Document ids are content-addressed — xxhash64(source_path, text) —
+    so re-reading the same corpus yields the same ids (the sampling.py
+    determinism contract; ``monotonically_increasing_id`` changes with
+    partitioning). Identical lines in the same file collide onto one
+    id by construction, which downstream exact-dedup would collapse
+    anyway; keep the raw line if that matters and assign ids later.
+    """
+    df = spark.read.text(path, wholetext=not line_per_doc).select(
+        F.input_file_name().alias(path_out), F.col("value").alias(text_out))
+    return df.select(
+        F.xxhash64(F.col(path_out), F.col(text_out)).alias(id_out),
+        text_out, path_out)
 
 
 def read_media(spark: SparkSession, path_glob: str) -> DataFrame:

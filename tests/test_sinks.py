@@ -67,3 +67,24 @@ def test_compact_dataset_preserves_partition_layout(spark, tmp_path):
                      if d.is_dir())
     assert subdirs == ["p=0", "p=1", "p=2"]
     assert spark.read.parquet(path).count() == 1_000
+
+
+def test_read_text_corpus_line_and_file_modes(spark, tmp_path):
+    """Line mode: one doc per line with content-addressed ids stable
+    across re-reads; file mode: one doc per file including newlines."""
+    from lens_spark.sources import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha one\nbeta two\n")
+    (d / "b.txt").write_text("gamma three\n")
+    lines = read_text_corpus(spark, str(d)).collect()
+    assert {r.text for r in lines} == {"alpha one", "beta two", "gamma three"}
+    assert all(r.source_path.endswith((".txt",)) for r in lines)
+    ids1 = sorted(r.doc_id for r in lines)
+    ids2 = sorted(r.doc_id for r in read_text_corpus(spark, str(d)).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 3   # deterministic, distinct
+
+    files = read_text_corpus(spark, str(d), line_per_doc=False).collect()
+    assert {r.text for r in files} == {"alpha one\nbeta two\n",
+                                       "gamma three\n"}
