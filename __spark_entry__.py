@@ -1517,6 +1517,19 @@ def q_x3_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_x5_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment removal: build a doc whose
+    body repeats (text ↵ text ↵ tail), keep first occurrences only —
+    pure array expressions, zero exchanges."""
+    from lens_spark.operators.text import dedup_segments
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    stuttered = docs.withColumn(
+        "text", F.concat_ws("\n", F.col("text"), F.col("text"),
+                            F.lit("unique tail"), F.col("text")))
+    return dedup_segments(stuttered, "text")
+
+
 def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus audit (null_frac + distinct cardinality) in
     ONE aggregate pass (exact=True here for the oracle; the default
@@ -1683,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
         "x9_profile": q_x9_profile,
+        "x5_dedup_segments": q_x5_dedup_segments,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2089,6 +2103,22 @@ WHERE abs(n_chars - mu) <= 1.0 * sd
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
             f"FROM documents"
             for c in ("doc_id", "text", "lang", "source", "n_chars")),
+        # keep-first: list_filter's (s, i) lambda index is 1-based in
+        # DuckDB (0-based + 1 on the Spark side) — both compare against
+        # list_position's first-occurrence index.
+        "x5_dedup_segments": """
+WITH stuttered AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, text, 'unique tail', text) AS text
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(string_split(text, chr(10)),
+                     (s, i) -> list_position(string_split(text, chr(10)), s) = i),
+         chr(10)) AS text
+FROM stuttered
+""",
         # size=64, overlap=16 -> stride 48; chunk i covers 1-based token
         # positions [i*48+1, i*48+64]; n_chunks = 1+ceil(max(n-64,0)/48).
         # Tokens are NOT lowercased (chunk text preserves case).

@@ -647,6 +647,40 @@ def chunk_documents_lens(arguments: Mapping[str, Any]) -> Lens:
         tokens_out=str(arguments.get("tokens_out", "chunk_tokens"))))
 
 
+def dedup_segments(df: DataFrame, text_col: str, *,
+                   delimiter: str = "\n", out: str | None = None) -> DataFrame:
+    """WITHIN-document repeated-segment removal: split on ``delimiter``,
+    keep only each segment's FIRST occurrence (original order), rejoin.
+    The intra-document member of the dedup family — ``line_dedup``
+    removes segments repeated ACROSS documents (corpus frequency);
+    this removes the copy-paste stutter inside one document (repeated
+    boilerplate paragraphs, duplicated list items) that inflates
+    repetition metrics and wastes training tokens.
+
+    Fully narrow — pure array expressions, zero exchanges at any
+    corpus size (no per-doc shuffle like the cross-doc rewrites need).
+    Keep-first is expressed as ``array_position(segs, s) == i+1``
+    (first index of the value equals this index) — O(m²) per doc in
+    segment count, fine for the ≤10³ segments real documents have.
+    Repeated empty segments (blank-line runs) collapse too, by design.
+    """
+    import re as _re
+
+    segs = F.split(F.col(text_col), _re.escape(delimiter), -1)
+    kept = F.filter(segs, lambda s, i: F.array_position(segs, s) == i + 1)
+    return df.withColumn(out or text_col, F.array_join(kept, delimiter))
+
+
+@register_lens("dedup_segments")
+def dedup_segments_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, delimiter (newline), out (default in-place)."""
+    text_col = str(require_arg(arguments, "column", "dedup_segments"))
+    out = arguments.get("out")
+    return Lens("dedup_segments", arguments, lambda df: dedup_segments(
+        df, text_col, delimiter=str(arguments.get("delimiter", "\n")),
+        out=str(out) if out else None))
+
+
 def html_to_text(df: DataFrame, text_col: str, *,
                  out: str | None = None) -> DataFrame:
     """Markup removal for crawled corpora: drop <script>/<style>

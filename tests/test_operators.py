@@ -945,3 +945,21 @@ def test_embedding_neardup_incremental_within_batch_and_readonly(spark, tmp_path
     again = embedding_neardup_incremental(probe, idx, "id", "vec",
                                           update_index=False, **kw)
     assert again.count() == 0  # index unchanged by the read-only call
+
+
+def test_dedup_segments_keeps_first_occurrence_in_order(spark):
+    from lens_spark.operators.text import dedup_segments
+
+    df = spark.createDataFrame(
+        [(1, "intro\nbody A\nintro\nbody B\nbody A\noutro"),
+         (2, "no repeats here\nat all"),
+         (3, "x\nx\nx")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_segments(df, "text").collect()}
+    assert out[1] == "intro\nbody A\nbody B\noutro"
+    assert out[2] == "no repeats here\nat all"
+    assert out[3] == "x"
+    # custom delimiter + out column leaves the original intact
+    df2 = spark.createDataFrame([(1, "a. b. a. c")], "doc_id long, text string")
+    side = dedup_segments(df2, "text", delimiter=". ", out="clean").collect()[0]
+    assert side.text == "a. b. a. c" and side.clean == "a. b. c"
