@@ -15,6 +15,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -326,3 +328,63 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
                 "to continue, or raise timeout=")
         return None
     return writer.start()
+
+
+def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
+                         text_col: str, bench_text_col: str | None = None,
+                         ngram: int = 8, shingle: str = "word",
+                         max_driver_grams: int = 50_000_000) -> DataFrame:
+    """Streaming benchmark decontamination: drop arriving documents
+    that share any ``ngram``-gram with the (static, bounded) benchmark
+    set — the train/test-leakage guard applied AT INGEST, before
+    contaminated rows ever land.
+
+    The batch ``decontaminate`` counts per-doc overlaps with an
+    aggregation, which a streaming query cannot chain before its sink.
+    This formulation is a PURE PER-ROW FILTER, so it composes with any
+    downstream streaming op: the benchmark gram-hash set is collected
+    once (bounded by ``max_driver_grams``, loud refusal beyond — same
+    contract as bloom_decontaminate), sorted into a numpy array,
+    broadcast, and each row's shingle hashes probe it with a
+    vectorized binary search (np.isin over the Arrow batch). Exact —
+    no false positives or negatives — and equivalent to batch
+    ``decontaminate(min_overlaps=1)`` row-for-row (asserted by
+    test_streaming).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import _shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
+                      ).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
+    )
+    bench = np.sort(
+        bench_grams.limit(max_driver_grams + 1).toPandas()["__gh"]
+        .to_numpy(dtype=np.int64))
+    if len(bench) > max_driver_grams:
+        raise LensError(
+            f"stream_decontaminate: benchmark gram set exceeds "
+            f"max_driver_grams={max_driver_grams}; shard the benchmark "
+            "or decontaminate in batch")
+    bc = stream_df.sparkSession.sparkContext.broadcast(bench)
+
+    @pandas_udf("boolean")
+    def contaminated(hs: pd.Series) -> pd.Series:
+        ref = bc.value
+        flat = np.concatenate([np.asarray(h, dtype=np.int64)
+                               for h in hs]) if len(hs) else np.array([], dtype=np.int64)
+        hits = np.isin(flat, ref)
+        out, pos = [], 0
+        for h in hs:
+            n = len(h)
+            out.append(bool(hits[pos:pos + n].any()))
+            pos += n
+        return pd.Series(out)
+
+    gram_hashes = F.transform(_shingles(text_col, ngram, shingle),
+                              lambda g: F.xxhash64(g))
+    return stream_df.filter(~contaminated(gram_hashes))

@@ -128,3 +128,37 @@ def test_tail_hash_checkable_queries_match_oracle_locally(spark, con):
         oracle_pdf = con.sql(oracles[name]).df()
         verdict = compare(name, spark_pdf, oracle_pdf)
         assert verdict == "OK", f"{name}: {verdict}"
+
+
+def test_survey_table_matches_declared_queries():
+    """SURVEY.md §2.8's operator table and query-count line must match
+    the entry file exactly — the structural guard against the doc
+    drift the round-4 verdict flagged (declared '72 queries', shipped
+    71). Every backticked query name in the table must exist with the
+    claimed check kind (O ⟺ has an oracle), and the '<N> queries
+    total: <M> oracle hash-matched' line must equal the real counts."""
+    import re
+
+    qdict = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    text = open("SURVEY.md").read()
+    m = re.search(r"(\d+) queries total: (\d+) oracle hash-matched", text)
+    assert m, "SURVEY.md count line missing"
+    assert int(m.group(1)) == len(qdict), (
+        f"SURVEY says {m.group(1)} queries, entry declares {len(qdict)}")
+    assert int(m.group(2)) == len(oracles), (
+        f"SURVEY says {m.group(2)} oracles, entry declares {len(oracles)}")
+    # every `name` (O)/(R) claim in the §2.8 table is true
+    sect = text[text.index("| Lens / operator |"):]
+    sect = sect[:sect.index("queries total:")]
+    bad = []
+    for names, kind in re.findall(r"((?:`\w+`(?:,\s*)?)+)\s*\((O|R)[\s)]",
+                                  sect):
+        for name in re.findall(r"`(\w+)`", names):
+            if name not in qdict:
+                bad.append(f"{name}: listed but not declared")
+            elif kind == "O" and name not in oracles:
+                bad.append(f"{name}: claimed (O) but has no oracle")
+            elif kind == "R" and name in oracles:
+                bad.append(f"{name}: claimed (R) but has an oracle")
+    assert not bad, bad

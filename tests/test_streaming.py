@@ -339,3 +339,36 @@ def test_stream_ingest_dedup_embedding_mode(spark, tmp_path):
     with _pytest.raises(ValueError):
         stream_ingest_dedup(stream2, out, idx, mode="embedding",
                             id_col="vid", vec_col="emb")  # no dim
+
+
+def test_stream_decontaminate_matches_batch_decontaminate(spark, tmp_path):
+    """The streaming per-row filter must reproduce batch
+    decontaminate(min_overlaps=1) row-for-row, and it composes before
+    a streaming sink (availableNow run)."""
+    import pandas as pd
+
+    from lens_spark.operators.dedup import decontaminate
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_available_now,
+        stream_decontaminate,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    bench = docs.filter("doc_id % 10 = 3").select(
+        F.col("text").alias("bench_text"))
+    expect = {r.doc_id for r in decontaminate(
+        docs, bench, "doc_id", "text", bench_text_col="bench_text",
+        ngram=5, min_overlaps=1).collect()}
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    docs.toPandas().to_parquet(src / "docs.parquet")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "docs.parquet"))
+    clean = stream_decontaminate(stream, bench, text_col="text",
+                                 bench_text_col="bench_text", ngram=5)
+    out = run_available_now(clean)
+    assert {r.doc_id for r in out.collect()} == expect
+    assert len(expect) < docs.count()     # the filter provably cut
