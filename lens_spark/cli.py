@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
     parser.add_argument("--allow-module-paths", action="store_true",
                         help="opt in to executing file:/data: Python lens "
                              "modules referenced by the lens file")
+    parser.add_argument("--explain", action="store_true",
+                        help="print the optimized physical plan instead of "
+                             "executing (plan review before a large run)")
     args = parser.parse_args(argv)
 
     if args.allow_module_paths:
@@ -88,6 +91,12 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
             df = spark.createDataFrame(docs)
 
         out = engine.append(df, spec)
+
+        if args.explain:
+            print(out._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")))
+            return 0
 
         if args.output:
             if "__lens_nil" in out.columns:

@@ -227,3 +227,23 @@ def test_nil_not_conflated_with_all_null_row(spark, tmp_path, monkeypatch):
                                       "expr": "CAST(NULL AS BIGINT)"}}]}
     got = run_cli(tmp_path, monkeypatch, spec, [{"Age": 1}, None])
     assert got == [{}, None]  # nulled-out doc serializes as {}, nil stays nil
+
+
+def test_cli_explain_prints_plan_and_skips_execution(tmp_path, capsys, spark):
+    """--explain prints the formatted physical plan and writes nothing."""
+    import json as _json
+
+    from lens_spark.cli import main
+
+    lens = tmp_path / "p.json"
+    lens.write_text(_json.dumps({"lenses": [
+        {"name": "filter", "arguments": {"predicate": "o_orderstatus = 'F'"}}]}))
+    out = tmp_path / "never.parquet"
+    rc = main([str(lens), "--input",
+               "/root/testdata/sf0.001/orders.parquet",
+               "--output", str(out), "--explain"], _stop_session=False)
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "== Physical Plan ==" in captured
+    assert "PushedFilters" in captured        # the filter reached the scan
+    assert not out.exists()                   # nothing executed
