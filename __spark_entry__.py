@@ -1530,6 +1530,34 @@ def q_x5_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_segments(stuttered, "text")
 
 
+def q_x5_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist over synthetic crawl URLs (the x5_url_dedup
+    construction): block two of the seven Site<k>.com domains incl.
+    their subdomains — narrow expression filter, blocklist rides the
+    plan as an array literal."""
+    from lens_spark.operators.text import domain_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".com/Articles/"),
+        F.floor(d / 10).cast("bigint").cast("string"),
+        F.lit("?utm_source=s"), d.cast("string"))
+    return domain_filter(docs.withColumn("url", url), "url",
+                         ["site1.com", "site3.com"])
+
+
+def q_x5_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length cap at 50 tokens: over-cap docs rewritten from
+    the token array, under-cap docs byte-identical — narrow."""
+    from lens_spark.operators.text import truncate_tokens
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return truncate_tokens(docs, "text", 50)
+
+
 def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus audit (null_frac + distinct cardinality) in
     ONE aggregate pass (exact=True here for the oracle; the default
@@ -1697,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_outlier_filter": q_x9_outlier_filter,
         "x9_profile": q_x9_profile,
         "x5_dedup_segments": q_x5_dedup_segments,
+        "x5_domain_filter": q_x5_domain_filter,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2103,6 +2133,48 @@ WHERE abs(n_chars - mu) <= 1.0 * sd
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
             f"FROM documents"
             for c in ("doc_id", "text", "lang", "source", "n_chars")),
+        # same URL construction as x5_url_dedup; block = domain equals
+        # or is a subdomain of a listed entry
+        "x5_domain_filter": r"""
+WITH raw AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+           'Site', CAST(doc_id % 7 AS VARCHAR), '.com/Articles/',
+           CAST(doc_id // 10 AS VARCHAR),
+           '?utm_source=s', CAST(doc_id AS VARCHAR)) AS url
+  FROM documents
+),
+k AS (
+  SELECT doc_id, url,
+         regexp_extract(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://', ''),
+                 '^www\.', ''),
+               '[?#].*$', ''),
+             '/$', ''),
+           '^([^/]+)', 1) AS dom
+  FROM raw
+)
+SELECT doc_id, url FROM k
+WHERE len(list_filter(['site1.com', 'site3.com'],
+                      b -> dom = b OR ends_with(dom, '.' || b))) = 0
+""",
+        "x5_truncate_tokens": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 50
+            THEN array_to_string(list_slice(toks, 1, 50), ' ')
+            ELSE text END AS text
+FROM t
+""",
         # keep-first: list_filter's (s, i) lambda index is 1-based in
         # DuckDB (0-based + 1 on the Spark side) — both compare against
         # list_position's first-occurrence index.

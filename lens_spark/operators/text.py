@@ -722,6 +722,65 @@ def html_to_text_lens(arguments: Mapping[str, Any]) -> Lens:
                                         out=str(out) if out else None))
 
 
+def domain_filter(df: DataFrame, url_col: str, domains: list[str], *,
+                  mode: str = "block") -> DataFrame:
+    """Block (or allow-only) documents by registrable domain — the
+    crawl-pipeline blocklist step (spam/adult/SEO-farm domain lists).
+    A row matches when its URL's host equals a listed domain OR is a
+    subdomain of one (``news.example.com`` matches ``example.com``).
+    ``mode="block"`` drops matches; ``mode="allow"`` keeps only them.
+
+    Narrow expression filter — the domain list rides the plan as an
+    array literal (broadcast with the task binary; fine to ~10⁵
+    entries, beyond that join a blocklist TABLE instead)."""
+    from lens_spark.functions.text import url_domain
+
+    if mode not in ("block", "allow"):
+        raise LensError(f"domain_filter: mode must be block|allow, "
+                        f"got {mode!r}")
+    dom = url_domain(F.col(url_col))
+    dl = F.array(*[F.lit(str(d).lower()) for d in domains])
+    hit = F.exists(dl, lambda b: (dom == b)
+                   | dom.endswith(F.concat(F.lit("."), b)))
+    return df.filter(hit if mode == "allow" else ~hit)
+
+
+@register_lens("domain_filter")
+def domain_filter_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (url), domains (list), mode ("block")."""
+    url_col = str(require_arg(arguments, "column", "domain_filter"))
+    domains = [str(d) for d in require_arg(arguments, "domains",
+                                           "domain_filter")]
+    return Lens("domain_filter", arguments, lambda df: domain_filter(
+        df, url_col, domains, mode=str(arguments.get("mode", "block"))))
+
+
+def truncate_tokens(df: DataFrame, text_col: str, max_tokens: int, *,
+                    out: str | None = None) -> DataFrame:
+    """Cap documents at ``max_tokens`` whitespace tokens — the
+    context-length guard rail. Documents UNDER the cap keep their
+    original text byte-for-byte (whitespace preserved); only over-cap
+    documents are rewritten (tokens re-joined with single spaces, the
+    same tokenizer-level contract as chunk_documents). Narrow."""
+    if max_tokens <= 0:
+        raise LensError("truncate_tokens: max_tokens must be > 0")
+    toks = tokens(F.col(text_col), lowercase=False)
+    c = F.when(F.size(toks) > int(max_tokens),
+               F.array_join(F.slice(toks, 1, int(max_tokens)), " ")
+               ).otherwise(F.col(text_col))
+    return df.withColumn(out or text_col, c)
+
+
+@register_lens("truncate_tokens")
+def truncate_tokens_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, max_tokens, out (default in-place)."""
+    text_col = str(require_arg(arguments, "column", "truncate_tokens"))
+    mt = int(require_arg(arguments, "max_tokens", "truncate_tokens"))
+    out = arguments.get("out")
+    return Lens("truncate_tokens", arguments, lambda df: truncate_tokens(
+        df, text_col, mt, out=str(out) if out else None))
+
+
 @register_lens("url_normalize")
 def url_normalize_lens(arguments: Mapping[str, Any]) -> Lens:
     """Canonicalize a URL column (lowercase, scheme/www stripped,

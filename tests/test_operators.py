@@ -963,3 +963,34 @@ def test_dedup_segments_keeps_first_occurrence_in_order(spark):
     df2 = spark.createDataFrame([(1, "a. b. a. c")], "doc_id long, text string")
     side = dedup_segments(df2, "text", delimiter=". ", out="clean").collect()[0]
     assert side.text == "a. b. a. c" and side.clean == "a. b. c"
+
+
+def test_domain_filter_block_and_allow_with_subdomains(spark):
+    from lens_spark.operators.text import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.example.com/page"),
+         (2, "http://www.example.com/a?x=1"),
+         (3, "https://good.org/b"),
+         (4, "https://notexample.com/c")],      # NOT a subdomain match
+        "doc_id long, url string")
+    blocked = {r.doc_id for r in
+               domain_filter(df, "url", ["example.com"]).collect()}
+    assert blocked == {3, 4}
+    allowed = {r.doc_id for r in
+               domain_filter(df, "url", ["example.com"],
+                             mode="allow").collect()}
+    assert allowed == {1, 2}
+
+
+def test_truncate_tokens_caps_only_long_docs(spark):
+    from lens_spark.operators.text import truncate_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a  b\tc d e"),       # 5 tokens, odd whitespace
+         (2, "one two")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           truncate_tokens(df, "text", 3).collect()}
+    assert out[1] == "a b c"               # rewritten, single spaces
+    assert out[2] == "one two"             # under cap: original bytes
