@@ -280,7 +280,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
-    qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    # queries are broadcast as per-query LUTs — bounded driver collect,
+    # loud refusal beyond (same contract as bloom_decontaminate's
+    # max_driver_grams): a panel past ~4k queries should be chunked by
+    # the caller, not silently ballooned into a (nq, m, ksub) broadcast.
+    max_queries = 4096
+    qpdf = (queries.select(F.col(id_col).alias("qid"), vec_col)
+            .limit(max_queries + 1).toPandas())
+    if len(qpdf) > max_queries:
+        from lens_spark.errors import LensError
+        raise LensError(f"pq_topk: query panel exceeds {max_queries}; "
+                        "run in panels (the LUT broadcast scales with nq)")
     qids = qpdf["qid"].to_numpy()
     qv = np.stack(qpdf[vec_col].to_numpy())                    # (nq,dim)
     qnorm = np.sqrt((qv ** 2).sum(axis=1))

@@ -375,14 +375,16 @@ def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
     @pandas_udf("boolean")
     def contaminated(hs: pd.Series) -> pd.Series:
         ref = bc.value
-        flat = np.concatenate([np.asarray(h, dtype=np.int64)
-                               for h in hs]) if len(hs) else np.array([], dtype=np.int64)
+        # null text -> null shingle array -> None here: not contaminated
+        arrs = [np.asarray(h if h is not None else [], dtype=np.int64)
+                for h in hs]
+        flat = (np.concatenate(arrs) if arrs
+                else np.array([], dtype=np.int64))
         hits = np.isin(flat, ref)
         out, pos = [], 0
-        for h in hs:
-            n = len(h)
-            out.append(bool(hits[pos:pos + n].any()))
-            pos += n
+        for a in arrs:
+            out.append(bool(hits[pos:pos + len(a)].any()))
+            pos += len(a)
         return pd.Series(out)
 
     gram_hashes = F.transform(_shingles(text_col, ngram, shingle),

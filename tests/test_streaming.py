@@ -372,3 +372,25 @@ def test_stream_decontaminate_matches_batch_decontaminate(spark, tmp_path):
     out = run_available_now(clean)
     assert {r.doc_id for r in out.collect()} == expect
     assert len(expect) < docs.count()     # the filter provably cut
+
+
+def test_stream_decontaminate_null_text_passes_through(spark, tmp_path):
+    import pandas as pd
+
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_available_now,
+        stream_decontaminate,
+    )
+
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["clean words here", None]}
+                 ).to_parquet(src / "d.parquet")
+    bench = spark.createDataFrame([("nothing shared",)], "bench_text string")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "d.parquet"))
+    out = run_available_now(stream_decontaminate(
+        stream, bench, text_col="text", bench_text_col="bench_text",
+        ngram=2))
+    assert {r.doc_id for r in out.collect()} == {1, 2}
