@@ -2148,15 +2148,17 @@ WITH raw AS (
 ),
 k AS (
   SELECT doc_id, url,
-         regexp_extract(
-           regexp_replace(
+         regexp_replace(regexp_replace(
+           regexp_extract(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(lower(url), '^https?://', ''),
-                 '^www\.', ''),
-               '[?#].*$', ''),
-             '/$', ''),
-           '^([^/]+)', 1) AS dom
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\.', ''),
+                 '[?#].*$', ''),
+               '/$', ''),
+             '^([^/]+)', 1),
+           '^[^/@]*@', ''), ':[0-9]+$', '') AS dom
   FROM raw
 )
 SELECT doc_id, url FROM k

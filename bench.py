@@ -21,7 +21,7 @@ large corpus" ingest shape), so its r3+ numbers are NOT comparable to
 r1/r2. In round 4 `x3_ann_topk` changed shape too: it now emits a
 measured recall_at_k column (adds an in-query brute-force reference
 pass) and runs at higher-recall LSH parameters (num_bits 6→4,
-num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds eight
+num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds nine
 new headline entries (x3_ann_serving — the serving-path split of the
 reshaped x3_ann_topk — plus x5_span_dedup, x5_unigram_logprob,
 x2_semdedup, x9_curation_pipeline, x2_cross_neardup,
@@ -31,6 +31,7 @@ list 27 → 36 queries. Compare per-query medians, not totals, across rounds.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -115,7 +116,6 @@ def main() -> int:
         # interval is 30 min, longer than this whole bench): without
         # this, heavy queries late in the 33-query list measured ~2×
         # their isolated time from accumulated executor memory pressure.
-        import gc
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if warm:

@@ -1685,12 +1685,8 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     combined) and the final anti-join on id. Never corpus × benchmark.
     """
     grams = _shingles(text_col, ngram, shingle)
-    bench_grams = (
-        benchmark.select(
-            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
-                      ).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
-    )
+    bench_grams = _bench_gram_hashes(
+        benchmark, bench_text_col or text_col, ngram, shingle)
     doc_grams = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col), F.explode(grams).alias("__g")
     ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__gh"))
@@ -1701,6 +1697,30 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
         .select(id_col)
     )
     return df.join(contaminated, id_col, "left_anti")
+
+
+def _bench_gram_hashes(benchmark: DataFrame, text_col: str, ngram: int,
+                       shingle: str) -> DataFrame:
+    """Distinct xxhash64 n-gram keys of a benchmark table — the shared
+    build side of the decontamination family (exact / bloom / stream)."""
+    return (benchmark.select(
+                F.explode(_shingles(text_col, ngram, shingle)).alias("__g"))
+            .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct())
+
+
+def _collect_bench_gram_hashes(bench_grams: DataFrame,
+                               max_driver_grams: int, op_name: str):
+    """Driver-side int64 hash array with the bounded-collect guard
+    (loud refusal beyond ``max_driver_grams`` instead of a silent
+    driver OOM)."""
+    arr = (bench_grams.limit(max_driver_grams + 1).toPandas()["__gh"]
+           .to_numpy(dtype=np.int64))
+    if len(arr) > max_driver_grams:
+        raise LensError(
+            f"{op_name}: benchmark gram set exceeds "
+            f"max_driver_grams={max_driver_grams}; shard the benchmark or "
+            f"use decontaminate()")
+    return arr
 
 
 def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
@@ -1738,19 +1758,18 @@ def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     import math
 
     grams = _shingles(text_col, ngram, shingle)
-    bench_grams = (
-        benchmark.select(
-            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
-                      ).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
-    )
-    hashes = (bench_grams.limit(max_driver_grams + 1).toPandas()["__gh"]
-              .to_numpy(dtype=np.int64).view(np.uint64))
-    if len(hashes) > max_driver_grams:
-        raise LensError(
-            f"bloom_decontaminate: benchmark gram set exceeds "
-            f"max_driver_grams={max_driver_grams}; shard the benchmark or "
-            f"use decontaminate()")
+    # Eagerly checkpoint the distinct gram-hash set: both the driver
+    # collect (bitset build) and the confirm semi-join read it, and
+    # without pinning, each would recompute the full benchmark
+    # explode+distinct from scratch (a second multi-minute job at the
+    # 10⁹-gram target). Checkpoint blocks are freed by the
+    # ContextCleaner when the returned plan drops out of reference.
+    bench_grams = _bench_gram_hashes(
+        benchmark, bench_text_col or text_col, ngram, shingle
+    ).localCheckpoint(eager=True)
+    hashes = _collect_bench_gram_hashes(
+        bench_grams, max_driver_grams, "bloom_decontaminate"
+    ).view(np.uint64)
     n = max(len(hashes), 1)
     m_bits = 1 << max(int(math.ceil(math.log2(n * bits_per_gram))), 6)
     k_probes = max(1, round(0.6931 * m_bits / n))

@@ -294,9 +294,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     qids = qpdf["qid"].to_numpy()
     qv = np.stack(qpdf[vec_col].to_numpy())                    # (nq,dim)
     qnorm = np.sqrt((qv ** 2).sum(axis=1))
-    # per-query IP lookup tables: (nq, m, ksub)
+    # per-query IP lookup tables: (nq, m, ksub) — shipped as a REAL
+    # SparkContext broadcast, not closure capture: at the 4096-query
+    # bound the LUT is ~17 MB, which as a pickled task closure would
+    # be re-serialized per action (shortlist + final rank both
+    # re-evaluate `scored`)
     lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
                     for j in range(m)], axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((lut, qids, qnorm))
 
     enc = (ensure_parallelism(corpus)
            .select(F.col(id_col).alias("neighbor_id"),
@@ -307,22 +312,24 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     keep_n = max(int(rerank), k) if rerank else k
 
     def score_batches(batches):
+        b_lut, b_qids, b_qnorm = bc.value
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy()
             codes = np.stack(pdf["__codes"].to_numpy())        # (n,m)
-            ip = np.zeros((len(nid), len(qids)))
+            ip = np.zeros((len(nid), len(b_qids)))
             rn2 = np.zeros(len(nid))
             for j in range(m):
-                ip += lut[:, j, codes[:, j]].T                 # (n,nq)
+                ip += b_lut[:, j, codes[:, j]].T               # (n,nq)
                 rn2 += sqnorm[j][codes[:, j]]
-            denom = np.sqrt(np.maximum(rn2, 1e-12))[:, None] * qnorm[None, :]
+            denom = np.sqrt(np.maximum(rn2, 1e-12))[:, None] \
+                * b_qnorm[None, :]
             s = np.round(ip / np.maximum(denom, 1e-12), 6)     # (n,nq)
             rows = []
             kk = min(keep_n + 1 if exclude_self else keep_n, len(nid))
-            for qi in range(len(qids)):
+            for qi in range(len(b_qids)):
                 top = np.argpartition(-s[:, qi], kk - 1)[:kk]
                 rows.append(pd.DataFrame({
-                    "query_id": qids[qi], "neighbor_id": nid[top],
+                    "query_id": b_qids[qi], "neighbor_id": nid[top],
                     "score": s[top, qi]}))
             yield pd.concat(rows, ignore_index=True)
 

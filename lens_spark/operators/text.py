@@ -738,7 +738,13 @@ def domain_filter(df: DataFrame, url_col: str, domains: list[str], *,
     if mode not in ("block", "allow"):
         raise LensError(f"domain_filter: mode must be block|allow, "
                         f"got {mode!r}")
-    dom = url_domain(F.col(url_col))
+    # Match on the HOST alone: strip userinfo ("user@host") and an
+    # explicit port ("host:8080") before comparing, or a blocklisted
+    # domain is silently bypassed by any URL carrying either (fails
+    # open in block mode, fails closed in allow mode).
+    dom = F.regexp_replace(
+        F.regexp_replace(url_domain(F.col(url_col)), r"^[^/@]*@", ""),
+        r":\d+$", "")
     dl = F.array(*[F.lit(str(d).lower()) for d in domains])
     hit = F.exists(dl, lambda b: (dom == b)
                    | dom.endswith(F.concat(F.lit("."), b)))

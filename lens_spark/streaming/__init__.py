@@ -353,23 +353,16 @@ def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
     """
     from pyspark.sql.functions import pandas_udf
 
-    from lens_spark.errors import LensError
-    from lens_spark.operators.dedup import _shingles
-
-    bench_grams = (
-        benchmark.select(
-            F.explode(_shingles(bench_text_col or text_col, ngram, shingle)
-                      ).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh")).distinct()
+    from lens_spark.operators.dedup import (
+        _bench_gram_hashes,
+        _collect_bench_gram_hashes,
+        _shingles,
     )
-    bench = np.sort(
-        bench_grams.limit(max_driver_grams + 1).toPandas()["__gh"]
-        .to_numpy(dtype=np.int64))
-    if len(bench) > max_driver_grams:
-        raise LensError(
-            f"stream_decontaminate: benchmark gram set exceeds "
-            f"max_driver_grams={max_driver_grams}; shard the benchmark "
-            "or decontaminate in batch")
+
+    bench = np.sort(_collect_bench_gram_hashes(
+        _bench_gram_hashes(benchmark, bench_text_col or text_col,
+                           ngram, shingle),
+        max_driver_grams, "stream_decontaminate"))
     bc = stream_df.sparkSession.sparkContext.broadcast(bench)
 
     @pandas_udf("boolean")
@@ -380,7 +373,11 @@ def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
                 for h in hs]
         flat = (np.concatenate(arrs) if arrs
                 else np.array([], dtype=np.int64))
-        hits = np.isin(flat, ref)
+        if len(ref):
+            idx = np.searchsorted(ref, flat)
+            hits = ref[np.minimum(idx, len(ref) - 1)] == flat
+        else:
+            hits = np.zeros(len(flat), dtype=bool)
         out, pos = [], 0
         for a in arrs:
             out.append(bool(hits[pos:pos + len(a)].any()))

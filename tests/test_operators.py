@@ -972,7 +972,9 @@ def test_domain_filter_block_and_allow_with_subdomains(spark):
         [(1, "https://spam.example.com/page"),
          (2, "http://www.example.com/a?x=1"),
          (3, "https://good.org/b"),
-         (4, "https://notexample.com/c")],      # NOT a subdomain match
+         (4, "https://notexample.com/c"),       # NOT a subdomain match
+         (5, "https://evil.example.com:8080/p"),  # port must not bypass
+         (6, "http://u:pw@example.com/q")],       # userinfo must not bypass
         "doc_id long, url string")
     blocked = {r.doc_id for r in
                domain_filter(df, "url", ["example.com"]).collect()}
@@ -980,7 +982,7 @@ def test_domain_filter_block_and_allow_with_subdomains(spark):
     allowed = {r.doc_id for r in
                domain_filter(df, "url", ["example.com"],
                              mode="allow").collect()}
-    assert allowed == {1, 2}
+    assert allowed == {1, 2, 5, 6}
 
 
 def test_truncate_tokens_caps_only_long_docs(spark):
