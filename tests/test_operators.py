@@ -996,3 +996,45 @@ def test_truncate_tokens_caps_only_long_docs(spark):
            truncate_tokens(df, "text", 3).collect()}
     assert out[1] == "a b c"               # rewritten, single spaces
     assert out[2] == "one two"             # under cap: original bytes
+
+
+def test_round5_lenses_compose_via_lens_spec(spark):
+    """Every round-5 lens is reachable through the engine's spec path
+    (registration + argument parsing), composed into one pipeline:
+    markup strip → within-doc dedup → truncate → domain blocklist →
+    keep-best → profile. Values are covered by the per-operator tests;
+    this pins the lens-file surface."""
+    from lens_spark import engine
+
+    df = spark.createDataFrame(
+        [(1, "<p>hello world</p>\n<p>hello world</p>", 5.0,
+          "https://ok.org/a"),
+         (2, "<b>hello world</b>", 9.0, "https://ok.org/b"),
+         (3, "unique text here", 1.0, "https://spam.bad.com/c")],
+        "doc_id long, text string, score double, url string")
+    spec = {"lenses": [
+        {"name": "html_to_text", "arguments": {"column": "text"}},
+        {"name": "dedup_segments", "arguments": {"column": "text",
+                                                 "delimiter": " "}},
+        {"name": "truncate_tokens", "arguments": {"column": "text",
+                                                  "max_tokens": 8}},
+        {"name": "domain_filter", "arguments": {"column": "url",
+                                                "domains": ["bad.com"]}},
+        {"name": "dedup_keep_best", "arguments": {
+            "keys": ["text"], "score": "score", "tie": "doc_id"}},
+    ]}
+    out = {r.doc_id: r.text for r in engine.append(df, spec).collect()}
+    # doc 3 blocked by domain; docs 1+2 normalize to "hello world" and
+    # keep-best picks the higher score (doc 2)
+    assert out == {2: "hello world"}
+
+    prof = engine.append(df, {"lenses": [
+        {"name": "dataset_profile", "arguments": {
+            "columns": ["doc_id", "url"], "exact": True}}]})
+    got = {r.col_name: r.n_distinct for r in prof.collect()}
+    assert got == {"doc_id": 3, "url": 3}
+
+    chunks = engine.append(df, {"lenses": [
+        {"name": "chunk_documents", "arguments": {
+            "column": "text", "size": 2}}]})
+    assert chunks.count() >= 3 and "chunk_text" in chunks.columns
