@@ -110,14 +110,6 @@ def main() -> int:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # Release the previous queries' driver-GC-gated state (broadcast
-        # blocks, localCheckpoint RDDs — Spark's ContextCleaner only
-        # frees them after a driver GC, and the default periodicGC
-        # interval is 30 min, longer than this whole bench): without
-        # this, heavy queries late in the 33-query list measured ~2×
-        # their isolated time from accumulated executor memory pressure.
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
         if warm:
             for _ in range(2):
                 try:
@@ -127,6 +119,20 @@ def main() -> int:
         samples: list[float] = []
         try:
             for _ in range(n_runs):
+                # Release prior GC-gated state (broadcast blocks,
+                # localCheckpoint RDDs — Spark's ContextCleaner only frees
+                # them after a driver GC, and the default periodicGC
+                # interval is 30 min, longer than this whole bench) before
+                # EVERY timed run, not just per query: checkpoint-heavy
+                # queries (x2_neardup_incremental) measured 3.1s on their
+                # first post-GC run and 9.2s on runs 2-3 of the same query
+                # when their own runs' garbage accumulated — the isolated
+                # query is flat at ~3.2s across back-to-back runs, so the
+                # slowdown is bench-session heap pressure, not operator
+                # cost. GC time is outside the timer; each sample measures
+                # the plan, not the harness's allocation history.
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - start)

@@ -237,12 +237,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 
     Dataflow: (1) train codebooks driver-side on the id-ordered first
     ``train_size`` corpus vectors (bounded collect, faiss's train-on-
-    sample practice; deterministic); (2) one narrow encode pass
-    (vectorized argmin kernel); (3) one narrow scan of the encoded
-    corpus with the query LUTs broadcast — each batch emits only its
-    local top-k per query (≤ k rows per query per batch), then the
-    shared two-stage ``_rank_topk`` finishes. No shuffle touches a
-    vector or a code: only (query_id, neighbor_id, score) scalars.
+    sample practice; deterministic); (2) ONE narrow corpus scan that
+    encodes (vectorized argmin kernel) and ADC-scores (LUT sums) in the
+    same Arrow stage with the query LUTs broadcast — each batch emits
+    only its local top-k per query (≤ k rows per query per batch), then
+    the shared two-stage ``_rank_topk`` finishes. No shuffle touches a
+    vector or a code: only (query_id, neighbor_id, score) scalars. (A
+    persistent deployment materializes the codes once — see
+    ``embedding_neardup_incremental``'s parquet index — and runs only
+    the LUT half per panel; in-query, fusing the passes drops a Python
+    worker boundary.)
 
     Scores are approximate cosine against the RECONSTRUCTED corpus
     vector (IP and norm both from lookup tables), rounded to 6dp.
@@ -256,8 +260,6 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     error then only costs recall when a true neighbor falls outside
     the shortlist, not when ADC misorders the shortlist.
     """
-    from pyspark.sql.functions import pandas_udf
-
     ksub = 1 << int(nbits)
     if dim % m != 0:
         from lens_spark.errors import LensError
@@ -269,16 +271,6 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         .select(vec_col).toPandas()[vec_col].to_numpy())
     books = _pq_train_codebooks(sample, m, ksub, int(iters))   # (m,ksub,dsub)
     sqnorm = (books ** 2).sum(axis=2)                          # (m,ksub)
-
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
-        x = np.stack(vecs.to_numpy())                          # (n,dim)
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for j in range(m):
-            xs = x[:, j * dsub:(j + 1) * dsub]                 # (n,dsub)
-            d = (xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T + sqnorm[j]
-            codes[:, j] = d.argmin(axis=1)
-        return pd.Series(list(codes))
 
     # queries are broadcast as per-query LUTs — bounded driver collect,
     # loud refusal beyond (same contract as bloom_decontaminate's
@@ -303,19 +295,29 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                     for j in range(m)], axis=1)
     bc = corpus.sparkSession.sparkContext.broadcast((lut, qids, qnorm))
 
-    enc = (ensure_parallelism(corpus)
-           .select(F.col(id_col).alias("neighbor_id"),
-                   encode(F.col(vec_col)).alias("__codes")))
-
     out_schema = "query_id long, neighbor_id long, score double"
     # batch-local prune depth: the rerank shortlist must survive it
     keep_n = max(int(rerank), k) if rerank else k
 
+    # Encode + ADC score fused in ONE Arrow stage: a persistent
+    # deployment materializes the codes once (that is exactly what
+    # embedding_neardup_incremental's parquet index stores) and runs
+    # only the LUT half per query panel, but for a one-shot query a
+    # separate encode pass just adds a second Python worker boundary
+    # shipping the codes through Arrow — measured ~2× the serving
+    # latency at small scale with zero plan benefit (the two stages
+    # fuse into the same corpus scan anyway).
     def score_batches(batches):
         b_lut, b_qids, b_qnorm = bc.value
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy()
-            codes = np.stack(pdf["__codes"].to_numpy())        # (n,m)
+            x = np.stack(pdf["__v"].to_numpy())                # (n,dim)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub:(j + 1) * dsub]             # (n,dsub)
+                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
+                     + sqnorm[j])
+                codes[:, j] = d.argmin(axis=1)
             ip = np.zeros((len(nid), len(b_qids)))
             rn2 = np.zeros(len(nid))
             for j in range(m):
@@ -333,23 +335,38 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                     "score": s[top, qi]}))
             yield pd.concat(rows, ignore_index=True)
 
-    scored = enc.mapInPandas(score_batches, out_schema)
+    scored = (ensure_parallelism(corpus)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__v"))
+              .mapInPandas(score_batches, out_schema))
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     if not rerank:
         return _rank_topk(scored, "query_id", k)
     shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
-    cand = shortlist.join(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv")), "neighbor_id")
+    # The shortlist is bounded by rerank·|queries| rows (≤ 4096·rerank by
+    # the panel cap) — broadcast it into the candidate fetch so the
+    # corpus side never shuffles: at 100 TB the alternative is a full
+    # sort-merge exchange of every corpus vector to re-rank a few
+    # thousand candidates.
+    cand = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cv")) \
+        .join(F.broadcast(shortlist), "neighbor_id")
     qdf = queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("__qv"))
     exact = (cand.join(F.broadcast(qdf), "query_id")
              .withColumn("score", F.round(
                  cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
              .select("query_id", "neighbor_id", "score"))
-    return _rank_topk(exact, "query_id", k)
+    # Final rank over the rerank set: per query it holds ≤ `rerank` rows
+    # by construction (the shortlist IS a global per-query top-rerank),
+    # so the two-stage funnel guard is unnecessary — one window pass.
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (exact.withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
 
 
 def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
