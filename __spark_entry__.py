@@ -1010,6 +1010,37 @@ def q_x7_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("repeat_idx").cast("bigint").alias("repeat_idx"))
 
 
+def q_x7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every-7th document is
+    the "target distribution" sample, the rest are the raw pool; each
+    raw doc scores the log-likelihood ratio of the target's
+    unigram+bigram LM over the pool's own (add-0.5 smoothing, shared
+    vocab). Unbucketed mode — exact gram identity — so DuckDB
+    reproduces it gram-for-gram; the hashed fixed-dimension mode is
+    pinned by tests/test_selection.py instead."""
+    from lens_spark.operators.selection import dsir_logweights
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.filter("doc_id % 7 <> 0").select("doc_id", "text")
+    tgt = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    out = dsir_logweights(raw, tgt, "doc_id", "text")
+    return out.select("doc_id", "dsir_logweight")
+
+
+def q_x7_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end selection: weight the raw pool against the
+    target sample, then keep 50 docs by Gumbel-top-k resampling
+    (∝ importance weight, without replacement, md5-deterministic —
+    engine-portable, so the DuckDB oracle replays the exact draw)."""
+    from lens_spark.operators.selection import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.filter("doc_id % 7 <> 0").select("doc_id", "source", "text")
+    tgt = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    out = dsir_select(raw, tgt, "doc_id", "text", n=50)
+    return out.select("doc_id", "source")
+
+
 def q_x7_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-stratum deterministic sampling (frozen eval panels):
     30 docs per source, chosen as the stratum's global md5 top-k via
@@ -1632,13 +1663,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x5_quality_filter / e8_inversion_roundtrip, joins by
         # join_enriched_orders, temporal by range_join_events +
         # events_sessionized, x4 by x4_audio_features).
+        # round-5 final rotation: the DSIR pair (new this round) takes
+        # the slots of m5_counter_large / e8_inversion_roundtrip (each
+        # ≥3 rounds driver-green; counter stays covered by m7_explode's
+        # M-family chain + the tail's m5_counter, inversion by
+        # e1_composition + the tail's m2_inverse_roundtrip).
         "x5_chunk_docs": q_x5_chunk_docs,
         "x1_keep_best": q_x1_keep_best,
-        "m5_counter_large": q_m5_counter_large,
+        "x7_dsir_weights": q_x7_dsir_weights,
         "m7_explode": q_m7_explode,
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
-        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
+        "x7_dsir_select": q_x7_dsir_select,
         "x1_dedup_exact": q_x1_dedup_exact,
         "x2_jaccard_verified": q_x2_jaccard_verified,
         "x2_embedding_neardup": q_x2_embedding_neardup,
@@ -1690,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_hash_embedding": q_x5_hash_embedding,
         "x9_curation_pipeline": q_x9_curation_pipeline,
         # --- slots 51+: hash-checkable, operator covered above --------
+        "m5_counter_large": q_m5_counter_large,
+        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
         "m2_add": q_m2_add,
         "m6_filter": q_m6_filter,
         "join_anti_customers": q_join_anti_customers,
@@ -1861,6 +1899,49 @@ cand AS (
 """
 
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+# DSIR (selection.py): shared CTE chain computing per-raw-doc log
+# importance weights against the every-7th-doc target sample — the
+# unigram+bigram LM ratio with add-0.5 smoothing over the shared vocab,
+# gram-exact (the operator's num_buckets=None mode).
+_DSIR_BIGRAMS_SQL = ("list_transform(range(2, len(w) + 1), "
+                     "i -> w[i-1] || ' ' || w[i])")
+_DSIR_ORACLE_PREFIX = f"""
+WITH raw AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+tgt AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+rt AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM raw),
+tt AS (SELECT {_TOKENS_SQL} AS w FROM tgt),
+rg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(w) AS g FROM rt
+    UNION ALL
+    SELECT doc_id, unnest({_DSIR_BIGRAMS_SQL}) AS g FROM rt
+  )
+),
+tg AS (
+  SELECT g FROM (
+    SELECT unnest(w) AS g FROM tt
+    UNION ALL
+    SELECT unnest({_DSIR_BIGRAMS_SQL}) AS g FROM tt
+  )
+),
+cr AS (SELECT g, count(*) AS c FROM rg GROUP BY g),
+ct AS (SELECT g, count(*) AS c FROM tg GROUP BY g),
+merged AS (
+  SELECT coalesce(cr.g, ct.g) AS g,
+         coalesce(cr.c, 0) AS c_raw, coalesce(ct.c, 0) AS c_tgt
+  FROM cr FULL OUTER JOIN ct ON cr.g = ct.g
+),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt, count(*) AS v
+        FROM merged),
+ratio AS (
+  SELECT g, ln((c_tgt + 0.5) / (t_tgt + 0.5 * v))
+            - ln((c_raw + 0.5) / (t_raw + 0.5 * v)) AS lr
+  FROM merged CROSS JOIN tot
+),
+per_doc AS (SELECT doc_id, round(sum(lr), 6) AS lw
+            FROM rg JOIN ratio USING (g) GROUP BY doc_id)
+"""
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -2087,6 +2168,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
         "x7_oversample": _oversample_oracle_sql(),
+        "x7_dsir_weights": _DSIR_ORACLE_PREFIX + r"""
+SELECT r.doc_id, coalesce(p.lw, 0.0) AS dsir_logweight
+FROM raw r LEFT JOIN per_doc p USING (doc_id)""",
+        "x7_dsir_select": _DSIR_ORACLE_PREFIX + f"""
+SELECT doc_id, source FROM (
+  SELECT r.doc_id, r.source,
+         coalesce(p.lw, 0.0)
+         - ln(-ln(({_hex2int_sql("substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8)")} + 1)
+                  / 4294967297.0)) AS gkey
+  FROM raw r LEFT JOIN per_doc p USING (doc_id)
+) ORDER BY gkey DESC, doc_id ASC LIMIT 50""",
         "x2_simhash": _simhash_oracle_sql(),
         "x2_dup_span_stats": """
 WITH toks AS (

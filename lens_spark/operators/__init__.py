@@ -11,6 +11,7 @@ Importing this package registers all built-in lenses. Modules:
   relational— join / aggregate / window / sort / limit / set ops (§2.6 built-ins)
   temporal  — as-of join, gap sessionization, session windows (batch+stream)
   clustering— X3 ext: distributed Lloyd's k-means + SemDedup semantic dedup
+  selection — X7 ext: DSIR importance weighting + Gumbel-top-k resampling
 """
 
 from lens_spark.operators.base import (
@@ -33,6 +34,7 @@ from lens_spark.operators import sampling as _sampling  # noqa: F401
 from lens_spark.operators import ranking as _ranking  # noqa: F401
 from lens_spark.operators import packing as _packing  # noqa: F401
 from lens_spark.operators import clustering as _clustering  # noqa: F401
+from lens_spark.operators import selection as _selection  # noqa: F401
 
 __all__ = [
     "Lens",

@@ -1,0 +1,254 @@
+"""Target-distribution data selection: DSIR importance weighting and
+deterministic Gumbel-top-k resampling.
+
+Implements Data Selection with Importance Resampling ("DSIR", Xie et
+al., NeurIPS 2023): score every raw-corpus document by the
+log-likelihood ratio of a target-corpus n-gram LM over the raw corpus'
+own n-gram LM, then resample proportionally to the importance weight
+without replacement. The selected subset is distributed like the
+target (e.g. books + wikipedia) while drawn from the raw pool (e.g.
+a web crawl) — the standard pretraining-data curation step between
+quality filtering and dedup.
+
+No reference counterpart (the reference has no text or selection
+operators, SURVEY.md §2.6) — X-series extension for the LLM-pipeline
+surface, composing with quality_filter / unigram_logprob (same
+bag-of-ngrams machinery) and sampling.py (same md5 determinism).
+
+Scale design (100 TB raw pool, GB-scale target):
+- Features are unigrams + bigrams keyed by xxhash64 (8-byte exchange
+  keys, never gram text), optionally folded into ``num_buckets``
+  hashed buckets — the paper's fixed-dimension trick. Bucketed, both
+  LMs are ≤ num_buckets rows (10⁴ by default ≙ the paper), so the
+  log-ratio table AQE-broadcasts into the scoring join and the raw
+  corpus is never shuffled for scoring: one explode pass, one
+  broadcast join, one per-doc sum agg.
+- Unbucketed (num_buckets=None) the ratio table is vocab-sized and
+  the scoring join is a plain 8-byte-key hash join (AQE handles
+  stop-gram skew) — the oracle-checkable mode: DuckDB reproduces the
+  gram strings, not xxhash64 buckets.
+- Selection is one narrow scoring pass + a global top-n. Exact top-n
+  funnels candidate rows through a driver-side TakeOrdered of n rows —
+  fine up to ~10⁷ selected; past that use ``threshold`` mode, which
+  spends one approxQuantile job on (logweight + gumbel) and then
+  selects by narrow filter — no sort, no funnel, boundary rows only
+  approximate (the paper's selection boundary is itself a noisy
+  estimate, so an epsilon-quantile boundary is semantically free).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lens_spark.errors import LensError
+from lens_spark.functions.text import tokens
+from lens_spark.operators.base import (
+    Lens,
+    ensure_parallelism,
+    register_lens,
+    require_arg,
+)
+
+#: md5-prefix width for the Gumbel draw: 8 hex chars = 32 uniform bits.
+_GUMBEL_PREFIX_W = 8
+
+
+def _gram_keys(text_col: str, *, num_buckets: int | None) -> Column:
+    """Array of 8-byte feature keys for one document: xxhash64 of every
+    unigram and every adjacent bigram (the DSIR feature space), folded
+    to ``pmod(·, num_buckets)`` when bucketed. Narrow — one expression,
+    no shuffle."""
+    tk = tokens(F.col(text_col))
+    uni = F.transform(tk, lambda t: F.xxhash64(t))
+    bi_keys = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(tk)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.element_at(tk, i - 1),
+                            F.element_at(tk, i))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    keys = F.concat(uni, bi_keys)
+    if num_buckets is not None:
+        keys = F.transform(keys, lambda h: F.pmod(h, F.lit(int(num_buckets))))
+    return keys
+
+
+def _lm_counts(docs: DataFrame, text_col: str, *,
+               num_buckets: int | None, name: str) -> DataFrame:
+    """(key, count) bag-of-ngrams table for one corpus — map-side
+    combined groupBy on 8-byte keys; bucketed it is ≤ num_buckets
+    rows."""
+    return (docs.select(F.explode(_gram_keys(text_col,
+                                             num_buckets=num_buckets))
+                        .alias("__g"))
+            .groupBy("__g").agg(F.count(F.lit(1)).alias(name)))
+
+
+def dsir_logweights(df: DataFrame, target: DataFrame, id_col: str,
+                    text_col: str, *, k: float = 0.5,
+                    num_buckets: int | None = None,
+                    out: str = "dsir_logweight") -> DataFrame:
+    """Append the DSIR log importance weight of every ``df`` (raw
+    corpus) document against a ``target`` corpus sample.
+
+    log w(x) = Σ_g c_g(x) · [ln p_target(g) − ln p_raw(g)] over the
+    document's unigram+bigram features, with both LMs add-``k``
+    smoothed over the SHARED vocabulary (the union of both corpora's
+    feature keys — grams seen only on one side get the smoothing floor
+    on the other, so no weight is ±inf). Rounded to 6 decimals;
+    token-less docs score 0.0 and keep their row (compose with an
+    explicit filter or ``dsir_select``).
+
+    ``num_buckets``: None → exact gram identity (hash-keyed; the
+    oracle-checkable mode); an int → the paper's hashed fixed-dimension
+    models (collisions intentional; ratio table bounded and
+    broadcastable at any corpus size).
+    """
+    # ONE tokenize+explode pass over the raw corpus: the (id, key)
+    # table feeds BOTH the raw LM count agg and the scoring join
+    # (checkpointed — without it each leg re-scans and re-hashes the
+    # text, the unigram_logprob lesson).
+    doc_grams = (ensure_parallelism(df, by=[id_col])
+                 .select(F.col(id_col).alias("__ds_id"),
+                         F.explode(_gram_keys(text_col,
+                                              num_buckets=num_buckets))
+                         .alias("__g"))
+                 .localCheckpoint(eager=False))
+    raw_counts = doc_grams.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__cr"))
+    tgt_counts = _lm_counts(
+        ensure_parallelism(target), text_col,
+        num_buckets=num_buckets, name="__ct")
+    # Shared-vocab ratio table: full outer join of the two count
+    # tables, missing side = 0. Bucketed this is ≤ num_buckets rows;
+    # unbucketed it is vocab-sized (still 8-byte keys + two longs).
+    merged = (raw_counts.join(tgt_counts, "__g", "full_outer")
+              .select("__g",
+                      F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                      F.coalesce("__ct", F.lit(0)).alias("__ct")))
+    totals = merged.agg(F.sum("__cr").alias("__tr"),
+                        F.sum("__ct").alias("__tt"),
+                        F.count(F.lit(1)).alias("__v"))
+    kk = float(k)
+    ratio_expr = (
+        F.log((F.col("__ct") + F.lit(kk))
+              / (F.col("__tt") + F.lit(kk) * F.col("__v")))
+        - F.log((F.col("__cr") + F.lit(kk))
+                / (F.col("__tr") + F.lit(kk) * F.col("__v"))))
+    ratio = (merged.crossJoin(F.broadcast(totals))
+             .select("__g", ratio_expr.alias("__lr"))
+             # Two consumers would re-run both count aggs; and AQE can
+             # only pick a broadcast join below when the ratio side's
+             # runtime size is known — the checkpoint pins both.
+             .localCheckpoint(eager=False))
+    per_doc = (doc_grams.join(ratio, "__g")
+               .groupBy("__ds_id")
+               .agg(F.round(F.sum("__lr"), 6).alias("__lw")))
+    joined = df.join(per_doc, df[id_col] == per_doc["__ds_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__lw"), F.lit(0.0))
+    ).drop("__ds_id", "__lw")
+
+
+def gumbel_key(id_col: str, logweight_col: str, *,
+               salt: str = "") -> Column:
+    """Deterministic Gumbel-perturbed selection key: logweight +
+    Gumbel(0,1) noise derived from md5(salt|id) — the Gumbel-top-k
+    trick samples WITHOUT replacement exactly ∝ softmax(logweight),
+    which is DSIR's importance resampling, while staying reproducible
+    across runs, engines, and partitionings (the sampling.py md5
+    contract; ``salt`` draws an independent selection).
+
+    u = (hex32 + 1) / (2³² + 1) ∈ (0, 1), g = −ln(−ln u).
+    """
+    prefix = F.substring(
+        F.md5(F.concat_ws("|", *( [F.lit(salt)] if salt else [] ),
+                          F.col(id_col).cast("string"))),
+        1, _GUMBEL_PREFIX_W)
+    u = ((F.conv(prefix, 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(2 ** 32 + 1)))
+    return F.col(logweight_col) - F.log(-F.log(u))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, *, n: int, k: float = 0.5,
+                num_buckets: int | None = None, salt: str = "",
+                method: str = "exact",
+                quantile_error: float = 0.001) -> DataFrame:
+    """DSIR end-to-end: weight ``df`` against ``target`` and keep ``n``
+    documents resampled ∝ importance weight (Gumbel-top-k, without
+    replacement, deterministic).
+
+    method="exact": global top-n by (gumbel key desc, id asc) — a
+    distributed TakeOrdered; the driver materializes n rows, so use it
+    up to ~10⁷. method="threshold": one approxQuantile job estimates
+    the n-th largest key, then a narrow filter keeps rows above it —
+    no global sort, no driver funnel, row count approximate within
+    ``quantile_error``·N of n (the scale path).
+    """
+    scored = dsir_logweights(df, target, id_col, text_col, k=k,
+                             num_buckets=num_buckets,
+                             out="__dsir_lw")
+    key = gumbel_key(id_col, "__dsir_lw", salt=salt)
+    scored = scored.withColumn("__dsir_key", key)
+    if method == "exact":
+        out = (scored.orderBy(F.col("__dsir_key").desc(),
+                              F.col(id_col).asc())
+               .limit(int(n)))
+    elif method == "threshold":
+        total = scored.count()
+        if total == 0 or n >= total:
+            out = scored
+        else:
+            q = 1.0 - float(n) / float(total)
+            thr = scored.approxQuantile("__dsir_key", [q],
+                                        float(quantile_error))[0]
+            out = scored.filter(F.col("__dsir_key") >= thr)
+    else:
+        raise LensError(
+            f"dsir_select: method must be 'exact' or 'threshold', "
+            f"got {method!r}")
+    return out.drop("__dsir_lw", "__dsir_key")
+
+
+@register_lens("dsir_logweights")
+def dsir_logweights_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), target_table (temp view name of
+    the target corpus), k (0.5), num_buckets (None), out
+    ("dsir_logweight"). Inverse drops the appended column."""
+    id_col = str(require_arg(arguments, "id", "dsir_logweights"))
+    text_col = str(require_arg(arguments, "column", "dsir_logweights"))
+    table = str(require_arg(arguments, "target_table", "dsir_logweights"))
+    out = str(arguments.get("out", "dsir_logweight"))
+    nb = arguments.get("num_buckets")
+
+    def fwd(df: DataFrame) -> DataFrame:
+        return dsir_logweights(
+            df, df.sparkSession.table(table), id_col, text_col,
+            k=float(arguments.get("k", 0.5)),
+            num_buckets=(int(nb) if nb is not None else None), out=out)
+
+    return Lens("dsir_logweights", arguments, fwd, lambda df: df.drop(out))
+
+
+@register_lens("dsir_select")
+def dsir_select_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), target_table, n, k (0.5),
+    num_buckets (None), salt (""), method ("exact")."""
+    id_col = str(require_arg(arguments, "id", "dsir_select"))
+    text_col = str(require_arg(arguments, "column", "dsir_select"))
+    table = str(require_arg(arguments, "target_table", "dsir_select"))
+    n = int(require_arg(arguments, "n", "dsir_select"))
+    nb = arguments.get("num_buckets")
+    return Lens(
+        "dsir_select", arguments,
+        lambda df: dsir_select(
+            df, df.sparkSession.table(table), id_col, text_col, n=n,
+            k=float(arguments.get("k", 0.5)),
+            num_buckets=(int(nb) if nb is not None else None),
+            salt=str(arguments.get("salt", "")),
+            method=str(arguments.get("method", "exact"))))

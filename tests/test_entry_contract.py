@@ -95,6 +95,11 @@ def test_driver_window_holds_only_hash_checkable_queries():
         # each >=3 rounds green, families still in-window):
         "x5_chunk_docs", "x1_keep_best", "x5_html_text",
         "x2_bloom_decontaminate", "x4_audio_features",
+        # round-5 final addition (swap for m5_counter_large /
+        # e8_inversion_roundtrip — each >=3 rounds green; counter
+        # covered by m7_explode + tail m5_counter, inversion by
+        # e1_composition + tail m2_inverse_roundtrip):
+        "x7_dsir_weights", "x7_dsir_select",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
@@ -106,7 +111,8 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "events_session_agg", "x5_lang_id", "x5_fingerprint_dups",
                  "x4_image_features", "m2_add", "m6_filter",
                  "join_anti_customers", "asof_last_event",
-                 "x4_media_metadata"):
+                 "x4_media_metadata", "m5_counter_large",
+                 "e8_inversion_roundtrip"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 

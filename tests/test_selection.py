@@ -1,0 +1,128 @@
+"""DSIR selection operators (selection.py): importance-weight
+semantics, hashed-bucket mode, deterministic Gumbel-top-k resampling,
+threshold-mode scale path, and the lens-spec surface. The gram-exact
+mode's values are pinned by the x7_dsir_* oracle queries; these tests
+pin the behaviors the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.operators.selection import (
+    dsir_logweights,
+    dsir_select,
+    gumbel_key,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "quantum flux capacitor hyperdrive engaged"),
+         (3, "the dog sat on the log"),
+         (4, "cat and dog sat by the door"),
+         (5, ""),
+         (6, None)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "the cat and the dog sat together"),
+         (101, "a cat sat near the dog")],
+        "doc_id long, text string")
+    return raw, target
+
+
+def test_target_like_docs_outweigh_off_distribution(corpora):
+    raw, target = corpora
+    w = {r.doc_id: r.dsir_logweight
+         for r in dsir_logweights(raw, target, "doc_id", "text").collect()}
+    # every cat/dog doc beats the off-distribution jargon doc
+    assert min(w[1], w[3], w[4]) > w[2]
+    # empty/null docs: no evidence, ratio 1, log 0 — kept with 0.0
+    assert w[5] == 0.0 and w[6] == 0.0
+    # all input rows and columns survive (append-only operator)
+    out = dsir_logweights(raw, target, "doc_id", "text")
+    assert out.count() == raw.count()
+    assert set(out.columns) == {"doc_id", "text", "dsir_logweight"}
+
+
+def test_bucketed_mode_preserves_the_separation(corpora):
+    """The paper's hashed fixed-dimension models trade gram identity
+    for boundedness — collisions shift values, but target-like vs
+    off-distribution separation must survive at any reasonable width."""
+    raw, target = corpora
+    w = {r.doc_id: r.dsir_logweight
+         for r in dsir_logweights(raw, target, "doc_id", "text",
+                                  num_buckets=256).collect()}
+    assert min(w[1], w[3], w[4]) > w[2]
+
+
+def test_select_exact_is_deterministic_and_partition_stable(corpora):
+    raw, target = corpora
+    pick = lambda df: sorted(
+        r.doc_id for r in
+        dsir_select(df, target, "doc_id", "text", n=3).collect())
+    first = pick(raw)
+    assert len(first) == 3
+    assert first == pick(raw)                       # re-run
+    assert first == pick(raw.repartition(7))        # repartition-stable
+    # a different salt may draw a different sample, but stays size-3
+    salted = dsir_select(raw, target, "doc_id", "text", n=3, salt="v2")
+    assert salted.count() == 3
+
+
+def test_select_weights_bias_the_draw(spark):
+    """With one doc vastly target-like and the rest off-distribution,
+    Gumbel-top-1 must pick it for (almost) any noise draw — the
+    importance weights dominate the Gumbel spread."""
+    raw = spark.createDataFrame(
+        [(i, "zork gork bork quux " * 5) for i in range(1, 20)]
+        + [(99, "alpha beta gamma delta " * 5)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta gamma delta")],
+        "doc_id long, text string")
+    got = [r.doc_id for r in
+           dsir_select(raw, target, "doc_id", "text", n=1).collect()]
+    assert got == [99]
+
+
+def test_select_threshold_mode_approximates_n(spark):
+    raw = spark.createDataFrame(
+        [(i, f"word{i % 7} word{i % 5} word{i % 3} filler common text")
+         for i in range(200)],
+        "doc_id long, text string")
+    target = raw.filter("doc_id % 4 = 0").select("doc_id", "text")
+    out = dsir_select(raw, target, "doc_id", "text", n=40,
+                      method="threshold", quantile_error=0.001)
+    # approxQuantile at 1e-3 relative error on 200 rows: boundary may
+    # shift by a few rows, never by a multiple
+    assert 30 <= out.count() <= 50
+
+
+def test_gumbel_key_matches_hand_computation(spark):
+    import hashlib
+    import math
+
+    df = spark.createDataFrame([(7, 1.5)], "doc_id long, lw double")
+    got = df.select(gumbel_key("doc_id", "lw").alias("k")).collect()[0].k
+    u = (int(hashlib.md5(b"7").hexdigest()[:8], 16) + 1) / (2 ** 32 + 1)
+    assert got == pytest.approx(1.5 - math.log(-math.log(u)), abs=1e-12)
+
+
+def test_lens_spec_path(spark, corpora):
+    from lens_spark import engine
+
+    raw, target = corpora
+    target.createOrReplaceTempView("dsir_target_view")
+    w = engine.append(raw, {"lenses": [{
+        "name": "dsir_logweights",
+        "arguments": {"id": "doc_id", "column": "text",
+                      "target_table": "dsir_target_view"}}]})
+    assert "dsir_logweight" in w.columns and w.count() == raw.count()
+    sel = engine.append(raw, {"lenses": [{
+        "name": "dsir_select",
+        "arguments": {"id": "doc_id", "column": "text",
+                      "target_table": "dsir_target_view", "n": 2}}]})
+    assert sel.count() == 2
