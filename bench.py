@@ -25,8 +25,9 @@ num_tables 4→16) — not comparable to r1-r3 either. Round 5 adds nine
 new headline entries (x3_ann_serving — the serving-path split of the
 reshaped x3_ann_topk — plus x5_span_dedup, x5_unigram_logprob,
 x2_semdedup, x9_curation_pipeline, x2_cross_neardup,
-x2_bloom_decontaminate, x3_pq_topk, x3_pq_serving), growing the
-list 27 → 36 queries. Compare per-query medians, not totals, across rounds.
+x2_bloom_decontaminate, x3_pq_topk, x3_pq_serving, and late in the
+round x7_dsir_weights), growing the list 27 → 37 queries. Compare
+per-query medians, not totals, across rounds.
 """
 
 from __future__ import annotations
@@ -81,6 +82,7 @@ HEADLINE = [
     "x2_bloom_decontaminate",  # broadcast-bitset prefilter + exact confirm (r5)
     "x3_pq_topk",            # product-quantization ADC + re-rank + recall (r5)
     "x3_pq_serving",         # PQ serving path alone (no brute reference, r5)
+    "x7_dsir_weights",       # DSIR importance weights: n-gram LM ratio (r5)
 ]
 
 

@@ -169,6 +169,23 @@ def test_span_dedup_plan_joins_on_hashes_no_quadratic(spark):
     assert "xxhash64" in plan  # span identity moves as 8-byte hashes
 
 
+def test_dsir_weights_plan_hashes_only_no_quadratic(spark):
+    """DSIR scoring: gram identity moves as xxhash64 keys, the count
+    aggs combine map-side, totals broadcast, and no cartesian pair
+    blowup anywhere (the raw×target interaction is the ratio-table
+    equi-join, never a doc-level cross join)."""
+    from lens_spark.operators.selection import dsir_logweights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dsir_logweights(docs.filter("doc_id % 7 <> 0"),
+                          docs.filter("doc_id % 7 = 0"),
+                          "doc_id", "text")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two LMs
+
+
 def test_unigram_logprob_plan_partial_aggs_and_broadcast_totals(spark):
     """Corpus-LM scoring: token counts partial-aggregate before the
     exchange, the 1-row totals side is broadcast, and the score join is
