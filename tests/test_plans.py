@@ -174,7 +174,7 @@ def test_dsir_weights_plan_hashes_only_no_quadratic(spark):
     aggs combine map-side, totals broadcast, and no cartesian pair
     blowup anywhere (the raw×target interaction is the ratio-table
     equi-join, never a doc-level cross join)."""
-    from lens_spark.operators.selection import dsir_logweights
+    from lens_spark.operators.selection import _lm_counts, dsir_logweights
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dsir_logweights(docs.filter("doc_id % 7 <> 0"),
@@ -182,8 +182,14 @@ def test_dsir_weights_plan_hashes_only_no_quadratic(spark):
                           "doc_id", "text")
     plan = _plan(out)
     assert "CartesianProduct" not in plan
-    assert "xxhash64" in plan
-    assert plan.count("HashAggregate") >= 4  # partial+final × two LMs
+    # partial+final of the per-doc score agg (the LM-count legs sit
+    # behind the doc-gram/ratio localCheckpoints, whose subtree explain
+    # truncates to ExistingRDD — assert their shape separately below)
+    assert plan.count("HashAggregate") >= 2
+    counts_plan = _plan(_lm_counts(docs, "text", num_buckets=None,
+                                   name="__c"))
+    assert "xxhash64" in counts_plan          # gram identity is 8-byte keys
+    assert counts_plan.count("HashAggregate") >= 2  # map-side partial
 
 
 def test_unigram_logprob_plan_partial_aggs_and_broadcast_totals(spark):
