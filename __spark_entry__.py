@@ -1589,6 +1589,17 @@ def q_x5_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_tokens(docs, "text", 50)
 
 
+def q_x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressed/raw size per doc — the whole-document
+    repetition/boilerplate signal. Rows-only: DuckDB has no zlib;
+    the monotonic repetitive<prose<random ordering and determinism
+    are pinned by tests/test_operators.py."""
+    from lens_spark.operators.text import compression_ratio
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs, "text")
+
+
 def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus audit (null_frac + distinct cardinality) in
     ONE aggregate pass (exact=True here for the oracle; the default
@@ -1640,7 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        x4_media_metadata — each ≥3 rounds driver-green). The tail test
        in tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 14 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 19 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
@@ -1784,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_windowed": q_streaming_events_windowed,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "x6_freq_items": q_x6_freq_items,
+        "x5_compression_ratio": q_x5_compression_ratio,
     }
 
 

@@ -1038,3 +1038,38 @@ def test_round5_lenses_compose_via_lens_spec(spark):
         {"name": "chunk_documents", "arguments": {
             "column": "text", "size": 2}}]})
     assert chunks.count() >= 3 and "chunk_text" in chunks.columns
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    """The zlib signal must rank: templated/repetitive < English prose
+    < high-entropy noise; empty/null score 0.0 and keep their rows;
+    the value is deterministic and matches a local zlib computation."""
+    import zlib
+
+    from lens_spark.operators.text import compression_ratio
+
+    rep = "buy now click here " * 50
+    prose = ("the quick brown fox jumps over the lazy dog while the "
+             "rain in spain stays mainly on the plain and every "
+             "sentence here says something new about something else")
+    import random
+    import string
+
+    rng = random.Random(0)  # seeded: deterministic, never repeats
+    noise = "".join(rng.choice(string.ascii_letters + string.digits
+                               + string.punctuation) for _ in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise), (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.compression_ratio
+           for r in compression_ratio(df, "text").collect()}
+    assert out[1] < out[2] < out[3]
+    assert out[4] == 0.0 and out[5] == 0.0
+    raw = rep.encode()
+    assert out[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    # spec path + inverse drops the column
+    from lens_spark import engine
+
+    spec = {"lenses": [{"name": "compression_ratio",
+                        "arguments": {"column": "text"}}]}
+    assert "compression_ratio" in engine.append(df, spec).columns
