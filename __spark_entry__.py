@@ -1951,7 +1951,9 @@ ratio AS (
             - ln((c_raw + 0.5) / (t_raw + 0.5 * v)) AS lr
   FROM merged CROSS JOIN tot
 ),
-per_doc AS (SELECT doc_id, round(sum(lr), 6) AS lw
+per_doc AS (SELECT doc_id,
+                   CAST(round(sum(CAST(lr AS DECIMAL(38,12))), 6) AS DOUBLE)
+                   AS lw
             FROM rg JOIN ratio USING (g) GROUP BY doc_id)
 """
 

@@ -145,9 +145,18 @@ def dsir_logweights(df: DataFrame, target: DataFrame, id_col: str,
              # only pick a broadcast join below when the ratio side's
              # runtime size is known — the checkpoint pins both.
              .localCheckpoint(eager=False))
+    # Fixed-point per-doc sum: each term is rounded into
+    # decimal(38,12) BEFORE the agg, so the sum is integer-exact and
+    # partition-order-independent — a plain double sum here is
+    # order-dependent in its last bits, and with values rounded to 6dp
+    # feeding an oracle value-hash, a sum landing near a .5e-6 boundary
+    # could round differently than DuckDB's single-threaded sum. The
+    # 12dp quantization error (≤5e-13/term) is absorbed by the final
+    # 6dp round.
     per_doc = (doc_grams.join(ratio, "__g")
                .groupBy("__ds_id")
-               .agg(F.round(F.sum("__lr"), 6).alias("__lw")))
+               .agg(F.round(F.sum(F.col("__lr").cast("decimal(38,12)")), 6)
+                    .cast("double").alias("__lw")))
     joined = df.join(per_doc, df[id_col] == per_doc["__ds_id"], "left")
     return joined.withColumn(
         out, F.coalesce(F.col("__lw"), F.lit(0.0))
@@ -200,6 +209,12 @@ def dsir_select(df: DataFrame, target: DataFrame, id_col: str,
                               F.col(id_col).asc())
                .limit(int(n)))
     elif method == "threshold":
+        # Three actions consume `scored` (count, approxQuantile, the
+        # returned filter) — without this checkpoint each one re-runs
+        # the full dsir_logweights scoring join + per-doc agg, tripling
+        # the most expensive stage of the scale path. Lazy: the count
+        # below materializes it once; the other two read the cache.
+        scored = scored.localCheckpoint(eager=False)
         total = scored.count()
         if total == 0 or n >= total:
             out = scored

@@ -201,15 +201,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 def _pq_train_codebooks(sample: np.ndarray, m: int, ksub: int,
                         iters: int) -> np.ndarray:
     """Driver-side Lloyd's per subspace over the (bounded) training
-    sample → (m, ksub, dsub) codebooks. Deterministic: init picks
-    evenly-spaced rows of the id-ordered sample; empty cells keep their
-    previous centroid. Runtime is O(iters · n_sample · ksub · dim) on
-    KB-scale arrays — negligible next to one corpus scan."""
+    sample → (m, ksub, dsub) codebooks. Deterministic AND sample-order-
+    independent: rows are ordered by an md5 of their own bytes (a
+    content-keyed pseudo-random shuffle — the same idiom the engine
+    uses for md5(id) sampling) and init picks evenly-spaced rows of
+    that view, so the codebooks are a function of the sample SET only
+    (changing how the sample is drawn or delivered cannot silently
+    change them). Empty cells keep their previous centroid. Runtime is
+    O(iters · n_sample · ksub · dim) on KB-scale arrays — negligible
+    next to one corpus scan."""
+    import hashlib
+
     n, dim = sample.shape
     dsub = dim // m
+    order = np.argsort([hashlib.md5(sample[i].tobytes()).hexdigest()
+                        for i in range(n)], kind="stable")
+    shuffled = sample[order]
     books = np.empty((m, ksub, dsub))
     for j in range(m):
-        x = sample[:, j * dsub:(j + 1) * dsub]
+        x = shuffled[:, j * dsub:(j + 1) * dsub]
         cent = x[np.linspace(0, n - 1, ksub).astype(int)].copy()
         for _ in range(iters):
             d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -266,9 +276,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         raise LensError(f"pq_topk: dim={dim} not divisible by m={m}")
     dsub = dim // m
 
+    # Codebook training sample: smallest-md5(id) rows (the kmeans_fit
+    # seeding idiom) — a deterministic uniform draw. The previous
+    # id-ordered prefix is biased whenever ids correlate with content
+    # or insertion time (they usually do in a crawl), which silently
+    # degrades ADC quality on the rest of the corpus.
     sample = np.stack(
-        corpus.orderBy(F.col(id_col).asc()).limit(int(train_size))
-        .select(vec_col).toPandas()[vec_col].to_numpy())
+        corpus.withColumn("__mk", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__mk").limit(int(train_size))
+        .select(vec_col).toPandas()[vec_col].to_numpy()).astype(np.float64)
     books = _pq_train_codebooks(sample, m, ksub, int(iters))   # (m,ksub,dsub)
     sqnorm = (books ** 2).sum(axis=2)                          # (m,ksub)
 

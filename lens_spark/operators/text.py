@@ -817,7 +817,9 @@ def compression_ratio(df: DataFrame, text_col: str, *,
     @pandas_udf("double")
     def ratio(texts: pd.Series) -> pd.Series:
         def one(t):
-            if t is None:
+            # pandas/Arrow may surface a missing string as NaN (float),
+            # not None — `t.encode` would raise inside the UDF.
+            if t is None or not isinstance(t, str):
                 return 0.0
             raw = t.encode("utf-8", "surrogatepass")
             if not raw:

@@ -101,6 +101,26 @@ def test_select_threshold_mode_approximates_n(spark):
     assert 30 <= out.count() <= 50
 
 
+def test_select_threshold_reads_scoring_from_checkpoint(spark):
+    """Threshold mode runs THREE actions over the scored frame (count,
+    approxQuantile, the returned filter) — the r5 verdict found each
+    one re-running the full dsir_logweights scoring join + per-doc
+    agg. The fix checkpoints `scored` first; structurally, the
+    returned plan must then read the materialized checkpoint
+    (ExistingRDD leaf) instead of containing the gram-explode /
+    scoring-join subtree."""
+    raw = spark.createDataFrame(
+        [(i, f"word{i % 7} word{i % 5} filler text") for i in range(60)],
+        "doc_id long, text string")
+    target = raw.filter("doc_id % 4 = 0").select("doc_id", "text")
+    out = dsir_select(raw, target, "doc_id", "text", n=20,
+                      method="threshold")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "Generate" not in plan, (
+        "threshold output re-runs the gram explode:\n" + plan)
+
+
 def test_gumbel_key_matches_hand_computation(spark):
     import hashlib
     import math
