@@ -1591,9 +1591,12 @@ def q_x5_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressed/raw size per doc — the whole-document
-    repetition/boilerplate signal. Rows-only: DuckDB has no zlib;
-    the monotonic repetitive<prose<random ordering and determinism
-    are pinned by tests/test_operators.py."""
+    repetition/boilerplate signal. Hash-checkable since round 6:
+    DuckDB has no zlib, but oracle_sql() is Python — the oracle embeds
+    a content-keyed (md5(text) → ratio) VALUES table precomputed with
+    the same zlib call over the sf0.001+sf0.01 corpora (the X4
+    fake-codec precedent: the oracle pins the exact values, pytest
+    pins the monotonic repetitive<prose<random ordering)."""
     from lens_spark.operators.text import compression_ratio
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1651,34 +1654,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        x4_media_metadata — each ≥3 rounds driver-green). The tail test
        in tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 19 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 18 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # round-5 late rotation: the eight operators NEW this round
-        # (span_dedup, unigram_logprob, token_budget_mix,
-        # shuffle_shards, sample_exact_k, winnow_fingerprints,
-        # hash_embedding, curation pipeline) take window slots so their
-        # FIRST external CORRECTNESS row lands this round; the evicted
-        # queries (m1_rename, rollup_revenue, pivot_status_revenue,
-        # window_running_revenue, events_session_agg, x5_lang_id,
-        # x5_fingerprint_dups, x4_image_features — each >=3 rounds
-        # driver-green, each with an operator-family sibling still
-        # in-window) keep the local tail-test oracle check.
-        # round-5 late additions (chunk_documents, dedup_keep_best,
-        # html_to_text, bloom_decontaminate, audio_features) take the
-        # slots of m2_add / m6_filter / join_anti_customers /
-        # asof_last_event / x4_media_metadata (each ≥3 rounds
-        # driver-green; filter+add stay covered by e1_composition /
-        # x5_quality_filter / e8_inversion_roundtrip, joins by
-        # join_enriched_orders, temporal by range_join_events +
-        # events_sessionized, x4 by x4_audio_features).
-        # round-5 final rotation: the DSIR pair (new this round) takes
-        # the slots of m5_counter_large / e8_inversion_roundtrip (each
-        # ≥3 rounds driver-green; counter stays covered by m7_explode's
-        # M-family chain + the tail's m5_counter, inversion by
-        # e1_composition + the tail's m2_inverse_roundtrip).
+        # round-6 rotation (the r5 verdict's top item): the 13
+        # hash-checkable queries that had NEVER had an external
+        # CORRECTNESS row (x2_contamination_score, x5_bigram_logprob,
+        # x2_winnow_pairs, x5_url_dedup, x5_segment_filter,
+        # x5_normalize_text, x2_cross_neardup, x9_dataset_diff,
+        # x9_outlier_filter, x9_profile, x5_dedup_segments,
+        # x5_domain_filter, x5_truncate_tokens) take the window slots
+        # of 13 queries that are each ≥3 rounds driver-green with an
+        # operator-family sibling still in-window (x1_dedup_exact →
+        # x1_keep_best; x2_jaccard_verified / x2_embedding_neardup /
+        # x2_ngram_jaccard / x2_decontaminate → x2_simhash +
+        # x2_dup_span_stats + x2_bloom_decontaminate + x2_winnow_fps +
+        # the three incoming x2; x3_quantize_embedding →
+        # x3_similarity_topk; x5_text_stats / x5_top_tokens /
+        # x5_repetition_stats / x5_quality_filter / x5_pii_redact →
+        # x5_chunk_docs + x5_html_text + x5_line_dedup + x5_span_dedup
+        # + the seven incoming x5; x7_hash_split → the six in-window
+        # x7; x8_tfidf_top_terms → x8_bm25). Evictees keep the local
+        # tail-test oracle check (round-5 rotation history in git).
         "x5_chunk_docs": q_x5_chunk_docs,
         "x1_keep_best": q_x1_keep_best,
         "x7_dsir_weights": q_x7_dsir_weights,
@@ -1686,18 +1685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
         "x7_dsir_select": q_x7_dsir_select,
-        "x1_dedup_exact": q_x1_dedup_exact,
-        "x2_jaccard_verified": q_x2_jaccard_verified,
-        "x2_embedding_neardup": q_x2_embedding_neardup,
-        "x2_ngram_jaccard": q_x2_ngram_jaccard,
-        "x2_decontaminate": q_x2_decontaminate,
-        # round-5 rotation: x2_simhash / x2_dup_span_stats /
-        # x5_line_dedup / x7_stratified_sample had never had an external
-        # CORRECTNESS row (local pytest only) — they take the window
-        # slots of e7_identity / join_semi_customers / stats_aggregates
-        # / x7_sample_hash (each ≥3 rounds driver-green, each with an
-        # operator-family sibling still in-window; evictees keep the
-        # local tail-test oracle check).
+        "x2_contamination_score": q_x2_contamination_score,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x2_cross_neardup": q_x2_cross_neardup,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x5_url_dedup": q_x5_url_dedup,
         "x2_simhash": q_x2_simhash,
         "x2_dup_span_stats": q_x2_dup_span_stats,
         "join_enriched_orders": q_join_enriched_orders,
@@ -1714,17 +1706,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": q_events_sessionized,
         "events_windowed": q_events_windowed,
         "x3_similarity_topk": q_x3_similarity_topk,
-        "x3_quantize_embedding": q_x3_quantize_embedding,
-        "x5_text_stats": q_x5_text_stats,
-        "x5_top_tokens": q_x5_top_tokens,
-        "x5_repetition_stats": q_x5_repetition_stats,
-        "x5_quality_filter": q_x5_quality_filter,
-        "x5_pii_redact": q_x5_pii_redact,
+        "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
+        "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
+        "x5_dedup_segments": q_x5_dedup_segments,
         "x5_line_dedup": q_x5_line_dedup,
-        "x7_hash_split": q_x7_hash_split,
+        "x5_domain_filter": q_x5_domain_filter,
         "x7_stratified_sample": q_x7_stratified_sample,
         "x7_oversample": q_x7_oversample,
-        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
         "x8_bm25": q_x8_bm25,
         "x4_audio_features": q_x4_audio_features,
         "x6_quantiles": q_x6_quantiles,
@@ -1763,19 +1755,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_lang_id": q_x5_lang_id,
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_image_features": q_x4_image_features,
-        "x2_contamination_score": q_x2_contamination_score,
-        "x5_bigram_logprob": q_x5_bigram_logprob,
-        "x2_winnow_pairs": q_x2_winnow_pairs,
-        "x5_url_dedup": q_x5_url_dedup,
-        "x5_segment_filter": q_x5_segment_filter,
-        "x5_normalize_text": q_x5_normalize_text,
-        "x2_cross_neardup": q_x2_cross_neardup,
-        "x9_dataset_diff": q_x9_dataset_diff,
-        "x9_outlier_filter": q_x9_outlier_filter,
-        "x9_profile": q_x9_profile,
-        "x5_dedup_segments": q_x5_dedup_segments,
-        "x5_domain_filter": q_x5_domain_filter,
-        "x5_truncate_tokens": q_x5_truncate_tokens,
+        # round-6 evictees (each ≥3 rounds driver-green; family
+        # siblings in-window; tail test oracle-checks these locally)
+        "x1_dedup_exact": q_x1_dedup_exact,
+        "x2_jaccard_verified": q_x2_jaccard_verified,
+        "x2_embedding_neardup": q_x2_embedding_neardup,
+        "x2_ngram_jaccard": q_x2_ngram_jaccard,
+        "x2_decontaminate": q_x2_decontaminate,
+        "x3_quantize_embedding": q_x3_quantize_embedding,
+        "x5_text_stats": q_x5_text_stats,
+        "x5_top_tokens": q_x5_top_tokens,
+        "x5_repetition_stats": q_x5_repetition_stats,
+        "x5_quality_filter": q_x5_quality_filter,
+        "x5_pii_redact": q_x5_pii_redact,
+        "x7_hash_split": q_x7_hash_split,
+        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        # round-6: hash-checkable via the precomputed-zlib oracle (was
+        # rows-only through r5); window slot next rotation
+        "x5_compression_ratio": q_x5_compression_ratio,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -1795,7 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_windowed": q_streaming_events_windowed,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "x6_freq_items": q_x6_freq_items,
-        "x5_compression_ratio": q_x5_compression_ratio,
     }
 
 
@@ -1998,6 +1994,42 @@ SELECT doc_id,
        CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
        CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
 FROM s
+"""
+
+
+def _compression_ratio_oracle_sql() -> str:
+    """Oracle for x5_compression_ratio. DuckDB has no zlib, but
+    oracle_sql() runs in Python — so the oracle PRECOMPUTES the exact
+    expected ratio per document with the very same
+    zlib.compress(level=6) call the operator's pandas UDF makes, and
+    embeds the results as a content-keyed (md5(utf8 bytes) → ratio)
+    VALUES table LEFT-JOINed against the live `documents` view. Keys
+    are content hashes, not doc_ids, so the same SQL string is correct
+    at every precomputed scale (sf0.001 for the local tail test,
+    sf0.01 for the driver); an unknown corpus yields NULL ratios → a
+    loud hash mismatch, never a silent pass. ~1000 rows ≈ 50 KB of
+    SQL — trivial for DuckDB's parser."""
+    import hashlib
+    import zlib
+
+    import duckdb as _dd
+
+    vals: dict[str, float] = {}
+    for sf in ("sf0.001", "sf0.01"):
+        rel = _dd.sql(
+            f"SELECT text FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE text IS NOT NULL AND length(text) > 0")
+        for (t,) in rel.fetchall():
+            raw = t.encode("utf-8", "surrogatepass")
+            vals[hashlib.md5(raw).hexdigest()] = round(
+                len(zlib.compress(raw, 6)) / len(raw), 6)
+    rows = ", ".join(f"('{h}', {r!r})" for h, r in sorted(vals.items()))
+    return f"""
+WITH v(h, r) AS (VALUES {rows})
+SELECT d.doc_id, d.text,
+       CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 0.0 ELSE v.r END
+           AS compression_ratio
+FROM documents d LEFT JOIN v ON md5(d.text) = v.h
 """
 
 
@@ -2995,6 +3027,7 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
 """,
         "x4_image_features": _image_features_oracle_sql(),
         "x4_audio_features": _audio_features_oracle_sql(),
+        "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x4_media_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
             " sha256(text) AS payload_sha256 FROM documents"

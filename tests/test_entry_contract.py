@@ -66,40 +66,31 @@ def test_driver_window_holds_only_hash_checkable_queries():
     last_hash = max(i for i, k in enumerate(qkeys) if k in oracles)
     assert last_hash < first_rows_only, (
         "hash-checkable query declared after a rows-only one")
-    # Rotation policy (round 5): queries with NO external CORRECTNESS
-    # row yet must be in-window; queries ≥3 rounds driver-green may
-    # rotate out to slots 51+ (where the tail test below still
-    # oracle-checks them locally) PROVIDED an operator-family sibling
-    # stays in-window. Round-5 rotations: x2_simhash,
-    # x2_dup_span_stats, x5_line_dedup, x7_stratified_sample in (for
-    # e7_identity, join_semi_customers, stats_aggregates,
-    # x7_sample_hash); then the eight operators NEW in round 5 in (for
-    # m1_rename, rollup_revenue, pivot_status_revenue,
-    # window_running_revenue, events_session_agg, x5_lang_id,
-    # x5_fingerprint_dups, x4_image_features).
+    # Rotation policy: queries with NO external CORRECTNESS row yet
+    # must be in-window; queries ≥3 rounds driver-green may rotate out
+    # to slots 51+ (where the tail test below still oracle-checks them
+    # locally) PROVIDED an operator-family sibling stays in-window.
+    # Round-6 rotation (the r5 verdict's top item): the 13 queries
+    # that had only local verification take the slots of 13 long-green
+    # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        "range_join_events", "x2_ngram_jaccard", "x7_hash_split",
-        "x5_top_tokens", "scalar_functions", "x5_repetition_stats",
-        "x5_quality_filter", "x5_pii_redact", "x2_decontaminate",
-        "x8_tfidf_top_terms", "x8_bm25", "x7_oversample",
-        "x3_quantize_embedding",
-        # never externally checked before round 5:
+        "range_join_events", "scalar_functions", "x8_bm25",
+        "x7_oversample",
+        # first externally checked in round 5 — keep for a 2nd row:
         "x2_simhash", "x2_dup_span_stats", "x5_line_dedup",
         "x7_stratified_sample",
-        # new operators in round 5 — first external check this round:
         "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
         "x7_shuffle_shards", "x7_sample_exact_k", "x2_winnow_fps",
         "x5_hash_embedding", "x9_curation_pipeline",
-        # round-5 late additions (swap for m2_add, m6_filter,
-        # join_anti_customers, asof_last_event, x4_media_metadata —
-        # each >=3 rounds green, families still in-window):
         "x5_chunk_docs", "x1_keep_best", "x5_html_text",
         "x2_bloom_decontaminate", "x4_audio_features",
-        # round-5 final addition (swap for m5_counter_large /
-        # e8_inversion_roundtrip — each >=3 rounds green; counter
-        # covered by m7_explode + tail m5_counter, inversion by
-        # e1_composition + tail m2_inverse_roundtrip):
         "x7_dsir_weights", "x7_dsir_select",
+        # round-6: first external CORRECTNESS row this round —
+        "x2_contamination_score", "x5_bigram_logprob",
+        "x2_winnow_pairs", "x5_url_dedup", "x5_segment_filter",
+        "x5_normalize_text", "x2_cross_neardup", "x9_dataset_diff",
+        "x9_outlier_filter", "x9_profile", "x5_dedup_segments",
+        "x5_domain_filter", "x5_truncate_tokens",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
@@ -112,7 +103,16 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x4_image_features", "m2_add", "m6_filter",
                  "join_anti_customers", "asof_last_event",
                  "x4_media_metadata", "m5_counter_large",
-                 "e8_inversion_roundtrip"):
+                 "e8_inversion_roundtrip",
+                 # round-6 evictees:
+                 "x1_dedup_exact", "x2_jaccard_verified",
+                 "x2_embedding_neardup", "x2_ngram_jaccard",
+                 "x2_decontaminate", "x3_quantize_embedding",
+                 "x5_text_stats", "x5_top_tokens", "x5_repetition_stats",
+                 "x5_quality_filter", "x5_pii_redact", "x7_hash_split",
+                 "x8_tfidf_top_terms",
+                 # round-6: rows-only → hash-checkable tail
+                 "x5_compression_ratio"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
