@@ -14,6 +14,22 @@ timing in this sandbox has been observed to swing untouched trivial
 queries 1.7-4x run-to-run, which made round-over-round headline deltas
 uninterpretable; the median of n>=3 is the official signal.
 
+Round-over-round normalization (new in round 6): the headline JSON
+carries a `calibration` entry — the median time of a PINNED synthetic
+workload (20M-row range → string-cast xxhash64 → 9973-key shuffle agg;
+no file I/O, no testdata dependence; never change it) timed under the
+exact same regime as the queries. Judging rounds 4 and 5 both had to
+hand-re-time queries to separate ~25% machine drift from real deltas;
+instead, divide each round's per-query medians by that round's
+`calibration` before comparing. The constant is machine-speed in this
+sandbox: ~same JVM, same 32 threads, same codegen path every round.
+
+GC-regime note: per-timed-run JVM GC (rather than per-query) landed
+mid-round-5, so BENCH_r05.json was already produced under the current
+regime; r4 and earlier were per-query-GC. The calibration entry exists
+precisely so such regime shifts stay visible: it is timed under
+whatever regime the queries use.
+
 Workload-comparability note for round-over-round deltas: in round 3
 `x2_neardup_incremental` deliberately changed shape (dedup batch
 shrank from doc_id%2=1 to doc_id%20=1 — the realistic "small batch vs
@@ -86,6 +102,24 @@ HEADLINE = [
 ]
 
 
+def _calibration_df(spark):
+    """PINNED machine-speed reference workload — never change this
+    (the whole point is a constant shape across rounds): 20M rows in
+    32 fixed partitions, a per-row string cast + xxhash64 (codegen +
+    CPU), and a 9973-key partial-agg shuffle. No files, no testdata,
+    no AQE surprises (single exchange, uniform keys)."""
+    from pyspark.sql import functions as F
+
+    return (spark.range(0, 20_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"),
+                    # pmod bounds the addend so the ANSI-mode sum of
+                    # 20M longs cannot overflow
+                    F.pmod(F.xxhash64(F.col("id").cast("string")),
+                           F.lit(1_000_003)).alias("h"))
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -150,6 +184,25 @@ def main() -> int:
             "runs": len(samples),
         }
 
+    # Calibration: same warm-up + per-run-GC + median regime as the
+    # queries; reported separately, never part of the headline total.
+    cal_samples: list[float] = []
+    for _ in range(2):
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    for _ in range(n_runs):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        start = time.perf_counter()
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+        cal_samples.append(time.perf_counter() - start)
+    calibration = round(statistics.median(cal_samples), 3)
+    stats["_calibration"] = {
+        "median": calibration,
+        "min": round(min(cal_samples), 3),
+        "max": round(max(cal_samples), 3),
+        "runs": len(cal_samples),
+    }
+
     total = round(sum(timings.values()), 3)
     # The driver machine-parses ONE stdout JSON line with a bounded capture
     # window (BENCH_r04 was lost to a bloated line). Keep the official line
@@ -170,6 +223,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": calibration,
         "sf": sf,
     }
     spark.stop()
