@@ -727,6 +727,92 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     )
 
 
+INDEX_PROBE_BUCKETS = 16
+"""Partition fan-out of the bucketed (kind, pb) incremental-index
+layout (r6). The probe key (band_hash / cell) folds into
+``pb = pmod(key-hash, INDEX_PROBE_BUCKETS)`` and the index is
+partitioned by it, so a small ingest batch's corpus probe prunes the
+parquet listing to the pb directories its own keys touch instead of
+scanning the whole band/cell index — the index grows with the corpus,
+the probe cost grows with the batch. 16 balances pruning granularity
+against files-per-append (each append writes ≤ buckets × files-per-
+partition new files)."""
+
+
+def _parts_pb_migration_recover(spark, parts_path: str) -> None:
+    """Roll an interrupted bucketed-layout migration forward or back.
+
+    ``_migrate_parts_to_bucketed`` stages: (tmp write) → rename parts →
+    parts.old → rename tmp → parts → delete parts.old. The tmp dataset
+    is complete before the first rename, so every crash point has a
+    deterministic recovery (run under the writer lock):
+
+    - parts + tmp       → crash before rename 1: tmp may be partial —
+      delete tmp, the migration will rerun;
+    - no parts, old+tmp → crash between renames: tmp is complete —
+      finish rename 2, drop old;
+    - parts + old       → crash before the final delete: drop old.
+    """
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    parts, tmp, old = P(parts_path), P(parts_path + ".migrating"), \
+        P(parts_path + ".old")
+    if fs.exists(parts):
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        if fs.exists(old):
+            fs.delete(old, True)
+        return
+    if fs.exists(old) and fs.exists(tmp):
+        if not fs.rename(tmp, parts):
+            raise LensError(
+                f"incremental index migration recovery at {parts_path!r}: "
+                "could not rename the completed .migrating dataset into "
+                "place — inspect the directory manually.")
+        fs.delete(old, True)
+
+
+def _parts_migration_leftovers(spark, parts_path: str) -> bool:
+    """True iff a bucketed-layout migration crashed in the unsafe
+    window (``parts/`` missing, staging dirs present) — read-only
+    callers must refuse rather than treat the index as empty."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return (not fs.exists(P(parts_path))) and (
+        fs.exists(P(parts_path + ".old"))
+        or fs.exists(P(parts_path + ".migrating")))
+
+
+def _migrate_parts_to_bucketed(spark, parts_path: str, pb_col) -> None:
+    """Rewrite a pre-r6 (kind-only) ``parts/`` index into the bucketed
+    (kind, pb) layout, in place, under the caller's writer lock.
+
+    Parquet partition discovery requires a uniform directory depth, so
+    old and new layouts cannot coexist in one dataset — the rewrite
+    stages into ``parts.migrating`` and swaps via two renames (see
+    ``_parts_pb_migration_recover`` for the crash matrix). One-time
+    cost proportional to the index (not the corpus) size.
+    """
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    (spark.read.parquet(parts_path).withColumn("pb", pb_col)
+     .write.mode("overwrite").partitionBy("kind", "pb")
+     .parquet(parts_path + ".migrating"))
+    if not fs.rename(P(parts_path), P(parts_path + ".old")):
+        raise LensError(
+            f"incremental index migration at {parts_path!r}: could not "
+            "stage the legacy dataset aside — inspect manually.")
+    if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+        raise LensError(
+            f"incremental index migration at {parts_path!r}: could not "
+            "rename the bucketed dataset into place — recovery will "
+            "complete it on the next locked call.")
+    fs.delete(P(parts_path + ".old"), True)
+
+
 INDEX_LOCK_STALE_SEC = 3600
 """A writer lock older than this is presumed abandoned (crashed writer
 that never reached its finally) and is broken by the next writer. Size
@@ -881,12 +967,18 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     ``dedup_incremental`` (which is exact-fingerprint only).
 
     The index at ``index_path`` is ONE parquet dataset ``parts/``
-    partitioned by ``kind`` (``kind=bands`` rows: (id, band_hash);
-    ``kind=sigs`` rows: (id, sig array)) — a few hundred bytes per
-    accepted doc regardless of document size. One dataset so the two
-    per-batch appends commit as one write job (one job's scheduling +
-    one pass over the survivor semi-joins instead of two); partition
-    pruning hands each reader only its own files. Flow:
+    partitioned by ``(kind, pb)`` (``kind=bands`` rows: (id,
+    band_hash); ``kind=sigs`` rows: (id, sig array); ``pb`` folds the
+    probe key into ``INDEX_PROBE_BUCKETS`` directories) — a few
+    hundred bytes per accepted doc regardless of document size. One
+    dataset so the two per-batch appends commit as one write job (one
+    job's scheduling + one pass over the survivor semi-joins instead
+    of two); partition pruning hands each reader only its own files,
+    and the ``pb`` fan-out additionally prunes the corpus band probe
+    to the buckets the batch's own bands touch (r6 — previously every
+    batch scanned the full band index). A pre-r6 kind-only ``parts/``
+    is rewritten into the bucketed layout once, under the writer lock,
+    with crash-recoverable staged renames. Flow:
 
     1. the batch is near-deduped internally (LSH self-join on the
        bands → minhash-estimate verify → components → min-id
@@ -965,16 +1057,21 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                 legacy_bands.select(
                     F.col(id_col), F.col("band_hash"),
                     F.lit(None).cast("array<bigint>").alias("sig"),
-                    F.lit("bands").alias("kind")))
+                    F.lit("bands").alias("kind"),
+                    F.pmod(F.xxhash64(F.col("band_hash")),
+                           F.lit(INDEX_PROBE_BUCKETS)).alias("pb")))
         if dataset_nonempty(spark, f"{index_path}/sigs"):
             legacy_sigs = spark.read.parquet(f"{index_path}/sigs")
             sigs_part = (legacy_sigs.select(
                     F.col(id_col),
                     F.lit(None).cast("string").alias("band_hash"),
-                    F.col("sig"), F.lit("sigs").alias("kind")))
+                    F.col("sig"), F.lit("sigs").alias("kind"),
+                    F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                           F.lit(INDEX_PROBE_BUCKETS)).alias("pb")))
             payload = (sigs_part if payload is None
                        else payload.unionByName(sigs_part))
-        payload.write.mode("append").partitionBy("kind").parquet(parts_path)
+        payload.write.mode("append").partitionBy("kind", "pb") \
+            .parquet(parts_path)
         jvm = spark._jvm
         fs = jvm.org.apache.hadoop.fs.Path(parts_path).getFileSystem(
             spark._jsc.hadoopConfiguration())
@@ -1061,9 +1158,20 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
         batch_ids = batch.select(F.col(id_col))
         sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
         bands = bands_all.join(batch_ids, id_col, "left_semi")
+    pb_of_band = F.pmod(F.xxhash64(F.col("band_hash")),
+                        F.lit(INDEX_PROBE_BUCKETS))
+    pb_of_id = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                      F.lit(INDEX_PROBE_BUCKETS))
     lock = (_index_writer_lock(spark, index_path)
             if (update_index and locked) else contextlib.nullcontext())
     with lock:
+        if update_index:
+            _parts_pb_migration_recover(spark, parts_path)
+        elif _parts_migration_leftovers(spark, parts_path):
+            raise LensError(
+                f"neardup_incremental: index at {index_path!r} has an "
+                "interrupted bucketed-layout migration; run once with "
+                "update_index=True to recover it before read-only use.")
         if _has_legacy_layout():
             if not update_index:
                 raise LensError(
@@ -1074,7 +1182,28 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
             _migrate_legacy_index()
         if dataset_nonempty(spark, parts_path):
             parts = spark.read.parquet(parts_path)
+            if "pb" not in parts.columns:
+                # pre-r6 kind-only layout: rewrite into (kind, pb) once
+                if not update_index:
+                    raise LensError(
+                        f"neardup_incremental: index at {index_path!r} "
+                        "predates the bucketed (kind, pb) layout; run "
+                        "once with update_index=True to migrate it "
+                        "before read-only use.")
+                _migrate_parts_to_bucketed(
+                    spark, parts_path,
+                    F.when(F.col("kind") == "bands", pb_of_band)
+                    .otherwise(pb_of_id))
+                parts = spark.read.parquet(parts_path)
+            # Prune the corpus probe to the pb partitions the batch's
+            # own bands touch: ≤ INDEX_PROBE_BUCKETS distinct values
+            # (bounded collect), and a small batch rarely covers them
+            # all — the scan then lists only the touched directories,
+            # so probe I/O scales with the batch, not the corpus.
+            batch_pbs = [r[0] for r in bands.select(
+                pb_of_band.alias("pb")).distinct().collect()]
             corpus_bands = (parts.filter(F.col("kind") == "bands")
+                            .filter(F.col("pb").isin(batch_pbs))
                             .select(F.col(id_col).alias("__cid"),
                                     "band_hash"))
             cand = (bands.join(corpus_bands, "band_hash")
@@ -1130,15 +1259,17 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                 out_bands
                 .select(F.col(id_col), F.col("band_hash"),
                         F.lit(None).cast("array<bigint>").alias("sig"),
-                        F.lit("bands").alias("kind"))
+                        F.lit("bands").alias("kind"),
+                        pb_of_band.alias("pb"))
                 .unionByName(
                     out_sigs
                     .select(F.col(id_col),
                             F.lit(None).cast("string").alias("band_hash"),
                             F.col("sig"),
-                            F.lit("sigs").alias("kind")))
+                            F.lit("sigs").alias("kind"),
+                            pb_of_id.alias("pb")))
             )
-            payload.write.mode("append").partitionBy("kind") \
+            payload.write.mode("append").partitionBy("kind", "pb") \
                 .parquet(parts_path)
     return fresh
 
@@ -1180,7 +1311,10 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
 
     - ``kind=cells``: (id, cell) — ``num_tables`` random-hyperplane
       sign-bucket cells per vector (the ann_topk kernel, seed-derived,
-      no stored model);
+      no stored model); partitioned further by ``pb = pmod(cell,
+      INDEX_PROBE_BUCKETS)`` so a batch's corpus probe prunes to the
+      cell buckets it touches (r6 — previously every batch scanned
+      the full cell index);
     - ``kind=vecs``: (id, qvec) — the int8-quantized vector. Cosine is
       scale-invariant, so the verify join needs no dequantization
       scale: cos(q·s, v) = cos(q, v). Quantization error perturbs the
@@ -1226,12 +1360,44 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
     cells = base.select(
         F.col(id_col), F.explode(bucket_udf(F.col(vec_col))).alias("cell"))
 
+    pb_of_cell = F.pmod(F.col("cell"), F.lit(INDEX_PROBE_BUCKETS))
+    pb_of_id = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                      F.lit(INDEX_PROBE_BUCKETS))
     lock = (_index_writer_lock(spark, index_path)
             if (update_index and locked) else contextlib.nullcontext())
     with lock:
+        if update_index:
+            _parts_pb_migration_recover(spark, parts_path)
+        elif _parts_migration_leftovers(spark, parts_path):
+            raise LensError(
+                f"embedding_neardup_incremental: index at {index_path!r} "
+                "has an interrupted bucketed-layout migration; run once "
+                "with update_index=True to recover it before read-only "
+                "use.")
         if dataset_nonempty(spark, parts_path):
             parts = spark.read.parquet(parts_path)
+            if "pb" not in parts.columns:
+                # pre-r6 kind-only layout: rewrite into (kind, pb) once
+                if not update_index:
+                    raise LensError(
+                        f"embedding_neardup_incremental: index at "
+                        f"{index_path!r} predates the bucketed (kind, "
+                        "pb) layout; run once with update_index=True "
+                        "to migrate it before read-only use.")
+                _migrate_parts_to_bucketed(
+                    spark, parts_path,
+                    F.when(F.col("kind") == "cells", pb_of_cell)
+                    .otherwise(pb_of_id))
+                parts = spark.read.parquet(parts_path)
+            # Prune the corpus probe to the pb partitions the batch's
+            # own cells touch (≤ INDEX_PROBE_BUCKETS values, bounded
+            # collect): probe I/O scales with the batch, not the
+            # accumulated corpus — the r5 full-index-scan-per-batch
+            # finding.
+            batch_pbs = [r[0] for r in cells.select(
+                pb_of_cell.alias("pb")).distinct().collect()]
             corpus_cells = (parts.filter(F.col("kind") == "cells")
+                            .filter(F.col("pb").isin(batch_pbs))
                             .select(F.col(id_col).alias("__cid"), "cell"))
             cand = (cells.join(corpus_cells, "cell")
                     .select(id_col, "__cid").distinct())
@@ -1264,14 +1430,16 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
                 out_cells.select(
                     F.col(id_col), F.col("cell"),
                     F.lit(None).cast("array<tinyint>").alias("qvec"),
-                    F.lit("cells").alias("kind"))
+                    F.lit("cells").alias("kind"),
+                    pb_of_cell.alias("pb"))
                 .unionByName(out_base.select(
                     F.col(id_col),
                     F.lit(None).cast("bigint").alias("cell"),
                     quantize_int8(F.col(vec_col)).alias("qvec"),
-                    F.lit("vecs").alias("kind")))
+                    F.lit("vecs").alias("kind"),
+                    pb_of_id.alias("pb")))
             )
-            payload.write.mode("append").partitionBy("kind") \
+            payload.write.mode("append").partitionBy("kind", "pb") \
                 .parquet(parts_path)
     return fresh
 

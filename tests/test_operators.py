@@ -304,6 +304,133 @@ def test_neardup_incremental_read_only_mode(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/parts").count() == n_index  # untouched
 
 
+def _partition_filter_pbs(df):
+    """pb values in the plan's parquet PartitionFilters IN-list."""
+    import re
+
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(),
+                                            "formatted")
+    m = re.search(r"PartitionFilters: \[[^\]]*pb#\d+ IN \(([^)]*)\)", plan)
+    assert m, f"no pb partition filter in plan:\n{plan}"
+    return {int(v) for v in m.group(1).split(",")}
+
+
+def test_neardup_incremental_probe_prunes_band_buckets(spark, tmp_path):
+    """r6: the corpus band probe must prune to the (kind, pb)
+    partitions the batch's own bands touch — a small batch's probe
+    lists a strict subset of the index's pb directories instead of
+    scanning the whole band index, and the dedup answer is unchanged."""
+    import os
+
+    from lens_spark.operators.dedup import (
+        INDEX_PROBE_BUCKETS,
+        neardup_incremental,
+    )
+
+    idx = str(tmp_path / "nd_prune")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(30)))
+         for i in range(40)] + [(99, _ND_A)],
+        "id long, text string")
+    neardup_incremental(corpus, idx, "id", "text", **kw)
+    # the accumulated index spreads bands over (nearly) all pb dirs
+    on_disk = {int(d.split("=")[1])
+               for d in os.listdir(f"{idx}/parts/kind=bands")
+               if d.startswith("pb=")}
+    assert len(on_disk) > 8, "corpus too small to spread over buckets"
+
+    probe = spark.createDataFrame(
+        [(200, _ND_A2), (201, "completely novel words nobody used")],
+        "id long, text string")
+    out = neardup_incremental(probe, idx, "id", "text",
+                              update_index=False, **kw)
+    # semantics unchanged: the corpus near-dup drops, the novel doc stays
+    assert {r.id for r in out.collect()} == {201}
+    # the probe plan's partition filter covers ≤ 2 docs × 4 bands of
+    # pb values — a strict subset of the index's populated directories
+    pbs = _partition_filter_pbs(out)
+    assert len(pbs) <= 8 < len(on_disk)
+
+
+def test_embedding_neardup_incremental_probe_prunes_cell_buckets(
+        spark, tmp_path):
+    """r6: same pruning contract for the persistent vector index — the
+    cell probe lists only the pb directories the batch's cells hash
+    into; results unchanged."""
+    import os
+
+    import numpy as np
+
+    from lens_spark.operators.dedup import embedding_neardup_incremental
+
+    rnd = np.random.RandomState(7)
+    idx = str(tmp_path / "vec_prune")
+    kw = dict(dim=8, threshold=0.95, num_bits=2, num_tables=4)
+    vecs = [_unit(list(rnd.randn(8))) for _ in range(40)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, vec array<float>")
+    embedding_neardup_incremental(corpus, idx, "id", "vec", **kw)
+    on_disk = {int(d.split("=")[1])
+               for d in os.listdir(f"{idx}/parts/kind=cells")
+               if d.startswith("pb=")}
+    assert len(on_disk) > 4, "corpus too small to spread over buckets"
+
+    near0 = _unit(list(np.array(vecs[0]) + 0.005))
+    probe = spark.createDataFrame(
+        [(100, near0)], "id long, vec array<float>")
+    out = embedding_neardup_incremental(probe, idx, "id", "vec",
+                                        update_index=False, **kw)
+    assert out.count() == 0  # still rejected as a near-copy
+    pbs = _partition_filter_pbs(out)
+    # 1 doc × num_tables cells → ≤ 4 pb values
+    assert len(pbs) <= 4 < len(on_disk)
+
+
+def test_neardup_incremental_unbucketed_index_migrates(spark, tmp_path):
+    """A pre-r6 kind-only parts/ index is rewritten into the (kind,
+    pb) layout on the first writing call; accumulated dedup state
+    survives the migration."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_unbucketed")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    b1 = spark.createDataFrame([(1, _ND_A), (2, _ND_B)],
+                               "id long, text string")
+    neardup_incremental(b1, idx, "id", "text", **kw)
+    # rewrite the index into the pre-r6 kind-only layout
+    legacy = spark.read.parquet(f"{idx}/parts").drop("pb").localCheckpoint()
+    shutil.rmtree(f"{idx}/parts")
+    legacy.write.partitionBy("kind").parquet(f"{idx}/parts")
+    assert "pb" not in spark.read.parquet(f"{idx}/parts").columns
+
+    # read-only refuses loudly (migration needs the write lease)
+    probe = spark.createDataFrame([(3, _ND_A2)], "id long, text string")
+    import pytest as _pytest
+
+    from lens_spark.errors import LensError
+
+    with _pytest.raises(LensError, match="bucketed"):
+        neardup_incremental(probe, idx, "id", "text",
+                            update_index=False, **kw)
+
+    # a writing call migrates and still remembers batch 1
+    out = neardup_incremental(probe, idx, "id", "text", **kw)
+    assert out.count() == 0
+    assert "pb" in spark.read.parquet(f"{idx}/parts").columns
+    assert any(d.startswith("pb=")
+               for d in os.listdir(f"{idx}/parts/kind=bands"))
+    # migration staging fully cleaned up
+    assert not os.path.exists(f"{idx}/parts.old")
+    assert not os.path.exists(f"{idx}/parts.migrating")
+
+
 def test_dedup_incremental_read_only_mode(spark, tmp_path):
     from lens_spark.operators.dedup import dedup_incremental
 
