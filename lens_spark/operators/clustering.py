@@ -29,6 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Mapping, Sequence
 
 import numpy as np
@@ -161,33 +162,39 @@ def kmeans(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
     return kmeans_assign(df, vec_col, cent, out=out)
 
 
-def semdedup(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
-             threshold: float = 0.95, max_iter: int = 5,
-             keep: str = "min") -> DataFrame:
-    """SemDedup: drop semantic near-duplicates found WITHIN k-means
-    clusters (Abbas et al. 2023) — the scale path for embedding dedup
-    when hyperplane-LSH recall is not enough: clustering adapts to the
-    data distribution where random hyperplanes don't.
+def semdedup_auto_k(n: int, *, min_k: int = 16, max_k: int = 4096) -> int:
+    """Cluster count for an ``n``-row corpus when the caller doesn't
+    pick one: ``ceil(sqrt(n))`` — clusters and rows-per-cluster grow
+    together (√n each), so neither the per-cluster pandas matmul nor
+    the cluster-level parallelism collapses as the corpus grows —
+    clamped to [min_k, max_k] and to n itself (kmeans_fit refuses
+    k > n). ``max_k`` bounds the driver-held centroid model (k×dim
+    doubles) and the seed collect; past ~10⁷ rows, set k explicitly
+    to n / target-rows-per-cluster (the task-memory dial the r5
+    verdict called out)."""
+    nn = max(int(n), 1)
+    k = math.isqrt(nn)
+    if k * k < nn:
+        k += 1
+    return max(1, min(nn, max(int(min_k), min(int(max_k), k))))
 
-    Pipeline: k-means (above) → per-cluster blocked-matmul cosine
-    verification (grouped kernel, only pairs ≥ ``threshold`` become
-    rows — same shape as embedding_neardup_pairs(method="lsh")) →
-    connected components → keep one representative per component:
-    ``keep="min"`` (smallest id — oldest/first-seen) or ``keep="max"``
-    (largest id — newest). Pairs split across clusters are missed —
-    that is SemDedup's documented recall trade; raise k for
-    smaller/faster tasks, lower k for higher recall.
-    """
-    from lens_spark.operators.dedup import connected_components
 
-    if keep not in ("min", "max"):
-        raise LensError(f"semdedup: keep must be 'min' or 'max', got {keep!r}")
-
+def semdedup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
+                   k: int | None = None, threshold: float = 0.95,
+                   max_iter: int = 5) -> DataFrame:
+    """The pair-generation stage of :func:`semdedup`: cluster, then
+    emit the verified within-cluster cosine-near pairs (id_a < id_b,
+    distinct). Split out so the verify stage's plan is inspectable
+    (tests assert the cluster repartition) and reusable for audits
+    that want the pairs, not the survivor set."""
+    if k is None:
+        k = semdedup_auto_k(df.select(id_col).count())
     assigned = (
         kmeans(ensure_parallelism(df, by=[id_col]), id_col, vec_col,
                k=k, max_iter=max_iter)
         .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                 "cluster")
+        .repartition(F.col("cluster"))
     )
     thr = float(threshold)
 
@@ -215,10 +222,44 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     id_type = dict(df.dtypes)[id_col]
-    pairs = (assigned.groupBy("cluster")
-             .applyInPandas(verify_cluster,
-                            schema=f"id_a {id_type}, id_b {id_type}")
-             .distinct())
+    return (assigned.groupBy("cluster")
+            .applyInPandas(verify_cluster,
+                           schema=f"id_a {id_type}, id_b {id_type}")
+            .distinct())
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
+             k: int | None = None,
+             threshold: float = 0.95, max_iter: int = 5,
+             keep: str = "min") -> DataFrame:
+    """SemDedup: drop semantic near-duplicates found WITHIN k-means
+    clusters (Abbas et al. 2023) — the scale path for embedding dedup
+    when hyperplane-LSH recall is not enough: clustering adapts to the
+    data distribution where random hyperplanes don't.
+
+    Pipeline: k-means (above) → per-cluster blocked-matmul cosine
+    verification (grouped kernel, only pairs ≥ ``threshold`` become
+    rows — same shape as embedding_neardup_pairs(method="lsh")) →
+    connected components → keep one representative per component:
+    ``keep="min"`` (smallest id — oldest/first-seen) or ``keep="max"``
+    (largest id — newest). Pairs split across clusters are missed —
+    that is SemDedup's documented recall trade; raise k for
+    smaller/faster tasks, lower k for higher recall.
+
+    ``k=None`` (default since r6) derives the cluster count from the
+    corpus size via ``semdedup_auto_k`` (≈ √n, clamped) — the r5
+    default of a fixed k=16 silently bounded both parallelism and
+    per-task memory as the corpus grew. One column-pruned count() pays
+    for the sizing. The cluster-grouped verify stage is explicitly
+    repartitioned by cluster so its exchange is the verify stage's
+    own, sized by spark.sql.shuffle.partitions.
+    """
+    from lens_spark.operators.dedup import connected_components
+
+    if keep not in ("min", "max"):
+        raise LensError(f"semdedup: keep must be 'min' or 'max', got {keep!r}")
+    pairs = semdedup_pairs(df, id_col, vec_col, k=k, threshold=threshold,
+                           max_iter=max_iter)
     comp = connected_components(pairs)
     if keep == "min":
         # component label IS the min member — non-representatives are
@@ -250,13 +291,15 @@ def kmeans_lens(arguments: Mapping[str, Any]) -> Lens:
 
 @register_lens("semdedup")
 def semdedup_lens(arguments: Mapping[str, Any]) -> Lens:
-    """arguments: id, vector, k (16), threshold (0.95), max_iter (5),
+    """arguments: id, vector, k (default: auto ≈ √n via
+    semdedup_auto_k), threshold (0.95), max_iter (5),
     keep ("min" | "max")."""
     id_col = str(require_arg(arguments, "id", "semdedup"))
     vec_col = str(require_arg(arguments, "vector", "semdedup"))
+    k_arg = arguments.get("k")
     return Lens("semdedup", arguments, lambda df: semdedup(
         df, id_col, vec_col,
-        k=int(arguments.get("k", 16)),
+        k=int(k_arg) if k_arg is not None else None,
         threshold=float(arguments.get("threshold", 0.95)),
         max_iter=int(arguments.get("max_iter", 5)),
         keep=str(arguments.get("keep", "min"))))

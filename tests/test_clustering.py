@@ -154,3 +154,40 @@ def test_semdedup_keep_max_and_invalid(spark):
     assert 5000 in kept and 0 not in kept
     with pytest.raises(LensError, match="keep must be"):
         semdedup(df, "vec_id", "embedding", k=3, keep="first")
+
+
+def test_semdedup_auto_k_formula():
+    """auto-k ≈ ceil(sqrt(n)), clamped to [16, 4096] and to n."""
+    from lens_spark.operators.clustering import semdedup_auto_k
+
+    assert semdedup_auto_k(10_000) == 100
+    assert semdedup_auto_k(10_001) == 101          # true ceiling
+    assert semdedup_auto_k(1_000_000) == 1000
+    assert semdedup_auto_k(100) == 16              # min clamp
+    assert semdedup_auto_k(10) == 10               # never exceeds n
+    assert semdedup_auto_k(10 ** 9) == 4096        # driver-model cap
+    assert semdedup_auto_k(0) == 1
+
+
+def test_semdedup_auto_k_runs_and_repartitions_by_cluster(spark):
+    """k=None sizes clusters from the corpus (here n=60 → k=16 > the
+    r5 fixed default's effective floor for tiny data) and the verify
+    stage's exchange hash-partitions on cluster — the parallelism
+    grows with k instead of being pinned at 16 as the corpus grows."""
+    from lens_spark.operators.clustering import semdedup
+
+    rows = _blob_rows(per=20)
+    rows.append((1000, [v + 1e-6 for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "vec_id", "embedding", threshold=0.999999,
+                   max_iter=3)
+    kept = {r.vec_id for r in out.collect()}
+    assert 1000 not in kept and 0 in kept and len(kept) == 60
+    # the verify stage (pair generation) hash-partitions on cluster
+    from lens_spark.operators.clustering import semdedup_pairs
+
+    pairs = semdedup_pairs(df, "vec_id", "embedding", threshold=0.999999,
+                           max_iter=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning(cluster" in plan, plan
