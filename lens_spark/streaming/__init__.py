@@ -171,6 +171,68 @@ def stateful_running_count(stream_df: DataFrame, keys: list[str],
     )
 
 
+def stateful_running_count_tws(stream_df: DataFrame, keys: list[str],
+                               out: str = "running_count") -> DataFrame:
+    """M5's counter semantics on the ``transformWithStateInPandas``
+    API (SURVEY §7.1 item 7 names it; the same operator as
+    :func:`stateful_running_count`, which stays on
+    ``applyInPandasWithState``): per-key cumulative event count that
+    survives micro-batches, one emitted row per key per batch.
+
+    Why both: transformWithState is Spark 4's successor surface for
+    custom stateful operators — typed state handles (value/list/map),
+    timers, TTL, and initial-state seeding — and it REQUIRES the
+    RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query;
+    the HDFS-backed default is refused by Spark). State per key is one
+    bigint in a ValueState; unbounded key domains should add a
+    ``ttlDurationMs`` to the state handle.
+
+    Environment note: Spark's transformWithState Python worker speaks
+    a protobuf protocol to the JVM state server — the ``protobuf``
+    package must be importable by the worker interpreter (it is a
+    standard PySpark extra on real clusters; absent in some minimal
+    containers, where starting the query fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The processor's
+    state machine itself is pinned by a runtime-free unit test.
+    """
+    from pyspark.sql.types import StructType
+
+    key_schema = stream_df.select(*keys).schema
+    out_schema = StructType(list(key_schema.fields)).add(out, "long")
+    return (stream_df.groupBy(*list(keys))
+            .transformWithStateInPandas(
+                running_count_processor(list(keys), out), out_schema,
+                "update", "none"))
+
+
+def running_count_processor(keys: list[str], out: str = "running_count"):
+    """The StatefulProcessor behind :func:`stateful_running_count_tws`
+    — module-level so its accumulate-across-batches contract is unit-
+    testable without the streaming runtime (init with any object
+    exposing ``getValueState(name, schema) -> ValueState``)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    kcols, outc = list(keys), str(out)
+
+    class _RunningCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timer_values=None):
+            seen = sum(len(pdf) for pdf in rows)
+            prev = self._total.get()
+            total = (prev[0] if prev is not None else 0) + seen
+            self._total.update((total,))
+            yield pd.DataFrame([{**dict(zip(kcols, key)), outc: total}])
+
+        def close(self) -> None:
+            pass
+
+    return _RunningCount()
+
+
 def streaming_dedup(stream_df: DataFrame, keys: list[str], *,
                     ts_col: str | None = None,
                     watermark: str = "1 hour") -> DataFrame:

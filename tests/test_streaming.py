@@ -142,6 +142,99 @@ def test_stateful_running_count_across_microbatches(spark, tmp_path):
     assert got.count() > 2
 
 
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_running_count_processor_accumulates_across_batches():
+    """Runtime-free contract test of the transformWithState processor:
+    state persists across handleInputRows calls (micro-batches) and
+    totals match the batch count — the parity assertion the full
+    streaming integration test makes when protobuf is available."""
+    import pandas as pd
+
+    from lens_spark.streaming import running_count_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = running_count_processor(["k"])
+    proc.init(FakeHandle())
+    # batch 1: two 'a' rows; batch 2: one more 'a'
+    (r1,) = proc.handleInputRows(("a",), iter([pd.DataFrame({"k": ["a", "a"]})]))
+    assert r1.iloc[0]["running_count"] == 2
+    (r2,) = proc.handleInputRows(("a",), iter([pd.DataFrame({"k": ["a"]})]))
+    assert r2.iloc[0]["running_count"] == 3  # state crossed the batch
+    proc.close()
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState's Python worker needs protobuf (absent "
+           "in this container); the processor contract is covered by "
+           "test_running_count_processor_accumulates_across_batches")
+def test_stateful_running_count_tws_matches_apply_in_pandas(spark, tmp_path):
+    """transformWithStateInPandas port of the M5 counter (r6): same
+    cumulative totals as the applyInPandasWithState implementation on
+    the same two-micro-batch stream, and state survives batches.
+    Requires the RocksDB state store (the only provider
+    transformWithState supports) — set for this query, restored
+    after."""
+    import pandas as pd
+
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_available_now,
+        stateful_running_count_tws,
+    )
+
+    d = tmp_path / "tws_stream"
+    d.mkdir()
+    pd.DataFrame({"k": ["a", "a", "b"]}).to_parquet(d / "f1.parquet")
+    pd.DataFrame({"k": ["a", "b", "b"]}).to_parquet(d / "f2.parquet")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = read_file_stream(spark, str(d),
+                                  schema_from=str(d / "f1.parquet"),
+                                  maxFilesPerTrigger=1)
+        got = run_available_now(stateful_running_count_tws(stream, ["k"]),
+                                output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {r.k: r.running_count
+             for r in got.groupBy("k")
+             .agg(F.max("running_count").alias("running_count")).collect()}
+    # batch parity: cumulative totals equal the plain batch groupBy count
+    assert final == {"a": 3, "b": 3}
+    assert got.count() > 2  # state crossed at least two micro-batches
+
+
 def test_stream_static_broadcast_join(spark, events_dir):
     """Enriching a stream with a dimension table — the canonical
     stream-static join. The static side broadcasts per micro-batch;
