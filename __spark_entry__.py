@@ -1603,6 +1603,56 @@ def q_x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs, "text")
 
 
+def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix truncation (MRL): keep the first 16 of 64
+    embedding dims + L2 renormalize — the sanctioned cheap shrink for
+    MRL-trained models (new r6). Checked via scalar digests of the
+    truncated vector (the driver canonicalizer can't sort array
+    columns — the x4 round-1 lesson)."""
+    spec = {"lenses": [{"name": "matryoshka_truncate", "arguments": {
+        "column": "embedding", "d": 16}}]}
+    out = engine.append(_read(spark, sf_dir, "embeddings"), spec)
+    v = F.col("embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("m_sum"),
+        F.round(F.array_min(v), 6).alias("m_min"),
+        F.round(F.array_max(v), 6).alias("m_max"),
+        F.size(v).alias("m_dim"),
+    )
+
+
+def q_x5_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style banding (new r6): unigram-LM surprisal scored per
+    doc, then head/middle/tail thirds WITHIN each source stratum
+    (percent_rank window partitioned by source, doc_id tiebreak) —
+    the composed form of CCNet's per-language perplexity buckets."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    spec = {"lenses": [
+        {"name": "unigram_logprob", "arguments": {
+            "id": "doc_id", "column": "text"}},
+        {"name": "score_band", "arguments": {
+            "column": "mean_logprob", "id": "doc_id",
+            "strata": "source", "bands": 3}},
+    ]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "source", "band")
+
+
+def q_x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram containment pairs (new r6): the asymmetric-overlap
+    signal Jaccard misses — a short doc wholly contained in a long one
+    scores ~1.0 on its side regardless of the size ratio. Same
+    inverted-index join shape as x2_ngram_jaccard."""
+    from lens_spark.operators.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text",
+                             ngram=MH_SHINGLE_W, threshold=0.5)
+
+
 def q_x9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column corpus audit (null_frac + distinct cardinality) in
     ONE aggregate pass (exact=True here for the oracle; the default
@@ -1773,6 +1823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6: hash-checkable via the precomputed-zlib oracle (was
         # rows-only through r5); window slot next rotation
         "x5_compression_ratio": q_x5_compression_ratio,
+        # new operators in round 6 — window slots next rotation; until
+        # then the tail test oracle-checks them locally on every run
+        "x3_matryoshka": q_x3_matryoshka,
+        "x5_logprob_band": q_x5_logprob_band,
+        "x2_containment": q_x2_containment,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2862,6 +2917,64 @@ SELECT id_a, id_b,
 FROM common JOIN sizes na ON common.id_a = na.doc_id
             JOIN sizes nb ON common.id_b = nb.doc_id
 WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
+""",
+        "x2_containment": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / na.n, 6) AS containment_a,
+       round(CAST(c AS DOUBLE) / nb.n, 6) AS containment_b
+FROM common JOIN sizes na ON common.id_a = na.doc_id
+            JOIN sizes nb ON common.id_b = nb.doc_id
+WHERE greatest(round(CAST(c AS DOUBLE) / na.n, 6),
+               round(CAST(c AS DOUBLE) / nb.n, 6)) >= 0.5
+""",
+        "x3_matryoshka": """
+WITH h AS (SELECT vec_id, list_slice(embedding, 1, 16) AS h
+           FROM embeddings),
+n AS (SELECT vec_id, h,
+             sqrt(list_sum(list_transform(
+                 h, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+      FROM h),
+t AS (SELECT vec_id,
+             CASE WHEN nrm > 0
+                  THEN list_transform(h, v -> CAST(v AS DOUBLE) / nrm)
+                  ELSE list_transform(h, v -> 0.0) END AS t
+      FROM n)
+SELECT vec_id,
+       round(list_sum(t), 6) AS m_sum,
+       round(list_min(t), 6) AS m_min,
+       round(list_max(t), 6) AS m_max,
+       CAST(len(t) AS INT) AS m_dim
+FROM t
+""",
+        "x5_logprob_band": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS lp
+  FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source, coalesce(p.lp, 0.0) AS lp
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, source,
+       CAST(least(floor(percent_rank() OVER (
+                PARTITION BY source ORDER BY lp DESC, doc_id ASC) * 3),
+            2) AS INT) AS band
+FROM scored
 """,
         "x5_top_tokens": f"""
 WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)

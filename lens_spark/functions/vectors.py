@@ -46,6 +46,30 @@ def dequantize_int8(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda q: q.cast("double") * scale)
 
 
+def matryoshka_truncate(vec: Column, d: int, *,
+                        renormalize: bool = True) -> Column:
+    """Matryoshka-style dimensionality reduction: keep the first ``d``
+    components of an MRL-trained embedding and (by default) L2-
+    renormalize, so downstream cosine math keeps unit-norm semantics
+    ("Matryoshka Representation Learning", Kusupati et al. 2022 — MRL
+    models pack the coarse representation into the prefix, so prefix
+    truncation is the sanctioned cheap shrink, unlike PCA which needs
+    a trained projection).
+
+    JVM-side (slice/aggregate/transform): shrinking a 100 TB embedding
+    column is one narrow codegen'd scan, 4×-16× less sink I/O at
+    d = dim/4..dim/16. Zero prefixes stay zero vectors rather than
+    dividing by 0. DuckDB twin: list_slice + list_transform.
+    """
+    head = F.slice(vec, 1, int(d))
+    if not renormalize:
+        return F.transform(head, lambda x: x.cast("double"))
+    nrm = l2_norm(head)
+    return F.when(
+        nrm > 0, F.transform(head, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(head, lambda x: F.lit(0.0)))
+
+
 def quantization_error(vec: Column) -> Column:
     """Max absolute reconstruction error of the int8 round-trip —
     bounded by s/2; a cheap per-row audit column for quantized stores."""

@@ -510,3 +510,30 @@ def quantize_embedding_lens(arguments: Mapping[str, Any]) -> Lens:
         ).drop(scale_col)
 
     return Lens("quantize_embedding", arguments, fwd, inv)
+
+
+@register_lens("matryoshka_truncate")
+def matryoshka_truncate_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Truncate an MRL embedding column to its first ``d`` components
+    (+ L2 renormalize by default) — the cheap storage/bandwidth shrink
+    for Matryoshka-trained models. Lossy: no inverse (composes with an
+    upstream rename to keep the original).
+
+    arguments: column, d, renormalize (true), out (default in-place).
+    """
+    from lens_spark.functions.vectors import matryoshka_truncate
+
+    from lens_spark.errors import LensError
+
+    vec_col = str(require_arg(arguments, "column", "matryoshka_truncate"))
+    d = int(require_arg(arguments, "d", "matryoshka_truncate"))
+    if d < 1:
+        raise LensError(f"matryoshka_truncate: d must be >= 1, got {d}")
+    out = str(arguments.get("out", vec_col))
+    renorm = bool(arguments.get("renormalize", True))
+
+    def fwd(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            out, matryoshka_truncate(F.col(vec_col), d, renormalize=renorm))
+
+    return Lens("matryoshka_truncate", arguments, fwd)

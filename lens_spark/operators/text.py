@@ -261,6 +261,55 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__lp_id", "__lp_mean")
 
 
+def score_band(df: DataFrame, score_col: str, id_col: str, *,
+               strata: str, bands: int = 3, descending: bool = True,
+               out: str = "band") -> DataFrame:
+    """CCNet-style head/middle/tail banding of a quality score WITHIN
+    each stratum: band 0 holds the top 1/``bands`` of each stratum by
+    ``score_col`` (CCNet buckets per-language KenLM perplexity and
+    keeps the head; compose with an m6 filter on ``band``).
+
+    band = min(floor(percent_rank · bands), bands−1) over a window
+    PARTITIONED by ``strata`` and ordered by (score, id) — the id
+    tiebreak makes the banding deterministic across partitionings and
+    engines. A partitioned sort, never a global one: stratum size is
+    the skew dial (CCNet's strata are languages/snapshots — bounded);
+    for a single global band over an unbounded corpus use quantile
+    thresholds instead (the dsir_select threshold idiom), which is why
+    ``strata`` is required rather than defaulting to a global window.
+    """
+    from pyspark.sql import Window
+
+    nb = int(bands)
+    if nb < 2:
+        raise LensError(f"score_band: bands must be >= 2, got {bands}")
+    order = (F.col(score_col).desc() if descending
+             else F.col(score_col).asc())
+    w = Window.partitionBy(strata).orderBy(order, F.col(id_col).asc())
+    pr = F.percent_rank().over(w)
+    return df.withColumn(
+        out,
+        F.least(F.floor(pr * nb), F.lit(nb - 1)).cast("int"))
+
+
+@register_lens("score_band")
+def score_band_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (score), id, strata, bands (3), descending
+    (true), out ("band"). Inverse drops the appended column."""
+    score_col = str(require_arg(arguments, "column", "score_band"))
+    id_col = str(require_arg(arguments, "id", "score_band"))
+    strata = str(require_arg(arguments, "strata", "score_band"))
+    out = str(arguments.get("out", "band"))
+    return Lens(
+        "score_band", arguments,
+        lambda df: score_band(df, score_col, id_col, strata=strata,
+                              bands=int(arguments.get("bands", 3)),
+                              descending=bool(arguments.get("descending",
+                                                            True)),
+                              out=out),
+        lambda df: df.drop(out))
+
+
 def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
                    out: str = "mean_bigram_logprob",
                    k: float = 0.5) -> DataFrame:

@@ -1200,3 +1200,72 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
     spec = {"lenses": [{"name": "compression_ratio",
                         "arguments": {"column": "text"}}]}
     assert "compression_ratio" in engine.append(df, spec).columns
+
+
+def test_containment_pairs_directional_overlap(spark):
+    """A short doc fully inside a long one scores 1.0 on its side and
+    the true fraction on the other; disjoint docs emit nothing."""
+    from lens_spark.operators.dedup import containment_pairs
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    short_doc = "alpha beta gamma delta"          # contained prefix
+    other = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "id long, text string")
+    rows = containment_pairs(df, "id", "text", ngram=3,
+                             threshold=0.5).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.id_a, r.id_b) == (1, 2)
+    # long doc: 6 distinct 3-grams, short: 2, all shared
+    assert r.containment_b == pytest.approx(1.0)
+    assert r.containment_a == pytest.approx(round(2 / 6, 6))
+
+
+def test_containment_pairs_max_df_cut(spark):
+    """A stop-shingle present in every doc is cut by max_df before the
+    self-join, removing pairs whose only overlap is boilerplate."""
+    from lens_spark.operators.dedup import containment_pairs
+
+    boiler = "click here to subscribe"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} words{i} here{i}") for i in range(4)],
+        "id long, text string")
+    with_cut = containment_pairs(df, "id", "text", ngram=3,
+                                 threshold=0.3, max_df=2)
+    assert with_cut.count() == 0
+    no_cut = containment_pairs(df, "id", "text", ngram=3, threshold=0.3)
+    assert no_cut.count() > 0
+
+
+def test_score_band_deterministic_thirds_per_stratum(spark):
+    """Nine docs per stratum band into thirds by score (desc), ties
+    broken by id; strata band independently; bands<2 raises."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import score_band
+
+    rows = [(i, "s1", float(100 - i)) for i in range(9)]
+    rows += [(100 + i, "s2", 5.0) for i in range(3)]   # all-tied stratum
+    df = spark.createDataFrame(rows, "doc_id long, src string, sc double")
+    got = {r.doc_id: r.band for r in
+           score_band(df, "sc", "doc_id", strata="src").collect()}
+    assert [got[i] for i in range(9)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # tied scores band by id order — deterministic, never arbitrary
+    assert [got[100 + i] for i in range(3)] == [0, 1, 2]
+    with pytest.raises(LensError, match="bands must be"):
+        score_band(df, "sc", "doc_id", strata="src", bands=1)
+
+
+def test_score_band_lens_roundtrip(spark):
+    from lens_spark import engine
+
+    df = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 5.0), (3, "a", 1.0)],
+        "doc_id long, src string, sc double")
+    spec = {"lenses": [{"name": "score_band", "arguments": {
+        "column": "sc", "id": "doc_id", "strata": "src", "bands": 3}}]}
+    out = engine.append(df, spec)
+    assert {r.doc_id: r.band for r in out.collect()} == {1: 0, 2: 1, 3: 2}
+    back = engine.append(out, engine.invert(spec))
+    assert "band" not in back.columns

@@ -236,3 +236,42 @@ def test_pq_topk_contract_and_errors(spark, emb):
                                dim=64, m=8, nbits=6)
     assert "recall_at_k" in wrapped.columns
     assert wrapped.select("query_id").distinct().count() == 2
+
+
+def test_matryoshka_truncate_prefix_and_renorm(spark):
+    """First-d slice, unit L2 norm after renorm, zero prefix stays
+    zero, renormalize=False returns the raw prefix."""
+    import math
+
+    from lens_spark.functions.vectors import l2_norm, matryoshka_truncate
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, -5.0]),
+         (2, [0.0, 0.0, 7.0, 7.0])],
+        "id long, v array<double>")
+    out = {r.id: (r.t, r.n) for r in df.select(
+        "id", matryoshka_truncate(F.col("v"), 2).alias("t"),
+        l2_norm(matryoshka_truncate(F.col("v"), 2)).alias("n")).collect()}
+    assert out[1][0] == pytest.approx([0.6, 0.8])      # 3-4-5 triangle
+    assert out[1][1] == pytest.approx(1.0)
+    assert out[2][0] == [0.0, 0.0]                      # no div-by-zero
+    raw = df.filter("id = 1").select(
+        matryoshka_truncate(F.col("v"), 2, renormalize=False).alias("t")
+    ).collect()[0].t
+    assert raw == [3.0, 4.0]
+    assert math.isclose(sum(x * x for x in out[1][0]), 1.0, rel_tol=1e-12)
+
+
+def test_matryoshka_truncate_lens_and_validation(spark):
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.operators.base import make_lens
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 2.0, 0.0])],
+                               "id long, emb array<double>")
+    spec = {"lenses": [{"name": "matryoshka_truncate", "arguments": {
+        "column": "emb", "d": 3}}]}
+    row = engine.append(df, spec).collect()[0]
+    assert row.emb == pytest.approx([1 / 3, 2 / 3, 2 / 3])
+    with pytest.raises(LensError, match="d must be"):
+        make_lens("matryoshka_truncate", {"column": "emb", "d": 0})
