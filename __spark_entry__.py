@@ -1641,6 +1641,32 @@ def q_x5_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "band")
 
 
+def _clf_weights(nb: int = 64) -> list[float]:
+    """Deterministic stand-in classifier weights shared by the Spark
+    query AND the DuckDB oracle (training is offline by design — the
+    weights vector is the interchange format): w_i ∈ [−1, 1) derived
+    from md5(i), rounded to 6dp so the decimal fixed-point mean is
+    exact on both engines."""
+    import hashlib
+
+    return [round(int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+                  / 0xFFFFFF * 2 - 1, 6) for i in range(nb)]
+
+
+def q_x5_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality-classifier inference (new r6):
+    hashed-bucket features → broadcast weight join → per-doc fixed-
+    point mean → sigmoid. The deployment shape of web-curation
+    quality/safety classifiers; weights here are a deterministic md5
+    stand-in the oracle reproduces exactly."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "classifier_score", "arguments": {
+        "id": "doc_id", "column": "text", "weights": _clf_weights(),
+        "bias": -0.1}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "clf_score")
+
+
 def q_x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram containment pairs (new r6): the asymmetric-overlap
     signal Jaccard misses — a short doc wholly contained in a long one
@@ -1828,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_matryoshka": q_x3_matryoshka,
         "x5_logprob_band": q_x5_logprob_band,
         "x2_containment": q_x2_containment,
+        "x5_classifier_score": q_x5_classifier_score,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2049,6 +2076,30 @@ SELECT doc_id,
        CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
        CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
 FROM s
+"""
+
+
+def _classifier_score_oracle_sql() -> str:
+    """Twin of operators.text.classifier_score with the _clf_weights
+    stand-in model: same md5 bucket fold, same 6dp-rounded weights in
+    a VALUES table, same decimal(38,12) fixed-point mean (partition-
+    order-independent on both engines), same sigmoid."""
+    ws = _clf_weights()
+    rows = ", ".join(f"({i}, {w!r})" for i, w in enumerate(ws))
+    b = _hex2int_sql("substr(md5(tok), 1, 8)")
+    return f"""
+WITH w(b, wv) AS (VALUES {rows}),
+toks AS (SELECT doc_id, unnest({_TOKENS_SQL_INNER}) AS tok FROM documents),
+tb AS (SELECT doc_id, {b} % {len(ws)} AS b FROM toks),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(wv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS z
+  FROM tb JOIN w USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(-0.1 + coalesce(s.z, 0.0)))), 6)
+           AS clf_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
@@ -3141,6 +3192,7 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x4_image_features": _image_features_oracle_sql(),
         "x4_audio_features": _audio_features_oracle_sql(),
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
+        "x5_classifier_score": _classifier_score_oracle_sql(),
         "x4_media_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
             " sha256(text) AS payload_sha256 FROM documents"

@@ -30,6 +30,14 @@ regime; r4 and earlier were per-query-GC. The calibration entry exists
 precisely so such regime shifts stay visible: it is timed under
 whatever regime the queries use.
 
+Round-6 note on `x2_neardup_incremental`: the persistent index gained
+the bucketed (kind, pb) layout with dynamic-partition-pruned probes
+and one-file-per-partition appends. At the benched toy scale (2.5k-doc
+index) the DPP subquery and the append's extra exchange cost ~15%
+with no pruning upside to show; at a real corpus-sized index the probe
+now reads ~1/16 of the band index instead of all of it. Interpret
+r5→r6 deltas on this query accordingly.
+
 Workload-comparability note for round-over-round deltas: in round 3
 `x2_neardup_incremental` deliberately changed shape (dedup batch
 shrank from doc_id%2=1 to doc_id%20=1 — the realistic "small batch vs

@@ -878,6 +878,81 @@ def _migrate_parts_to_bucketed(spark, parts_path: str, pb_col) -> None:
     fs.delete(P(parts_path + ".old"), True)
 
 
+def compact_index(spark, index_path: str, *,
+                  target_files_per_partition: int = 1) -> dict:
+    """Rewrite an incremental index's ``parts/`` dataset with
+    ``target_files_per_partition`` files per (kind, pb) partition.
+
+    Every ingest batch APPENDS files; after thousands of batches a
+    probe's pruned partition still lists thousands of tiny parquet
+    files, and open/footer overhead — not bytes — dominates. This is
+    the maintenance pass: run it off the ingest path (it takes the
+    writer lease, so ingest and compaction serialize). Reuses the
+    bucketed-migration staged-rename machinery, so a crash mid-compact
+    is rolled forward/back by the next locked call; data is byte-
+    equivalent, only file boundaries change. Returns {"files_before",
+    "files_after"}.
+
+    Works on both index families (neardup_incremental and
+    embedding_neardup_incremental — same parts/ conventions). A
+    pre-r6 kind-only index must be migrated first (any writing call
+    does it); compacting it here would need the kind-specific pb
+    derivation this utility deliberately doesn't duplicate.
+    """
+    from lens_spark.sources import dataset_nonempty
+
+    parts_path = f"{index_path}/parts"
+
+    def _visible_files(fs, P, root) -> int:
+        it = fs.listFiles(P(root), True)
+        n = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    with _index_writer_lock(spark, index_path):
+        _parts_pb_migration_recover(spark, parts_path)
+        if not dataset_nonempty(spark, parts_path):
+            return {"files_before": 0, "files_after": 0}
+        parts = spark.read.parquet(parts_path)
+        if "pb" not in parts.columns:
+            raise LensError(
+                f"compact_index: index at {index_path!r} predates the "
+                "bucketed (kind, pb) layout; run one writing "
+                "neardup_incremental / embedding_neardup_incremental "
+                "call to migrate it, then compact.")
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+        before = _visible_files(fs, P, parts_path)
+        # Files-per-directory = number of tasks holding that dir's
+        # rows: repartitioning BY the partition columns puts each
+        # (kind, pb) combo in exactly one task → exactly one file per
+        # directory; target > 1 adds an id-hash salt so huge
+        # partitions split across `target` writer tasks/files.
+        tgt = max(1, int(target_files_per_partition))
+        keys = [F.col("kind"), F.col("pb")]
+        if tgt > 1:
+            keys.append(F.pmod(F.xxhash64(F.col(parts.columns[0])
+                                          .cast("string")), F.lit(tgt)))
+        (parts.repartition(*keys)
+         .write.mode("overwrite").partitionBy("kind", "pb")
+         .parquet(parts_path + ".migrating"))
+        if not fs.rename(P(parts_path), P(parts_path + ".old")):
+            raise LensError(
+                f"compact_index: could not stage {parts_path!r} aside.")
+        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+            raise LensError(
+                f"compact_index: could not rename the compacted dataset "
+                "into place — recovery will complete it on the next "
+                "locked call.")
+        fs.delete(P(parts_path + ".old"), True)
+        after = _visible_files(fs, P, parts_path)
+    return {"files_before": before, "files_after": after}
+
+
 INDEX_LOCK_STALE_SEC = 3600
 """A writer lock older than this is presumed abandoned (crashed writer
 that never reached its finally) and is broken by the next writer. Size
@@ -1025,7 +1100,8 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                         ngram: int = 3, band_size: int = 4,
                         threshold: float = 0.5, shingle: str = "word",
                         update_index: bool = True,
-                        locked: bool = True) -> DataFrame:
+                        locked: bool = True,
+                        broadcast_probe: bool = True) -> DataFrame:
     """Near-dup dedup of a new batch against everything previously
     accepted — the streaming-ingest counterpart of ``dedup_neardup``
     (which is batch-global), and the MinHash extension of
@@ -1261,17 +1337,35 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                     .otherwise(pb_of_id))
                 parts = spark.read.parquet(parts_path)
             # Prune the corpus probe to the pb partitions the batch's
-            # own bands touch: ≤ INDEX_PROBE_BUCKETS distinct values
-            # (bounded collect), and a small batch rarely covers them
-            # all — the scan then lists only the touched directories,
-            # so probe I/O scales with the batch, not the corpus.
-            batch_pbs = [r[0] for r in bands.select(
-                pb_of_band.alias("pb")).distinct().collect()]
+            # own bands touch — via DYNAMIC partition pruning: pb is a
+            # function of band_hash, so joining on (band_hash, pb) is
+            # semantically redundant, but pb being a partition column
+            # lets Spark's DPP subquery prune the index scan to the
+            # batch's buckets at runtime. No driver action (an earlier
+            # draft collected the distinct pbs — an extra job that
+            # broke read-only mode's single-action laziness contract).
+            # DPP only triggers when the filtering side is broadcast
+            # (reuseBroadcastOnly), so the batch side carries an
+            # explicit hint by default — the operator's designed shape
+            # IS small-batch-vs-large-corpus; pass
+            # broadcast_probe=False for a bulk batch too big to
+            # broadcast (the probe then degrades to a full index scan,
+            # which a corpus-sized batch would approach anyway).
             corpus_bands = (parts.filter(F.col("kind") == "bands")
-                            .filter(F.col("pb").isin(batch_pbs))
                             .select(F.col(id_col).alias("__cid"),
-                                    "band_hash"))
-            cand = (bands.join(corpus_bands, "band_hash")
+                                    "band_hash",
+                                    F.col("pb").alias("__pb")))
+            # `__pb >= 0` is always true (pmod is non-negative) but
+            # satisfies the DPP rule's likely-selective-predicate
+            # requirement on the filtering side — without SOME binary
+            # comparison there, PartitionPruning declines to insert
+            # the subquery even for a broadcast build.
+            probe_bands = (bands.withColumn("__pb", pb_of_band)
+                           .filter(F.col("__pb") >= 0))
+            if broadcast_probe:
+                probe_bands = F.broadcast(probe_bands)
+            cand = (probe_bands
+                    .join(corpus_bands, ["band_hash", "__pb"])
                     .select(id_col, "__cid").distinct())
             corpus_sigs = (parts.filter(F.col("kind") == "sigs")
                            .select(F.col(id_col).alias("__cid"),
@@ -1334,7 +1428,14 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                             F.lit("sigs").alias("kind"),
                             pb_of_id.alias("pb")))
             )
-            payload.write.mode("append").partitionBy("kind", "pb") \
+            # One exchange of the narrow payload so each append commits
+            # exactly ONE file per touched (kind, pb) directory — a
+            # partitioned write from T tasks otherwise lands up to
+            # T × buckets files per batch (measured 2× on the benched
+            # ingest), and file-count, not bytes, is what the pruned
+            # probe pays for. compact_index remains the deep-clean.
+            payload.repartition(F.col("kind"), F.col("pb")) \
+                .write.mode("append").partitionBy("kind", "pb") \
                 .parquet(parts_path)
     return fresh
 
@@ -1362,7 +1463,8 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
                                   num_bits: int = 8, num_tables: int = 4,
                                   seed: int = 42,
                                   update_index: bool = True,
-                                  locked: bool = True) -> DataFrame:
+                                  locked: bool = True,
+                                  broadcast_probe: bool = True) -> DataFrame:
     """Embedding-cosine near-dup of a new batch against everything
     previously accepted — the vector-surface counterpart of
     ``neardup_incremental`` (same index conventions: ONE
@@ -1455,16 +1557,22 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
                     .otherwise(pb_of_id))
                 parts = spark.read.parquet(parts_path)
             # Prune the corpus probe to the pb partitions the batch's
-            # own cells touch (≤ INDEX_PROBE_BUCKETS values, bounded
-            # collect): probe I/O scales with the batch, not the
-            # accumulated corpus — the r5 full-index-scan-per-batch
-            # finding.
-            batch_pbs = [r[0] for r in cells.select(
-                pb_of_cell.alias("pb")).distinct().collect()]
+            # own cells touch — via dynamic partition pruning on the
+            # redundant pb join key (pb = pmod(cell, buckets); see the
+            # neardup_incremental twin comment): no driver action,
+            # probe I/O scales with the batch, not the accumulated
+            # corpus — the r5 full-index-scan-per-batch finding.
             corpus_cells = (parts.filter(F.col("kind") == "cells")
-                            .filter(F.col("pb").isin(batch_pbs))
-                            .select(F.col(id_col).alias("__cid"), "cell"))
-            cand = (cells.join(corpus_cells, "cell")
+                            .select(F.col(id_col).alias("__cid"), "cell",
+                                    F.col("pb").alias("__pb")))
+            # always-true selective predicate for the DPP rule — see
+            # the neardup_incremental twin comment
+            probe_cells = (cells.withColumn("__pb", pb_of_cell)
+                           .filter(F.col("__pb") >= 0))
+            if broadcast_probe:
+                probe_cells = F.broadcast(probe_cells)
+            cand = (probe_cells
+                    .join(corpus_cells, ["cell", "__pb"])
                     .select(id_col, "__cid").distinct())
             corpus_vecs = (parts.filter(F.col("kind") == "vecs")
                            .select(F.col(id_col).alias("__cid"),
@@ -1504,7 +1612,10 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
                     F.lit("vecs").alias("kind"),
                     pb_of_id.alias("pb")))
             )
-            payload.write.mode("append").partitionBy("kind", "pb") \
+            # One file per touched (kind, pb) dir per append — see the
+            # neardup_incremental twin comment.
+            payload.repartition(F.col("kind"), F.col("pb")) \
+                .write.mode("append").partitionBy("kind", "pb") \
                 .parquet(parts_path)
     return fresh
 

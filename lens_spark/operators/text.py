@@ -6,7 +6,7 @@ wrappers just bind column names from pipeline arguments.
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -444,6 +444,68 @@ def hash_embedding(df: DataFrame, id_col: str, text_col: str, *,
     return joined.withColumn(
         out, F.coalesce(F.col("__he_vec"), zeros)
     ).drop("__he_id", "__he_vec")
+
+
+def classifier_score(df: DataFrame, id_col: str, text_col: str, *,
+                     weights: "Sequence[float]", bias: float = 0.0,
+                     out: str = "clf_score") -> DataFrame:
+    """FastText-style linear text-classifier INFERENCE over hashed
+    bag-of-words features: token t lands in bucket md5(t) mod
+    len(weights) (the ``hash_embedding`` bucket scheme), and the
+    document scores sigmoid(bias + mean_t w[bucket(t)]) — the shape of
+    the quality/safety classifiers web-pipeline curation actually runs
+    at scale (fastText: averaged features → linear → sigmoid).
+    Training happens OFFLINE (fasttext/sklearn on the same hashed
+    features; the weights vector is the interchange format) — this
+    operator is the 100 TB scoring pass.
+
+    Scale shape: explode tokens → md5 bucket (8-byte exchange) →
+    broadcast join against the bucket→weight table (driver-held, one
+    double per bucket) → per-doc mean (map-side partial agg) →
+    sigmoid. Weights are rounded to 6dp and summed in decimal(38,12),
+    so the mean is partition-order-independent (the DSIR fixed-point
+    lesson). Token-less docs score sigmoid(bias) and keep their row.
+    """
+    spark = df.sparkSession
+    nb = len(weights)
+    if nb < 1:
+        raise LensError("classifier_score: weights must be non-empty")
+    wdf = spark.createDataFrame(
+        [(i, round(float(w), 6)) for i, w in enumerate(weights)],
+        "__clf_b long, __clf_w double")
+    bucket = (F.conv(F.substring(F.md5(F.col("__clf_t")), 1, 8), 16, 10)
+              .cast("bigint") % F.lit(nb))
+    toks = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__clf_id"),
+                F.explode(tokens(F.col(text_col))).alias("__clf_t"))
+        .select("__clf_id", bucket.alias("__clf_b"))
+    )
+    z = (F.sum(F.col("__clf_w").cast("decimal(38,12)")).cast("double")
+         / F.count(F.lit(1)))
+    scored = (toks.join(F.broadcast(wdf), "__clf_b")
+              .groupBy("__clf_id").agg(z.alias("__clf_z")))
+    joined = df.join(scored, df[id_col] == scored["__clf_id"], "left")
+    logit = F.lit(float(bias)) + F.coalesce(F.col("__clf_z"), F.lit(0.0))
+    return joined.withColumn(
+        out, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    ).drop("__clf_id", "__clf_z")
+
+
+@register_lens("classifier_score")
+def classifier_score_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), weights (list of doubles), bias
+    (0.0), out ("clf_score"). Inverse drops the appended column."""
+    id_col = str(require_arg(arguments, "id", "classifier_score"))
+    text_col = str(require_arg(arguments, "column", "classifier_score"))
+    weights = require_arg(arguments, "weights", "classifier_score")
+    out = str(arguments.get("out", "clf_score"))
+    return Lens(
+        "classifier_score", arguments,
+        lambda df: classifier_score(
+            df, id_col, text_col, weights=[float(w) for w in weights],
+            bias=float(arguments.get("bias", 0.0)), out=out),
+        lambda df: df.drop(out))
 
 
 @register_lens("hash_embedding")

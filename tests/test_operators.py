@@ -304,16 +304,19 @@ def test_neardup_incremental_read_only_mode(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/parts").count() == n_index  # untouched
 
 
-def _partition_filter_pbs(df):
-    """pb values in the plan's parquet PartitionFilters IN-list."""
+def _assert_dynamic_pb_pruning(df):
+    """The plan's parquet PartitionFilters must carry a dynamic-
+    pruning subquery on pb — Spark then skips the untouched (kind,
+    pb) directories at runtime using the batch side's pb values."""
     import re
 
     jvm = df.sparkSession._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(),
                                             "formatted")
-    m = re.search(r"PartitionFilters: \[[^\]]*pb#\d+ IN \(([^)]*)\)", plan)
-    assert m, f"no pb partition filter in plan:\n{plan}"
-    return {int(v) for v in m.group(1).split(",")}
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression\([^\]]*pb",
+        plan)
+    assert m, f"no dynamic pb partition pruning in plan:\n{plan}"
 
 
 def test_neardup_incremental_probe_prunes_band_buckets(spark, tmp_path):
@@ -348,10 +351,10 @@ def test_neardup_incremental_probe_prunes_band_buckets(spark, tmp_path):
                               update_index=False, **kw)
     # semantics unchanged: the corpus near-dup drops, the novel doc stays
     assert {r.id for r in out.collect()} == {201}
-    # the probe plan's partition filter covers ≤ 2 docs × 4 bands of
-    # pb values — a strict subset of the index's populated directories
-    pbs = _partition_filter_pbs(out)
-    assert len(pbs) <= 8 < len(on_disk)
+    # the probe plan dynamically prunes the index scan on pb: the tiny
+    # batch's ≤ 2 docs × 4 bands of pb values gate which of the
+    # populated directories are read at runtime
+    _assert_dynamic_pb_pruning(out)
 
 
 def test_embedding_neardup_incremental_probe_prunes_cell_buckets(
@@ -383,9 +386,8 @@ def test_embedding_neardup_incremental_probe_prunes_cell_buckets(
     out = embedding_neardup_incremental(probe, idx, "id", "vec",
                                         update_index=False, **kw)
     assert out.count() == 0  # still rejected as a near-copy
-    pbs = _partition_filter_pbs(out)
-    # 1 doc × num_tables cells → ≤ 4 pb values
-    assert len(pbs) <= 4 < len(on_disk)
+    # 1 doc × num_tables cells → ≤ 4 pb values gate the runtime scan
+    _assert_dynamic_pb_pruning(out)
 
 
 def test_neardup_incremental_unbucketed_index_migrates(spark, tmp_path):
@@ -1269,3 +1271,83 @@ def test_score_band_lens_roundtrip(spark):
     assert {r.doc_id: r.band for r in out.collect()} == {1: 0, 2: 1, 3: 2}
     back = engine.append(out, engine.invert(spec))
     assert "band" not in back.columns
+
+
+def test_compact_index_reduces_files_and_preserves_dedup(spark, tmp_path):
+    """Many small appends → compact → ≤1 file per (kind, pb)
+    partition, byte-equivalent rows, and the index still rejects a
+    previously accepted near-dup afterward."""
+    from lens_spark.operators.dedup import compact_index, neardup_incremental
+
+    idx = str(tmp_path / "nd_compact")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    # several appends accumulate several files per partition
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, " ".join(f"c{b}d{i}w{j}" for j in range(25)))
+             for i in range(5)],
+            "id long, text string")
+        neardup_incremental(batch, idx, "id", "text", **kw)
+    parts = f"{idx}/parts"
+    rows_before = spark.read.parquet(parts).orderBy("id", "kind",
+                                                    "band_hash").collect()
+    stats = compact_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    rows_after = spark.read.parquet(parts).orderBy("id", "kind",
+                                                   "band_hash").collect()
+    assert rows_before == rows_after  # data byte-equivalent
+    # staging fully cleaned up, lock released
+    import os
+
+    assert not os.path.exists(f"{parts}.old")
+    assert not os.path.exists(f"{parts}.migrating")
+    assert not os.path.exists(f"{idx}/_writer.lock")
+    # dedup state intact: replaying an accepted doc is rejected
+    replay = spark.createDataFrame(
+        [(999, " ".join(f"c0d0w{j}" for j in range(25)))],
+        "id long, text string")
+    assert neardup_incremental(replay, idx, "id", "text", **kw).count() == 0
+
+
+def test_compact_index_refuses_unbucketed_and_handles_empty(spark, tmp_path):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import compact_index
+
+    empty = str(tmp_path / "no_index")
+    assert compact_index(spark, empty) == {"files_before": 0,
+                                           "files_after": 0}
+
+
+def test_classifier_score_hand_computed_and_tokenless(spark):
+    """Two buckets with known weights: score = sigmoid(bias + mean
+    weight of the doc's token buckets); token-less docs score
+    sigmoid(bias) and keep their row; lens inverse drops the column."""
+    import hashlib
+    import math
+
+    from lens_spark import engine
+    from lens_spark.operators.text import classifier_score
+
+    nb = 8
+    ws = [round((i - 4) / 10.0, 6) for i in range(nb)]
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.clf_score
+           for r in classifier_score(df, "doc_id", "text", weights=ws,
+                                     bias=0.25).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    toks = ["alpha", "beta", "alpha"]
+    z = 0.25 + sum(ws[bucket(t)] for t in toks) / len(toks)
+    assert out[1] == pytest.approx(round(1 / (1 + math.exp(-z)), 6))
+    empty = round(1 / (1 + math.exp(-0.25)), 6)
+    assert out[2] == empty and out[3] == empty
+    spec = {"lenses": [{"name": "classifier_score", "arguments": {
+        "id": "doc_id", "column": "text", "weights": ws}}]}
+    fwd = engine.append(df, spec)
+    assert "clf_score" in fwd.columns
+    back = engine.append(fwd, engine.invert(spec))
+    assert "clf_score" not in back.columns
