@@ -107,6 +107,9 @@ HEADLINE = [
     "x3_pq_topk",            # product-quantization ADC + re-rank + recall (r5)
     "x3_pq_serving",         # PQ serving path alone (no brute reference, r5)
     "x7_dsir_weights",       # DSIR importance weights: n-gram LM ratio (r5)
+    "x2_containment",        # exact directional n-gram containment pairs (r6)
+    "x5_logprob_band",       # LM surprisal + per-source percent-rank bands (r6)
+    "x5_classifier_score",   # hashed-feature linear classifier inference (r6)
 ]
 
 
