@@ -492,6 +492,90 @@ def classifier_score(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__clf_id", "__clf_z")
 
 
+def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
+                   num_buckets: int = 1024, iters: int = 20,
+                   lr: float = 1.0, l2: float = 0.0) -> dict:
+    """Train the linear model :func:`classifier_score` serves:
+    full-batch logistic regression over the SAME hashed bag-of-words
+    features (md5 bucket fold — fit and score can never disagree on
+    featurization). Returns ``{"weights": [...], "bias": float}``, the
+    interchange format ``classifier_score`` consumes — the in-engine
+    counterpart of training offline in fasttext/sklearn.
+
+    Scale shape (the ``kmeans_fit`` recipe): per-doc bucket arrays are
+    extracted once (narrow expression, lazily checkpointed); each
+    iteration is ONE mapInPandas pass computing per-partition gradient
+    partials — the exchange carries ≤ num_buckets+2 (bucket, partial)
+    doubles per partition, never rows — and the driver holds the
+    num_buckets-sized model, closed over into the next pass. Full-
+    batch GD is deterministic up to partition-order float addition
+    (rows-only territory, same note as kmeans_fit).
+    """
+    import numpy as np
+
+    nb, its = int(num_buckets), int(iters)
+    if nb < 1 or its < 1:
+        raise LensError("classifier_fit: num_buckets and iters must be >= 1")
+    bucket_of = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                           .cast("bigint") % F.lit(nb))
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(label_col).cast("double").alias("__y"),
+                F.transform(tokens(F.col(text_col)), bucket_of)
+                .alias("__b"))
+        .localCheckpoint(eager=False)  # read `iters` times
+    )
+    w = np.zeros(nb)
+    b = 0.0
+    lrf, l2f = float(lr), float(l2)
+    for _ in range(its):
+        wb, bb = w, b  # bind current model into the task closure
+
+        def grads(batches):
+            gw = np.zeros(nb)
+            gb = 0.0
+            n = 0
+            for pdf in batches:
+                for y, bl in zip(pdf["__y"].to_numpy(),
+                                 pdf["__b"].to_numpy()):
+                    bl = np.asarray(bl, dtype=np.int64)
+                    if len(bl):
+                        x = np.bincount(bl, minlength=nb) / len(bl)
+                        p = 1.0 / (1.0 + np.exp(-(bb + x @ wb)))
+                        err = p - y
+                        gw += err * x
+                    else:
+                        err = 1.0 / (1.0 + np.exp(-bb)) - y
+                    gb += err
+                    n += 1
+            if n == 0:
+                return
+            out = pd.DataFrame({
+                "b": np.concatenate([np.nonzero(gw)[0], [-1, -2]]),
+                "g": np.concatenate([gw[np.nonzero(gw)[0]], [gb, float(n)]]),
+            })
+            yield out
+
+        partials = (base.mapInPandas(grads, "b long, g double")
+                    .groupBy("b").agg(F.sum("g").alias("__g")).collect())
+        gw = np.zeros(nb)
+        gb = 0.0
+        n = 0.0
+        for r in partials:
+            if r["b"] == -2:
+                n = r["__g"]
+            elif r["b"] == -1:
+                gb = r["__g"]
+            else:
+                gw[r["b"]] = r["__g"]
+        if n == 0:
+            raise LensError("classifier_fit: empty training corpus")
+        w = w - lrf * (gw / n + l2f * w)
+        b = b - lrf * (gb / n)
+    return {"weights": [round(float(x), 6) for x in w],
+            "bias": round(float(b), 6)}
+
+
 @register_lens("classifier_score")
 def classifier_score_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), weights (list of doubles), bias

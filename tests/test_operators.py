@@ -1351,3 +1351,42 @@ def test_classifier_score_hand_computed_and_tokenless(spark):
     assert "clf_score" in fwd.columns
     back = engine.append(fwd, engine.invert(spec))
     assert "clf_score" not in back.columns
+
+
+def test_classifier_fit_separates_and_feeds_score(spark):
+    """Full-batch logistic regression on hashed features learns a
+    planted good-word/bad-word separation, and its output model plugs
+    straight into classifier_score (shared featurization)."""
+    from lens_spark.operators.text import classifier_fit, classifier_score
+
+    rows = []
+    for i in range(40):
+        rows.append((i, 1, f"quality prose insight clarity filler{i % 7}"))
+        rows.append((1000 + i, 0, f"spam casino pills scam filler{i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    model = classifier_fit(df, "label", "text", num_buckets=256,
+                           iters=30, lr=2.0)
+    scored = classifier_score(df, "doc_id", "text",
+                              weights=model["weights"],
+                              bias=model["bias"])
+    got = {r.doc_id: r.clf_score for r in scored.collect()}
+    pos = [got[i] for i in range(40)]
+    neg = [got[1000 + i] for i in range(40)]
+    # fully separable by construction: every positive above every negative
+    assert min(pos) > max(neg)
+    acc = (sum(s > 0.5 for s in pos) + sum(s <= 0.5 for s in neg)) / 80
+    assert acc >= 0.95
+
+
+def test_classifier_fit_validation(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import classifier_fit
+
+    df = spark.createDataFrame([(1, 1, "x")], "id long, label int, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(LensError, match="must be >= 1"):
+        classifier_fit(df, "label", "text", num_buckets=0)
+    empty = df.filter("id < 0")
+    with _pytest.raises(LensError, match="empty training corpus"):
+        classifier_fit(empty, "label", "text", iters=1)
