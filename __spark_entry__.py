@@ -1603,6 +1603,31 @@ def q_x5_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs, "text")
 
 
+def q_x6_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup (new r6): the
+    same events aggregated at hour and day grain, each ± an
+    event_type split, plus the grand total — in ONE pass via grouping
+    sets (one Expand + one hash aggregate). The Spark-first
+    continuous-aggregate shape: a per-resolution loop would rescan
+    the events table once per grain. Decimal-exact value sums (the
+    events_windowed idiom)."""
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = (read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+          .select(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                  F.date_trunc("day", F.col("ts")).alias("day"),
+                  "event_type", "value"))
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["hour", "day", "event_type"], "mode": "grouping_sets",
+        "sets": [["hour", "event_type"], ["hour"],
+                 ["day", "event_type"], ["day"], []],
+        "aggs": {
+            "n_events": "count(*)",
+            "sum_value":
+                "cast(sum(cast(value as decimal(18,6))) as double)"}}}]}
+    return engine.append(ev, spec)
+
+
 def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix truncation (MRL): keep the first 16 of 64
     embedding dims + L2 renormalize — the sanctioned cheap shrink for
@@ -1855,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_logprob_band": q_x5_logprob_band,
         "x2_containment": q_x2_containment,
         "x5_classifier_score": q_x5_classifier_score,
+        "x6_time_rollup": q_x6_time_rollup,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3193,6 +3219,15 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x4_audio_features": _audio_features_oracle_sql(),
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x5_classifier_score": _classifier_score_oracle_sql(),
+        "x6_time_rollup": """
+SELECT date_trunc('hour', ts) AS hour, date_trunc('day', ts) AS day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((hour, event_type), (hour),
+                        (day, event_type), (day), ())
+""",
         "x4_media_metadata": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
             " sha256(text) AS payload_sha256 FROM documents"

@@ -364,3 +364,26 @@ def test_dataset_profile_nulls_and_distincts(spark):
     # column subset respected
     sub = dataset_profile(df, ["v"], exact=True).collect()
     assert len(sub) == 1 and sub[0].col_name == "v"
+
+
+def test_time_rollup_grains_consistent(spark, sf_dir):
+    """The multi-resolution rollup's grains must agree: day-grain
+    totals equal the sum of that day's hour-grain rows, and the
+    grand-total row equals the full event count — one Expand pass
+    produces an internally consistent hierarchy."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_x6_time_rollup(spark, sf_dir).collect()
+    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    grand = [r for r in out
+             if r.hour is None and r.day is None and r.event_type is None]
+    assert len(grand) == 1 and grand[0].n_events == ev_n
+    day_totals = {r.day: r.n_events for r in out
+                  if r.day is not None and r.event_type is None}
+    hour_by_day = {}
+    for r in out:
+        if r.hour is not None and r.event_type is None:
+            day = r.hour.replace(hour=0, minute=0, second=0, microsecond=0)
+            hour_by_day[day] = hour_by_day.get(day, 0) + r.n_events
+    assert day_totals == hour_by_day
+    assert sum(day_totals.values()) == ev_n
