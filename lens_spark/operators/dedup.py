@@ -929,16 +929,19 @@ def compact_index(spark, index_path: str, *,
         before = _visible_files(fs, P, parts_path)
         # Files-per-directory = number of tasks holding that dir's
         # rows: repartitioning BY the partition columns puts each
-        # (kind, pb) combo in exactly one task → exactly one file per
-        # directory; target > 1 adds an id-hash salt so huge
-        # partitions split across `target` writer tasks/files.
+        # partition combo in exactly one task → exactly one file per
+        # directory; target > 1 adds a hash salt so huge partitions
+        # split across `target` writer tasks/files. The band/cell
+        # indexes partition by (kind, pb); the exact-fp index by pb
+        # alone — compact whichever layout is present.
         tgt = max(1, int(target_files_per_partition))
-        keys = [F.col("kind"), F.col("pb")]
+        part_cols = [c for c in ("kind", "pb") if c in parts.columns]
+        keys = [F.col(c) for c in part_cols]
         if tgt > 1:
             keys.append(F.pmod(F.xxhash64(F.col(parts.columns[0])
                                           .cast("string")), F.lit(tgt)))
         (parts.repartition(*keys)
-         .write.mode("overwrite").partitionBy("kind", "pb")
+         .write.mode("overwrite").partitionBy(*part_cols)
          .parquet(parts_path + ".migrating"))
         if not fs.rename(P(parts_path), P(parts_path + ".old")):
             raise LensError(
@@ -1042,19 +1045,71 @@ def _index_writer_lock(spark, index_path: str, *,
         fs.delete(lock, False)
 
 
+def _migrate_flat_fp_index(spark, index_path: str, parts_path: str) -> None:
+    """Rewrite a pre-r6 FLAT fingerprint index (fp parquet files
+    directly under ``index_path``) into the bucketed ``parts/pb=N``
+    layout, in place, under the caller's writer lock.
+
+    Crash-recoverable: the bucketed dataset is staged into
+    ``parts.migrating`` first (its ``_SUCCESS`` marker is the
+    completeness witness — a partial tmp is deleted and rebuilt from
+    the untouched flat files); the flat files are deleted only after
+    the tmp commit, and the final rename is idempotent on re-entry.
+    """
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = parts_path + ".migrating"
+    flat = []
+    for st in fs.listStatus(P(index_path)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            flat.append(st.getPath().toString())
+    if not fs.exists(P(tmp + "/_SUCCESS")):
+        if fs.exists(P(tmp)):
+            fs.delete(P(tmp), True)  # partial write — rebuild from flat
+        if not flat:
+            return
+        (spark.read.parquet(*flat)
+         .withColumn("pb", F.pmod(F.col("fp"), F.lit(INDEX_PROBE_BUCKETS)))
+         .repartition(F.col("pb"))
+         .write.mode("overwrite").partitionBy("pb").parquet(tmp))
+    for f in flat:
+        fs.delete(P(f), False)
+    if not fs.rename(P(tmp), P(parts_path)):
+        raise LensError(
+            f"dedup_incremental: could not rename the bucketed "
+            f"fingerprint dataset into place at {parts_path!r} — the "
+            "next writing call will retry the swap.")
+
+
 def dedup_incremental(df: DataFrame, index_path: str, *,
                       columns: list[str] | None = None,
                       update_index: bool = True,
-                      locked: bool = True) -> DataFrame:
+                      locked: bool = True,
+                      broadcast_probe: bool = True) -> DataFrame:
     """Dedup a new batch against everything previously accepted.
 
     Ongoing ingestion can't re-scan the accepted corpus per batch; it
     keeps a fingerprint index (xxhash64 of the identity columns — the
-    index stores 8 bytes/row no matter how wide the data is). A batch
-    is deduped internally, anti-joined against the index, and the
-    survivors' fingerprints are appended back. At scale the anti-join
-    shuffles only fingerprints; AQE broadcasts the batch side when it's
-    small relative to the index.
+    index stores 8 bytes/row no matter how wide the data is) at
+    ``index_path/parts``, partitioned by ``pb = pmod(fp,
+    INDEX_PROBE_BUCKETS)`` like the near-dup family (r6). The probe is
+    a LEFT SEMI join of the index against the (broadcast) batch
+    fingerprints on (fp, pb): pb is redundant in the condition, but as
+    a partition column it lets dynamic partition pruning skip the
+    index directories the batch doesn't touch — probe I/O scales with
+    the batch, not the accumulated corpus; the small surviving dup-fp
+    set then anti-joins the batch. ``broadcast_probe=False`` for a
+    batch too large to broadcast (degrades to a full index scan, which
+    a corpus-sized batch approaches anyway). Appends repartition by pb
+    so each batch commits one file per touched directory;
+    ``compact_index`` is the deep-clean.
+
+    A pre-r6 FLAT index (fp files directly under ``index_path``) is
+    rewritten into ``parts/`` once by the first writing call; read-only
+    calls still read a flat index correctly (unpruned) but refuse an
+    interrupted migration.
 
     First call bootstraps an empty index at ``index_path``. Writers are
     serialized by ``_index_writer_lock`` (concurrent ingests would both
@@ -1070,17 +1125,48 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
     fp = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     batch = df.withColumn("__fp", fp).dropDuplicates(["__fp"])
     spark = df.sparkSession
+    parts_path = f"{index_path}/parts"
     lock = (_index_writer_lock(spark, index_path)
             if (update_index and locked) else contextlib.nullcontext())
     with lock:
-        if dataset_nonempty(spark, index_path):
+        have_parts = dataset_nonempty(spark, parts_path)
+        if not have_parts and dataset_nonempty(spark, index_path):
+            if update_index:
+                _migrate_flat_fp_index(spark, index_path, parts_path)
+                have_parts = dataset_nonempty(spark, parts_path)
+            else:
+                jvm = spark._jvm
+                P = jvm.org.apache.hadoop.fs.Path
+                fs = P(index_path).getFileSystem(
+                    spark._jsc.hadoopConfiguration())
+                if fs.exists(P(parts_path + ".migrating")):
+                    raise LensError(
+                        f"dedup_incremental: index at {index_path!r} has "
+                        "an interrupted flat→bucketed migration; run "
+                        "once with update_index=True to recover it "
+                        "before read-only use.")
+        if have_parts:
+            seen = spark.read.parquet(parts_path)
+            probe = (batch.select(F.col("__fp").alias("fp"))
+                     .withColumn("pb", F.pmod(F.col("fp"),
+                                              F.lit(INDEX_PROBE_BUCKETS)))
+                     # always-true selective predicate for the DPP rule
+                     # — see the neardup_incremental probe comment
+                     .filter(F.col("pb") >= 0))
+            if broadcast_probe:
+                probe = F.broadcast(probe)
+            dup = seen.join(probe, ["fp", "pb"], "left_semi").select("fp")
+            fresh = batch.join(dup, batch["__fp"] == dup["fp"], "left_anti")
+        elif dataset_nonempty(spark, index_path):
+            # read-only against a legacy flat index: correct, unpruned
             seen = spark.read.parquet(index_path)
-            fresh = batch.join(seen, batch["__fp"] == seen["fp"], "left_anti")
+            fresh = batch.join(seen, batch["__fp"] == seen["fp"],
+                               "left_anti")
         else:
             fresh = batch
         if update_index:
             # Truncate lineage before appending: a persist is not enough —
-            # the append invalidates the scan cache for index_path and a
+            # the append invalidates the scan cache for parts_path and a
             # later action would re-evaluate the anti-join against the
             # just-updated index (returning nothing). localCheckpoint pins
             # the survivors as stored partitions with no upstream plan.
@@ -1090,8 +1176,11 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
             # here because the checkpoint is consumed within the same job
             # (the append below) and ingest batches are retryable units.
             fresh = fresh.localCheckpoint(eager=True)
-            fresh.select(F.col("__fp").alias("fp")).write.mode("append") \
-                .parquet(index_path)
+            (fresh.select(F.col("__fp").alias("fp"))
+             .withColumn("pb", F.pmod(F.col("fp"),
+                                      F.lit(INDEX_PROBE_BUCKETS)))
+             .repartition(F.col("pb"))
+             .write.mode("append").partitionBy("pb").parquet(parts_path))
     return fresh.drop("__fp")
 
 

@@ -247,9 +247,10 @@ def test_dedup_incremental_across_batches(spark, tmp_path):
     # replaying an already-ingested batch yields nothing new
     out3 = dedup_incremental(b2, idx, columns=["k", "v"])
     assert out3.count() == 0
-    # the index holds one 8-byte fingerprint per accepted row
-    assert spark.read.parquet(idx).columns == ["fp"]
-    assert spark.read.parquet(idx).count() == 4
+    # the index holds one 8-byte fingerprint per accepted row, in the
+    # pb-bucketed parts/ layout (r6)
+    assert sorted(spark.read.parquet(f"{idx}/parts").columns) == ["fp", "pb"]
+    assert spark.read.parquet(f"{idx}/parts").count() == 4
 
 
 _ND_A = ("the quick brown fox jumps over the lazy dog while the bright sun "
@@ -443,7 +444,9 @@ def test_dedup_incremental_read_only_mode(spark, tmp_path):
     out = dedup_incremental(probe, idx, columns=["k", "v"],
                             update_index=False)
     assert {r.k for r in out.collect()} == {9}
-    assert spark.read.parquet(idx).count() == 1  # untouched
+    assert spark.read.parquet(f"{idx}/parts").count() == 1  # untouched
+    # the probe dynamically prunes the fingerprint index scan on pb
+    _assert_dynamic_pb_pruning(out)
 
 
 def test_incremental_index_concurrent_writer_refused(spark, tmp_path):
@@ -1390,3 +1393,64 @@ def test_classifier_fit_validation(spark):
     empty = df.filter("id < 0")
     with _pytest.raises(LensError, match="empty training corpus"):
         classifier_fit(empty, "label", "text", iters=1)
+
+
+def test_dedup_incremental_flat_index_migrates(spark, tmp_path):
+    """A pre-r6 flat fp index (files directly under index_path) is
+    rewritten into parts/pb=N by the first writing call; accumulated
+    state survives, and read-only calls work on the flat layout too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.dedup import dedup_incremental
+
+    idx = str(tmp_path / "fp_flat")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dedup_incremental(b1, idx, columns=["k", "v"])
+    # rewrite into the pre-r6 flat layout
+    import shutil
+
+    fps = spark.read.parquet(f"{idx}/parts").select("fp").localCheckpoint()
+    shutil.rmtree(idx)
+    fps.write.parquet(idx)
+    assert any(f.endswith(".parquet") for f in os.listdir(idx))
+
+    # read-only against the flat layout still dedups correctly
+    probe = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+    ro = dedup_incremental(probe, idx, columns=["k", "v"],
+                           update_index=False)
+    assert {r.k for r in ro.collect()} == {9}
+
+    # a writing call migrates in place and remembers batch 1
+    out = dedup_incremental(probe, idx, columns=["k", "v"])
+    assert {r.k for r in out.collect()} == {9}
+    assert os.path.isdir(f"{idx}/parts")
+    assert not os.path.exists(f"{idx}/parts.migrating")
+    # no flat files remain at the root
+    assert all(not f.endswith(".parquet") for f in os.listdir(idx)
+               if os.path.isfile(os.path.join(idx, f)))
+    assert spark.read.parquet(f"{idx}/parts").count() == 3  # 1,2,9
+
+
+def test_compact_index_on_exact_fp_layout(spark, tmp_path):
+    """compact_index handles the kind-less pb-partitioned fp index."""
+    from lens_spark.operators.dedup import compact_index, dedup_incremental
+
+    idx = str(tmp_path / "fp_compact")
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}-{i}") for i in range(8)],
+            "k long, v string")
+        dedup_incremental(batch, idx, columns=["k", "v"])
+    rows_before = {r.fp for r in
+                   spark.read.parquet(f"{idx}/parts").collect()}
+    stats = compact_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert {r.fp for r in
+            spark.read.parquet(f"{idx}/parts").collect()} == rows_before
+    # index still functional after compaction
+    replay = spark.createDataFrame([(0, "v0-0"), (99, "new")],
+                                   "k long, v string")
+    out = dedup_incremental(replay, idx, columns=["k", "v"])
+    assert {r.k for r in out.collect()} == {99}
