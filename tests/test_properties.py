@@ -325,3 +325,92 @@ def test_chunk_documents_covers_tokens_exactly(spark, texts, size, overlap):
             assert got[i] == expect, (i, t, size, overlap)
         else:
             assert i not in got
+
+
+# --- round-6 operator properties ------------------------------------------
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+def test_containment_matches_brute_force(spark, texts):
+    """containment_pairs equals the brute-force set computation on
+    random tiny corpora: c_a = |A∩B|/|A| over distinct word 2-grams,
+    pairs emitted iff max(c_a, c_b) ≥ threshold."""
+    from lens_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {(r.id_a, r.id_b): (r.containment_a, r.containment_b)
+           for r in containment_pairs(df, "id", "text", ngram=2,
+                                      threshold=0.4).collect()}
+
+    def grams(t):
+        w = [x for x in t.lower().split() if x]
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    expect = {}
+    gs = [grams(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(gs[a] & gs[b])
+            if not inter or not gs[a] or not gs[b]:
+                continue
+            ca, cb = round(inter / len(gs[a]), 6), round(inter / len(gs[b]), 6)
+            if max(ca, cb) >= 0.4:
+                expect[(a, b)] = (ca, cb)
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(scores=st.lists(st.floats(-100, 100, allow_nan=False),
+                       min_size=1, max_size=20))
+def test_score_band_sizes_and_monotonicity(spark, scores):
+    """Bands partition each stratum into contiguous runs of the score
+    order: band counts differ by ≤ 1 from the even split ±1 (ties
+    share percent_rank), and a higher score never lands in a LARGER
+    band than a lower one."""
+    from lens_spark.operators.text import score_band
+
+    df = spark.createDataFrame(
+        [(i, "s", float(v)) for i, v in enumerate(scores)],
+        "id long, src string, sc double")
+    rows = score_band(df, "sc", "id", strata="src", bands=3).collect()
+    by_rank = sorted(rows, key=lambda r: (-r.sc, r.id))
+    bands = [r.band for r in by_rank]
+    assert bands == sorted(bands)              # monotone along the order
+    assert all(0 <= b <= 2 for b in bands)
+    assert bands[0] == 0                        # top row is head band
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vec=st.lists(st.floats(-10, 10, allow_nan=False,
+                              allow_infinity=False)
+                    .map(lambda x: 0.0 if abs(x) < 1e-6 else x),
+                    min_size=4, max_size=8))
+def test_matryoshka_unit_norm_or_zero(spark, vec):
+    """The truncated-renormalized prefix has unit L2 norm unless the
+    prefix is all-zero (then it stays the zero vector). Components are
+    constrained away from denormals: squaring a ~1e-308 input
+    underflows to norm 0, which the operator (correctly) treats as a
+    zero prefix."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.functions.vectors import l2_norm, matryoshka_truncate
+
+    df = spark.createDataFrame([(1, [float(x) for x in vec])],
+                               "id long, v array<double>")
+    r = df.select(
+        matryoshka_truncate(F.col("v"), 3).alias("t"),
+        l2_norm(matryoshka_truncate(F.col("v"), 3)).alias("n")).collect()[0]
+    if any(x != 0.0 for x in vec[:3]):
+        assert math.isclose(r.n, 1.0, rel_tol=1e-9)
+    else:
+        assert r.t == [0.0, 0.0, 0.0]
