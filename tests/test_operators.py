@@ -1454,3 +1454,62 @@ def test_compact_index_on_exact_fp_layout(spark, tmp_path):
                                    "k long, v string")
     out = dedup_incremental(replay, idx, columns=["k", "v"])
     assert {r.k for r in out.collect()} == {99}
+
+
+def test_parts_migration_recovery_crash_windows(spark, tmp_path):
+    """Each staged-rename crash state rolls forward or back
+    deterministically: (parts + tmp) drops the garbage tmp;
+    (old + tmp, no parts) completes the swap; (parts + old) drops the
+    stale old copy."""
+    import os
+    import shutil
+
+    from lens_spark.operators.dedup import _parts_pb_migration_recover
+
+    def mk(path, marker):
+        os.makedirs(path, exist_ok=True)
+        open(os.path.join(path, marker), "w").write("x")
+
+    # window 1: crash before rename 1 — parts intact, tmp partial
+    root = str(tmp_path / "w1")
+    mk(f"{root}/parts", "keep.parquet")
+    mk(f"{root}/parts.migrating", "partial.parquet")
+    _parts_pb_migration_recover(spark, f"{root}/parts")
+    assert os.path.exists(f"{root}/parts/keep.parquet")
+    assert not os.path.exists(f"{root}/parts.migrating")
+
+    # window 2: crash between renames — no parts, complete tmp + old
+    root = str(tmp_path / "w2")
+    mk(f"{root}/parts.old", "legacy.parquet")
+    mk(f"{root}/parts.migrating", "migrated.parquet")
+    _parts_pb_migration_recover(spark, f"{root}/parts")
+    assert os.path.exists(f"{root}/parts/migrated.parquet")
+    assert not os.path.exists(f"{root}/parts.old")
+    assert not os.path.exists(f"{root}/parts.migrating")
+
+    # window 3: crash before the final delete — parts new, old stale
+    root = str(tmp_path / "w3")
+    mk(f"{root}/parts", "migrated.parquet")
+    mk(f"{root}/parts.old", "legacy.parquet")
+    _parts_pb_migration_recover(spark, f"{root}/parts")
+    assert os.path.exists(f"{root}/parts/migrated.parquet")
+    assert not os.path.exists(f"{root}/parts.old")
+
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_parts_migration_leftovers_detection(spark, tmp_path):
+    """Read-only callers see the unsafe window (parts missing, staging
+    present) and nothing else."""
+    import os
+
+    from lens_spark.operators.dedup import _parts_migration_leftovers
+
+    root = str(tmp_path / "det")
+    parts = f"{root}/parts"
+    os.makedirs(root)
+    assert not _parts_migration_leftovers(spark, parts)  # nothing there
+    os.makedirs(f"{parts}.migrating")
+    assert _parts_migration_leftovers(spark, parts)      # unsafe
+    os.makedirs(parts)
+    assert not _parts_migration_leftovers(spark, parts)  # parts present
