@@ -1648,6 +1648,24 @@ def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64 → 16 dims (new r6): the
+    model-free shrink for non-MRL embeddings. Checked via scalar
+    digests (array columns can't be driver-canonicalized); the oracle
+    embeds the same 3dp-rounded seed-derived matrix as literals."""
+    spec = {"lenses": [{"name": "random_projection", "arguments": {
+        "column": "embedding", "dim": 64, "out_dim": 16}}]}
+    out = engine.append(_read(spark, sf_dir, "embeddings"), spec)
+    v = F.col("embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("p_sum"),
+        F.round(F.array_min(v), 6).alias("p_min"),
+        F.round(F.array_max(v), 6).alias("p_max"),
+    )
+
+
 def q_x5_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style banding (new r6): unigram-LM surprisal scored per
     doc, then head/middle/tail thirds WITHIN each source stratum
@@ -1881,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_containment": q_x2_containment,
         "x5_classifier_score": q_x5_classifier_score,
         "x6_time_rollup": q_x6_time_rollup,
+        "x3_random_projection": q_x3_random_projection,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2102,6 +2121,32 @@ SELECT doc_id,
        CAST({_hexbyte_sql('s1', 0)} AS INT) AS f0,
        CAST({_hexbyte_sql('s1', 7)} AS INT) AS f7
 FROM s
+"""
+
+
+def _random_projection_oracle_sql() -> str:
+    """Twin of operators.similarity.random_projection at 64 → 16 with
+    the shared rp_matrix(seed=42): the 3dp-rounded matrix entries are
+    embedded as exact literals, each output dim an explicit 64-term
+    double sum. Summation-order fp noise (numpy's blocked matmul vs
+    DuckDB's sequential sum) lands ulps below the 6dp digest rounds —
+    the same accepted tolerance class as every double-sum oracle here."""
+    from lens_spark.operators.similarity import rp_matrix
+
+    R = rp_matrix(16, 64)
+    exprs = []
+    for j in range(16):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {R[j][i]!r}"
+            for i in range(64))
+        exprs.append(f"({terms})")
+    arr = "[" + ", ".join(exprs) + "]"
+    return f"""
+WITH p AS (SELECT vec_id, {arr} AS t FROM embeddings)
+SELECT vec_id, round(list_sum(t), 6) AS p_sum,
+       round(list_min(t), 6) AS p_min,
+       round(list_max(t), 6) AS p_max
+FROM p
 """
 
 
@@ -3219,6 +3264,7 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x4_audio_features": _audio_features_oracle_sql(),
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x5_classifier_score": _classifier_score_oracle_sql(),
+        "x3_random_projection": _random_projection_oracle_sql(),
         "x6_time_rollup": """
 SELECT date_trunc('hour', ts) AS hour, date_trunc('day', ts) AS day,
        event_type,

@@ -512,6 +512,65 @@ def quantize_embedding_lens(arguments: Mapping[str, Any]) -> Lens:
     return Lens("quantize_embedding", arguments, fwd, inv)
 
 
+def rp_matrix(out_dim: int, dim: int, *, seed: int = 42) -> "np.ndarray":
+    """Deterministic Johnson–Lindenstrauss projection matrix
+    (out_dim × dim): seed-derived Gaussian entries rounded to 3
+    decimals (engine-portable literals — the DuckDB oracle embeds the
+    same numbers exactly), scaled 1/√out_dim so expected pairwise
+    distances are preserved (the JL lemma's estimator)."""
+    rng = np.random.RandomState(int(seed))
+    return np.round(rng.standard_normal((int(out_dim), int(dim)))
+                    / np.sqrt(float(out_dim)), 3)
+
+
+def random_projection(df: DataFrame, vec_col: str, *, dim: int,
+                      out_dim: int, seed: int = 42,
+                      out: str | None = None) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to ``out_dim`` dimensions — the model-free shrink for embeddings
+    NOT trained Matryoshka-style (where prefix truncation would
+    discard structure): pairwise distances are preserved in
+    expectation with distortion ~√(log n / out_dim), so downstream
+    cosine/L2 dedup and ANN keep their neighborhoods.
+
+    Scale shape: the projection matrix is driver-held KBs (derived
+    from ``seed``, never shipped as data); the projection itself is
+    one Arrow-batched pandas UDF doing a single BLAS matmul per batch
+    — the documented escape-hatch shape (a Catalyst expression would
+    unroll out_dim × dim terms and trip janino's method limit, the
+    kernel lesson this module documents). Narrow: no shuffle at any
+    corpus size.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if int(dim) < 1 or int(out_dim) < 1:
+        from lens_spark.errors import LensError
+        raise LensError("random_projection: dim and out_dim must be >= 1")
+    R = rp_matrix(int(out_dim), int(dim), seed=int(seed)).T  # (dim, out)
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(x @ R))
+
+    return df.withColumn(out or vec_col, project(F.col(vec_col)))
+
+
+@register_lens("random_projection")
+def random_projection_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, dim, out_dim, seed (42), out (default
+    in-place). Lossy: no inverse."""
+    vec_col = str(require_arg(arguments, "column", "random_projection"))
+    dim = int(require_arg(arguments, "dim", "random_projection"))
+    out_dim = int(require_arg(arguments, "out_dim", "random_projection"))
+    return Lens(
+        "random_projection", arguments,
+        lambda df: random_projection(
+            df, vec_col, dim=dim, out_dim=out_dim,
+            seed=int(arguments.get("seed", 42)),
+            out=arguments.get("out")))
+
+
 @register_lens("matryoshka_truncate")
 def matryoshka_truncate_lens(arguments: Mapping[str, Any]) -> Lens:
     """Truncate an MRL embedding column to its first ``d`` components

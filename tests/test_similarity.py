@@ -275,3 +275,49 @@ def test_matryoshka_truncate_lens_and_validation(spark):
     assert row.emb == pytest.approx([1 / 3, 2 / 3, 2 / 3])
     with pytest.raises(LensError, match="d must be"):
         make_lens("matryoshka_truncate", {"column": "emb", "d": 0})
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: projecting 64 → 32 dims keeps pairwise L2
+    distances within moderate distortion (relative error bounded, and
+    small on average), and the operator is deterministic across
+    calls. Disjoint-support vectors (worst case for sparsity) keep
+    their separation."""
+    import numpy as np
+
+    from lens_spark.operators.similarity import random_projection
+
+    rnd = np.random.RandomState(11)
+    vecs = [list(map(float, rnd.randn(64))) for _ in range(30)]
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "id long, v array<double>")
+    out = {r.id: np.array(r.p) for r in
+           random_projection(df, "v", dim=64, out_dim=32,
+                             out="p").collect()}
+    out2 = {r.id: np.array(r.p) for r in
+            random_projection(df, "v", dim=64, out_dim=32,
+                              out="p").collect()}
+    assert all(np.array_equal(out[i], out2[i]) for i in out)  # deterministic
+    errs = []
+    X = [np.array(v) for v in vecs]
+    for a in range(0, 30, 3):
+        for b in range(a + 1, 30, 3):
+            d0 = np.linalg.norm(X[a] - X[b])
+            d1 = np.linalg.norm(out[a] - out[b])
+            errs.append(abs(d1 - d0) / d0)
+    assert max(errs) < 0.6
+    assert float(np.median(errs)) < 0.25
+
+
+def test_random_projection_lens_and_validation(spark):
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "id long, v array<double>")
+    spec = {"lenses": [{"name": "random_projection", "arguments": {
+        "column": "v", "dim": 8, "out_dim": 4}}]}
+    row = engine.append(df, spec).collect()[0]
+    assert len(row.v) == 4
+    with pytest.raises(LensError, match="must be >= 1"):
+        random_projection(df, "v", dim=8, out_dim=0)
