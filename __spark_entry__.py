@@ -1710,6 +1710,17 @@ def q_x5_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clf_score")
 
 
+def q_x2_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (new r6): fraction of the doc's distinct
+    3-grams appearing in no other document — the corpus-diversity /
+    memorization audit, per-document complement of the pair families."""
+    from lens_spark.operators.dedup import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_novelty(docs, "doc_id", "text", ngram=MH_SHINGLE_W)
+    return out.select("doc_id", "novelty")
+
+
 def q_x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram containment pairs (new r6): the asymmetric-overlap
     signal Jaccard misses — a short doc wholly contained in a long one
@@ -1900,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_classifier_score": q_x5_classifier_score,
         "x6_time_rollup": q_x6_time_rollup,
         "x3_random_projection": q_x3_random_projection,
+        "x2_novelty": q_x2_novelty,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3265,6 +3277,19 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x5_classifier_score": _classifier_score_oracle_sql(),
         "x3_random_projection": _random_projection_oracle_sql(),
+        "x2_novelty": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+per_doc AS (
+  SELECT doc_id,
+         round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS nv
+  FROM ex JOIN dfreq USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.nv, 0.0) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
         "x6_time_rollup": """
 SELECT date_trunc('hour', ts) AS hour, date_trunc('day', ts) AS day,
        event_type,

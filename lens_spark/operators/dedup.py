@@ -400,6 +400,56 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str, *,
+                  ngram: int = 3, shingle: str = "word",
+                  out: str = "novelty") -> DataFrame:
+    """Append each document's n-gram NOVELTY: the fraction of its
+    distinct n-grams that appear in no other document (df = 1) — the
+    corpus-diversity / memorization audit column. novelty ≈ 1 means
+    the doc contributes genuinely new n-grams; ≈ 0 means everything it
+    says, the corpus already says elsewhere (boilerplate, templates,
+    near-dup survivors worth a second look). The per-document
+    complement of the pairwise dedup family: no pairs, one score per
+    row.
+
+    Scale shape: one distinct-shingle explode (8-byte xxhash64 keys on
+    every exchange, checkpointed — it feeds the df-count agg AND the
+    per-doc agg), a document-frequency groupBy (map-side partial), a
+    hash join back, a per-doc mean of (df = 1). Shingle-less docs
+    score 0.0 and keep their row.
+    """
+    shingled = (ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__nv_id"),
+        F.explode(_shingles(text_col, ngram, shingle)).alias("__s0"))
+        .select("__nv_id", F.xxhash64("__s0").alias("__s"))
+        .localCheckpoint(eager=False))
+    dfreq = shingled.groupBy("__s").agg(F.count("*").alias("__df"))
+    per_doc = (shingled.join(dfreq, "__s")
+               .groupBy("__nv_id")
+               .agg(F.round(F.avg((F.col("__df") == 1).cast("double")), 6)
+                    .alias("__nv")))
+    joined = df.join(per_doc, df[id_col] == per_doc["__nv_id"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__nv"), F.lit(0.0))
+    ).drop("__nv_id", "__nv")
+
+
+@register_lens("ngram_novelty")
+def ngram_novelty_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), ngram (3), shingle ("word" |
+    "char"), out ("novelty"). Inverse drops the appended column."""
+    id_col = str(require_arg(arguments, "id", "ngram_novelty"))
+    text_col = str(require_arg(arguments, "column", "ngram_novelty"))
+    out = str(arguments.get("out", "novelty"))
+    return Lens(
+        "ngram_novelty", arguments,
+        lambda df: ngram_novelty(
+            df, id_col, text_col,
+            ngram=int(arguments.get("ngram", 3)),
+            shingle=str(arguments.get("shingle", "word")), out=out),
+        lambda df: df.drop(out))
+
+
 def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       ngram: int = 3, threshold: float = 0.8,
                       max_df: int | None = None,

@@ -1513,3 +1513,30 @@ def test_parts_migration_leftovers_detection(spark, tmp_path):
     assert _parts_migration_leftovers(spark, parts)      # unsafe
     os.makedirs(parts)
     assert not _parts_migration_leftovers(spark, parts)  # parts present
+
+
+def test_ngram_novelty_planted_extremes(spark):
+    """A doc duplicated verbatim scores 0 (every 3-gram shared); a doc
+    of unique words scores 1; partial overlap lands in between; docs
+    too short for a 3-gram score 0 and keep their row."""
+    from lens_spark import engine
+    from lens_spark.operators.dedup import ngram_novelty
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    uniq = "one lonely sentence nobody else wrote here"
+    mixed = "alpha beta gamma delta fresh ending words"
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq), (4, mixed), (5, "too short")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.novelty
+           for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == 1.0
+    assert 0.0 < got[4] < 1.0
+    assert got[5] == 0.0
+    # lens registration + inverse
+    spec = {"lenses": [{"name": "ngram_novelty", "arguments": {
+        "id": "doc_id", "column": "text"}}]}
+    fwd = engine.append(df, spec)
+    assert "novelty" in fwd.columns
+    assert "novelty" not in engine.append(fwd, engine.invert(spec)).columns
