@@ -1710,6 +1710,22 @@ def q_x5_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clf_score")
 
 
+def q_x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style temperature mixing (new r6): per-source token budgets
+    ∝ count^0.3 of a 30k-token total (low-resource sources upsampled,
+    dominant ones damped), applied with the deterministic md5
+    fractional machinery. Weights are data-derived; the oracle
+    recomputes the whole chain — totals, α-powered budgets, fractional
+    thresholds — in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    spec = {"lenses": [{"name": "mix_by_temperature", "arguments": {
+        "keys": ["doc_id"], "strata": "source",
+        "total_budget_tokens": 30000, "alpha": 0.3, "column": "text"}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "source", "repeat_idx")
+
+
 def q_x2_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (new r6): fraction of the doc's distinct
     3-grams appearing in no other document — the corpus-diversity /
@@ -1912,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_time_rollup": q_x6_time_rollup,
         "x3_random_projection": q_x3_random_projection,
         "x2_novelty": q_x2_novelty,
+        "x7_temperature_mix": q_x7_temperature_mix,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3277,6 +3294,37 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x5_classifier_score": _classifier_score_oracle_sql(),
         "x3_random_projection": _random_projection_oracle_sql(),
+        "x7_temperature_mix": r"""
+WITH ntok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt
+  FROM documents
+),
+tot AS (SELECT source, sum(nt) AS total FROM ntok GROUP BY source),
+z AS (SELECT sum(power(CAST(total AS DOUBLE), 0.3)) AS z FROM tot),
+w AS (
+  SELECT source,
+         round(30000.0 * power(CAST(total AS DOUBLE), 0.3) / z.z
+               / total, 6) AS wt
+  FROM tot CROSS JOIN z
+),
+base AS (
+  SELECT n.doc_id, n.source, w.wt,
+         ('0x' || substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+  FROM ntok n JOIN w USING (source)
+),
+cnt AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS BIGINT)
+         + CASE WHEN h < CAST(round((wt - floor(wt)) * 4294967296)
+                             AS UBIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS repeat_idx
+FROM cnt WHERE n_copies > 0
+""",
         "x2_novelty": f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL_INNER} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),

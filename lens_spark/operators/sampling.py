@@ -220,6 +220,76 @@ def mix_by_token_budget(df: DataFrame, key_cols: list[str], strata_col: str,
     return mixed.drop("__mix_nt") if token_count_col == "__mix_nt" else mixed
 
 
+def mix_by_temperature(df: DataFrame, key_cols: list[str], strata_col: str,
+                       *, total_budget_tokens: float, alpha: float = 0.3,
+                       token_count_col: str | None = None,
+                       text_col: str | None = None,
+                       out: str = "repeat_idx", salt: str = "") -> DataFrame:
+    """Temperature-based corpus mixing — the T5 / multilingual
+    standard: stratum s receives a token budget ∝ (its token count)^α
+    of ``total_budget_tokens``, so α = 1 keeps natural proportions,
+    α → 0 approaches uniform, and the 0.2–0.7 range is the published
+    low-resource upsampling regime ("Exploring the Limits of Transfer
+    Learning…", Raffel et al. 2020, §3.4.3 uses this form;
+    "Unsupervised Cross-lingual Representation Learning at Scale",
+    Conneau et al. 2020 pick α = 0.3). The derived per-stratum
+    replication weights feed the same deterministic fractional
+    machinery as ``oversample``/``mix_by_token_budget``.
+
+    Weights are rounded to 6 decimals before application so the
+    engine-portable oracle can recompute them bit-stably (pow() may
+    differ in the last ulp across libm implementations; the round
+    collapses that). Per-stratum token totals are a KB-sized driver
+    agg, like every mixing model here.
+    """
+    if token_count_col is None:
+        if text_col is None:
+            raise LensError(
+                "mix_by_temperature needs token_count_col or text_col")
+        from lens_spark.functions.text import whitespace_token_count
+
+        df = df.withColumn("__mix_nt",
+                           whitespace_token_count(F.col(text_col)))
+        token_count_col = "__mix_nt"
+    a = float(alpha)
+    if a <= 0:
+        raise LensError(f"mix_by_temperature: alpha must be > 0, got {alpha}")
+    totals = {
+        r["__s"]: r["__t"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .agg(F.sum(F.col(token_count_col)).alias("__t")).collect()
+    }
+    z = sum(float(t) ** a for t in totals.values() if t)
+    if z <= 0:
+        raise LensError("mix_by_temperature: corpus has no tokens")
+    weights = {
+        s: round(float(total_budget_tokens) * (float(t) ** a) / z
+                 / float(t), 6)
+        for s, t in totals.items() if t
+    }
+    mixed = oversample(df, key_cols, strata_col, weights,
+                       default_weight=0.0, out=out, salt=salt)
+    return mixed.drop("__mix_nt") if token_count_col == "__mix_nt" else mixed
+
+
+@register_lens("mix_by_temperature")
+def mix_by_temperature_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys, strata, total_budget_tokens, alpha (0.3),
+    token_count_col or column (text), out ("repeat_idx"), salt."""
+    keys = [str(k) for k in require_arg(arguments, "keys",
+                                        "mix_by_temperature")]
+    strata = str(require_arg(arguments, "strata", "mix_by_temperature"))
+    total = float(require_arg(arguments, "total_budget_tokens",
+                              "mix_by_temperature"))
+    return Lens("mix_by_temperature", arguments, lambda df: mix_by_temperature(
+        df, keys, strata, total_budget_tokens=total,
+        alpha=float(arguments.get("alpha", 0.3)),
+        token_count_col=arguments.get("token_count_col"),
+        text_col=arguments.get("column"),
+        out=str(arguments.get("out", "repeat_idx")),
+        salt=str(arguments.get("salt", ""))))
+
+
 def sample_exact_k(df: DataFrame, key_cols: list[str], strata_col: str,
                    k: int, *, salt: str = "", safety: int = 8) -> DataFrame:
     """EXACTLY ``k`` rows per stratum (all rows of smaller strata),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lens_spark import engine
 from lens_spark.errors import LensError
@@ -262,3 +263,52 @@ def test_sample_exact_k_fallback_when_candidates_short(spark):
     # k small to make shortfalls plausible across hash ranges
     out = sample_exact_k(df, ["id"], "src", 39, safety=1)
     assert out.count() == 39
+
+
+def test_mix_by_temperature_budget_shares(spark):
+    """α < 1 tilts budgets toward small strata: the upsampling weight
+    of the minority source exceeds its natural share, totals land near
+    the temperature-scaled budgets, and α validation refuses
+    non-positive temperatures."""
+    import pytest as _pytest
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.sampling import mix_by_temperature
+
+    rows = [(i, "big", "w " * 20) for i in range(90)]
+    rows += [(1000 + i, "small", "w " * 20) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_by_temperature(df, ["doc_id"], "source",
+                             total_budget_tokens=2000, alpha=0.3,
+                             text_col="text")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # natural shares are 90/10; α=0.3 budgets ∝ 1800^0.3 : 200^0.3
+    # ≈ 0.66 : 0.34 — the small stratum must be strongly upsampled
+    assert counts["small"] > 10          # replicated above natural size
+    assert counts["small"] * 1.2 > counts["big"] * 0.34 / 0.66
+    # expectation sanity: total docs ≈ budget/20 tokens each = ~100
+    assert 60 <= counts["small"] + counts["big"] <= 140
+    with _pytest.raises(LensError, match="alpha must be"):
+        mix_by_temperature(df, ["doc_id"], "source",
+                           total_budget_tokens=100, alpha=0.0,
+                           text_col="text")
+
+
+def test_mix_by_temperature_alpha_one_matches_natural_budget(spark):
+    """α = 1 reduces to plain proportional budgeting: every stratum's
+    weight is total_budget / corpus_tokens — identical replication for
+    all strata."""
+    from lens_spark.operators.sampling import mix_by_temperature
+
+    rows = [(i, "a", "x " * 10) for i in range(20)]
+    rows += [(100 + i, "b", "x " * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # budget = 2× corpus tokens → every doc exactly twice, both strata
+    out = mix_by_temperature(df, ["doc_id"], "source",
+                             total_budget_tokens=1600, alpha=1.0,
+                             text_col="text")
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc.values()) == {2}
+    assert len(per_doc) == 80
