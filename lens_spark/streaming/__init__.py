@@ -233,6 +233,56 @@ def running_count_processor(keys: list[str], out: str = "running_count"):
     return _RunningCount()
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         on: list[str], left_ts: str, right_ts: str,
+                         within: str = "1 hour",
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval —
+    Structured Streaming's canonical two-stream correlation (click ↔
+    impression, request ↔ response): rows pair when the keys match AND
+    ``right_ts`` lies within ± ``within`` of ``left_ts``.
+
+    State discipline (Spark's stream-stream join contract): BOTH
+    sides carry a watermark and the join condition carries the time
+    range — together they let the engine evict buffered rows older
+    than watermark + within, so state is bounded by the time horizon,
+    not the stream length. Without the range predicate each side
+    buffers forever. Batch frames run the identical plan (watermark
+    no-op), which is how parity is tested.
+
+    The two event-time columns must have distinct names (Spark needs
+    both in the joined row to express the range) — alias one side
+    first; the duplicated key columns are dropped from the right side.
+    """
+    from lens_spark.errors import LensError
+
+    if left_ts == right_ts:
+        raise LensError(
+            "stream_interval_join: the two event-time columns must have "
+            "distinct names (alias one side) — the interval condition "
+            "references both in the joined row.")
+    lw = (left.withWatermark(left_ts, watermark)
+          if left.isStreaming else left)
+    rw = (right.withWatermark(right_ts, watermark)
+          if right.isStreaming else right)
+    keys = [str(c) for c in on]
+    if not keys:
+        raise LensError("stream_interval_join: need at least one key")
+    cond = None
+    for c in keys:
+        e = lw[c] == rw[c]
+        cond = e if cond is None else (cond & e)
+    iv = F.expr(f"INTERVAL {within}")
+    cond = (cond
+            & (rw[right_ts] >= lw[left_ts] - iv)
+            & (rw[right_ts] <= lw[left_ts] + iv))
+    joined = lw.join(rw, cond, how)
+    for c in keys:
+        joined = joined.drop(rw[c])
+    return joined
+
+
 def streaming_dedup(stream_df: DataFrame, keys: list[str], *,
                     ts_col: str | None = None,
                     watermark: str = "1 hour") -> DataFrame:

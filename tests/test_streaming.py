@@ -487,3 +487,69 @@ def test_stream_decontaminate_null_text_passes_through(spark, tmp_path):
         stream, bench, text_col="text", bench_text_col="bench_text",
         ngram=2))
     assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Stream-stream interval join (two file streams, availableNow)
+    produces exactly the rows the identical batch join does: key match
+    + event-time within ±30 minutes; distinct-ts-name contract
+    enforced."""
+    import pandas as pd
+
+    from lens_spark.errors import LensError
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    ld = tmp_path / "left"
+    rd = tmp_path / "right"
+    ld.mkdir(), rd.mkdir()
+    def us(col):
+        return col.astype("datetime64[us]")  # µs precision → Spark TIMESTAMP
+
+    ldf = pd.DataFrame({"user_id": [1, 2], "l_ts": [base, base]})
+    ldf["l_ts"] = us(ldf["l_ts"])
+    ldf.to_parquet(ld / "f1.parquet")
+    ldf2 = pd.DataFrame({"user_id": [3], "l_ts": [base]})
+    ldf2["l_ts"] = us(ldf2["l_ts"])
+    ldf2.to_parquet(ld / "f2.parquet")
+    rdf = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 9],
+        "r_ts": [base + pd.Timedelta(minutes=10),   # in window
+                 base + pd.Timedelta(hours=2),      # out of window
+                 base - pd.Timedelta(minutes=20),   # in window (before)
+                 base + pd.Timedelta(minutes=29),   # in window
+                 base],                             # key never matches
+    })
+    rdf["r_ts"] = us(rdf["r_ts"])
+    rdf.to_parquet(rd / "f1.parquet")
+
+    # parquet µs timestamps surface as TIMESTAMP_NTZ; watermarks need
+    # the session-tz TIMESTAMP type
+    ls = read_file_stream(spark, str(ld), schema_from=str(ld / "f1.parquet")) \
+        .withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    rs = read_file_stream(spark, str(rd), schema_from=str(rd / "f1.parquet")) \
+        .withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+    got = run_available_now(
+        stream_interval_join(ls, rs, on=["user_id"], left_ts="l_ts",
+                             right_ts="r_ts", within="30 minutes"))
+    stream_rows = {(r.user_id, r.r_ts) for r in got.collect()}
+
+    lb = spark.read.parquet(str(ld)) \
+        .withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    rb = spark.read.parquet(str(rd)) \
+        .withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+    batch = stream_interval_join(lb, rb, on=["user_id"], left_ts="l_ts",
+                                 right_ts="r_ts", within="30 minutes")
+    batch_rows = {(r.user_id, r.r_ts) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert {u for u, _ in batch_rows} == {1, 2, 3}
+    assert len(batch_rows) == 3
+
+    with pytest.raises(LensError, match="distinct names"):
+        stream_interval_join(lb, rb.withColumnRenamed("r_ts", "l_ts"),
+                             on=["user_id"], left_ts="l_ts",
+                             right_ts="l_ts")
