@@ -1710,6 +1710,26 @@ def q_x5_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clf_score")
 
 
+def q_x6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (new r6): 1-hour windows advancing
+    every 15 minutes — each event lands in 4 overlapping windows (the
+    moving-average shape tumbling windows can't express). Same
+    F.window kernel as the streaming surface, so the identical call
+    runs under a watermark on streams. Decimal-exact value sums (the
+    events_windowed idiom); the oracle expands the 4 per-event window
+    memberships explicitly."""
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    out = (ev.groupBy(F.window(F.col("ts"), "1 hour", "15 minutes")
+                      .alias("win"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("sum_value")))
+    return out.select(F.col("win.start").alias("window_start"),
+                      "n_events", "sum_value")
+
+
 def q_x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style temperature mixing (new r6): per-source token budgets
     ∝ count^0.3 of a 30k-token total (low-resource sources upsampled,
@@ -1929,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_random_projection": q_x3_random_projection,
         "x2_novelty": q_x2_novelty,
         "x7_temperature_mix": q_x7_temperature_mix,
+        "x6_sliding_windows": q_x6_sliding_windows,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3364,6 +3385,17 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "x6_sliding_windows": """
+WITH x AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                           - k * 900) AS TIMESTAMP) AS window_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1
 """,
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

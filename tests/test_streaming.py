@@ -553,3 +553,24 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
         stream_interval_join(lb, rb.withColumnRenamed("r_ts", "l_ts"),
                              on=["user_id"], left_ts="l_ts",
                              right_ts="l_ts")
+
+
+def test_sliding_windows_memberships(spark):
+    """Every event contributes to exactly window/slide = 4 sliding
+    windows, and each window's count equals the events inside its
+    [start, start+1h) span — the overlap accounting tumbling windows
+    can't express."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = entrymod.q_x6_sliding_windows(spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in out) == 4 * n_events
+    # spot-check one window against a direct range count
+    ev = read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+    r = max(out, key=lambda r: r.n_events)
+    direct = ev.filter(
+        (F.col("ts") >= F.lit(r.window_start))
+        & (F.col("ts") < F.lit(r.window_start) + F.expr("INTERVAL 1 HOUR"))
+    ).count()
+    assert direct == r.n_events
