@@ -320,6 +320,24 @@ def q_x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x4_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash + banded Hamming near-dup plumbing over
+    binary payloads (new r6) — hashed with the deterministic fake
+    codec (the x4 oracle convention: the real dhash/ahash path is
+    pinned by tests/test_multimodal.py); the oracle reproduces the
+    sha256-derived signed-64 hash and the 16-bit band split in SQL."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8"))
+    spec = {"lenses": [{"name": "image_hash", "arguments": {
+        "column": "payload", "fake": True, "keep": ["doc_id"]}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id", "image_hash",
+        F.shiftright(F.col("image_hash"), 48)
+        .bitwiseAND(F.lit(0xFFFF)).alias("band3"),
+    )
+
+
 def q_x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style 1:N frame sampling + per-frame resize over the binary
     payload (stub codecs; rows-only — sha-derived bytes aren't SQL)."""
@@ -1950,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_novelty": q_x2_novelty,
         "x7_temperature_mix": q_x7_temperature_mix,
         "x6_sliding_windows": q_x6_sliding_windows,
+        "x4_image_phash": q_x4_image_phash,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3385,6 +3404,19 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "x4_image_phash": """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(coalesce(text, '')), 1, 16))::UBIGINT AS u
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+                 THEN CAST(u AS HUGEINT) - 18446744073709551616::HUGEINT
+                 ELSE CAST(u AS HUGEINT) END AS BIGINT) AS image_hash,
+       CAST((u >> 48) & 65535 AS BIGINT) AS band3
+FROM h
 """,
         "x6_sliding_windows": """
 WITH x AS (

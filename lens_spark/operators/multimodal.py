@@ -118,6 +118,171 @@ def image_features(df: DataFrame, payload_col: str, *, feature_dim: int = 16,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def perceptual_hash(payload: bytes, *, method: str = "dhash",
+                    hash_size: int = 8) -> int:
+    """64-bit perceptual image hash over the decoded grayscale image —
+    the image-surface analogue of simhash: re-encodes, minor crops and
+    resizes land within a few Hamming bits of each other.
+
+    ``dhash``: sample the luminance on a (hash_size+1) × hash_size
+    grid (nearest-neighbor, matching ``resize_nearest``'s convention);
+    each bit is left-pixel < right-neighbor — gradient signs are what
+    survives rescaling. ``ahash``: hash_size² grid, bit = pixel >
+    grid mean. Pure numpy over the stdlib codecs; deterministic.
+    """
+    if method not in ("dhash", "ahash"):
+        from lens_spark.errors import LensError
+        raise LensError(
+            f"perceptual_hash: method must be 'dhash' or 'ahash', "
+            f"got {method!r}")
+    img = decode_image_auto(payload)
+    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+    ch = img["channels"]
+    if ch > 1:
+        px = px.reshape(-1, ch)
+        color_ch = 3 if ch >= 3 else 1
+        lum = px[:, :color_ch].mean(axis=1)
+    else:
+        lum = px.astype(np.float64)
+    lum = lum.reshape(img["height"], img["width"])
+    hs = int(hash_size)
+
+    def grid(h, w):
+        ys = (np.arange(h) * lum.shape[0] // h)
+        xs = (np.arange(w) * lum.shape[1] // w)
+        return lum[np.ix_(ys, xs)]
+
+    if method == "dhash":
+        g = grid(hs, hs + 1)
+        bits = (g[:, :-1] < g[:, 1:]).flatten()
+    else:  # ahash — validated above
+        g = grid(hs, hs)
+        bits = (g > g.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into a signed 64-bit (Spark LongType) value
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fake_perceptual_hash(payload: bytes) -> int:
+    """sha256-derived stand-in hash (the x4 fake-codec convention)."""
+    hexd = hashlib.sha256(payload or b"").hexdigest()
+    v = int(hexd[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_hash(df: DataFrame, payload_col: str, *, method: str = "dhash",
+               hash_size: int = 8, fake: bool = False,
+               keep: list[str] | None = None,
+               out: str = "image_hash") -> DataFrame:
+    """Append the 64-bit perceptual hash of every image payload
+    (Arrow-batched mapInPandas over the binary column — same shape as
+    ``image_features``). The hash is the cheap persisted artifact:
+    downstream exact dedup is a plain groupBy on it, near-dup goes
+    through ``image_neardup_pairs``' banded Hamming join."""
+    keep = keep or []
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join([f"{c} {dtypes[c]}" for c in keep]
+                           + [f"{out} long"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _fake_perceptual_hash(p) if fake
+                else perceptual_hash(p, method=method, hash_size=hash_size)
+                for p in pdf[payload_col]
+            ]
+            res = pd.DataFrame({out: pd.array(hashes, dtype="int64")})
+            for c in reversed(keep):
+                res.insert(0, c, pdf[c].values)
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str, payload_col: str, *,
+                        max_hamming: int = 3, method: str = "dhash",
+                        fake: bool = False) -> DataFrame:
+    """Visually-near-duplicate image pairs: perceptual hash → banded
+    Hamming join → exact popcount verify. Emits (id_a, id_b, hamming)
+    with id_a < id_b.
+
+    Candidate generation is EXACT for ``max_hamming ≤ 3`` by
+    pigeonhole: the 64-bit hash splits into 4 × 16-bit bands, and ≤ 3
+    differing bits leave at least one band identical — so the
+    band-equality self-join (shuffle keys: two small ints, never
+    payloads) finds every qualifying pair; larger ``max_hamming``
+    trades recall like any LSH. Verification is JVM-side
+    ``bit_count(xor)`` — no Python in the join path; the decode UDF
+    runs once per image, not per pair.
+    """
+    from lens_spark.errors import LensError
+
+    if not 0 <= int(max_hamming) <= 64:
+        raise LensError(
+            f"image_neardup_pairs: max_hamming must be in [0, 64], "
+            f"got {max_hamming}")
+    hashes = image_hash(df, payload_col, method=method, fake=fake,
+                        keep=[id_col]).localCheckpoint(eager=False)
+    bands = hashes.select(
+        F.col(id_col),
+        F.col("image_hash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright(F.col("image_hash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("bv"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select(id_col, "image_hash", "b.bi", "b.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.image_hash").alias("__ha"),
+                    F.col("b.image_hash").alias("__hb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
+            .filter(F.col("hamming") <= int(max_hamming))
+            .select("id_a", "id_b", "hamming"))
+
+
+@register_lens("image_hash")
+def image_hash_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (binary), method ("dhash" | "ahash"),
+    hash_size (8), fake (false), keep (id columns), out
+    ("image_hash")."""
+    payload_col = str(require_arg(arguments, "column", "image_hash"))
+    keep = [str(c) for c in arguments.get("keep", [])]
+    return Lens("image_hash", arguments, lambda df: image_hash(
+        df, payload_col,
+        method=str(arguments.get("method", "dhash")),
+        hash_size=int(arguments.get("hash_size", 8)),
+        fake=bool(arguments.get("fake", False)),
+        keep=keep, out=str(arguments.get("out", "image_hash"))))
+
+
+@register_lens("image_neardup_pairs")
+def image_neardup_pairs_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (binary), max_hamming (3), method
+    ("dhash"), fake (false)."""
+    id_col = str(require_arg(arguments, "id", "image_neardup_pairs"))
+    payload_col = str(require_arg(arguments, "column",
+                                  "image_neardup_pairs"))
+    return Lens("image_neardup_pairs", arguments,
+                lambda df: image_neardup_pairs(
+                    df, id_col, payload_col,
+                    max_hamming=int(arguments.get("max_hamming", 3)),
+                    method=str(arguments.get("method", "dhash")),
+                    fake=bool(arguments.get("fake", False))))
+
+
 def resize_image(df: DataFrame, payload_col: str, *, width: int, height: int,
                  fake: bool = False, keep: list[str] | None = None) -> DataFrame:
     """Resize via 1:1 mapInPandas emitting the resized payload + target

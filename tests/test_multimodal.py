@@ -208,3 +208,103 @@ def test_audio_features_fake_is_deterministic_and_undecodable_raises(spark, medi
     assert rates <= {8000, 10000, 20000}
     with pytest.raises(PythonException):
         audio_features(media, "payload").collect()   # not WAV payloads
+
+
+def test_perceptual_hash_dedup_properties(spark):
+    """dHash: identical pixels → identical hash regardless of PNG byte
+    stream; a lightly-perturbed copy lands within a few Hamming bits;
+    a structurally different image lands far; a resized copy of a
+    smooth gradient stays close (the property pHash-family hashes
+    exist for)."""
+    import numpy as np
+
+    from lens_spark.functions.imagecodec import encode_png
+    from lens_spark.operators.multimodal import perceptual_hash
+
+    w, h = 32, 32
+    # smooth horizontal gradient — dhash encodes the gradient signs
+    grad = bytes(int(x * 255 / (w - 1)) for _ in range(h)
+                 for x in range(w) for _ in range(3))
+    img = encode_png(w, h, "RGB", grad)
+    h0 = perceptual_hash(img)
+    assert h0 == perceptual_hash(encode_png(w, h, "RGB", grad))
+    # small perturbation: bump a few pixels slightly
+    px = bytearray(grad)
+    for i in range(0, 60, 3):
+        px[i] = min(255, px[i] + 8)
+    h1 = perceptual_hash(encode_png(w, h, "RGB", bytes(px)))
+    # reversed gradient: every comparison flips
+    rev = bytes(int((w - 1 - x) * 255 / (w - 1)) for _ in range(h)
+                for x in range(w) for _ in range(3))
+    h2 = perceptual_hash(encode_png(w, h, "RGB", rev))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) <= 6
+    assert ham(h0, h2) >= 32
+    # downscaled copy of the gradient keeps the same sign structure
+    small = bytes(int(x * 255 / (w // 2 - 1)) for _ in range(h // 2)
+                  for x in range(w // 2) for _ in range(3))
+    h3 = perceptual_hash(encode_png(w // 2, h // 2, "RGB", small))
+    assert ham(h0, h3) <= 8
+
+
+def test_image_neardup_pairs_banded_join(spark):
+    """The banded Hamming join finds the planted near-identical pair
+    (exact for max_hamming ≤ 3 by pigeonhole), never the distant one;
+    hashing runs once per image and the verify is JVM-side."""
+    import numpy as np
+
+    from lens_spark.functions.imagecodec import encode_png
+    from lens_spark.operators.multimodal import (
+        image_hash,
+        image_neardup_pairs,
+    )
+
+    w, h = 32, 32
+    grad = bytes(int(x * 255 / (w - 1)) for _ in range(h)
+                 for x in range(w) for _ in range(3))
+    px2 = bytearray(grad)
+    px2[0] = min(255, px2[0] + 6)           # near-copy
+    rev = bytes(int((w - 1 - x) * 255 / (w - 1)) for _ in range(h)
+                for x in range(w) for _ in range(3))
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, "RGB", grad)),
+         (2, encode_png(w, h, "RGB", bytes(px2))),
+         (3, encode_png(w, h, "RGB", rev))],
+        "media_id long, payload binary")
+    pairs = image_neardup_pairs(df, "media_id", "payload",
+                                max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.hamming <= 3 for r in pairs)
+    # hash column shape: one signed 64-bit hash per image
+    hashes = image_hash(df, "payload", keep=["media_id"]).collect()
+    assert len(hashes) == 3
+    assert all(isinstance(r.image_hash, int) for r in hashes)
+
+
+def test_image_hash_fake_mode_and_validation(spark, media):
+    """fake=True hashes any payload deterministically (contract
+    queries / oracle scaffolding); bad method and hamming bounds
+    refuse loudly."""
+    import pytest as _pytest
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.multimodal import (
+        image_hash,
+        image_neardup_pairs,
+        perceptual_hash,
+    )
+
+    got = {r.media_id: r.image_hash
+           for r in image_hash(media, "payload", fake=True,
+                               keep=["media_id"]).collect()}
+    again = {r.media_id: r.image_hash
+             for r in image_hash(media, "payload", fake=True,
+                                 keep=["media_id"]).collect()}
+    assert got == again and len(set(got.values())) == 3
+    with _pytest.raises(LensError, match="method must be"):
+        perceptual_hash(b"BMxx", method="phash")
+    with _pytest.raises(LensError, match="max_hamming"):
+        image_neardup_pairs(media, "media_id", "payload", max_hamming=99)
