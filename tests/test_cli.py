@@ -247,3 +247,32 @@ def test_cli_explain_prints_plan_and_skips_execution(tmp_path, capsys, spark):
     assert "== Physical Plan ==" in captured
     assert "PushedFilters" in captured        # the filter reached the scan
     assert not out.exists()                   # nothing executed
+
+
+def test_round6_lenses_run_through_the_cli(spark, tmp_path, monkeypatch):
+    """The r6 operators are full citizens of the stdin-JSON CLI
+    surface: a classifier-score + score-band + novelty chain runs end
+    to end on documents shaped like the reference's, appending the
+    three analysis columns."""
+    docs = [
+        {"doc_id": 1, "src": "a", "text": "alpha beta gamma alpha beta"},
+        {"doc_id": 2, "src": "a", "text": "totally different words here"},
+        {"doc_id": 3, "src": "b", "text": "alpha beta gamma alpha beta"},
+    ]
+    spec = {"lenses": [
+        {"name": "classifier_score", "arguments": {
+            "id": "doc_id", "column": "text",
+            "weights": [0.1, -0.2, 0.3, -0.4], "bias": 0.05}},
+        {"name": "score_band", "arguments": {
+            "column": "clf_score", "id": "doc_id", "strata": "src",
+            "bands": 2}},
+        {"name": "ngram_novelty", "arguments": {
+            "id": "doc_id", "column": "text"}},
+    ]}
+    got = sorted(run_cli(tmp_path, monkeypatch, spec, docs),
+                 key=lambda d: d["doc_id"])
+    assert all({"clf_score", "band", "novelty"} <= set(d) for d in got)
+    # docs 1 and 3 are verbatim dups → novelty 0; doc 2 is unique → 1
+    assert got[0]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[1]["novelty"] == 1.0
+    assert {d["band"] for d in got} <= {0, 1}
