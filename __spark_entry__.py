@@ -1957,8 +1957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6: hash-checkable via the precomputed-zlib oracle (was
         # rows-only through r5); window slot next rotation
         "x5_compression_ratio": q_x5_compression_ratio,
-        # new operators in round 6 — window slots next rotation; until
-        # then the tail test oracle-checks them locally on every run
+        # new in round 6 — the ROUND-7 ROTATION COHORT: these eleven
+        # (plus x5_compression_ratio above) have only the local tail
+        # oracle check so far and take window slots next round,
+        # evicting ≥3-round-green siblings per the standing policy;
+        # until then the tail test oracle-checks them on every run.
         "x3_matryoshka": q_x3_matryoshka,
         "x5_logprob_band": q_x5_logprob_band,
         "x2_containment": q_x2_containment,
