@@ -419,6 +419,32 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "lineitem"), spec)
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (new r6): all four grouping combinations of
+    (returnflag, linestatus) in ONE Expand + hash-aggregate pass —
+    exercises the aggregate lens's remaining mode (rollup and
+    grouping_sets have their own queries)."""
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["l_returnflag", "l_linestatus"], "mode": "cube",
+        "aggs": {"sum_qty": "round(sum(l_quantity), 2)",
+                 "n_rows": "count(*)"}}}]}
+    return engine.append(_read(spark, sf_dir, "lineitem"), spec)
+
+
+def q_x5_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile (new r6): whitespace token counts bucketed
+    into fixed 25-token bins — one narrow projection + one agg, the
+    single-pass histogram every dataset card needs."""
+    from lens_spark.functions.text import whitespace_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.floor(whitespace_token_count(F.col("text")) / 25)
+        .alias("len_bin"))
+    return (binned.groupBy("len_bin")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_sets_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custkeys with finished ('F') orders but no open ('O') ones —
     filter + project + except (distinct set semantics) via views, so the
@@ -1972,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_temperature_mix": q_x7_temperature_mix,
         "x6_sliding_windows": q_x6_sliding_windows,
         "x4_image_phash": q_x4_image_phash,
+        "cube_revenue": q_cube_revenue,
+        "x5_token_histogram": q_x5_token_histogram,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3407,6 +3435,19 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "cube_revenue": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "x5_token_histogram": r"""
+SELECT CAST(floor(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) / 25) AS BIGINT)
+           AS len_bin,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
 """,
         "x4_image_phash": """
 WITH h AS (
