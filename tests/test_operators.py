@@ -1540,3 +1540,27 @@ def test_ngram_novelty_planted_extremes(spark):
     fwd = engine.append(df, spec)
     assert "novelty" in fwd.columns
     assert "novelty" not in engine.append(fwd, engine.invert(spec)).columns
+
+
+def test_compact_index_respects_writer_lease(spark, tmp_path):
+    """compact_index serializes with ingest: a held writer lock makes
+    it refuse instead of rewriting an index mid-ingest."""
+    import os
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.operators.dedup import compact_index, dedup_incremental
+
+    idx = str(tmp_path / "fp_locked")
+    b = spark.createDataFrame([(1, "a")], "k long, v string")
+    dedup_incremental(b, idx, columns=["k", "v"])
+    open(os.path.join(idx, "_writer.lock"), "w").write("held")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentIndexWriterError):
+            compact_index(spark, idx)
+    finally:
+        os.remove(os.path.join(idx, "_writer.lock"))
+    # lease released → compaction proceeds
+    stats = compact_index(spark, idx)
+    assert stats["files_after"] >= 1
