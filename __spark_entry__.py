@@ -1672,6 +1672,45 @@ def q_x6_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(ev, spec)
 
 
+def q_x6_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling features (new r6b): for every
+    event, the count and decimal-exact value sum of that user's events
+    in [t − 1h, t] — the rolling_agg lens (one hash exchange on
+    user_id + a per-key time sort; RANGE frame, never a self-join).
+    Timestamps truncate to whole seconds on both sides so the frame
+    boundary is precision-independent; equal-second rows are frame
+    peers, making every value order-independent."""
+    from lens_spark.sources import read_ns_timestamps
+
+    ev = (read_ns_timestamps(spark, f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "ts", "value"))
+    spec = {"lenses": [{"name": "rolling_agg", "arguments": {
+        "key": "user_id", "ts": "ts", "window": "1 hour",
+        "aggs": {
+            "n_1h": "count(*)",
+            # top-level aggregate (the OVER attaches to it); the
+            # decimal→double cast happens on the output column below
+            "sum_1h_dec": "sum(cast(value as decimal(18,6)))"}}}]}
+    return engine.append(ev, spec).select(
+        "event_id", "user_id", "n_1h",
+        F.col("sum_1h_dec").cast("double").alias("sum_1h"))
+
+
+def q_x9_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed AUC + confusion metrics (new r6b): evaluate
+    doc length as a predictor of lang='en' — deliberately tie-heavy
+    (integer scores) to exercise the average-rank path. The rank
+    statistic aggregates per DISTINCT rounded score (one hash
+    exchange over ≤10^6+1 keys), holds 2·rank as exact integers, and
+    divides once at the end — no global row sort, no float
+    accumulation, bit-deterministic under any partitioning."""
+    docs = _read(spark, sf_dir, "documents").select("n_chars", "lang")
+    spec = {"lenses": [{"name": "binary_eval", "arguments": {
+        "score": "cast(n_chars as double)", "label": "lang = 'en'",
+        "threshold": 500.0}}]}
+    return engine.append(docs, spec)
+
+
 def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix truncation (MRL): keep the first 16 of 64
     embedding dims + L2 renormalize — the sanctioned cheap shrink for
@@ -2000,6 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_image_phash": q_x4_image_phash,
         "cube_revenue": q_cube_revenue,
         "x5_token_histogram": q_x5_token_histogram,
+        # new in round 6b — hash-checkable, local tail oracle until a
+        # future rotation gives them an external window slot
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "x9_classifier_eval": q_x9_classifier_eval,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3408,6 +3451,54 @@ per_doc AS (
 )
 SELECT d.doc_id, coalesce(p.nv, 0.0) AS novelty
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "x6_rolling_agg": """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tsec, value
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "x9_classifier_eval": """
+WITH base AS (
+  SELECT round(CAST(n_chars AS DOUBLE), 6) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+per_score AS (SELECT s, count(*) AS n, sum(y) AS p FROM base GROUP BY s),
+ranked AS (
+  SELECT n, p, coalesce(sum(n) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM per_score
+),
+rs AS (SELECT CAST(sum(p * (2 * cum + n + 1)) AS BIGINT) AS spr2,
+              CAST(sum(p) AS BIGINT) AS pos,
+              CAST(sum(n) AS BIGINT) AS tot FROM ranked),
+conf AS (SELECT
+  CAST(sum(CASE WHEN s >= 500.0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN s >= 500.0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN s < 500.0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(sum(CASE WHEN s < 500.0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM base)
+SELECT tot AS n, pos AS n_pos,
+       round(CASE WHEN pos > 0 AND tot - pos > 0
+             THEN CAST(spr2 - pos * (pos + 1) AS DOUBLE)
+                  / (2.0 * pos * (tot - pos)) END, 6) AS auc,
+       tp, fp, tn, fn,
+       round(CASE WHEN tot > 0 THEN CAST(tp + tn AS DOUBLE) / tot END, 6)
+           AS accuracy,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+           AS "precision",
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+           AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+             THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                      * (CAST(tp AS DOUBLE) / (tp + fn))
+                  / ((CAST(tp AS DOUBLE) / (tp + fp))
+                     + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
+FROM rs, conf
 """,
         "x6_time_rollup": """
 SELECT date_trunc('hour', ts) AS hour, date_trunc('day', ts) AS day,

@@ -12,6 +12,7 @@ Importing this package registers all built-in lenses. Modules:
   temporal  — as-of join, gap sessionization, session windows (batch+stream)
   clustering— X3 ext: distributed Lloyd's k-means + SemDedup semantic dedup
   selection — X7 ext: DSIR importance weighting + Gumbel-top-k resampling
+  evaluation— classifier eval: exact rank-statistic AUC + confusion metrics
 """
 
 from lens_spark.operators.base import (
@@ -35,6 +36,7 @@ from lens_spark.operators import ranking as _ranking  # noqa: F401
 from lens_spark.operators import packing as _packing  # noqa: F401
 from lens_spark.operators import clustering as _clustering  # noqa: F401
 from lens_spark.operators import selection as _selection  # noqa: F401
+from lens_spark.operators import evaluation as _evaluation  # noqa: F401
 
 __all__ = [
     "Lens",

@@ -191,7 +191,85 @@ def session_agg(df: DataFrame, *, key: str, ts_col: str, gap: str = "30 minutes"
     )
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str, lens: str) -> int:
+    """Parse ``"<n> <unit>"`` (second/minute/hour/day) to whole seconds."""
+    parts = str(interval).strip().split()
+    if len(parts) == 2 and parts[0].lstrip("-").isdigit() \
+            and parts[1].lower() in _UNIT_SECONDS:
+        return int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+    raise LensError(
+        f"{lens}: cannot parse interval '{interval}' "
+        "(expected '<n> second|minute|hour|day[s]')")
+
+
+def rolling_agg(df: DataFrame, *, key: str, ts_col: str,
+                window: str = "1 hour",
+                aggs: Mapping[str, str] | None = None) -> DataFrame:
+    """Trailing event-time aggregates per key: for each row, ``aggs``
+    evaluated over that key's rows in ``[t − window, t]`` (inclusive
+    both ends — the RANGE frame's natural boundary semantics).
+
+    The per-entity rolling feature (trailing 1-hour spend, 24-hour
+    event count, …) that Spark exposes only as a raw RANGE frame;
+    here it is one lens. Timestamps are truncated to whole seconds
+    before framing so the boundary is well-defined regardless of the
+    source's sub-second precision (parquet ns vs SQL µs).
+
+    Scale (100 TB): one hash exchange on ``key`` + a per-key time
+    sort — identical shape to ``sessionize``; the frame is evaluated
+    by Spark's sliding window machinery, never a self-join. Rows with
+    equal (key, second) are frame *peers* (RANGE includes ties), so
+    every output value is order-independent and deterministic. A key
+    whose full history exceeds one task is the same skew case as
+    sessionize — salt upstream or bucket the key space.
+    """
+    secs = _interval_seconds(window, "rolling_agg")
+    t = F.date_trunc("second", F.col(ts_col).cast("timestamp"))
+    tagged = df.withColumn("__rsec", t.cast("long"))
+    w = (Window.partitionBy(key).orderBy(F.col("__rsec").asc())
+         .rangeBetween(-secs, 0))
+    out = tagged
+    # Each agg expr must be a TOP-LEVEL aggregate call (sum(...),
+    # count(*), avg(...)): the OVER clause attaches to the aggregate
+    # itself — wrap casts/arithmetic around the *output column* in a
+    # downstream lens instead of around the aggregate.
+    for name, expr in (aggs or {"n_window": "count(*)"}).items():
+        try:
+            out = out.withColumn(name, F.expr(expr).over(w))
+        except Exception as exc:  # AnalysisException at resolution time
+            raise LensError(
+                f"rolling_agg: agg '{name}' = '{expr}' must be a "
+                f"top-level aggregate call (got: {exc})") from None
+    return out.drop("__rsec")
+
+
 # --- lens registrations -------------------------------------------------
+
+@register_lens("rolling_agg")
+def rolling_agg_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: key, ts, window (interval string), aggs
+    ({out_col: SQL agg expr})."""
+
+    def forward(df: DataFrame) -> DataFrame:
+        return rolling_agg(
+            df,
+            key=str(require_arg(arguments, "key", "rolling_agg")),
+            ts_col=str(require_arg(arguments, "ts", "rolling_agg")),
+            window=str(arguments.get("window", "1 hour")),
+            aggs={str(k): str(v)
+                  for k, v in (arguments.get("aggs") or {}).items()} or None,
+        )
+
+    aggs = arguments.get("aggs") or {"n_window": None}
+    return Lens("rolling_agg", arguments, forward,
+                lambda df: df.drop(*[str(k) for k in aggs]))
+
 
 @register_lens("asof_join")
 def asof_join_lens(arguments: Mapping[str, Any]) -> Lens:

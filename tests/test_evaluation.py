@@ -1,0 +1,95 @@
+"""binary_eval: exact rank-statistic AUC + threshold confusion metrics."""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.operators.evaluation import binary_eval
+
+
+def _eval(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "s double, y int")
+    return binary_eval(df, score="s", label="y", **kw).collect()[0]
+
+
+def test_perfect_separation(spark):
+    r = _eval(spark, [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)])
+    assert r.auc == 1.0
+    assert (r.tp, r.fp, r.tn, r.fn) == (2, 0, 2, 0)
+    assert r.accuracy == 1.0 and r.precision == 1.0 and r.recall == 1.0
+    assert r.f1 == 1.0
+
+
+def test_inverted_scores_auc_zero(spark):
+    r = _eval(spark, [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])
+    assert r.auc == 0.0
+
+
+def test_sklearn_reference_case(spark):
+    # sklearn.metrics.roc_auc_score([0,0,1,1],[0.1,0.4,0.35,0.8]) == 0.75
+    r = _eval(spark, [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)])
+    assert r.auc == 0.75
+
+
+def test_ties_use_average_ranks(spark):
+    # scores (0.2,0), (0.2,1), (0.6,1): tie group avg rank 1.5 →
+    # sum_pos_ranks = 1.5 + 3 = 4.5, AUC = (4.5 − 3)/(2·1) = 0.75
+    r = _eval(spark, [(0.2, 0), (0.2, 1), (0.6, 1)])
+    assert r.auc == 0.75
+
+
+def test_all_tied_is_half(spark):
+    r = _eval(spark, [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])
+    assert r.auc == 0.5
+
+
+def test_single_class_auc_null_metrics_defined(spark):
+    r = _eval(spark, [(0.3, 1), (0.9, 1)])
+    assert r.auc is None
+    assert r.recall == 0.5 and r.precision == 1.0  # t=0.5: tp=1, fn=1
+    assert r.tn == 0 and r.fp == 0
+
+
+def test_threshold_inclusive(spark):
+    r = _eval(spark, [(0.5, 1), (0.49, 0)], threshold=0.5)
+    assert (r.tp, r.tn) == (1, 1)
+
+
+def test_nulls_dropped_and_counts(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.1, None), (0.2, 0)],
+        "s double, y int")
+    r = binary_eval(df, score="s", label="y").collect()[0]
+    assert r.n == 2 and r.n_pos == 1
+
+
+def test_partitioning_invariance(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(round(rng.random(), 3), rng.randint(0, 1)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    a = binary_eval(df.coalesce(1), score="s", label="y").collect()[0]
+    b = binary_eval(df.repartition(17), score="s", label="y").collect()[0]
+    assert a == b
+
+
+def test_expression_score_and_label(spark):
+    df = spark.createDataFrame([(100, "en"), (10, "fr")], "n long, lang string")
+    r = binary_eval(df, score="ln(n + 1)", label="lang = 'en'",
+                    threshold=3.0).collect()[0]
+    assert r.auc == 1.0 and r.tp == 1 and r.tn == 1
+
+
+def test_lens_registration(spark):
+    df = spark.createDataFrame([(0.9, 1), (0.1, 0)], "s double, y int")
+    out = engine.append(df, {"lenses": [{"name": "binary_eval", "arguments": {
+        "score": "s", "label": "y"}}]})
+    assert out.collect()[0].auc == 1.0
+
+
+def test_bad_decimals_raises(spark):
+    df = spark.createDataFrame([(0.9, 1)], "s double, y int")
+    with pytest.raises(LensError, match="score_decimals"):
+        binary_eval(df, score="s", label="y", score_decimals=12)

@@ -186,3 +186,57 @@ def test_asof_bucketed_plan_partitions_by_key_and_bucket(quotes, trades):
     assert big, f"no event window found in plan:\n{plan[:2000]}"
     assert all("__b" in s and "__k" in s for s in big), (
         f"event window not partitioned by (key, bucket): {big}")
+
+
+# --- rolling_agg --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clicks(spark):
+    # key 1: 12:00, 12:30, 12:59, 13:30 — the 13:30 row's 1h frame
+    # holds only 12:30..13:30 ⇒ {12:30? no: 12:30 < 12:30 exact edge}
+    return spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(30), 2.0), (1, ts(59), 4.0),
+         (2, ts(30), 8.0),
+         (1, dt.datetime(2024, 1, 1, 13, 30), 16.0)],
+        "key long, cts timestamp, v double")
+
+
+def test_rolling_agg_trailing_hour(clicks):
+    from lens_spark.operators.temporal import rolling_agg
+    out = rolling_agg(clicks, key="key", ts_col="cts", window="1 hour",
+                      aggs={"n1h": "count(*)", "s1h": "sum(v)"})
+    got = {(r.key, r.cts): (r.n1h, r.s1h) for r in out.collect()}
+    assert got[(1, ts(0))] == (1, 1.0)
+    assert got[(1, ts(30))] == (2, 3.0)
+    assert got[(1, ts(59))] == (3, 7.0)
+    # 13:30 frame = [12:30, 13:30] inclusive ⇒ rows at 12:30, 12:59, 13:30
+    assert got[(1, dt.datetime(2024, 1, 1, 13, 30))] == (3, 22.0)
+    assert got[(2, ts(30))] == (1, 8.0)          # keys never mix
+
+
+def test_rolling_agg_ties_are_peers(spark):
+    """Equal (key, second) rows see each other regardless of row order:
+    RANGE frames include peers, so output is deterministic."""
+    from lens_spark.operators.temporal import rolling_agg
+    df = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(0), 2.0)], "key long, cts timestamp, v double")
+    out = rolling_agg(df, key="key", ts_col="cts", window="5 minutes",
+                      aggs={"s": "sum(v)"})
+    assert [r.s for r in out.collect()] == [3.0, 3.0]
+
+
+def test_rolling_agg_lens_inverse_drops_outputs(clicks):
+    spec = {"lenses": [{"name": "rolling_agg", "arguments": {
+        "key": "key", "ts": "cts", "window": "30 minutes",
+        "aggs": {"n": "count(*)"}}}]}
+    out = engine.append(clicks, spec)
+    assert "n" in out.columns
+    back = engine.append(out, engine.invert(spec))
+    assert sorted(back.columns) == sorted(clicks.columns)
+
+
+def test_rolling_agg_bad_interval_raises(clicks):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.temporal import rolling_agg
+    with pytest.raises(LensError, match="cannot parse interval"):
+        rolling_agg(clicks, key="key", ts_col="cts", window="1 fortnight")
