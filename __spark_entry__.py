@@ -200,6 +200,24 @@ def q_x2_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                          threshold=JACCARD_THRESHOLD)
 
 
+def q_x2_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (new r6b): MinHash band
+    candidates verified by exact threshold-capped Levenshtein on the
+    first 2000 chars — the rephrase/typo signal token-set measures
+    miss. Same banding dials as x2_minhash_pairs so the oracle reuses
+    _MINHASH_CTES; the length pre-filter (a lower bound on edit
+    distance) discards most candidates before any O(prefix²) DP."""
+    from lens_spark.operators.dedup import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = edit_distance_pairs(docs, "doc_id", "text", max_dist=150,
+                              prefix=2000, num_hashes=MH_NUM_HASHES,
+                              ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE)
+    return out.select("id_a", "id_b",
+                      F.col("edit_distance").cast("bigint")
+                      .alias("edit_distance"))
+
+
 def q_x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash table — 60-bit md5-based (functions.hashing.SIMHASH_BITS)
     so DuckDB reproduces the exact packed integers: per bit, majority
@@ -1711,6 +1729,28 @@ def q_x9_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x3_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype vector (new r6b): group_centroid's
+    element-wise mean over the embeddings table. Decimal(28,12) sums
+    make every centroid component bit-deterministic under any
+    partitioning; the oracle mirrors the same decimal/count division.
+    Digest-checked (array columns can't be driver-canonicalized —
+    the x4 round-1 lesson)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    spec = {"lenses": [{"name": "group_centroid", "arguments": {
+        "keys": ["label"], "vector": "embedding"}}]}
+    out = engine.append(emb, spec)
+    c = F.col("centroid")
+    return out.select(
+        "label", "n",
+        F.round(F.aggregate(c, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("c_sum"),
+        F.round(F.array_min(c), 6).alias("c_min"),
+        F.round(F.array_max(c), 6).alias("c_max"),
+        F.size(c).alias("c_dim"),
+    )
+
+
 def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix truncation (MRL): keep the first 16 of 64
     embedding dims + L2 renormalize — the sanctioned cheap shrink for
@@ -2043,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # future rotation gives them an external window slot
         "x6_rolling_agg": q_x6_rolling_agg,
         "x9_classifier_eval": q_x9_classifier_eval,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x3_centroid": q_x3_centroid,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2533,6 +2575,16 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x2_edit_pairs": _MINHASH_CTES + """
+, txt AS (SELECT doc_id, substr(text, 1, 2000) AS t FROM documents)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance
+FROM cand c
+JOIN txt a ON c.id_a = a.doc_id
+JOIN txt b ON c.id_b = b.doc_id
+WHERE abs(length(a.t) - length(b.t)) <= 150
+  AND levenshtein(a.t, b.t) <= 150
+""",
         "x7_oversample": _oversample_oracle_sql(),
         "x7_dsir_weights": _DSIR_ORACLE_PREFIX + r"""
 SELECT r.doc_id, coalesce(p.lw, 0.0) AS dsir_logweight
@@ -3198,6 +3250,30 @@ FROM common JOIN sizes na ON common.id_a = na.doc_id
             JOIN sizes nb ON common.id_b = nb.doc_id
 WHERE greatest(round(CAST(c AS DOUBLE) / na.n, 6),
                round(CAST(c AS DOUBLE) / nb.n, 6)) >= 0.5
+""",
+        "x3_centroid": """
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DECIMAL(28,12)) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT label, pos,
+         CAST(sum(v) / count(*) AS DOUBLE) AS m,
+         count(*) AS n
+  FROM ex GROUP BY label, pos
+),
+per_label AS (
+  SELECT label, CAST(max(n) AS BIGINT) AS n,
+         list(m ORDER BY pos) AS c
+  FROM per_dim GROUP BY label
+)
+SELECT label, n,
+       round(list_sum(c), 6) AS c_sum,
+       round(list_min(c), 6) AS c_min,
+       round(list_max(c), 6) AS c_max,
+       CAST(len(c) AS INT) AS c_dim
+FROM per_label
 """,
         "x3_matryoshka": """
 WITH h AS (SELECT vec_id, list_slice(embedding, 1, 16) AS h

@@ -303,3 +303,51 @@ def semdedup_lens(arguments: Mapping[str, Any]) -> Lens:
         threshold=float(arguments.get("threshold", 0.95)),
         max_iter=int(arguments.get("max_iter", 5)),
         keep=str(arguments.get("keep", "min"))))
+
+
+def group_centroid(df: DataFrame, key_cols: Sequence[str], vec_col: str, *,
+                   out: str = "centroid") -> DataFrame:
+    """Element-wise mean vector per group: ``(keys…, n, centroid)``.
+
+    The per-source / per-cluster / per-label prototype vector a
+    curation pipeline reports (and the one-shot, non-iterative cousin
+    of the k-means update step). Pure Catalyst: posexplode →
+    groupBy(keys, dim) with map-side partial aggregation — both
+    exchanges carry scalars, never vectors — then one per-key
+    re-collect sorted by dimension. For a HOT loop (re-computing
+    centroids every iteration) use :func:`kmeans`'s fused mapInPandas
+    kernel instead; this operator optimizes for plan transparency and
+    engine-exact arithmetic.
+
+    Sums are held as decimal(28,12) — order-independent, so results
+    are bit-deterministic under any partitioning (a float sum would
+    drift with partition order); the published centroid is double.
+    Null vectors are excluded from both ``n`` and the mean.
+    """
+    keys = [str(k) for k in key_cols]
+    if not keys:
+        raise LensError("group_centroid: key_cols must be non-empty")
+    exploded = (df.filter(F.col(vec_col).isNotNull())
+                .select(*keys, F.posexplode(vec_col).alias("__pos", "__v")))
+    per_dim = exploded.groupBy(*keys, "__pos").agg(
+        F.sum(F.col("__v").cast("decimal(28,12)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"))
+    mean = (F.col("__s") / F.col("__n")).cast("double")
+    return (per_dim.groupBy(*keys)
+            .agg(F.max("__n").alias("n"),
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("__pos"), mean.alias("__m"))))
+                 .alias("__cl"))
+            .withColumn(out, F.transform(F.col("__cl"), lambda s: s["__m"]))
+            .withColumn("n", F.col("n").cast("bigint"))
+            .drop("__cl"))
+
+
+@register_lens("group_centroid")
+def group_centroid_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list), vector, out ("centroid")."""
+    keys = require_arg(arguments, "keys", "group_centroid")
+    vec_col = str(require_arg(arguments, "vector", "group_centroid"))
+    return Lens("group_centroid", arguments, lambda df: group_centroid(
+        df, [str(k) for k in keys], vec_col,
+        out=str(arguments.get("out", "centroid"))))

@@ -515,6 +515,78 @@ def containment_pairs_lens(arguments: Mapping[str, Any]) -> Lens:
         shingle=str(arguments.get("shingle", "word"))))
 
 
+def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        max_dist: int = 20, prefix: int = 2000,
+                        num_hashes: int = 16, ngram: int = 3,
+                        band_size: int = 4, max_bucket: int | None = None,
+                        shingle: str = "word") -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH band candidates
+    verified by exact Levenshtein distance — the rephrase/typo signal
+    token-set measures (Jaccard, containment) are blind to: two docs
+    differing by a handful of character edits keep dist ≤ ``max_dist``
+    even when the edits fall inside tokens and shift every shingle.
+
+    Returns ``(id_a, id_b, edit_distance)`` with id_a < id_b and
+    distance ≤ ``max_dist``, computed on the first ``prefix`` chars
+    (the DP is O(prefix²) per pair — ``prefix`` IS the operator's
+    resolution, documented, not a silent cap).
+
+    Scale (100 TB): never all-pairs — candidates come from
+    :func:`minhash_candidates` (banded equi-join, ``max_bucket`` skew
+    cap); a length pre-filter (|len_a − len_b| ≤ max_dist, a lower
+    bound on edit distance) discards most candidates before any DP;
+    the surviving DP runs threshold-capped (Spark's 3-arg
+    ``levenshtein`` stops once the band exceeds ``max_dist``). Text
+    joins onto the candidate list by id — the band exchange itself
+    never carries text.
+    """
+    if max_dist < 0 or prefix < 1:
+        raise LensError("edit_distance_pairs: max_dist must be >= 0 "
+                        "and prefix >= 1")
+    pairs = minhash_candidates(df, id_col, text_col, num_hashes=num_hashes,
+                               ngram=ngram, band_size=band_size,
+                               max_bucket=max_bucket, shingle=shingle)
+    texts = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col).cast("string"), 1, int(prefix))
+        .alias("__t"))
+    texts = texts.withColumn("__l", F.length("__t")) \
+        .localCheckpoint(eager=False)
+    ta = texts.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"),
+                      F.col("__l").alias("__la"))
+    tb = texts.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"),
+                      F.col("__l").alias("__lb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("edit_distance",
+                    F.levenshtein(F.col("__ta"), F.col("__tb"),
+                                  int(max_dist)))
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+@register_lens("edit_distance_pairs")
+def edit_distance_pairs_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), max_dist (20), prefix (2000),
+    num_hashes, ngram, band_size, max_bucket, shingle."""
+    id_col = str(require_arg(arguments, "id", "edit_distance_pairs"))
+    text_col = str(require_arg(arguments, "column", "edit_distance_pairs"))
+    max_bucket = arguments.get("max_bucket")
+    return Lens("edit_distance_pairs", arguments,
+                lambda df: edit_distance_pairs(
+                    df, id_col, text_col,
+                    max_dist=int(arguments.get("max_dist", 20)),
+                    prefix=int(arguments.get("prefix", 2000)),
+                    num_hashes=int(arguments.get("num_hashes", 16)),
+                    ngram=int(arguments.get("ngram", 3)),
+                    band_size=int(arguments.get("band_size", 4)),
+                    max_bucket=(int(max_bucket) if max_bucket is not None
+                                else None),
+                    shingle=str(arguments.get("shingle", "word"))))
+
+
 def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *,
                    span: int = 8, min_df: int = 2,
                    shingle: str = "word") -> DataFrame:

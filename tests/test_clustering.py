@@ -191,3 +191,46 @@ def test_semdedup_auto_k_runs_and_repartitions_by_cluster(spark):
     plan = spark._jvm.PythonSQLUtils.explainString(
         pairs._jdf.queryExecution(), "formatted")
     assert "hashpartitioning(cluster" in plan, plan
+
+
+# --- group_centroid -----------------------------------------------------
+
+def test_group_centroid_exact_mean(spark):
+    from lens_spark.operators.clustering import group_centroid
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [10.0, 0.0])],
+        "g string, v array<double>")
+    got = {r.g: (r.n, r.centroid)
+           for r in group_centroid(df, ["g"], "v").collect()}
+    assert got["a"] == (2, [2.0, 4.0])
+    assert got["b"] == (1, [10.0, 0.0])
+
+
+def test_group_centroid_null_vectors_excluded(spark):
+    from lens_spark.operators.clustering import group_centroid
+    df = spark.createDataFrame(
+        [("a", [1.0, 1.0]), ("a", None)], "g string, v array<double>")
+    r = group_centroid(df, ["g"], "v").collect()[0]
+    assert r.n == 1 and r.centroid == [1.0, 1.0]
+
+
+def test_group_centroid_partitioning_invariant(spark):
+    import random
+    from lens_spark.operators.clustering import group_centroid
+    rng = random.Random(3)
+    rows = [(f"g{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    a = sorted(map(tuple, group_centroid(df.coalesce(1), ["g"], "v").collect()))
+    b = sorted(map(tuple, group_centroid(df.repartition(13), ["g"], "v").collect()))
+    for (ga, na, ca), (gb, nb, cb) in zip(a, b):
+        assert (ga, na) == (gb, nb) and ca == cb   # bit-identical
+
+
+def test_group_centroid_lens(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([("a", [2.0]), ("a", [4.0])],
+                               "g string, v array<double>")
+    out = engine.append(df, {"lenses": [{"name": "group_centroid",
+        "arguments": {"keys": ["g"], "vector": "v", "out": "proto"}}]})
+    assert out.collect()[0].proto == [3.0]

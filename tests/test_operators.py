@@ -1564,3 +1564,61 @@ def test_compact_index_respects_writer_lease(spark, tmp_path):
     # lease released → compaction proceeds
     stats = compact_index(spark, idx)
     assert stats["files_after"] >= 1
+
+
+# --- edit_distance_pairs ------------------------------------------------
+
+def test_edit_distance_pairs_finds_small_edits(spark):
+    """Docs differing by a few character edits pair up with the exact
+    distance; unrelated docs don't pair at all."""
+    from lens_spark.operators.dedup import edit_distance_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("quick", "quvck")),      # 1 substitution
+         (3, "completely different text about spark catalyst planning")],
+        "id long, text string")
+    rows = edit_distance_pairs(df, "id", "text", max_dist=5,
+                               num_hashes=8, ngram=3, band_size=2)
+    got = {(r.id_a, r.id_b): r.edit_distance for r in rows.collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_edit_distance_pairs_threshold_cuts(spark):
+    from lens_spark.operators.dedup import edit_distance_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " EXTRA WORDS APPENDED HERE NOW")],
+        "id long, text string")
+    loose = edit_distance_pairs(df, "id", "text", max_dist=40,
+                                num_hashes=8, ngram=3, band_size=2)
+    tight = edit_distance_pairs(df, "id", "text", max_dist=3,
+                                num_hashes=8, ngram=3, band_size=2)
+    assert loose.count() == 1 and tight.count() == 0
+
+
+def test_edit_distance_pairs_prefix_resolution(spark):
+    """Edits beyond the prefix are invisible: distance is computed on
+    the first `prefix` chars by contract."""
+    from lens_spark.operators.dedup import edit_distance_pairs
+    a = "shared head tokens for banding " * 4
+    df = spark.createDataFrame(
+        [(1, a + "tail one"), (2, a + "tail TWO")], "id long, text string")
+    rows = edit_distance_pairs(df, "id", "text", max_dist=10,
+                               prefix=len(a),
+                               num_hashes=8, ngram=3, band_size=2)
+    got = rows.collect()
+    assert len(got) == 1 and got[0].edit_distance == 0
+
+
+def test_edit_distance_pairs_lens_registration(spark):
+    from lens_spark import engine
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("dog", "dig"))],
+        "id long, text string")
+    out = engine.append(df, {"lenses": [{
+        "name": "edit_distance_pairs", "arguments": {
+            "id": "id", "column": "text", "max_dist": 5,
+            "num_hashes": 8, "ngram": 3, "band_size": 2}}]})
+    assert out.count() == 1
