@@ -1472,6 +1472,42 @@ def q_x3_quantize_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x8_concat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-split block layout (new r6b): every
+    doc's offset + first/last fixed-512-token training block in a
+    deterministic md5-sharded token stream. Pure window arithmetic —
+    fully oracle-checkable, unlike greedy pack_sequences (rows-only
+    by nature). One exchange carrying (hash, id, count), never
+    text."""
+    from lens_spark.operators.packing import concat_blocks
+
+    docs = _read(spark, sf_dir, "documents")
+    return concat_blocks(docs, "doc_id", block_tokens=512,
+                         text_col="text", num_shards=8)
+
+
+def q_x5_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-vocabulary token-id encoding (new r6b): top-1024
+    corpus vocabulary (count desc, token asc ties), docs encoded as
+    in-order id arrays, OOV → 0. Digest-checked: per-doc id count,
+    OOV count, id sum and an md5 over the comma-joined sequence —
+    stronger than scalar sums alone (order-sensitive)."""
+    docs = _read(spark, sf_dir, "documents")
+    spec = {"lenses": [{"name": "vocab_encode", "arguments": {
+        "id": "doc_id", "column": "text", "vocab_size": 1024}}]}
+    out = engine.append(docs, spec)
+    ids = F.col("token_ids")
+    return out.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).alias("n_oov"),
+        F.aggregate(ids, F.lit(0).cast("bigint"),
+                    lambda a, x: a + x.cast("bigint")).alias("ids_sum"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda x: x.cast("string"))))
+        .alias("ids_md5"),
+    )
+
+
 def q_x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (greedy, shard-deterministic) —
     rows-only: the greedy fill is recursive per shard, not single-query
@@ -2085,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_classifier_eval": q_x9_classifier_eval,
         "x2_edit_pairs": q_x2_edit_pairs,
         "x3_centroid": q_x3_centroid,
+        "x8_concat_blocks": q_x8_concat_blocks,
+        "x5_vocab_ids": q_x5_vocab_ids,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3042,6 +3080,65 @@ SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
        count(*) AS n_docs,
        round(avg(mean_logprob), 6) AS avg_logprob
 FROM kept GROUP BY 1
+""",
+        "x5_vocab_ids": r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, tid FROM (
+    SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
+               AS tid
+    FROM counts)
+  WHERE tid <= 1024
+),
+enc AS (
+  SELECT doc_id, list(coalesce(v.tid, 0) ORDER BY pos) AS ids
+  FROM toks LEFT JOIN vocab v USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(e.ids), 0) AS INT) AS n_tokens,
+       CAST(coalesce(len(list_filter(e.ids, x -> x = 0)), 0) AS INT)
+           AS n_oov,
+       CAST(coalesce(list_sum(e.ids), 0) AS BIGINT) AS ids_sum,
+       md5(coalesce(array_to_string(e.ids, ','), '')) AS ids_md5
+FROM documents d LEFT JOIN enc e USING (doc_id)
+""",
+        "x8_concat_blocks": r"""
+WITH h AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS nt,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hp
+  FROM documents
+),
+s AS (
+  SELECT doc_id, nt, hp,
+         CAST(('0x' || hp)::UBIGINT % 8 AS BIGINT) AS shard
+  FROM h
+),
+o AS (
+  SELECT doc_id, nt, shard,
+         coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY hp, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_tok
+  FROM s
+)
+SELECT doc_id, shard,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(shard * 4294967296 + (start_tok // 512) AS BIGINT)
+           AS block_first,
+       CAST(shard * 4294967296
+            + (greatest(start_tok + nt - 1, start_tok) // 512) AS BIGINT)
+           AS block_last
+FROM o
 """,
         "x7_shuffle_shards": """
 WITH h AS (

@@ -108,3 +108,86 @@ def pack_sequences_lens(arguments: Mapping[str, Any]) -> Lens:
             token_count_col=str(tc) if tc else None,
             text_col=str(text) if text else None,
             num_shards=int(arguments.get("num_shards", 64))))
+
+
+def concat_blocks(df: DataFrame, id_col: str, *, block_tokens: int,
+                  token_count_col: str | None = None,
+                  text_col: str | None = None,
+                  num_shards: int = 64, sep_tokens: int = 0,
+                  salt: str = "") -> DataFrame:
+    """GPT-style concatenate-and-split: lay the corpus out as one
+    deterministic token stream per shard and record, for every doc,
+    its offset and the fixed-size training blocks it lands in.
+
+    The dual of :func:`pack_sequences`: there, whole docs pack into
+    sequences (no doc spans two); here, the stream splits at exact
+    ``block_tokens`` boundaries and docs MAY span blocks —
+    ``block_first``/``block_last`` are the (global) ids of the first
+    and last block touched, ``start_tok`` the within-shard offset.
+    ``sep_tokens`` reserves stream positions after each doc (an EOD
+    token). Stream order is the ``shuffle_shards`` contract — md5
+    shard + (hash, id) order — so the layout is reproducible and
+    repartition-stable; blocks never cross shards, making each shard
+    an independently consumable training file.
+
+    Returns the slim frame ``(id, shard, start_tok, n_tokens,
+    block_first, block_last)`` — join back on id for payloads, so the
+    shard window sorts (hash, id, count) tuples, never text. One
+    exchange; per-shard cumulative sums via one ROWS window.
+    ``num_shards`` is the task-size dial (same contract as
+    pack_sequences). Empty docs get block_last = block_first.
+    """
+    from pyspark.sql import Window
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.sampling import _hash_prefix
+
+    if block_tokens < 1:
+        raise LensError("concat_blocks: block_tokens must be >= 1")
+    if token_count_col is None and text_col is None:
+        raise LensError("concat_blocks needs token_count_col or text_col")
+    if token_count_col is not None:
+        counted = df.withColumn("__nt", F.col(token_count_col).cast("bigint"))
+    else:
+        counted = df.withColumn("__nt",
+                                whitespace_token_count(F.col(text_col)))
+    b = int(block_tokens)
+    sep = int(sep_tokens)
+    hp = _hash_prefix([id_col], salt)
+    slim = counted.select(
+        F.col(id_col), F.col("__nt"), hp.alias("__h"),
+        (F.conv(hp, 16, 10).cast("bigint") % F.lit(int(num_shards)))
+        .alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(F.col("__nt") + sep).over(w), F.lit(0))
+    out = (slim.withColumn("start_tok", start)
+           .withColumn("__end", F.col("start_tok")
+                       + F.greatest(F.col("__nt") - 1, F.lit(0))))
+    blk = lambda c: (F.col("shard") * F.lit(1 << 32)  # noqa: E731
+                     + F.floor(c / b)).cast("bigint")
+    return out.select(
+        F.col(id_col), F.col("shard").cast("bigint").alias("shard"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("__nt").alias("n_tokens"),
+        blk(F.col("start_tok")).alias("block_first"),
+        blk(F.col("__end")).alias("block_last"))
+
+
+@register_lens("concat_blocks")
+def concat_blocks_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, block_tokens, and one of token_count_column /
+    column (text); num_shards (64), sep_tokens (0), salt ("")."""
+    id_col = str(require_arg(arguments, "id", "concat_blocks"))
+    bt = int(require_arg(arguments, "block_tokens", "concat_blocks"))
+    tc = arguments.get("token_count_column")
+    text = arguments.get("column")
+    return Lens(
+        "concat_blocks", arguments,
+        lambda df: concat_blocks(
+            df, id_col, block_tokens=bt,
+            token_count_col=str(tc) if tc else None,
+            text_col=str(text) if text else None,
+            num_shards=int(arguments.get("num_shards", 64)),
+            sep_tokens=int(arguments.get("sep_tokens", 0)),
+            salt=str(arguments.get("salt", ""))))

@@ -1062,3 +1062,73 @@ def url_normalize_lens(arguments: Mapping[str, Any]) -> Lens:
         return res
 
     return Lens("url_normalize", arguments, fwd)
+
+
+def vocab_encode(df: DataFrame, id_col: str, text_col: str, *,
+                 vocab_size: int = 4096, lowercase: bool = True,
+                 oov_id: int = 0, out: str = "token_ids") -> DataFrame:
+    """Corpus-frequency vocabulary + ordered token-id encoding: build
+    the top-``vocab_size`` whitespace-token vocabulary (ids 1..V by
+    descending count, token-ascending tie-break; ``oov_id`` for
+    everything else) and encode each doc as its in-order id array —
+    the tokenize-against-a-learned-vocab step of a training-data
+    export, minus the subword merge table.
+
+    Scale (100 TB):
+    - vocab build = one explode + map-side-combined groupBy(token),
+      then a two-phase TakeOrdered top-V (never a global sort of the
+      vocabulary) and a row_number over the V survivors — a bounded
+      funnel of ``vocab_size`` rows, driver never holds the corpus.
+    - encoding = the (id, pos, token) explode joins the V-row vocab
+      (broadcast hash join), then re-collects per doc sorted by
+      position; the re-collect exchange carries (id, pos, int32) —
+      token text never crosses it.
+    ``vocab_size`` is capped at 2^20 so the broadcast stays MB-scale.
+    """
+    from pyspark.sql import Window
+
+    from lens_spark.functions.text import tokens as _tok
+
+    if not 1 <= int(vocab_size) <= (1 << 20):
+        raise LensError("vocab_encode: vocab_size must be in [1, 2^20]")
+    toks = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(_tok(F.col(text_col), lowercase=lowercase))
+        .alias("__pos", "__tok"))
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(F.col("__c").desc(), F.col("__tok").asc()) \
+        .limit(int(vocab_size))
+    w = Window.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+    vocab = top.withColumn("__tid", F.row_number().over(w).cast("int")) \
+        .select("__tok", "__tid")
+    encoded = (
+        toks.join(F.broadcast(vocab), "__tok", "left")
+        .select("__vid", "__pos",
+                F.coalesce(F.col("__tid"), F.lit(int(oov_id)).cast("int"))
+                .alias("__tid"))
+        .groupBy("__vid")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+            lambda s: s["__tid"]).alias(out))
+    )
+    joined = df.join(encoded, df[id_col] == encoded["__vid"], "left")
+    return joined.withColumn(
+        out, F.coalesce(F.col(out), F.array().cast("array<int>"))
+    ).drop("__vid")
+
+
+@register_lens("vocab_encode")
+def vocab_encode_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), vocab_size (4096), lowercase
+    (true), oov_id (0), out ("token_ids"). Inverse drops the ids."""
+    id_col = str(require_arg(arguments, "id", "vocab_encode"))
+    text_col = str(require_arg(arguments, "column", "vocab_encode"))
+    out = str(arguments.get("out", "token_ids"))
+    return Lens(
+        "vocab_encode", arguments,
+        lambda df: vocab_encode(
+            df, id_col, text_col,
+            vocab_size=int(arguments.get("vocab_size", 4096)),
+            lowercase=bool(arguments.get("lowercase", True)),
+            oov_id=int(arguments.get("oov_id", 0)), out=out),
+        lambda df: df.drop(out))

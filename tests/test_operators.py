@@ -1622,3 +1622,46 @@ def test_edit_distance_pairs_lens_registration(spark):
             "id": "id", "column": "text", "max_dist": 5,
             "num_hashes": 8, "ngram": 3, "band_size": 2}}]})
     assert out.count() == 1
+
+
+# --- vocab_encode -------------------------------------------------------
+
+def test_vocab_encode_rank_and_oov(spark):
+    """ids rank by count desc then token asc; OOV (below vocab_size)
+    maps to oov_id; encoding preserves token order."""
+    from lens_spark.operators.text import vocab_encode
+    df = spark.createDataFrame(
+        [(1, "b b b a a rare"), (2, "a b unknown")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.token_ids
+           for r in vocab_encode(df, "doc_id", "text",
+                                 vocab_size=2).collect()}
+    # counts: b=4, a=3, rare=1, unknown=1 → vocab: b→1, a→2
+    assert out[1] == [1, 1, 1, 2, 2, 0]
+    assert out[2] == [2, 1, 0]
+
+
+def test_vocab_encode_tie_break_token_asc(spark):
+    from lens_spark.operators.text import vocab_encode
+    df = spark.createDataFrame([(1, "zz aa zz aa")], "doc_id long, text string")
+    out = vocab_encode(df, "doc_id", "text", vocab_size=2).collect()[0]
+    assert out.token_ids == [2, 1, 2, 1]      # equal counts: aa first
+
+
+def test_vocab_encode_empty_doc_empty_array(spark):
+    from lens_spark.operators.text import vocab_encode
+    df = spark.createDataFrame([(1, "a"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r.token_ids
+           for r in vocab_encode(df, "doc_id", "text").collect()}
+    assert out[2] == []
+
+
+def test_vocab_encode_lens_inverse(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    spec = {"lenses": [{"name": "vocab_encode", "arguments": {
+        "id": "doc_id", "column": "text", "vocab_size": 10}}]}
+    out = engine.append(df, spec)
+    assert out.collect()[0].token_ids == [1, 2]
+    back = engine.append(out, engine.invert(spec))
+    assert back.columns == ["doc_id", "text"]

@@ -94,3 +94,67 @@ def test_lens_registration(docs):
     out = engine.append(docs, spec)
     assert {"doc_id", "n_tokens", "seq_id", "seq_pos", "truncate"} <= set(out.columns)
     assert out.count() == docs.count()
+
+
+# --- concat_blocks ------------------------------------------------------
+
+def test_concat_blocks_stream_contract(spark):
+    """Offsets are contiguous per shard in (hash, id) order; block ids
+    cover exactly [start/B .. end/B]; empty docs stay in one block."""
+    from lens_spark.operators.packing import concat_blocks
+    df = spark.createDataFrame(
+        [(i, "tok " * (3 + i)) for i in range(20)] + [(99, "")],
+        "doc_id long, text string")
+    out = concat_blocks(df, "doc_id", block_tokens=8, text_col="text",
+                        num_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.start_tok)
+        expect = 0
+        for r in rows:
+            assert r.start_tok == expect
+            expect += r.n_tokens
+            first_local = r.start_tok // 8
+            last_local = max(r.start_tok + r.n_tokens - 1, r.start_tok) // 8
+            assert r.block_first == (shard << 32) + first_local
+            assert r.block_last == (shard << 32) + last_local
+    empty = [r for r in out if r.doc_id == 99][0]
+    assert empty.n_tokens == 0 and empty.block_first == empty.block_last
+
+
+def test_concat_blocks_sep_tokens_advance_stream(spark):
+    from lens_spark.operators.packing import concat_blocks
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in concat_blocks(
+        df, "doc_id", block_tokens=100, text_col="text",
+        num_shards=1, sep_tokens=5).collect()}
+    starts = sorted(r.start_tok for r in out.values())
+    assert starts == [0, 7]        # 2 tokens + 5 separator positions
+
+
+def test_concat_blocks_repartition_stable(spark):
+    from lens_spark.operators.packing import concat_blocks
+    df = spark.createDataFrame([(i, "w " * (i % 7 + 1)) for i in range(300)],
+                               "doc_id long, text string")
+    kw = dict(block_tokens=16, text_col="text", num_shards=8)
+    a = sorted(map(tuple, concat_blocks(df.coalesce(1), "doc_id", **kw).collect()))
+    b = sorted(map(tuple, concat_blocks(df.repartition(23), "doc_id", **kw).collect()))
+    assert a == b
+
+
+def test_concat_blocks_lens_and_errors(spark):
+    import pytest as _pytest
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.operators.packing import concat_blocks
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = engine.append(df, {"lenses": [{"name": "concat_blocks",
+        "arguments": {"id": "doc_id", "block_tokens": 2, "column": "text",
+                      "num_shards": 1}}]})
+    r = out.collect()[0]
+    assert (r.block_first, r.block_last) == (0, 1)
+    with _pytest.raises(LensError, match="block_tokens"):
+        concat_blocks(df, "doc_id", block_tokens=0, text_col="text")
