@@ -218,6 +218,22 @@ def q_x2_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("edit_distance"))
 
 
+def q_x2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster ids (new r6b): MinHash band candidate pairs →
+    the connected_components lens (min reachable id per node). The
+    adaptive CC picks driver union-find here (edge list ≪ threshold);
+    the distributed pointer-jumping path is equivalence-tested in
+    pytest. Oracle: recursive-CTE transitive closure over the same
+    band pairs — the one place the engine's iterative algorithm gets
+    a full SQL cross-check."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, "doc_id", "text",
+                               num_hashes=MH_NUM_HASHES,
+                               ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE)
+    return engine.append(pairs, {"lenses": [{
+        "name": "connected_components", "arguments": {}}]})
+
+
 def q_x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash table — 60-bit md5-based (functions.hashing.SIMHASH_BITS)
     so DuckDB reproduces the exact packed integers: per bit, majority
@@ -255,6 +271,19 @@ def q_x3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10, method="ann", dim=64, num_bits=4,
                            num_tables=16)
     return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
+
+
+def q_x3_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (new r6b, rows-only): every
+    vector's top-5 cosine neighbors among its LSH bucket-mates via a
+    SHUFFLED bucket self-join (no broadcast — both sides are the
+    corpus; the ann_topk panel shape doesn't apply). Quality lives in
+    test_similarity's recall-vs-brute assertion; determinism in the
+    seeded hyperplanes."""
+    spec = {"lenses": [{"name": "knn_graph", "arguments": {
+        "id": "vec_id", "vector": "embedding", "dim": 64, "k": 5,
+        "num_bits": 6, "num_tables": 4}}]}
+    return engine.append(_read(spark, sf_dir, "embeddings"), spec)
 
 
 def q_x3_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2123,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_centroid": q_x3_centroid,
         "x8_concat_blocks": q_x8_concat_blocks,
         "x5_vocab_ids": q_x5_vocab_ids,
+        "x2_components": q_x2_components,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2135,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ivf_topk": q_x3_ivf_topk,
         "x3_pq_topk": q_x3_pq_topk,
         "x3_pq_serving": q_x3_pq_serving,
+        "x3_knn_graph": q_x3_knn_graph,
         "x4_frame_sample": q_x4_frame_sample,
         "x6_approx_quantiles": q_x6_approx_quantiles,
         "x6_approx_distinct": q_x6_approx_distinct,
@@ -2613,6 +2644,25 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x2_components": _MINHASH_CTES + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+closure AS (
+  SELECT * FROM (
+    WITH RECURSIVE reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+  )
+)
+SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS component
+FROM closure GROUP BY src
+""",
         "x2_edit_pairs": _MINHASH_CTES + """
 , txt AS (SELECT doc_id, substr(text, 1, 2000) AS t FROM documents)
 SELECT c.id_a, c.id_b,

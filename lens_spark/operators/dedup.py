@@ -784,6 +784,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         edges.unpersist()
 
 
+@register_lens("connected_components")
+def connected_components_lens(arguments: Mapping[str, Any]) -> Lens:
+    """Expose min-label components as a first-class lens: the input
+    frame IS the undirected edge list (``id_a``/``id_b`` columns by
+    argument) — composable after any pair-producing lens
+    (minhash/winnow/containment/image pairs) to turn pair soup into
+    cluster ids without leaving a lens spec. arguments: id_a
+    ("id_a"), id_b ("id_b"), max_iter (20)."""
+    return Lens(
+        "connected_components", arguments,
+        lambda df: connected_components(
+            df, str(arguments.get("id_a", "id_a")),
+            str(arguments.get("id_b", "id_b")),
+            max_iter=int(arguments.get("max_iter", 20))))
+
+
 def dedup_neardup(df: DataFrame, id_col: str, text_col: str, **kwargs) -> DataFrame:
     """Keep one representative (min id) per near-dup cluster."""
     pairs = neardup_pairs(df, id_col, text_col, **kwargs)

@@ -26,8 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import logging
+
 from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+
+_LOG = logging.getLogger(__name__)
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
@@ -149,6 +153,92 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
         .select("query_id", "neighbor_id", "score").distinct()
     )
     return _rank_topk(scored, "query_id", k)
+
+
+def knn_graph(df: DataFrame, id_col: str, vec_col: str, *, dim: int,
+              k: int = 10, num_bits: int = 8, num_tables: int = 4,
+              seed: int = 42, mutual: bool = False,
+              max_bucket: int | None = None,
+              drop_metrics: dict | None = None) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus: every node's top-k
+    cosine neighbors among its LSH bucket-mates — the neighborhood
+    structure semantic clustering, graph dedup, and diversity sampling
+    build on. Returns directed edges ``(query_id, neighbor_id, score,
+    rank)``; ``mutual=True`` keeps only edges present in both
+    directions (the kNN-graph symmetrization used for clustering).
+
+    This is the corpus×corpus sibling of :func:`ann_topk`, which
+    broadcasts its (small) query panel — here both sides are the
+    corpus, so candidates come from a SHUFFLED self-equi-join on
+    bucket id: never a broadcast, never all-pairs. Scale dials:
+    - ``num_bits`` bounds expected bucket size (n / 2^bits per table);
+    - ``max_bucket`` drops pathological buckets (duplicate-heavy
+      corpora collapse many vectors into one cell) and REPORTS the
+      cut via ``drop_metrics`` / a warning — the no-silent-caps rule;
+    - top-k uses the two-stage ranked prune (``_rank_topk``), so no
+      single node's candidate list serializes through one task.
+    The bucket exchange carries each vector ``num_tables`` times —
+    the honest cost of self-join LSH; shrink vectors first
+    (matryoshka_truncate / random_projection / quantize) when the
+    corpus is wide.
+    """
+    bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
+    rows = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col), F.col(vec_col))
+    b = (rows.withColumn("__bucket", F.explode(bucket_udf(F.col(vec_col))))
+         .localCheckpoint(eager=False))
+    if max_bucket is not None:
+        sizes = b.groupBy("__bucket").count()
+        stats = (sizes.filter(F.col("count") > max_bucket)
+                 .agg(F.count("*").alias("buckets"),
+                      F.coalesce(F.sum("count"), F.lit(0)).alias("rows"))
+                 .first())
+        if drop_metrics is not None:
+            drop_metrics["dropped_buckets"] = int(stats["buckets"])
+            drop_metrics["dropped_rows"] = int(stats["rows"])
+        if stats["buckets"]:
+            _LOG.warning(
+                "knn_graph: max_bucket=%d dropped %d bucket(s) / %d "
+                "rows before the self-join; dedup the corpus first or "
+                "raise num_bits", max_bucket, stats["buckets"],
+                stats["rows"])
+        b = b.join(sizes.filter(F.col("count") <= max_bucket),
+                   "__bucket").drop("count")
+    qa = b.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("__qv"), "__bucket")
+    ca = b.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("__cv"), "__bucket")
+    joined = (qa.join(ca, "__bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    # Score before the distinct (the ann_topk lesson): the distinct
+    # then shuffles scalars, not two dim-float vectors per row.
+    scored = (joined.withColumn(
+        "score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "score").distinct())
+    edges = _rank_topk(scored, "query_id", k)
+    if not mutual:
+        return edges
+    rev = edges.select(F.col("neighbor_id").alias("query_id"),
+                       F.col("query_id").alias("neighbor_id"))
+    return edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+
+
+@register_lens("knn_graph")
+def knn_graph_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, vector, dim, k (10), num_bits (8), num_tables
+    (4), seed (42), mutual (false), max_bucket (optional)."""
+    id_col = str(require_arg(arguments, "id", "knn_graph"))
+    vec_col = str(require_arg(arguments, "vector", "knn_graph"))
+    dim = int(require_arg(arguments, "dim", "knn_graph"))
+    max_bucket = arguments.get("max_bucket")
+    return Lens("knn_graph", arguments, lambda df: knn_graph(
+        df, id_col, vec_col, dim=dim,
+        k=int(arguments.get("k", 10)),
+        num_bits=int(arguments.get("num_bits", 8)),
+        num_tables=int(arguments.get("num_tables", 4)),
+        seed=int(arguments.get("seed", 42)),
+        mutual=bool(arguments.get("mutual", False)),
+        max_bucket=int(max_bucket) if max_bucket is not None else None))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,

@@ -1665,3 +1665,23 @@ def test_vocab_encode_lens_inverse(spark):
     assert out.collect()[0].token_ids == [1, 2]
     back = engine.append(out, engine.invert(spec))
     assert back.columns == ["doc_id", "text"]
+
+
+def test_connected_components_lens_over_edge_frame(spark):
+    """The lens contract: the input frame IS the edge list."""
+    from lens_spark import engine
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = engine.append(df, {"lenses": [{
+        "name": "connected_components", "arguments": {}}]})
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_lens_custom_columns(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(5, 6)], "u long, v long")
+    out = engine.append(df, {"lenses": [{
+        "name": "connected_components",
+        "arguments": {"id_a": "u", "id_b": "v"}}]})
+    assert {r.component for r in out.collect()} == {5}

@@ -321,3 +321,51 @@ def test_random_projection_lens_and_validation(spark):
     assert len(row.v) == 4
     with pytest.raises(LensError, match="must be >= 1"):
         random_projection(df, "v", dim=8, out_dim=0)
+
+
+# --- knn_graph ----------------------------------------------------------
+
+def test_knn_graph_recall_vs_brute(spark, emb):
+    """Corpus-wide kNN edges: recall against brute force over the same
+    nodes (sampled for the exact side's cost)."""
+    from lens_spark.operators.similarity import knn_graph
+    edges = knn_graph(emb, "vec_id", "embedding", dim=64, k=5,
+                      num_bits=4, num_tables=8)
+    sample = edges.filter(F.col("query_id") < 20)
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20),
+                             id_col="vec_id", vec_col="embedding", k=5)
+    assert _recall(sample, exact) >= 0.6
+
+
+def test_knn_graph_mutual_is_symmetric_subset(spark, emb):
+    from lens_spark.operators.similarity import knn_graph
+    directed = knn_graph(emb, "vec_id", "embedding", dim=64, k=5,
+                         num_bits=4, num_tables=4)
+    mutual = knn_graph(emb, "vec_id", "embedding", dim=64, k=5,
+                       num_bits=4, num_tables=4, mutual=True)
+    d = {(r.query_id, r.neighbor_id) for r in directed.collect()}
+    m = {(r.query_id, r.neighbor_id) for r in mutual.collect()}
+    assert m <= d
+    assert all((b, a) in m for a, b in m)      # symmetric by construction
+    assert len(m) > 0
+
+
+def test_knn_graph_max_bucket_reports_drops(spark, emb):
+    from lens_spark.operators.similarity import knn_graph
+    metrics = {}
+    knn_graph(emb, "vec_id", "embedding", dim=64, k=3, num_bits=2,
+              num_tables=2, max_bucket=50, drop_metrics=metrics).count()
+    assert metrics["dropped_buckets"] > 0      # 2 bits → huge buckets
+    assert metrics["dropped_rows"] >= metrics["dropped_buckets"] * 50
+
+
+def test_knn_graph_k_bound_and_rank_contract(spark, emb):
+    from lens_spark.operators.similarity import knn_graph
+    edges = knn_graph(emb, "vec_id", "embedding", dim=64, k=3,
+                      num_bits=4, num_tables=2)
+    per = edges.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mr"),
+        F.min("rank").alias("mn"))
+    bad = per.filter((F.col("n") > 3) | (F.col("mr") > 3)
+                     | (F.col("mn") != 1)).count()
+    assert bad == 0
