@@ -1816,6 +1816,56 @@ def q_x3_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x9_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global equi-depth quartile binning (new r6b): one exact
+    percentile agg broadcast back as 6dp-rounded literal thresholds
+    (the contract — identical thresholds on any engine), then a
+    narrow strictly-exceeds bin + one grouped agg. No global sort or
+    ntile window anywhere; decimal-exact per-bin revenue."""
+    li = _read(spark, sf_dir, "lineitem").select("l_extendedprice")
+    spec = {"lenses": [
+        {"name": "quantile_bin", "arguments": {
+            "column": "l_extendedprice"}},
+        {"name": "aggregate", "arguments": {"keys": ["bin"], "aggs": {
+            "n_rows": "count(*)",
+            "sum_price":
+                "cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2)"
+                " as double)"}}},
+    ]}
+    return engine.append(li, spec)
+
+
+def q_x5_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence explosion (new r6b): terminal-punctuation splitting
+    via ONE lookbehind-free regexp_extract_all (runs identically
+    under Java regex and RE2/DuckDB — the pattern-portability
+    contract normalize_text established). Narrow: zero exchanges."""
+    docs = _read(spark, sf_dir, "documents")
+    spec = {"lenses": [{"name": "sentence_split", "arguments": {
+        "id": "doc_id", "column": "text"}}]}
+    return engine.append(docs, spec)
+
+
+def q_x6_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles (new r6b): the dataset-card
+    cut — exact interpolated percentiles per stratum in one grouped
+    sort-based aggregate (one exchange on source), composed purely
+    from the aggregate lens."""
+    from lens_spark.functions.text import whitespace_token_count
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select("source",
+                    whitespace_token_count(F.col("text")).alias("nt")))
+    spec = {"lenses": [{"name": "aggregate", "arguments": {
+        "keys": ["source"], "aggs": {
+            "n_docs": "count(*)",
+            "p25": "round(percentile(nt, 0.25), 2)",
+            "p50": "round(percentile(nt, 0.5), 2)",
+            "p75": "round(percentile(nt, 0.75), 2)",
+            "p95": "round(percentile(nt, 0.95), 2)"}}}]}
+    return engine.append(docs, spec)
+
+
 def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix truncation (MRL): keep the first 16 of 64
     embedding dims + L2 renormalize — the sanctioned cheap shrink for
@@ -2153,6 +2203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_concat_blocks": q_x8_concat_blocks,
         "x5_vocab_ids": q_x5_vocab_ids,
         "x2_components": q_x2_components,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x5_sentences": q_x5_sentences,
+        "x6_group_quantiles": q_x6_group_quantiles,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2644,6 +2697,42 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
         ),
         "x2_minhash_pairs": _MINHASH_CTES + "SELECT id_a, id_b FROM cand",
+        "x5_sentences": r"""
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS sent_idx,
+       s[i] AS sentence
+FROM (SELECT doc_id,
+             list_filter(list_transform(
+                 regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                 x -> trim(x)), x -> x <> '') AS s
+      FROM documents),
+     unnest(range(1, len(s) + 1)) AS t(i)
+""",
+        "x6_group_quantiles": r"""
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(nt, 0.25), 2) AS p25,
+       round(quantile_cont(nt, 0.5), 2) AS p50,
+       round(quantile_cont(nt, 0.75), 2) AS p75,
+       round(quantile_cont(nt, 0.95), 2) AS p95
+FROM (SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '')) AS nt
+      FROM documents)
+GROUP BY source
+""",
+        "x9_quantile_bin": """
+WITH thr AS (SELECT [round(quantile_cont(l_extendedprice, 0.25), 6),
+                     round(quantile_cont(l_extendedprice, 0.50), 6),
+                     round(quantile_cont(l_extendedprice, 0.75), 6)] AS t
+             FROM lineitem),
+b AS (SELECT len(list_filter(thr.t, x -> l_extendedprice > x)) AS bin,
+             l_extendedprice
+      FROM lineitem, thr)
+SELECT CAST(bin AS INT) AS bin, count(*) AS n_rows,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS sum_price
+FROM b GROUP BY bin
+""",
         "x2_components": _MINHASH_CTES + """
 , edges AS (
   SELECT id_a AS src, id_b AS dst FROM cand

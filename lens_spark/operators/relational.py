@@ -620,3 +620,55 @@ def dataset_profile_lens(arguments: Mapping[str, Any]) -> Lens:
     exact = bool(arguments.get("exact", False))
     return Lens("dataset_profile", arguments, lambda df: dataset_profile(
         df, [str(c) for c in columns] if columns else None, exact=exact))
+
+
+def quantile_bin(df: DataFrame, column: str, *,
+                 probs: "Sequence[float]" = (0.25, 0.5, 0.75),
+                 out: str = "bin", exact: bool = True) -> DataFrame:
+    """Global equi-depth binning: rows get bin 0..len(probs) by which
+    exact-percentile thresholds their ``column`` value exceeds — the
+    corpus-wide complement of ``score_band`` (which bands WITHIN a
+    stratum via a partitioned percent_rank window; a *global*
+    percent_rank/ntile window would funnel the corpus through one
+    task and is refused by the window lens).
+
+    Scale shape (the outlier_filter contract): thresholds are ONE
+    1-row percentile aggregate broadcast back over the scan, then the
+    binning is a narrow expression — one pass to measure, one to bin.
+    Thresholds are rounded to 6dp as part of the contract (identical
+    literal thresholds on any engine → identical bins; an unrounded
+    last-ulp difference between engines could flip a boundary row).
+    Values equal to a threshold fall in the LOWER bin (bin counts
+    strictly-exceeded thresholds). ``exact=False`` swaps in
+    approx_percentile for extreme-scale inputs where the exact
+    sort-based percentile aggregate is too hot — documented
+    trade-off, bins then approximate near boundaries.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or any(not 0.0 < p < 1.0 for p in ps) or ps != sorted(ps):
+        raise LensError("quantile_bin: probs must be sorted, in (0, 1), "
+                        "non-empty")
+    pct = F.percentile(F.col(column), F.array(*[F.lit(p) for p in ps])) \
+        if exact else F.percentile_approx(
+            F.col(column), F.array(*[F.lit(p) for p in ps]), 10_000)
+    thr = df.agg(F.transform(pct, lambda t: F.round(t, 6)).alias("__thr"))
+    return (df.crossJoin(F.broadcast(thr))
+            .withColumn(out, F.size(F.filter(
+                F.col("__thr"),
+                lambda t: F.col(column).cast("double") > t)))
+            .drop("__thr"))
+
+
+@register_lens("quantile_bin")
+def quantile_bin_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, probs ([0.25, 0.5, 0.75]), out ("bin"),
+    exact (true). Inverse drops the bin column."""
+    column = str(require_arg(arguments, "column", "quantile_bin"))
+    out = str(arguments.get("out", "bin"))
+    probs = arguments.get("probs") or (0.25, 0.5, 0.75)
+    return Lens(
+        "quantile_bin", arguments,
+        lambda df: quantile_bin(df, column,
+                                probs=[float(p) for p in probs], out=out,
+                                exact=bool(arguments.get("exact", True))),
+        lambda df: df.drop(out))

@@ -1132,3 +1132,43 @@ def vocab_encode_lens(arguments: Mapping[str, Any]) -> Lens:
             lowercase=bool(arguments.get("lowercase", True)),
             oov_id=int(arguments.get("oov_id", 0)), out=out),
         lambda df: df.drop(out))
+
+
+def sentence_split(df: DataFrame, id_col: str, text_col: str, *,
+                   out_idx: str = "sent_idx",
+                   out: str = "sentence") -> DataFrame:
+    """Explode documents into (id, sent_idx, sentence) rows on
+    terminal punctuation — the sentence-granular cousin of
+    ``chunk_documents`` (token windows) and ``segment_filter``
+    (newline segments), for sentence-level dedup/quality/packing.
+
+    Boundary rule: maximal runs of non-terminators followed by their
+    run of ``.!?`` — deliberately expressed as a single
+    ``regexp_extract_all`` with no lookbehind/backreferences so the
+    same pattern runs identically under Java regex and RE2 (the
+    DuckDB oracle); sentences are trimmed, empties dropped, index is
+    0-based document order. Narrow (zero exchanges): extract +
+    posexplode are per-row; abbreviation handling ("e.g.") is out of
+    scope by contract — this is the deterministic splitter, not an
+    NLP model.
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col).cast("string"),
+                                 F.lit(r"[^.!?]+[.!?]*"), F.lit(0)),
+            lambda s: F.trim(s)),
+        lambda s: s != "")
+    return (df.select(F.col(id_col), sents.alias("__sents"))
+            .select(id_col, F.posexplode("__sents").alias(out_idx, out)))
+
+
+@register_lens("sentence_split")
+def sentence_split_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), out_idx ("sent_idx"),
+    out ("sentence")."""
+    id_col = str(require_arg(arguments, "id", "sentence_split"))
+    text_col = str(require_arg(arguments, "column", "sentence_split"))
+    return Lens("sentence_split", arguments, lambda df: sentence_split(
+        df, id_col, text_col,
+        out_idx=str(arguments.get("out_idx", "sent_idx")),
+        out=str(arguments.get("out", "sentence"))))

@@ -1685,3 +1685,28 @@ def test_connected_components_lens_custom_columns(spark):
         "name": "connected_components",
         "arguments": {"id_a": "u", "id_b": "v"}}]})
     assert {r.component for r in out.collect()} == {5}
+
+
+# --- sentence_split -----------------------------------------------------
+
+def test_sentence_split_boundaries(spark):
+    from lens_spark.operators.text import sentence_split
+    df = spark.createDataFrame(
+        [(1, "Hi there. How are you?! Fine... ok"), (2, ""), (3, "No end")],
+        "doc_id long, text string")
+    out = sentence_split(df, "doc_id", "text").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    assert [s for _, s in sorted(got[1])] == [
+        "Hi there.", "How are you?!", "Fine...", "ok"]
+    assert 2 not in got                       # empty doc → no rows
+    assert [s for _, s in sorted(got[3])] == ["No end"]
+
+
+def test_sentence_split_lens(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(1, "A. B.")], "doc_id long, text string")
+    out = engine.append(df, {"lenses": [{"name": "sentence_split",
+        "arguments": {"id": "doc_id", "column": "text"}}]})
+    assert [r.sentence for r in out.orderBy("sent_idx").collect()] == ["A.", "B."]

@@ -387,3 +387,45 @@ def test_time_rollup_grains_consistent(spark, sf_dir):
             hour_by_day[day] = hour_by_day.get(day, 0) + r.n_events
     assert day_totals == hour_by_day
     assert sum(day_totals.values()) == ev_n
+
+
+# --- quantile_bin -------------------------------------------------------
+
+def test_quantile_bin_quartiles(spark):
+    from lens_spark.operators.relational import quantile_bin
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               "v double")
+    out = quantile_bin(df, "v")
+    counts = {r.bin: r.n for r in
+              out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    # thresholds 25.75/50.5/75.25 → 25/25/25/25 split
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_quantile_bin_boundary_goes_low(spark):
+    from lens_spark.operators.relational import quantile_bin
+    # median of [1,2,3] = 2.0; the value 2.0 must land in the LOWER bin
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    got = {r.v: r.bin for r in quantile_bin(df, "v", probs=[0.5]).collect()}
+    assert got == {1.0: 0, 2.0: 0, 3.0: 1}
+
+
+def test_quantile_bin_bad_probs(spark):
+    import pytest as _pytest
+    from lens_spark.errors import LensError
+    from lens_spark.operators.relational import quantile_bin
+    df = spark.createDataFrame([(1.0,)], "v double")
+    for bad in ([], [0.7, 0.3], [0.0, 0.5], [0.5, 1.0]):
+        with _pytest.raises(LensError, match="probs"):
+            quantile_bin(df, "v", probs=bad)
+
+
+def test_quantile_bin_lens_inverse(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(1.0,), (9.0,)], "v double")
+    spec = {"lenses": [{"name": "quantile_bin", "arguments": {
+        "column": "v", "probs": [0.5]}}]}
+    out = engine.append(df, spec)
+    assert {r.v: r.bin for r in out.collect()} == {1.0: 0, 9.0: 1}
+    back = engine.append(out, engine.invert(spec))
+    assert back.columns == ["v"]
