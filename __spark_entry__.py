@@ -1846,6 +1846,17 @@ def q_x5_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x5_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-sentence removal (new r6b): sentences appearing in
+    ≥2 distinct documents drop from every doc — line_dedup's df-count
+    machinery on sentence_split's portable boundaries; rebuilt text
+    via the shared positional-reassembly contract."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "sentence_dedup", "arguments": {
+        "id": "doc_id", "column": "text"}}]}
+    return engine.append(docs, spec)
+
+
 def q_x6_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-length quantiles (new r6b): the dataset-card
     cut — exact interpolated percentiles per stratum in one grouped
@@ -2206,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_quantile_bin": q_x9_quantile_bin,
         "x5_sentences": q_x5_sentences,
         "x6_group_quantiles": q_x6_group_quantiles,
+        "x5_sentence_dedup": q_x5_sentence_dedup,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2707,6 +2719,27 @@ FROM (SELECT doc_id,
                  x -> trim(x)), x -> x <> '') AS s
       FROM documents),
      unnest(range(1, len(s) + 1)) AS t(i)
+""",
+        "x5_sentence_dedup": r"""
+WITH sents AS (
+  SELECT doc_id, i AS pos, s[i] AS sent
+  FROM (SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                   x -> trim(x)), x -> x <> '') AS s
+        FROM documents),
+       unnest(range(1, len(s) + 1)) AS t(i)
+),
+boiler AS (
+  SELECT sent FROM (SELECT sent, count(DISTINCT doc_id) AS df
+                    FROM sents GROUP BY sent)
+  WHERE df >= 2
+),
+kept AS (SELECT * FROM sents ANTI JOIN boiler USING (sent)),
+clean AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS t
+          FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.t, '') AS text
+FROM documents d LEFT JOIN clean c USING (doc_id)
 """,
         "x6_group_quantiles": r"""
 SELECT source, count(*) AS n_docs,

@@ -1916,6 +1916,52 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
                                   delimiter=delimiter, out=out)
 
 
+def sentence_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                   min_df: int = 2, out: str | None = None) -> DataFrame:
+    """Corpus-level boilerplate SENTENCE removal: sentences occurring
+    in ≥ ``min_df`` distinct documents are dropped from every document
+    — the sentence-granular sibling of :func:`line_dedup` for corpora
+    whose boilerplate ("All rights reserved.", share-this prompts)
+    flows inside paragraphs rather than on its own lines. Boundary
+    rule = ``sentence_split``'s engine-portable regex; rebuilt text
+    joins surviving sentences with a single space.
+
+    Same scale shape as line_dedup: sentence explode (narrow) →
+    df-count groupBy on xxhash64(sentence) (8-byte exchange keys,
+    never sentence text) → left_anti → one reassembly agg (the shared
+    ``reassemble_by_position`` contract). Fully-boilerplate docs keep
+    their row as "".
+    """
+    from lens_spark.operators.text import sentence_split
+
+    out = out or text_col
+    sents = (sentence_split(df.select(F.col(id_col), F.col(text_col)),
+                            id_col, text_col,
+                            out_idx="__pos", out="__sent")
+             .select(F.col(id_col).alias("__sd_id"), "__pos", "__sent")
+             .withColumn("__sh", F.xxhash64("__sent")))
+    boiler = (sents.groupBy("__sh")
+              .agg(F.count_distinct("__sd_id").alias("__df"))
+              .filter(F.col("__df") >= int(min_df))
+              .select("__sh"))
+    kept = sents.join(boiler, "__sh", "left_anti")
+    return reassemble_by_position(df, id_col, kept, key="__sd_id",
+                                  pos="__pos", seg="__sent",
+                                  delimiter=" ", out=out)
+
+
+@register_lens("sentence_dedup")
+def sentence_dedup_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), min_df (2), out (default:
+    overwrite column)."""
+    id_col = str(require_arg(arguments, "id", "sentence_dedup"))
+    text_col = str(require_arg(arguments, "column", "sentence_dedup"))
+    return Lens("sentence_dedup", arguments, lambda df: sentence_dedup(
+        df, id_col, text_col,
+        min_df=int(arguments.get("min_df", 2)),
+        out=(str(arguments["out"]) if arguments.get("out") else None)))
+
+
 def neardup_against(df: DataFrame, reference: DataFrame, id_col: str,
                     text_col: str, *, ref_id_col: str | None = None,
                     ref_text_col: str | None = None, num_hashes: int = 16,

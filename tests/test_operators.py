@@ -1710,3 +1710,40 @@ def test_sentence_split_lens(spark):
     out = engine.append(df, {"lenses": [{"name": "sentence_split",
         "arguments": {"id": "doc_id", "column": "text"}}]})
     assert [r.sentence for r in out.orderBy("sent_idx").collect()] == ["A.", "B."]
+
+
+def test_sentence_dedup_removes_cross_doc_boilerplate(spark):
+    from lens_spark.operators.dedup import sentence_dedup
+    df = spark.createDataFrame(
+        [(1, "Unique insight one. All rights reserved."),
+         (2, "Another thought! All rights reserved."),
+         (3, "All rights reserved.")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in sentence_dedup(df, "doc_id", "text").collect()}
+    assert got[1] == "Unique insight one."
+    assert got[2] == "Another thought!"
+    assert got[3] == ""                      # fully boilerplate → kept row
+
+
+def test_sentence_dedup_within_doc_repeat_not_boilerplate(spark):
+    """min_df counts DISTINCT documents — a sentence repeated inside
+    one doc survives."""
+    from lens_spark.operators.dedup import sentence_dedup
+    df = spark.createDataFrame(
+        [(1, "Echo. Echo."), (2, "Other text here.")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in sentence_dedup(df, "doc_id", "text").collect()}
+    assert got[1] == "Echo. Echo."
+
+
+def test_sentence_dedup_lens_out_column(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame(
+        [(1, "Keep me. Shared."), (2, "Shared.")], "doc_id long, text string")
+    spec = {"lenses": [{"name": "sentence_dedup", "arguments": {
+        "id": "doc_id", "column": "text", "out": "clean"}}]}
+    out = {r.doc_id: (r.text, r.clean)
+           for r in engine.append(df, spec).collect()}
+    assert out[1] == ("Keep me. Shared.", "Keep me.")
