@@ -110,6 +110,15 @@ HEADLINE = [
     "x2_containment",        # exact directional n-gram containment pairs (r6)
     "x5_logprob_band",       # LM surprisal + per-source percent-rank bands (r6)
     "x5_classifier_score",   # hashed-feature linear classifier inference (r6)
+    "x6_rolling_agg",        # per-key trailing RANGE-frame features (r6b)
+    "x9_classifier_eval",    # exact rank-statistic AUC + confusion agg (r6b)
+    "x2_edit_pairs",         # LSH candidates + threshold-capped Levenshtein (r6b)
+    "x8_concat_blocks",      # sharded concatenate-and-split block layout (r6b)
+    "x5_vocab_ids",          # top-V vocab build + broadcast-join encoding (r6b)
+    "x2_components",         # band pairs -> connected-components lens (r6b)
+    "x9_quantile_bin",       # broadcast-percentile global equi-depth bins (r6b)
+    "x5_sentence_dedup",     # boilerplate-sentence removal + reassembly (r6b)
+    "x3_knn_graph",          # corpus-wide ANN edges, bucket self-join (r6b)
 ]
 
 
