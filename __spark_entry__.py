@@ -2189,8 +2189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only through r5); window slot next rotation
         "x5_compression_ratio": q_x5_compression_ratio,
         # new in round 6 — the ROUND-7 ROTATION COHORT: these eleven
-        # (plus x5_compression_ratio above) have only the local tail
-        # oracle check so far and take window slots next round,
+        # (plus x5_compression_ratio above, plus the r6b block below:
+        # x6_rolling_agg, x9_classifier_eval, x2_edit_pairs,
+        # x3_centroid, x8_concat_blocks, x5_vocab_ids, x2_components,
+        # x9_quantile_bin, x5_sentences, x6_group_quantiles,
+        # x5_sentence_dedup) have only the local tail oracle check so
+        # far and take window slots over the coming rotations,
         # evicting ≥3-round-green siblings per the standing policy;
         # until then the tail test oracle-checks them on every run.
         "x3_matryoshka": q_x3_matryoshka,

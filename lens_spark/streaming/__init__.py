@@ -137,6 +137,49 @@ def stream_to_dataset(stream_df: DataFrame, path: str, *, spec=None,
     return writer.start()
 
 
+def stream_to_snapshots(stream_df: DataFrame, path: str, *, spec=None,
+                        available_now: bool = True,
+                        checkpoint: str | None = None, timeout: int = 120):
+    """Land each micro-batch as an ATOMIC dataset version
+    (``sources.snapshots``): readers only ever see fully-committed
+    batches — the manifest create is the commit point, so a reader
+    polling ``snapshot_read`` mid-write gets the previous version, not
+    a half-written directory (the plain ``stream_to_dataset`` append
+    has that torn-read window on non-atomic filesystems). Empty
+    micro-batches commit nothing. Exactly-once per the checkpointed
+    batch id; crashed half-staged batches are invisible (orphan data
+    dirs) and reclaimed by ``snapshot_vacuum``.
+    """
+    from lens_spark import engine as _engine
+    from lens_spark.sources.snapshots import snapshot_write
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = _engine.append(batch_df, spec) if spec else batch_df
+        if out.isEmpty():
+            return
+        snapshot_write(out, path, mode="append")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            finished = q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"stream_to_snapshots: availableNow run exceeded "
+                f"{timeout}s before draining the source — no torn "
+                "state (committed versions are complete); re-run with "
+                "the same checkpoint to continue")
+        return None
+    return writer.start()
+
+
 def stateful_running_count(stream_df: DataFrame, keys: list[str],
                            out: str = "running_count") -> DataFrame:
     """Per-key running event count that survives micro-batches — the

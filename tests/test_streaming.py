@@ -574,3 +574,40 @@ def test_sliding_windows_memberships(spark):
         & (F.col("ts") < F.lit(r.window_start) + F.expr("INTERVAL 1 HOUR"))
     ).count()
     assert direct == r.n_events
+
+
+def test_stream_to_snapshots_atomic_versions(spark, events_dir, tmp_path):
+    """Each micro-batch commits as one snapshot version; the latest
+    version holds exactly the filtered stream contents, and each
+    version is a complete prefix (manifest commits are atomic)."""
+    from lens_spark.sources.snapshots import snapshot_read, snapshot_versions
+    from lens_spark.streaming import stream_to_snapshots
+
+    out_dir = str(tmp_path / "versioned")
+    spec = {"lenses": [{"name": "filter",
+                        "arguments": {"predicate": "value > 0"}}]}
+    stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
+                              ts_cols=("ts",))
+    stream_to_snapshots(stream, out_dir, spec=spec,
+                        checkpoint=str(tmp_path / "ckpt"))
+    versions = snapshot_versions(spark, out_dir)
+    assert len(versions) >= 1
+    expect = read_ns_timestamps(spark, EVENTS).filter("value > 0").count()
+    assert snapshot_read(spark, out_dir).count() == expect
+    # append chain: version N lists N data dirs
+    assert versions[-1]["n_dirs"] == len(versions)
+
+
+def test_stream_to_snapshots_restart_does_not_duplicate(spark, events_dir,
+                                                        tmp_path):
+    from lens_spark.sources.snapshots import snapshot_read
+    from lens_spark.streaming import stream_to_snapshots
+
+    out_dir = str(tmp_path / "versioned")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):     # second run: source fully drained, no new data
+        stream = read_file_stream(spark, events_dir, schema_from=EVENTS,
+                                  ts_cols=("ts",))
+        stream_to_snapshots(stream, out_dir, checkpoint=ckpt)
+    expect = read_ns_timestamps(spark, EVENTS).count()
+    assert snapshot_read(spark, out_dir).count() == expect
