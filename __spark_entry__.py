@@ -1846,6 +1846,20 @@ def q_x5_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x8_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (new r6b): an md5-selected half of
+    the corpus rewritten PRE/SUF/MID (PSM) with md5-derived split
+    points — selection, splits, and reassembly all engine-portable
+    arithmetic, digest-checked (md5 of the rewritten text)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "fim_transform", "arguments": {
+        "id": "doc_id", "column": "text", "rate": 0.5, "out": "fim"}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id",
+                      F.length("fim").alias("fim_len"),
+                      F.md5(F.col("fim")).alias("fim_md5"))
+
+
 def q_x5_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-sentence removal (new r6b): sentences appearing in
     ≥2 distinct documents drop from every doc — line_dedup's df-count
@@ -2193,7 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x6_rolling_agg, x9_classifier_eval, x2_edit_pairs,
         # x3_centroid, x8_concat_blocks, x5_vocab_ids, x2_components,
         # x9_quantile_bin, x5_sentences, x6_group_quantiles,
-        # x5_sentence_dedup) have only the local tail oracle check so
+        # x5_sentence_dedup, x8_fim) have only the local tail oracle check so
         # far and take window slots over the coming rotations,
         # evicting ≥3-round-green siblings per the standing policy;
         # until then the tail test oracle-checks them on every run.
@@ -2222,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_sentences": q_x5_sentences,
         "x6_group_quantiles": q_x6_group_quantiles,
         "x5_sentence_dedup": q_x5_sentence_dedup,
+        "x8_fim": q_x8_fim,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2723,6 +2738,35 @@ FROM (SELECT doc_id,
                  x -> trim(x)), x -> x <> '') AS s
       FROM documents),
      unnest(range(1, len(s) + 1)) AS t(i)
+""",
+        "x8_fim": f"""
+WITH k AS (
+  SELECT doc_id, text, length(text) AS n,
+         {_hex2int_sql("substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), 'sel')), 1, 8)")} AS hs,
+         {_hex2int_sql("substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), 'p1')), 1, 8)")} AS h1,
+         {_hex2int_sql("substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), 'p2')), 1, 8)")} AS h2
+  FROM documents
+),
+p AS (
+  SELECT doc_id, text, n,
+         CAST(hs AS DOUBLE) / 4294967296.0 < 0.5 AS sel,
+         h1 % (n + 1) AS p1,
+         h1 % (n + 1) + h2 % (n - (h1 % (n + 1)) + 1) AS p2
+  FROM k
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN sel AND text IS NOT NULL THEN
+           '<PRE>' || substr(text, 1, CAST(p1 AS INT))
+           || '<SUF>' || substr(text, CAST(p2 + 1 AS INT),
+                                CAST(n - p2 AS INT))
+           || '<MID>' || substr(text, CAST(p1 + 1 AS INT),
+                                CAST(p2 - p1 AS INT))
+         ELSE text END AS fim
+  FROM p
+)
+SELECT doc_id, CAST(length(fim) AS INT) AS fim_len, md5(fim) AS fim_md5
+FROM r
 """,
         "x5_sentence_dedup": r"""
 WITH sents AS (

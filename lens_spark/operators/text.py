@@ -1172,3 +1172,58 @@ def sentence_split_lens(arguments: Mapping[str, Any]) -> Lens:
         df, id_col, text_col,
         out_idx=str(arguments.get("out_idx", "sent_idx")),
         out=str(arguments.get("out", "sentence"))))
+
+
+def fim_transform(df: DataFrame, id_col: str, text_col: str, *,
+                  rate: float = 0.5, pre: str = "<PRE>",
+                  suf: str = "<SUF>", mid: str = "<MID>",
+                  out: str | None = None, salt: str = "") -> DataFrame:
+    """Fill-in-the-middle reordering (Bavarian et al. 2022, PSM
+    format): a deterministic md5-selected ``rate`` fraction of docs is
+    rewritten ``PRE prefix SUF suffix MID middle`` so the model learns
+    infilling; the rest pass through byte-identical.
+
+    Selection AND split points derive from md5(salt|id) — the
+    sampling.py determinism contract: reproducible, repartition-
+    stable, engine-portable (no rand()). Char-level splits: p1 ~
+    U[0, n], p2 ~ U[p1, n] from two independent md5 draws. Narrow
+    (zero exchanges, pure Catalyst string ops); ``salt`` derives an
+    independent epoch's selection.
+    """
+    if not 0.0 <= float(rate) <= 1.0:
+        raise LensError("fim_transform: rate must be in [0, 1]")
+    out = out or text_col
+    t = F.col(text_col).cast("string")
+    n = F.length(t)
+    key = lambda tag: F.conv(F.substring(  # noqa: E731
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"),
+                          F.lit(tag))), 1, 8), 16, 10).cast("bigint")
+    selected = (key("sel").cast("double") / F.lit(float(1 << 32))) \
+        < F.lit(float(rate))
+    p1 = key("p1") % (n + 1)
+    p2 = p1 + key("p2") % (n - p1 + 1)
+    rewritten = F.concat(
+        F.lit(pre), F.substring(t, F.lit(1), p1.cast("int")),
+        F.lit(suf), F.substring(t, (p2 + 1).cast("int"),
+                                (n - p2).cast("int")),
+        F.lit(mid), F.substring(t, (p1 + 1).cast("int"),
+                                (p2 - p1).cast("int")))
+    return df.withColumn(
+        out, F.when(selected & t.isNotNull(), rewritten)
+        .otherwise(F.col(text_col)))
+
+
+@register_lens("fim_transform")
+def fim_transform_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), rate (0.5), pre/suf/mid sentinel
+    strings, out (default: overwrite column), salt ("")."""
+    id_col = str(require_arg(arguments, "id", "fim_transform"))
+    text_col = str(require_arg(arguments, "column", "fim_transform"))
+    return Lens("fim_transform", arguments, lambda df: fim_transform(
+        df, id_col, text_col,
+        rate=float(arguments.get("rate", 0.5)),
+        pre=str(arguments.get("pre", "<PRE>")),
+        suf=str(arguments.get("suf", "<SUF>")),
+        mid=str(arguments.get("mid", "<MID>")),
+        out=(str(arguments["out"]) if arguments.get("out") else None),
+        salt=str(arguments.get("salt", ""))))

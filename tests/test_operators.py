@@ -1747,3 +1747,53 @@ def test_sentence_dedup_lens_out_column(spark):
     out = {r.doc_id: (r.text, r.clean)
            for r in engine.append(df, spec).collect()}
     assert out[1] == ("Keep me. Shared.", "Keep me.")
+
+
+# --- fim_transform ------------------------------------------------------
+
+def test_fim_transform_psm_reassembles_to_original(spark):
+    """PRE p SUF s MID m with p+m+s a permutation partition: stripping
+    sentinels and reordering recovers the original text."""
+    from lens_spark.operators.text import fim_transform
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some content") for i in range(40)],
+        "doc_id long, text string")
+    out = fim_transform(df, "doc_id", "text", rate=1.0, out="fim")
+    for r in out.collect():
+        body = r.fim
+        assert body.startswith("<PRE>")
+        p, rest = body[5:].split("<SUF>", 1)
+        s, m = rest.split("<MID>", 1)
+        assert p + m + s == r.text
+
+
+def test_fim_transform_rate_zero_is_identity(spark):
+    from lens_spark.operators.text import fim_transform
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assert fim_transform(df, "doc_id", "text", rate=0.0) \
+        .collect()[0].text == "abc"
+
+
+def test_fim_transform_deterministic_and_salted(spark):
+    from lens_spark.operators.text import fim_transform
+    df = spark.createDataFrame(
+        [(i, "x" * 50) for i in range(200)], "doc_id long, text string")
+    a = {r.doc_id: r.text for r in
+         fim_transform(df, "doc_id", "text", rate=0.5).collect()}
+    b = {r.doc_id: r.text for r in
+         fim_transform(df.repartition(7), "doc_id", "text",
+                       rate=0.5).collect()}
+    assert a == b                              # repartition-stable
+    c = {r.doc_id: r.text for r in
+         fim_transform(df, "doc_id", "text", rate=0.5,
+                       salt="epoch2").collect()}
+    assert a != c                              # salt draws independently
+    frac = sum(1 for v in a.values() if v.startswith("<PRE>")) / 200
+    assert 0.3 < frac < 0.7
+
+
+def test_fim_transform_empty_doc(spark):
+    from lens_spark.operators.text import fim_transform
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = fim_transform(df, "doc_id", "text", rate=1.0).collect()[0].text
+    assert got == "<PRE><SUF><MID>"
