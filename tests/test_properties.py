@@ -414,3 +414,68 @@ def test_matryoshka_unit_norm_or_zero(spark, vec):
         assert math.isclose(r.n, 1.0, rel_tol=1e-9)
     else:
         assert r.t == [0.0, 0.0, 0.0]
+
+
+# --- rolling_agg ≡ brute-force reference -----------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 3),        # key
+                          st.integers(0, 7200),     # second offset
+                          st.integers(-5, 5)),      # value
+                min_size=1, max_size=40))
+def test_rolling_agg_matches_bruteforce(spark, rows):
+    """For every row, the RANGE frame must equal the set
+    {same key, t' in [t − W, t]} computed naively in Python —
+    including ties (frame peers) and empty-history rows."""
+    import datetime as dt
+
+    from lens_spark.operators.temporal import rolling_agg
+
+    W = 3600
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=s), float(v))
+            for k, s, v in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v double")
+    got = {(r.k, r.ts, r.v, r.n, r.s)
+           for r in rolling_agg(df, key="k", ts_col="ts",
+                                window="1 hour",
+                                aggs={"n": "count(*)",
+                                      "s": "sum(v)"}).collect()}
+    expect = set()
+    for k, t, v in data:
+        peers = [v2 for k2, t2, v2 in data
+                 if k2 == k and t - dt.timedelta(seconds=W) <= t2 <= t]
+        expect.add((k, t, v, len(peers), sum(peers)))
+    assert got == expect
+
+
+# --- binary_eval AUC ≡ local rank reference ---------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.floats(0, 1, width=16, allow_nan=False),
+                          st.integers(0, 1)),
+                min_size=2, max_size=60))
+def test_binary_eval_auc_matches_rank_reference(spark, rows):
+    """AUC from the distributed rank statistic equals the local
+    average-rank Mann-Whitney computation (ties included)."""
+    from lens_spark.operators.evaluation import binary_eval
+
+    df = spark.createDataFrame([(float(s), y) for s, y in rows],
+                               "s double, y int")
+    got = binary_eval(df, score="s", label="y").collect()[0].auc
+    scores = sorted(round(float(s), 6) for s, _ in rows)
+    pos = [round(float(s), 6) for s, y in rows if y == 1]
+    n_pos, n_neg = len(pos), len(rows) - len(pos)
+    if n_pos == 0 or n_neg == 0:
+        assert got is None
+        return
+    import bisect
+    ranksum = 0.0
+    for s in pos:
+        lo = bisect.bisect_left(scores, s)
+        hi = bisect.bisect_right(scores, s)
+        ranksum += (lo + 1 + hi) / 2          # average rank of tie group
+    expect = round((ranksum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
+    assert got == expect
