@@ -1860,6 +1860,21 @@ def q_x8_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5(F.col("fim")).alias("fim_md5"))
 
 
+def q_x5_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM corruption (new r6b): md5-per-position token masking
+    + in-order label extraction, digest-checked on both the corrupted
+    text and the label sequence (order-sensitive md5)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "mask_tokens", "arguments": {
+        "id": "doc_id", "column": "text", "rate": 0.15}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("masked")).alias("masked_md5"),
+        F.size("mask_labels").alias("n_labels"),
+        F.md5(F.array_join("mask_labels", " ")).alias("labels_md5"))
+
+
 def q_x5_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-sentence removal (new r6b): sentences appearing in
     ≥2 distinct documents drop from every doc — line_dedup's df-count
@@ -1889,6 +1904,32 @@ def q_x6_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75": "round(percentile(nt, 0.75), 2)",
             "p95": "round(percentile(nt, 0.95), 2)"}}}]}
     return engine.append(docs, spec)
+
+
+def q_x3_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit (new r6b): every vector's cosine
+    to its OWN label's centroid (group_centroid composed through a
+    broadcast join — the label table is k rows), flagged when below
+    the corpus-typical band. The distance-to-prototype screen that
+    catches mislabeled/garbage vectors before they poison semdedup
+    or classifier training."""
+    from lens_spark.operators.clustering import group_centroid
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = group_centroid(emb, ["label"], "embedding").select(
+        "label", F.col("centroid").alias("__c"))
+    from lens_spark.functions.vectors import cosine_similarity
+
+    joined = emb.join(F.broadcast(cents), "label")
+    # floor micro-units, not round: the raw cosine doubles are
+    # bit-identical across engines (same sequential fold), but a value
+    # landing exactly on a .5e-6 half rounds differently under
+    # half-up (Spark) vs half-even (DuckDB) — floor has no half case.
+    cos_mic = F.floor(cosine_similarity(
+        F.col("embedding"), F.col("__c")) * F.lit(1e6)).cast("bigint")
+    return joined.select(
+        "vec_id", "label", cos_mic.alias("cos_microunits"),
+    ).withColumn("is_outlier", F.col("cos_microunits") < 100000)
 
 
 def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,7 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x6_rolling_agg, x9_classifier_eval, x2_edit_pairs,
         # x3_centroid, x8_concat_blocks, x5_vocab_ids, x2_components,
         # x9_quantile_bin, x5_sentences, x6_group_quantiles,
-        # x5_sentence_dedup, x8_fim) have only the local tail oracle check so
+        # x5_sentence_dedup, x8_fim, x3_embedding_outliers,
+        # x5_mask_tokens) have only the local tail oracle check so
         # far and take window slots over the coming rotations,
         # evicting ≥3-round-green siblings per the standing policy;
         # until then the tail test oracle-checks them on every run.
@@ -2237,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_group_quantiles": q_x6_group_quantiles,
         "x5_sentence_dedup": q_x5_sentence_dedup,
         "x8_fim": q_x8_fim,
+        "x3_embedding_outliers": q_x3_embedding_outliers,
+        "x5_mask_tokens": q_x5_mask_tokens,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2767,6 +2811,36 @@ r AS (
 )
 SELECT doc_id, CAST(length(fim) AS INT) AS fim_len, md5(fim) AS fim_md5
 FROM r
+""",
+        "x5_mask_tokens": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    list_transform(w, (x, i) -> CASE WHEN
+      {_hex2int_sql("substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), CAST(i - 1 AS VARCHAR))), 1, 8)")}
+        / 4294967296.0 < 0.15
+      THEN '<MASK>' ELSE x END) AS mt,
+    list_filter(list_transform(w, (x, i) -> CASE WHEN
+      {_hex2int_sql("substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), CAST(i - 1 AS VARCHAR))), 1, 8)")}
+        / 4294967296.0 < 0.15
+      THEN x END), x -> x IS NOT NULL) AS lbl
+  FROM toks
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join
+       -- gives ''; coalesce only when the token list itself exists
+       md5(CASE WHEN mt IS NULL THEN NULL
+                ELSE coalesce(array_to_string(mt, ' '), '') END)
+           AS masked_md5,
+       CAST(len(lbl) AS INT) AS n_labels,
+       md5(CASE WHEN lbl IS NULL THEN NULL
+                ELSE coalesce(array_to_string(lbl, ' '), '') END)
+           AS labels_md5
+FROM m
 """,
         "x5_sentence_dedup": r"""
 WITH sents AS (
@@ -3591,6 +3665,27 @@ SELECT label, n,
        round(list_max(c), 6) AS c_max,
        CAST(len(c) AS INT) AS c_dim
 FROM per_label
+""",
+        "x3_embedding_outliers": """
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DECIMAL(28,12)) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT label, pos, CAST(sum(v) / count(*) AS DOUBLE) AS m
+  FROM ex GROUP BY label, pos
+),
+cent AS (SELECT label, list(m ORDER BY pos) AS c
+         FROM per_dim GROUP BY label)
+SELECT e.vec_id, e.label,
+       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         cent.c) * 1e6) AS BIGINT)
+           AS cos_microunits,
+       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         cent.c) * 1e6) AS BIGINT)
+           < 100000 AS is_outlier
+FROM embeddings e JOIN cent USING (label)
 """,
         "x3_matryoshka": """
 WITH h AS (SELECT vec_id, list_slice(embedding, 1, 16) AS h

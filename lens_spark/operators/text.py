@@ -1227,3 +1227,66 @@ def fim_transform_lens(arguments: Mapping[str, Any]) -> Lens:
         mid=str(arguments.get("mid", "<MID>")),
         out=(str(arguments["out"]) if arguments.get("out") else None),
         salt=str(arguments.get("salt", ""))))
+
+
+def mask_tokens(df: DataFrame, id_col: str, text_col: str, *,
+                rate: float = 0.15, sentinel: str = "<MASK>",
+                out: str = "masked", labels_out: str = "mask_labels",
+                salt: str = "") -> DataFrame:
+    """BERT-style masked-LM corruption: a deterministic md5-selected
+    ``rate`` of whitespace-token POSITIONS is replaced by ``sentinel``;
+    the originals come back in order as ``labels_out`` (the training
+    targets). Per-position selection hashes (salt|doc id|position), so
+    masks are reproducible, repartition-stable, engine-portable, and
+    ``salt`` draws an independent epoch's corruption — the fim_transform
+    contract at token granularity.
+
+    Narrow (zero exchanges): tokenize ONCE per row (the ``let_``
+    binding — quality_filter's lesson: Catalyst re-evaluates a
+    referenced subtree per reference), then two indexed higher-order
+    transforms over the bound array.
+    """
+    from lens_spark.functions.text import let_, tokens as _tok
+
+    if not 0.0 <= float(rate) <= 1.0:
+        raise LensError("mask_tokens: rate must be in [0, 1]")
+
+    def sel(i):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(salt), F.col(id_col).cast("string"),
+            i.cast("string"))), 1, 8), 16, 10).cast("bigint")
+        return (h.cast("double") / F.lit(float(1 << 32))) \
+            < F.lit(float(rate))
+
+    pair = let_(
+        _tok(F.col(text_col), lowercase=False),
+        lambda w: F.struct(
+            F.array_join(
+                F.transform(w, lambda x, i: F.when(sel(i), F.lit(sentinel))
+                            .otherwise(x)), " ").alias("m"),
+            F.filter(F.transform(w, lambda x, i: F.when(sel(i), x)),
+                     lambda x: x.isNotNull()).alias("l")))
+    return (df.withColumn("__mt", pair)
+            .withColumn(out, F.col("__mt.m"))
+            .withColumn(labels_out, F.col("__mt.l"))
+            .drop("__mt"))
+
+
+@register_lens("mask_tokens")
+def mask_tokens_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), rate (0.15), sentinel ("<MASK>"),
+    out ("masked"), labels ("mask_labels"), salt (""). Inverse drops
+    both outputs."""
+    id_col = str(require_arg(arguments, "id", "mask_tokens"))
+    text_col = str(require_arg(arguments, "column", "mask_tokens"))
+    out = str(arguments.get("out", "masked"))
+    labels_out = str(arguments.get("labels", "mask_labels"))
+    return Lens(
+        "mask_tokens", arguments,
+        lambda df: mask_tokens(
+            df, id_col, text_col,
+            rate=float(arguments.get("rate", 0.15)),
+            sentinel=str(arguments.get("sentinel", "<MASK>")),
+            out=out, labels_out=labels_out,
+            salt=str(arguments.get("salt", ""))),
+        lambda df: df.drop(out, labels_out))

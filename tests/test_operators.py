@@ -1797,3 +1797,51 @@ def test_fim_transform_empty_doc(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     got = fim_transform(df, "doc_id", "text", rate=1.0).collect()[0].text
     assert got == "<PRE><SUF><MID>"
+
+
+# --- mask_tokens --------------------------------------------------------
+
+def test_mask_tokens_labels_match_masked_positions(spark):
+    from lens_spark.operators.text import mask_tokens
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+        "doc_id long, text string")
+    out = mask_tokens(df, "doc_id", "text", rate=0.4).collect()
+    any_masked = False
+    for r in out:
+        toks = r.text.split()
+        masked = r.masked.split()
+        assert len(masked) == len(toks)
+        originals = [t for t, m in zip(toks, masked) if m == "<MASK>"]
+        assert originals == list(r.mask_labels)   # in-order originals
+        assert [m for m in masked if m != "<MASK>"] == \
+            [t for t, m in zip(toks, masked) if m != "<MASK>"]
+        any_masked = any_masked or bool(originals)
+    assert any_masked
+
+
+def test_mask_tokens_deterministic_and_salt(spark):
+    from lens_spark.operators.text import mask_tokens
+    df = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8") for i in range(50)],
+        "doc_id long, text string")
+    a = {r.doc_id: r.masked for r in
+         mask_tokens(df, "doc_id", "text").collect()}
+    b = {r.doc_id: r.masked for r in
+         mask_tokens(df.repartition(9), "doc_id", "text").collect()}
+    assert a == b
+    c = {r.doc_id: r.masked for r in
+         mask_tokens(df, "doc_id", "text", salt="e2").collect()}
+    assert a != c
+
+
+def test_mask_tokens_lens_inverse(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    spec = {"lenses": [{"name": "mask_tokens", "arguments": {
+        "id": "doc_id", "column": "text", "rate": 1.0}}]}
+    out = engine.append(df, spec)
+    r = out.collect()[0]
+    assert r.masked == "<MASK> <MASK> <MASK>" and list(r.mask_labels) == ["a", "b", "c"]
+    back = engine.append(out, engine.invert(spec))
+    assert sorted(back.columns) == ["doc_id", "text"]
