@@ -1537,6 +1537,17 @@ def q_x5_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x8_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (new r6b): md5-sharded, length-ordered
+    fixed-size batches — pad-to-longest waste bounded by within-batch
+    length spread. Pure window arithmetic, slim exchange."""
+    from lens_spark.operators.packing import length_batches
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_batches(docs, "doc_id", batch_size=32,
+                          text_col="text", num_shards=8)
+
+
 def q_x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (greedy, shard-deterministic) —
     rows-only: the greedy fill is recursive per shard, not single-query
@@ -2249,7 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x3_centroid, x8_concat_blocks, x5_vocab_ids, x2_components,
         # x9_quantile_bin, x5_sentences, x6_group_quantiles,
         # x5_sentence_dedup, x8_fim, x3_embedding_outliers,
-        # x5_mask_tokens) have only the local tail oracle check so
+        # x5_mask_tokens, x8_length_batches) have only the local tail oracle check so
         # far and take window slots over the coming rotations,
         # evicting ≥3-round-green siblings per the standing policy;
         # until then the tail test oracle-checks them on every run.
@@ -2281,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_fim": q_x8_fim,
         "x3_embedding_outliers": q_x3_embedding_outliers,
         "x5_mask_tokens": q_x5_mask_tokens,
+        "x8_length_batches": q_x8_length_batches,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3403,6 +3415,26 @@ SELECT d.doc_id,
        CAST(coalesce(list_sum(e.ids), 0) AS BIGINT) AS ids_sum,
        md5(coalesce(array_to_string(e.ids, ','), '')) AS ids_md5
 FROM documents d LEFT JOIN enc e USING (doc_id)
+""",
+        "x8_length_batches": r"""
+WITH h AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS nt,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 8 AS BIGINT) AS shard
+  FROM documents
+),
+o AS (
+  SELECT doc_id, nt, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY nt, doc_id) - 1
+             AS idx
+  FROM h
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       CAST(shard * 4294967296 + idx // 32 AS BIGINT) AS batch_id,
+       CAST(idx % 32 AS BIGINT) AS batch_pos
+FROM o
 """,
         "x8_concat_blocks": r"""
 WITH h AS (

@@ -191,3 +191,70 @@ def concat_blocks_lens(arguments: Mapping[str, Any]) -> Lens:
             num_shards=int(arguments.get("num_shards", 64)),
             sep_tokens=int(arguments.get("sep_tokens", 0)),
             salt=str(arguments.get("salt", ""))))
+
+
+def length_batches(df: DataFrame, id_col: str, *, batch_size: int,
+                   token_count_col: str | None = None,
+                   text_col: str | None = None,
+                   num_shards: int = 64, salt: str = "") -> DataFrame:
+    """Length-grouped batching: documents are grouped into fixed-size
+    training batches of SIMILAR token length, so per-batch padding
+    waste (pad-to-longest) stays small — the dynamic-batching /
+    bucketed-batching step of a fine-tuning export.
+
+    Contract: md5-shard (reproducible, repartition-stable — the
+    shuffle_shards idiom), order within a shard by (token count, id),
+    slice into consecutive runs of ``batch_size``. Returns the slim
+    frame ``(id, n_tokens, batch_id, batch_pos)`` — globally unique
+    ``batch_id = (shard << 32) | local``; the tail batch of each
+    shard may be short. Join payloads back on id: the per-shard sort
+    carries (hash, count, id) tuples, never text. ``num_shards``
+    bounds the sort (the pack_sequences contract) and only weakens
+    the grouping marginally: shards are content-hash uniform, so
+    every shard sees the full length distribution.
+    """
+    from pyspark.sql import Window
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.sampling import _hash_prefix
+
+    if batch_size < 1:
+        raise LensError("length_batches: batch_size must be >= 1")
+    if token_count_col is None and text_col is None:
+        raise LensError("length_batches needs token_count_col or text_col")
+    if token_count_col is not None:
+        counted = df.withColumn("__nt", F.col(token_count_col).cast("bigint"))
+    else:
+        counted = df.withColumn("__nt",
+                                whitespace_token_count(F.col(text_col)))
+    hp = _hash_prefix([id_col], salt)
+    slim = counted.select(
+        F.col(id_col), F.col("__nt"),
+        (F.conv(hp, 16, 10).cast("bigint") % F.lit(int(num_shards)))
+        .alias("__shard"))
+    w = Window.partitionBy("__shard").orderBy(F.col("__nt").asc(),
+                                              F.col(id_col).asc())
+    idx = F.row_number().over(w) - 1
+    return slim.select(
+        F.col(id_col), F.col("__nt").alias("n_tokens"),
+        (F.col("__shard") * F.lit(1 << 32)
+         + F.floor(idx / int(batch_size))).cast("bigint").alias("batch_id"),
+        (idx % int(batch_size)).cast("bigint").alias("batch_pos"))
+
+
+@register_lens("length_batches")
+def length_batches_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, batch_size, and one of token_count_column /
+    column (text); num_shards (64), salt ("")."""
+    id_col = str(require_arg(arguments, "id", "length_batches"))
+    bs = int(require_arg(arguments, "batch_size", "length_batches"))
+    tc = arguments.get("token_count_column")
+    text = arguments.get("column")
+    return Lens(
+        "length_batches", arguments,
+        lambda df: length_batches(
+            df, id_col, batch_size=bs,
+            token_count_col=str(tc) if tc else None,
+            text_col=str(text) if text else None,
+            num_shards=int(arguments.get("num_shards", 64)),
+            salt=str(arguments.get("salt", ""))))

@@ -158,3 +158,54 @@ def test_concat_blocks_lens_and_errors(spark):
     assert (r.block_first, r.block_last) == (0, 1)
     with _pytest.raises(LensError, match="block_tokens"):
         concat_blocks(df, "doc_id", block_tokens=0, text_col="text")
+
+
+# --- length_batches -----------------------------------------------------
+
+def test_length_batches_groups_similar_lengths(spark):
+    from lens_spark.operators.packing import length_batches
+    df = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 37) % 50)) for i in range(120)],
+        "doc_id long, text string")
+    out = length_batches(df, "doc_id", batch_size=8, text_col="text",
+                         num_shards=2).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert all(len(v) <= 8 for v in by_batch.values())
+    # within a shard, batch length ranges must be non-overlapping and
+    # ordered: max(batch k) <= min(batch k+1)
+    shards = {}
+    for bid, rows in by_batch.items():
+        shards.setdefault(bid >> 32, []).append(
+            (bid, min(r.n_tokens for r in rows),
+             max(r.n_tokens for r in rows)))
+    for batches in shards.values():
+        batches.sort()
+        for (_, _, hi), (_, lo2, _) in zip(batches, batches[1:]):
+            assert hi <= lo2
+    # positions are 0..len-1 per batch
+    for rows in by_batch.values():
+        assert sorted(r.batch_pos for r in rows) == list(range(len(rows)))
+
+
+def test_length_batches_repartition_stable(spark):
+    from lens_spark.operators.packing import length_batches
+    df = spark.createDataFrame(
+        [(i, "t " * (i % 9 + 1)) for i in range(200)],
+        "doc_id long, text string")
+    kw = dict(batch_size=16, text_col="text", num_shards=4)
+    a = sorted(map(tuple, length_batches(df.coalesce(1), "doc_id", **kw).collect()))
+    b = sorted(map(tuple, length_batches(df.repartition(11), "doc_id", **kw).collect()))
+    assert a == b
+
+
+def test_length_batches_lens(spark):
+    from lens_spark import engine
+    df = spark.createDataFrame([(1, "a"), (2, "b c d")],
+                               "doc_id long, text string")
+    out = engine.append(df, {"lenses": [{"name": "length_batches",
+        "arguments": {"id": "doc_id", "batch_size": 2, "column": "text",
+                      "num_shards": 1}}]})
+    rows = sorted(out.collect(), key=lambda r: r.batch_pos)
+    assert [r.doc_id for r in rows] == [1, 2]   # shorter doc first
