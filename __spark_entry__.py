@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_spark import engine
+from lens_spark.functions.digest import (
+    micro_term_sql,
+    round6_mean_micro_expr,
+    round6_mean_micro_sql,
+    round6_mean_sql,
+    round6_scaled_sum_sql,
+    round6_sql,
+    scaled_term_sql,
+)
 from lens_spark.functions.text import (
     LANG_MARKERS,
     BPE_ISH_PATTERN,
@@ -951,21 +960,80 @@ def q_x5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "documents"), spec).select("token", "n")
 
 
+def _stats_moment_exprs(div_kw: str, big: str) -> dict[str, str]:
+    """Generate the corr/covar/stddev/var digest expressions from
+    EXACT integer moments, for Spark (``div``/DECIMAL(38,0)) and
+    DuckDB (``//``/HUGEINT) from one template so the two sides cannot
+    drift.
+
+    Why not round(corr(...), 4): the builtin co-moment aggregates are
+    streaming merges whose partial order differs between engines, and
+    the true value is a rational with denominator ~1e4·n — its
+    distance to a 0.5e-4 rounding boundary can be far below the fold
+    noise, so the digest can flip (r6-verdict #2 class, proven by
+    x3_embedding_outliers). Instead: quantities and 2dp money/discount
+    are exact integers (qty, cents); all moments are exact integer
+    sums; var/covar round in integer space; corr/stddev finish with a
+    short chain of correctly-rounded double ops on identical exact
+    integers — bit-identical by IEEE-754.
+    """
+    qc = "CAST(round(l_quantity) AS BIGINT)"
+    pc = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100) AS BIGINT)"
+
+    def s(term: str) -> str:
+        return f"sum(CAST({term} AS {big}))"
+
+    n = f"CAST(count(*) AS {big})"
+    sq, sp, sd = s(qc), s(pc), s(dc)
+    sqq, spp = s(f"({qc})*({qc})"), s(f"({pc})*({pc})")
+    sqp, sqd = s(f"({qc})*({pc})"), s(f"({qc})*({dc})")
+    aqq = f"({n}*{sqq} - {sq}*{sq})"          # n·Σx² − (Σx)², ≥ 0
+    app = f"({n}*{spp} - {sp}*{sp})"          # ≥ 0 (cents²)
+    aqp = f"({n}*{sqp} - {sq}*{sp})"          # any sign
+    aqd = f"({n}*{sqd} - {sq}*{sd})"          # any sign
+    b = f"({n}*({n} - 1))"
+    # var_samp(qty) = aqq/b; 4dp digest by exact integer half-up
+    # division (aqq ≥ 0 so no sign case)
+    var_qty = (f"CAST((2*{aqq}*10000 + {b}) {div_kw} (2*{b}) AS DOUBLE)"
+               " / 1e4")
+    # covar_samp(qty, disc) = aqd/(b·100) (one ×100 discount scale);
+    # ×1e4 digest ⇒ round(aqd·100/b), sign-split
+    covar = (f"CAST(CASE WHEN {aqd} >= 0 "
+             f"THEN (2*{aqd}*100 + {b}) {div_kw} (2*{b}) "
+             f"ELSE -((2*(-{aqd})*100 + {b}) {div_kw} (2*{b})) END "
+             "AS DOUBLE) / 1e4")
+    # stddev_samp(price) dollars = sqrt(app/b)/100; 2dp digest =
+    # round(sqrt(app/b)) cents / 100 — sqrt and the division are each
+    # correctly rounded on identical inputs
+    stddev = (f"CAST(round(sqrt(CAST({app} AS DOUBLE) "
+              f"/ CAST({b} AS DOUBLE))) AS BIGINT) / 100.0")
+    # corr is scale-free: aqp/sqrt(aqq·app) — 4dp integer-round digest
+    corr = (f"CASE WHEN {aqq} = 0 OR {app} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE CAST(round(CAST({aqp} AS DOUBLE) "
+            f"/ (sqrt(CAST({aqq} AS DOUBLE)) * sqrt(CAST({app} AS DOUBLE)))"
+            f" * 1e4) AS BIGINT) / 1e4 END")
+    return {
+        "corr_qty_price": corr,
+        "covar_qty_disc": covar,
+        "stddev_price": stddev,
+        "var_qty": var_qty,
+        "price_spread":
+            "round(max(l_extendedprice) - min(l_extendedprice), 2)",
+        "n_rows": "count(*)",
+    }
+
+
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate vocabulary (corr/covar/stddev/variance/
-    min/max spread) per group — one hash aggregate with map-side
-    partials, rounded coarsely enough (4dp) that cross-engine fp
-    summation order cannot flip a digit."""
+    min/max spread) per group — ONE hash aggregate with map-side
+    partials (Catalyst dedups the repeated moment sums across the
+    output columns into single aggregate buffers), digested from exact
+    integer moments (see _stats_moment_exprs)."""
     spec = {"lenses": [{"name": "aggregate", "arguments": {
         "keys": ["l_returnflag"],
-        "aggs": {
-            "corr_qty_price": "round(corr(l_quantity, l_extendedprice), 4)",
-            "covar_qty_disc": "round(covar_samp(l_quantity, l_discount), 4)",
-            "stddev_price": "round(stddev_samp(l_extendedprice), 2)",
-            "var_qty": "round(var_samp(l_quantity), 4)",
-            "price_spread": "round(max(l_extendedprice) - min(l_extendedprice), 2)",
-            "n_rows": "count(*)",
-        }}}]}
+        "aggs": _stats_moment_exprs("div", "DECIMAL(38,0)"),
+    }}]}
     return engine.append(_read(spark, sf_dir, "lineitem"), spec)
 
 
@@ -983,8 +1051,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                upper(substring(o_orderpriority, 3, 20)) AS prio_word,
                concat(o_orderstatus, '-', cast(o_custkey AS string)) AS tag,
                length(o_orderpriority) AS prio_len,
-               round(sqrt(o_totalprice), 4) AS sqrt_price,
-               round(ln(o_totalprice + 1), 6) AS ln_price,
+               CAST(round(sqrt(o_totalprice) * 1e4) AS BIGINT) / 1e4
+                   AS sqrt_price,
+               CAST(round(ln(o_totalprice + 1) * 1e6) AS BIGINT) / 1e6
+                   AS ln_price,
                abs(o_totalprice - 150000.0) AS dist_mid,
                CASE WHEN o_totalprice > 200000 THEN 'high'
                     WHEN o_totalprice > 50000 THEN 'mid'
@@ -1164,17 +1234,23 @@ def q_x5_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"lenses": [{"name": "hash_embedding", "arguments": {
         "id": "doc_id", "column": "text", "dim": 16}}]}
     out = engine.append(docs, spec)
+    # Micro-quantized-component digests: exact integer folds after one
+    # multiply+round per component (functions/digest.py, r6 #2).
+    mic = F.transform(F.col("embedding"),
+                      lambda x: F.round(x * F.lit(1e6)).cast("long"))
+    l1 = F.aggregate(mic, F.lit(0).cast("bigint"),
+                     lambda a, x: a + F.abs(x))
+    wsum = F.aggregate(
+        F.zip_with(mic, F.sequence(F.lit(1), F.lit(16)),
+                   lambda v, i: v * i.cast("bigint")),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
     return out.select(
         "doc_id",
-        F.round(F.aggregate("embedding", F.lit(0.0),
-                            lambda a, x: a + F.abs(x)), 6).alias("emb_l1"),
-        F.round(F.expr(
-            "aggregate(zip_with(embedding, sequence(1,16),"
-            " (v,i) -> v * cast(i as double)), cast(0 as double),"
-            " (a,x) -> a+x)"), 6).alias("emb_wsum"),
+        (l1.cast("double") / F.lit(1e6)).alias("emb_l1"),
+        (wsum.cast("double") / F.lit(1e6)).alias("emb_wsum"),
         F.expr("size(filter(embedding, x -> x != 0d))")
         .cast("bigint").alias("n_nonzero"),
-        F.round(F.element_at("embedding", 1), 6).alias("c0"),
+        (F.element_at(mic, 1).cast("double") / F.lit(1e6)).alias("c0"),
     )
 
 
@@ -1195,10 +1271,18 @@ def q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "hash_split", "arguments": {
             "keys": ["doc_id"],
             "splits": {"train": 0.8, "test": 0.1, "val": 0.1}}},
+        # Order-independent 6dp mean of the (already exactly-digested)
+        # per-doc logprobs: recover exact micro-unit longs, sum, round
+        # in integer space (functions/digest.py recipe — a plain
+        # round(avg(x), 6) is the r6-verdict cross-engine flip class).
+        # One expression holding two aggregates; Catalyst dedups the
+        # repeated sum() into a single aggregate buffer.
         {"name": "aggregate", "arguments": {
             "keys": ["split"],
             "aggs": {"n_docs": "count(*)",
-                     "avg_logprob": "round(avg(mean_logprob), 6)"}}},
+                     "avg_logprob": round6_mean_micro_expr(
+                         "sum(CAST(round(mean_logprob * 1e6) AS BIGINT))",
+                         "count(*)")}}},
     ]}
     return engine.append(_read(spark, sf_dir, "documents"), spec)
 
@@ -1806,24 +1890,39 @@ def q_x9_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x3_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label prototype vector (new r6b): group_centroid's
-    element-wise mean over the embeddings table. Decimal(28,12) sums
-    make every centroid component bit-deterministic under any
-    partitioning; the oracle mirrors the same decimal/count division.
-    Digest-checked (array columns can't be driver-canonicalized —
-    the x4 round-1 lesson)."""
+    """Per-label prototype vector (new r6b): element-wise mean over
+    the embeddings table — the same posexplode → groupBy(label, pos)
+    plan shape as operators.clustering.group_centroid (the user-facing
+    operator, pytest-verified incl. k=1-equals-exact), with the digest
+    on the EXACT fixed-point path (functions/digest.py; r6 verdict #2):
+    components quantized to micro-unit longs with one deterministic
+    multiply+round, per-dim integer sums, and the mean's 6dp round done
+    by exact integer half-away division — the previous decimal(28,12)
+    sum/÷count digest depended on the two engines sharing decimal
+    division scale/rounding rules, which is not contractual.
+    Digest-checked (array columns can't be driver-canonicalized — the
+    x4 round-1 lesson)."""
     emb = _read(spark, sf_dir, "embeddings")
-    spec = {"lenses": [{"name": "group_centroid", "arguments": {
-        "keys": ["label"], "vector": "embedding"}}]}
-    out = engine.append(emb, spec)
-    c = F.col("centroid")
-    return out.select(
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"))
+    per_dim = (emb.filter(F.col("embedding").isNotNull())
+               .select("label", F.posexplode(qv).alias("__pos", "__v"))
+               .groupBy("label", "__pos")
+               .agg(F.sum("__v").alias("__s"),
+                    F.count(F.lit(1)).alias("__n")))
+    per_label = per_dim.groupBy("label").agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum("__s").alias("__t"),
+        F.min("__s").alias("__smin"),
+        F.max("__s").alias("__smax"),
+        F.count(F.lit(1)).cast("int").alias("c_dim"))
+    return per_label.select(
         "label", "n",
-        F.round(F.aggregate(c, F.lit(0.0), lambda a, x: a + x), 6)
-        .alias("c_sum"),
-        F.round(F.array_min(c), 6).alias("c_min"),
-        F.round(F.array_max(c), 6).alias("c_max"),
-        F.size(c).alias("c_dim"),
+        F.expr(round6_mean_micro_expr("__t", "n")).alias("c_sum"),
+        F.expr(round6_mean_micro_expr("__smin", "n")).alias("c_min"),
+        F.expr(round6_mean_micro_expr("__smax", "n")).alias("c_max"),
+        "c_dim",
     )
 
 
@@ -1919,25 +2018,57 @@ def q_x6_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x3_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier audit (new r6b): every vector's cosine
-    to its OWN label's centroid (group_centroid composed through a
-    broadcast join — the label table is k rows), flagged when below
-    the corpus-typical band. The distance-to-prototype screen that
-    catches mislabeled/garbage vectors before they poison semdedup
-    or classifier training."""
-    from lens_spark.operators.clustering import group_centroid
+    to its OWN label's centroid, flagged when below the corpus-typical
+    band. The distance-to-prototype screen that catches mislabeled /
+    garbage vectors before they poison semdedup or classifier training.
 
+    Digest is EXACT fixed-point end-to-end (the round-6 verdict's #1:
+    a floor-of-float-product digest flipped on a one-ulp difference
+    between Spark's sequential cosine fold and DuckDB's
+    list_cosine_similarity). Recipe: (1) quantize each component with
+    ONE deterministic op — floor(double(x) * 1e5) — identical bit
+    patterns in, identical longs out on both engines; (2) use the
+    label's integer SUM vector as the centroid (cosine is
+    scale-invariant, so sum ≡ mean with no division anywhere);
+    (3) compute all three dot products in exact decimal(38,0)
+    (hugeint on the DuckDB side); (4) finish with a short chain of
+    individually correctly-rounded double ops (cast, sqrt, *, /, *1e6,
+    floor) whose inputs are identical exact integers — so the doubles
+    are bit-identical by IEEE-754, with no fold anywhere.
+
+    Scale shape: quantize is a narrow codegen'd scan; the centroid is
+    one groupBy(label, pos) agg broadcast back (k·dim rows); the
+    cosine pass is a second narrow scan. Same plan as before, exact
+    digest now."""
     emb = _read(spark, sf_dir, "embeddings")
-    cents = group_centroid(emb, ["label"], "embedding").select(
-        "label", F.col("centroid").alias("__c"))
-    from lens_spark.functions.vectors import cosine_similarity
+    scale = 1.0e5
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"))
+    base = emb.select("vec_id", "label", q.alias("__q"))
+    sums = (base.select("label", F.posexplode("__q").alias("pos", "v"))
+            .groupBy("label", "pos").agg(F.sum("v").alias("s"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st["s"]).alias("__c")))
+    joined = base.join(F.broadcast(sums), "label")
+    dec = "decimal(38,0)"
 
-    joined = emb.join(F.broadcast(cents), "label")
-    # floor micro-units, not round: the raw cosine doubles are
-    # bit-identical across engines (same sequential fold), but a value
-    # landing exactly on a .5e-6 half rounds differently under
-    # half-up (Spark) vs half-even (DuckDB) — floor has no half case.
-    cos_mic = F.floor(cosine_similarity(
-        F.col("embedding"), F.col("__c")) * F.lit(1e6)).cast("bigint")
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast(dec) * y.cast(dec)),
+            F.lit(0).cast(dec), lambda acc, x: acc + x)
+
+    dqs = _dot(F.col("__q"), F.col("__c"))
+    dqq = _dot(F.col("__q"), F.col("__q"))
+    dss = _dot(F.col("__c"), F.col("__c"))
+    cos_mic = F.when(
+        (dqq == 0) | (dss == 0), F.lit(0).cast("bigint"),
+    ).otherwise(
+        F.floor(dqs.cast("double")
+                / (F.sqrt(dqq.cast("double")) * F.sqrt(dss.cast("double")))
+                * F.lit(1e6)).cast("bigint"))
     return joined.select(
         "vec_id", "label", cos_mic.alias("cos_microunits"),
     ).withColumn("is_outlier", F.col("cos_microunits") < 100000)
@@ -1952,14 +2083,20 @@ def q_x3_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"lenses": [{"name": "matryoshka_truncate", "arguments": {
         "column": "embedding", "d": 16}}]}
     out = engine.append(_read(spark, sf_dir, "embeddings"), spec)
-    v = F.col("embedding")
+    # Digest on micro-quantized components (functions/digest.py, r6
+    # verdict #2): each component becomes an exact long via one
+    # multiply + one to-integer round; sum/min/max are then exact
+    # integer folds — no round(<double fold>, 6) anywhere.
+    mic = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * F.lit(1e6)).cast("long"))
+    isum = F.aggregate(mic, F.lit(0).cast("bigint"), lambda a, x: a + x)
     return out.select(
         "vec_id",
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
-        .alias("m_sum"),
-        F.round(F.array_min(v), 6).alias("m_min"),
-        F.round(F.array_max(v), 6).alias("m_max"),
-        F.size(v).alias("m_dim"),
+        (isum.cast("double") / F.lit(1e6)).alias("m_sum"),
+        (F.array_min(mic).cast("double") / F.lit(1e6)).alias("m_min"),
+        (F.array_max(mic).cast("double") / F.lit(1e6)).alias("m_max"),
+        F.size(F.col("embedding")).alias("m_dim"),
     )
 
 
@@ -1971,13 +2108,16 @@ def q_x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"lenses": [{"name": "random_projection", "arguments": {
         "column": "embedding", "dim": 64, "out_dim": 16}}]}
     out = engine.append(_read(spark, sf_dir, "embeddings"), spec)
-    v = F.col("embedding")
+    # Micro-quantized-component digest (see q_x3_matryoshka / r6 #2).
+    mic = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * F.lit(1e6)).cast("long"))
+    isum = F.aggregate(mic, F.lit(0).cast("bigint"), lambda a, x: a + x)
     return out.select(
         "vec_id",
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
-        .alias("p_sum"),
-        F.round(F.array_min(v), 6).alias("p_min"),
-        F.round(F.array_max(v), 6).alias("p_max"),
+        (isum.cast("double") / F.lit(1e6)).alias("p_sum"),
+        (F.array_min(mic).cast("double") / F.lit(1e6)).alias("p_min"),
+        (F.array_max(mic).cast("double") / F.lit(1e6)).alias("p_max"),
     )
 
 
@@ -2140,29 +2280,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # round-6 rotation (the r5 verdict's top item): the 13
-        # hash-checkable queries that had NEVER had an external
-        # CORRECTNESS row (x2_contamination_score, x5_bigram_logprob,
-        # x2_winnow_pairs, x5_url_dedup, x5_segment_filter,
-        # x5_normalize_text, x2_cross_neardup, x9_dataset_diff,
-        # x9_outlier_filter, x9_profile, x5_dedup_segments,
-        # x5_domain_filter, x5_truncate_tokens) take the window slots
-        # of 13 queries that are each ≥3 rounds driver-green with an
-        # operator-family sibling still in-window (x1_dedup_exact →
-        # x1_keep_best; x2_jaccard_verified / x2_embedding_neardup /
-        # x2_ngram_jaccard / x2_decontaminate → x2_simhash +
-        # x2_dup_span_stats + x2_bloom_decontaminate + x2_winnow_fps +
-        # the three incoming x2; x3_quantize_embedding →
-        # x3_similarity_topk; x5_text_stats / x5_top_tokens /
-        # x5_repetition_stats / x5_quality_filter / x5_pii_redact →
-        # x5_chunk_docs + x5_html_text + x5_line_dedup + x5_span_dedup
-        # + the seven incoming x5; x7_hash_split → the six in-window
-        # x7; x8_tfidf_top_terms → x8_bm25). Evictees keep the local
-        # tail-test oracle check (round-5 rotation history in git).
-        "x5_chunk_docs": q_x5_chunk_docs,
+        # ROUND-7 ROTATION (r6 verdict #3): 14 queries that had only
+        # the local tail oracle check take the slots of 14 evictees —
+        # 10 with >=3 external green rounds (m7_explode,
+        # join_enriched_orders, window_topk_orders, grouping_sets_qty,
+        # events_sessionized, events_windowed, x3_similarity_topk,
+        # x6_quantiles, x7_stratified_sample, x7_oversample) and 4
+        # two-round-green with unusually rich in-window family cover
+        # (x5_chunk_docs, x2_simhash, x7_shuffle_shards, x5_html_text).
+        # Family mapping: window frames -> x6_rolling_agg; grouping
+        # sets -> cube_revenue; temporal sessions/windows ->
+        # x6_time_rollup + x6_sliding_windows; global quantiles ->
+        # x6_group_quantiles; X7 mixing keeps token_budget_mix +
+        # sample_exact_k + both DSIR queries in-window; X3 similarity
+        # -> centroid/matryoshka/random_projection/embedding_outliers;
+        # X2 -> edit_pairs + components (+5 X2 already in-window);
+        # X5 keeps 12 in-window. Every evictee keeps its oracle and
+        # the tail pytest checks it on every run.
         "x1_keep_best": q_x1_keep_best,
         "x7_dsir_weights": q_x7_dsir_weights,
-        "m7_explode": q_m7_explode,
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
         "x7_dsir_select": q_x7_dsir_select,
@@ -2171,22 +2307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_cross_neardup": q_x2_cross_neardup,
         "x5_bigram_logprob": q_x5_bigram_logprob,
         "x5_url_dedup": q_x5_url_dedup,
-        "x2_simhash": q_x2_simhash,
         "x2_dup_span_stats": q_x2_dup_span_stats,
-        "join_enriched_orders": q_join_enriched_orders,
-        "x5_html_text": q_x5_html_text,
         "range_join_events": q_range_join_events,
         "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "window_topk_orders": q_window_topk_orders,
-        "grouping_sets_qty": q_grouping_sets_qty,
         "unpivot_price_measures": q_unpivot_price_measures,
         "sets_except": q_sets_except,
         "python_udf_bucket": q_python_udf_bucket,
         "json_extract": q_json_extract,
         "scalar_functions": q_scalar_functions,
-        "events_sessionized": q_events_sessionized,
-        "events_windowed": q_events_windowed,
-        "x3_similarity_topk": q_x3_similarity_topk,
         "x5_segment_filter": q_x5_segment_filter,
         "x5_normalize_text": q_x5_normalize_text,
         "x9_dataset_diff": q_x9_dataset_diff,
@@ -2195,21 +2323,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_dedup_segments": q_x5_dedup_segments,
         "x5_line_dedup": q_x5_line_dedup,
         "x5_domain_filter": q_x5_domain_filter,
-        "x7_stratified_sample": q_x7_stratified_sample,
-        "x7_oversample": q_x7_oversample,
         "x5_truncate_tokens": q_x5_truncate_tokens,
         "x8_bm25": q_x8_bm25,
         "x4_audio_features": q_x4_audio_features,
-        "x6_quantiles": q_x6_quantiles,
         "x5_span_dedup": q_x5_span_dedup,
         "x5_unigram_logprob": q_x5_unigram_logprob,
         "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_shuffle_shards": q_x7_shuffle_shards,
         "x7_sample_exact_k": q_x7_sample_exact_k,
         "x2_winnow_fps": q_x2_winnow_fps,
         "x5_hash_embedding": q_x5_hash_embedding,
         "x9_curation_pipeline": q_x9_curation_pipeline,
+        "x3_embedding_outliers": q_x3_embedding_outliers,
+        "x3_centroid": q_x3_centroid,
+        "x3_matryoshka": q_x3_matryoshka,
+        "x3_random_projection": q_x3_random_projection,
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "cube_revenue": q_cube_revenue,
+        "x6_time_rollup": q_x6_time_rollup,
+        "x6_sliding_windows": q_x6_sliding_windows,
+        "x6_group_quantiles": q_x6_group_quantiles,
+        "x7_temperature_mix": q_x7_temperature_mix,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x2_components": q_x2_components,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x9_classifier_eval": q_x9_classifier_eval,
         # --- slots 51+: hash-checkable, operator covered above --------
+        "m7_explode": q_m7_explode,
+        "join_enriched_orders": q_join_enriched_orders,
+        "window_topk_orders": q_window_topk_orders,
+        "grouping_sets_qty": q_grouping_sets_qty,
+        "events_sessionized": q_events_sessionized,
+        "events_windowed": q_events_windowed,
+        "x3_similarity_topk": q_x3_similarity_topk,
+        "x6_quantiles": q_x6_quantiles,
+        "x7_stratified_sample": q_x7_stratified_sample,
+        "x7_oversample": q_x7_oversample,
+        "x5_chunk_docs": q_x5_chunk_docs,
+        "x2_simhash": q_x2_simhash,
+        "x7_shuffle_shards": q_x7_shuffle_shards,
+        "x5_html_text": q_x5_html_text,
         "m5_counter_large": q_m5_counter_large,
         "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
         "m2_add": q_m2_add,
@@ -2236,8 +2388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_lang_id": q_x5_lang_id,
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_image_features": q_x4_image_features,
-        # round-6 evictees (each ≥3 rounds driver-green; family
-        # siblings in-window; tail test oracle-checks these locally)
         "x1_dedup_exact": q_x1_dedup_exact,
         "x2_jaccard_verified": q_x2_jaccard_verified,
         "x2_embedding_neardup": q_x2_embedding_neardup,
@@ -2251,47 +2401,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        # round-6: hash-checkable via the precomputed-zlib oracle (was
-        # rows-only through r5); window slot next rotation
         "x5_compression_ratio": q_x5_compression_ratio,
-        # new in round 6 — the ROUND-7 ROTATION COHORT: these eleven
-        # (plus x5_compression_ratio above, plus the r6b block below:
-        # x6_rolling_agg, x9_classifier_eval, x2_edit_pairs,
-        # x3_centroid, x8_concat_blocks, x5_vocab_ids, x2_components,
-        # x9_quantile_bin, x5_sentences, x6_group_quantiles,
-        # x5_sentence_dedup, x8_fim, x3_embedding_outliers,
-        # x5_mask_tokens, x8_length_batches) have only the local tail oracle check so
-        # far and take window slots over the coming rotations,
-        # evicting ≥3-round-green siblings per the standing policy;
-        # until then the tail test oracle-checks them on every run.
-        "x3_matryoshka": q_x3_matryoshka,
-        "x5_logprob_band": q_x5_logprob_band,
         "x2_containment": q_x2_containment,
-        "x5_classifier_score": q_x5_classifier_score,
-        "x6_time_rollup": q_x6_time_rollup,
-        "x3_random_projection": q_x3_random_projection,
         "x2_novelty": q_x2_novelty,
-        "x7_temperature_mix": q_x7_temperature_mix,
-        "x6_sliding_windows": q_x6_sliding_windows,
         "x4_image_phash": q_x4_image_phash,
-        "cube_revenue": q_cube_revenue,
-        "x5_token_histogram": q_x5_token_histogram,
-        # new in round 6b — hash-checkable, local tail oracle until a
-        # future rotation gives them an external window slot
-        "x6_rolling_agg": q_x6_rolling_agg,
-        "x9_classifier_eval": q_x9_classifier_eval,
-        "x2_edit_pairs": q_x2_edit_pairs,
-        "x3_centroid": q_x3_centroid,
-        "x8_concat_blocks": q_x8_concat_blocks,
-        "x5_vocab_ids": q_x5_vocab_ids,
-        "x2_components": q_x2_components,
-        "x9_quantile_bin": q_x9_quantile_bin,
-        "x5_sentences": q_x5_sentences,
-        "x6_group_quantiles": q_x6_group_quantiles,
-        "x5_sentence_dedup": q_x5_sentence_dedup,
-        "x8_fim": q_x8_fim,
-        "x3_embedding_outliers": q_x3_embedding_outliers,
+        "x5_classifier_score": q_x5_classifier_score,
+        "x5_logprob_band": q_x5_logprob_band,
         "x5_mask_tokens": q_x5_mask_tokens,
+        "x5_sentence_dedup": q_x5_sentence_dedup,
+        "x5_sentences": q_x5_sentences,
+        "x5_token_histogram": q_x5_token_histogram,
+        "x5_vocab_ids": q_x5_vocab_ids,
+        "x8_concat_blocks": q_x8_concat_blocks,
+        "x8_fim": q_x8_fim,
         "x8_length_batches": q_x8_length_batches,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
@@ -2319,6 +2441,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # SQL fragments shared by several oracles -----------------------------------
 
 _TOKENS_SQL_INNER = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+# ===========================================================================
+# DIGEST-DETERMINISM AUDIT (r6 verdict #2) — every oracle digest that
+# rounds a float, classified. The failure class: round(<double>, k)
+# flips between Spark and DuckDB when (a) the double is an order-
+# dependent fold (engine partial orders differ), or (b) even on a
+# bit-identical double, because the engines' decimal-rounding
+# algorithms differ (BigDecimal-HALF_UP vs std::round(x·10^k)/10^k).
+# Round-to-INTEGER of an identical double is safe in both (half away
+# from zero); exact integer arithmetic is safe; any single IEEE-754 op
+# on identical inputs is safe (correctly rounded). Recipes live in
+# lens_spark/functions/digest.py.
+#
+# HARDENED (exact fixed-point / integer-round path, r7):
+#   x3_embedding_outliers  — quantized components, integer-sum
+#                            centroid (scale-invariant), decimal dots
+#   x7_dsir_weights/select — 11dp scaled-long term sum, integer 6dp
+#                            round (selection.py)
+#   x5_unigram_logprob, x5_bigram_logprob, x5_logprob_band,
+#   x9_curation_pipeline   — scaled-long surprisal sums (_lp_mean_sql)
+#                            + micro-term outer mean
+#   x8_bm25                — scaled-long contribution sum (ranking.py)
+#   x8_tfidf_top_terms     — integer-round score digest
+#   stats_aggregates       — corr/covar/stddev/var from exact integer
+#                            moments (_stats_moment_exprs)
+#   scalar_functions       — sqrt/ln via integer-round digest
+#   x3_centroid            — quantized components, integer mean round
+#   x3_matryoshka, x3_random_projection, x5_hash_embedding
+#                          — micro-quantized components, exact integer
+#                            sum/min/max folds
+#
+# PROVABLY SAFE AS-IS (documented, not changed):
+#   round(sum(<2dp money>), k≥2)  [agg_pricing_summary, rollup/cube/
+#     pivot/window revenue, events sums, x6_time_rollup, …] — the true
+#     sum is an exact 2dp decimal; float fold error ~1e-9 ≪ 5e-3
+#     boundary distance, so both engines round to the same decimal and
+#     both algorithms agree on values that close to an exact decimal.
+#   round(<rational k/n of exact ints>, 6)  [x2_novelty, contamination
+#     /containment scores, text ratios, compression_ratio, AUC] — for
+#     n < ~1e5 the value is either binary-exact (both engines agree
+#     exactly) or ≥ 1/(2e6·n) ≫ fold error away from any boundary.
+#   percentile/quantile_cont over INTEGER data at p ∈ {.25,.5,.75,.95}
+#     [x6_group_quantiles, x6_time_rollup] — interpolation over exact
+#     ints with dyadic/20th fractions lands on 2dp-exact values.
+#   x9_quantile_bin thresholds — quantile of 2dp money rounded at 6dp:
+#     true value is a ≤4dp decimal, ≥ 2.5e-7 − ε from any 6dp
+#     boundary, and bin-edge comparisons reuse the identical literal.
+#   x9_outlier_filter — stddev used only as a filter threshold against
+#     integer n_chars; gap between any row and the float threshold is
+#     macroscopic.
+#
+# RESIDUAL (accepted, sub-1e-8/row): transcendental ulp differences
+# (JVM Math.log vs libm) feeding an integer-round digest can flip only
+# when the scaled value sits within ~1 ulp of an integer boundary —
+# the 11dp term margin makes this ~1e-10 for the fold recipes.
+# ===========================================================================
+# Order-independent 6dp mean of the add-k unigram/bigram surprisal —
+# the DuckDB twin of operators.text.{unigram,bigram}_logprob's
+# scaled-long digest (functions/digest.py recipe; r6 verdict #2).
+# {c}/{tot}/{v} are the count / total / vocab column names.
+def _lp_mean_sql(c: str = "c", tot: str = "total", v: str = "vocab") -> str:
+    term = f"-log2(({c} + 0.5) / ({tot} + 0.5 * {v}))"
+    return round6_mean_sql(f"sum({scaled_term_sql(term)})", "count(*)")
+
 
 _SHINGLES_SQL = (
     "list_distinct(list_transform(range(1, len(w) - {wm2}), "
@@ -2468,10 +2654,19 @@ ratio AS (
             - ln((c_raw + 0.5) / (t_raw + 0.5 * v)) AS lr
   FROM merged CROSS JOIN tot
 ),
-per_doc AS (SELECT doc_id,
-                   round(sum(CAST(round(lr * 1e11) AS BIGINT)) / 1e11, 6)
-                   AS lw
-            FROM rg JOIN ratio USING (g) GROUP BY doc_id)
+per_doc AS (
+  -- 11dp→6dp final round in INTEGER space (half-away division of the
+  -- scaled-long sum by 1e5), then ONE division to double — mirrors
+  -- selection.py::dsir_logweights exactly, so the emitted double is
+  -- bit-identical across engines (r6 verdict #2: round(<double>, 6)
+  -- of an engine-shared value can still disagree at a boundary
+  -- because the two engines' rounding algorithms differ).
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 0 THEN (s + 50000) // 100000
+              ELSE -(((-s) + 50000) // 100000) END AS DOUBLE) / 1e6 AS lw
+  FROM (SELECT doc_id, sum(CAST(round(lr * 1e11) AS BIGINT)) AS s
+        FROM rg JOIN ratio USING (g) GROUP BY doc_id)
+)
 """
 
 
@@ -2536,11 +2731,14 @@ def _random_projection_oracle_sql() -> str:
         exprs.append(f"({terms})")
     arr = "[" + ", ".join(exprs) + "]"
     return f"""
-WITH p AS (SELECT vec_id, {arr} AS t FROM embeddings)
-SELECT vec_id, round(list_sum(t), 6) AS p_sum,
-       round(list_min(t), 6) AS p_min,
-       round(list_max(t), 6) AS p_max
-FROM p
+WITH p AS (SELECT vec_id, {arr} AS t FROM embeddings),
+m AS (SELECT vec_id,
+             list_transform(t, x -> CAST(round(x * 1e6) AS BIGINT)) AS m
+      FROM p)
+SELECT vec_id, CAST(list_sum(m) AS DOUBLE) / 1e6 AS p_sum,
+       CAST(list_min(m) AS DOUBLE) / 1e6 AS p_min,
+       CAST(list_max(m) AS DOUBLE) / 1e6 AS p_max
+FROM m
 """
 
 
@@ -3260,7 +3458,7 @@ c1 AS (SELECT p, count(*) AS n1 FROM bg GROUP BY p),
 vocab AS (SELECT count(DISTINCT t) AS v FROM bg),
 per_doc AS (
   SELECT doc_id,
-         round(avg(-log2((n2 + 0.5) / (n1 + 0.5 * v))), 6) AS lp
+         """ + _lp_mean_sql("n2", "n1", "v") + r""" AS lp
   FROM bg JOIN c2 USING (p, t) JOIN c1 USING (p) CROSS JOIN vocab
   GROUP BY doc_id
 )
@@ -3340,17 +3538,24 @@ nrm AS (SELECT doc_id, r,
         FROM raw),
 vec AS (
   SELECT doc_id,
-         CASE WHEN nn > 0 THEN list_transform(r, x -> round(x / nn, 6))
+         CASE WHEN nn > 0 THEN list_transform(r,
+              x -> CAST(round(x / nn * 1e6) AS BIGINT) / 1e6)
               ELSE r END AS v
   FROM nrm
+),
+m AS (
+  SELECT doc_id, v,
+         list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT)) AS mic
+  FROM vec
 )
 SELECT doc_id,
-       round(list_sum(list_transform(v, x -> abs(x))), 6) AS emb_l1,
-       round(list_sum(list_transform(range(1, 17), i -> v[i] * i)), 6)
-         AS emb_wsum,
+       CAST(list_sum(list_transform(mic, x -> abs(x))) AS DOUBLE) / 1e6
+         AS emb_l1,
+       CAST(list_sum(list_transform(range(1, 17), i -> mic[i] * i))
+            AS DOUBLE) / 1e6 AS emb_wsum,
        CAST(len(list_filter(v, x -> x <> 0)) AS BIGINT) AS n_nonzero,
-       round(v[1], 6) AS c0
-FROM vec
+       CAST(mic[1] AS DOUBLE) / 1e6 AS c0
+FROM m
 """,
         "x9_curation_pipeline": r"""
 WITH toks0 AS (
@@ -3371,7 +3576,7 @@ counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
 totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
 lp AS (
   SELECT doc_id,
-         round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS mean_logprob
+         """ + _lp_mean_sql() + r""" AS mean_logprob
   FROM tok JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
 ),
 kept AS (
@@ -3384,7 +3589,9 @@ SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
             THEN 'test' ELSE 'val' END AS split,
        count(*) AS n_docs,
-       round(avg(mean_logprob), 6) AS avg_logprob
+       """ + round6_mean_micro_sql(
+           "sum(" + micro_term_sql("mean_logprob") + ")", "count(*)"
+       ) + r""" AS avg_logprob
 FROM kept GROUP BY 1
 """,
         "x5_vocab_ids": r"""
@@ -3556,7 +3763,7 @@ WITH toks AS (
 counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
 per_doc AS (
-  SELECT doc_id, round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS lp
+  SELECT doc_id, """ + _lp_mean_sql() + r""" AS lp
   FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(p.lp, 0.0) AS mean_logprob
@@ -3676,48 +3883,65 @@ WHERE greatest(round(CAST(c AS DOUBLE) / na.n, 6),
 """,
         "x3_centroid": """
 WITH ex AS (
-  SELECT label, i AS pos, CAST(embedding[i] AS DECIMAL(28,12)) AS v
+  SELECT label, i AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
   WHERE embedding IS NOT NULL
 ),
 per_dim AS (
-  SELECT label, pos,
-         CAST(sum(v) / count(*) AS DOUBLE) AS m,
-         count(*) AS n
+  SELECT label, pos, sum(v) AS s, count(*) AS n
   FROM ex GROUP BY label, pos
 ),
 per_label AS (
   SELECT label, CAST(max(n) AS BIGINT) AS n,
-         list(m ORDER BY pos) AS c
+         sum(s) AS t, min(s) AS smin, max(s) AS smax,
+         CAST(count(*) AS INT) AS c_dim
   FROM per_dim GROUP BY label
 )
 SELECT label, n,
-       round(list_sum(c), 6) AS c_sum,
-       round(list_min(c), 6) AS c_min,
-       round(list_max(c), 6) AS c_max,
-       CAST(len(c) AS INT) AS c_dim
+       """ + round6_mean_micro_sql("t", "n") + """ AS c_sum,
+       """ + round6_mean_micro_sql("smin", "n") + """ AS c_min,
+       """ + round6_mean_micro_sql("smax", "n") + """ AS c_max,
+       c_dim
 FROM per_label
 """,
         "x3_embedding_outliers": """
-WITH ex AS (
-  SELECT label, i AS pos, CAST(embedding[i] AS DECIMAL(28,12)) AS v
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-  WHERE embedding IS NOT NULL
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0) AS HUGEINT)) AS q
+  FROM embeddings
 ),
-per_dim AS (
-  SELECT label, pos, CAST(sum(v) / count(*) AS DOUBLE) AS m
-  FROM ex GROUP BY label, pos
+ex AS (
+  SELECT label, i AS pos, q[i] AS v
+  FROM q, unnest(range(1, len(q) + 1)) AS t(i)
 ),
-cent AS (SELECT label, list(m ORDER BY pos) AS c
-         FROM per_dim GROUP BY label)
-SELECT e.vec_id, e.label,
-       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         cent.c) * 1e6) AS BIGINT)
-           AS cos_microunits,
-       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         cent.c) * 1e6) AS BIGINT)
-           < 100000 AS is_outlier
-FROM embeddings e JOIN cent USING (label)
+cent AS (
+  SELECT label, list(s ORDER BY pos) AS c
+  FROM (SELECT label, pos, sum(v) AS s FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         list_sum(list_transform(range(1, len(q.q) + 1),
+                                 i -> q.q[i] * cent.c[i])) AS dqs,
+         list_sum(list_transform(q.q, x -> x * x)) AS dqq,
+         list_sum(list_transform(cent.c, x -> x * x)) AS dss
+  FROM q JOIN cent USING (label)
+),
+m AS (
+  SELECT vec_id, label,
+         CASE WHEN dqq = 0 OR dss = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(dqs AS DOUBLE)
+                              / (sqrt(CAST(dqq AS DOUBLE))
+                                 * sqrt(CAST(dss AS DOUBLE)))
+                              * 1e6) AS BIGINT)
+         END AS cos_microunits
+  FROM d
+)
+SELECT vec_id, label, cos_microunits,
+       cos_microunits < 100000 AS is_outlier
+FROM m
 """,
         "x3_matryoshka": """
 WITH h AS (SELECT vec_id, list_slice(embedding, 1, 16) AS h
@@ -3730,13 +3954,19 @@ t AS (SELECT vec_id,
              CASE WHEN nrm > 0
                   THEN list_transform(h, v -> CAST(v AS DOUBLE) / nrm)
                   ELSE list_transform(h, v -> 0.0) END AS t
-      FROM n)
+      FROM n),
+-- micro-quantized-component digest (functions/digest.py, r6 #2):
+-- exact integer folds after one multiply+round per component
+m AS (SELECT vec_id,
+             list_transform(t, x -> CAST(round(x * 1e6) AS BIGINT)) AS m,
+             CAST(len(t) AS INT) AS m_dim
+      FROM t)
 SELECT vec_id,
-       round(list_sum(t), 6) AS m_sum,
-       round(list_min(t), 6) AS m_min,
-       round(list_max(t), 6) AS m_max,
-       CAST(len(t) AS INT) AS m_dim
-FROM t
+       CAST(list_sum(m) AS DOUBLE) / 1e6 AS m_sum,
+       CAST(list_min(m) AS DOUBLE) / 1e6 AS m_min,
+       CAST(list_max(m) AS DOUBLE) / 1e6 AS m_max,
+       m_dim
+FROM m
 """,
         "x5_logprob_band": r"""
 WITH toks AS (
@@ -3748,7 +3978,7 @@ WITH toks AS (
 counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 totals AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
 per_doc AS (
-  SELECT doc_id, round(avg(-log2((c + 0.5) / (total + 0.5 * vocab))), 6) AS lp
+  SELECT doc_id, """ + _lp_mean_sql() + r""" AS lp
   FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id
 ),
 scored AS (
@@ -3766,16 +3996,10 @@ WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
 SELECT token, count(*) AS n FROM t GROUP BY token
 ORDER BY n DESC, token ASC LIMIT 20
 """,
-        "stats_aggregates": """
-SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
-       round(stddev_samp(l_extendedprice), 2) AS stddev_price,
-       round(var_samp(l_quantity), 4) AS var_qty,
-       round(max(l_extendedprice) - min(l_extendedprice), 2) AS price_spread,
-       count(*) AS n_rows
-FROM lineitem GROUP BY l_returnflag
-""",
+        "stats_aggregates": "SELECT l_returnflag, " + ", ".join(
+            f"{e} AS {name}"
+            for name, e in _stats_moment_exprs("//", "HUGEINT").items()
+        ) + " FROM lineitem GROUP BY l_returnflag",
         "scalar_functions": """
 SELECT o_orderkey,
        year(o_orderdate) AS order_year,
@@ -3784,8 +4008,10 @@ SELECT o_orderkey,
        upper(substring(o_orderpriority, 3, 20)) AS prio_word,
        concat(o_orderstatus, '-', CAST(o_custkey AS VARCHAR)) AS tag,
        length(o_orderpriority) AS prio_len,
-       round(sqrt(o_totalprice), 4) AS sqrt_price,
-       round(ln(o_totalprice + 1), 6) AS ln_price,
+       CAST(round(sqrt(o_totalprice) * 1e4) AS BIGINT) / 1e4
+           AS sqrt_price,
+       CAST(round(ln(o_totalprice + 1) * 1e6) AS BIGINT) / 1e6
+           AS ln_price,
        abs(o_totalprice - 150000.0) AS dist_mid,
        CASE WHEN o_totalprice > 200000 THEN 'high'
             WHEN o_totalprice > 50000 THEN 'mid'
@@ -4130,7 +4356,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
 d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n FROM documents),
 scored AS (SELECT doc_id, term,
-           round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS score
+           CAST(round(tf * (ln((n + 1) / (df + 1)) + 1) * 1e6) AS BIGINT) / 1e6 AS score
            FROM tf JOIN d USING (term) CROSS JOIN n),
 ranked AS (SELECT doc_id, term, score,
            row_number() OVER (PARTITION BY doc_id
@@ -4151,7 +4377,9 @@ scored AS (SELECT tf.doc_id,
     * (tf.tf * (1.2e0 + 1)) / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
   FROM tf JOIN d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats)
-SELECT doc_id, round(sum(c), 6) AS bm25 FROM scored GROUP BY doc_id
+SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS bm25
+FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 50
 """,
         "x7_stratified_sample": _stratified_oracle_sql(),

@@ -55,10 +55,15 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, *,
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     scored = (
         tf.join(docfreq, "term").crossJoin(F.broadcast(n_docs))
+        # round6 integer path (functions.digest): round(x, 6) on a
+        # cross-engine-identical double can still flip between the two
+        # engines' decimal-rounding algorithms (r6 verdict #2 class)
         .withColumn(
             "score",
             F.round(F.col("tf") * (F.log((F.col("__n") + 1)
-                                         / (F.col("df") + 1)) + 1), 6))
+                                         / (F.col("df") + 1)) + 1)
+                    * F.lit(1e6)).cast("bigint").cast("double")
+            / F.lit(1e6))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
                                            F.col("term").asc())
@@ -91,11 +96,22 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
                 / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    # Order-independent 6dp sum digest (functions.digest recipe): each
+    # term contribution is quantized to an 11dp scaled long and summed
+    # exactly — round(sum(<irrational doubles>), 6) is the r6-verdict
+    # cross-engine flip class (fold order differs between engines).
+    from lens_spark.functions.digest import (
+        round6_scaled_sum_expr,
+        scaled_term,
+    )
+
     scored = (
         tf.join(docfreq, "term").join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn("__c", contrib)
-        .groupBy(id_col).agg(F.round(F.sum("__c"), 6).alias("bm25"))
+        .groupBy(id_col).agg(F.sum(scaled_term(F.col("__c"))).alias("__s"))
+        .select(F.col(id_col),
+                F.expr(round6_scaled_sum_expr("__s")).alias("bm25"))
     )
     if limit is not None:
         scored = scored.orderBy(F.col("bm25").desc(),

@@ -622,9 +622,18 @@ def dataset_profile_lens(arguments: Mapping[str, Any]) -> Lens:
         df, [str(c) for c in columns] if columns else None, exact=exact))
 
 
+#: Above this many (estimated) distinct values, quantile_bin refuses to
+#: run Spark's exact ``percentile`` aggregate: its state is a
+#: value→count map that lives in ONE final aggregation buffer, so on a
+#: near-unique 100 TB column it is an executor OOM, not a slow query.
+QUANTILE_BIN_EXACT_DISTINCT_LIMIT = 2_000_000
+
+
 def quantile_bin(df: DataFrame, column: str, *,
                  probs: "Sequence[float]" = (0.25, 0.5, 0.75),
-                 out: str = "bin", exact: bool = True) -> DataFrame:
+                 out: str = "bin", exact: bool = True,
+                 exact_distinct_limit: int =
+                 QUANTILE_BIN_EXACT_DISTINCT_LIMIT) -> DataFrame:
     """Global equi-depth binning: rows get bin 0..len(probs) by which
     exact-percentile thresholds their ``column`` value exceeds — the
     corpus-wide complement of ``score_band`` (which bands WITHIN a
@@ -648,6 +657,20 @@ def quantile_bin(df: DataFrame, column: str, *,
     if not ps or any(not 0.0 < p < 1.0 for p in ps) or ps != sorted(ps):
         raise LensError("quantile_bin: probs must be sorted, in (0, 1), "
                         "non-empty")
+    if exact:
+        # Scale guard (r6 verdict #4): exact percentile's aggregation
+        # state grows with the number of DISTINCT values and is merged
+        # into a single final buffer — a 100 TB near-unique column is
+        # an executor OOM. Probe cardinality with one cheap
+        # approx_count_distinct pass (narrow scan + 1-row agg) and
+        # auto-switch to percentile_approx above the bound, the same
+        # protective posture as the window lens's global-window
+        # refusal — but degrading instead of failing, since approx
+        # thresholds are a documented, semantically-close fallback.
+        est = df.agg(
+            F.approx_count_distinct(column).alias("__nd")).collect()[0][0]
+        if est > int(exact_distinct_limit):
+            exact = False
     pct = F.percentile(F.col(column), F.array(*[F.lit(p) for p in ps])) \
         if exact else F.percentile_approx(
             F.col(column), F.array(*[F.lit(p) for p in ps]), 10_000)
@@ -668,7 +691,11 @@ def quantile_bin_lens(arguments: Mapping[str, Any]) -> Lens:
     probs = arguments.get("probs") or (0.25, 0.5, 0.75)
     return Lens(
         "quantile_bin", arguments,
-        lambda df: quantile_bin(df, column,
-                                probs=[float(p) for p in probs], out=out,
-                                exact=bool(arguments.get("exact", True))),
+        lambda df: quantile_bin(
+            df, column,
+            probs=[float(p) for p in probs], out=out,
+            exact=bool(arguments.get("exact", True)),
+            exact_distinct_limit=int(arguments.get(
+                "exact_distinct_limit",
+                QUANTILE_BIN_EXACT_DISTINCT_LIMIT))),
         lambda df: df.drop(out))

@@ -160,12 +160,22 @@ def dsir_logweights(df: DataFrame, target: DataFrame, id_col: str,
     # the 11dp quantization (≤5e-12/term) stays below the final 6dp
     # round's half-ulp for docs up to ~10⁵ terms. Scaled terms are
     # ≤4.5e12 ≪ 2⁵³, so the double round/cast is exact.
+    # The 11dp→6dp final round happens in INTEGER space (half-away
+    # division of the scaled-long sum by 1e5), then ONE correctly-
+    # rounded division to double — so the emitted double is
+    # bit-identical across engines. round(<double>, 6) here would be
+    # the r6-verdict failure class: Spark rounds the double's exact
+    # decimal expansion (BigDecimal HALF_UP) while DuckDB rounds
+    # v*1e6 (std::round), and the two can disagree at a boundary.
+    s = F.sum(F.round(F.col("__lr") * F.lit(1e11)).cast("bigint"))
+    micro = F.when(
+        F.col("__s") >= 0, F.expr("(__s + 50000) div 100000")
+    ).otherwise(-F.expr("((-__s) + 50000) div 100000"))
     per_doc = (doc_grams.join(ratio, "__g")
                .groupBy("__ds_id")
-               .agg(F.round(
-                   F.sum(F.round(F.col("__lr") * F.lit(1e11))
-                         .cast("bigint")) / F.lit(1e11), 6)
-                    .alias("__lw")))
+               .agg(s.alias("__s"))
+               .select("__ds_id",
+                       (micro.cast("double") / F.lit(1e6)).alias("__lw")))
     joined = df.join(per_doc, df[id_col] == per_doc["__ds_id"], "left")
     return joined.withColumn(
         out, F.coalesce(F.col("__lw"), F.lit(0.0))

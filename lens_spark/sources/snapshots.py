@@ -181,3 +181,42 @@ def snapshot_vacuum(spark: SparkSession, path: str, *,
                 fs.delete(st.getPath(), True)
                 removed += 1
     return removed
+
+
+def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
+                  key_cols: "list[str]") -> DataFrame:
+    """Row-level diff between two dataset versions, keyed by
+    ``key_cols``: one row per key present in either version with a
+    ``change`` column ∈ {'added', 'removed', 'changed', 'unchanged'}.
+    The CDC-style audit a curation pipeline runs after every ingest
+    ("what did this batch actually do?") — the read-side complement of
+    snapshot_write's time travel. Non-key columns are compared via an
+    xxhash64 over their sorted-name struct, so the join exchanges carry
+    keys + one long, never the payload.
+
+    Scale shape: two manifest-pruned parquet scans → ONE shuffle each
+    on the key columns for the full outer join (sort-merge at scale,
+    AQE-broadcast when a side is small). No driver materialization.
+    """
+    keys = [str(k) for k in key_cols]
+    if not keys:
+        raise ValueError("snapshot_diff: key_cols must be non-empty")
+    import pyspark.sql.functions as F
+
+    old = snapshot_read(spark, path, version=v_old)
+    new = snapshot_read(spark, path, version=v_new)
+    payload = sorted(c for c in old.columns if c not in keys)
+    if payload != sorted(c for c in new.columns if c not in keys):
+        raise ValueError(
+            "snapshot_diff: versions disagree on non-key columns "
+            f"({payload} vs {sorted(set(new.columns) - set(keys))})")
+    h = F.xxhash64(*[F.col(c) for c in payload]) if payload else F.lit(0)
+    a = old.select(*keys, h.alias("__h_old"), F.lit(1).alias("__in_old"))
+    b = new.select(*keys, h.alias("__h_new"), F.lit(1).alias("__in_new"))
+    j = a.join(b, keys, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    return j.select(*keys, change.alias("change"))

@@ -75,22 +75,26 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
         "range_join_events", "scalar_functions", "x8_bm25",
-        "x7_oversample",
-        # first externally checked in round 5 — keep for a 2nd row:
-        "x2_simhash", "x2_dup_span_stats", "x5_line_dedup",
-        "x7_stratified_sample",
+        "x2_dup_span_stats", "x5_line_dedup",
         "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
-        "x7_shuffle_shards", "x7_sample_exact_k", "x2_winnow_fps",
+        "x7_sample_exact_k", "x2_winnow_fps",
         "x5_hash_embedding", "x9_curation_pipeline",
-        "x5_chunk_docs", "x1_keep_best", "x5_html_text",
+        "x1_keep_best",
         "x2_bloom_decontaminate", "x4_audio_features",
         "x7_dsir_weights", "x7_dsir_select",
-        # round-6: first external CORRECTNESS row this round —
+        # round-6: first external CORRECTNESS row in r6 — keep for a
+        # 2nd row:
         "x2_contamination_score", "x5_bigram_logprob",
         "x2_winnow_pairs", "x5_url_dedup", "x5_segment_filter",
         "x5_normalize_text", "x2_cross_neardup", "x9_dataset_diff",
         "x9_outlier_filter", "x9_profile", "x5_dedup_segments",
         "x5_domain_filter", "x5_truncate_tokens",
+        # round-7 rotation cohort: first external check this round
+        "x3_embedding_outliers", "x3_centroid", "x3_matryoshka",
+        "x3_random_projection", "x6_rolling_agg", "cube_revenue",
+        "x6_time_rollup", "x6_sliding_windows", "x6_group_quantiles",
+        "x7_temperature_mix", "x2_edit_pairs", "x2_components",
+        "x9_quantile_bin", "x9_classifier_eval",
     }
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
@@ -112,7 +116,18 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x5_quality_filter", "x5_pii_redact", "x7_hash_split",
                  "x8_tfidf_top_terms",
                  # round-6: rows-only → hash-checkable tail
-                 "x5_compression_ratio"):
+                 "x5_compression_ratio",
+                 # round-7 evictees (10 of them ≥3 external green
+                 # rounds; x5_chunk_docs / x2_simhash /
+                 # x7_shuffle_shards / x5_html_text 2 rounds each with
+                 # rich in-window family cover — see queries()):
+                 "m7_explode", "join_enriched_orders",
+                 "window_topk_orders", "grouping_sets_qty",
+                 "events_sessionized", "events_windowed",
+                 "x3_similarity_topk", "x6_quantiles",
+                 "x7_stratified_sample", "x7_oversample",
+                 "x5_chunk_docs", "x2_simhash", "x7_shuffle_shards",
+                 "x5_html_text"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
@@ -134,6 +149,35 @@ def test_tail_hash_checkable_queries_match_oracle_locally(spark, con):
         oracle_pdf = con.sql(oracles[name]).df()
         verdict = compare(name, spark_pdf, oracle_pdf)
         assert verdict == "OK", f"{name}: {verdict}"
+
+
+def test_lens_registry_count_matches_docs():
+    """One source of truth for the registered-lens count (r6 verdict
+    #8: SURVEY said 47, README 115, registry had 113): both docs must
+    state the live registry's size."""
+    import re
+    import subprocess
+    import sys
+
+    # count in a fresh interpreter: tests (and the entry module) add
+    # dynamically-registered python lenses to the same registry, so
+    # the in-process count depends on test order
+    n = int(subprocess.run(
+        [sys.executable, "-c",
+         "import lens_spark.operators;"
+         "from lens_spark.operators.base import _BUILTINS;"
+         "print(len(_BUILTINS))"],
+        capture_output=True, text=True, check=True).stdout.strip())
+    survey = open("SURVEY.md").read()
+    m = re.search(r"`lens_spark.operators` \((\d+) total", survey)
+    assert m, "SURVEY.md §2.8 lens-count line missing"
+    assert int(m.group(1)) == n, (
+        f"SURVEY.md says {m.group(1)} lenses, registry has {n}")
+    readme = open("README.md").read()
+    m = re.search(r"\((\d+) lenses", readme)
+    assert m, "README.md lens-count line missing"
+    assert int(m.group(1)) == n, (
+        f"README.md says {m.group(1)} lenses, registry has {n}")
 
 
 def test_survey_table_matches_declared_queries():

@@ -203,8 +203,10 @@ def test_unigram_logprob_plan_partial_aggs_and_broadcast_totals(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or \
         "BuildRight" in plan  # 1-row totals may plan as broadcast NLJ
-    # token-count agg AND per-doc avg both partial-combine map-side
-    assert "partial_count" in plan and "partial_avg" in plan
+    # token-count agg AND the per-doc scaled-long digest sum (the r7
+    # order-independent mean recipe — functions/digest.py) both
+    # partial-combine map-side
+    assert "partial_count" in plan and "partial_sum" in plan
     # (the tokenize+xxhash64 subtree sits behind the shared lazy
     # checkpoint, so it is not visible in this executed-plan string)
 

@@ -410,6 +410,34 @@ def test_quantile_bin_boundary_goes_low(spark):
     assert got == {1.0: 0, 2.0: 0, 3.0: 1}
 
 
+def test_quantile_bin_exact_guard_auto_switches(spark):
+    """r6 verdict #4: exact=True must NOT reach Spark's exact
+    percentile aggregate (state ∝ distinct values → 100 TB OOM) when
+    the cardinality probe exceeds the bound — it degrades to
+    percentile_approx instead. Assert on the physical plan: the approx
+    aggregate appears, the exact one does not."""
+    from lens_spark.operators.relational import quantile_bin
+    df = spark.range(5000).selectExpr("cast(id as double) as v")
+    out = quantile_bin(df, "v", exact=True, exact_distinct_limit=100)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
+    # and it still bins correctly (approx == exact on this tiny frame)
+    counts = {r.bin: r.n for r in
+              out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000 and set(counts) == {0, 1, 2, 3}
+
+
+def test_quantile_bin_exact_kept_below_limit(spark):
+    """Below the bound the exact aggregate is kept (the oracle-checked
+    test-SF behavior is unchanged)."""
+    from lens_spark.operators.relational import quantile_bin
+    df = spark.range(100).selectExpr("cast(id as double) as v")
+    out = quantile_bin(df, "v", exact=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan
+
+
 def test_quantile_bin_bad_probs(spark):
     import pytest as _pytest
     from lens_spark.errors import LensError
