@@ -1985,6 +1985,73 @@ def q_x5_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("mask_labels", " ")).alias("labels_md5"))
 
 
+def q_x9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (new r7): two deterministic dataset
+    versions committed through the snapshot store (atomic manifest
+    creates), then sources.snapshots.snapshot_diff keyed on doc_id —
+    added / removed / changed flags from one full-outer join whose
+    exchanges carry keys + a payload hash, never the text. The oracle
+    recomputes the diff relationally from the same version rules, so
+    the WHOLE write→manifest→time-travel-read→diff path sits under
+    the hash gate."""
+    import tempfile
+
+    from lens_spark.sources.snapshots import snapshot_diff, snapshot_write
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    v1 = docs.filter("doc_id % 3 <> 0")
+    v2 = (docs.filter("doc_id % 5 <> 0")
+          .withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                     F.concat(F.col("text"), F.lit(" v2")))
+                      .otherwise(F.col("text"))))
+    path = tempfile.mkdtemp(prefix="lens_snapdiff_")
+    snapshot_write(v1, path, mode="overwrite")
+    snapshot_write(v2, path, mode="overwrite")
+    out = snapshot_diff(spark, path, 1, 2, ["doc_id"])
+    return out.filter("change <> 'unchanged'")
+
+
+def q_x2_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (new r7): MinHash band pairs →
+    connected components → per-component size → size histogram. The
+    dedup-audit number a curation run reports ("how much of the corpus
+    sits in dup clusters of size k"); two grouped aggregates on top of
+    the CC lens, both map-side partial. Oracle: the recursive-CTE
+    closure aggregated the same way."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, "doc_id", "text",
+                               num_hashes=MH_NUM_HASHES,
+                               ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE)
+    spec = {"lenses": [
+        {"name": "connected_components", "arguments": {}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["component"],
+            "aggs": {"cluster_size": "count(*)"}}},
+        {"name": "aggregate", "arguments": {
+            "keys": ["cluster_size"],
+            "aggs": {"n_clusters": "count(*)"}}},
+    ]}
+    return engine.append(pairs, spec)
+
+
+def q_x8_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (new r7): block-deterministic md5-placed
+    spans replaced by numbered sentinels, targets = sentinel + hidden
+    tokens (+ terminal sentinel) — the seq2seq-denoising sibling of
+    x8_fim (infilling) and x5_mask_tokens (token MLM). Selection and
+    reassembly are pure engine-portable arithmetic; digest-checked
+    (md5 of both strings)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "span_corrupt", "arguments": {
+        "id": "doc_id", "column": "text", "block": 16, "span_len": 3}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id", "n_spans",
+        F.md5(F.col("corrupted")).alias("corrupted_md5"),
+        F.md5(F.col("span_targets")).alias("targets_md5"))
+
+
 def q_x5_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-sentence removal (new r6b): sentences appearing in
     ≥2 distinct documents drop from every doc — line_dedup's df-count
@@ -2415,6 +2482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_concat_blocks": q_x8_concat_blocks,
         "x8_fim": q_x8_fim,
         "x8_length_batches": q_x8_length_batches,
+        "x8_span_corrupt": q_x8_span_corrupt,
+        "x9_snapshot_diff": q_x9_snapshot_diff,
+        "x2_cluster_stats": q_x2_cluster_stats,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -2576,6 +2646,19 @@ def _hex2int_sql(expr: str) -> str:
     return (f"list_reduce(list_transform(range(1, len({expr}) + 1), "
             f"j -> CAST(strpos('0123456789abcdef', substr({expr}, j, 1)) - 1 "
             f"AS BIGINT)), (acc, d) -> acc * 16 + d)")
+
+
+# span_corrupt oracle twins: per-block md5 offset (block=16, span=3 →
+# offset ∈ [0, 14)), once keyed by the token position's block, once by
+# the block index k of the targets builder.
+_SC_OFF_POS = _hex2int_sql(
+    "substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), "
+    "CAST((i - 1) // 16 AS VARCHAR))), 1, 8)") + " % 14"
+_SC_OFF_K = _hex2int_sql(
+    "substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR), "
+    "CAST(k AS VARCHAR))), 1, 8)") + " % 14"
+
+
 
 
 # 2-universal minhash twin of operators.dedup.minhash_signature: one md5
@@ -3051,6 +3134,85 @@ SELECT doc_id,
                 ELSE coalesce(array_to_string(lbl, ' '), '') END)
            AS labels_md5
 FROM m
+""",
+        "x9_snapshot_diff": """
+WITH v1 AS (
+  SELECT doc_id, source, text, 1 AS p FROM documents WHERE doc_id % 3 <> 0
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         1 AS p
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT doc_id, change FROM (
+  SELECT doc_id,
+         CASE WHEN a.p IS NULL THEN 'added'
+              WHEN b.p IS NULL THEN 'removed'
+              WHEN a.source <> b.source OR a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM v1 a FULL JOIN v2 b USING (doc_id)
+)
+WHERE change <> 'unchanged'
+""",
+        "x2_cluster_stats": _MINHASH_CTES + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+closure AS (
+  SELECT * FROM (
+    WITH RECURSIVE reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+  )
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM closure GROUP BY src
+),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp
+          GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes
+GROUP BY cluster_size
+""",
+        "x8_span_corrupt": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+p AS (
+  SELECT doc_id, w, CAST(len(w) // 16 AS BIGINT) AS nb FROM toks
+),
+-- off(k) = md5(salt|id|k) % 14, inlined per position / per block
+c AS (
+  SELECT doc_id, nb,
+    list_filter(list_transform(w, (x, i) -> (
+      CASE WHEN (i - 1) // 16 < nb
+                AND (i - 1) % 16 >= ({_SC_OFF_POS})
+                AND (i - 1) % 16 < ({_SC_OFF_POS}) + 3
+           THEN CASE WHEN (i - 1) % 16 = ({_SC_OFF_POS})
+                     THEN '<extra_id_' || CAST((i - 1) // 16 AS VARCHAR)
+                          || '>' END
+           ELSE x END)), x -> x IS NOT NULL) AS ct,
+    list_transform(range(0, nb), k ->
+      '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+      array_to_string(list_slice(w, CAST(k * 16 + ({_SC_OFF_K}) + 1 AS BIGINT),
+                                 CAST(k * 16 + ({_SC_OFF_K}) + 3 AS BIGINT)),
+                      ' ')) AS parts
+  FROM p
+)
+SELECT doc_id, CAST(nb AS INT) AS n_spans,
+       md5(coalesce(array_to_string(ct, ' '), '')) AS corrupted_md5,
+       md5(coalesce(array_to_string(parts, ' '), '')
+           || CASE WHEN nb > 0 THEN ' ' ELSE '' END
+           || '<extra_id_' || CAST(nb AS VARCHAR) || '>') AS targets_md5
+FROM c
 """,
         "x5_sentence_dedup": r"""
 WITH sents AS (

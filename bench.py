@@ -119,6 +119,9 @@ HEADLINE = [
     "x9_quantile_bin",       # broadcast-percentile global equi-depth bins (r6b)
     "x5_sentence_dedup",     # boilerplate-sentence removal + reassembly (r6b)
     "x3_knn_graph",          # corpus-wide ANN edges, bucket self-join (r6b)
+    "x8_span_corrupt",       # T5 span corruption, block-deterministic (r7)
+    "x9_snapshot_diff",      # snapshot write x2 + keyed CDC diff (r7)
+    "x2_cluster_stats",      # CC -> dup-cluster size histogram (r7)
 ]
 
 

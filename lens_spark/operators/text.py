@@ -1330,3 +1330,111 @@ def mask_tokens_lens(arguments: Mapping[str, Any]) -> Lens:
             out=out, labels_out=labels_out,
             salt=str(arguments.get("salt", ""))),
         lambda df: df.drop(out, labels_out))
+
+
+def span_corrupt(df: DataFrame, id_col: str, text_col: str, *,
+                 block: int = 20, span_len: int = 3,
+                 out: str = "corrupted", targets_out: str = "span_targets",
+                 salt: str = "") -> DataFrame:
+    """T5-style span corruption ("Exploring the Limits of Transfer
+    Learning", Raffel et al. 2020 — the span-corruption pre-training
+    objective): contiguous token spans are replaced by numbered
+    sentinels ``<extra_id_k>`` in the input; the targets string holds
+    each sentinel followed by the tokens it hid, terminated by one
+    final sentinel. Completes the training-transform family
+    (fim_transform = infilling, mask_tokens = token-level MLM,
+    span_corrupt = span-level seq2seq denoising).
+
+    Span placement is BLOCK-DETERMINISTIC (the fim/mask_tokens md5
+    contract extended to spans): token positions are cut into fixed
+    blocks of ``block`` tokens; every FULL block k hides one
+    ``span_len``-token span starting at offset
+    md5(salt|id|k) % (block − span_len + 1). This yields an exact
+    span_len/block corruption density, guaranteed-non-overlapping
+    spans, and arithmetic a SQL oracle mirrors term for term — T5's
+    sequential random walk over span starts cannot be reproduced
+    engine-portably without per-row state.
+
+    Narrow (zero exchanges): tokenize ONCE per row (let_-bound — the
+    quality_filter lesson), then indexed higher-order transforms; the
+    targets string is built from sequence(0, nblocks−1) without
+    re-exploding. ``salt`` draws an independent epoch's corruption.
+    """
+    from lens_spark.functions.text import let_, tokens as _tok
+
+    b, sl = int(block), int(span_len)
+    if sl < 1 or b <= sl:
+        raise LensError("span_corrupt: need span_len >= 1 and "
+                        "block > span_len")
+
+    def offset(k):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(salt), F.col(id_col).cast("string"),
+            k.cast("string"))), 1, 8), 16, 10).cast("bigint")
+        return h % F.lit(b - sl + 1)
+
+    def sentinel(k):
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    def build(w):
+        nblocks = F.floor(F.size(w) / F.lit(b)).cast("bigint")
+
+        def corrupted_tok(x, i):
+            k = F.floor(i.cast("bigint") / F.lit(b)).cast("bigint")
+            rel = i.cast("bigint") - k * F.lit(b)
+            o = offset(k)
+            in_span = (k < nblocks) & (rel >= o) & (rel < o + F.lit(sl))
+            return (F.when(in_span & (rel == o), sentinel(k))
+                    .when(in_span, F.lit(None).cast("string"))
+                    .otherwise(x))
+
+        corrupted = F.array_join(
+            F.filter(F.transform(w, corrupted_tok),
+                     lambda x: x.isNotNull()), " ")
+
+        def piece(k):
+            return F.concat(
+                sentinel(k), F.lit(" "),
+                F.array_join(
+                    F.slice(w, (k * F.lit(b) + offset(k) + 1).cast("int"),
+                            sl), " "))
+
+        targets = F.concat(
+            F.array_join(
+                F.transform(
+                    F.when(nblocks > 0,
+                           F.sequence(F.lit(0).cast("bigint"),
+                                      nblocks - 1))
+                    .otherwise(F.expr("array()").cast("array<bigint>")),
+                    piece), " "),
+            F.when(nblocks > 0, F.lit(" ")).otherwise(F.lit("")),
+            sentinel(nblocks))
+        return F.struct(corrupted.alias("c"), targets.alias("t"),
+                        nblocks.cast("int").alias("k"))
+
+    built = let_(_tok(F.col(text_col), lowercase=False), build)
+    return (df.withColumn("__sc", built)
+            .withColumn(out, F.col("__sc.c"))
+            .withColumn(targets_out, F.col("__sc.t"))
+            .withColumn("n_spans", F.col("__sc.k"))
+            .drop("__sc"))
+
+
+@register_lens("span_corrupt")
+def span_corrupt_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: id, column (text), block (20), span_len (3), out
+    ("corrupted"), targets ("span_targets"), salt (""). Inverse drops
+    the three outputs."""
+    id_col = str(require_arg(arguments, "id", "span_corrupt"))
+    text_col = str(require_arg(arguments, "column", "span_corrupt"))
+    out = str(arguments.get("out", "corrupted"))
+    targets_out = str(arguments.get("targets", "span_targets"))
+    return Lens(
+        "span_corrupt", arguments,
+        lambda df: span_corrupt(
+            df, id_col, text_col,
+            block=int(arguments.get("block", 20)),
+            span_len=int(arguments.get("span_len", 3)),
+            out=out, targets_out=targets_out,
+            salt=str(arguments.get("salt", ""))),
+        lambda df: df.drop(out, targets_out, "n_spans"))

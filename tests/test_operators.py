@@ -1845,3 +1845,58 @@ def test_mask_tokens_lens_inverse(spark):
     assert r.masked == "<MASK> <MASK> <MASK>" and list(r.mask_labels) == ["a", "b", "c"]
     back = engine.append(out, engine.invert(spec))
     assert sorted(back.columns) == ["doc_id", "text"]
+
+
+def test_span_corrupt_roundtrip_reconstructs_original(spark):
+    """The defining T5 property: substituting each <extra_id_k>'s
+    target span back into the corrupted input reproduces the original
+    token stream exactly — checks span placement, sentinel numbering,
+    and target assembly in one shot."""
+    import re
+
+    from lens_spark.operators.text import span_corrupt
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(7 * i)))
+            for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_corrupt(df, "doc_id", "text", block=10, span_len=3)
+    for r in out.collect():
+        # parse targets: "<extra_id_0> a b c <extra_id_1> d e f <extra_id_2>"
+        parts = re.split(r"<extra_id_(\d+)>", r.span_targets)
+        spans = {}
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = chunk.strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))],
+            r.corrupted)
+        original = " ".join(r.text.split())
+        assert " ".join(rebuilt.split()) == original, r.doc_id
+        assert r.n_spans == len(r.text.split()) // 10
+
+
+def test_span_corrupt_density_and_validation(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(j) for j in range(100)))],
+        "doc_id long, text string")
+    r = span_corrupt(df, "doc_id", "text", block=20, span_len=3).collect()[0]
+    # exact density: 5 full blocks × 3 hidden tokens, one sentinel each
+    assert r.n_spans == 5
+    assert len(r.corrupted.split()) == 100 - 5 * 3 + 5
+    import pytest as _pytest
+    with _pytest.raises(LensError, match="block > span_len"):
+        span_corrupt(df, "doc_id", "text", block=3, span_len=3)
+
+
+def test_span_corrupt_salt_draws_new_epoch(spark):
+    from lens_spark.operators.text import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(j) for j in range(200)))],
+        "doc_id long, text string")
+    a = span_corrupt(df, "doc_id", "text").collect()[0].corrupted
+    b = span_corrupt(df, "doc_id", "text", salt="e2").collect()[0].corrupted
+    c = span_corrupt(df, "doc_id", "text").collect()[0].corrupted
+    assert a == c and a != b

@@ -108,6 +108,34 @@ def test_snapshot_append_and_time_travel(spark, tmp_path):
     assert vs[1]["parent"] == 1 and vs[1]["n_dirs"] == 2
 
 
+def test_snapshot_diff_flags_added_removed_changed(spark, tmp_path):
+    from lens_spark.sources.snapshots import snapshot_diff, snapshot_write
+    p = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "id long, s string, t string")
+    v2 = spark.createDataFrame(
+        [(2, "b", "y"), (3, "c", "Z!"), (4, "d", "w")],
+        "id long, s string, t string")
+    snapshot_write(v1, p, mode="overwrite")
+    snapshot_write(v2, p, mode="overwrite")
+    got = {r.id: r.change
+           for r in snapshot_diff(spark, p, 1, 2, ["id"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_validates_inputs(spark, tmp_path):
+    import pytest as _pytest
+
+    from lens_spark.sources.snapshots import snapshot_diff, snapshot_write
+    p = str(tmp_path / "snap")
+    snapshot_write(spark.createDataFrame([(1, "a")], "id long, s string"), p)
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "id long, s string"), p)
+    with _pytest.raises(ValueError, match="non-empty"):
+        snapshot_diff(spark, p, 1, 2, [])
+
+
 def test_snapshot_overwrite_starts_fresh_but_keeps_history(spark, tmp_path):
     from lens_spark.sources.snapshots import snapshot_read, snapshot_write
     p = str(tmp_path / "snap")
