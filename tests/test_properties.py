@@ -479,3 +479,76 @@ def test_binary_eval_auc_matches_rank_reference(spark, rows):
         ranksum += (lo + 1 + hi) / 2          # average rank of tie group
     expect = round((ranksum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
     assert got == expect
+
+
+# --- digest recipes (functions/digest.py, r7) -----------------------------
+#
+# The SQL templates are exact integer arithmetic; pin them against a
+# decimal.Decimal half-away reference via DuckDB (which shares the //
+# semantics the oracles use). No Spark needed.
+
+@given(s=st.integers(min_value=-10**17, max_value=10**17),
+       n=st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_round6_mean_sql_matches_decimal_reference(s, n):
+    import decimal
+
+    import duckdb
+
+    from lens_spark.functions.digest import OUT_SCALE, TERM_SCALE, round6_mean_sql
+
+    expr = round6_mean_sql("s", "n")
+    got = duckdb.sql(
+        f"SELECT {expr} AS v FROM (SELECT CAST({s} AS BIGINT) AS s, "
+        f"CAST({n} AS BIGINT) AS n)").fetchone()[0]
+    # reference: round-half-away of s/(n * TERM_SCALE/OUT_SCALE) at 6dp
+    d = decimal.Decimal(s) / (decimal.Decimal(n)
+                              * (TERM_SCALE // OUT_SCALE))
+    micro = d.quantize(decimal.Decimal(1),
+                       rounding=decimal.ROUND_HALF_UP)
+    assert got == float(micro) / OUT_SCALE
+
+
+@given(s=st.integers(min_value=-10**17, max_value=10**17))
+@settings(max_examples=300, deadline=None)
+def test_round6_scaled_sum_sql_matches_decimal_reference(s):
+    import decimal
+
+    import duckdb
+
+    from lens_spark.functions.digest import (
+        OUT_SCALE,
+        TERM_SCALE,
+        round6_scaled_sum_sql,
+    )
+
+    expr = round6_scaled_sum_sql("s")
+    got = duckdb.sql(
+        f"SELECT {expr} AS v FROM (SELECT CAST({s} AS BIGINT) AS s)"
+    ).fetchone()[0]
+    d = decimal.Decimal(s) / (TERM_SCALE // OUT_SCALE)
+    micro = d.quantize(decimal.Decimal(1),
+                       rounding=decimal.ROUND_HALF_UP)
+    assert got == float(micro) / OUT_SCALE
+
+
+def test_round6_expr_and_sql_twins_agree_on_spark(spark):
+    """The Spark `div` template and the DuckDB `//` template must
+    produce identical doubles for the same (s, n) — including negative
+    sums and exact-half boundaries."""
+    import duckdb
+
+    from lens_spark.functions.digest import round6_mean_expr, round6_mean_sql
+
+    cases = [(0, 1), (1, 1), (-1, 1), (50_000, 1), (-50_000, 1),
+             (150_000, 1), (-150_000, 1), (10**15 + 50_000, 7),
+             (-(10**15) - 50_000, 7), (123_456_789_012, 997)]
+    df = spark.createDataFrame(cases, "s long, n long")
+    got = {(r.s, r.n): r.v for r in df.selectExpr(
+        "s", "n", f"{round6_mean_expr('s', 'n')} AS v").collect()}
+    for s, n in cases:
+        ref = duckdb.sql(
+            f"SELECT {round6_mean_sql('s', 'n')} AS v FROM "
+            f"(SELECT CAST({s} AS BIGINT) AS s, CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert got[(s, n)] == ref, (s, n)
