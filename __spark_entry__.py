@@ -2319,6 +2319,109 @@ def q_x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 6) * 255).cast("int").alias("f5"))
 
 
+def q_x8_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering (new r7b): each doc becomes a
+    (system, user, assistant) conversation — tokens split at the exact
+    midpoint — rendered ChatML-style by the chat_render lens, which
+    also emits the loss spans (char offsets of assistant content) and
+    the billable loss-token count from ONE aggregate fold per row.
+    Zero exchanges. The oracle re-renders the template closed-form and
+    derives the single assistant span arithmetically (start = 108 +
+    len(user) given the fixed template constants), so the fold's
+    cursor arithmetic is cross-checked, not mirrored."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    from lens_spark.functions.text import let_
+
+    def build(w):
+        n = F.size(w)
+        h = F.floor((n + F.lit(1)) / 2).cast("int")
+        tail = F.when(n - h > 0, F.slice(w, h + 1, n - h)).otherwise(
+            F.expr("CAST(array() AS array<string>)"))
+        return F.array(
+            F.struct(F.lit("system").alias("role"),
+                     F.lit("You are a helpful assistant.").alias("content")),
+            F.struct(F.lit("user").alias("role"),
+                     F.array_join(F.slice(w, 1, h), " ").alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.array_join(tail, " ").alias("content")))
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d2 = docs.select("doc_id", let_(toks, build).alias("messages"))
+    out = engine.append(d2, {"lenses": [{
+        "name": "chat_render", "arguments": {"column": "messages"}}]})
+    return out.select(
+        "doc_id", "n_turns", "n_loss_tokens",
+        F.md5("rendered").alias("rendered_md5"),
+        F.md5(F.array_join(
+            F.transform("loss_spans", lambda s: F.concat_ws(
+                ":", s["s"].cast("string"), s["e"].cast("string"))),
+            ";")).alias("spans_md5"))
+
+
+def q_x7_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture/epoch planner (new r7b): per-source token accounting →
+    target tokens under integer mixture weights → capped epoch counts,
+    ALL exact bigint/decimal arithmetic (the digest contract). The
+    weight spread exercises every regime: src3 (weight 200) slams into
+    the 4-epoch cap, src0/src1 are upweighted, src2 (weight 0) is
+    excluded, the rest ride default_weight=1. One partial-aggregated
+    groupBy; #sources result rows."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    spec = {"lenses": [{"name": "epoch_plan", "arguments": {
+        "strata": "source", "total_budget_tokens": 100000,
+        "weights": {"src0": 5, "src1": 3, "src2": 0, "src3": 200},
+        "default_weight": 1, "max_epochs_milli": 4000,
+        "column": "text"}}]}
+    return engine.append(docs, spec)
+
+
+def q_x9_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift (new r7b): distribution shift of n_chars
+    between two corpus versions (the %3 / %5 snapshot rules), grouped
+    by lang. D's numerator max|c_a·n_b − c_b·n_a| stays in exact
+    bigint products per the digest contract; the cumulative window
+    runs over the per-group DISTINCT-VALUE histogram (bounded by the
+    value domain), never the corpus."""
+    from lens_spark.operators.evaluation import ks_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    v1 = docs.filter("doc_id % 3 <> 0")
+    v2 = docs.filter("doc_id % 5 <> 0")
+    out = ks_drift(v1, v2, "n_chars", by="lang")
+    return out.withColumnRenamed("group", "grp")
+
+
+def q_x2_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection (new r7b): the
+    keep-best decision fuzzy dedup actually ships — MinHash pairs →
+    connected components → per-cluster argmax(n_chars, tie doc_id).
+    One shuffle join (components × doc stats, both keyed on doc_id)
+    and one PARTITIONED window per component; exchanges carry
+    (id, component, n_chars) scalars, never text. Oracle: the
+    recursive-CTE closure + the same argmax window."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, "doc_id", "text",
+                               num_hashes=MH_NUM_HASHES,
+                               ngram=MH_SHINGLE_W, band_size=MH_BAND_SIZE)
+    comps = engine.append(pairs, {"lenses": [{
+        "name": "connected_components", "arguments": {}}]})
+    j = comps.join(docs.select(F.col("doc_id").alias("id"), "n_chars"),
+                   "id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"),
+                                                F.asc("id"))
+    wsz = Window.partitionBy("component")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("rn") == 1)
+            .select("component", F.col("id").alias("rep_doc_id"),
+                    F.col("cluster_size").cast("bigint")
+                    .alias("cluster_size"),
+                    F.col("n_chars").alias("rep_n_chars")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2485,6 +2588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_span_corrupt": q_x8_span_corrupt,
         "x9_snapshot_diff": q_x9_snapshot_diff,
         "x2_cluster_stats": q_x2_cluster_stats,
+        "x8_chat_render": q_x8_chat_render,
+        "x7_epoch_plan": q_x7_epoch_plan,
+        "x9_ks_drift": q_x9_ks_drift,
+        "x2_cluster_rep": q_x2_cluster_rep,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3179,6 +3286,130 @@ sizes AS (SELECT component, count(*) AS cluster_size FROM comp
           GROUP BY component)
 SELECT cluster_size, count(*) AS n_clusters FROM sizes
 GROUP BY cluster_size
+""",
+        # Closed-form re-render: the span offsets are derived
+        # arithmetically from the template constants (start = 108 +
+        # len(user): 58-char system segment + 28+len(u) user segment +
+        # 22-char assistant prefix), cross-checking chat_render's
+        # aggregate-fold cursor rather than mirroring it.
+        "x8_chat_render": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+m AS (SELECT doc_id, w, (len(w) + 1) // 2 AS h FROM t),
+parts AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, 1, h), ' ') AS u,
+         array_to_string(list_slice(w, h + 1, len(w)), ' ') AS a,
+         len(w) - h AS n_loss
+  FROM m
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS n_turns,
+       CAST(n_loss AS BIGINT) AS n_loss_tokens,
+       md5('<|im_start|>system' || chr(10)
+           || 'You are a helpful assistant.' || '<|im_end|>' || chr(10)
+           || '<|im_start|>user' || chr(10) || u || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10) || a || '<|im_end|>'
+           || chr(10)) AS rendered_md5,
+       md5(CAST(108 + length(u) AS VARCHAR) || ':'
+           || CAST(108 + length(u) + length(a) AS VARCHAR)) AS spans_md5
+FROM parts
+""",
+        # Integer floor-division chain; wsum is recomputed from the
+        # data's own stratum set exactly as the lens does.
+        "x7_epoch_plan": r"""
+WITH nt AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> ''))) AS avail
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, avail,
+         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 0 WHEN 'src3' THEN 200
+                     ELSE 1 END AS wt
+  FROM nt
+),
+tot AS (SELECT sum(wt) AS wsum FROM w),
+e AS (SELECT source, avail, (100000 * wt) // wsum AS target FROM w, tot),
+f AS (
+  SELECT source, avail, target,
+         least(CASE WHEN avail > 0 THEN (target * 1000) // avail
+                    ELSE 0 END, 4000) AS em
+  FROM e
+)
+SELECT source,
+       CAST(avail AS BIGINT) AS available_tokens,
+       CAST(target AS BIGINT) AS target_tokens,
+       CAST(em AS BIGINT) AS epochs_milli,
+       CAST((avail * em) // 1000 AS BIGINT) AS served_tokens
+FROM f
+""",
+        # Exact-integer KS numerator over the distinct-value histogram.
+        "x9_ks_drift": r"""
+WITH a AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 3 <> 0),
+b AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 5 <> 0),
+u AS (
+  SELECT lang, v, 1 AS ca, 0 AS cb FROM a
+  UNION ALL
+  SELECT lang, v, 0 AS ca, 1 AS cb FROM b
+),
+h AS (SELECT lang, v, sum(ca) AS ca, sum(cb) AS cb FROM u GROUP BY lang, v),
+s AS (
+  SELECT lang,
+         sum(ca) OVER (PARTITION BY lang ORDER BY v) AS cum_a,
+         sum(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+         sum(ca) OVER (PARTITION BY lang) AS n_a,
+         sum(cb) OVER (PARTITION BY lang) AS n_b
+  FROM h
+)
+SELECT lang AS grp,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST((max(abs(cum_a * n_b - cum_b * n_a)) * 1000000)
+            // (max(n_a) * max(n_b)) AS BIGINT) AS d_microunits
+FROM s GROUP BY lang
+""",
+        "x2_cluster_rep": _MINHASH_CTES + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+closure AS (
+  SELECT * FROM (
+    WITH RECURSIVE reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+  )
+),
+comp AS (
+  SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS component
+  FROM closure GROUP BY src
+),
+j AS (
+  SELECT c.component, c.id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+r AS (
+  SELECT component, id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM j
+)
+SELECT component, id AS rep_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       n_chars AS rep_n_chars
+FROM r WHERE rn = 1
 """,
         "x8_span_corrupt": rf"""
 WITH toks AS (

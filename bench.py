@@ -122,6 +122,10 @@ HEADLINE = [
     "x8_span_corrupt",       # T5 span corruption, block-deterministic (r7)
     "x9_snapshot_diff",      # snapshot write x2 + keyed CDC diff (r7)
     "x2_cluster_stats",      # CC -> dup-cluster size histogram (r7)
+    "x8_chat_render",        # SFT template render + loss spans (r7b)
+    "x7_epoch_plan",         # mixture/epoch planner, exact ints (r7b)
+    "x9_ks_drift",           # two-sample KS over version snapshots (r7b)
+    "x2_cluster_rep",        # CC -> per-cluster keep-best argmax (r7b)
 ]
 
 

@@ -119,3 +119,93 @@ def binary_eval_lens(arguments: Mapping[str, Any]) -> Lens:
         )
 
     return Lens("binary_eval", arguments, forward)
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str, *,
+             by: str | None = None) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    dataset versions — the distribution-shift audit a pipeline runs
+    when a new crawl/snapshot lands ("did doc length / quality-score
+    distribution move?").
+
+    D = max_v |F_a(v) − F_b(v)| over the observed support, computed
+    EXACTLY in integers: with n_a/n_b the group sizes and c_a/c_b the
+    cumulative counts at v, the statistic's numerator is
+    max |c_a·n_b − c_b·n_a| and D = d_num / (n_a·n_b). Everything up
+    to the final (reported-as-microunits) division is bigint products
+    of counts — hash-stable across engines, partitionings, and fold
+    orders, per the digest-formula contract (functions/digest.py).
+
+    Scale shape: one map-side-combined groupBy over (group, value)
+    collapses both corpora to their distinct-value histograms; the
+    cumulative window then runs over DISTINCT VALUES ONLY, partitioned
+    by ``by`` — bounded by the value domain (doc lengths, rounded
+    scores), not the corpus. No global window: callers drifting a
+    near-unique double column should round/bin it first (the same
+    contract binary_eval's score_decimals applies).
+    """
+    if by is None:
+        # Constant group: still a one-partition window, but over the
+        # distinct-value histogram — document the boundedness contract
+        # instead of silently sorting the corpus.
+        a = df_a.select(F.lit("all").alias("__g"),
+                        F.col(value_col).alias("__v"))
+        b = df_b.select(F.lit("all").alias("__g"),
+                        F.col(value_col).alias("__v"))
+        gname = "__g"
+    else:
+        a = df_a.select(F.col(by).cast("string").alias(by),
+                        F.col(value_col).alias("__v"))
+        b = df_b.select(F.col(by).cast("string").alias(by),
+                        F.col(value_col).alias("__v"))
+        gname = by
+    u = (a.withColumn("__ca", F.lit(1).cast("bigint"))
+         .withColumn("__cb", F.lit(0).cast("bigint"))
+         .unionByName(
+             b.withColumn("__ca", F.lit(0).cast("bigint"))
+             .withColumn("__cb", F.lit(1).cast("bigint"))))
+    hist = (u.groupBy(gname, "__v")
+            .agg(F.sum("__ca").alias("ca"), F.sum("__cb").alias("cb")))
+    w = Window.partitionBy(gname).orderBy("__v")
+    wfull = (Window.partitionBy(gname)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    stepped = (hist
+               .withColumn("cum_a", F.sum("ca").over(w))
+               .withColumn("cum_b", F.sum("cb").over(w))
+               .withColumn("n_a", F.sum("ca").over(wfull))
+               .withColumn("n_b", F.sum("cb").over(wfull))
+               .withColumn("d_term", F.abs(F.col("cum_a") * F.col("n_b")
+                                           - F.col("cum_b") * F.col("n_a"))))
+    out = (stepped.groupBy(F.col(gname).alias("group"))
+           .agg(F.max("d_term").alias("d_num"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"))
+           .withColumn(
+               "d_microunits",
+               F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                      F.floor(F.col("d_num").cast("decimal(38,0)")
+                              * 1000000
+                              / (F.col("n_a").cast("decimal(38,0)")
+                                 * F.col("n_b").cast("decimal(38,0)")))
+                      .cast("bigint"))
+               .otherwise(F.lit(None).cast("bigint"))))
+    return out.select("group", "n_a", "n_b", "d_num", "d_microunits")
+
+
+@register_lens("ks_drift")
+def ks_drift_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (value), by (group col, optional), right_view
+    (registered temp view holding the comparison frame). The lens form
+    compares the pipeline frame (side a) against the view (side b) —
+    mirrors the dataset_diff lens's view convention."""
+    col = str(require_arg(arguments, "column", "ks_drift"))
+    by = arguments.get("by")
+    right_view = str(require_arg(arguments, "right_view", "ks_drift"))
+
+    def forward(df: DataFrame) -> DataFrame:
+        right = df.sparkSession.table(right_view)
+        return ks_drift(df, right, col,
+                        by=str(by) if by is not None else None)
+
+    return Lens("ks_drift", arguments, forward)

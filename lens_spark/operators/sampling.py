@@ -473,3 +473,103 @@ def sample_stratified_lens(arguments: Mapping[str, Any]) -> Lens:
             df, keys, strata, fractions,
             default_fraction=float(arguments.get("default_fraction", 0.0)),
             salt=str(arguments.get("salt", ""))))
+
+
+def epoch_plan(df: DataFrame, strata_col: str, *,
+               total_budget_tokens: int,
+               weights: Mapping[str, int] | None = None,
+               default_weight: int = 1,
+               max_epochs_milli: int = 4000,
+               token_count_col: str | None = None,
+               text_col: str | None = None) -> DataFrame:
+    """Mixture/epoch planner: given per-stratum mixture ``weights``
+    (integers, e.g. parts-per-mix) and a total token budget, report —
+    per stratum — how many tokens the mixture asks for, how many are
+    available, and the resulting epoch count (how many passes over the
+    stratum a data loader must schedule), capped at
+    ``max_epochs_milli``/1000 epochs (the "don't repeat a tiny source
+    40×" guard every real mixture applies).
+
+    Returned columns (ALL exact integer arithmetic — bigint products
+    and floor divisions only, so the result is hash-stable across
+    engines and partitionings):
+      - ``available_tokens``  Σ tokens in the stratum
+      - ``target_tokens``     budget·w ÷ Σw   (floor)
+      - ``epochs_milli``      min(target·1000 ÷ available, cap)
+      - ``served_tokens``     available·epochs_milli ÷ 1000 — what the
+        capped plan actually delivers (< target ⇒ the cap bit).
+
+    100 TB shape: ONE partial-aggregated groupBy over the stratum key
+    (#strata result rows); the plan arithmetic is a narrow projection
+    on the aggregate. Weights are config, not data — Σw is computed
+    driver-side from the argument dict, never from a second pass.
+    """
+    if token_count_col is None:
+        if text_col is None:
+            raise LensError("epoch_plan needs token_count_col or text_col")
+        from lens_spark.functions.text import whitespace_token_count
+
+        df = df.withColumn("__ep_nt",
+                           whitespace_token_count(F.col(text_col)))
+        token_count_col = "__ep_nt"
+    w = {str(k): int(v) for k, v in (weights or {}).items()}
+    if any(v < 0 for v in w.values()) or default_weight < 0:
+        raise LensError("epoch_plan: weights must be non-negative ints")
+
+    strata = df.select(F.col(strata_col).cast("string")).distinct()
+    names = sorted(r[0] for r in strata.collect())  # #strata rows only
+    wsum = sum(w.get(s, default_weight) for s in names)
+    if wsum <= 0:
+        raise LensError("epoch_plan: weight sum is zero")
+
+    weight_expr = F.coalesce(
+        *([F.when(F.col(strata_col).cast("string") == F.lit(s),
+                  F.lit(w[s]).cast("bigint"))
+           for s in names if s in w] +
+          [F.lit(int(default_weight)).cast("bigint")]))
+
+    budget = int(total_budget_tokens)
+    cap = int(max_epochs_milli)
+    agg = (df.groupBy(F.col(strata_col).cast("string").alias(strata_col))
+           .agg(F.sum(F.col(token_count_col).cast("bigint"))
+                .alias("available_tokens")))
+    out = (agg
+           .withColumn("target_tokens",
+                       F.floor(F.lit(budget).cast("decimal(38,0)")
+                               * weight_expr.cast("decimal(38,0)")
+                               / F.lit(wsum)).cast("bigint"))
+           .withColumn(
+               "epochs_milli",
+               F.when(F.col("available_tokens") > 0,
+                      F.least(
+                          F.floor(F.col("target_tokens")
+                                  .cast("decimal(38,0)") * 1000
+                                  / F.col("available_tokens")
+                                  .cast("decimal(38,0)")).cast("bigint"),
+                          F.lit(cap).cast("bigint")))
+               .otherwise(F.lit(0).cast("bigint")))
+           .withColumn(
+               "served_tokens",
+               F.floor(F.col("available_tokens").cast("decimal(38,0)")
+                       * F.col("epochs_milli").cast("decimal(38,0)")
+                       / 1000).cast("bigint")))
+    return out
+
+
+@register_lens("epoch_plan")
+def epoch_plan_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: strata (column), total_budget_tokens (int), weights
+    ({stratum: int}), default_weight (1), max_epochs_milli (4000),
+    column (text col) or token_count (count col)."""
+    strata = str(require_arg(arguments, "strata", "epoch_plan"))
+    budget = int(require_arg(arguments, "total_budget_tokens", "epoch_plan"))
+    weights = {str(k): int(v) for k, v in
+               dict(arguments.get("weights", {})).items()}
+    return Lens(
+        "epoch_plan", arguments,
+        lambda df: epoch_plan(
+            df, strata, total_budget_tokens=budget, weights=weights,
+            default_weight=int(arguments.get("default_weight", 1)),
+            max_epochs_milli=int(arguments.get("max_epochs_milli", 4000)),
+            token_count_col=arguments.get("token_count"),
+            text_col=arguments.get("column")))

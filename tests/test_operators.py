@@ -1900,3 +1900,119 @@ def test_span_corrupt_salt_draws_new_epoch(spark):
     b = span_corrupt(df, "doc_id", "text", salt="e2").collect()[0].corrupted
     c = span_corrupt(df, "doc_id", "text").collect()[0].corrupted
     assert a == c and a != b
+
+
+def test_chat_render_spans_extract_exact_content(spark):
+    """The defining property: slicing the rendered string at each
+    loss span reproduces the assistant message's content exactly, and
+    n_loss_tokens equals the whitespace-token total of those slices —
+    checks the fold's cursor arithmetic end to end, including
+    multi-assistant conversations and empty contents."""
+    from lens_spark.operators.chat import chat_render
+
+    rows = [
+        (1, [("system", "Be terse."), ("user", "hi there"),
+             ("assistant", "hello friend")]),
+        (2, [("user", "q1"), ("assistant", "a one"), ("user", "q2"),
+             ("assistant", "answer two here")]),
+        (3, [("assistant", "")]),                       # empty content
+        (4, [("user", "no assistant at all")]),          # no loss span
+        (5, [("assistant", "unicode naïve café 中文 test")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, messages array<struct<role:string,content:string>>")
+    out = {r.doc_id: r for r in chat_render(df, "messages").collect()}
+    for doc_id, msgs in rows:
+        r = out[doc_id]
+        asst = [c for role, c in msgs if role == "assistant"]
+        assert len(r.loss_spans) == len(asst)
+        for span, content in zip(r.loss_spans, asst):
+            assert r.rendered[span.s:span.e] == content, doc_id
+        assert r.n_loss_tokens == sum(len(c.split()) for c in asst)
+        assert r.n_turns == len(msgs)
+        # template structure: one open/close pair per message
+        assert r.rendered.count("<|im_start|>") == len(msgs)
+        assert r.rendered.count("<|im_end|>\n") == len(msgs)
+
+
+def test_chat_render_lens_inverse_drops_outputs(spark):
+    from lens_spark import engine
+
+    df = spark.createDataFrame(
+        [(1, [("user", "x"), ("assistant", "y")])],
+        "doc_id long, messages array<struct<role:string,content:string>>")
+    spec = {"lenses": [{"name": "chat_render",
+                        "arguments": {"column": "messages"}}]}
+    fwd = engine.append(df, spec)
+    assert {"rendered", "n_turns", "loss_spans",
+            "n_loss_tokens"} <= set(fwd.columns)
+    back = engine.inverse(fwd, spec)
+    assert set(back.columns) == {"doc_id", "messages"}
+
+
+def test_epoch_plan_regimes_match_integer_reference(spark):
+    """Pin all four planner regimes against a pure-python integer
+    reference: upweighted, zero-weight (excluded), default-weight, and
+    the max-epoch cap biting (served < target)."""
+    from lens_spark.operators.sampling import epoch_plan
+
+    rows = []
+    sizes = {"big": 50, "mid": 20, "tiny": 2, "zero": 10}
+    for src, n in sizes.items():
+        for i in range(n):
+            rows.append((f"{src}-{i}", src, "tok " * 10))  # 10 tokens/doc
+    df = spark.createDataFrame(rows, "id string, source string, text string")
+    weights = {"big": 3, "tiny": 50, "zero": 0}
+    budget, cap = 4000, 4000
+    out = {r.source: r for r in epoch_plan(
+        df, "source", total_budget_tokens=budget, weights=weights,
+        default_weight=1, max_epochs_milli=cap, text_col="text").collect()}
+    wsum = 3 + 50 + 0 + 1  # big + tiny + zero + mid(default)
+    for src, n in sizes.items():
+        avail = n * 10
+        w = weights.get(src, 1)
+        target = budget * w // wsum
+        em = min(target * 1000 // avail, cap) if avail else 0
+        r = out[src]
+        assert r.available_tokens == avail, src
+        assert r.target_tokens == target, src
+        assert r.epochs_milli == em, src
+        assert r.served_tokens == avail * em // 1000, src
+    # the cap actually bit for 'tiny' (2 docs, weight 50)
+    assert out["tiny"].served_tokens < out["tiny"].target_tokens
+    assert out["tiny"].epochs_milli == cap
+    assert out["zero"].target_tokens == 0 and out["zero"].epochs_milli == 0
+
+
+def test_ks_drift_matches_brute_force_ecdf(spark):
+    """KS numerator vs a brute-force python ECDF over every observed
+    value, plus the identical-frames → D = 0 identity."""
+    from lens_spark.operators.evaluation import ks_drift
+
+    import random as _random
+    rng = _random.Random(7)
+    a = [(i, "g1", rng.randrange(0, 30)) for i in range(80)]
+    b = [(i, "g1", rng.randrange(5, 40)) for i in range(60)]
+    dfa = spark.createDataFrame(a, "id long, g string, v long")
+    dfb = spark.createDataFrame(b, "id long, g string, v long")
+    r = ks_drift(dfa, dfb, "v", by="g").collect()[0]
+    va, vb = [x[2] for x in a], [x[2] for x in b]
+    na, nb = len(va), len(vb)
+    d_num = max(abs(sum(1 for x in va if x <= t) * nb
+                    - sum(1 for x in vb if x <= t) * na)
+                for t in set(va) | set(vb))
+    assert (r.n_a, r.n_b, r.d_num) == (na, nb, d_num)
+    assert r.d_microunits == d_num * 1000000 // (na * nb)
+    same = ks_drift(dfa, dfa, "v", by="g").collect()[0]
+    assert same.d_num == 0 and same.d_microunits == 0
+
+
+def test_ks_drift_ungrouped_single_row(spark):
+    from lens_spark.operators.evaluation import ks_drift
+
+    dfa = spark.createDataFrame([(1, 1), (2, 2)], "id long, v long")
+    dfb = spark.createDataFrame([(1, 3), (2, 4)], "id long, v long")
+    rows = ks_drift(dfa, dfb, "v").collect()
+    assert len(rows) == 1
+    # disjoint supports → D = 1 → numerator = n_a * n_b
+    assert rows[0].d_num == 4 and rows[0].d_microunits == 1000000

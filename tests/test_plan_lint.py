@@ -60,13 +60,24 @@ def test_no_row_at_a_time_python_udf_anywhere(plans):
     assert not bad, f"row-at-a-time Python UDFs in: {bad}"
 
 
+import re as _re
+
+_SPEC = _re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+
+
+def _is_global_spec(args: str) -> bool:
+    # windowspecdefinition(part1, part2, ord1 ASC ..., frame): order
+    # columns carry ASC/DESC markers, partition columns are bare
+    # attribute refs — global ⟺ no bare column before the frame.
+    toks = [t.strip() for t in args.split(",") if t.strip()]
+    return not any(" ASC" not in t and " DESC" not in t for t in toks)
+
+
 def _global_window_lines(plan: str) -> list[str]:
     return [
         line for line in plan.split("\n")
         if "windowspecdefinition" in line and " Window " in f" {line} "
-        # partitioned Window prints "], [parts], [order]" (2 trailing
-        # bracket groups); a global one only "], [order]"
-        and line.count("], [") < 2
+        and any(_is_global_spec(m) for m in _SPEC.findall(line))
     ]
 
 
