@@ -2422,6 +2422,59 @@ def q_x2_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").alias("rep_n_chars")))
 
 
+def q_x5_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-shape Gopher quality metrics (new r7c). The synthetic
+    corpus is single-line, so line structure is synthesized with two
+    deterministic substring replaces (' merge ' → newline+bullet,
+    ' data ' → ellipsis+newline — mirrored verbatim in the oracle),
+    making bullets, ellipsis endings, and multi-line docs all
+    non-vacuous. Every metric is an exact bigint count or floor-divided
+    micro-fraction (digest contract); the whole block is narrow —
+    zero exchanges."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t2 = F.replace(
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("\n- ")),
+        F.lit(" data "), F.lit("...\n"))
+    d2 = docs.select("doc_id", t2.alias("text"))
+    out = engine.append(d2, {"lenses": [{
+        "name": "structure_stats", "arguments": {"column": "text"}}]})
+    return out.select(
+        "doc_id", "n_lines", "bullet_frac_micro", "ellipsis_frac_micro",
+        "alpha_word_frac_micro", "n_stopword_hits")
+
+
+def q_x8_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (new r7c): docs grouped into
+    synthetic prompt groups (doc_id % 211), best-vs-worst by n_chars
+    (bigint — exact margins), margin ≥ 50, documented deterministic
+    tie-breaks. ONE partial-aggregated groupBy whose exchange carries
+    two (score,id) structs + a count per prompt — never text. Oracle:
+    two explicit row_number windows + a count join."""
+    docs = _read(spark, sf_dir, "documents")
+    d2 = docs.select((F.col("doc_id") % 211).alias("prompt_id"),
+                     "doc_id", "n_chars")
+    spec = {"lenses": [{"name": "preference_pairs", "arguments": {
+        "prompt": "prompt_id", "id": "doc_id", "score": "n_chars",
+        "min_margin": 50, "min_candidates": 2}}]}
+    out = engine.append(d2, spec)
+    return out.withColumnRenamed("prompt", "prompt_id")
+
+
+def q_x7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted round-robin serving order (new r7c):
+    sources interleaved 3:2:0:1 (src2 dropped) into md5-sharded
+    serving files — every full block serves each source exactly its
+    weight. All integer arithmetic over a slim (id, source, hash)
+    frame; ONE bounded-task window per (shard, source). Oracle
+    recomputes weights/offsets from the stratum domain in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    spec = {"lenses": [{"name": "interleave", "arguments": {
+        "strata": "source", "keys": ["doc_id"],
+        "weights": {"src0": 3, "src1": 2, "src2": 0},
+        "default_weight": 1, "num_shards": 8}}]}
+    return engine.append(docs, spec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2592,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_epoch_plan": q_x7_epoch_plan,
         "x9_ks_drift": q_x9_ks_drift,
         "x2_cluster_rep": q_x2_cluster_rep,
+        "x5_structure_stats": q_x5_structure_stats,
+        "x8_preference_pairs": q_x8_preference_pairs,
+        "x7_interleave": q_x7_interleave,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3410,6 +3466,105 @@ SELECT component, id AS rep_doc_id,
        CAST(cluster_size AS BIGINT) AS cluster_size,
        n_chars AS rep_n_chars
 FROM r WHERE rn = 1
+""",
+        # Line structure synthesized with the SAME two replaces as the
+        # Spark query; metrics are exact counts / floor-divided
+        # micro-fractions (digest contract).
+        "x5_structure_stats": r"""
+WITH t AS (
+  SELECT doc_id,
+         replace(replace(text, ' merge ', chr(10) || '- '),
+                 ' data ', '...' || chr(10)) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(lines) > 0 THEN CAST(
+         len(list_filter(lines,
+             x -> regexp_matches(x, '^([-*•]|[0-9]+[.)])[ \t]')))
+         * 1000000 // len(lines) AS BIGINT) END AS bullet_frac_micro,
+       CASE WHEN len(lines) > 0 THEN CAST(
+         len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
+         * 1000000 // len(lines) AS BIGINT) END AS ellipsis_frac_micro,
+       CASE WHEN len(toks) > 0 THEN CAST(
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         * 1000000 // len(toks) AS BIGINT) END AS alpha_word_frac_micro,
+       CAST(len(list_filter(toks, x -> lower(x) IN
+            ('the','be','to','of','and','that','have','with')))
+         AS BIGINT) AS n_stopword_hits
+FROM l
+""",
+        # Best-vs-worst via two explicit row_number windows (the
+        # documented tie-breaks: chosen = max score then MAX id,
+        # rejected = min score then MIN id).
+        "x8_preference_pairs": """
+WITH s AS (
+  SELECT doc_id % 211 AS prompt_id, doc_id AS id, n_chars AS score
+  FROM documents
+),
+ch AS (SELECT prompt_id, id, score, row_number() OVER (
+         PARTITION BY prompt_id ORDER BY score DESC, id DESC) AS rn
+       FROM s),
+rj AS (SELECT prompt_id, id, score, row_number() OVER (
+         PARTITION BY prompt_id ORDER BY score ASC, id ASC) AS rn
+       FROM s),
+n AS (SELECT prompt_id, count(*) AS n_candidates FROM s GROUP BY prompt_id)
+SELECT ch.prompt_id,
+       ch.id AS chosen_id, rj.id AS rejected_id,
+       ch.score AS chosen_score, rj.score AS rejected_score,
+       ch.score - rj.score AS margin,
+       n.n_candidates
+FROM ch
+JOIN rj ON rj.prompt_id = ch.prompt_id AND rj.rn = 1
+JOIN n ON n.prompt_id = ch.prompt_id
+WHERE ch.rn = 1 AND ch.id <> rj.id
+  AND ch.score - rj.score >= 50 AND n.n_candidates >= 2
+""",
+        # Weights/offsets recomputed from the stratum domain in SQL —
+        # same lexicographic active-stratum offsets as the lens.
+        "x7_interleave": """
+WITH names AS (SELECT DISTINCT source FROM documents),
+w AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                     WHEN 'src2' THEN 0 ELSE 1 END AS wt
+  FROM names
+),
+act AS (
+  SELECT source, wt,
+         COALESCE(sum(wt) OVER (ORDER BY source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         sum(wt) OVER () AS wtotal
+  FROM w WHERE wt > 0
+),
+h AS (
+  SELECT d.doc_id, d.source,
+         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS hp
+  FROM documents d
+),
+s AS (
+  SELECT h.doc_id, h.source, h.hp,
+         CAST(('0x' || h.hp)::UBIGINT % 8 AS BIGINT) AS shard,
+         a.off, a.wt, a.wtotal
+  FROM h JOIN act a ON a.source = h.source
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, source
+                               ORDER BY hp, doc_id) - 1 AS r0
+  FROM s
+)
+SELECT doc_id, source, shard,
+       CAST(r0 // wt AS BIGINT) AS block,
+       CAST(off + r0 % wt AS BIGINT) AS slot,
+       CAST((r0 // wt) * wtotal + off + r0 % wt AS BIGINT) AS pos
+FROM r
 """,
         "x8_span_corrupt": rf"""
 WITH toks AS (

@@ -126,6 +126,9 @@ HEADLINE = [
     "x7_epoch_plan",         # mixture/epoch planner, exact ints (r7b)
     "x9_ks_drift",           # two-sample KS over version snapshots (r7b)
     "x2_cluster_rep",        # CC -> per-cluster keep-best argmax (r7b)
+    "x5_structure_stats",    # line-shape Gopher metrics (r7c)
+    "x8_preference_pairs",   # DPO best-vs-worst pairs (r7c)
+    "x7_interleave",         # weighted round-robin serving order (r7c)
 ]
 
 

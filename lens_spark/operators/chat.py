@@ -103,6 +103,61 @@ def chat_render(df: DataFrame, messages_col: str, *,
             .withColumn("n_loss_tokens", n_loss))
 
 
+def preference_pairs(df: DataFrame, prompt_col: str, id_col: str,
+                     score_col: str, *, min_margin: float = 0.0,
+                     min_candidates: int = 2) -> DataFrame:
+    """Build DPO/RLHF preference pairs: for every prompt group, pick
+    the highest-scored response as ``chosen`` and the lowest as
+    ``rejected`` (best-vs-worst pairing — the highest-signal pair a
+    reward dataset can extract from k samples), keeping groups with at
+    least ``min_candidates`` responses and a score margin of at least
+    ``min_margin``.
+
+    Tie-breaking is deterministic and documented: among equal-score
+    responses, ``chosen`` takes the LARGEST id and ``rejected`` the
+    SMALLEST (lexicographic struct min/max over (score, id)), so the
+    output is stable across runs, partitionings, and engines.
+
+    100 TB shape: ONE partial-aggregated groupBy — the exchange
+    carries per-prompt (two (score,id) structs + a count), never
+    response text; struct min/max combine map-side exactly like
+    min/max. Join text payloads back on chosen_id/rejected_id
+    afterwards. The margin subtraction is a single IEEE op on
+    identical inputs — hash-safe per the digest contract.
+    """
+    g = (df.groupBy(F.col(prompt_col).alias("prompt"))
+         .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                             F.col(id_col).alias("i"))).alias("ch"),
+              F.min(F.struct(F.col(score_col).alias("s"),
+                             F.col(id_col).alias("i"))).alias("rj"),
+              F.count(F.lit(1)).alias("n_candidates")))
+    return (g.filter((F.col("n_candidates") >= int(min_candidates))
+                     & (F.col("ch.i") != F.col("rj.i"))
+                     & (F.col("ch.s") - F.col("rj.s") >= F.lit(min_margin)))
+            .select("prompt",
+                    F.col("ch.i").alias("chosen_id"),
+                    F.col("rj.i").alias("rejected_id"),
+                    F.col("ch.s").alias("chosen_score"),
+                    F.col("rj.s").alias("rejected_score"),
+                    (F.col("ch.s") - F.col("rj.s")).alias("margin"),
+                    "n_candidates"))
+
+
+@register_lens("preference_pairs")
+def preference_pairs_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: prompt (group col), id, score, min_margin (0),
+    min_candidates (2)."""
+    prompt = str(require_arg(arguments, "prompt", "preference_pairs"))
+    id_col = str(require_arg(arguments, "id", "preference_pairs"))
+    score = str(require_arg(arguments, "score", "preference_pairs"))
+    return Lens(
+        "preference_pairs", arguments,
+        lambda df: preference_pairs(
+            df, prompt, id_col, score,
+            min_margin=float(arguments.get("min_margin", 0.0)),
+            min_candidates=int(arguments.get("min_candidates", 2))))
+
+
 @register_lens("chat_render")
 def chat_render_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: column (messages array), loss_role ("assistant"),

@@ -573,3 +573,97 @@ def epoch_plan_lens(arguments: Mapping[str, Any]) -> Lens:
             max_epochs_milli=int(arguments.get("max_epochs_milli", 4000)),
             token_count_col=arguments.get("token_count"),
             text_col=arguments.get("column")))
+
+
+def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
+               weights: Mapping[str, int], *, default_weight: int = 1,
+               num_shards: int = 64, salt: str = "") -> DataFrame:
+    """Deterministic weighted round-robin serving order — the
+    interleave-datasets step of a training export: a mixture with
+    weights {a: 3, b: 1} must SERVE 3 a-rows then 1 b-row per round,
+    not merely contain them in ratio (loss curves care about local
+    mixture, and reproducible training needs the order pinned).
+
+    Contract (exact integer arithmetic end to end):
+    - rows are md5-sharded on ``key_cols`` (the shuffle_shards idiom:
+      reproducible, repartition-stable; each shard is an independently
+      consumable serving file);
+    - within (shard, stratum), rows are ranked by (hash, keys) — a
+      PARTITIONED window whose task size is bounded by ``num_shards``
+      (the pack_sequences contract);
+    - rank r of a stratum with integer weight w lands in round-robin
+      ``block`` (r-1) div w at ``slot`` offset_s + (r-1) mod w, where
+      offset_s = Σ weights of lexicographically-earlier strata; the
+      serving order within a shard is (block, slot) ⇒ every full block
+      serves each stratum exactly its weight. ``pos`` = block·W + slot
+      is the serving ordinal (strata exhaust at different blocks, so
+      late blocks have holes — consumers order by pos, gaps are
+      harmless). Weight-0 strata are dropped.
+
+    The stratum set is collected once (#strata rows — the epoch_plan
+    contract: strata are a config-scale domain, never corpus-scale);
+    weights/offsets compile to a when-chain, so the plan is one
+    exchange (the window) over a slim (keys, stratum, hash) frame —
+    text never moves.
+    """
+    from pyspark.sql import Window
+
+    w = {str(k): int(v) for k, v in (weights or {}).items()}
+    if any(v < 0 for v in w.values()) or int(default_weight) < 0:
+        raise LensError("interleave: weights must be non-negative ints")
+    names = sorted(
+        r[0] for r in
+        df.select(F.col(strata_col).cast("string")).distinct().collect()
+        if r[0] is not None)
+    wmap = {s: w.get(s, int(default_weight)) for s in names}
+    active = [s for s in names if wmap[s] > 0]
+    if not active:
+        raise LensError("interleave: no stratum has positive weight")
+    wtotal = sum(wmap[s] for s in active)
+    offsets, acc = {}, 0
+    for s in active:
+        offsets[s] = acc
+        acc += wmap[s]
+
+    def chain(mapping: Mapping[str, int]) -> Column:
+        expr = F.lit(None).cast("bigint")
+        for s, v in mapping.items():
+            expr = F.when(F.col(strata_col).cast("string") == F.lit(s),
+                          F.lit(v).cast("bigint")).otherwise(expr)
+        return expr
+
+    hp = _hash_prefix(key_cols, salt)
+    slim = (df.filter(F.col(strata_col).cast("string").isin(active))
+            .select(*[F.col(c) for c in key_cols],
+                    F.col(strata_col).cast("string").alias(strata_col),
+                    hp.alias("__h"),
+                    (F.conv(hp, 16, 10).cast("bigint")
+                     % F.lit(int(num_shards))).alias("shard")))
+    rw = Window.partitionBy("shard", strata_col).orderBy("__h", *key_cols)
+    r0 = (F.row_number().over(rw) - 1).cast("bigint")
+    wcol, ocol = chain(wmap), chain(offsets)
+    block = F.floor(r0 / wcol).cast("bigint")
+    slot = (ocol + r0 % wcol).cast("bigint")
+    return (slim
+            .withColumn("block", block)
+            .withColumn("slot", slot)
+            .withColumn("pos", (F.col("block") * F.lit(int(wtotal))
+                                + F.col("slot")).cast("bigint"))
+            .drop("__h"))
+
+
+@register_lens("interleave")
+def interleave_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: strata (column), keys (list[str]), weights
+    ({stratum: int}), default_weight (1), num_shards (64), salt ("")."""
+    strata = str(require_arg(arguments, "strata", "interleave"))
+    keys = [str(c) for c in require_arg(arguments, "keys", "interleave")]
+    weights = {str(k): int(v) for k, v in
+               dict(arguments.get("weights", {})).items()}
+    return Lens(
+        "interleave", arguments,
+        lambda df: interleave(
+            df, strata, keys, weights,
+            default_weight=int(arguments.get("default_weight", 1)),
+            num_shards=int(arguments.get("num_shards", 64)),
+            salt=str(arguments.get("salt", ""))))

@@ -9,7 +9,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.functions.text import (
@@ -1064,6 +1064,103 @@ def compression_ratio(df: DataFrame, text_col: str, *,
         return texts.map(one)
 
     return ensure_parallelism(df).withColumn(out, ratio(F.col(text_col)))
+
+
+#: the eight Gopher "stop word presence" probe words (Rae et al. 2021,
+#: table A1 — public paper); a document with < 2 hits is likely
+#: non-prose (navigation chrome, code, tag soup).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+# RE2/Java-portable line-shape patterns (same contract as the sentence
+# ops: explicit [ \t] classes — Java's \s includes \x0B, RE2's does
+# not). Lines are trimmed before matching, so bullets anchor at ^.
+_BULLET_RE = r"^([-*•]|[0-9]+[.)])[ \t]"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def structure_stats(df: DataFrame, text_col: str,
+                    prefix: str = "") -> DataFrame:
+    """Append the LINE-shape quality metric block — the other half of
+    the Gopher heuristics (``repetition_stats`` covers token shape):
+
+    - ``n_lines``: non-empty (after trim) lines;
+    - ``bullet_frac_micro``: micro-fraction (⌊10⁶·a/b⌋, exact integer
+      arithmetic per the digest contract) of lines starting with a
+      bullet marker (``-``, ``*``, ``•``, ``1.``/``1)``) — Gopher
+      drops docs with > 90% bulleted lines;
+    - ``ellipsis_frac_micro``: micro-fraction of lines ending in
+      ``...``/``…`` — > 30% flags truncated-teaser pages;
+    - ``alpha_word_frac_micro``: micro-fraction of whitespace tokens
+      containing at least one ``[A-Za-z]`` — Gopher keeps docs with
+      ≥ 80%;
+    - ``n_stopword_hits``: tokens (lowercased) among the eight Gopher
+      probe words — < 2 flags non-prose.
+
+    Everything is an exact bigint count or an exact floor-divided
+    micro-fraction, so the block is hash-stable across engines and
+    partitionings. Narrow per-row expressions (lines and tokens each
+    bound ONCE via ``let_``) — no exchange at any scale; zero-line /
+    zero-token docs get NULL fractions, not divide-by-zero.
+    """
+    def micro(cnt: Column, total: Column) -> Column:
+        return F.when(
+            total > 0,
+            F.floor(cnt.cast("decimal(38,0)") * 1000000 / total)
+            .cast("bigint"))
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines_arr = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "")
+
+    def line_block(lines: Column) -> Column:
+        n = F.size(lines).cast("bigint")
+        bullets = F.size(F.filter(
+            lines, lambda ln: ln.rlike(_BULLET_RE))).cast("bigint")
+        ellipses = F.size(F.filter(
+            lines, lambda ln: ln.rlike(_ELLIPSIS_RE))).cast("bigint")
+        return F.struct(n.alias("n"),
+                        micro(bullets, n).alias("bf"),
+                        micro(ellipses, n).alias("ef"))
+
+    def tok_block(toks: Column) -> Column:
+        n = F.size(toks).cast("bigint")
+        alpha = F.size(F.filter(
+            toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+        stop = F.size(F.filter(
+            toks,
+            lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))).cast("bigint")
+        return F.struct(micro(alpha, n).alias("af"), stop.alias("sw"))
+
+    lb = f"__{prefix}ss_l"
+    tb = f"__{prefix}ss_t"
+    return (
+        ensure_parallelism(df)
+        .withColumn(lb, let_(lines_arr, line_block))
+        .withColumn(tb, let_(tokens(text, lowercase=False), tok_block))
+        .withColumn(f"{prefix}n_lines", F.col(f"{lb}.n"))
+        .withColumn(f"{prefix}bullet_frac_micro", F.col(f"{lb}.bf"))
+        .withColumn(f"{prefix}ellipsis_frac_micro", F.col(f"{lb}.ef"))
+        .withColumn(f"{prefix}alpha_word_frac_micro", F.col(f"{tb}.af"))
+        .withColumn(f"{prefix}n_stopword_hits", F.col(f"{tb}.sw"))
+        .drop(lb, tb)
+    )
+
+
+@register_lens("structure_stats")
+def structure_stats_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (text), prefix (""). Inverse drops the five
+    appended metric columns."""
+    text_col = str(require_arg(arguments, "column", "structure_stats"))
+    prefix = str(arguments.get("prefix", ""))
+    cols = [f"{prefix}{c}" for c in (
+        "n_lines", "bullet_frac_micro", "ellipsis_frac_micro",
+        "alpha_word_frac_micro", "n_stopword_hits")]
+    return Lens(
+        "structure_stats", arguments,
+        lambda df: structure_stats(df, text_col, prefix),
+        lambda df: df.drop(*cols))
 
 
 @register_lens("compression_ratio")

@@ -2016,3 +2016,139 @@ def test_ks_drift_ungrouped_single_row(spark):
     assert len(rows) == 1
     # disjoint supports → D = 1 → numerator = n_a * n_b
     assert rows[0].d_num == 4 and rows[0].d_microunits == 1000000
+
+
+def test_structure_stats_matches_python_reference(spark):
+    """Exact line/token-shape metrics vs a plain-python reference —
+    bullets (dash/star/numbered), ellipsis endings (ASCII + unicode),
+    alpha-word fraction, stopword hits, empty/null docs."""
+    import re
+
+    from lens_spark.operators.text import GOPHER_STOPWORDS, structure_stats
+
+    rows = [
+        (1, "- item one\n* item two\n3. third\nplain line"),
+        (2, "teaser one...\nteaser two…\nfull sentence here."),
+        (3, "the cat sat with the dog and that bird have be to of"),
+        (4, "1234 5678 !!! ??? mix3d w0rds"),
+        (5, ""),
+        (6, None),
+        (7, "   \n  \n\t\n"),                      # only blank lines
+        (8, "10) numbered paren bullet\nnot - a bullet mid line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in structure_stats(df, "text").collect()}
+    for doc_id, text in rows:
+        t = text or ""
+        lines = [ln.strip(" ") for ln in t.split("\n")]
+        lines = [ln for ln in lines if ln != ""]
+        toks = [w for w in re.split(r"\s+", t) if w != ""]
+        nb = sum(1 for ln in lines
+                 if re.search(r"^([-*•]|[0-9]+[.)])[ \t]", ln))
+        ne = sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln))
+        na = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        ns = sum(1 for w in toks if w.lower() in GOPHER_STOPWORDS)
+        r = got[doc_id]
+        assert r.n_lines == len(lines), doc_id
+        if lines:
+            assert r.bullet_frac_micro == nb * 1000000 // len(lines), doc_id
+            assert r.ellipsis_frac_micro == ne * 1000000 // len(lines)
+        else:
+            assert r.bullet_frac_micro is None
+            assert r.ellipsis_frac_micro is None
+        if toks:
+            assert r.alpha_word_frac_micro == na * 1000000 // len(toks)
+        else:
+            assert r.alpha_word_frac_micro is None
+        assert r.n_stopword_hits == ns, doc_id
+
+
+def test_preference_pairs_best_vs_worst_and_filters(spark):
+    from lens_spark.operators.chat import preference_pairs
+
+    rows = [
+        # normal group: clear best/worst
+        ("p1", 1, 10.0), ("p1", 2, 50.0), ("p1", 3, 30.0),
+        # tie on max score: chosen takes the LARGEST id; tie on min:
+        # rejected the smallest
+        ("p2", 10, 9.0), ("p2", 11, 9.0), ("p2", 12, 1.0), ("p2", 13, 1.0),
+        # singleton: dropped (min_candidates)
+        ("p3", 20, 99.0),
+        # margin below threshold: dropped
+        ("p4", 30, 5.0), ("p4", 31, 5.5),
+        # all-equal scores: margin 0, dropped at min_margin > 0
+        ("p5", 40, 7.0), ("p5", 41, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "prompt string, rid long, score double")
+    out = {r.prompt: r for r in preference_pairs(
+        df, "prompt", "rid", "score", min_margin=1.0).collect()}
+    assert set(out) == {"p1", "p2"}
+    assert (out["p1"].chosen_id, out["p1"].rejected_id) == (2, 1)
+    assert out["p1"].margin == 40.0 and out["p1"].n_candidates == 3
+    assert (out["p2"].chosen_id, out["p2"].rejected_id) == (11, 12)
+    # min_margin=0 keeps p5 (distinct ids, zero margin), still drops p3
+    out0 = {r.prompt for r in preference_pairs(
+        df, "prompt", "rid", "score", min_margin=0.0).collect()}
+    assert out0 == {"p1", "p2", "p4", "p5"}
+
+
+def test_interleave_matches_python_schedule(spark):
+    """Full schedule vs a plain-python md5 reference: sharding, rank
+    order, block/slot arithmetic, weight-0 drop, pos uniqueness and
+    the every-full-block-serves-each-stratum-its-weight property."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from lens_spark.operators.sampling import interleave
+
+    rows = [(i, f"s{i % 4}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = {"s0": 3, "s1": 2, "s2": 0}
+    out = interleave(df, "src", ["id"], weights, default_weight=1,
+                     num_shards=4).collect()
+
+    # python reference
+    wmap = {"s0": 3, "s1": 2, "s3": 1}
+    active = sorted(wmap)
+    offsets, acc = {}, 0
+    for s in active:
+        offsets[s] = acc
+        acc += wmap[s]
+    wtotal = acc
+    ref = defaultdict(list)
+    for i, src in rows:
+        if src == "s2":
+            continue
+        hp = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        ref[(int(hp, 16) % 4, src)].append((hp, i))
+    expected = {}
+    for (shard, src), items in ref.items():
+        for r0, (_, i) in enumerate(sorted(items)):
+            block, within = divmod(r0, wmap[src])
+            slot = offsets[src] + within
+            expected[i] = (shard, block, slot, block * wtotal + slot)
+    assert len(out) == len(expected)
+    for r in out:
+        assert (r.shard, r.block, r.slot, r.pos) == expected[r.id], r.id
+    # pos unique per shard; full blocks serve each stratum its weight
+    per_shard = defaultdict(list)
+    for r in out:
+        per_shard[r.shard].append(r)
+    for shard, rs in per_shard.items():
+        assert len({r.pos for r in rs}) == len(rs)
+        n_blocks = Counter(r.block for r in rs)
+        full = [b for b, c in n_blocks.items() if c == wtotal]
+        for b in full:
+            served = Counter(r.src for r in rs if r.block == b)
+            assert served == Counter(wmap), (shard, b)
+
+
+def test_interleave_rejects_bad_weights(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.sampling import interleave
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with pytest.raises(LensError):
+        interleave(df, "src", ["id"], {"a": -1})
+    with pytest.raises(LensError):
+        interleave(df, "src", ["id"], {"a": 0}, default_weight=0)
