@@ -1475,39 +1475,57 @@ def span_corrupt(df: DataFrame, id_col: str, text_col: str, *,
 
     def build(w):
         nblocks = F.floor(F.size(w) / F.lit(b)).cast("bigint")
+        # One md5 PER BLOCK, bound once: Catalyst embeds (and
+        # evaluates) an expression subtree once per reference, so
+        # reading offset(k) inside the per-token lambda cost ~3 md5
+        # evaluations per TOKEN (2.3 s → 0.9 s at sf0.1 for the bench
+        # query). The offsets array is let_-bound and the lambdas do
+        # O(1) element_at lookups instead.
+        offs_arr = (
+            F.when(nblocks > 0,
+                   F.transform(F.sequence(F.lit(0).cast("bigint"),
+                                          nblocks - 1), offset))
+            .otherwise(F.expr("array()").cast("array<bigint>")))
 
-        def corrupted_tok(x, i):
-            k = F.floor(i.cast("bigint") / F.lit(b)).cast("bigint")
-            rel = i.cast("bigint") - k * F.lit(b)
-            o = offset(k)
-            in_span = (k < nblocks) & (rel >= o) & (rel < o + F.lit(sl))
-            return (F.when(in_span & (rel == o), sentinel(k))
-                    .when(in_span, F.lit(None).cast("string"))
-                    .otherwise(x))
+        def body(offs):
+            def off_at(k):
+                return F.element_at(offs, (k + 1).cast("int"))
 
-        corrupted = F.array_join(
-            F.filter(F.transform(w, corrupted_tok),
-                     lambda x: x.isNotNull()), " ")
+            def corrupted_tok(x, i):
+                k = F.floor(i.cast("bigint") / F.lit(b)).cast("bigint")
+                rel = i.cast("bigint") - k * F.lit(b)
+                o = off_at(k)
+                in_span = (k < nblocks) & (rel >= o) & (rel < o + F.lit(sl))
+                return (F.when(in_span & (rel == o), sentinel(k))
+                        .when(in_span, F.lit(None).cast("string"))
+                        .otherwise(x))
 
-        def piece(k):
-            return F.concat(
-                sentinel(k), F.lit(" "),
+            corrupted = F.array_join(
+                F.filter(F.transform(w, corrupted_tok),
+                         lambda x: x.isNotNull()), " ")
+
+            def piece(k):
+                return F.concat(
+                    sentinel(k), F.lit(" "),
+                    F.array_join(
+                        F.slice(w,
+                                (k * F.lit(b) + off_at(k) + 1).cast("int"),
+                                sl), " "))
+
+            targets = F.concat(
                 F.array_join(
-                    F.slice(w, (k * F.lit(b) + offset(k) + 1).cast("int"),
-                            sl), " "))
+                    F.transform(
+                        F.when(nblocks > 0,
+                               F.sequence(F.lit(0).cast("bigint"),
+                                          nblocks - 1))
+                        .otherwise(F.expr("array()").cast("array<bigint>")),
+                        piece), " "),
+                F.when(nblocks > 0, F.lit(" ")).otherwise(F.lit("")),
+                sentinel(nblocks))
+            return F.struct(corrupted.alias("c"), targets.alias("t"),
+                            nblocks.cast("int").alias("k"))
 
-        targets = F.concat(
-            F.array_join(
-                F.transform(
-                    F.when(nblocks > 0,
-                           F.sequence(F.lit(0).cast("bigint"),
-                                      nblocks - 1))
-                    .otherwise(F.expr("array()").cast("array<bigint>")),
-                    piece), " "),
-            F.when(nblocks > 0, F.lit(" ")).otherwise(F.lit("")),
-            sentinel(nblocks))
-        return F.struct(corrupted.alias("c"), targets.alias("t"),
-                        nblocks.cast("int").alias("k"))
+        return let_(offs_arr, body)
 
     built = let_(_tok(F.col(text_col), lowercase=False), build)
     return (df.withColumn("__sc", built)
