@@ -2475,6 +2475,80 @@ def q_x7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x5_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted stable pseudonymization (new r7c): source and lang
+    become salted md5 pseudonyms — stable (same value → same token,
+    so the groupBy-on-pseudonym count distribution must equal the
+    raw-column distribution) and column-keyspaced. Narrow, zero
+    exchanges before the verification groupBy."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "lang")
+    spec = {"lenses": [{"name": "pseudonymize", "arguments": {
+        "columns": ["source", "lang"], "salt": "card-v1",
+        "prefix": "anon_", "length": 12}}]}
+    out = engine.append(docs, spec)
+    return (out.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+def q_x6_equiwidth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (new r7c): auto min/max bounds from
+    ONE 1-row agg (order-independent selections — bit-identical on any
+    engine), 16 equal bins, empty bins materialized by the bin spine.
+    The bucket index is the same literal IEEE op sequence in Spark and
+    the oracle, so edges and counts hash-match exactly."""
+    li = _read(spark, sf_dir, "lineitem").select("l_extendedprice")
+    spec = {"lenses": [{"name": "equiwidth_hist", "arguments": {
+        "column": "l_extendedprice", "bins": 16}}]}
+    return engine.append(li, spec)
+
+
+def q_x9_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (new r7c): the one-stop corpus summary
+    a data release ships — doc/token counts, exact mean tokens
+    (micro-units by integer floor division), language spread (exact
+    distinct + argmax top language with documented max-lang
+    tie-break), and the corpus-wide exact-duplicate rate attributed
+    per source. Shape: one narrow token-count projection; one groupBy
+    on md5(text) for global dup counts joined back on the hash; two
+    partial-aggregated groupBys (source, and source×lang collapsed to
+    #sources rows via struct-max). Exchanges carry hashes and counts,
+    never text."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda x: x != "")).cast("bigint").alias("nt"))
+    dupc = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_source = (base.join(dupc, "h")
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("nt").alias("total_tokens"),
+                       F.sum((F.col("c") >= 2).cast("bigint"))
+                       .alias("dup_docs")))
+    lang_top = (base.groupBy("source", "lang")
+                .agg(F.count(F.lit(1)).alias("lc"))
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_langs"),
+                     F.max(F.struct(F.col("lc").alias("c"),
+                                    F.col("lang").alias("l"))).alias("t")))
+    micro = lambda a, b: F.floor(  # noqa: E731
+        a.cast("decimal(38,0)") * 1000000 / b).cast("bigint")
+    return (per_source.join(lang_top, "source")
+            .select("source", "n_docs", "total_tokens",
+                    micro(F.col("total_tokens"), F.col("n_docs"))
+                    .alias("mean_tokens_micro"),
+                    "n_langs",
+                    F.col("t.l").alias("top_lang"),
+                    micro(F.col("t.c"), F.col("n_docs"))
+                    .alias("top_lang_share_micro"),
+                    "dup_docs",
+                    micro(F.col("dup_docs"), F.col("n_docs"))
+                    .alias("dup_frac_micro")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2648,6 +2722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_structure_stats": q_x5_structure_stats,
         "x8_preference_pairs": q_x8_preference_pairs,
         "x7_interleave": q_x7_interleave,
+        "x5_pseudonymize": q_x5_pseudonymize,
+        "x6_equiwidth_hist": q_x6_equiwidth_hist,
+        "x9_dataset_card": q_x9_dataset_card,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3565,6 +3642,80 @@ SELECT doc_id, source, shard,
        CAST(off + r0 % wt AS BIGINT) AS slot,
        CAST((r0 // wt) * wtotal + off + r0 % wt AS BIGINT) AS pos
 FROM r
+""",
+        # Column-keyspaced salted md5 pseudonyms; the groupBy on the
+        # pseudonyms must reproduce the raw distribution exactly.
+        "x5_pseudonymize": """
+WITH p AS (
+  SELECT doc_id,
+         'anon_' || substr(md5('card-v1|source|' || source), 1, 12)
+           AS source,
+         'anon_' || substr(md5('card-v1|lang|' || lang), 1, 12) AS lang
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM p GROUP BY source, lang
+""",
+        # Same literal IEEE op sequence for bucket index and edges;
+        # the bin spine materializes empty bins.
+        "x6_equiwidth_hist": """
+WITH mm AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+  FROM lineitem
+),
+c AS (
+  SELECT least(15, greatest(0, CAST(floor(
+           (l_extendedprice - mm.lo) * 16 / (mm.hi - mm.lo))
+           AS BIGINT))) AS bin,
+         count(*) AS n
+  FROM lineitem, mm
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+spine AS (
+  SELECT g.bin, mm.lo, mm.hi
+  FROM generate_series(0, 15) AS g(bin), mm
+)
+SELECT s.bin,
+       s.lo + CAST(s.bin AS DOUBLE) * (s.hi - s.lo) / 16 AS lo_edge,
+       s.lo + CAST(s.bin + 1 AS DOUBLE) * (s.hi - s.lo) / 16 AS hi_edge,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN c ON c.bin = s.bin
+""",
+        # Exact integer card: micro-units by floor division; top lang
+        # tie-break = max (count, lang) struct, same as the Spark agg.
+        "x9_dataset_card": r"""
+WITH base AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+),
+dupc AS (SELECT h, count(*) AS c FROM base GROUP BY h),
+ps AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+         sum(CASE WHEN dupc.c >= 2 THEN 1 ELSE 0 END) AS dup_docs
+  FROM base JOIN dupc USING (h) GROUP BY source
+),
+sl AS (SELECT source, lang, count(*) AS lc FROM base GROUP BY source, lang),
+lt AS (
+  SELECT source, count(*) AS n_langs,
+         max(struct_pack(c := lc, l := lang)) AS t
+  FROM sl GROUP BY source
+)
+SELECT ps.source,
+       CAST(ps.n_docs AS BIGINT) AS n_docs,
+       CAST(ps.total_tokens AS BIGINT) AS total_tokens,
+       CAST(ps.total_tokens * 1000000 // ps.n_docs AS BIGINT)
+         AS mean_tokens_micro,
+       CAST(lt.n_langs AS BIGINT) AS n_langs,
+       lt.t['l'] AS top_lang,
+       CAST(lt.t['c'] * 1000000 // ps.n_docs AS BIGINT)
+         AS top_lang_share_micro,
+       CAST(ps.dup_docs AS BIGINT) AS dup_docs,
+       CAST(ps.dup_docs * 1000000 // ps.n_docs AS BIGINT)
+         AS dup_frac_micro
+FROM ps JOIN lt ON lt.source = ps.source
 """,
         "x8_span_corrupt": rf"""
 WITH toks AS (

@@ -129,6 +129,8 @@ HEADLINE = [
     "x5_structure_stats",    # line-shape Gopher metrics (r7c)
     "x8_preference_pairs",   # DPO best-vs-worst pairs (r7c)
     "x7_interleave",         # weighted round-robin serving order (r7c)
+    "x6_equiwidth_hist",     # fixed-width histogram, bin spine (r7c)
+    "x9_dataset_card",       # per-source corpus card (r7c)
 ]
 
 

@@ -699,3 +699,77 @@ def quantile_bin_lens(arguments: Mapping[str, Any]) -> Lens:
                 "exact_distinct_limit",
                 QUANTILE_BIN_EXACT_DISTINCT_LIMIT))),
         lambda df: df.drop(out))
+
+
+def equiwidth_hist(df: DataFrame, column: str, *, bins: int = 10,
+                   lo: float | None = None,
+                   hi: float | None = None) -> DataFrame:
+    """Fixed-width histogram — the equi-WIDTH complement of
+    ``quantile_bin``'s equi-depth bins (profiling a score/length
+    distribution wants both: equi-depth for thresholds, equi-width for
+    shape). Returns ALL ``bins`` rows (empty bins count 0) with exact
+    edges: ``(bin, lo_edge, hi_edge, n)``.
+
+    Range comes from ``lo``/``hi`` if given, else ONE 1-row min/max
+    aggregate broadcast back (the quantile_bin thresholds contract —
+    min/max are order-independent selections, so the bounds are
+    bit-identical on any engine/partitioning). Bucket index
+    ``floor((v − lo)·bins / (hi − lo))`` is the same literal IEEE op
+    sequence on both engines (digest contract: identical single ops on
+    identical doubles), clamped to [0, bins−1] so v = hi lands in the
+    last bin; out-of-range values clamp to the edge bins (callers
+    passing explicit bounds get a visible pile-up, not dropped rows).
+    NULLs are excluded.
+
+    Scale shape: optional 1-row agg + ONE map-side-combined groupBy
+    with ≤ ``bins`` groups + a broadcast join against the ≤ ``bins``-
+    row bin spine — nothing anywhere is proportional to the corpus
+    but the scans.
+    """
+    b = int(bins)
+    if b < 1:
+        raise LensError("equiwidth_hist: bins must be >= 1")
+    v = F.col(column).cast("double")
+    spark = df.sparkSession
+    if lo is None or hi is None:
+        mm = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    else:
+        if not float(lo) < float(hi):
+            raise LensError("equiwidth_hist: need lo < hi")
+        mm = spark.range(1).select(F.lit(float(lo)).alias("__lo"),
+                                   F.lit(float(hi)).alias("__hi"))
+    lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    bin_c = F.when(hi_c <= lo_c, F.lit(0).cast("bigint")).otherwise(
+        F.least(F.lit(b - 1).cast("bigint"),
+                F.greatest(F.lit(0).cast("bigint"),
+                           F.floor((v - lo_c) * F.lit(b) / (hi_c - lo_c))
+                           .cast("bigint"))))
+    counts = (df.filter(v.isNotNull())
+              .crossJoin(F.broadcast(mm))
+              .groupBy(bin_c.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    spine = (spark.range(b).select(F.col("id").cast("bigint").alias("bin"))
+             .crossJoin(F.broadcast(mm)))
+    width = hi_c - lo_c
+    return (spine.join(counts, "bin", "left")
+            .select(
+                "bin",
+                (lo_c + F.col("bin").cast("double") * width / F.lit(b))
+                .alias("lo_edge"),
+                (lo_c + (F.col("bin") + 1).cast("double") * width
+                 / F.lit(b)).alias("hi_edge"),
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")))
+
+
+@register_lens("equiwidth_hist")
+def equiwidth_hist_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column, bins (10), lo/hi (optional explicit range)."""
+    column = str(require_arg(arguments, "column", "equiwidth_hist"))
+    lo = arguments.get("lo")
+    hi = arguments.get("hi")
+    return Lens(
+        "equiwidth_hist", arguments,
+        lambda df: equiwidth_hist(
+            df, column, bins=int(arguments.get("bins", 10)),
+            lo=float(lo) if lo is not None else None,
+            hi=float(hi) if hi is not None else None))

@@ -673,6 +673,71 @@ def pii_redact_lens(arguments: Mapping[str, Any]) -> Lens:
                                       counts=counts))
 
 
+def pseudonymize(df: DataFrame, columns: "Sequence[str]", *,
+                 salt: str, length: int = 16,
+                 prefix: str = "") -> DataFrame:
+    """Replace identifier columns with salted stable pseudonyms —
+    the de-identification step a corpus takes before user/session ids
+    may appear in training data or be shared with annotators. Each
+    value maps to ``prefix + substr(md5(salt|column|value), length)``:
+
+    - STABLE: the same value always maps to the same pseudonym, so
+      joins/groupBys on the column keep working (referential
+      consistency) and re-runs are byte-identical;
+    - UNLINKABLE without the salt: the salt never appears in the
+      output, and each column uses its own keyspace (the same user id
+      in two columns yields two different pseudonyms, preventing
+      cross-column linkage);
+    - NOT invertible (the lens refuses ``inverse`` loudly rather than
+      pretending).
+
+    Narrow per-row expressions — zero exchanges at any scale. NULLs
+    stay NULL (a pseudonym for "absent" would invent linkage).
+    """
+    if not 4 <= int(length) <= 32:
+        raise LensError("pseudonymize: length must be in [4, 32]")
+    if not salt:
+        raise LensError("pseudonymize: a non-empty salt is required "
+                        "(an unsalted hash is a dictionary attack away "
+                        "from re-identification)")
+    res = df
+    for c in columns:
+        c = str(c)
+        if c not in df.columns:
+            raise LensError(f"pseudonymize: no column '{c}'")
+        pseudo = F.concat(
+            F.lit(prefix),
+            F.substring(F.md5(F.concat_ws(
+                "|", F.lit(salt), F.lit(c), F.col(c).cast("string"))),
+                1, int(length)))
+        res = res.withColumn(
+            c, F.when(F.col(c).isNotNull(), pseudo))
+    return res
+
+
+@register_lens("pseudonymize")
+def pseudonymize_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: columns (list), salt (required), length (16),
+    prefix (""). Inverse refuses: pseudonymization is one-way."""
+    columns = [str(c) for c in require_arg(arguments, "columns",
+                                           "pseudonymize")]
+    salt = str(require_arg(arguments, "salt", "pseudonymize"))
+
+    def refuse(df: DataFrame) -> DataFrame:
+        raise LensError(
+            "pseudonymize is not invertible: the mapping is a salted "
+            "one-way hash by design (re-identification would defeat "
+            "the de-identification contract)")
+
+    return Lens(
+        "pseudonymize", arguments,
+        lambda df: pseudonymize(
+            df, columns, salt=salt,
+            length=int(arguments.get("length", 16)),
+            prefix=str(arguments.get("prefix", ""))),
+        refuse)
+
+
 def segment_filter(df: DataFrame, id_col: str, text_col: str, *,
                    delimiter: str = "\n", min_tokens: int = 0,
                    max_tokens: int | None = None,

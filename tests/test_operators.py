@@ -2152,3 +2152,78 @@ def test_interleave_rejects_bad_weights(spark):
         interleave(df, "src", ["id"], {"a": -1})
     with pytest.raises(LensError):
         interleave(df, "src", ["id"], {"a": 0}, default_weight=0)
+
+
+def test_pseudonymize_stable_unlinkable_null_safe(spark):
+    import hashlib
+
+    from lens_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [("u1", "u1", "a"), ("u2", "u1", "b"), (None, "u3", "c")],
+        "user string, owner string, payload string")
+    out = pseudonymize(df, ["user", "owner"], salt="s3cr3t").collect()
+    by_payload = {r.payload: r for r in out}
+    # stable: same value, same column -> same pseudonym
+    exp_user_u1 = hashlib.md5(b"s3cr3t|user|u1").hexdigest()[:16]
+    assert by_payload["a"].user == exp_user_u1
+    # unlinkable across columns: same value, different column -> differs
+    assert by_payload["a"].owner != by_payload["a"].user
+    assert by_payload["b"].owner == by_payload["a"].owner  # u1 stable in owner
+    # NULL stays NULL; untouched column intact
+    assert by_payload["c"].user is None and by_payload["c"].payload == "c"
+
+
+def test_pseudonymize_lens_contract(spark):
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame([("u1", 1)], "user string, x long")
+    spec = {"lenses": [{"name": "pseudonymize", "arguments": {
+        "columns": ["user"], "salt": "k", "prefix": "anon_", "length": 8}}]}
+    r = engine.append(df, spec).collect()[0]
+    assert r.user.startswith("anon_") and len(r.user) == 13
+    with pytest.raises(LensError):            # one-way: inverse refuses
+        engine.inverse(engine.append(df, spec), spec).collect()
+    with pytest.raises(LensError):            # unsalted hash refused
+        pseudonymize(df, ["user"], salt="")
+    with pytest.raises(LensError):
+        pseudonymize(df, ["nope"], salt="k")
+
+
+def test_equiwidth_hist_matches_python_reference(spark):
+    from lens_spark.operators.relational import equiwidth_hist
+
+    vals = [float(x) for x in (0, 1, 2, 3, 5, 8, 13, 21, 34, 55, 100)]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)],
+                               "v double")
+    out = {r.bin: r for r in equiwidth_hist(df, "v", bins=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    lo, hi = 0.0, 100.0
+    import collections
+    ref = collections.Counter(
+        min(4, int((v - lo) * 5 / (hi - lo))) for v in vals)
+    for b in range(5):
+        assert out[b].n == ref.get(b, 0), b
+        assert out[b].lo_edge == lo + b * (hi - lo) / 5
+        assert out[b].hi_edge == lo + (b + 1) * (hi - lo) / 5
+    # hi value lands in the LAST bin (clamp), all 12-1 nulls excluded
+    assert sum(r.n for r in out.values()) == len(vals)
+
+
+def test_equiwidth_hist_explicit_range_clamps(spark):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.relational import equiwidth_hist
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (99.0,)], "v double")
+    out = {r.bin: r.n for r in
+           equiwidth_hist(df, "v", bins=2, lo=0.0, hi=2.0).collect()}
+    assert out == {0: 2, 1: 2}          # -5 clamps to bin 0, 99 to bin 1
+    with pytest.raises(LensError):
+        equiwidth_hist(df, "v", bins=2, lo=2.0, hi=2.0)
+    # degenerate data range (all equal, auto bounds): everything bin 0
+    same = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    rows = {r.bin: r.n for r in equiwidth_hist(same, "v", bins=3).collect()}
+    assert rows == {0: 2, 1: 0, 2: 0}
