@@ -1460,14 +1460,26 @@ def mask_tokens(df: DataFrame, id_col: str, text_col: str, *,
         return (h.cast("double") / F.lit(float(1 << 32))) \
             < F.lit(float(rate))
 
-    pair = let_(
-        _tok(F.col(text_col), lowercase=False),
-        lambda w: F.struct(
-            F.array_join(
-                F.transform(w, lambda x, i: F.when(sel(i), F.lit(sentinel))
-                            .otherwise(x)), " ").alias("m"),
-            F.filter(F.transform(w, lambda x, i: F.when(sel(i), x)),
-                     lambda x: x.isNotNull()).alias("l")))
+    # The selection array is let_-bound so each position hashes ONCE —
+    # referencing sel(i) from both output transforms embedded (and
+    # evaluated) the md5 subtree twice per token (the span_corrupt
+    # lesson: Catalyst has no CSE across an expression tree).
+    def build(w):
+        sels = F.transform(w, lambda x, i: sel(i))
+
+        def body(m):
+            picked = lambda i: F.element_at(m, (i + 1).cast("int"))  # noqa: E731
+            return F.struct(
+                F.array_join(
+                    F.transform(w, lambda x, i: F.when(picked(i),
+                                                       F.lit(sentinel))
+                                .otherwise(x)), " ").alias("m"),
+                F.filter(F.transform(w, lambda x, i: F.when(picked(i), x)),
+                         lambda x: x.isNotNull()).alias("l"))
+
+        return let_(sels, body)
+
+    pair = let_(_tok(F.col(text_col), lowercase=False), build)
     return (df.withColumn("__mt", pair)
             .withColumn(out, F.col("__mt.m"))
             .withColumn(labels_out, F.col("__mt.l"))
