@@ -2549,6 +2549,18 @@ def q_x9_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dup_frac_micro")))
 
 
+def q_x2_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram containment matrix (new r7c): every source
+    graded against every other — the corpus-level contamination heat
+    map. Distinct grams move as 8-byte hashes; the self-join fan-out
+    is bounded by #sources per gram; #sources² result rows with exact
+    micro-fraction containment."""
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    spec = {"lenses": [{"name": "overlap_matrix", "arguments": {
+        "group": "source", "column": "text", "ngram": 3}}]}
+    return engine.append(docs, spec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2725,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pseudonymize": q_x5_pseudonymize,
         "x6_equiwidth_hist": q_x6_equiwidth_hist,
         "x9_dataset_card": q_x9_dataset_card,
+        "x2_overlap_matrix": q_x2_overlap_matrix,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3681,6 +3694,34 @@ SELECT s.bin,
        s.lo + CAST(s.bin + 1 AS DOUBLE) * (s.hi - s.lo) / 16 AS hi_edge,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM spine s LEFT JOIN c ON c.bin = s.bin
+""",
+        # Distinct 3-gram posting lists self-joined on the gram; the
+        # Spark side joins on xxhash64(gram), the oracle on the gram
+        # string — equivalent sets, exact integer containment.
+        "x2_overlap_matrix": r"""
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source AS src,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+  FROM toks
+),
+sizes AS (SELECT src, count(*) AS ngrams_a FROM g GROUP BY src),
+sh AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram
+  GROUP BY 1, 2
+)
+SELECT sh.src_a, sh.src_b,
+       CAST(s.ngrams_a AS BIGINT) AS ngrams_a,
+       CAST(sh.shared AS BIGINT) AS shared,
+       CAST(sh.shared * 1000000 // s.ngrams_a AS BIGINT)
+         AS containment_micro
+FROM sh JOIN sizes s ON s.src = sh.src_a
 """,
         # Exact integer card: micro-units by floor division; top lang
         # tie-break = max (count, lang) struct, same as the Spark agg.

@@ -131,6 +131,7 @@ HEADLINE = [
     "x7_interleave",         # weighted round-robin serving order (r7c)
     "x6_equiwidth_hist",     # fixed-width histogram, bin spine (r7c)
     "x9_dataset_card",       # per-source corpus card (r7c)
+    "x2_overlap_matrix",     # cross-source containment matrix (r7c)
 ]
 
 

@@ -2522,6 +2522,57 @@ def contamination_score_lens(arguments: Mapping[str, Any]) -> Lens:
                 lambda df: df.drop(out))
 
 
+def overlap_matrix(df: DataFrame, group_col: str, text_col: str, *,
+                   ngram: int = 3, shingle: str = "word") -> DataFrame:
+    """Cross-source n-gram containment matrix — the corpus-level
+    contamination heat map (``contamination_score`` grades one doc
+    against one benchmark; this grades every source against every
+    other): row (a, b) reports |distinct grams of a ∩ b| / |distinct
+    grams of a| as an exact micro-fraction. Diagonal rows are the
+    1.0 sanity anchor; an off-diagonal spike says source a is largely
+    contained in source b (a mirror, a re-crawl, a leaked benchmark).
+
+    Scale shape: one explode → DISTINCT (group, xxhash64(gram)) —
+    grams move as 8-byte hashes, never strings; ONE self-equi-join on
+    the gram hash whose fan-out per gram is bounded by #groups (a
+    config-scale domain, the strata contract — never corpus-scale);
+    then a partial-aggregated groupBy to #groups² result rows.
+    Nothing is all-pairs over rows — only over the bounded group set.
+    """
+    if int(ngram) < 1:
+        raise LensError("overlap_matrix: ngram must be >= 1")
+    grams = (df.select(F.col(group_col).cast("string").alias("src_a"),
+                       F.explode(_shingles(text_col, int(ngram),
+                                           str(shingle))).alias("__g"))
+             .select("src_a", F.xxhash64(F.col("__g")).alias("__gh"))
+             .distinct())
+    sizes = grams.groupBy("src_a").agg(
+        F.count(F.lit(1)).alias("ngrams_a"))
+    shared = (grams.join(grams.select(F.col("src_a").alias("src_b"),
+                                      F.col("__gh")), "__gh")
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared.join(sizes, "src_a")
+            .select("src_a", "src_b", "ngrams_a", "shared",
+                    F.floor(F.col("shared").cast("decimal(38,0)") * 1000000
+                            / F.col("ngrams_a")).cast("bigint")
+                    .alias("containment_micro")))
+
+
+@register_lens("overlap_matrix")
+def overlap_matrix_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: group (source column), column (text), ngram (3),
+    shingle ("word")."""
+    group = str(require_arg(arguments, "group", "overlap_matrix"))
+    text_col = str(require_arg(arguments, "column", "overlap_matrix"))
+    return Lens(
+        "overlap_matrix", arguments,
+        lambda df: overlap_matrix(
+            df, group, text_col,
+            ngram=int(arguments.get("ngram", 3)),
+            shingle=str(arguments.get("shingle", "word"))))
+
+
 @register_lens("decontaminate")
 def decontaminate_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: benchmark (path to parquet/json of benchmark texts),

@@ -2227,3 +2227,45 @@ def test_equiwidth_hist_explicit_range_clamps(spark):
     same = spark.createDataFrame([(7.0,), (7.0,)], "v double")
     rows = {r.bin: r.n for r in equiwidth_hist(same, "v", bins=3).collect()}
     assert rows == {0: 2, 1: 0, 2: 0}
+
+
+def test_overlap_matrix_containment_semantics(spark):
+    """Diagonal = 1.0; asymmetric containment (a ⊂ b gives a→b = 1,
+    b→a < 1); disjoint sources share only what they share — all vs a
+    plain-python distinct-3-gram reference."""
+    from lens_spark.operators.dedup import overlap_matrix
+
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon"),
+        (2, "b", "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "c", "one two three four five six"),
+        (4, "c", "one two three seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    out = {(r.src_a, r.src_b): r for r in
+           overlap_matrix(df, "src", "text", ngram=3).collect()}
+
+    def grams(texts):
+        s = set()
+        for t in texts:
+            w = t.split()
+            s |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return s
+
+    by_src = {}
+    for _, src, text in [(r[0], r[1], r[2]) for r in rows]:
+        by_src.setdefault(src, []).append(text)
+    gs = {s: grams(ts) for s, ts in by_src.items()}
+    for a in gs:
+        for b in gs:
+            shared = len(gs[a] & gs[b])
+            if shared == 0:
+                assert (a, b) not in out
+                continue
+            r = out[(a, b)]
+            assert r.ngrams_a == len(gs[a])
+            assert r.shared == shared
+            assert r.containment_micro == shared * 1000000 // len(gs[a])
+    assert out[("a", "a")].containment_micro == 1000000
+    assert out[("a", "b")].containment_micro == 1000000  # a ⊂ b
+    assert out[("b", "a")].containment_micro < 1000000
