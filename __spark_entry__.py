@@ -2724,6 +2724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_concat_blocks": q_x8_concat_blocks,
         "x8_fim": q_x8_fim,
         "x8_length_batches": q_x8_length_batches,
+        # --- round-8 rotation cohort: every query from here to the
+        # rows-only marker is an r7 newcomer with NO external
+        # CORRECTNESS row yet (oracle-compared locally by the tail
+        # test each run). Rotate them into the 50-slot window in r8,
+        # evicting ≥3-round-green slots with in-window family cover
+        # (the r6→r7 rotation recipe).
         "x8_span_corrupt": q_x8_span_corrupt,
         "x9_snapshot_diff": q_x9_snapshot_diff,
         "x2_cluster_stats": q_x2_cluster_stats,

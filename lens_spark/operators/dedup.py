@@ -2541,7 +2541,8 @@ def overlap_matrix(df: DataFrame, group_col: str, text_col: str, *,
     """
     if int(ngram) < 1:
         raise LensError("overlap_matrix: ngram must be >= 1")
-    grams = (df.select(F.col(group_col).cast("string").alias("src_a"),
+    grams = (ensure_parallelism(df)
+             .select(F.col(group_col).cast("string").alias("src_a"),
                        F.explode(_shingles(text_col, int(ngram),
                                            str(shingle))).alias("__g"))
              .select("src_a", F.xxhash64(F.col("__g")).alias("__gh"))
