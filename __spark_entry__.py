@@ -2561,6 +2561,28 @@ def q_x2_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x7_realize_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture (new r7c): epoch_plan's integer plan is
+    broadcast back and every doc explodes into div-1000 copies plus an
+    md5-exact fractional draw (h·1000 < frac·2^32 — bigint products,
+    never a float threshold). Output is the per-source realized
+    histogram: docs kept, copies served, max epoch index — the audit
+    a mixture export ships."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    spec = {"lenses": [{"name": "realize_epochs", "arguments": {
+        "strata": "source", "keys": ["doc_id"],
+        "total_budget_tokens": 100000,
+        "weights": {"src0": 5, "src1": 3, "src2": 0, "src3": 200},
+        "default_weight": 1, "max_epochs_milli": 4000,
+        "column": "text"}}]}
+    out = engine.append(docs, spec)
+    return (out.groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.max("epoch_idx").alias("max_epoch")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2744,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_equiwidth_hist": q_x6_equiwidth_hist,
         "x9_dataset_card": q_x9_dataset_card,
         "x2_overlap_matrix": q_x2_overlap_matrix,
+        "x7_realize_epochs": q_x7_realize_epochs,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3700,6 +3723,50 @@ SELECT s.bin,
        s.lo + CAST(s.bin + 1 AS DOUBLE) * (s.hi - s.lo) / 16 AS hi_edge,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM spine s LEFT JOIN c ON c.bin = s.bin
+""",
+        # The x7_epoch_plan integer plan + the md5-exact fractional
+        # draw (h*1000 < frac*2^32, pure bigint) + generate_series
+        # explode, then the per-source realized histogram.
+        "x7_realize_epochs": r"""
+WITH nt AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> ''))) AS avail
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, avail,
+         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 0 WHEN 'src3' THEN 200
+                     ELSE 1 END AS wt
+  FROM nt
+),
+tot AS (SELECT sum(wt) AS wsum FROM w),
+e AS (
+  SELECT source,
+         least(CASE WHEN avail > 0
+                    THEN (((100000 * wt) // wsum) * 1000) // avail
+                    ELSE 0 END, 4000) AS em
+  FROM w, tot
+),
+n AS (
+  SELECT d.doc_id, d.source,
+         e.em // 1000
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                     1, 8))::UBIGINT * 1000
+                     < (e.em % 1000) * 4294967296 THEN 1 ELSE 0 END AS nc
+  FROM documents d JOIN e ON e.source = d.source
+),
+x AS (
+  SELECT doc_id, source,
+         unnest(range(1, CAST(nc AS BIGINT) + 1)) AS epoch_idx
+  FROM n WHERE nc > 0
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(max(epoch_idx) AS BIGINT) AS max_epoch
+FROM x GROUP BY source
 """,
         # Distinct 3-gram posting lists self-joined on the gram; the
         # Spark side joins on xxhash64(gram), the oracle on the gram

@@ -132,6 +132,7 @@ HEADLINE = [
     "x6_equiwidth_hist",     # fixed-width histogram, bin spine (r7c)
     "x9_dataset_card",       # per-source corpus card (r7c)
     "x2_overlap_matrix",     # cross-source containment matrix (r7c)
+    "x7_realize_epochs",     # materialized mixture histogram (r7c)
 ]
 
 

@@ -667,3 +667,78 @@ def interleave_lens(arguments: Mapping[str, Any]) -> Lens:
             default_weight=int(arguments.get("default_weight", 1)),
             num_shards=int(arguments.get("num_shards", 64)),
             salt=str(arguments.get("salt", ""))))
+
+
+def realize_epochs(df: DataFrame, strata_col: str, key_cols: list[str], *,
+                   total_budget_tokens: int,
+                   weights: Mapping[str, int] | None = None,
+                   default_weight: int = 1,
+                   max_epochs_milli: int = 4000,
+                   token_count_col: str | None = None,
+                   text_col: str | None = None,
+                   out: str = "epoch_idx", salt: str = "") -> DataFrame:
+    """Materialize an :func:`epoch_plan`: every row appears
+    ``epochs_milli div 1000`` times plus once more for a
+    deterministic md5-chosen ``(epochs_milli mod 1000)/1000`` fraction
+    of its stratum — the realized training mixture whose expected
+    token count per stratum equals the plan's ``served_tokens``.
+
+    Unlike ``oversample`` (caller-supplied float weights), the
+    fractional membership here is EXACT INTEGER arithmetic end to end:
+    with h = the 32-bit md5 prefix of (salt|keys), the extra copy
+    fires iff ``h·1000 < frac_milli·2^32`` — bigint products only, so
+    the materialized set is hash-stable across engines (the digest
+    contract; a float threshold could flip a row on a rounding edge).
+
+    Scale shape: the plan is a #strata-row aggregate broadcast-joined
+    back (config-scale, the kmeans-centroid contract); the replication
+    is a narrow explode of a ≤⌈epochs⌉-element sequence. ``out``
+    numbers the copies 1..n so downstream keys stay unique.
+    """
+    plan = epoch_plan(df, strata_col,
+                      total_budget_tokens=total_budget_tokens,
+                      weights=weights, default_weight=default_weight,
+                      max_epochs_milli=max_epochs_milli,
+                      token_count_col=token_count_col, text_col=text_col)
+    pl = plan.select(F.col(strata_col).alias("__rp_s"),
+                     F.col("epochs_milli").alias("__rp_em"))
+    h = F.conv(_hash_prefix(key_cols, salt), 16, 10).cast("bigint")
+    joined = df.join(F.broadcast(pl),
+                     df[strata_col].cast("string") == F.col("__rp_s"))
+    n = (F.floor(F.col("__rp_em") / 1000).cast("bigint")
+         + F.when(h * F.lit(1000)
+                  < (F.col("__rp_em") % 1000) * F.lit(1 << 32), 1)
+         .otherwise(0))
+    return (joined.withColumn("__rp_n", n)
+            .filter(F.col("__rp_n") > 0)
+            .withColumn(out, F.explode(F.sequence(F.lit(1),
+                                                  F.col("__rp_n"))))
+            .drop("__rp_s", "__rp_em", "__rp_n"))
+
+
+@register_lens("realize_epochs")
+def realize_epochs_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: strata, keys (list[str]), total_budget_tokens,
+    weights ({stratum: int}), default_weight (1), max_epochs_milli
+    (4000), column (text) or token_count (count col), out
+    ("epoch_idx"), salt (""). Inverse keeps copy 1 and drops the
+    index column."""
+    strata = str(require_arg(arguments, "strata", "realize_epochs"))
+    keys = [str(c) for c in require_arg(arguments, "keys",
+                                        "realize_epochs")]
+    budget = int(require_arg(arguments, "total_budget_tokens",
+                             "realize_epochs"))
+    weights = {str(k): int(v) for k, v in
+               dict(arguments.get("weights", {})).items()}
+    out = str(arguments.get("out", "epoch_idx"))
+    return Lens(
+        "realize_epochs", arguments,
+        lambda df: realize_epochs(
+            df, strata, keys, total_budget_tokens=budget, weights=weights,
+            default_weight=int(arguments.get("default_weight", 1)),
+            max_epochs_milli=int(arguments.get("max_epochs_milli", 4000)),
+            token_count_col=arguments.get("token_count"),
+            text_col=arguments.get("column"),
+            out=out, salt=str(arguments.get("salt", ""))),
+        lambda df: df.filter(F.col(out) == 1).drop(out),
+    )

@@ -2269,3 +2269,59 @@ def test_overlap_matrix_containment_semantics(spark):
     assert out[("a", "a")].containment_micro == 1000000
     assert out[("a", "b")].containment_micro == 1000000  # a ⊂ b
     assert out[("b", "a")].containment_micro < 1000000
+
+
+def test_realize_epochs_matches_integer_reference(spark):
+    """Copies per row = em div 1000 + md5-exact fractional draw; the
+    realized multiset matches a plain-python reference with the same
+    integer plan arithmetic, and served tokens ≈ plan target."""
+    import hashlib
+
+    from lens_spark.operators.sampling import realize_epochs
+
+    rows = []
+    sizes = {"big": 50, "mid": 20, "tiny": 2}
+    for src, n in sizes.items():
+        for i in range(n):
+            rows.append((f"{src}-{i}", src, "tok " * 10))
+    df = spark.createDataFrame(rows, "id string, source string, text string")
+    weights = {"big": 3, "tiny": 50}
+    out = realize_epochs(
+        df, "source", ["id"], total_budget_tokens=4000, weights=weights,
+        default_weight=1, max_epochs_milli=4000, text_col="text").collect()
+
+    # python reference: same plan, same md5 rule
+    wsum = 3 + 50 + 1
+    em = {}
+    for src, n in sizes.items():
+        avail = n * 10
+        target = 4000 * weights.get(src, 1) // wsum
+        em[src] = min(target * 1000 // avail, 4000)
+    expected = {}
+    for rid, src, _ in rows:
+        h = int(hashlib.md5(rid.encode()).hexdigest()[:8], 16)
+        n = em[src] // 1000 + (1 if h * 1000 < (em[src] % 1000) << 32 else 0)
+        if n > 0:
+            expected[rid] = n
+    got = {}
+    for r in out:
+        got[r.id] = max(got.get(r.id, 0), r.epoch_idx)
+    assert got == expected
+    # every copy index 1..n present exactly once
+    from collections import Counter
+    c = Counter((r.id, r.epoch_idx) for r in out)
+    assert all(v == 1 for v in c.values())
+
+
+def test_realize_epochs_lens_inverse_keeps_first_copy(spark):
+    from lens_spark import engine
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "a", "t t t") for i in range(10)],
+        "id string, source string, text string")
+    spec = {"lenses": [{"name": "realize_epochs", "arguments": {
+        "strata": "source", "keys": ["id"], "total_budget_tokens": 90,
+        "column": "text"}}]}
+    fwd = engine.append(df, spec)
+    back = engine.inverse(fwd, spec)
+    assert back.count() <= 10 and "epoch_idx" not in back.columns
