@@ -2325,3 +2325,46 @@ def test_realize_epochs_lens_inverse_keeps_first_copy(spark):
     fwd = engine.append(df, spec)
     back = engine.inverse(fwd, spec)
     assert back.count() <= 10 and "epoch_idx" not in back.columns
+
+
+def test_chat_render_astral_plane_offsets(spark):
+    """Span offsets must count CODE POINTS the way python slicing
+    does — emoji (astral plane, 2 UTF-16 units) and CJK both count 1.
+    Guards against a UTF-16-unit length regression breaking every
+    downstream loss mask."""
+    from lens_spark.operators.chat import chat_render
+
+    msgs = [("user", "look 👀 here"), ("assistant", "emoji 🎉🎉 reply"),
+            ("assistant", "中文 and 𝕌𝕟𝕚 text")]
+    df = spark.createDataFrame(
+        [(1, msgs)],
+        "doc_id long, messages array<struct<role:string,content:string>>")
+    r = chat_render(df, "messages").collect()[0]
+    asst = [c for role, c in msgs if role == "assistant"]
+    assert [r.rendered[s.s:s.e] for s in r.loss_spans] == asst
+
+
+def test_ks_drift_empty_side_yields_null_stat(spark):
+    from lens_spark.operators.evaluation import ks_drift
+
+    dfa = spark.createDataFrame([(1, "g", 5)], "id long, g string, v long")
+    dfb = spark.createDataFrame([], "id long, g string, v long")
+    r = ks_drift(dfa, dfb, "v", by="g").collect()[0]
+    assert r.n_a == 1 and r.n_b == 0 and r.d_microunits is None
+
+
+def test_interleave_single_stratum_is_identity_schedule(spark):
+    from lens_spark.operators.sampling import interleave
+
+    df = spark.createDataFrame([(i, "only") for i in range(20)],
+                               "id long, src string")
+    out = interleave(df, "src", ["id"], {}, default_weight=2,
+                     num_shards=2).collect()
+    # W == w == 2, offset 0: pos == rank-1 within each shard
+    for r in out:
+        assert r.pos == r.block * 2 + r.slot and r.slot in (0, 1)
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
