@@ -247,3 +247,48 @@ def test_semdedup_pairs_stay_grouped_no_quadratic_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # kernel stage
+
+
+def test_ks_drift_window_runs_over_histogram_not_corpus(spark):
+    """The cumulative window's input must be the (group, value)
+    HISTOGRAM aggregate — a window directly over the unioned corpora
+    would sort every row instead of every distinct value."""
+    from lens_spark.operators.evaluation import ks_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ks_drift(docs.filter("doc_id % 2 = 0"),
+                   docs.filter("doc_id % 2 = 1"), "n_chars", by="lang")
+    plan = _plan(out)
+    # the Window consumes HashAggregate output (cum sums over ca/cb
+    # histogram counts), so an aggregate appears below the first Window
+    win_pos = plan.find("Window")
+    assert win_pos > 0
+    assert "HashAggregate" in plan[win_pos:], \
+        "no aggregate feeding the KS window"
+    # and the histogram agg is partial (map-side combined)
+    assert "partial_sum" in plan
+
+
+def test_overlap_matrix_joins_on_hash_never_nested_loop(spark):
+    """Posting-list self-join must be an equi-join on the 8-byte gram
+    hash — no cartesian/nested-loop, no gram STRINGS in the join."""
+    from lens_spark.operators.dedup import overlap_matrix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(overlap_matrix(docs, "source", "text", ngram=3))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "xxhash64" in plan  # grams cross exchanges as hashes
+
+
+def test_realize_epochs_plan_broadcasts_plan_and_stays_narrow(spark):
+    """The #strata plan side must broadcast; the replication is an
+    explode (Generate), not a shuffle."""
+    from lens_spark.operators.sampling import realize_epochs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = realize_epochs(docs, "source", ["doc_id"],
+                         total_budget_tokens=10000, text_col="text")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
