@@ -2843,6 +2843,14 @@ _TOKENS_SQL_INNER = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t
 #   x9_outlier_filter — stddev used only as a filter threshold against
 #     integer n_chars; gap between any row and the float threshold is
 #     macroscopic.
+#   x6_equiwidth_hist edges & bucket index (r7c) — lo/hi are MIN/MAX
+#     selections (order-independent, bit-identical), and both the
+#     bucket floor((v−lo)·B/(hi−lo)) and the edge lo + bin·(hi−lo)/B
+#     are the SAME literal single-op chain in Spark and the oracle:
+#     correctly-rounded IEEE ops on identical inputs are bit-identical,
+#     so the floor/edge doubles hash equal. (Every other r7b/r7c digest
+#     — chat spans, epoch plans, KS, interleave, pseudonyms, card,
+#     overlap, realized epochs — is md5/integer arithmetic end to end.)
 #
 # RESIDUAL (accepted, sub-1e-8/row): transcendental ulp differences
 # (JVM Math.log vs libm) feeding an integer-round digest can flip only
