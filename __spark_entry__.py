@@ -2583,6 +2583,23 @@ def q_x7_realize_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("epoch_idx").alias("max_epoch")))
 
 
+def q_x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction + encoding (new r7c, rows-only): 16
+    merges learned from the corpus's word-frequency table (argmax by
+    (count, pair) — deterministic), then per-doc subword encoding in
+    one Arrow-batched UDF. k-iteration argmax-then-rewrite is not one
+    SQL statement, so no oracle; exact-match pytest vs a pure-python
+    BPE reference (test_bpe_fit_matches_python_reference) pins both
+    trainer and encoder."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "bpe_tokenize", "arguments": {
+        "column": "text", "num_merges": 16}}]}
+    out = engine.append(docs, spec)
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2787,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_windowed": q_streaming_events_windowed,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "x6_freq_items": q_x6_freq_items,
+        "x5_bpe_tokenize": q_x5_bpe_tokenize,
     }
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "x9_dataset_card",       # per-source corpus card (r7c)
     "x2_overlap_matrix",     # cross-source containment matrix (r7c)
     "x7_realize_epochs",     # materialized mixture histogram (r7c)
+    "x5_bpe_tokenize",       # BPE induction + subword encode (r7c)
 ]
 
 

@@ -38,6 +38,7 @@ from lens_spark.operators import clustering as _clustering  # noqa: F401
 from lens_spark.operators import selection as _selection  # noqa: F401
 from lens_spark.operators import evaluation as _evaluation  # noqa: F401
 from lens_spark.operators import chat as _chat  # noqa: F401
+from lens_spark.operators import bpe as _bpe  # noqa: F401
 
 __all__ = [
     "Lens",

@@ -2368,3 +2368,95 @@ def test_interleave_single_stratum_is_identity_schedule(spark):
         per_shard.setdefault(r.shard, []).append(r.pos)
     for poss in per_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def _bpe_reference_fit(word_counts, num_merges, min_count=2):
+    """Pure-python BPE trainer twin: word-freq symbols, argmax by
+    (count desc, left asc, right asc), greedy left-to-right merge."""
+    from lens_spark.operators.bpe import EOW
+
+    syms = {w: list(w) + [EOW] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, s in syms.items():
+            c = word_counts[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (l, r), _ = best
+        merges.append((l, r))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_fit_matches_python_reference(spark):
+    from collections import Counter
+
+    from lens_spark.operators.bpe import bpe_fit
+
+    texts = ["low lower lowest", "low low newer newest", "wider new low",
+             "newer newest wider low lower"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wc = Counter(w for t in texts for w in t.lower().split())
+    ref = _bpe_reference_fit(wc, 20)
+    got = bpe_fit(df, "text", num_merges=20)
+    assert got == ref and len(got) > 5
+    # determinism across runs/partitionings
+    assert bpe_fit(df.repartition(7), "text", num_merges=20) == ref
+
+
+def test_bpe_tokenize_roundtrips_and_counts(spark):
+    from lens_spark.operators.bpe import EOW, bpe_tokenize
+
+    texts = ["low lower lowest", "low low newer newest", "wider new low",
+             "newer newest wider low lower"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_tokenize(df, "text",
+                                             num_merges=20).collect()}
+    for i, t in enumerate(texts):
+        toks = out[i].bpe_tokens
+        # concatenating tokens reproduces the words exactly
+        assert "".join(toks) == "".join(w + EOW for w in t.lower().split())
+        assert out[i].n_bpe_tokens == len(toks)
+        # a frequent word must have become a single token
+    whole_low = [x for r in out.values() for x in r.bpe_tokens
+                 if x == "low" + EOW]
+    assert whole_low, "frequent word 'low' never merged to one token"
+
+
+def test_bpe_tokenize_lens_inverse(spark):
+    from lens_spark import engine
+
+    df = spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string")
+    spec = {"lenses": [{"name": "bpe_tokenize", "arguments": {
+        "column": "text", "num_merges": 5, "min_count": 1}}]}
+    fwd = engine.append(df, spec)
+    assert {"bpe_tokens", "n_bpe_tokens"} <= set(fwd.columns)
+    back = engine.inverse(fwd, spec)
+    assert set(back.columns) == {"doc_id", "text"}
+
+
+def test_bpe_distributed_path_equals_driver_path(spark):
+    """Force the distributed merge loop (driver_fit_limit=0) and
+    assert it learns the IDENTICAL merge table as the driver-side
+    path — the two engines may never drift."""
+    from lens_spark.operators.bpe import bpe_fit
+
+    texts = ["low lower lowest", "low low newer newest", "wider new low"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    local = bpe_fit(df, "text", num_merges=12)
+    dist = bpe_fit(df, "text", num_merges=12, driver_fit_limit=0)
+    assert dist == local and len(local) > 3
