@@ -2600,6 +2600,34 @@ def q_x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"))
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch KS drift monitoring (new r7c, rows-only): the
+    documents table replayed as two micro-batch files (halves by
+    doc_id) monitored against the %3 reference slice — each batch row
+    is EXACTLY batch ks_drift(batch, reference) (integer-exact KS,
+    pinned by test_streaming). Batch ids normalized out: output keyed
+    by the deterministic n_a so the result is replay-order stable."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.streaming import read_file_stream, run_stream_drift
+
+    src = f"{sf_dir}/documents.parquet"
+    pdf = pd.read_parquet(src, columns=["doc_id", "lang", "n_chars"])
+    staged = tempfile.mkdtemp(prefix="lens_spark_drift_src_")
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(os.path.join(staged, "b1.parquet"))
+    pdf.iloc[n // 2:].to_parquet(os.path.join(staged, "b2.parquet"))
+    ref = _read(spark, sf_dir, "documents").filter("doc_id % 3 = 0") \
+        .select("lang", "n_chars")
+    stream = read_file_stream(spark, staged, schema_from=src,
+                              maxFilesPerTrigger=1)
+    out = run_stream_drift(stream.select("lang", "n_chars"), ref,
+                           "n_chars", by="lang")
+    return out.select("grp", "n_a", "n_b", "d_num", "d_microunits")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2805,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "x6_freq_items": q_x6_freq_items,
         "x5_bpe_tokenize": q_x5_bpe_tokenize,
+        "streaming_drift": q_streaming_drift,
     }
 
 

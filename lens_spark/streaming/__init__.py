@@ -542,3 +542,58 @@ def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
     gram_hashes = F.transform(_shingles(text_col, ngram, shingle),
                               lambda g: F.xxhash64(g))
     return stream_df.filter(~contaminated(gram_hashes))
+
+
+def run_stream_drift(stream_df: DataFrame, reference: DataFrame,
+                     value_col: str, *, by: str | None = None,
+                     checkpoint: str | None = None,
+                     timeout: int = 120) -> DataFrame:
+    """Distribution-drift monitoring AT INGEST: every micro-batch is
+    compared against the static ``reference`` corpus with the exact
+    two-sample KS machinery of ``operators.evaluation.ks_drift`` and
+    the per-batch statistics are accumulated — the alarm wire a
+    pipeline attaches to its intake ("this crawl's length distribution
+    moved").
+
+    Returns a BATCH DataFrame ``(batch_id, grp, n_a, n_b, d_num,
+    d_microunits)`` after draining the source with availableNow (the
+    runner contract of the other streaming queries). Each batch's row
+    is EXACTLY what batch ``ks_drift(batch, reference)`` computes —
+    asserted by test_streaming — so the monitor inherits the digest
+    contract: integer KS numerators, no float fold anywhere.
+
+    Scale shape: per batch, both sides collapse to distinct-value
+    histograms (bounded by the value domain, never the batch/corpus);
+    the accumulated output is #batches × #groups rows of scalars —
+    driver model-state grade. The reference frame is re-used across
+    batches unchanged (cache it for many-batch runs).
+    """
+    import tempfile as _tf
+
+    from lens_spark.operators.evaluation import ks_drift
+
+    spark = stream_df.sparkSession
+    acc: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = ks_drift(batch_df, reference, value_col, by=by).collect()
+        for r in rows:
+            acc.append((int(batch_id), r["group"], r["n_a"], r["n_b"],
+                        r["d_num"], r["d_microunits"]))
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or _tf.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError("run_stream_drift: availableNow run exceeded "
+                           f"{timeout}s before draining the source")
+    return spark.createDataFrame(
+        acc, "batch_id long, grp string, n_a bigint, n_b bigint, "
+             "d_num bigint, d_microunits bigint")

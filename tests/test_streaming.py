@@ -611,3 +611,50 @@ def test_stream_to_snapshots_restart_does_not_duplicate(spark, events_dir,
         stream_to_snapshots(stream, out_dir, checkpoint=ckpt)
     expect = read_ns_timestamps(spark, EVENTS).count()
     assert snapshot_read(spark, out_dir).count() == expect
+
+
+def test_run_stream_drift_matches_batch_ks_per_microbatch(spark, tmp_path):
+    """Each micro-batch's monitored statistic must EQUAL batch
+    ks_drift(batch, reference) — the monitor is the batch operator on
+    the wire, inheriting its integer-exact digest contract. Two files
+    drained with maxFilesPerTrigger=1 → two batch rows per group."""
+    import pandas as pd
+
+    from lens_spark.operators.evaluation import ks_drift
+    from lens_spark.streaming import read_file_stream, run_stream_drift
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["x"] * 4 + ["y"] * 3,
+                       "v": [1, 2, 3, 4, 10, 11, 12]})
+    b2 = pd.DataFrame({"g": ["x"] * 3, "v": [100, 101, 102]})
+    b1.to_parquet(src / "f1.parquet")
+    b2.to_parquet(src / "f2.parquet")
+    ref = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 5 + ["y"] * 2,
+                      "v": [1, 2, 3, 4, 5, 10, 11]}))
+
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    out = run_stream_drift(stream, ref, "v", by="g",
+                           checkpoint=str(tmp_path / "ck"))
+    got = {(r.batch_id, r.grp): (r.n_a, r.n_b, r.d_num, r.d_microunits)
+           for r in out.collect()}
+    # batches may arrive in either order; match each file to a batch id
+    batches = {}
+    for bid in {k[0] for k in got}:
+        na_x = got[(bid, "x")][0]
+        batches[bid] = b1 if na_x == 4 else b2
+    assert len(batches) == 2
+    for bid, pdf in batches.items():
+        bdf = spark.createDataFrame(pdf)
+        exp = {r.group: (r.n_a, r.n_b, r.d_num, r.d_microunits)
+               for r in ks_drift(bdf, ref, "v", by="g").collect()}
+        for g, vals in exp.items():
+            assert got[(bid, g)] == vals, (bid, g)
+    # identical distribution -> near-zero drift for batch 1 group x
+    b1_id = next(b for b, p in batches.items() if p is b1)
+    assert got[(b1_id, "x")][3] < 250000      # D < 0.25
+    b2_id = next(b for b, p in batches.items() if p is b2)
+    assert got[(b2_id, "x")][3] == 1000000    # disjoint support: D = 1
