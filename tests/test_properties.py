@@ -552,3 +552,85 @@ def test_round6_expr_and_sql_twins_agree_on_spark(spark):
             f"(SELECT CAST({s} AS BIGINT) AS s, CAST({n} AS BIGINT) AS n)"
         ).fetchone()[0]
         assert got[(s, n)] == ref, (s, n)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(va=st.lists(st.integers(0, 25), min_size=1, max_size=40),
+       vb=st.lists(st.integers(0, 25), min_size=1, max_size=40))
+def test_ks_drift_equals_bruteforce_ecdf(spark, va, vb):
+    """KS numerator == brute-force max over every observed value, and
+    the statistic is symmetric: D(a,b) == D(b,a)."""
+    from lens_spark.operators.evaluation import ks_drift
+
+    dfa = spark.createDataFrame([(i, v) for i, v in enumerate(va)],
+                                "id long, v long")
+    dfb = spark.createDataFrame([(i, v) for i, v in enumerate(vb)],
+                                "id long, v long")
+    r = ks_drift(dfa, dfb, "v").collect()[0]
+    na, nb = len(va), len(vb)
+    d_num = max(abs(sum(1 for x in va if x <= t) * nb
+                    - sum(1 for x in vb if x <= t) * na)
+                for t in set(va) | set(vb))
+    assert (r.n_a, r.n_b, r.d_num) == (na, nb, d_num)
+    rev = ks_drift(dfb, dfa, "v").collect()[0]
+    assert rev.d_num == r.d_num and rev.d_microunits == r.d_microunits
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.dictionaries(st.sampled_from(["a", "b", "c", "d"]),
+                             st.integers(1, 12), min_size=2, max_size=4),
+       weights=st.dictionaries(st.sampled_from(["a", "b", "c", "d"]),
+                               st.integers(0, 5), max_size=4),
+       budget=st.integers(10, 5000))
+def test_epoch_plan_invariants(spark, sizes, weights, budget):
+    """served ≤ target (floor + cap only shrink), epochs ≤ cap,
+    zero-weight strata get zero target, and Σ target ≤ budget."""
+    from lens_spark.operators.sampling import epoch_plan
+
+    rows = [(f"{s}{i}", s, "t " * 5) for s, n in sizes.items()
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id string, source string, text string")
+    wsum = sum(weights.get(s, 1) for s in sizes)
+    if wsum == 0:
+        return
+    out = epoch_plan(df, "source", total_budget_tokens=budget,
+                     weights=weights, text_col="text").collect()
+    assert sum(r.target_tokens for r in out) <= budget
+    for r in out:
+        assert r.served_tokens <= r.target_tokens
+        assert 0 <= r.epochs_milli <= 4000
+        if weights.get(r.source, 1) == 0:
+            assert r.target_tokens == 0 and r.served_tokens == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 60),
+       w0=st.integers(1, 4), w1=st.integers(1, 4),
+       shards=st.sampled_from([1, 2, 4]))
+def test_interleave_pos_is_dense_and_ratio_bounded(spark, n, w0, w1, shards):
+    """Within every shard: pos values are unique; within every FULL
+    block each stratum appears exactly its weight times; and ranks
+    within a stratum are contiguous from 0."""
+    from collections import Counter, defaultdict
+
+    from lens_spark.operators.sampling import interleave
+
+    rows = [(i, "s0" if i % 2 == 0 else "s1") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = interleave(df, "src", ["id"], {"s0": w0, "s1": w1},
+                     num_shards=shards).collect()
+    assert len(out) == n
+    W = w0 + w1
+    per_shard = defaultdict(list)
+    for r in out:
+        per_shard[r.shard].append(r)
+    for rs in per_shard.values():
+        assert len({r.pos for r in rs}) == len(rs)
+        blocks = Counter(r.block for r in rs)
+        for b, c in blocks.items():
+            if c == W:  # full block serves the exact mixture
+                served = Counter(r.src for r in rs if r.block == b)
+                assert served == Counter({"s0": w0, "s1": w1})
