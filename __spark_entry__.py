@@ -2600,6 +2600,23 @@ def q_x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"))
 
 
+def q_x9_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel drop report (new r7c): four ordered quality
+    gates over the documents table, each doc attributed to the FIRST
+    gate it fails — one narrow when-chain pass + one ≤5-row counter
+    agg; the funnel arithmetic is exact integers on driver-held
+    counters (model-state contract). Oracle mirrors the stage CASE
+    and cumulative subtraction in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    spec = {"lenses": [{"name": "filter_funnel", "arguments": {"rules": [
+        {"name": "min_chars", "predicate": "n_chars >= 100"},
+        {"name": "max_chars", "predicate": "n_chars <= 450"},
+        {"name": "not_zh", "predicate": "lang <> 'zh'"},
+        {"name": "keep_source", "predicate": "source <> 'src0'"},
+    ]}}]}
+    return engine.append(docs, spec)
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch KS drift monitoring (new r7c, rows-only): the
     documents table replayed as two micro-batch files (halves by
@@ -2812,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_dataset_card": q_x9_dataset_card,
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
+        "x9_filter_funnel": q_x9_filter_funnel,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3778,6 +3796,46 @@ SELECT s.bin,
        s.lo + CAST(s.bin + 1 AS DOUBLE) * (s.hi - s.lo) / 16 AS hi_edge,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM spine s LEFT JOIN c ON c.bin = s.bin
+""",
+        # First-failing-stage CASE + per-stage counts + cumulative
+        # subtraction over the ≤5-row stage spine; NULL predicate =
+        # fail via coalesce, same as the lens.
+        "x9_filter_funnel": """
+WITH f AS (
+  SELECT CASE WHEN NOT coalesce(n_chars >= 100, false) THEN 0
+              WHEN NOT coalesce(n_chars <= 450, false) THEN 1
+              WHEN NOT coalesce(lang <> 'zh', false) THEN 2
+              WHEN NOT coalesce(source <> 'src0', false) THEN 3
+              ELSE -1 END AS stage
+  FROM documents
+),
+c AS (SELECT stage, count(*) AS n FROM f GROUP BY stage),
+spine AS (
+  SELECT * FROM (VALUES (0, 'min_chars'), (1, 'max_chars'),
+                        (2, 'not_zh'), (3, 'keep_source'),
+                        (4, 'survived')) AS t(stage, rule)
+),
+tot AS (SELECT sum(n) AS total FROM c),
+j AS (
+  SELECT s.stage, s.rule,
+         CASE WHEN s.rule = 'survived' THEN 0
+              ELSE coalesce(c.n, 0) END AS dropped,
+         coalesce(sum(CASE WHEN s.rule = 'survived' THEN 0
+                           ELSE coalesce(c.n, 0) END)
+                  OVER (ORDER BY s.stage
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS dropped_before
+  FROM spine s LEFT JOIN c ON c.stage = s.stage
+)
+SELECT CAST(j.stage AS INT) AS stage, j.rule,
+       CAST(tot.total - j.dropped_before AS BIGINT) AS n_in,
+       CAST(j.dropped AS BIGINT) AS n_dropped,
+       CAST(tot.total - j.dropped_before - j.dropped AS BIGINT) AS n_out,
+       CASE WHEN tot.total - j.dropped_before > 0
+            THEN CAST(j.dropped * 1000000
+                      // (tot.total - j.dropped_before) AS BIGINT)
+            END AS drop_frac_micro
+FROM j, tot
 """,
         # The x7_epoch_plan integer plan + the md5-exact fractional
         # draw (h*1000 < frac*2^32, pure bigint) + generate_series

@@ -134,6 +134,7 @@ HEADLINE = [
     "x2_overlap_matrix",     # cross-source containment matrix (r7c)
     "x7_realize_epochs",     # materialized mixture histogram (r7c)
     "x5_bpe_tokenize",       # BPE induction + subword encode (r7c)
+    "x9_filter_funnel",      # stage-attributed drop report (r7c)
 ]
 
 

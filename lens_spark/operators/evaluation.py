@@ -193,6 +193,64 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str, *,
     return out.select("group", "n_a", "n_b", "d_num", "d_microunits")
 
 
+def filter_funnel(df: DataFrame,
+                  rules: "list[tuple[str, str]]") -> DataFrame:
+    """Stage-attributed drop accounting — the "why was my data
+    dropped" report every curation pipeline ships next to its output:
+    for an ORDERED rule list, each row is attributed to the FIRST rule
+    it fails (funnel semantics: a doc failing rules 2 and 4 counts
+    against stage 2 only), and the report gives per-stage
+    ``(n_in, n_dropped, n_out, drop_frac_micro)`` plus a terminal
+    ``survived`` row. Reordering rules changes attribution, never the
+    survivor set — the ``n_out`` of the last stage is invariant.
+
+    NULL predicate results count as FAIL (a doc that can't prove it
+    passes, doesn't — the quality_filter posture).
+
+    Scale shape: ONE narrow pass computes the first-failing-stage
+    index per row (a when-chain over the predicates), ONE map-side-
+    combined groupBy collapses the corpus to ≤ len(rules)+1 counter
+    rows, and the funnel arithmetic runs driver-side on those counters
+    (model-state contract). Exact integers; micro-fractions by floor
+    division (digest contract).
+    """
+    if not rules:
+        raise LensError("filter_funnel: need at least one rule")
+    names = [str(n) for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise LensError("filter_funnel: rule names must be unique")
+    stage = F.lit(-1)
+    for i in range(len(rules) - 1, -1, -1):
+        cond = F.coalesce(F.expr(str(rules[i][1])), F.lit(False))
+        stage = F.when(~cond, F.lit(i)).otherwise(stage)
+    counts = {r["__stage"]: r["n"] for r in
+              (df.select(stage.alias("__stage"))
+               .groupBy("__stage").agg(F.count(F.lit(1)).alias("n"))
+               .collect())}
+    total = sum(counts.values())
+    rows, n_in = [], total
+    for i, name in enumerate(names):
+        dropped = int(counts.get(i, 0))
+        frac = dropped * 1000000 // n_in if n_in > 0 else None
+        rows.append((i, name, n_in, dropped, n_in - dropped, frac))
+        n_in -= dropped
+    rows.append((len(names), "survived", n_in, 0, n_in,
+                 0 if n_in > 0 else None))
+    return df.sparkSession.createDataFrame(
+        rows, "stage int, rule string, n_in bigint, n_dropped bigint, "
+              "n_out bigint, drop_frac_micro bigint")
+
+
+@register_lens("filter_funnel")
+def filter_funnel_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: rules — ordered list of {name, predicate} (SQL
+    predicate strings, the filter-lens convention)."""
+    raw = require_arg(arguments, "rules", "filter_funnel")
+    rules = [(str(r["name"]), str(r["predicate"])) for r in raw]
+    return Lens("filter_funnel", arguments,
+                lambda df: filter_funnel(df, rules))
+
+
 @register_lens("ks_drift")
 def ks_drift_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: column (value), by (group col, optional), right_view

@@ -2460,3 +2460,33 @@ def test_bpe_distributed_path_equals_driver_path(spark):
     local = bpe_fit(df, "text", num_merges=12)
     dist = bpe_fit(df, "text", num_merges=12, driver_fit_limit=0)
     assert dist == local and len(local) > 3
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    """A row failing multiple rules counts against the FIRST; NULL
+    predicate = fail; survivor count invariant under rule reorder."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.evaluation import filter_funnel
+
+    rows = [(1, 50, "en"), (2, 500, "en"), (3, 50, "zh"),
+            (4, 200, "zh"), (5, 200, "en"), (6, None, "en")]
+    df = spark.createDataFrame(rows, "id long, n long, lang string")
+    rules = [("min_n", "n >= 100"), ("max_n", "n <= 400"),
+             ("lang_en", "lang = 'en'")]
+    out = {r.rule: r for r in filter_funnel(df, rules).collect()}
+    # row1 and row3 and row6(NULL) fail min_n first; row2 fails max_n;
+    # row4 fails lang_en; row5 survives
+    assert (out["min_n"].n_in, out["min_n"].n_dropped) == (6, 3)
+    assert (out["max_n"].n_in, out["max_n"].n_dropped) == (3, 1)
+    assert (out["lang_en"].n_in, out["lang_en"].n_dropped) == (2, 1)
+    assert (out["survived"].n_in, out["survived"].n_out) == (1, 1)
+    assert out["min_n"].drop_frac_micro == 3 * 1000000 // 6
+    # reorder: attribution moves, survivors don't
+    out2 = {r.rule: r for r in filter_funnel(
+        df, list(reversed(rules))).collect()}
+    assert out2["survived"].n_out == 1
+    assert out2["lang_en"].n_dropped == 2     # zh rows now hit lang first
+    with pytest.raises(LensError):
+        filter_funnel(df, [])
+    with pytest.raises(LensError):
+        filter_funnel(df, [("a", "n > 1"), ("a", "n > 2")])
