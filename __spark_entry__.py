@@ -1006,8 +1006,11 @@ def _stats_moment_exprs(div_kw: str, big: str) -> dict[str, str]:
     # stddev_samp(price) dollars = sqrt(app/b)/100; 2dp digest =
     # round(sqrt(app/b)) cents / 100 — sqrt and the division are each
     # correctly rounded on identical inputs
+    # `/ 1e2` not `/ 100.0`: Spark parses `100.0` as DECIMAL(4,1) which
+    # makes the quotient decimal(27,6) while DuckDB emits DOUBLE —
+    # float literals keep BOTH engines at DOUBLE (ADVICE r7).
     stddev = (f"CAST(round(sqrt(CAST({app} AS DOUBLE) "
-              f"/ CAST({b} AS DOUBLE))) AS BIGINT) / 100.0")
+              f"/ CAST({b} AS DOUBLE))) AS BIGINT) / 1e2")
     # corr is scale-free: aqp/sqrt(aqq·app) — 4dp integer-round digest
     corr = (f"CASE WHEN {aqq} = 0 OR {app} = 0 THEN CAST(NULL AS DOUBLE) "
             f"ELSE CAST(round(CAST({aqp} AS DOUBLE) "
@@ -2673,59 +2676,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-7 ROTATION (r6 verdict #3): 14 queries that had only
-        # the local tail oracle check take the slots of 14 evictees —
-        # 10 with >=3 external green rounds (m7_explode,
-        # join_enriched_orders, window_topk_orders, grouping_sets_qty,
-        # events_sessionized, events_windowed, x3_similarity_topk,
-        # x6_quantiles, x7_stratified_sample, x7_oversample) and 4
-        # two-round-green with unusually rich in-window family cover
-        # (x5_chunk_docs, x2_simhash, x7_shuffle_shards, x5_html_text).
-        # Family mapping: window frames -> x6_rolling_agg; grouping
-        # sets -> cube_revenue; temporal sessions/windows ->
-        # x6_time_rollup + x6_sliding_windows; global quantiles ->
-        # x6_group_quantiles; X7 mixing keeps token_budget_mix +
-        # sample_exact_k + both DSIR queries in-window; X3 similarity
-        # -> centroid/matryoshka/random_projection/embedding_outliers;
-        # X2 -> edit_pairs + components (+5 X2 already in-window);
-        # X5 keeps 12 in-window. Every evictee keeps its oracle and
-        # the tail pytest checks it on every run.
-        "x1_keep_best": q_x1_keep_best,
-        "x7_dsir_weights": q_x7_dsir_weights,
+        # ROUND-8 ROTATION (r7 verdict #1): the ENTIRE 30-query
+        # external-check backlog (14 r6 leftovers + 16 r7 newcomers,
+        # all tail-local oracle-green every run) takes the slots of 30
+        # evictees — 20 with >=3 external green rounds (x7_dsir_weights,
+        # x7_dsir_select, x2_dup_span_stats, range_join_events,
+        # x2_bloom_decontaminate, unpivot_price_measures, sets_except,
+        # python_udf_bucket, json_extract, scalar_functions,
+        # x5_line_dedup, x8_bm25, x4_audio_features, x5_span_dedup,
+        # x5_unigram_logprob, x7_token_budget_mix, x7_sample_exact_k,
+        # x2_winnow_fps, x5_hash_embedding, x9_curation_pipeline) and
+        # 10 two-round-green whose family gets unusually rich incoming
+        # cover (7 X5: bigram_logprob/url_dedup/segment_filter/
+        # normalize_text/dedup_segments/domain_filter/truncate_tokens
+        # vs 10 incoming X5; 3 X9: dataset_diff/outlier_filter/profile
+        # vs 4 incoming X9). Kept for sole-family cover: e1_composition
+        # (E/M), s4_transform_by_id (S), x1_keep_best (X1), the three
+        # two-round-green X2s, and the 14 one-green r7 rotations.
+        # Every evictee keeps its oracle and the tail pytest checks it
+        # on every run. After this rotation the never-externally-
+        # checked backlog is EMPTY: all 133 hash-checkable queries
+        # have (or are in-window to get) >=1 external CORRECTNESS row.
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
-        "x7_dsir_select": q_x7_dsir_select,
+        "x1_keep_best": q_x1_keep_best,
         "x2_contamination_score": q_x2_contamination_score,
         "x2_winnow_pairs": q_x2_winnow_pairs,
         "x2_cross_neardup": q_x2_cross_neardup,
-        "x5_bigram_logprob": q_x5_bigram_logprob,
-        "x5_url_dedup": q_x5_url_dedup,
-        "x2_dup_span_stats": q_x2_dup_span_stats,
-        "range_join_events": q_range_join_events,
-        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "unpivot_price_measures": q_unpivot_price_measures,
-        "sets_except": q_sets_except,
-        "python_udf_bucket": q_python_udf_bucket,
-        "json_extract": q_json_extract,
-        "scalar_functions": q_scalar_functions,
-        "x5_segment_filter": q_x5_segment_filter,
-        "x5_normalize_text": q_x5_normalize_text,
-        "x9_dataset_diff": q_x9_dataset_diff,
-        "x9_outlier_filter": q_x9_outlier_filter,
-        "x9_profile": q_x9_profile,
-        "x5_dedup_segments": q_x5_dedup_segments,
-        "x5_line_dedup": q_x5_line_dedup,
-        "x5_domain_filter": q_x5_domain_filter,
-        "x5_truncate_tokens": q_x5_truncate_tokens,
-        "x8_bm25": q_x8_bm25,
-        "x4_audio_features": q_x4_audio_features,
-        "x5_span_dedup": q_x5_span_dedup,
-        "x5_unigram_logprob": q_x5_unigram_logprob,
-        "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_sample_exact_k": q_x7_sample_exact_k,
-        "x2_winnow_fps": q_x2_winnow_fps,
-        "x5_hash_embedding": q_x5_hash_embedding,
-        "x9_curation_pipeline": q_x9_curation_pipeline,
         "x3_embedding_outliers": q_x3_embedding_outliers,
         "x3_centroid": q_x3_centroid,
         "x3_matryoshka": q_x3_matryoshka,
@@ -2740,7 +2717,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_components": q_x2_components,
         "x9_quantile_bin": q_x9_quantile_bin,
         "x9_classifier_eval": q_x9_classifier_eval,
+        "x5_compression_ratio": q_x5_compression_ratio,
+        "x2_containment": q_x2_containment,
+        "x2_novelty": q_x2_novelty,
+        "x4_image_phash": q_x4_image_phash,
+        "x5_classifier_score": q_x5_classifier_score,
+        "x5_logprob_band": q_x5_logprob_band,
+        "x5_mask_tokens": q_x5_mask_tokens,
+        "x5_sentence_dedup": q_x5_sentence_dedup,
+        "x5_sentences": q_x5_sentences,
+        "x5_token_histogram": q_x5_token_histogram,
+        "x5_vocab_ids": q_x5_vocab_ids,
+        "x8_concat_blocks": q_x8_concat_blocks,
+        "x8_fim": q_x8_fim,
+        "x8_length_batches": q_x8_length_batches,
+        "x8_span_corrupt": q_x8_span_corrupt,
+        "x9_snapshot_diff": q_x9_snapshot_diff,
+        "x2_cluster_stats": q_x2_cluster_stats,
+        "x8_chat_render": q_x8_chat_render,
+        "x7_epoch_plan": q_x7_epoch_plan,
+        "x9_ks_drift": q_x9_ks_drift,
+        "x2_cluster_rep": q_x2_cluster_rep,
+        "x5_structure_stats": q_x5_structure_stats,
+        "x8_preference_pairs": q_x8_preference_pairs,
+        "x7_interleave": q_x7_interleave,
+        "x5_pseudonymize": q_x5_pseudonymize,
+        "x6_equiwidth_hist": q_x6_equiwidth_hist,
+        "x9_dataset_card": q_x9_dataset_card,
+        "x2_overlap_matrix": q_x2_overlap_matrix,
+        "x7_realize_epochs": q_x7_realize_epochs,
+        "x9_filter_funnel": q_x9_filter_funnel,
         # --- slots 51+: hash-checkable, operator covered above --------
+        # (r8 evictees first, each with its external green history in
+        # CORRECTNESS_r01-r07; tail pytest oracle-checks every one.)
+        "x7_dsir_weights": q_x7_dsir_weights,
+        "x7_dsir_select": q_x7_dsir_select,
+        "x2_dup_span_stats": q_x2_dup_span_stats,
+        "range_join_events": q_range_join_events,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
+        "unpivot_price_measures": q_unpivot_price_measures,
+        "sets_except": q_sets_except,
+        "python_udf_bucket": q_python_udf_bucket,
+        "json_extract": q_json_extract,
+        "scalar_functions": q_scalar_functions,
+        "x5_line_dedup": q_x5_line_dedup,
+        "x8_bm25": q_x8_bm25,
+        "x4_audio_features": q_x4_audio_features,
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "x2_winnow_fps": q_x2_winnow_fps,
+        "x5_hash_embedding": q_x5_hash_embedding,
+        "x9_curation_pipeline": q_x9_curation_pipeline,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x5_url_dedup": q_x5_url_dedup,
+        "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
+        "x5_dedup_segments": q_x5_dedup_segments,
+        "x5_domain_filter": q_x5_domain_filter,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
+        "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
         "m7_explode": q_m7_explode,
         "join_enriched_orders": q_join_enriched_orders,
         "window_topk_orders": q_window_topk_orders,
@@ -2794,42 +2833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        "x5_compression_ratio": q_x5_compression_ratio,
-        "x2_containment": q_x2_containment,
-        "x2_novelty": q_x2_novelty,
-        "x4_image_phash": q_x4_image_phash,
-        "x5_classifier_score": q_x5_classifier_score,
-        "x5_logprob_band": q_x5_logprob_band,
-        "x5_mask_tokens": q_x5_mask_tokens,
-        "x5_sentence_dedup": q_x5_sentence_dedup,
-        "x5_sentences": q_x5_sentences,
-        "x5_token_histogram": q_x5_token_histogram,
-        "x5_vocab_ids": q_x5_vocab_ids,
-        "x8_concat_blocks": q_x8_concat_blocks,
-        "x8_fim": q_x8_fim,
-        "x8_length_batches": q_x8_length_batches,
-        # --- round-8 rotation cohort: every query from here to the
-        # rows-only marker is an r7 newcomer with NO external
-        # CORRECTNESS row yet (oracle-compared locally by the tail
-        # test each run). Rotate them into the 50-slot window in r8,
-        # evicting ≥3-round-green slots with in-window family cover
-        # (the r6→r7 rotation recipe).
-        "x8_span_corrupt": q_x8_span_corrupt,
-        "x9_snapshot_diff": q_x9_snapshot_diff,
-        "x2_cluster_stats": q_x2_cluster_stats,
-        "x8_chat_render": q_x8_chat_render,
-        "x7_epoch_plan": q_x7_epoch_plan,
-        "x9_ks_drift": q_x9_ks_drift,
-        "x2_cluster_rep": q_x2_cluster_rep,
-        "x5_structure_stats": q_x5_structure_stats,
-        "x8_preference_pairs": q_x8_preference_pairs,
-        "x7_interleave": q_x7_interleave,
-        "x5_pseudonymize": q_x5_pseudonymize,
-        "x6_equiwidth_hist": q_x6_equiwidth_hist,
-        "x9_dataset_card": q_x9_dataset_card,
-        "x2_overlap_matrix": q_x2_overlap_matrix,
-        "x7_realize_epochs": q_x7_realize_epochs,
-        "x9_filter_funnel": q_x9_filter_funnel,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3599,8 +3602,10 @@ FROM f
 """,
         # Exact-integer KS numerator over the distinct-value histogram.
         "x9_ks_drift": r"""
-WITH a AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 3 <> 0),
-b AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 5 <> 0),
+WITH a AS (SELECT lang, n_chars AS v FROM documents
+           WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL),
+b AS (SELECT lang, n_chars AS v FROM documents
+      WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL),
 u AS (
   SELECT lang, v, 1 AS ca, 0 AS cb FROM a
   UNION ALL

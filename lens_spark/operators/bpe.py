@@ -191,6 +191,15 @@ def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
 
     from pyspark.sql.functions import pandas_udf
 
+    import re
+
+    # Same whitespace contract as functions.text.tokens (Java/RE2 \s+:
+    # ASCII classes only) — Python str.split() splits on ALL Unicode
+    # whitespace (e.g. NBSP), which would segment fit vs encode
+    # differently and push encoded words outside the fitted domain
+    # (ADVICE r7).
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         memo: dict[str, list[str]] = {}
@@ -199,7 +208,9 @@ def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
             if t is None or not isinstance(t, str):
                 return []
             toks: list[str] = []
-            for w in t.lower().split():
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, merges)

@@ -159,11 +159,15 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str, *,
         b = df_b.select(F.col(by).cast("string").alias(by),
                         F.col(value_col).alias("__v"))
         gname = by
+    # NULLs carry no ECDF mass — and Spark's window ORDER BY sorts
+    # them FIRST while DuckDB's sorts them LAST, so leaving them in
+    # would diverge the cumulative counts cross-engine (ADVICE r7).
     u = (a.withColumn("__ca", F.lit(1).cast("bigint"))
          .withColumn("__cb", F.lit(0).cast("bigint"))
          .unionByName(
              b.withColumn("__ca", F.lit(0).cast("bigint"))
-             .withColumn("__cb", F.lit(1).cast("bigint"))))
+             .withColumn("__cb", F.lit(1).cast("bigint")))
+         .filter(F.col("__v").isNotNull()))
     hist = (u.groupBy(gname, "__v")
             .agg(F.sum("__ca").alias("ca"), F.sum("__cb").alias("cb")))
     w = Window.partitionBy(gname).orderBy("__v")

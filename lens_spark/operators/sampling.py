@@ -516,8 +516,13 @@ def epoch_plan(df: DataFrame, strata_col: str, *,
     if any(v < 0 for v in w.values()) or default_weight < 0:
         raise LensError("epoch_plan: weights must be non-negative ints")
 
+    # NULL strata are EXCLUDED from the plan (mirroring interleave):
+    # a row with no stratum has no weight entry to serve under, and an
+    # unfiltered None would TypeError the sort below (ADVICE r7).
+    df = df.filter(F.col(strata_col).isNotNull())
     strata = df.select(F.col(strata_col).cast("string")).distinct()
-    names = sorted(r[0] for r in strata.collect())  # #strata rows only
+    names = sorted(r[0] for r in strata.collect()
+                   if r[0] is not None)  # #strata rows only
     wsum = sum(w.get(s, default_weight) for s in names)
     if wsum <= 0:
         raise LensError("epoch_plan: weight sum is zero")

@@ -74,28 +74,31 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        "range_join_events", "scalar_functions", "x8_bm25",
-        "x2_dup_span_stats", "x5_line_dedup",
-        "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
-        "x7_sample_exact_k", "x2_winnow_fps",
-        "x5_hash_embedding", "x9_curation_pipeline",
-        "x1_keep_best",
-        "x2_bloom_decontaminate", "x4_audio_features",
-        "x7_dsir_weights", "x7_dsir_select",
-        # round-6: first external CORRECTNESS row in r6 — keep for a
-        # 2nd row:
-        "x2_contamination_score", "x5_bigram_logprob",
-        "x2_winnow_pairs", "x5_url_dedup", "x5_segment_filter",
-        "x5_normalize_text", "x2_cross_neardup", "x9_dataset_diff",
-        "x9_outlier_filter", "x9_profile", "x5_dedup_segments",
-        "x5_domain_filter", "x5_truncate_tokens",
-        # round-7 rotation cohort: first external check this round
+        # sole-family cover keepers
+        "e1_composition", "s4_transform_by_id", "x1_keep_best",
+        # two-round-green X2s kept for a 3rd row
+        "x2_contamination_score", "x2_winnow_pairs", "x2_cross_neardup",
+        # round-7 rotation cohort: one external row, keep for a 2nd
         "x3_embedding_outliers", "x3_centroid", "x3_matryoshka",
         "x3_random_projection", "x6_rolling_agg", "cube_revenue",
         "x6_time_rollup", "x6_sliding_windows", "x6_group_quantiles",
         "x7_temperature_mix", "x2_edit_pairs", "x2_components",
         "x9_quantile_bin", "x9_classifier_eval",
+        # round-8 rotation cohort: the ENTIRE 30-query never-
+        # externally-checked backlog (14 r6 leftovers + 16 r7
+        # newcomers) — first external check this round
+        "x5_compression_ratio", "x2_containment", "x2_novelty",
+        "x4_image_phash", "x5_classifier_score", "x5_logprob_band",
+        "x5_mask_tokens", "x5_sentence_dedup", "x5_sentences",
+        "x5_token_histogram", "x5_vocab_ids", "x8_concat_blocks",
+        "x8_fim", "x8_length_batches", "x8_span_corrupt",
+        "x9_snapshot_diff", "x2_cluster_stats", "x8_chat_render",
+        "x7_epoch_plan", "x9_ks_drift", "x2_cluster_rep",
+        "x5_structure_stats", "x8_preference_pairs", "x7_interleave",
+        "x5_pseudonymize", "x6_equiwidth_hist", "x9_dataset_card",
+        "x2_overlap_matrix", "x7_realize_epochs", "x9_filter_funnel",
     }
+    assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
     # rotation evictees must keep their oracle (hash-checkable tail)
@@ -115,8 +118,6 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x5_text_stats", "x5_top_tokens", "x5_repetition_stats",
                  "x5_quality_filter", "x5_pii_redact", "x7_hash_split",
                  "x8_tfidf_top_terms",
-                 # round-6: rows-only → hash-checkable tail
-                 "x5_compression_ratio",
                  # round-7 evictees (10 of them ≥3 external green
                  # rounds; x5_chunk_docs / x2_simhash /
                  # x7_shuffle_shards / x5_html_text 2 rounds each with
@@ -127,7 +128,24 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x3_similarity_topk", "x6_quantiles",
                  "x7_stratified_sample", "x7_oversample",
                  "x5_chunk_docs", "x2_simhash", "x7_shuffle_shards",
-                 "x5_html_text"):
+                 "x5_html_text",
+                 # round-8 evictees (20 with >=3 external green rounds
+                 # + 10 two-round-green with rich incoming family
+                 # cover — see queries()):
+                 "x7_dsir_weights", "x7_dsir_select",
+                 "x2_dup_span_stats", "range_join_events",
+                 "x2_bloom_decontaminate", "unpivot_price_measures",
+                 "sets_except", "python_udf_bucket", "json_extract",
+                 "scalar_functions", "x5_line_dedup", "x8_bm25",
+                 "x4_audio_features", "x5_span_dedup",
+                 "x5_unigram_logprob", "x7_token_budget_mix",
+                 "x7_sample_exact_k", "x2_winnow_fps",
+                 "x5_hash_embedding", "x9_curation_pipeline",
+                 "x5_bigram_logprob", "x5_url_dedup",
+                 "x5_segment_filter", "x5_normalize_text",
+                 "x5_dedup_segments", "x5_domain_filter",
+                 "x5_truncate_tokens", "x9_dataset_diff",
+                 "x9_outlier_filter", "x9_profile"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
