@@ -138,6 +138,59 @@ HEADLINE = [
 ]
 
 
+def _load_prev_bench(here: str):
+    """Latest committed BENCH_r{N}.json (driver-written: the official
+    stdout payload under "parsed", round number under "n") — the
+    round-over-round comparison base for the regressions section."""
+    import glob
+
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            parsed = d.get("parsed") or {}
+            if isinstance(parsed, dict) and parsed.get("queries") \
+                    and parsed.get("calibration"):
+                best = (d.get("n"), parsed)  # lexical sort = round order
+        except (OSError, ValueError):
+            continue
+    return best
+
+
+def _regressions(timings, stats, calibration, here):
+    """Round-over-round regression attribution (r7 verdict #5): for
+    every query present in both rounds, this round's median AND min,
+    each divided by this round's `calibration`, vs the previous
+    round's calibrated median. `x` > 1.15 flags the query; `xmin`
+    (current MIN vs previous median, both calibrated) separates real
+    regressions from run-to-run noise — noise inflates the median but
+    rarely the min (the exact hand-forensics the r7 judging did).
+    Full table → sidecar; flagged-only → the official stdout line
+    (kept compact for the driver's bounded capture window)."""
+    prev = _load_prev_bench(here)
+    if not prev or calibration <= 0:
+        return None, None
+    prev_n, parsed = prev
+    pcal = float(parsed["calibration"])
+    if pcal <= 0:
+        return None, None
+    table, flagged = {}, {}
+    for name, cur in timings.items():
+        p = parsed["queries"].get(name)
+        if not p:
+            continue
+        x = round((cur / calibration) / (p / pcal), 3)
+        xmin = round((stats[name]["min"] / calibration) / (p / pcal), 3)
+        table[name] = {"x": x, "xmin": xmin, "prev": p, "cur": cur}
+        if x > 1.15:
+            flagged[name] = {"x": x, "xmin": xmin}
+    side = {"vs_round": prev_n, "prev_calibration": pcal,
+            "threshold": 1.15, "table": table}
+    official = {"vs_round": prev_n, "flagged": flagged}
+    return side, official
+
+
 def _calibration_df(spark):
     """PINNED machine-speed reference workload — never change this
     (the whole point is a constant shape across rounds): 20M rows in
@@ -244,12 +297,15 @@ def main() -> int:
     # window (BENCH_r04 was lost to a bloated line). Keep the official line
     # compact and print it LAST; per-query variance ({median,min,max,runs})
     # and errors go to a sidecar file + stderr where size doesn't matter.
+    here = os.path.dirname(os.path.abspath(__file__))
+    regr_side, regr_official = _regressions(timings, stats, calibration, here)
     sidecar = {"query_stats": stats}
+    if regr_side:
+        sidecar["regressions"] = regr_side
     if errors:
         sidecar["errors"] = errors
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_STATS.json"), "w") as fh:
+        with open(os.path.join(here, "BENCH_STATS.json"), "w") as fh:
             json.dump(sidecar, fh, indent=1, sort_keys=True)
     except OSError as exc:  # sidecar is best-effort; never break the official line
         print(f"bench: could not write BENCH_STATS.json: {exc}", file=sys.stderr)
@@ -262,6 +318,8 @@ def main() -> int:
         "calibration": calibration,
         "sf": sf,
     }
+    if regr_official:
+        payload["regressions"] = regr_official
     spark.stop()
     print(json.dumps(payload))
     return 0

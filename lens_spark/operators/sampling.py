@@ -582,7 +582,7 @@ def epoch_plan_lens(arguments: Mapping[str, Any]) -> Lens:
 
 def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
                weights: Mapping[str, int], *, default_weight: int = 1,
-               num_shards: int = 64, salt: str = "") -> DataFrame:
+               num_shards: int | None = None, salt: str = "") -> DataFrame:
     """Deterministic weighted round-robin serving order — the
     interleave-datasets step of a training export: a mixture with
     weights {a: 3, b: 1} must SERVE 3 a-rows then 1 b-row per round,
@@ -610,8 +610,27 @@ def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
     weights/offsets compile to a when-chain, so the plan is one
     exchange (the window) over a slim (keys, stratum, hash) frame —
     text never moves.
+
+    ``num_shards=None`` (the default) auto-scales the shard count
+    from the input's scan split count (the ensure_parallelism idiom:
+    splits track bytes via maxPartitionBytes, so shards grow with the
+    corpus and the per-(shard, stratum) window task stays bounded at
+    100× data — no extra Spark job is spent sizing it). The schedule
+    is exact and stable for a FIXED shard count; auto mode is
+    deterministic for a fixed input layout + session config, but a
+    re-layout (compaction, different split size) can change the
+    derived count and therefore the (still exact, still
+    weight-faithful) schedule. Pin ``num_shards`` explicitly when the
+    serving order must be reproducible across environments.
     """
     from pyspark.sql import Window
+
+    if num_shards is None:
+        # ~2 window tasks per scan split keeps every (shard, stratum)
+        # sort comfortably under a split's row count even when one
+        # stratum dominates; floor of 64 preserves small-input
+        # behavior (and the pre-r8 default).
+        num_shards = max(64, 2 * df.rdd.getNumPartitions())
 
     w = {str(k): int(v) for k, v in (weights or {}).items()}
     if any(v < 0 for v in w.values()) or int(default_weight) < 0:
@@ -660,17 +679,20 @@ def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
 @register_lens("interleave")
 def interleave_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: strata (column), keys (list[str]), weights
-    ({stratum: int}), default_weight (1), num_shards (64), salt ("")."""
+    ({stratum: int}), default_weight (1), num_shards (auto: scales
+    with the scan split count; pin for cross-env reproducible
+    schedules), salt ("")."""
     strata = str(require_arg(arguments, "strata", "interleave"))
     keys = [str(c) for c in require_arg(arguments, "keys", "interleave")]
     weights = {str(k): int(v) for k, v in
                dict(arguments.get("weights", {})).items()}
+    ns = arguments.get("num_shards")
     return Lens(
         "interleave", arguments,
         lambda df: interleave(
             df, strata, keys, weights,
             default_weight=int(arguments.get("default_weight", 1)),
-            num_shards=int(arguments.get("num_shards", 64)),
+            num_shards=None if ns is None else int(ns),
             salt=str(arguments.get("salt", ""))))
 
 

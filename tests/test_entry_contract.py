@@ -230,3 +230,35 @@ def test_survey_table_matches_declared_queries():
             elif kind == "R" and name in oracles:
                 bad.append(f"{name}: claimed (R) but has an oracle")
     assert not bad, bad
+
+
+def test_bench_regressions_section_math():
+    """bench.py's round-over-round regression attribution (r7 verdict
+    #5): calibrated ratios, >1.15 flagging, min-vs-median noise
+    separation, and the compact official payload — pinned on synthetic
+    numbers so the section cannot silently break between rounds."""
+    import bench
+
+    prev = bench._load_prev_bench(".")
+    assert prev is not None and prev[0] >= 7  # committed BENCH_r*.json
+    pcal = float(prev[1]["calibration"])
+    some = list(prev[1]["queries"].items())[:3]
+    assert len(some) == 3
+    (n0, t0), (n1, t1), (n2, t2) = some
+    cal = pcal * 2.0  # machine "twice as slow" this round
+    timings = {
+        n0: t0 * 2.0,          # calibrated ratio 1.0 — not flagged
+        n1: t1 * 2.0 * 1.30,   # calibrated ratio 1.3 — flagged
+        n2: t2 * 2.0 * 0.80,   # improvement — not flagged
+        "brand_new_query": 1.0,  # no prev entry — skipped
+    }
+    stats = {k: {"min": v * 0.9} for k, v in timings.items()}
+    side, official = bench._regressions(timings, stats, cal, ".")
+    assert side["vs_round"] == prev[0]
+    assert set(side["table"]) == {n0, n1, n2}
+    assert abs(side["table"][n0]["x"] - 1.0) < 0.01
+    assert abs(side["table"][n1]["x"] - 1.3) < 0.01
+    assert abs(side["table"][n1]["xmin"] - 1.17) < 0.01
+    assert set(official["flagged"]) == {n1}
+    # no BENCH files ⇒ section degrades to absent, bench still runs
+    assert bench._regressions(timings, stats, cal, "/tmp") == (None, None)

@@ -2143,6 +2143,38 @@ def test_interleave_matches_python_schedule(spark):
             assert served == Counter(wmap), (shard, b)
 
 
+def test_interleave_auto_shards_scale_with_input(spark):
+    """num_shards=None derives the shard count from the scan split
+    count (r7 verdict #4): a wide input must fan out past the 64-shard
+    floor so the per-(shard, stratum) window task stays bounded at
+    100x data, while a small input keeps the floor. md5 arithmetic is
+    unchanged, so the schedule stays exact for the derived count."""
+    from collections import Counter
+
+    from lens_spark.operators.sampling import interleave
+
+    rows = [(i, f"s{i % 2}") for i in range(4000)]
+    wide = spark.createDataFrame(rows, "id long, src string") \
+        .repartition(128)
+    out = interleave(wide, "src", ["id"], {"s0": 2, "s1": 1})
+    # derived shards = max(64, 2*128) = 256: observed shard ids must
+    # exceed the old static 64 ceiling
+    assert out.agg({"shard": "max"}).first()[0] >= 64
+    # small input keeps the floor (shards < 64 only because mod 64)
+    small = spark.createDataFrame(rows[:50], "id long, src string") \
+        .coalesce(1)
+    out_s = interleave(small, "src", ["id"], {"s0": 2, "s1": 1})
+    assert out_s.agg({"shard": "max"}).first()[0] < 64
+    # auto mode stays weight-exact: full blocks serve 2:1
+    per = {}
+    for r in out.collect():
+        per.setdefault((r.shard, r.block), []).append(r.src)
+    full = [v for v in per.values() if len(v) == 3]
+    assert full, "expected at least one full block"
+    for v in full:
+        assert Counter(v) == Counter({"s0": 2, "s1": 1})
+
+
 def test_interleave_rejects_bad_weights(spark):
     from lens_spark.errors import LensError
     from lens_spark.operators.sampling import interleave
