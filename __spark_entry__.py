@@ -2593,7 +2593,9 @@ def q_x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow-batched UDF. k-iteration argmax-then-rewrite is not one
     SQL statement, so no oracle; exact-match pytest vs a pure-python
     BPE reference (test_bpe_fit_matches_python_reference) pins both
-    trainer and encoder."""
+    trainer and encoder. r8: the default min_word_count=min_count
+    vocabulary cut applies (words seen once don't train), so token
+    output — and the bench row — is not r7-comparable."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     spec = {"lenses": [{"name": "bpe_tokenize", "arguments": {
         "column": "text", "num_merges": 16}}]}

@@ -51,7 +51,9 @@ reshaped x3_ann_topk — plus x5_span_dedup, x5_unigram_logprob,
 x2_semdedup, x9_curation_pipeline, x2_cross_neardup,
 x2_bloom_decontaminate, x3_pq_topk, x3_pq_serving, and late in the
 round x7_dsir_weights), growing the list 27 → 37 queries. Compare
-per-query medians, not totals, across rounds.
+per-query medians, not totals, across rounds. Round 8:
+`x5_bpe_tokenize` gained the default min_word_count vocabulary cut
+(model semantics changed — not r7-comparable).
 """
 
 from __future__ import annotations

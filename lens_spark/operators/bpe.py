@@ -12,12 +12,29 @@ map-side combined; |distinct words| ≪ corpus, the vocabulary-domain
 contract), and every merge iteration runs on that words frame:
 
   pair counts  = one explode over adjacent symbol pairs weighted by
-                 word count → partial-aggregated groupBy → global
-                 argmax via takeOrdered(1) (driver holds ONE row);
-  apply merge  = a narrow `aggregate` fold per word (greedy
-                 left-to-right, JVM-side), localCheckpoint'ed every
-                 few iterations so the lineage stays bounded (the
-                 connected-components plan-growth lesson).
+                 word count → partial-aggregated groupBy → the ranked
+                 TOP of the pair table collected to the driver (a few
+                 hundred rows);
+  batch select = the maximal ranked PREFIX of provably NON-INTERACTING
+                 merges (guards A-D below) is applied per iteration,
+                 so a 30k-merge vocabulary costs ~30k/|batch| Spark
+                 jobs, not 30k (r7 verdict #2) — with a proof
+                 obligation that the batched schedule is byte-identical
+                 to one-recount-per-merge sequential BPE (pinned by
+                 pytest + hypothesis against the sequential reference);
+  apply batch  = a chain of narrow `aggregate` folds per word (greedy
+                 left-to-right, JVM-side, one projection per batch),
+                 localCheckpoint'ed every few merges so the lineage
+                 stays bounded (the connected-components plan-growth
+                 lesson).
+
+Vocabulary cut (r7 verdict #2): words rarer than ``min_word_count``
+(default: ``min_count``) are dropped from the word-frequency table
+BEFORE training — standard BPE practice (HF tokenizers'
+``min_frequency``); on a web corpus this shrinks the long singleton
+tail orders of magnitude, usually all the way into the driver-fit
+path. The cut is part of the model's semantics (cut words contribute
+no pair counts) and is applied identically on every path.
 
 Determinism: the winning pair is argmax by (count DESC, left ASC,
 right ASC) — no hash order, no floats — so the merge table is
@@ -119,47 +136,140 @@ def _fit_local(word_counts: dict[str, int], num_merges: int,
 BPE_DRIVER_FIT_LIMIT = 200_000
 
 
+def _pairs_with_bounds(syms: DataFrame) -> DataFrame:
+    """One plan computing pair counts AND each pair's neighbor-triple
+    max bound — the largest weighted count of any (x, l, r) or
+    (l, r, y) adjacency. Merging (l, r) can create a new pair with
+    count at most that bound (greedy overlap only shrinks it), so the
+    bound certifies when lower-ranked merges stay argmax-correct after
+    this one is applied (guard C in `_select_batch`)."""
+    zipped2 = F.zip_with(
+        F.slice(F.col("s"), 1, F.size("s") - 1),
+        F.slice(F.col("s"), 2, F.size("s") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    pairs = (syms.select("c", F.explode(zipped2).alias("p"))
+             .groupBy("p.l", "p.r").agg(F.sum("c").alias("n")))
+    z3 = F.arrays_zip(
+        F.slice(F.col("s"), 1, F.size("s") - 2).alias("t1"),
+        F.slice(F.col("s"), 2, F.size("s") - 2).alias("t2"),
+        F.slice(F.col("s"), 3, F.size("s") - 2).alias("t3"))
+    tri = (syms.filter(F.size("s") >= 3)
+           .select("c", F.explode(z3).alias("t"))
+           .groupBy("t.t1", "t.t2", "t.t3").agg(F.sum("c").alias("n3")))
+    tb = (tri.select(F.col("t2").alias("l"), F.col("t3").alias("r"), "n3")
+          .unionByName(
+              tri.select(F.col("t1").alias("l"), F.col("t2").alias("r"),
+                         "n3"))
+          .groupBy("l", "r").agg(F.max("n3").alias("tb")))
+    return pairs.join(tb, ["l", "r"], "left").select(
+        "l", "r", "n", F.coalesce("tb", F.lit(0)).cast("bigint").alias("tb"))
+
+
+def _select_batch(ranked, known_symbols: set[str], min_count: int,
+                  cap: int) -> list[tuple[str, str]]:
+    """Maximal ranked PREFIX of pairs whose batched application is
+    byte-identical to recounting after every single merge. Accept the
+    next ranked pair p=(l,r,n) only if, versus EVERY already-accepted
+    q=(ql,qr) with merged symbol qm=ql+qr and triple bound qtb:
+
+      A. l != qr and r != ql  — applying q cannot destroy a p
+         occurrence (destroyed pairs are exactly (x,ql), (qr,y), q);
+      B. l != qm and r != qm  — applying q cannot create one;
+      C. n  >  qtb            — no pair q's merge CREATES (count <=
+         qtb, strictly below n, so not even a tie-break) can outrank
+         p at p's turn;
+      D. (checked at accept time) if qm already existed as a symbol,
+         q's merge can boost EXISTING pairs involving qm by up to qtb
+         — stop the batch right after q and recount.
+
+    Non-selected pairs ranked below the prefix only ever lose count,
+    and ties resolve by (l, r) ascending exactly as the pre-batch
+    ranking did — so each accepted pair is provably the true argmax
+    at its turn. Stopping early is always safe (prefix rule); a batch
+    of one is plain sequential BPE."""
+    acc: list[tuple[str, str, str, int]] = []
+    out: list[tuple[str, str]] = []
+    for row in ranked:
+        l, r, n = row["l"], row["r"], row["n"]
+        if n < min_count or len(out) >= cap:
+            break
+        if acc and not all(l != qr and r != ql and l != qm and r != qm
+                           and n > qtb
+                           for ql, qr, qm, qtb in acc):
+            break
+        m = l + r
+        acc.append((l, r, m, row["tb"]))
+        out.append((l, r))
+        if m in known_symbols:
+            break  # guard D — recount before merging further
+        known_symbols.add(m)
+    return out
+
+
 def bpe_fit(df: DataFrame, text_col: str, *, num_merges: int = 50,
-            min_count: int = 2, checkpoint_every: int = 8,
-            driver_fit_limit: int = BPE_DRIVER_FIT_LIMIT
-            ) -> list[tuple[str, str]]:
+            min_count: int = 2, min_word_count: int | None = None,
+            checkpoint_every: int = 8, batch_cap: int = 16,
+            driver_fit_limit: int = BPE_DRIVER_FIT_LIMIT,
+            fit_stats: dict | None = None) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     rank-ordered merge list (driver-held model state, the kmeans-
     centroid contract — ~KBs). Stops early when the best remaining
-    pair's weighted count falls below ``min_count``.
+    pair's weighted count falls below ``min_count``. Words rarer than
+    ``min_word_count`` (default: ``min_count``) are cut from the
+    word-frequency table first — see the module docstring.
 
-    One cheap size probe picks the engine: a vocabulary under
+    One cheap size probe picks the engine: a (cut) vocabulary under
     ``driver_fit_limit`` distinct words collects (word, count) pairs
-    and iterates driver-side; larger vocabularies run each merge as a
-    distributed pair-count + argmax + fold rewrite. Both paths use the
-    same deterministic argmax, so the merge table is identical."""
+    and iterates driver-side; larger vocabularies run the distributed
+    loop, applying up to ``batch_cap`` provably non-interacting merges
+    per pair-count job (`_select_batch`). All paths produce the
+    identical merge table (pytest + hypothesis pinned).
+
+    ``fit_stats`` (optional dict, test/observability hook) receives
+    {"path": "driver"|"distributed", "iterations": N} — the
+    distributed job count scales with iterations, not merges."""
     if int(num_merges) < 1:
         raise LensError("bpe_fit: num_merges must be >= 1")
+    cut = int(min_count) if min_word_count is None else int(min_word_count)
     words = _word_freq(df, text_col)
+    if cut > 1:
+        words = words.filter(F.col("c") >= cut)
     n_words = words.count()
     if n_words <= int(driver_fit_limit):
         wc = {r["w"]: r["c"] for r in words.collect()}
+        if fit_stats is not None:
+            fit_stats.update(path="driver", iterations=0)
         return _fit_local(wc, int(num_merges), int(min_count))
     syms = _initial_symbols(words)
     syms = syms.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
-    for i in range(int(num_merges)):
-        pairs = (syms
-                 .select("c", F.explode(F.zip_with(
-                     F.slice(F.col("s"), 1, F.size("s") - 1),
-                     F.slice(F.col("s"), 2, F.size("s") - 1),
-                     lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
-                     .alias("p"))
-                 .groupBy("p.l", "p.r").agg(F.sum("c").alias("n")))
-        top = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).take(1)
-        if not top or top[0]["n"] < int(min_count):
+    # Symbol superset for guard D: initial symbols are single
+    # codepoints, every merged symbol has >=2, so only EOW and prior
+    # merge products can collide with a new product.
+    known: set[str] = {EOW}
+    since_ckpt = 0
+    iters = 0
+    while len(merges) < int(num_merges):
+        iters += 1
+        ranked = (_pairs_with_bounds(syms)
+                  .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                  .limit(max(4 * int(batch_cap), 16)).collect())
+        if not ranked or ranked[0]["n"] < int(min_count):
             break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append((left, right))
-        syms = syms.select("w", "c", _merge_expr(F.col("s"), left, right)
-                           .alias("s"))
-        if (i + 1) % int(checkpoint_every) == 0:
+        batch = _select_batch(ranked, known, int(min_count),
+                              min(int(batch_cap),
+                                  int(num_merges) - len(merges)))
+        merges.extend(batch)
+        col = F.col("s")
+        for left, right in batch:
+            col = _merge_expr(col, left, right)
+        syms = syms.select("w", "c", col.alias("s"))
+        since_ckpt += len(batch)
+        if since_ckpt >= int(checkpoint_every):
             syms = syms.localCheckpoint(eager=False)
+            since_ckpt = 0
+    if fit_stats is not None:
+        fit_stats.update(path="distributed", iterations=iters)
     return merges
 
 
@@ -180,14 +290,15 @@ def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
-                 min_count: int = 2, out: str = "bpe_tokens") -> DataFrame:
+                 min_count: int = 2, min_word_count: int | None = None,
+                 out: str = "bpe_tokens") -> DataFrame:
     """Fit BPE on the corpus, then append per-doc subword tokens
     (``out``, array<string>) and their count (``n_<out>``). The merge
     table is fitted once driver-side and closed over into ONE
     Arrow-batched pandas UDF; encoding memoizes per distinct word
     within each batch, so repeated words cost one merge walk."""
     merges = bpe_fit(df, text_col, num_merges=num_merges,
-                     min_count=min_count)
+                     min_count=min_count, min_word_count=min_word_count)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -227,13 +338,16 @@ def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
 @register_lens("bpe_tokenize")
 def bpe_tokenize_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: column (text), num_merges (50), min_count (2),
+    min_word_count (defaults to min_count — the vocabulary cut),
     out ("bpe_tokens"). Inverse drops both appended columns."""
     text_col = str(require_arg(arguments, "column", "bpe_tokenize"))
     out = str(arguments.get("out", "bpe_tokens"))
+    mwc = arguments.get("min_word_count")
     return Lens(
         "bpe_tokenize", arguments,
         lambda df: bpe_tokenize(
             df, text_col,
             num_merges=int(arguments.get("num_merges", 50)),
-            min_count=int(arguments.get("min_count", 2)), out=out),
+            min_count=int(arguments.get("min_count", 2)),
+            min_word_count=None if mwc is None else int(mwc), out=out),
         lambda df: df.drop(out, f"n_{out}"))

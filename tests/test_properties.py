@@ -634,3 +634,29 @@ def test_interleave_pos_is_dense_and_ratio_bounded(spark, n, w0, w1, shards):
             if c == W:  # full block serves the exact mixture
                 served = Counter(r.src for r in rs if r.block == b)
                 assert served == Counter({"s0": w0, "s1": w1})
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    st.tuples(st.text(alphabet="ab", min_size=1, max_size=4),
+              st.integers(1, 50)),
+    min_size=1, max_size=8))
+def test_bpe_batched_distributed_equals_sequential(spark, words):
+    """The batched distributed merge loop must be byte-identical to
+    one-recount-per-merge sequential BPE on ARBITRARY corpora — tiny
+    alphabets maximize pair interactions (created-pair outranking,
+    destroyed adjacencies, merged-symbol collisions), so this hammers
+    every batch guard in `_select_batch`."""
+    from lens_spark.operators.bpe import _fit_local, bpe_fit
+
+    wc: dict[str, int] = {}
+    for w, c in words:
+        wc[w] = wc.get(w, 0) + c
+    corpus = " ".join(w for w, c in wc.items() for _ in range(c))
+    df = spark.createDataFrame([(corpus,)], "text string")
+    seq = _fit_local(wc, 6, 1)  # sequential reference (itself pinned
+    #                             against the pure-python test twin)
+    dist = bpe_fit(df, "text", num_merges=6, min_count=1,
+                   min_word_count=1, driver_fit_limit=0, batch_cap=4)
+    assert dist == seq
