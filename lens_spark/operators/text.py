@@ -254,13 +254,19 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     # exactly, then rounded to 6dp in integer space — a plain
     # round(avg(lp), 6) is the r6-verdict digest-flip class (fold
     # order differs across engines AND round(x, 6) itself diverges).
+    # The scaled term is computed once per DISTINCT gram on the
+    # counts table (r8: it is a pure function of (__c, totals), and
+    # evaluating log2+round per corpus TOKEN in the agg below was the
+    # r7 digest-hardening bench cost) — identical doubles, identical
+    # scaled longs, identical sums.
     from lens_spark.functions.digest import round6_mean_expr, scaled_term
 
+    surprisal = (counts.crossJoin(F.broadcast(totals))
+                 .select("__th", scaled_term(lp).alias("__lps")))
     per_doc = (
-        toks.join(counts, "__th")
-        .crossJoin(F.broadcast(totals))
+        toks.join(surprisal, "__th")
         .groupBy("__lp_id")
-        .agg(F.sum(scaled_term(lp)).alias("__lp_s"),
+        .agg(F.sum("__lps").alias("__lp_s"),
              F.count(F.lit(1)).alias("__lp_n"))
         .select("__lp_id",
                 F.expr(round6_mean_expr("__lp_s", "__lp_n"))
@@ -359,14 +365,18 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     lp = -F.log2((F.col("__c2") + F.lit(float(k)))
                  / (F.col("__c1") + F.lit(float(k)) * F.col("__v")))
     # Same order-independent 6dp-mean digest as unigram_logprob
-    # (functions.digest recipe — see there for the rationale).
+    # (functions.digest recipe — see there for the rationale), with
+    # the r8 once-per-distinct-bigram scaled-term precompute: the LM
+    # table below is |distinct bigrams| rows, the per-doc agg joins at
+    # corpus-bigram scale and sums bare longs.
     from lens_spark.functions.digest import round6_mean_expr, scaled_term
 
+    lm = (c2.join(c1, "__p").crossJoin(F.broadcast(vocab))
+          .select("__p", "__t", scaled_term(lp).alias("__bls")))
     per_doc = (
-        pairs.join(c2, ["__p", "__t"]).join(c1, "__p")
-        .crossJoin(F.broadcast(vocab))
+        pairs.join(lm, ["__p", "__t"])
         .groupBy("__bl_id")
-        .agg(F.sum(scaled_term(lp)).alias("__bl_s"),
+        .agg(F.sum("__bls").alias("__bl_s"),
              F.count(F.lit(1)).alias("__bl_n"))
         .select("__bl_id",
                 F.expr(round6_mean_expr("__bl_s", "__bl_n"))
