@@ -597,3 +597,143 @@ def run_stream_drift(stream_df: DataFrame, reference: DataFrame,
     return spark.createDataFrame(
         acc, "batch_id long, grp string, n_a bigint, n_b bigint, "
              "d_num bigint, d_microunits bigint")
+
+
+def _ks_from_hist(hist_a: dict, hist_b: dict) -> tuple:
+    """Exact integer two-sample KS from distinct-value histograms —
+    the driver-side twin of ``operators.evaluation.ks_drift`` (value →
+    count maps, NULL-free): d_num = max |cum_a·n_b − cum_b·n_a| over
+    the merged support, d_microunits = floor(d_num·10⁶/(n_a·n_b)).
+    Pure-int Python, so bit-identical to the Spark/DuckDB formula by
+    construction (asserted by test_streaming against the batch op)."""
+    n_a, n_b = sum(hist_a.values()), sum(hist_b.values())
+    cum_a = cum_b = d_num = 0
+    for v in sorted(set(hist_a) | set(hist_b)):
+        cum_a += hist_a.get(v, 0)
+        cum_b += hist_b.get(v, 0)
+        d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+    micro = (d_num * 1_000_000) // (n_a * n_b) if n_a and n_b else None
+    return n_a, n_b, d_num, micro
+
+
+def stream_drift_monitor(stream_df: DataFrame, reference: DataFrame,
+                         value_col: str, *, time_col: str,
+                         window_duration: str = "10 minutes",
+                         watermark: str = "10 minutes",
+                         by: str | None = None,
+                         sink_path: str, state_path: str,
+                         checkpoint: str,
+                         trigger: dict | None = None,
+                         max_driver_values: int = 100_000):
+    """CONTINUOUS per-event-time-window drift monitoring — the
+    long-running form of ``run_stream_drift`` (r7 verdict #7): a
+    watermarked windowed histogram aggregation runs in UPDATE output
+    mode, and every micro-batch appends refreshed per-window KS rows
+    ``(window_start, window_end, grp, n_a, n_b, d_num, d_microunits,
+    batch_id)`` to a parquet ``sink_path`` — the alarm table a
+    dashboard tails. Returns the started ``StreamingQuery`` (caller
+    owns stop/awaitTermination; pass ``trigger={"availableNow": True}``
+    to drain-and-stop, e.g. in tests).
+
+    Exactly-once across restarts, by idempotence: the stream side is
+    Spark's fault-tolerant stateful aggregation (``checkpoint``);
+    update-mode emits ABSOLUTE refreshed counts per touched
+    (window, group, value) key, which foreachBatch merges into a
+    key-overwrite parquet state dir (``state_path``, partitioned by
+    window start — replaying a batch rewrites the same totals), and
+    KS rows land in ``sink_path`` partitioned by ``batch_id`` with
+    dynamic partition overwrite (a replayed batch overwrites its own
+    partition instead of duplicating). The LATEST batch_id row per
+    window is the current drift; history stays queryable.
+
+    Scale shape: state and exchanges carry distinct-value histogram
+    rows only — bounded by (#open windows × value domain), never the
+    corpus (the ks_drift boundedness contract; bin near-unique doubles
+    first). The static ``reference`` histogram is collected once,
+    bounded by ``max_driver_values`` with a loud refusal. Late data
+    beyond ``watermark`` is dropped by the aggregation — the
+    documented watermark trade, not silent skew.
+    """
+    spark = stream_df.sparkSession
+
+    gcol = (F.col(by).cast("string") if by is not None
+            else F.lit("all")).alias("__grp")
+    ref_rows = (reference.filter(F.col(value_col).isNotNull())
+                .select(gcol, F.col(value_col).alias("__v"))
+                .groupBy("__grp", "__v")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .limit(int(max_driver_values) + 1).collect())
+    if len(ref_rows) > int(max_driver_values):
+        raise ValueError(
+            "stream_drift_monitor: reference histogram exceeds "
+            f"max_driver_values={max_driver_values} distinct "
+            "(group, value) keys — bin or round the monitored column "
+            "first (the ks_drift boundedness contract)")
+    ref_hist: dict = {}
+    for r in ref_rows:
+        ref_hist.setdefault(r["__grp"], {})[r["__v"]] = int(r["__c"])
+
+    hist = (stream_df
+            .withWatermark(time_col, watermark)
+            .filter(F.col(value_col).isNotNull())
+            .groupBy(F.window(F.col(time_col), window_duration)
+                     .alias("__w"),
+                     gcol,
+                     F.col(value_col).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(F.col("__w.start").alias("ws"),
+                    F.col("__w.end").alias("we"),
+                    "__grp", "__v", "__c"))
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.collect()  # touched-keys only (update mode);
+        #                               bounded per the histogram contract
+        if not updates:
+            return
+        touched_ws = sorted({r["ws"] for r in updates})
+        state: dict = {}
+        try:
+            old = (spark.read.parquet(state_path)
+                   .filter(F.col("ws").isin(touched_ws)).collect())
+        except Exception:
+            old = []  # first batch: no state yet
+        for r in old:
+            state[(r["ws"], r["we"], r["__grp"], r["__v"])] = int(r["__c"])
+        for r in updates:  # absolute refreshed totals overwrite
+            state[(r["ws"], r["we"], r["__grp"], r["__v"])] = int(r["__c"])
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (spark.createDataFrame(
+                [(ws, we, g, v, c) for (ws, we, g, v), c in state.items()],
+                batch_df.schema)
+             .write.partitionBy("ws").mode("overwrite")
+             .parquet(state_path))
+            wins: dict = {}
+            for (ws, we, g, v), c in state.items():
+                wins.setdefault((ws, we, g), {})[v] = c
+            ks_rows = []
+            for (ws, we, g), h in sorted(wins.items()):
+                n_a, n_b, d_num, micro = _ks_from_hist(
+                    h, ref_hist.get(g, {}))
+                ks_rows.append((ws, we, g, n_a, n_b, d_num, micro,
+                                int(batch_id)))
+            (spark.createDataFrame(
+                ks_rows,
+                "ws timestamp, we timestamp, grp string, n_a bigint, "
+                "n_b bigint, d_num bigint, d_microunits bigint, "
+                "batch_id long")
+             .write.partitionBy("batch_id").mode("overwrite")
+             .parquet(sink_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+
+    writer = (hist.writeStream.outputMode("update")
+              .foreachBatch(emit)
+              .option("checkpointLocation", checkpoint))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
