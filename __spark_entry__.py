@@ -2622,6 +2622,64 @@ def q_x9_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x9_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned dataset-card diff (new r8, r7 verdict #8): the audit
+    artifact a 100 TB pipeline publishes per release — per-source card
+    metrics of two corpus versions committed through the snapshot
+    store and read back via time travel (so the whole
+    write→manifest→read path sits under the hash gate), joined with
+    the exact-integer two-sample KS drift of the per-doc token-count
+    distribution between the versions ("what CHANGED, and did the
+    length distribution move?"). Shape: each version's card is one
+    md5-dup groupBy + one per-source agg; the KS window runs over the
+    distinct token-count histogram only; exchanges carry hashes and
+    counters, never text. Oracle recomputes both cards and the KS
+    relationally from the same %3/%5 version rules."""
+    from lens_spark.operators.evaluation import ks_drift
+    from lens_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    path = tempfile.mkdtemp(prefix="lens_carddiff_")
+    snapshot_write(docs.filter("doc_id % 3 <> 0"), path, mode="overwrite")
+    snapshot_write(docs.filter("doc_id % 5 <> 0"), path, mode="overwrite")
+
+    def base(v: int) -> DataFrame:
+        return snapshot_read(spark, path, version=v).select(
+            "source",
+            F.md5(F.col("text")).alias("h"),
+            F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                            lambda x: x != "")).cast("bigint").alias("nt"))
+
+    def card(b: DataFrame, tag: str) -> DataFrame:
+        dupc = b.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        return (b.join(dupc, "h").groupBy("source")
+                .agg(F.count(F.lit(1)).alias(f"n_docs_{tag}"),
+                     F.sum("nt").alias(f"tokens_{tag}"),
+                     F.sum((F.col("c") >= 2).cast("bigint"))
+                     .alias(f"dup_{tag}")))
+
+    b1, b2 = base(1), base(2)
+    drift = (ks_drift(b1, b2, "nt", by="source")
+             .select(F.col("group").alias("source"),
+                     F.col("d_microunits").alias("token_ks_micro")))
+    micro = lambda a, b: F.floor(  # noqa: E731
+        a.cast("decimal(38,0)") * 1000000 / b).cast("bigint")
+    return (card(b1, "v1").join(card(b2, "v2"), "source")
+            .join(drift, "source")
+            .select("source", "n_docs_v1", "n_docs_v2",
+                    (F.col("n_docs_v2") - F.col("n_docs_v1"))
+                    .alias("delta_docs"),
+                    "tokens_v1", "tokens_v2",
+                    (F.col("tokens_v2") - F.col("tokens_v1"))
+                    .alias("delta_tokens"),
+                    micro(F.col("dup_v1"), F.col("n_docs_v1"))
+                    .alias("dup_frac_micro_v1"),
+                    micro(F.col("dup_v2"), F.col("n_docs_v2"))
+                    .alias("dup_frac_micro_v2"),
+                    "token_ks_micro"))
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch KS drift monitoring (new r7c, rows-only): the
     documents table replayed as two micro-batch files (halves by
@@ -2835,6 +2893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        # new r8 (r7 verdict #8) — the r9 rotation backlog; tail
+        # pytest oracle-checks it locally every run until rotated in.
+        "x9_card_diff": q_x9_card_diff,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -5330,5 +5391,69 @@ SELECT vec_id, round(ma / 127.0e0, 6) AS scale_r,
        CAST(list_min(qv) AS INT) AS q_min,
        CAST(list_max(qv) AS INT) AS q_max
 FROM q
+""",
+        # Versioned card diff (new r8): both cards + the token-count
+        # KS recomputed from the %3/%5 version rules; every output is
+        # exact integer arithmetic (digest contract — counts, bigint
+        # deltas, floor-divided micro-fractions, integer KS).
+        "x9_card_diff": r"""
+WITH b1 AS (
+  SELECT source, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents WHERE doc_id % 3 <> 0
+),
+b2 AS (
+  SELECT source, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents WHERE doc_id % 5 <> 0
+),
+c1 AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS tokens,
+         sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM b1 JOIN (SELECT h, count(*) AS c FROM b1 GROUP BY h) d USING (h)
+  GROUP BY source
+),
+c2 AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS tokens,
+         sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM b2 JOIN (SELECT h, count(*) AS c FROM b2 GROUP BY h) d USING (h)
+  GROUP BY source
+),
+u AS (
+  SELECT source, nt AS v, 1 AS ca, 0 AS cb FROM b1
+  UNION ALL
+  SELECT source, nt AS v, 0 AS ca, 1 AS cb FROM b2
+),
+hh AS (SELECT source, v, sum(ca) AS ca, sum(cb) AS cb
+       FROM u GROUP BY source, v),
+s AS (
+  SELECT source,
+         sum(ca) OVER (PARTITION BY source ORDER BY v) AS cum_a,
+         sum(cb) OVER (PARTITION BY source ORDER BY v) AS cum_b,
+         sum(ca) OVER (PARTITION BY source) AS n_a,
+         sum(cb) OVER (PARTITION BY source) AS n_b
+  FROM hh
+),
+ks AS (
+  SELECT source,
+         CAST((max(abs(cum_a * n_b - cum_b * n_a)) * 1000000)
+              // (max(n_a) * max(n_b)) AS BIGINT) AS token_ks_micro
+  FROM s GROUP BY source
+)
+SELECT c1.source,
+       CAST(c1.n_docs AS BIGINT) AS n_docs_v1,
+       CAST(c2.n_docs AS BIGINT) AS n_docs_v2,
+       CAST(c2.n_docs - c1.n_docs AS BIGINT) AS delta_docs,
+       CAST(c1.tokens AS BIGINT) AS tokens_v1,
+       CAST(c2.tokens AS BIGINT) AS tokens_v2,
+       CAST(c2.tokens - c1.tokens AS BIGINT) AS delta_tokens,
+       CAST(c1.dup * 1000000 // c1.n_docs AS BIGINT) AS dup_frac_micro_v1,
+       CAST(c2.dup * 1000000 // c2.n_docs AS BIGINT) AS dup_frac_micro_v2,
+       ks.token_ks_micro
+FROM c1
+JOIN c2 ON c2.source = c1.source
+JOIN ks ON ks.source = c1.source
 """,
     }
