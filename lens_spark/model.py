@@ -40,8 +40,8 @@ def _resolve_name(raw: Mapping[str, Any]) -> str:
         if path.startswith(scheme):
             return path[len(scheme):]
     if path.startswith(("file:", "data:")):
-        # Python batch-fn module loading — opt-in only; raises a clear
-        # error otherwise (lens_spark/modules.py).
+        # Python batch-fn / WASM module loading — opt-in only; raises
+        # a clear error otherwise (lens_spark/modules.py).
         from lens_spark.modules import load_module_path
 
         return load_module_path(path)
@@ -49,7 +49,8 @@ def _resolve_name(raw: Mapping[str, Any]) -> str:
         raise LensError(
             f"unsupported module path {path!r}: this engine executes "
             "registered built-in / python lenses (plus opted-in "
-            "file:/data: Python modules), not WASM or remote modules"
+            "file:/data: Python and WASM modules), not remote modules "
+            "fetched over the network"
         )
     return path
 

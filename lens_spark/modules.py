@@ -1,10 +1,15 @@
-"""External lens modules: ``file:`` / ``data:`` Python batch-fn loading.
+"""External lens modules: ``file:`` / ``data:`` Python batch-fn and
+WASM loading.
 
 ≙ the reference's module resolution — a lens-file stage points at a
 module by path and the engine fetches + instantiates it
 (/root/reference/host-go/engine/engine.go:67-104 accepts file/http/
-data URLs for WASM blobs). This engine is Spark-native, so the loadable
-unit is a *Python batch-fn module*: a ``.py`` source defining
+data URLs for WASM blobs). Two loadable units:
+
+- a **WASM lens binary** speaking the reference ABI — routed to the
+  Node-backed host in :mod:`lens_spark.wasm` (detected by extension,
+  ``data:`` mime, or binary magic);
+- a *Python batch-fn module*: a ``.py`` source defining
 
     OUTPUT_SCHEMA = "col type, ..."          # DDL of the output rows
     def transform(batches, params): ...      # Arrow-batch iterator fn
@@ -60,14 +65,30 @@ def module_paths_allowed() -> bool:
 _WASM_MAGIC = b"\x00asm"  # WebAssembly binary magic (public wasm spec §5.5.16)
 
 
-def _wasm_error(path: str) -> LensError:
-    return LensError(
-        f"WASM lens modules are not supported ({path!r}): this engine is "
-        "Spark-native and loads Python batch-fn modules (a .py source "
-        "defining transform(batches, params) + OUTPUT_SCHEMA) via "
-        "file:/data: paths — re-express the lens as a Python module; "
-        "see README"
-    )
+def _load_wasm(path: str, payload: bytes | None = None) -> str:
+    """Route a ``.wasm`` module to the Node-backed wasm host
+    (lens_spark.wasm — reference ABI end to end). ``data:`` payloads
+    are staged to a content-addressed temp file (the host runs the
+    module from a filesystem path). Raises loudly when no ``node``
+    binary is available — the one environment requirement."""
+    import tempfile
+
+    from lens_spark import wasm as wasm_host
+
+    if payload is None and path.startswith("data:"):
+        payload = _read_source(path)
+    if payload is not None:
+        digest = hashlib.sha256(payload).hexdigest()[:16]
+        fs_path = os.path.join(tempfile.gettempdir(),
+                               f"lens_wasm_{digest}.wasm")
+        if not os.path.exists(fs_path):
+            tmp = fs_path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, fs_path)
+    else:
+        fs_path = urllib.parse.urlparse(path).path or path[len("file:"):]
+    return wasm_host.load_wasm_path(fs_path)
 
 
 def _looks_like_wasm_path(path: str) -> bool:
@@ -95,25 +116,26 @@ def _read_source(path: str) -> bytes:
 def load_module_path(path: str) -> str:
     """Resolve a ``file:``/``data:`` module path to a registered lens
     name (content-addressed, idempotent). Raises unless the explicit
-    opt-in is active. A ``.wasm`` path or payload gets its own explicit
-    rejection (opt-in or not) — the reference's loadable unit is a WASM
-    binary (host-go/engine/engine.go:67-104); ours is a Python module,
-    and exec-ing a binary as Python would die with a useless generic
-    error."""
-    if _looks_like_wasm_path(path):
-        raise _wasm_error(path)
+    opt-in is active. A ``.wasm`` path or payload (detected by
+    extension, data: mime, or binary magic — never exec'd as Python)
+    routes to the Node-backed wasm host (lens_spark.wasm), which runs
+    the reference lens ABI directly (host-go/engine/engine.go:67-104);
+    it requires a ``node`` binary and the same opt-in."""
     if not module_paths_allowed():
         raise LensError(
             f"unsupported module path {path!r}: executing external lens "
             "modules is disabled. This engine runs registered built-in / "
-            "python lenses; to load file:/data: Python batch-fn modules, "
-            "opt in via lens_spark.modules.allow_module_paths(True), "
+            "python lenses; to load file:/data: Python batch-fn or WASM "
+            "lens modules, opt in via "
+            "lens_spark.modules.allow_module_paths(True), "
             "LENS_SPARK_ALLOW_MODULE_PATHS=1, or --allow-module-paths "
-            "(WASM and http(s) modules are never executed)"
+            "(http(s) modules are never executed)"
         )
+    if _looks_like_wasm_path(path):
+        return _load_wasm(path)
     source = _read_source(path)
     if source[:4] == _WASM_MAGIC:
-        raise _wasm_error(path)
+        return _load_wasm(path, payload=source)
     digest = hashlib.sha256(source).hexdigest()
     if digest in _LOADED:
         return _LOADED[digest]

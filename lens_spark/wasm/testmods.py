@@ -1,0 +1,251 @@
+"""ABI-conformant test lens modules, assembled from scratch.
+
+The reference ships its wasm test modules as Rust/AssemblyScript
+SOURCE compiled at test time (/root/reference/tests/modules/Makefile);
+this container has no wasm32 toolchain or network, so we assemble
+equivalent small modules directly with :mod:`wasm_asm`. Each follows
+the reference ABI exactly (sdk-rust/src/lib.rs:42-58, host-go/engine/
+module/protocol.go): import ``lens.next() -> i32``, export ``memory``/
+``alloc``/``transform`` (+ ``inverse``/``set_param`` where noted),
+items framed ``[i8 type][u32le len][payload]`` in linear memory,
+type ids −1 err / 0 nil / 1 json / 127 EOS.
+
+Memory discipline: ``transform`` resets the bump allocator at entry —
+the input frame is written by the host AFTER that (during the
+``next()`` callback), and the previous output has already been copied
+out by then, so per-item memory is CONSTANT no matter how many rows
+stream through one instance (a long-running executor process must not
+grow linear memory per row).
+
+Modules:
+
+- ``rename_simple()`` — byte-level first-occurrence replace of the
+  JSON key ``"Name"`` → ``"FullName"`` (the semantics of the
+  reference's ``rust_wasm32_simple``, tests/modules/rust_wasm32_simple
+  /src/lib.rs); ``inverse`` does the opposite replace. Nil/EOS/error
+  frames pass through.
+- ``counter()`` — stateful: emits ``{"count":N}`` for the N-th json
+  input seen by the instance (≙ ``rust_wasm32_counter``'s
+  state-across-calls contract).
+- ``echo_param()`` — ``set_param`` stashes the params json; each json
+  input is replaced by the stashed params (proves the host's
+  set_param framing round-trips byte-exactly).
+"""
+
+from __future__ import annotations
+
+from lens_spark.wasm.wasm_asm import (
+    ADD, AND, DROP, EQ, GE_S, GT_U, IF_VOID, ELSE, BLOCK_VOID, LOOP_VOID,
+    LT_S, MEMORY_COPY, MEMORY_GROW, MEMORY_SIZE, MUL, NE, RETURN, SELECT,
+    SHR_U, SUB, Func, br, br_if, build_module, call, global_get, global_set,
+    i32_const, i32_load, i32_load8_s, i32_load8_u, i32_store, i32_store8,
+    local_get, local_set, local_tee, uleb,
+)
+
+HEAP_BASE = 65536  # bump-allocator start (data segments live below)
+_DIV_U, _REM_U = b"\x6e", b"\x70"
+
+# function-local indices shared by the transform bodies
+_P, _T, _LEN, _I, _M, _OUT, _OUTLEN, _Q, _J = range(9)
+
+
+def _alloc_func() -> Func:
+    """alloc(size)->ptr: 8-byte-aligned bump allocation off global 0,
+    growing memory when the bump passes the current page span."""
+    body = (
+        global_get(0) + local_tee(1)
+        + local_get(0) + i32_const(7) + ADD + i32_const(-8) + AND + ADD
+        + global_set(0)
+        # if heap > pages*64KiB: memory.grow((heap - span + 65535) >> 16)
+        + global_get(0) + MEMORY_SIZE + i32_const(65536) + MUL + GT_U
+        + IF_VOID
+        + global_get(0) + MEMORY_SIZE + i32_const(65536) + MUL + SUB
+        + i32_const(65535) + ADD + i32_const(16) + SHR_U
+        + MEMORY_GROW + DROP
+        + b"\x0b"  # end if
+        + local_get(1)
+    )
+    return Func(type_idx=0, n_locals=1, body=body, export="alloc")
+
+
+def _frame_header(outlen_local: int, out_local: int) -> bytes:
+    """store8(out, JSON=1); store32(out+1, outlen)."""
+    return (local_get(out_local) + i32_const(1) + i32_store8()
+            + local_get(out_local) + local_get(outlen_local) + i32_store(1))
+
+
+def _pull_and_gate() -> bytes:
+    """Common prologue: reset heap, p = next(), passthrough any
+    non-json frame (nil / EOS / error) by returning its pointer."""
+    return (
+        i32_const(HEAP_BASE) + global_set(0)
+        + call(0) + local_set(_P)
+        + local_get(_P) + i32_load8_s() + local_set(_T)
+        + local_get(_T) + i32_const(1) + NE
+        + IF_VOID + local_get(_P) + RETURN + b"\x0b"
+        + local_get(_P) + i32_load(1) + local_set(_LEN)
+        + local_get(_P) + i32_const(5) + ADD + local_set(_Q)
+    )
+
+
+def _replace_body(pat_off: int, plen: int, rep_off: int, rlen: int) -> bytes:
+    """transform body: first-occurrence byte replace of the pattern at
+    ``pat_off`` (len ``plen``) with the bytes at ``rep_off`` (len
+    ``rlen``) inside the json payload; no-match copies unchanged."""
+    scan = (
+        i32_const(-1) + local_set(_M) + i32_const(0) + local_set(_I)
+        + BLOCK_VOID                                     # $done
+        + LOOP_VOID                                      # $outer
+        + local_get(_I) + i32_const(plen) + ADD + local_get(_LEN) + GT_U
+        + br_if(1)                                       # → $done
+        + i32_const(0) + local_set(_J)
+        + BLOCK_VOID                                     # $nomatch
+        + LOOP_VOID                                      # $inner
+        + local_get(_J) + i32_const(plen) + EQ
+        + IF_VOID
+        + local_get(_I) + local_set(_M) + br(4)          # → $done
+        + b"\x0b"
+        + local_get(_Q) + local_get(_I) + ADD + local_get(_J) + ADD
+        + i32_load8_u()
+        + local_get(_J) + i32_load8_u(pat_off)
+        + NE + br_if(1)                                  # → $nomatch
+        + local_get(_J) + i32_const(1) + ADD + local_set(_J)
+        + br(0)                                          # continue $inner
+        + b"\x0b" + b"\x0b"                              # end inner, nomatch
+        + local_get(_I) + i32_const(1) + ADD + local_set(_I)
+        + br(0)                                          # continue $outer
+        + b"\x0b" + b"\x0b"                              # end outer, done
+    )
+    emit = (
+        # outlen = m>=0 ? len + rlen - plen : len
+        local_get(_LEN) + i32_const(rlen - plen) + ADD
+        + local_get(_LEN)
+        + local_get(_M) + i32_const(0) + GE_S + SELECT
+        + local_set(_OUTLEN)
+        + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+        + local_set(_OUT)
+        + _frame_header(_OUTLEN, _OUT)
+        + local_get(_M) + i32_const(0) + LT_S
+        + IF_VOID
+        + local_get(_OUT) + i32_const(5) + ADD + local_get(_Q)
+        + local_get(_LEN) + MEMORY_COPY
+        + ELSE
+        + local_get(_OUT) + i32_const(5) + ADD + local_get(_Q)
+        + local_get(_M) + MEMORY_COPY
+        + local_get(_OUT) + i32_const(5) + ADD + local_get(_M) + ADD
+        + i32_const(rep_off) + i32_const(rlen) + MEMORY_COPY
+        + local_get(_OUT) + i32_const(5 + rlen) + ADD + local_get(_M) + ADD
+        + local_get(_Q) + local_get(_M) + ADD + i32_const(plen) + ADD
+        + local_get(_LEN) + local_get(_M) + SUB + i32_const(plen) + SUB
+        + MEMORY_COPY
+        + b"\x0b"
+        + local_get(_OUT)
+    )
+    return _pull_and_gate() + scan + emit
+
+
+def rename_simple() -> bytes:
+    """``transform``: '"Name"' → '"FullName"'; ``inverse``: reverse."""
+    pat, rep = b'"Name"', b'"FullName"'
+    fwd = _replace_body(pat_off=8, plen=len(pat), rep_off=32, rlen=len(rep))
+    inv = _replace_body(pat_off=32, plen=len(rep), rep_off=8, rlen=len(pat))
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(),
+               Func(1, 9, fwd, export="transform"),
+               Func(1, 9, inv, export="inverse")],
+        globals_init=[HEAP_BASE],
+        data=[(8, pat), (32, rep)],
+    )
+
+
+def counter() -> bytes:
+    """Stateful: the N-th json input yields ``{"count":N}``."""
+    prefix = b'{"count":'
+    scratch = 48  # decimal digits rendered backwards from scratch+16
+    body = (
+        _pull_and_gate()
+        # ++count (global 1)
+        + global_get(1) + i32_const(1) + ADD + global_set(1)
+        # render digits backwards; _I = write pos, _J = n
+        + i32_const(scratch + 16) + local_set(_I)
+        + global_get(1) + local_set(_J)
+        + LOOP_VOID
+        + local_get(_I) + i32_const(1) + SUB + local_set(_I)
+        + local_get(_I)
+        + local_get(_J) + i32_const(10) + _REM_U + i32_const(48) + ADD
+        + i32_store8()
+        + local_get(_J) + i32_const(10) + _DIV_U + local_tee(_J)
+        + br_if(0)
+        + b"\x0b"
+        # outlen = prefix + dlen + '}'
+        + i32_const(scratch + 16) + local_get(_I) + SUB + local_set(_M)
+        + local_get(_M) + i32_const(len(prefix) + 1) + ADD
+        + local_set(_OUTLEN)
+        + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+        + local_set(_OUT)
+        + _frame_header(_OUTLEN, _OUT)
+        + local_get(_OUT) + i32_const(5) + ADD
+        + i32_const(8) + i32_const(len(prefix)) + MEMORY_COPY
+        + local_get(_OUT) + i32_const(5 + len(prefix)) + ADD
+        + local_get(_I) + local_get(_M) + MEMORY_COPY
+        + local_get(_OUT) + i32_const(5 + len(prefix)) + ADD
+        + local_get(_M) + ADD + i32_const(0x7D) + i32_store8()
+        + local_get(_OUT)
+    )
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(), Func(1, 9, body, export="transform")],
+        globals_init=[HEAP_BASE, 0],
+        data=[(8, prefix)],
+    )
+
+
+PARAM_OFF = 8192  # echo_param stash (length in global 1)
+
+
+def echo_param() -> bytes:
+    """``set_param`` stashes the params json; ``transform`` replaces
+    each json input with the stashed bytes (1 in : 1 out)."""
+    err = b"params too large"
+    set_param = (
+        # local 0 = frame ptr; guard the fixed stash region
+        local_get(0) + i32_load(1) + i32_const(32768) + GT_U
+        + IF_VOID
+        # error frame: [-1][len][msg] at the heap base
+        + i32_const(len(err) + 5) + call(1) + local_set(1)
+        + local_get(1) + i32_const(-1) + i32_store8()
+        + local_get(1) + i32_const(len(err)) + i32_store(1)
+        + local_get(1) + i32_const(5) + ADD
+        + i32_const(8) + i32_const(len(err)) + MEMORY_COPY
+        + local_get(1) + RETURN
+        + b"\x0b"
+        + local_get(0) + i32_load(1) + global_set(1)
+        + i32_const(PARAM_OFF) + local_get(0) + i32_const(5) + ADD
+        + global_get(1) + MEMORY_COPY
+        + i32_const(0)  # nil ptr (memory at 0 is zeroed → nil frame)
+    )
+    body = (
+        _pull_and_gate()
+        + global_get(1) + local_set(_OUTLEN)
+        + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+        + local_set(_OUT)
+        + _frame_header(_OUTLEN, _OUT)
+        + local_get(_OUT) + i32_const(5) + ADD
+        + i32_const(PARAM_OFF) + local_get(_OUTLEN) + MEMORY_COPY
+        + local_get(_OUT)
+    )
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(),
+               Func(1, 9, body, export="transform"),
+               Func(0, 1, set_param, export="set_param")],
+        globals_init=[HEAP_BASE, 0],
+        data=[(8, err)],
+    )
+
+
+_ = uleb  # re-exported for tests building custom modules

@@ -30,32 +30,37 @@ def test_module_paths_rejected_by_default():
         LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.py"}]})
     with pytest.raises(LensError, match="disabled"):
         LensConfig.from_dict({"lenses": [{"path": "data:,x = 1"}]})
-    # remote/WASM module urls are never loadable, opt-in or not
-    with pytest.raises(LensError, match="not WASM or remote"):
+    # remote module urls are never loadable, opt-in or not
+    with pytest.raises(LensError, match="not remote"):
         LensConfig.from_dict({"lenses": [{"path": "https://x.test/lens.wasm"}]})
 
 
-def test_wasm_module_paths_get_explicit_rejection(tmp_path, module_paths_enabled):
-    """A reference lens file pointing at a .wasm binary must fail with
-    the golden WASM message — never be exec'd as Python source (round-2
-    gap: it died with a generic 'failed to load')."""
-    # by path extension, even before any read
-    with pytest.raises(LensError, match="WASM lens modules are not supported"):
-        LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.wasm"}]})
-    # by data: mime
-    with pytest.raises(LensError, match="WASM lens modules are not supported"):
-        LensConfig.from_dict(
-            {"lenses": [{"path": "data:application/wasm;base64,AGFzbQE="}]})
-    # by payload magic, whatever the extension claims
+def test_wasm_module_paths_route_to_wasm_host(tmp_path, module_paths_enabled):
+    """A .wasm payload is never exec'd as Python (round-2 gap: it died
+    with a generic 'failed to load') — it routes to the wasm host
+    (lens_spark.wasm) by extension, data: mime, or binary magic, and
+    invalid wasm bytes fail with the host's instantiation error, in
+    every detection path."""
+    import base64
+
+    # by payload magic, whatever the extension claims: routed to the
+    # wasm host (not exec'd), where truncated bytes fail to instantiate
     p = tmp_path / "sneaky.py"
-    p.write_bytes(b"\x00asm\x01\x00\x00\x00")
-    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+    p.write_bytes(b"\x00asm\x01\x00\x00\x00\xff")
+    with pytest.raises(LensError,
+                       match="instantiate|node"):
         LensConfig.from_dict({"lenses": [{"path": f"file:{p}"}]})
-    # and the rejection fires with the opt-in OFF too
+    # by data: mime
+    with pytest.raises(LensError, match="instantiate|node"):
+        LensConfig.from_dict(
+            {"lenses": [{"path": "data:application/wasm;base64,"
+                         + base64.b64encode(
+                             b"\x00asm\x01\x00\x00\x00\xff").decode()}]})
+    # with the opt-in OFF the gate fires before any wasm handling
     from lens_spark.modules import allow_module_paths
 
     allow_module_paths(False)
-    with pytest.raises(LensError, match="WASM lens modules are not supported"):
+    with pytest.raises(LensError, match="disabled"):
         LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.wasm"}]})
 
 

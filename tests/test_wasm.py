@@ -1,0 +1,221 @@
+"""WASM lens host tests — the reference ABI run end to end on Node.
+
+Mirrors the reference's module integration suite
+(/root/reference/tests/integration/, host-go/engine/tests/): a module
+exporting ``alloc``/``transform`` (+ ``inverse``/``set_param``) and
+importing ``lens.next`` is driven item-by-item with
+``[i8 type][u32le len][payload]`` frames — json, nil, in-band error,
+EOS. The reference compiles its test modules from Rust at test time
+(tests/modules/Makefile); this container has no wasm32 toolchain or
+network, so the fixtures are ABI-equivalent modules assembled
+byte-by-byte by lens_spark.wasm.testmods (rename_simple reproduces
+rust_wasm32_simple's Name→FullName semantics,
+tests/modules/rust_wasm32_simple/src/lib.rs).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from lens_spark.errors import LensError
+from lens_spark.wasm import (
+    apply_wasm_lens, infer_output_ddl, run_wasm_pipe, wasm_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not wasm_available(), reason="no node binary on PATH")
+
+
+@pytest.fixture(scope="session")
+def wasm_dir(tmp_path_factory):
+    from lens_spark.wasm.testmods import counter, echo_param, rename_simple
+
+    d = tmp_path_factory.mktemp("wasmmods")
+    (d / "rename.wasm").write_bytes(rename_simple())
+    (d / "counter.wasm").write_bytes(counter())
+    (d / "echo.wasm").write_bytes(echo_param())
+    return d
+
+
+@pytest.fixture
+def module_paths_enabled():
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(True)
+    yield
+    allow_module_paths(False)
+
+
+# ---- pipe level (no Spark) --------------------------------------------------
+
+
+def test_pipe_transform_nil_and_inverse_roundtrip(wasm_dir):
+    # ≙ simple_test.go semantics: Name→FullName, nil passes through
+    items = [{"Name": "John", "Age": 30}, None, {"Name": "Ann", "Age": 4}]
+    out = list(run_wasm_pipe(str(wasm_dir / "rename.wasm"), items))
+    assert out == [{"FullName": "John", "Age": 30}, None,
+                   {"FullName": "Ann", "Age": 4}]
+    back = list(run_wasm_pipe(str(wasm_dir / "rename.wasm"), out,
+                              fn="inverse"))
+    assert back == items
+
+
+def test_pipe_counter_holds_state_across_calls(wasm_dir):
+    # ≙ rust_wasm32_counter: instance state lives across transform()s
+    out = list(run_wasm_pipe(str(wasm_dir / "counter.wasm"),
+                             [{"a": i} for i in range(5)]))
+    assert out == [{"count": i} for i in range(1, 6)]
+
+
+def test_pipe_set_param_reaches_the_module(wasm_dir):
+    # ≙ with_modules_params_test.go: params json arrives via set_param
+    out = list(run_wasm_pipe(str(wasm_dir / "echo.wasm"),
+                             [{"x": 1}, {"y": 2}],
+                             params={"src": "Name", "n": 7}))
+    assert out == [{"src": "Name", "n": 7}] * 2
+
+
+def test_pipe_missing_export_and_module_error_are_in_band(wasm_dir):
+    with pytest.raises(LensError, match="Export `nope` does not exist"):
+        list(run_wasm_pipe(str(wasm_dir / "rename.wasm"), [], fn="nope"))
+    with pytest.raises(LensError, match="Export `inverse` does not exist"):
+        list(run_wasm_pipe(str(wasm_dir / "counter.wasm"), [],
+                           fn="inverse"))
+    # module-raised error frame (TypeId=-1), not a host crash
+    with pytest.raises(LensError, match="params too large"):
+        list(run_wasm_pipe(str(wasm_dir / "echo.wasm"), [{"x": 1}],
+                           params={"pad": "x" * 40000}))
+
+
+def test_pipe_large_stream_constant_memory(wasm_dir):
+    # the test modules reset their bump allocator per item, so an
+    # arbitrarily long stream must not grow wasm memory per row —
+    # 20k rows through one instance is the smoke for that
+    n = 20_000
+    out = list(run_wasm_pipe(str(wasm_dir / "rename.wasm"),
+                             ({"Name": f"n{i}", "Age": i} for i in range(n))))
+    assert len(out) == n
+    assert out[-1] == {"FullName": f"n{n-1}", "Age": n - 1}
+
+
+def test_infer_ddl_merges_and_rejects_conflicts():
+    assert infer_output_ddl([{"a": 1, "b": "x"}, {"a": 2.5, "b": None}]) == \
+        "`a` double, `b` string"
+    assert infer_output_ddl([{"v": [1, 2]}, None]) == "`v` array<bigint>"
+    with pytest.raises(LensError, match="output types conflict"):
+        infer_output_ddl([{"a": 1}, {"a": "s"}])
+    with pytest.raises(LensError, match="no json rows"):
+        infer_output_ddl([None])
+
+
+# ---- Spark level ------------------------------------------------------------
+
+
+def test_apply_wasm_lens_probe_inferred_schema(spark, wasm_dir):
+    df = spark.createDataFrame([("John", 30), ("Ann", 4)],
+                               "Name string, Age long")
+    out = apply_wasm_lens(df, str(wasm_dir / "rename.wasm"),
+                          "transform", None)
+    assert out.columns == ["FullName", "Age"]
+    got = {(r.FullName, r.Age) for r in out.collect()}
+    assert got == {("John", 30), ("Ann", 4)}
+
+
+def test_apply_wasm_lens_explicit_schema_streams_partitions(spark, wasm_dir):
+    df = spark.range(0, 5000).selectExpr("concat('n', id) AS Name",
+                                         "id AS Age").repartition(8)
+    out = apply_wasm_lens(df, str(wasm_dir / "rename.wasm"), "transform",
+                          None, output_schema="FullName string, Age bigint")
+    assert out.count() == 5000
+    assert out.agg({"Age": "sum"}).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_wasm_counter_single_partition_matches_reference_stream(spark,
+                                                                wasm_dir):
+    # one partition == the reference's single pull stream
+    df = spark.range(0, 7).selectExpr("id AS a").coalesce(1)
+    out = apply_wasm_lens(df, str(wasm_dir / "counter.wasm"), "transform",
+                          None, output_schema="count bigint")
+    assert sorted(r[0] for r in out.collect()) == list(range(1, 8))
+
+
+# ---- lens-file / engine / CLI integration -----------------------------------
+
+
+def test_lens_file_wasm_module_via_engine(spark, wasm_dir,
+                                          module_paths_enabled):
+    from lens_spark import engine
+
+    spec = {"lenses": [{"path": f"file:{wasm_dir}/rename.wasm",
+                        "arguments": {}}]}
+    df = spark.createDataFrame([("John", 30)], "Name string, Age long")
+    out = engine.append(df, spec).collect()
+    assert (out[0].FullName, out[0].Age) == ("John", 30)
+    back = engine.inverse(engine.append(df, spec), spec).collect()
+    assert (back[0].Name, back[0].Age) == ("John", 30)
+
+
+def test_lens_file_wasm_set_param_via_engine(spark, wasm_dir,
+                                             module_paths_enabled):
+    from lens_spark import engine
+
+    spec = {"lenses": [{"path": f"file:{wasm_dir}/echo.wasm",
+                        "arguments": {"greeting": "hi", "n": 3}}]}
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    got = [(r.greeting, r.n) for r in engine.append(df, spec).collect()]
+    assert got == [("hi", 3), ("hi", 3)]
+
+
+def test_wasm_module_content_addressed_idempotent(wasm_dir,
+                                                  module_paths_enabled):
+    from lens_spark.modules import load_module_path
+
+    name1 = load_module_path(f"file:{wasm_dir}/rename.wasm")
+    name2 = load_module_path(f"file://{wasm_dir}/rename.wasm")
+    assert name1 == name2 and name1.startswith("wasmmod_")
+
+
+def test_wasm_data_url_loads(wasm_dir, module_paths_enabled):
+    import base64
+
+    from lens_spark.modules import load_module_path
+
+    payload = (wasm_dir / "counter.wasm").read_bytes()
+    url = ("data:application/wasm;base64,"
+           + base64.b64encode(payload).decode())
+    assert load_module_path(url).startswith("wasmmod_")
+
+
+def test_wasm_still_gated_without_opt_in(wasm_dir):
+    from lens_spark.model import LensConfig
+    from lens_spark.modules import allow_module_paths
+
+    allow_module_paths(False)
+    with pytest.raises(LensError, match="disabled"):
+        LensConfig.from_dict(
+            {"lenses": [{"path": f"file:{wasm_dir}/rename.wasm"}]})
+
+
+def test_cli_golden_wasm_module(spark, wasm_dir, tmp_path, monkeypatch,
+                                module_paths_enabled):
+    """The reference's simple_test.go golden (rust_wasm32_simple:
+    Name → FullName through the CLI), run against our ABI-equivalent
+    wasm module — the full stdin-json → wasm → stdout-json path."""
+    from lens_spark.cli import main
+
+    lensfile = tmp_path / "lens.json"
+    lensfile.write_text(json.dumps(
+        {"lenses": [{"path": f"file:{wasm_dir}/rename.wasm"}]}))
+    docs = [{"Age": 30, "Name": "John"}, None, {"Age": 31, "Name": "Fred"}]
+    monkeypatch.setattr("sys.stdin", io.StringIO(json.dumps(docs)))
+    out = io.StringIO()
+    monkeypatch.setattr("sys.stdout", out)
+    rc = main([str(lensfile), "--allow-module-paths"], _stop_session=False)
+    assert rc == 0
+    got = json.loads(out.getvalue())
+    assert sorted((d or {}).get("Age", -1) for d in got) == [-1, 30, 31]
+    assert {(d or {}).get("FullName") for d in got} == {None, "John", "Fred"}
+    assert None in got  # nil doc rides through the wasm stage as nil
