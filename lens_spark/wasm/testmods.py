@@ -88,11 +88,11 @@ def _pull_and_gate() -> bytes:
     )
 
 
-def _replace_body(pat_off: int, plen: int, rep_off: int, rlen: int) -> bytes:
-    """transform body: first-occurrence byte replace of the pattern at
-    ``pat_off`` (len ``plen``) with the bytes at ``rep_off`` (len
-    ``rlen``) inside the json payload; no-match copies unchanged."""
-    scan = (
+def _scan_for(pat_off: int, plen: int) -> bytes:
+    """Relocatable fragment: scan the payload at ``_Q``/``_LEN`` for
+    the first occurrence of the pattern bytes at ``pat_off``; leaves
+    the match offset (or −1) in local ``_M``."""
+    return (
         i32_const(-1) + local_set(_M) + i32_const(0) + local_set(_I)
         + BLOCK_VOID                                     # $done
         + LOOP_VOID                                      # $outer
@@ -116,6 +116,12 @@ def _replace_body(pat_off: int, plen: int, rep_off: int, rlen: int) -> bytes:
         + br(0)                                          # continue $outer
         + b"\x0b" + b"\x0b"                              # end outer, done
     )
+
+
+def _replace_body(pat_off: int, plen: int, rep_off: int, rlen: int) -> bytes:
+    """transform body: first-occurrence byte replace of the pattern at
+    ``pat_off`` (len ``plen``) with the bytes at ``rep_off`` (len
+    ``rlen``) inside the json payload; no-match copies unchanged."""
     emit = (
         # outlen = m>=0 ? len + rlen - plen : len
         local_get(_LEN) + i32_const(rlen - plen) + ADD
@@ -141,7 +147,7 @@ def _replace_body(pat_off: int, plen: int, rep_off: int, rlen: int) -> bytes:
         + b"\x0b"
         + local_get(_OUT)
     )
-    return _pull_and_gate() + scan + emit
+    return _pull_and_gate() + _scan_for(pat_off, plen) + emit
 
 
 def rename_simple() -> bytes:
@@ -200,6 +206,38 @@ def counter() -> bytes:
         funcs=[_alloc_func(), Func(1, 9, body, export="transform")],
         globals_init=[HEAP_BASE, 0],
         data=[(8, prefix)],
+    )
+
+
+def contains_filter(pattern: bytes = b'"keep"') -> bytes:
+    """N:1 filter: each ``transform()`` PULLS until it finds a json
+    item whose payload contains ``pattern``, and returns that frame
+    unchanged (zero-copy — the input frame is already a valid output
+    frame). Non-json frames (nil / EOS / error) pass through. This is
+    the reference's multi-pull envelope (``rust_wasm32_filter``,
+    host-go/engine/pipes/fromPipe.go pull loop): one output may
+    consume many inputs, which exercises the host's synchronous
+    blocking ``next()`` path more than once per transform call. The
+    heap resets before EVERY pull, so an arbitrarily long run of
+    rejected items costs constant memory."""
+    body = (
+        LOOP_VOID                                        # $pull
+        + _pull_and_gate()                               # resets heap
+        + _scan_for(8, len(pattern))
+        + local_get(_M) + i32_const(0) + GE_S
+        + IF_VOID
+        + local_get(_P) + RETURN
+        + b"\x0b"
+        + br(0)                                          # pull again
+        + b"\x0b"                                        # end $pull
+        + b"\x00"                                        # unreachable
+    )
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(), Func(1, 9, body, export="transform")],
+        globals_init=[HEAP_BASE],
+        data=[(8, pattern)],
     )
 
 

@@ -31,12 +31,15 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="session")
 def wasm_dir(tmp_path_factory):
-    from lens_spark.wasm.testmods import counter, echo_param, rename_simple
+    from lens_spark.wasm.testmods import (
+        contains_filter, counter, echo_param, rename_simple,
+    )
 
     d = tmp_path_factory.mktemp("wasmmods")
     (d / "rename.wasm").write_bytes(rename_simple())
     (d / "counter.wasm").write_bytes(counter())
     (d / "echo.wasm").write_bytes(echo_param())
+    (d / "filter.wasm").write_bytes(contains_filter())
     return d
 
 
@@ -99,6 +102,23 @@ def test_pipe_large_stream_constant_memory(wasm_dir):
                              ({"Name": f"n{i}", "Age": i} for i in range(n))))
     assert len(out) == n
     assert out[-1] == {"FullName": f"n{n-1}", "Age": n - 1}
+
+
+def test_pipe_filter_pulls_many_inputs_per_output(wasm_dir):
+    # ≙ rust_wasm32_filter / with_len_change_test.go: one transform()
+    # call may consume MANY inputs (the N:1 pull envelope) — the host's
+    # blocking next() must serve repeated pulls within one call
+    items = [{"tag": "keep", "id": 1}, {"tag": "drop", "id": 2},
+             {"tag": "drop", "id": 3}, None, {"tag": "keep", "id": 4},
+             {"tag": "drop", "id": 5}]
+    out = list(run_wasm_pipe(str(wasm_dir / "filter.wasm"), items))
+    assert out == [{"tag": "keep", "id": 1}, None, {"tag": "keep", "id": 4}]
+    # a long reject run inside a single transform call (constant
+    # memory: the module resets its allocator before every pull)
+    many = ({"tag": "keep" if i % 9973 == 0 else "x", "id": i}
+            for i in range(50_000))
+    keeps = list(run_wasm_pipe(str(wasm_dir / "filter.wasm"), many))
+    assert [d["id"] for d in keeps] == [0, 9973, 19946, 29919, 39892, 49865]
 
 
 def test_infer_ddl_merges_and_rejects_conflicts():
@@ -167,6 +187,23 @@ def test_lens_file_wasm_set_param_via_engine(spark, wasm_dir,
     df = spark.createDataFrame([("x",), ("y",)], "v string")
     got = [(r.greeting, r.n) for r in engine.append(df, spec).collect()]
     assert got == [("hi", 3), ("hi", 3)]
+
+
+def test_lens_file_wasm_filter_changes_length(spark, wasm_dir,
+                                              module_paths_enabled):
+    # M6-through-wasm: a wasm stage that drops rows composes with
+    # native lenses in one spec
+    from lens_spark import engine
+
+    spec = {"lenses": [
+        {"path": f"file:{wasm_dir}/filter.wasm",
+         "arguments": {"output_schema": "tag string, id bigint"}},
+        {"name": "add", "arguments": {"column": "id", "magnitude": 100}},
+    ]}
+    df = spark.createDataFrame(
+        [("keep", 1), ("drop", 2), ("keep", 3)], "tag string, id long")
+    got = sorted(r.id for r in engine.append(df, spec).collect())
+    assert got == [101, 103]
 
 
 def test_wasm_module_content_addressed_idempotent(wasm_dir,
