@@ -2981,7 +2981,9 @@ _TOKENS_SQL_INNER = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t
 #     correctly-rounded IEEE ops on identical inputs are bit-identical,
 #     so the floor/edge doubles hash equal. (Every other r7b/r7c digest
 #     — chat spans, epoch plans, KS, interleave, pseudonyms, card,
-#     overlap, realized epochs — is md5/integer arithmetic end to end.)
+#     overlap, realized epochs — is md5/integer arithmetic end to end;
+#     r8's x9_card_diff likewise: counts, bigint deltas, floor-divided
+#     micro-fractions, integer KS.)
 #
 # RESIDUAL (accepted, sub-1e-8/row): transcendental ulp differences
 # (JVM Math.log vs libm) feeding an integer-round digest can flip only

@@ -137,6 +137,7 @@ HEADLINE = [
     "x7_realize_epochs",     # materialized mixture histogram (r7c)
     "x5_bpe_tokenize",       # BPE induction + subword encode (r7c)
     "x9_filter_funnel",      # stage-attributed drop report (r7c)
+    "x9_card_diff",          # versioned card diff + token KS (r8)
 ]
 
 
