@@ -245,10 +245,19 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
         .localCheckpoint(eager=False)
     )
     counts = toks.groupBy("__th").agg(F.count(F.lit(1)).alias("__c"))
-    totals = counts.agg(F.sum("__c").alias("__total"),
-                        F.count(F.lit(1)).alias("__vocab"))
+    # The two corpus scalars come back as LITERALS (a bounded 1-row
+    # collect — the same job the broadcast(totals) form ran anyway,
+    # and it materializes the token checkpoint): wrapping the counts
+    # agg in a crossJoin-projection hid its runtime stats, and the
+    # scoring join below then mis-planned as a broadcast of the
+    # CORPUS-TOKEN side (measured +35% on this query in r8). As a pure
+    # projection of the counts aggregate, the join plans off real AQE
+    # sizes, exactly like the pre-r8 shape. Same literal op sequence →
+    # identical doubles → identical digest.
+    tot = counts.agg(F.sum("__c"), F.count(F.lit(1))).collect()[0]
+    total_n, vocab_n = int(tot[0] or 0), int(tot[1] or 0)
     lp = -F.log2((F.col("__c") + F.lit(float(k)))
-                 / (F.col("__total") + F.lit(float(k)) * F.col("__vocab")))
+                 / (F.lit(total_n) + F.lit(float(k)) * F.lit(vocab_n)))
     # Order-independent 6dp mean (functions.digest recipe): each
     # surprisal term is quantized to an 11dp scaled long, summed
     # exactly, then rounded to 6dp in integer space — a plain
@@ -261,8 +270,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     # scaled longs, identical sums.
     from lens_spark.functions.digest import round6_mean_expr, scaled_term
 
-    surprisal = (counts.crossJoin(F.broadcast(totals))
-                 .select("__th", scaled_term(lp).alias("__lps")))
+    surprisal = counts.select("__th", scaled_term(lp).alias("__lps"))
     per_doc = (
         toks.join(surprisal, "__th")
         .groupBy("__lp_id")
@@ -361,9 +369,12 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     )
     c2 = pairs.groupBy("__p", "__t").agg(F.count(F.lit(1)).alias("__c2"))
     c1 = pairs.groupBy("__p").agg(F.count(F.lit(1)).alias("__c1"))
-    vocab = pairs.agg(F.count_distinct("__t").alias("__v"))
+    # |V| as a LITERAL (bounded 1-row collect; materializes the pair
+    # checkpoint) — see unigram_logprob: the crossJoin-projection form
+    # hid the LM table's stats from the scoring join's planner.
+    vocab_n = int(pairs.agg(F.count_distinct("__t")).collect()[0][0] or 0)
     lp = -F.log2((F.col("__c2") + F.lit(float(k)))
-                 / (F.col("__c1") + F.lit(float(k)) * F.col("__v")))
+                 / (F.col("__c1") + F.lit(float(k)) * F.lit(vocab_n)))
     # Same order-independent 6dp-mean digest as unigram_logprob
     # (functions.digest recipe — see there for the rationale), with
     # the r8 once-per-distinct-bigram scaled-term precompute: the LM
@@ -371,7 +382,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     # corpus-bigram scale and sums bare longs.
     from lens_spark.functions.digest import round6_mean_expr, scaled_term
 
-    lm = (c2.join(c1, "__p").crossJoin(F.broadcast(vocab))
+    lm = (c2.join(c1, "__p")
           .select("__p", "__t", scaled_term(lp).alias("__bls")))
     per_doc = (
         pairs.join(lm, ["__p", "__t"])
