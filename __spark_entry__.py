@@ -2680,6 +2680,26 @@ def q_x9_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "token_ks_micro"))
 
 
+def q_x9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract report (new r8): the pre-publish
+    validation gate — five rules (null/shape predicates, a tolerated
+    short-doc fraction, key uniqueness hard and tolerated) checked in
+    ONE map-side-combined aggregate to a single counter row; verdict
+    arithmetic is exact integers on the driver (model-state
+    contract). Oracle mirrors the CASE sums and count-DISTINCTs."""
+    docs = _read(spark, sf_dir, "documents")
+    spec = {"lenses": [{"name": "expect", "arguments": {"rules": [
+        {"name": "doc_id_not_null", "predicate": "doc_id IS NOT NULL"},
+        {"name": "n_chars_positive", "predicate": "n_chars > 0"},
+        {"name": "short_docs_bounded", "predicate": "n_chars >= 120",
+         "max_fail_frac": 0.25},
+        {"name": "doc_id_unique", "unique": ["doc_id"]},
+        {"name": "text_unique", "unique": ["text"],
+         "max_fail_frac": 0.01},
+    ]}}]}
+    return engine.append(docs, spec)
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch KS drift monitoring (new r7c, rows-only): the
     documents table replayed as two micro-batch files (halves by
@@ -2893,9 +2913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        # new r8 (r7 verdict #8) — the r9 rotation backlog; tail
-        # pytest oracle-checks it locally every run until rotated in.
+        # new r8 (r7 verdict #8 + expect contract) — the r9 rotation
+        # backlog; tail pytest oracle-checks them locally every run
+        # until rotated in.
         "x9_card_diff": q_x9_card_diff,
+        "x9_expectations": q_x9_expectations,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -5457,5 +5479,41 @@ SELECT c1.source,
 FROM c1
 JOIN c2 ON c2.source = c1.source
 JOIN ks ON ks.source = c1.source
+""",
+        # Data-quality contract (new r8): one aggregate of CASE sums +
+        # exact count-DISTINCTs; the caps are the SAME python-computed
+        # micro literals the Spark lens uses (int(frac·1e6)); verdict
+        # is the exact integer cross-product comparison. All integers.
+        "x9_expectations": r"""
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, FALSE)
+             THEN 1 ELSE 0 END) AS v0,
+         sum(CASE WHEN NOT coalesce(n_chars > 0, FALSE)
+             THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN NOT coalesce(n_chars >= 120, FALSE)
+             THEN 1 ELSE 0 END) AS v2,
+         count(*) - count(DISTINCT doc_id) AS v3,
+         count(*) - count(DISTINCT text) AS v4
+  FROM documents
+)
+SELECT rule, kind,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       CAST(v * 1000000 // n AS BIGINT) AS fail_frac_micro,
+       CAST(cap AS BIGINT) AS max_fail_micro,
+       v * 1000000 <= cap * n AS passed
+FROM (
+  SELECT 'doc_id_not_null' AS rule, 'predicate' AS kind, n, v0 AS v,
+         0 AS cap FROM a
+  UNION ALL
+  SELECT 'n_chars_positive', 'predicate', n, v1, 0 FROM a
+  UNION ALL
+  SELECT 'short_docs_bounded', 'predicate', n, v2, 250000 FROM a
+  UNION ALL
+  SELECT 'doc_id_unique', 'unique', n, v3, 0 FROM a
+  UNION ALL
+  SELECT 'text_unique', 'unique', n, v4, 10000 FROM a
+)
 """,
     }

@@ -138,6 +138,7 @@ HEADLINE = [
     "x5_bpe_tokenize",       # BPE induction + subword encode (r7c)
     "x9_filter_funnel",      # stage-attributed drop report (r7c)
     "x9_card_diff",          # versioned card diff + token KS (r8)
+    "x9_expectations",       # data-quality contract gate (r8)
 ]
 
 

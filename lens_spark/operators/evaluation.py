@@ -245,6 +245,88 @@ def filter_funnel(df: DataFrame,
               "n_out bigint, drop_frac_micro bigint")
 
 
+def expect(df: DataFrame, rules: "list[dict]") -> DataFrame:
+    """Data-quality contract report — the validation gate a production
+    pipeline runs before publishing a dataset version (the Deequ /
+    great-expectations role, engine-native): every rule is checked in
+    ONE aggregate pass and the report says exactly what failed and by
+    how much. Two rule kinds:
+
+    - ``{"name", "predicate", "max_fail_frac"?}`` — row-level SQL
+      predicate; a row violates when the predicate is false OR NULL
+      (a row that can't prove it passes, doesn't — the quality_filter
+      posture).
+    - ``{"name", "unique": [cols], "max_fail_frac"?}`` — key
+      uniqueness; violations = n_rows − count(DISTINCT cols): every
+      row beyond the first per key, and every row with a NULL key
+      (engines agree: NULL keys are excluded from DISTINCT), counts.
+
+    ``max_fail_frac`` (default 0 = hard) tolerates a violation
+    fraction; the verdict is the exact integer comparison
+    ``n_violations·10⁶ ≤ max_fail_micro·n_rows`` (with
+    ``max_fail_micro = floor(max_fail_frac·10⁶)``) — never floats.
+    The reported ``fail_frac_micro`` is the floor-divided
+    micro-fraction (digest contract).
+
+    Output: one row per rule — ``(rule, kind, n_rows, n_violations,
+    fail_frac_micro, max_fail_micro, passed)``. An empty input passes
+    every rule with a NULL fraction.
+
+    Scale shape: ONE narrow pass, ONE map-side-combined aggregate to a
+    single counter row (predicate sums ride the fast path; each unique
+    rule adds one exact count-distinct expansion), verdict arithmetic
+    driver-side on the counters (model-state contract). No shuffle
+    beyond the 1-row agg.
+    """
+    if not rules:
+        raise LensError("expect: need at least one rule")
+    names = [str(r.get("name", "")) for r in rules]
+    if len(set(names)) != len(names) or "" in names:
+        raise LensError("expect: rule names must be unique and non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    kinds: list[str] = []
+    for i, r in enumerate(rules):
+        has_pred, has_uni = "predicate" in r, "unique" in r
+        if has_pred == has_uni:
+            raise LensError(
+                f"expect: rule {names[i]!r} needs exactly one of "
+                "'predicate' or 'unique'")
+        if has_pred:
+            kinds.append("predicate")
+            ok = F.coalesce(F.expr(str(r["predicate"])), F.lit(False))
+            aggs.append(F.sum((~ok).cast("bigint")).alias(f"__v{i}"))
+        else:
+            kinds.append("unique")
+            cols = [F.col(str(c)) for c in r["unique"]]
+            if not cols:
+                raise LensError(f"expect: rule {names[i]!r}: empty "
+                                "'unique' column list")
+            aggs.append(F.count_distinct(*cols).alias(f"__v{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    out = []
+    for i, r in enumerate(rules):
+        raw = int(row[f"__v{i}"] or 0)
+        viol = raw if kinds[i] == "predicate" else n - raw
+        frac = viol * 1_000_000 // n if n > 0 else None
+        cap = int(float(r.get("max_fail_frac", 0.0)) * 1_000_000)
+        out.append((names[i], kinds[i], n, viol, frac, cap,
+                    n == 0 or viol * 1_000_000 <= cap * n))
+    return df.sparkSession.createDataFrame(
+        out, "rule string, kind string, n_rows bigint, "
+             "n_violations bigint, fail_frac_micro bigint, "
+             "max_fail_micro bigint, passed boolean")
+
+
+@register_lens("expect")
+def expect_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: rules — list of {name, predicate|unique,
+    max_fail_frac?}; see :func:`expect`."""
+    raw = require_arg(arguments, "rules", "expect")
+    return Lens("expect", arguments,
+                lambda df: expect(df, [dict(r) for r in raw]))
+
+
 @register_lens("filter_funnel")
 def filter_funnel_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: rules — ordered list of {name, predicate} (SQL

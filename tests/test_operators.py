@@ -2563,6 +2563,50 @@ def test_bpe_batch_stops_when_created_pair_could_outrank(spark):
     assert dist == ref
 
 
+def test_expect_contract_verdicts(spark):
+    """Data-quality contract: NULL predicate = violation; unique
+    counts extras AND NULL keys; tolerance is the exact integer
+    comparison v·10⁶ ≤ cap·n (boundary inclusive); empty input passes
+    with NULL fractions; malformed rules error."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.evaluation import expect
+
+    rows = [(1, 100), (2, 100), (2, None), (None, 300)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = {r.rule: r for r in expect(df, [
+        {"name": "n_set", "predicate": "n IS NOT NULL"},
+        {"name": "n_small", "predicate": "n <= 200",
+         "max_fail_frac": 0.25},
+        {"name": "id_unique", "unique": ["id"]},
+    ]).collect()}
+    # NULL n row violates n_set; hard cap → failed
+    assert (out["n_set"].n_violations, out["n_set"].passed) == (1, False)
+    # n=300 violates n_small AND the NULL n row does too (NULL = fail):
+    # 2/4 > 25% → failed; frac floor-divided
+    assert (out["n_small"].n_violations, out["n_small"].passed) == (2, False)
+    assert out["n_small"].fail_frac_micro == 2 * 1000000 // 4
+    # id=2 twice (1 extra) + one NULL id = 2 violations, hard → failed
+    assert (out["id_unique"].n_violations, out["id_unique"].passed) == \
+        (2, False)
+    # boundary INCLUSIVE: exactly 25% fails tolerated at 0.25
+    df2 = spark.createDataFrame([(1,), (2,), (3,), (300,)], "n long")
+    r = expect(df2, [{"name": "b", "predicate": "n <= 200",
+                      "max_fail_frac": 0.25}]).collect()[0]
+    assert (r.n_violations, r.passed) == (1, True)
+    # empty input: every rule passes, fraction is NULL
+    r0 = expect(df.filter("false"), [
+        {"name": "p", "predicate": "n > 0"},
+        {"name": "u", "unique": ["id"]}]).collect()
+    assert all(x.passed and x.fail_frac_micro is None for x in r0)
+    with pytest.raises(LensError):
+        expect(df, [])
+    with pytest.raises(LensError):
+        expect(df, [{"name": "x", "predicate": "n > 0", "unique": ["id"]}])
+    with pytest.raises(LensError):
+        expect(df, [{"name": "a", "predicate": "n > 0"},
+                    {"name": "a", "predicate": "n > 1"}])
+
+
 def test_filter_funnel_first_fail_attribution(spark):
     """A row failing multiple rules counts against the FIRST; NULL
     predicate = fail; survivor count invariant under rule reorder."""
