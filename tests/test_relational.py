@@ -430,7 +430,11 @@ def test_quantile_bin_exact_guard_auto_switches(spark):
 
 def test_quantile_bin_exact_kept_below_limit(spark):
     """Below the bound the exact aggregate is kept (the oracle-checked
-    test-SF behavior is unchanged)."""
+    test-SF behavior is unchanged). r8: the guard is two-tier — when
+    COUNT(*) (metadata-only on parquet) is already under the bound,
+    the approx_count_distinct scan is skipped entirely (distinct ≤
+    rows, so degradation is impossible); this frame takes that skip
+    path and must still produce the exact plan."""
     from lens_spark.operators.relational import quantile_bin
     df = spark.range(100).selectExpr("cast(id as double) as v")
     out = quantile_bin(df, "v", exact=True)
