@@ -35,11 +35,11 @@ Modules:
 from __future__ import annotations
 
 from lens_spark.wasm.wasm_asm import (
-    ADD, AND, DROP, EQ, GE_S, GT_U, IF_VOID, ELSE, BLOCK_VOID, LOOP_VOID,
-    LT_S, MEMORY_COPY, MEMORY_GROW, MEMORY_SIZE, MUL, NE, RETURN, SELECT,
-    SHR_U, SUB, Func, br, br_if, build_module, call, global_get, global_set,
-    i32_const, i32_load, i32_load8_s, i32_load8_u, i32_store, i32_store8,
-    local_get, local_set, local_tee, uleb,
+    ADD, AND, DROP, EQ, EQZ, GE_S, GE_U, GT_U, IF_VOID, ELSE, BLOCK_VOID,
+    LOOP_VOID, LT_S, MEMORY_COPY, MEMORY_GROW, MEMORY_SIZE, MUL, NE, RETURN,
+    SELECT, SHR_U, SUB, Func, br, br_if, build_module, call, global_get,
+    global_set, i32_const, i32_load, i32_load8_s, i32_load8_u, i32_store,
+    i32_store8, local_get, local_set, local_tee, uleb,
 )
 
 HEAP_BASE = 65536  # bump-allocator start (data segments live below)
@@ -238,6 +238,198 @@ def contains_filter(pattern: bytes = b'"keep"') -> bytes:
         funcs=[_alloc_func(), Func(1, 9, body, export="transform")],
         globals_init=[HEAP_BASE],
         data=[(8, pattern)],
+    )
+
+
+def rename_param() -> bytes:
+    """PARAMETERIZED rename (≙ ``rust_wasm32_rename``,
+    tests/modules/rust_wasm32_rename/src/lib.rs:31-62): ``set_param``
+    parses ``{"src": ..., "dst": ...}`` out of the params json
+    (byte-level: find the key, skip to the quoted value, stash it) and
+    ``transform`` replaces the quoted src key with the quoted dst key;
+    a document WITHOUT the src key fails with the reference's error
+    text ``property with name '<src>' not found`` as an in-band error
+    frame. ``inverse`` renames dst→src. Unlike the fixed-pattern
+    ``rename_simple``, the scan/replace here runs against RUNTIME
+    buffers (dynamic lengths in globals), so params genuinely change
+    module behavior through the host's set_param protocol."""
+    # data segments
+    ERR_PRE, ERR_PRE_S = b"property with name '", 8
+    ERR_SUF, ERR_SUF_S = b"' not found", 32
+    KEY_SRC_S, KEY_DST_S = 96, 104
+    NOPARAM = b"set_param with string 'src' and 'dst' is required"
+    NOPARAM_S = 160
+    BADPARAM = b"missing string 'src'/'dst' params"
+    BADPARAM_S = 256
+    SRC_BUF, DST_BUF, VAL_CAP = 1024, 1536, 400
+    # globals: g0 heap, g1 len(quoted src), g2 len(quoted dst)
+
+    def static_err(off: int, n: int, scratch_local: int) -> bytes:
+        """alloc + emit an error frame for a static message, return."""
+        return (i32_const(n + 5) + call(1) + local_set(scratch_local)
+                + local_get(scratch_local) + i32_const(-1) + i32_store8()
+                + local_get(scratch_local) + i32_const(n) + i32_store(1)
+                + local_get(scratch_local) + i32_const(5) + ADD
+                + i32_const(off) + i32_const(n) + MEMORY_COPY
+                + local_get(scratch_local) + RETURN)
+
+    # ---- extract(payload, plen, pat_off, patlen, out_off) -> len|-1
+    # locals: 0..4 params, 5 i, 6 j, 7 m, 8 pos, 9 n
+    PAY, PLN, PAT, PTL, OUT = range(5)
+    EI, EJ, EM, EPOS, EN = 5, 6, 7, 8, 9
+    extract = (
+        # scan payload for the key pattern (dynamic lengths)
+        i32_const(-1) + local_set(EM) + i32_const(0) + local_set(EI)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(EI) + local_get(PTL) + ADD + local_get(PLN) + GT_U
+        + br_if(1)
+        + i32_const(0) + local_set(EJ)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(EJ) + local_get(PTL) + EQ
+        + IF_VOID + local_get(EI) + local_set(EM) + br(4) + b"\x0b"
+        + local_get(PAY) + local_get(EI) + ADD + local_get(EJ) + ADD
+        + i32_load8_u()
+        + local_get(PAT) + local_get(EJ) + ADD + i32_load8_u()
+        + NE + br_if(1)
+        + local_get(EJ) + i32_const(1) + ADD + local_set(EJ) + br(0)
+        + b"\x0b" + b"\x0b"
+        + local_get(EI) + i32_const(1) + ADD + local_set(EI) + br(0)
+        + b"\x0b" + b"\x0b"
+        + local_get(EM) + i32_const(0) + LT_S
+        + IF_VOID + i32_const(-1) + RETURN + b"\x0b"
+        # pos = after key; skip to ':' then to the value's opening '"'
+        + local_get(PAY) + local_get(EM) + ADD + local_get(PTL) + ADD
+        + local_set(EPOS)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(EPOS) + local_get(PAY) + local_get(PLN) + ADD + GE_U
+        + IF_VOID + i32_const(-1) + RETURN + b"\x0b"
+        + local_get(EPOS) + i32_load8_u() + i32_const(0x22) + EQ
+        + br_if(1)
+        + local_get(EPOS) + i32_const(1) + ADD + local_set(EPOS) + br(0)
+        + b"\x0b" + b"\x0b"
+        # copy value bytes (no escape support) until the closing '"'
+        + local_get(OUT) + i32_const(0x22) + i32_store8()
+        + i32_const(0) + local_set(EN)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(EPOS) + i32_const(1) + ADD + local_get(EN) + ADD
+        + local_get(PAY) + local_get(PLN) + ADD + GE_U
+        + IF_VOID + i32_const(-1) + RETURN + b"\x0b"
+        + local_get(EN) + i32_const(VAL_CAP) + GT_U
+        + IF_VOID + i32_const(-1) + RETURN + b"\x0b"
+        + local_get(EPOS) + i32_const(1) + ADD + local_get(EN) + ADD
+        + i32_load8_u() + i32_const(0x22) + EQ
+        + br_if(1)
+        + local_get(OUT) + i32_const(1) + ADD + local_get(EN) + ADD
+        + local_get(EPOS) + i32_const(1) + ADD + local_get(EN) + ADD
+        + i32_load8_u() + i32_store8()
+        + local_get(EN) + i32_const(1) + ADD + local_set(EN) + br(0)
+        + b"\x0b" + b"\x0b"
+        + local_get(OUT) + i32_const(1) + ADD + local_get(EN) + ADD
+        + i32_const(0x22) + i32_store8()
+        + local_get(EN) + i32_const(2) + ADD
+    )
+
+    # ---- set_param(ptr) -> ptr  (locals: 0 param, 1 len, 2 r)
+    set_param = (
+        local_get(0) + i32_load(1) + local_set(1)
+        + local_get(0) + i32_const(5) + ADD + local_get(1)
+        + i32_const(KEY_SRC_S) + i32_const(5) + i32_const(SRC_BUF)
+        + call(5) + local_set(2)
+        + local_get(2) + i32_const(0) + LT_S
+        + IF_VOID + static_err(BADPARAM_S, len(BADPARAM), 2) + b"\x0b"
+        + local_get(2) + global_set(1)
+        + local_get(0) + i32_const(5) + ADD + local_get(1)
+        + i32_const(KEY_DST_S) + i32_const(5) + i32_const(DST_BUF)
+        + call(5) + local_set(2)
+        + local_get(2) + i32_const(0) + LT_S
+        + IF_VOID + static_err(BADPARAM_S, len(BADPARAM), 2) + b"\x0b"
+        + local_get(2) + global_set(2)
+        + i32_const(0)  # nil ptr (zeroed memory at 0)
+    )
+
+    # ---- transform / inverse (dynamic-pattern replace)
+    # locals 0-8 as the shared constants, 9 patlen, 10 replen,
+    # 11 patbase, 12 repbase
+    _PL, _RL, _PB, _RB = 9, 10, 11, 12
+
+    def dyn_body(swap: bool) -> bytes:
+        pat_b, rep_b = (DST_BUF, SRC_BUF) if swap else (SRC_BUF, DST_BUF)
+        pat_g, rep_g = (2, 1) if swap else (1, 2)
+        return (
+            _pull_and_gate()
+            + global_get(pat_g) + local_set(_PL)
+            + global_get(rep_g) + local_set(_RL)
+            + i32_const(pat_b) + local_set(_PB)
+            + i32_const(rep_b) + local_set(_RB)
+            + local_get(_PL) + EQZ
+            + IF_VOID + static_err(NOPARAM_S, len(NOPARAM), _OUT) + b"\x0b"
+            # dynamic scan (same shape as _scan_for, runtime lengths)
+            + i32_const(-1) + local_set(_M) + i32_const(0) + local_set(_I)
+            + BLOCK_VOID + LOOP_VOID
+            + local_get(_I) + local_get(_PL) + ADD + local_get(_LEN) + GT_U
+            + br_if(1)
+            + i32_const(0) + local_set(_J)
+            + BLOCK_VOID + LOOP_VOID
+            + local_get(_J) + local_get(_PL) + EQ
+            + IF_VOID + local_get(_I) + local_set(_M) + br(4) + b"\x0b"
+            + local_get(_Q) + local_get(_I) + ADD + local_get(_J) + ADD
+            + i32_load8_u()
+            + local_get(_PB) + local_get(_J) + ADD + i32_load8_u()
+            + NE + br_if(1)
+            + local_get(_J) + i32_const(1) + ADD + local_set(_J) + br(0)
+            + b"\x0b" + b"\x0b"
+            + local_get(_I) + i32_const(1) + ADD + local_set(_I) + br(0)
+            + b"\x0b" + b"\x0b"
+            + local_get(_M) + i32_const(0) + LT_S
+            + IF_VOID
+            # "property with name '<src>' not found" error frame
+            + local_get(_PL) + i32_const(len(ERR_PRE) + len(ERR_SUF) - 2)
+            + ADD + local_set(_OUTLEN)  # pre + (plen-2) + suf
+            + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+            + local_set(_OUT)
+            + local_get(_OUT) + i32_const(-1) + i32_store8()
+            + local_get(_OUT) + local_get(_OUTLEN) + i32_store(1)
+            + local_get(_OUT) + i32_const(5) + ADD
+            + i32_const(ERR_PRE_S) + i32_const(len(ERR_PRE)) + MEMORY_COPY
+            + local_get(_OUT) + i32_const(5 + len(ERR_PRE)) + ADD
+            + local_get(_PB) + i32_const(1) + ADD
+            + local_get(_PL) + i32_const(2) + SUB + MEMORY_COPY
+            + local_get(_OUT) + i32_const(3 + len(ERR_PRE)) + ADD
+            + local_get(_PL) + ADD  # 5 + pre + (plen-2)
+            + i32_const(ERR_SUF_S) + i32_const(len(ERR_SUF)) + MEMORY_COPY
+            + local_get(_OUT) + RETURN
+            + b"\x0b"
+            # replace: outlen = len - plen + rlen
+            + local_get(_LEN) + local_get(_RL) + ADD + local_get(_PL) + SUB
+            + local_set(_OUTLEN)
+            + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+            + local_set(_OUT)
+            + _frame_header(_OUTLEN, _OUT)
+            + local_get(_OUT) + i32_const(5) + ADD + local_get(_Q)
+            + local_get(_M) + MEMORY_COPY
+            + local_get(_OUT) + i32_const(5) + ADD + local_get(_M) + ADD
+            + local_get(_RB) + local_get(_RL) + MEMORY_COPY
+            + local_get(_OUT) + i32_const(5) + ADD + local_get(_M) + ADD
+            + local_get(_RL) + ADD
+            + local_get(_Q) + local_get(_M) + ADD + local_get(_PL) + ADD
+            + local_get(_LEN) + local_get(_M) + SUB + local_get(_PL) + SUB
+            + MEMORY_COPY
+            + local_get(_OUT)
+        )
+
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F]),
+               ([0x7F] * 5, [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(),
+               Func(1, 13, dyn_body(False), export="transform"),
+               Func(1, 13, dyn_body(True), export="inverse"),
+               Func(0, 2, set_param, export="set_param"),
+               Func(2, 5, extract)],
+        globals_init=[HEAP_BASE, 0, 0],
+        data=[(ERR_PRE_S, ERR_PRE), (ERR_SUF_S, ERR_SUF),
+              (KEY_SRC_S, b'"src"'), (KEY_DST_S, b'"dst"'),
+              (NOPARAM_S, NOPARAM), (BADPARAM_S, BADPARAM)],
     )
 
 

@@ -32,7 +32,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="session")
 def wasm_dir(tmp_path_factory):
     from lens_spark.wasm.testmods import (
-        contains_filter, counter, echo_param, rename_simple,
+        contains_filter, counter, echo_param, rename_param, rename_simple,
     )
 
     d = tmp_path_factory.mktemp("wasmmods")
@@ -40,6 +40,7 @@ def wasm_dir(tmp_path_factory):
     (d / "counter.wasm").write_bytes(counter())
     (d / "echo.wasm").write_bytes(echo_param())
     (d / "filter.wasm").write_bytes(contains_filter())
+    (d / "rename_param.wasm").write_bytes(rename_param())
     return d
 
 
@@ -102,6 +103,52 @@ def test_pipe_large_stream_constant_memory(wasm_dir):
                              ({"Name": f"n{i}", "Age": i} for i in range(n))))
     assert len(out) == n
     assert out[-1] == {"FullName": f"n{n-1}", "Age": n - 1}
+
+
+def test_pipe_parameterized_rename_full_m4_semantics(wasm_dir):
+    """≙ rust_wasm32_rename (tests/modules/rust_wasm32_rename/src/
+    lib.rs:31-62): set_param genuinely changes module behavior (the
+    src/dst keys are parsed from the params json at runtime), the
+    inverse renames back, and a doc missing the src key fails with
+    the reference's exact error text."""
+    fp = str(wasm_dir / "rename_param.wasm")
+    p = {"src": "Name", "dst": "FullName"}
+    out = list(run_wasm_pipe(fp, [{"Name": "John", "Age": 30}, None],
+                             params=p))
+    assert out == [{"FullName": "John", "Age": 30}, None]
+    assert list(run_wasm_pipe(fp, out, fn="inverse", params=p)) == \
+        [{"Name": "John", "Age": 30}, None]
+    # DIFFERENT params, same module bytes → different behavior
+    assert list(run_wasm_pipe(fp, [{"Age": 30}],
+                              params={"src": "Age", "dst": "Years"})) == \
+        [{"Years": 30}]
+    with pytest.raises(LensError,
+                       match="property with name 'Name' not found"):
+        list(run_wasm_pipe(fp, [{"Nope": 1}], params=p))
+    with pytest.raises(LensError, match="set_param.*required"):
+        list(run_wasm_pipe(fp, [{"Name": 1}]))
+    with pytest.raises(LensError, match="missing string 'src'"):
+        list(run_wasm_pipe(fp, [{"Name": 1}], params={"src": "Name"}))
+
+
+def test_lens_file_parameterized_wasm_rename_golden(spark, wasm_dir,
+                                                    tmp_path, monkeypatch,
+                                                    module_paths_enabled):
+    # ≙ with_modules_params_test.go: the CLI golden with a
+    # PARAMETERIZED wasm module — params flow lens-file → set_param
+    from lens_spark.cli import main
+
+    lensfile = tmp_path / "lens.json"
+    lensfile.write_text(json.dumps({"lenses": [
+        {"path": f"file:{wasm_dir}/rename_param.wasm",
+         "arguments": {"src": "Name", "dst": "FullName"}}]}))
+    monkeypatch.setattr("sys.stdin", io.StringIO(json.dumps(
+        [{"Age": 30, "Name": "John"}])))
+    out = io.StringIO()
+    monkeypatch.setattr("sys.stdout", out)
+    assert main([str(lensfile), "--allow-module-paths"],
+                _stop_session=False) == 0
+    assert json.loads(out.getvalue()) == [{"Age": 30, "FullName": "John"}]
 
 
 def test_pipe_filter_pulls_many_inputs_per_output(wasm_dir):
