@@ -36,10 +36,11 @@ from __future__ import annotations
 
 from lens_spark.wasm.wasm_asm import (
     ADD, AND, DROP, EQ, EQZ, GE_S, GE_U, GT_U, IF_VOID, ELSE, BLOCK_VOID,
-    LOOP_VOID, LT_S, MEMORY_COPY, MEMORY_GROW, MEMORY_SIZE, MUL, NE, RETURN,
-    SELECT, SHR_U, SUB, Func, br, br_if, build_module, call, global_get,
-    global_set, i32_const, i32_load, i32_load8_s, i32_load8_u, i32_store,
-    i32_store8, local_get, local_set, local_tee, uleb,
+    LOOP_VOID, LT_S, LT_U, MEMORY_COPY, MEMORY_GROW, MEMORY_SIZE, MUL, NE,
+    RETURN, SELECT, SHR_U, SUB, UNREACHABLE, Func, br, br_if, build_module,
+    call, global_get, global_set, i32_const, i32_load, i32_load8_s,
+    i32_load8_u, i32_store, i32_store16, i32_store8, local_get, local_set,
+    local_tee, uleb,
 )
 
 HEAP_BASE = 65536  # bump-allocator start (data segments live below)
@@ -430,6 +431,236 @@ def rename_param() -> bytes:
         data=[(ERR_PRE_S, ERR_PRE), (ERR_SUF_S, ERR_SUF),
               (KEY_SRC_S, b'"src"'), (KEY_DST_S, b'"dst"'),
               (NOPARAM_S, NOPARAM), (BADPARAM_S, BADPARAM)],
+    )
+
+
+def add_age(magnitude: int = 1) -> bytes:
+    """M2 semantics (≙ ``rust_wasm32_simple2``, tests/modules/
+    rust_wasm32_simple2/src/lib.rs:9-57): ``transform`` parses the
+    decimal digits after ``"Age":`` and splices back ``Age+magnitude``;
+    ``inverse`` subtracts — a bidirectional numeric update running
+    INSIDE wasm (parse → arithmetic → re-render), not a host-side
+    shortcut. Docs without an ``Age`` key pass through unchanged.
+    Negative results render with a leading '-'."""
+    pat = b'"Age":'
+    scratch = 48  # digits rendered backwards from scratch+24
+
+    def body(delta: int) -> bytes:
+        # locals: shared 0-8; 9 = parsed value; 10 = digit cursor;
+        # 11 = digits start (in payload); 12 = digits end (exclusive)
+        _V, _C, _DS, _DE = 9, 10, 11, 12
+        return (
+            _pull_and_gate()
+            + _scan_for(8, len(pat))
+            + local_get(_M) + i32_const(0) + LT_S
+            + IF_VOID + local_get(_P) + RETURN + b"\x0b"  # no Age: as-is
+            # digits start after the pattern (skip spaces), sign aware
+            + local_get(_Q) + local_get(_M) + ADD + i32_const(len(pat))
+            + ADD + local_set(_DS)
+            + BLOCK_VOID + LOOP_VOID                      # skip spaces
+            + local_get(_DS) + i32_load8_u() + i32_const(0x20) + NE
+            + br_if(1)
+            + local_get(_DS) + i32_const(1) + ADD + local_set(_DS) + br(0)
+            + b"\x0b" + b"\x0b"
+            + i32_const(0) + local_set(_V)
+            + i32_const(0) + local_set(_J)                # sign flag
+            + local_get(_DS) + i32_load8_u() + i32_const(0x2D) + EQ
+            + IF_VOID
+            + i32_const(1) + local_set(_J)
+            + local_get(_DS) + i32_const(1) + ADD + local_set(_DS)
+            + b"\x0b"
+            + local_get(_DS) + local_set(_DE)
+            + BLOCK_VOID + LOOP_VOID                      # parse digits
+            + local_get(_DE) + i32_load8_u() + i32_const(0x30) + LT_U
+            + br_if(1)
+            + local_get(_DE) + i32_load8_u() + i32_const(0x39) + GT_U
+            + br_if(1)
+            + local_get(_V) + i32_const(10) + MUL
+            + local_get(_DE) + i32_load8_u() + i32_const(0x30) + SUB + ADD
+            + local_set(_V)
+            + local_get(_DE) + i32_const(1) + ADD + local_set(_DE) + br(0)
+            + b"\x0b" + b"\x0b"
+            # v = (sign ? -v : v) + delta
+            + i32_const(0) + local_get(_V) + SUB
+            + local_get(_V)
+            + local_get(_J) + SELECT
+            + i32_const(delta) + ADD + local_set(_V)
+            # render |v| backwards at scratch+24; sign handled below
+            + local_get(_V) + i32_const(0) + LT_S + local_set(_J)
+            + i32_const(0) + local_get(_V) + SUB
+            + local_get(_V)
+            + local_get(_J) + SELECT + local_set(_V)
+            + i32_const(scratch + 24) + local_set(_C)
+            + LOOP_VOID
+            + local_get(_C) + i32_const(1) + SUB + local_set(_C)
+            + local_get(_C)
+            + local_get(_V) + i32_const(10) + _REM_U + i32_const(0x30) + ADD
+            + i32_store8()
+            + local_get(_V) + i32_const(10) + _DIV_U + local_tee(_V)
+            + br_if(0)
+            + b"\x0b"
+            + local_get(_J)
+            + IF_VOID
+            + local_get(_C) + i32_const(1) + SUB + local_set(_C)
+            + local_get(_C) + i32_const(0x2D) + i32_store8()
+            + b"\x0b"
+            # splice: prefix [q, _DS_digits_start... careful: prefix is
+            # everything before the ORIGINAL number (incl. any '-'),
+            # which begins where space-skipping stopped — recompute:
+            # original number span = [numstart, _DE); numstart =
+            # _DS minus (1 if original had '-'), but _DS was advanced
+            # past '-'; the prefix end is simpler: scan the payload up
+            # to _DS, then back over an optional '-'.
+            + local_get(_DS) + i32_const(1) + SUB + i32_load8_u()
+            + i32_const(0x2D) + EQ
+            + IF_VOID
+            + local_get(_DS) + i32_const(1) + SUB + local_set(_DS)
+            + b"\x0b"                                     # prefix end = _DS
+            # outlen = (prefix) + rendered + (suffix)
+            + local_get(_DS) + local_get(_Q) + SUB        # prefix len
+            + i32_const(scratch + 24) + local_get(_C) + SUB + ADD
+            + local_get(_Q) + local_get(_LEN) + ADD + local_get(_DE)
+            + SUB + ADD
+            + local_set(_OUTLEN)
+            + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+            + local_set(_OUT)
+            + _frame_header(_OUTLEN, _OUT)
+            + local_get(_OUT) + i32_const(5) + ADD
+            + local_get(_Q)
+            + local_get(_DS) + local_get(_Q) + SUB + MEMORY_COPY
+            + local_get(_OUT) + i32_const(5) + ADD
+            + local_get(_DS) + local_get(_Q) + SUB + ADD
+            + local_get(_C)
+            + i32_const(scratch + 24) + local_get(_C) + SUB + MEMORY_COPY
+            + local_get(_OUT) + i32_const(5) + ADD
+            + local_get(_DS) + local_get(_Q) + SUB + ADD
+            + i32_const(scratch + 24) + local_get(_C) + SUB + ADD
+            + local_get(_DE)
+            + local_get(_Q) + local_get(_LEN) + ADD + local_get(_DE) + SUB
+            + MEMORY_COPY
+            + local_get(_OUT)
+        )
+
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(),
+               Func(1, 13, body(int(magnitude)), export="transform"),
+               Func(1, 13, body(-int(magnitude)), export="inverse")],
+        globals_init=[HEAP_BASE],
+        data=[(8, pat)],
+    )
+
+
+def explode_books() -> bytes:
+    """M7 semantics (≙ ``rust_wasm32_normalize``, tests/modules/
+    rust_wasm32_normalize/src/lib.rs:30-77): un-nest
+    ``{"Books": ["a", "b"]}`` into one ``{"Book": "a"}`` per element —
+    the 1:N envelope. The module BUFFERS the array remainder in fixed
+    memory across calls and each ``transform()`` returns the next
+    element WITHOUT pulling (the one cardinality class no other
+    fixture exercises); when the buffer drains it pulls the next
+    input. Docs without a ``Books`` array are skipped (pull again,
+    like the reference's nil handling); elements are unescaped quoted
+    strings."""
+    pat = b'"Books"'
+    OUT_PRE, OUT_PRE_S = b'{"Book":"', 32
+    PEND, PEND_CAP = 1024, 30000
+    TOOBIG, TOOBIG_S = b"Books array exceeds the pending buffer", 64
+    # globals: g0 heap, g1 cursor (0 = drained), g2 end
+    _POS, _E = 9, 10
+    body = (
+        i32_const(HEAP_BASE) + global_set(0)
+        + LOOP_VOID                                       # $main
+        + global_get(1) + EQZ + EQZ                       # pending?
+        + IF_VOID
+        # ---- emit next element from [g1, g2)
+        + global_get(1) + local_set(_POS)
+        + BLOCK_VOID                                      # $drained
+        + BLOCK_VOID + LOOP_VOID                          # find open "
+        + local_get(_POS) + global_get(2) + GE_U + br_if(2)  # → drained
+        + local_get(_POS) + i32_load8_u() + i32_const(0x5D) + EQ
+        + br_if(2)                                        # ']' → drained
+        + local_get(_POS) + i32_load8_u() + i32_const(0x22) + EQ
+        + br_if(1)                                        # found
+        + local_get(_POS) + i32_const(1) + ADD + local_set(_POS) + br(0)
+        + b"\x0b" + b"\x0b"
+        # closing quote
+        + local_get(_POS) + i32_const(1) + ADD + local_tee(_POS)
+        + local_set(_E)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(_E) + global_get(2) + GE_U + br_if(2)  # → drained
+        + local_get(_E) + i32_load8_u() + i32_const(0x22) + EQ
+        + br_if(1)
+        + local_get(_E) + i32_const(1) + ADD + local_set(_E) + br(0)
+        + b"\x0b" + b"\x0b"
+        # emit {"Book":"<elem>"} ; advance cursor past closing quote
+        + local_get(_E) + i32_const(1) + ADD + global_set(1)
+        + local_get(_E) + local_get(_POS) + SUB
+        + i32_const(len(OUT_PRE) + 2) + ADD + local_set(_OUTLEN)
+        + local_get(_OUTLEN) + i32_const(5) + ADD + call(1)
+        + local_set(_OUT)
+        + _frame_header(_OUTLEN, _OUT)
+        + local_get(_OUT) + i32_const(5) + ADD
+        + i32_const(OUT_PRE_S) + i32_const(len(OUT_PRE)) + MEMORY_COPY
+        + local_get(_OUT) + i32_const(5 + len(OUT_PRE)) + ADD
+        + local_get(_POS)
+        + local_get(_E) + local_get(_POS) + SUB + MEMORY_COPY
+        + local_get(_OUT) + local_get(_OUTLEN) + ADD
+        + i32_const(3) + ADD                              # out+5+outlen-2
+        + i32_const(0x7D22) + i32_store16()               # '"' then '}' (LE)
+        + local_get(_OUT) + RETURN
+        + b"\x0b"                                         # end $drained
+        + i32_const(0) + global_set(1)                    # drained
+        + b"\x0b"                                         # end IF pending
+        # ---- pull the next input
+        + call(0) + local_set(_P)
+        + local_get(_P) + i32_load8_s() + local_set(_T)
+        + local_get(_T) + i32_const(1) + NE
+        + IF_VOID + local_get(_P) + RETURN + b"\x0b"      # nil/EOS/err
+        + local_get(_P) + i32_load(1) + local_set(_LEN)
+        + local_get(_P) + i32_const(5) + ADD + local_set(_Q)
+        + _scan_for(8, len(pat))
+        + local_get(_M) + i32_const(0) + GE_S
+        + IF_VOID
+        # skip to '[' then stash the remainder into PEND
+        + local_get(_Q) + local_get(_M) + ADD + i32_const(len(pat)) + ADD
+        + local_set(_POS)
+        + BLOCK_VOID + LOOP_VOID
+        + local_get(_POS) + local_get(_Q) + local_get(_LEN) + ADD + GE_U
+        + br_if(1)
+        + local_get(_POS) + i32_load8_u() + i32_const(0x5B) + EQ
+        + br_if(1)
+        + local_get(_POS) + i32_const(1) + ADD + local_set(_POS) + br(0)
+        + b"\x0b" + b"\x0b"
+        + local_get(_Q) + local_get(_LEN) + ADD + local_get(_POS) + SUB
+        + i32_const(PEND_CAP) + GT_U
+        + IF_VOID
+        + i32_const(len(TOOBIG) + 5) + call(1) + local_set(_OUT)
+        + local_get(_OUT) + i32_const(-1) + i32_store8()
+        + local_get(_OUT) + i32_const(len(TOOBIG)) + i32_store(1)
+        + local_get(_OUT) + i32_const(5) + ADD
+        + i32_const(TOOBIG_S) + i32_const(len(TOOBIG)) + MEMORY_COPY
+        + local_get(_OUT) + RETURN
+        + b"\x0b"
+        + i32_const(PEND) + local_get(_POS)
+        + local_get(_Q) + local_get(_LEN) + ADD + local_get(_POS) + SUB
+        + MEMORY_COPY
+        + i32_const(PEND) + global_set(1)
+        + i32_const(PEND)
+        + local_get(_Q) + local_get(_LEN) + ADD + local_get(_POS) + SUB
+        + ADD + global_set(2)
+        + b"\x0b"                                         # end IF found
+        + br(0)                                           # continue $main
+        + b"\x0b"                                         # end $main
+        + UNREACHABLE
+    )
+    return build_module(
+        types=[([0x7F], [0x7F]), ([], [0x7F])],
+        imports=[("lens", "next", 1)],
+        funcs=[_alloc_func(), Func(1, 11, body, export="transform")],
+        globals_init=[HEAP_BASE, 0, 0],
+        data=[(8, pat), (OUT_PRE_S, OUT_PRE), (TOOBIG_S, TOOBIG)],
     )
 
 

@@ -32,7 +32,8 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="session")
 def wasm_dir(tmp_path_factory):
     from lens_spark.wasm.testmods import (
-        contains_filter, counter, echo_param, rename_param, rename_simple,
+        add_age, contains_filter, counter, echo_param, explode_books,
+        rename_param, rename_simple,
     )
 
     d = tmp_path_factory.mktemp("wasmmods")
@@ -41,6 +42,8 @@ def wasm_dir(tmp_path_factory):
     (d / "echo.wasm").write_bytes(echo_param())
     (d / "filter.wasm").write_bytes(contains_filter())
     (d / "rename_param.wasm").write_bytes(rename_param())
+    (d / "add_age.wasm").write_bytes(add_age(1))
+    (d / "explode.wasm").write_bytes(explode_books())
     return d
 
 
@@ -149,6 +152,36 @@ def test_lens_file_parameterized_wasm_rename_golden(spark, wasm_dir,
     assert main([str(lensfile), "--allow-module-paths"],
                 _stop_session=False) == 0
     assert json.loads(out.getvalue()) == [{"Age": 30, "FullName": "John"}]
+
+
+def test_pipe_numeric_add_bidirectional_m2_semantics(wasm_dir):
+    """≙ rust_wasm32_simple2 (tests/modules/rust_wasm32_simple2/src/
+    lib.rs:9-57): Age = Age + 1 with an exact inverse — the number is
+    parsed, incremented, and re-rendered INSIDE wasm, including sign
+    crossings; docs without the key and nils pass through."""
+    fp = str(wasm_dir / "add_age.wasm")
+    items = [{"Name": "J", "Age": 30}, {"Age": -1}, {"Age": 0},
+             {"Age": -5}, None, {"NoAge": 1}]
+    out = list(run_wasm_pipe(fp, items))
+    assert out == [{"Name": "J", "Age": 31}, {"Age": 0}, {"Age": 1},
+                   {"Age": -4}, None, {"NoAge": 1}]
+    assert list(run_wasm_pipe(fp, out, fn="inverse")) == items
+
+
+def test_pipe_explode_emits_without_pulling_m7_semantics(wasm_dir):
+    """≙ rust_wasm32_normalize (tests/modules/rust_wasm32_normalize/
+    src/lib.rs:30-77): the 1:N envelope — the module buffers the
+    array across transform() calls and returns elements WITHOUT
+    pulling (every other fixture pulls per call); docs without a
+    Books array are consumed silently; nil passes through."""
+    fp = str(wasm_dir / "explode.wasm")
+    items = [{"Books": ["a", "b"]}, {"Books": []}, {"Other": 1},
+             {"Books": ["c"]}, None]
+    out = list(run_wasm_pipe(fp, items))
+    assert out == [{"Book": "a"}, {"Book": "b"}, {"Book": "c"}, None]
+    # N elements from ONE doc, deterministic order, arbitrary length
+    many = list(run_wasm_pipe(fp, [{"Books": [f"b{i}" for i in range(50)]}]))
+    assert [d["Book"] for d in many] == [f"b{i}" for i in range(50)]
 
 
 def test_pipe_filter_pulls_many_inputs_per_output(wasm_dir):
