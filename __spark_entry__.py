@@ -2700,6 +2700,39 @@ def q_x9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch data-quality gate (new r8, rows-only): the
+    documents table replayed as two micro-batch files, each checked
+    against the expect rule list at intake — per-batch rows are
+    EXACTLY batch expect(batch, rules) (pinned by test_streaming).
+    Batch ids projected out so the result is replay-order stable;
+    2 batches × 3 rules = 6 scalar rows."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.streaming import (
+        read_file_stream, run_stream_expectations,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    pdf = pd.read_parquet(src, columns=["doc_id", "lang", "n_chars"])
+    staged = tempfile.mkdtemp(prefix="lens_spark_expect_src_")
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(os.path.join(staged, "b1.parquet"))
+    pdf.iloc[n // 2:].to_parquet(os.path.join(staged, "b2.parquet"))
+    stream = read_file_stream(spark, staged, schema_from=src,
+                              maxFilesPerTrigger=1)
+    out = run_stream_expectations(stream, [
+        {"name": "doc_id_set", "predicate": "doc_id IS NOT NULL"},
+        {"name": "short_docs", "predicate": "n_chars >= 120",
+         "max_fail_frac": 0.3},
+        {"name": "doc_id_unique", "unique": ["doc_id"]},
+    ])
+    return out.select("rule", "kind", "n_rows", "n_violations",
+                      "fail_frac_micro", "max_fail_micro", "passed")
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch KS drift monitoring (new r7c, rows-only): the
     documents table replayed as two micro-batch files (halves by
@@ -2940,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_freq_items": q_x6_freq_items,
         "x5_bpe_tokenize": q_x5_bpe_tokenize,
         "streaming_drift": q_streaming_drift,
+        "streaming_expectations": q_streaming_expectations,
     }
 
 

@@ -599,6 +599,62 @@ def run_stream_drift(stream_df: DataFrame, reference: DataFrame,
              "d_num bigint, d_microunits bigint")
 
 
+def run_stream_expectations(stream_df: DataFrame, rules: "list[dict]", *,
+                            checkpoint: str | None = None,
+                            timeout: int = 120) -> DataFrame:
+    """Data-quality contract AT INGEST: every micro-batch is checked
+    against the same rule list as the batch ``operators.evaluation
+    .expect`` gate (row predicates with NULL=violation, key
+    uniqueness, exact micro-unit tolerances) and the per-batch report
+    rows are accumulated — the alarm wire complementing
+    ``run_stream_drift`` ("this crawl violated the id-uniqueness
+    contract", caught at intake, not at publish).
+
+    Returns a BATCH DataFrame ``(batch_id, rule, kind, n_rows,
+    n_violations, fail_frac_micro, max_fail_micro, passed)`` after
+    draining the source with availableNow (the runner contract of the
+    other streaming queries). Each batch's rows are EXACTLY what batch
+    ``expect(batch, rules)`` computes — asserted by test_streaming —
+    so the monitor inherits the exact-integer verdict contract.
+    Uniqueness is per-batch (cross-batch uniqueness is the incremental
+    dedup index's job — documented boundary, not silent weakening).
+
+    Scale shape: per batch, ONE aggregate to a single counter row;
+    the accumulated output is #batches × #rules scalar rows — driver
+    model-state grade.
+    """
+    import tempfile as _tf
+
+    from lens_spark.operators.evaluation import expect
+
+    spark = stream_df.sparkSession
+    acc: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for r in expect(batch_df, rules).collect():
+            acc.append((int(batch_id), r["rule"], r["kind"], r["n_rows"],
+                        r["n_violations"], r["fail_frac_micro"],
+                        r["max_fail_micro"], r["passed"]))
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or _tf.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError("run_stream_expectations: availableNow run "
+                           f"exceeded {timeout}s before draining the source")
+    return spark.createDataFrame(
+        acc, "batch_id long, rule string, kind string, n_rows bigint, "
+             "n_violations bigint, fail_frac_micro bigint, "
+             "max_fail_micro bigint, passed boolean")
+
+
 def _ks_from_hist(hist_a: dict, hist_b: dict) -> tuple:
     """Exact integer two-sample KS from distinct-value histograms —
     the driver-side twin of ``operators.evaluation.ks_drift`` (value →

@@ -660,6 +660,56 @@ def test_run_stream_drift_matches_batch_ks_per_microbatch(spark, tmp_path):
     assert got[(b2_id, "x")][3] == 1000000    # disjoint support: D = 1
 
 
+def test_run_stream_expectations_matches_batch_expect(spark, tmp_path):
+    """Per-micro-batch quality gate == batch expect on the wire: each
+    batch's report rows must equal expect(batch, rules) exactly, and a
+    contract that holds corpus-wide can still fail per-batch (the
+    point of checking at intake)."""
+    import pandas as pd
+
+    from lens_spark.operators.evaluation import expect
+    from lens_spark.streaming import (
+        read_file_stream, run_stream_expectations,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"id": [1, 2, 3, 4], "n": [10, 20, 30, 40]})
+    b2 = pd.DataFrame({"id": [5, 5, 6],
+                       "n": pd.array([10, None, 99], dtype="Int64")})
+    b1.to_parquet(src / "f1.parquet")
+    b2.to_parquet(src / "f2.parquet")
+    rules = [
+        {"name": "n_set", "predicate": "n IS NOT NULL"},
+        {"name": "n_small", "predicate": "n <= 50", "max_fail_frac": 0.4},
+        {"name": "id_unique", "unique": ["id"]},
+    ]
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    out = run_stream_expectations(stream, rules)
+    rows = out.collect()
+    batches = {int(r.batch_id) for r in rows}
+    assert len(batches) == 2 and len(rows) == 6
+    # wire equality: every batch row == batch expect on that file
+    for bid, pdf in zip(sorted(batches), [b1, b2]):
+        got = {(r.rule): (r.n_rows, r.n_violations, r.fail_frac_micro,
+                          r.max_fail_micro, r.passed)
+               for r in rows if r.batch_id == bid}
+        exp = {(r.rule): (r.n_rows, r.n_violations, r.fail_frac_micro,
+                          r.max_fail_micro, r.passed)
+               for r in expect(spark.createDataFrame(pdf), rules).collect()}
+        assert got == exp, (bid, got, exp)
+    by = {(r.batch_id, r.rule): r for r in rows}
+    bid1, bid2 = sorted(batches)
+    # clean batch passes everything; dirty batch trips all three
+    assert all(by[(bid1, n)].passed for n in
+               ("n_set", "n_small", "id_unique"))
+    assert not by[(bid2, "n_set")].passed          # NULL n
+    assert not by[(bid2, "n_small")].passed        # 2/3 > 40% (NULL fails)
+    assert not by[(bid2, "id_unique")].passed      # dup id 5
+
+
 def test_stream_drift_monitor_windows_restart_exactly_once(spark, tmp_path):
     """Continuous windowed drift monitor (r7 verdict #7): update-mode
     watermarked histogram agg + per-batch KS rows in a parquet sink.
