@@ -2784,7 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        x4_media_metadata — each ≥3 rounds driver-green). The tail test
        in tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 18 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 22 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
