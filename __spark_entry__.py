@@ -2700,6 +2700,48 @@ def q_x9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_e2_wasm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WASM lens host under the external hash gate (new r8): two
+    CHAINED wasm modules — a set_param-driven key rename
+    (lang→language; ≙ rust_wasm32_rename) then an in-wasm numeric
+    update (n_chars += 7; ≙ rust_wasm32_simple2) — run over the
+    documents table through the Node host (one process per partition,
+    reference ABI frames), then a per-language aggregate. The oracle
+    re-expresses the whole pipeline relationally, so the host, the
+    frame protocol, set_param, and both hand-assembled modules sit
+    under the external rows+schema+value-hash comparison. Explicit
+    output_schema (no probe): deterministic plan, no extra jobs.
+    Compatibility path by design — per-row json via the ABI, NOT the
+    100 TB hot path (SCALE.md wasm entry)."""
+    import os
+
+    from lens_spark.wasm import load_wasm_path, wasm_available
+    from lens_spark.wasm.testmods import add_age, rename_param
+
+    if not wasm_available():
+        raise RuntimeError("e2_wasm_pipeline needs a node binary on PATH")
+    wd = tempfile.mkdtemp(prefix="lens_wasmq_")
+    p1 = os.path.join(wd, "rename_param.wasm")
+    with open(p1, "wb") as f:
+        f.write(rename_param())
+    p2 = os.path.join(wd, "add_nchars.wasm")
+    with open(p2, "wb") as f:
+        f.write(add_age(7, key="n_chars"))
+    ddl = "doc_id bigint, language string, n_chars bigint"
+    spec = {"lenses": [
+        {"name": load_wasm_path(p1), "arguments": {
+            "src": "lang", "dst": "language", "output_schema": ddl}},
+        {"name": load_wasm_path(p2), "arguments": {"output_schema": ddl}},
+    ]}
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "n_chars")
+    out = engine.append(docs, spec)
+    return (out.groupBy("language")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars_plus7"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
 def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch data-quality gate (new r8, rows-only): the
     documents table replayed as two micro-batch files, each checked
@@ -2951,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # until rotated in.
         "x9_card_diff": q_x9_card_diff,
         "x9_expectations": q_x9_expectations,
+        "e2_wasm_pipeline": q_e2_wasm_pipeline,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -5549,5 +5592,16 @@ FROM (
   UNION ALL
   SELECT 'text_unique', 'unique', n, v4, 10000 FROM a
 )
+""",
+        # WASM pipeline (new r8): the relational restatement of the
+        # two-module wasm chain — key rename is a no-op relationally
+        # (same values, new name) and the in-wasm +7 is exact integer
+        # addition, so the aggregate is pure bigint arithmetic.
+        "e2_wasm_pipeline": """
+SELECT lang AS language,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars + 7) AS BIGINT) AS sum_chars_plus7,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY lang
 """,
     }

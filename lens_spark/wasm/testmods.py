@@ -434,15 +434,15 @@ def rename_param() -> bytes:
     )
 
 
-def add_age(magnitude: int = 1) -> bytes:
+def add_age(magnitude: int = 1, key: str = "Age") -> bytes:
     """M2 semantics (≙ ``rust_wasm32_simple2``, tests/modules/
     rust_wasm32_simple2/src/lib.rs:9-57): ``transform`` parses the
-    decimal digits after ``"Age":`` and splices back ``Age+magnitude``;
-    ``inverse`` subtracts — a bidirectional numeric update running
-    INSIDE wasm (parse → arithmetic → re-render), not a host-side
-    shortcut. Docs without an ``Age`` key pass through unchanged.
+    decimal digits after ``"<key>":`` and splices back the value plus
+    ``magnitude``; ``inverse`` subtracts — a bidirectional numeric
+    update running INSIDE wasm (parse → arithmetic → re-render), not a
+    host-side shortcut. Docs without the key pass through unchanged.
     Negative results render with a leading '-'."""
-    pat = b'"Age":'
+    pat = f'"{key}":'.encode("utf-8")
     scratch = 48  # digits rendered backwards from scratch+24
 
     def body(delta: int) -> bytes:
