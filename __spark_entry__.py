@@ -5558,8 +5558,9 @@ JOIN c2 ON c2.source = c1.source
 JOIN ks ON ks.source = c1.source
 """,
         # Data-quality contract (new r8): one aggregate of CASE sums +
-        # exact count-DISTINCTs; the caps are the SAME python-computed
-        # micro literals the Spark lens uses (int(frac·1e6)); verdict
+        # exact count-DISTINCTs; the caps are the SAME micro literals
+        # the Spark lens computes (decimal floor(frac·10⁶) — r8 advice:
+        # Decimal(str(frac)), never a binary-float truncation); verdict
         # is the exact integer cross-product comparison. All integers.
         "x9_expectations": r"""
 WITH a AS (

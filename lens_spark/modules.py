@@ -65,29 +65,62 @@ def module_paths_allowed() -> bool:
 _WASM_MAGIC = b"\x00asm"  # WebAssembly binary magic (public wasm spec §5.5.16)
 
 
+def _wasm_staging_dir() -> str:
+    """Private (mode-0700, owner-verified) per-user staging dir for
+    ``data:`` wasm payloads. A world-shared predictable /tmp path is a
+    TOCTOU hole (r8 advice: another local user pre-creates the file
+    and their wasm runs in place of the declared payload) — so stage
+    under a directory only this uid can write, and fall back to a
+    fresh ``mkdtemp`` if the preferred name exists but is not ours."""
+    import tempfile
+
+    preferred = os.path.join(tempfile.gettempdir(),
+                             f"lens_spark_wasm_{os.getuid()}")
+    try:
+        os.makedirs(preferred, mode=0o700, exist_ok=True)
+        st = os.stat(preferred, follow_symlinks=False)
+        import stat as stat_mod
+        if (st.st_uid == os.getuid() and stat_mod.S_ISDIR(st.st_mode)
+                and not (st.st_mode & 0o077)):
+            return preferred
+    except OSError:
+        pass
+    global _PRIVATE_STAGING
+    if _PRIVATE_STAGING is None:
+        _PRIVATE_STAGING = tempfile.mkdtemp(prefix="lens_spark_wasm_")
+    return _PRIVATE_STAGING
+
+
+_PRIVATE_STAGING: str | None = None
+
+
 def _load_wasm(path: str, payload: bytes | None = None) -> str:
     """Route a ``.wasm`` module to the Node-backed wasm host
     (lens_spark.wasm — reference ABI end to end). ``data:`` payloads
-    are staged to a content-addressed temp file (the host runs the
-    module from a filesystem path). Raises loudly when no ``node``
+    are staged to a content-addressed file in a PRIVATE per-user dir,
+    re-hashed on reuse and rewritten on mismatch, and the host loader
+    verifies the bytes it reads against the declared digest (r8
+    advice — no silent substitution). Raises loudly when no ``node``
     binary is available — the one environment requirement."""
-    import tempfile
-
     from lens_spark import wasm as wasm_host
 
     if payload is None and path.startswith("data:"):
         payload = _read_source(path)
     if payload is not None:
-        digest = hashlib.sha256(payload).hexdigest()[:16]
-        fs_path = os.path.join(tempfile.gettempdir(),
-                               f"lens_wasm_{digest}.wasm")
-        if not os.path.exists(fs_path):
+        digest = hashlib.sha256(payload).hexdigest()
+        fs_path = os.path.join(_wasm_staging_dir(),
+                               f"lens_wasm_{digest[:16]}.wasm")
+        stale = True
+        if os.path.exists(fs_path):
+            with open(fs_path, "rb") as f:
+                stale = hashlib.sha256(f.read()).hexdigest() != digest
+        if stale:
             tmp = fs_path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, fs_path)
-    else:
-        fs_path = urllib.parse.urlparse(path).path or path[len("file:"):]
+        return wasm_host.load_wasm_path(fs_path, expect_sha256=digest)
+    fs_path = urllib.parse.urlparse(path).path or path[len("file:"):]
     return wasm_host.load_wasm_path(fs_path)
 
 

@@ -245,6 +245,22 @@ def filter_funnel(df: DataFrame,
               "n_out bigint, drop_frac_micro bigint")
 
 
+def _micro_floor(frac: Any) -> int:
+    """``floor(frac·10⁶)`` of a user-facing DECIMAL tolerance.
+
+    ``int(float(frac) * 1e6)`` truncates binary-float error (0.000249
+    → 248, not 249 — ~1.8% of the first 10k micro values deviate, r8
+    verdict), so the conversion goes through ``Decimal(str(frac))``:
+    the shortest-repr decimal the user actually wrote, floored
+    exactly. Keeps the "verdicts never compare floats" contract true
+    on the tolerance boundary too.
+    """
+    from decimal import ROUND_FLOOR, Decimal
+
+    return int((Decimal(str(frac)) * 1_000_000)
+               .to_integral_value(rounding=ROUND_FLOOR))
+
+
 def expect(df: DataFrame, rules: "list[dict]") -> DataFrame:
     """Data-quality contract report — the validation gate a production
     pipeline runs before publishing a dataset version (the Deequ /
@@ -309,7 +325,7 @@ def expect(df: DataFrame, rules: "list[dict]") -> DataFrame:
         raw = int(row[f"__v{i}"] or 0)
         viol = raw if kinds[i] == "predicate" else n - raw
         frac = viol * 1_000_000 // n if n > 0 else None
-        cap = int(float(r.get("max_fail_frac", 0.0)) * 1_000_000)
+        cap = _micro_floor(r.get("max_fail_frac", 0.0))
         out.append((names[i], kinds[i], n, viol, frac, cap,
                     n == 0 or viol * 1_000_000 <= cap * n))
     return df.sparkSession.createDataFrame(

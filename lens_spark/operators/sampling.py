@@ -612,16 +612,20 @@ def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
     text never moves.
 
     ``num_shards=None`` (the default) auto-scales the shard count
-    from the input's scan split count (the ensure_parallelism idiom:
-    splits track bytes via maxPartitionBytes, so shards grow with the
-    corpus and the per-(shard, stratum) window task stays bounded at
-    100× data — no extra Spark job is spent sizing it). The schedule
-    is exact and stable for a FIXED shard count; auto mode is
-    deterministic for a fixed input layout + session config, but a
-    re-layout (compaction, different split size) can change the
-    derived count and therefore the (still exact, still
-    weight-faithful) schedule. Pin ``num_shards`` explicitly when the
-    serving order must be reproducible across environments.
+    from the input plan's OUTPUT partitioning (``rdd.getNumPartitions``
+    — no extra Spark job is spent sizing it). For a direct file scan
+    that is the scan split count (splits track bytes via
+    maxPartitionBytes, so shards grow with the corpus and the
+    per-(shard, stratum) window task stays bounded at 100× data); for
+    a shuffled/aggregated upstream it is ``spark.sql.shuffle.
+    partitions`` (or AQE's coalesced count), i.e. session config and
+    plan shape — NOT the scan split count (r8 advice). Either way the
+    schedule is exact and weight-faithful for the derived count, but
+    auto mode is only deterministic for a fixed input layout + session
+    config: a re-layout, a conf change, or an upstream reshuffle can
+    change the derived count and therefore the schedule. Pin
+    ``num_shards`` explicitly when the serving order must be
+    reproducible across environments (the bench queries do).
     """
     from pyspark.sql import Window
 

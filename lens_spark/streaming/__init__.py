@@ -748,44 +748,50 @@ def stream_drift_monitor(stream_df: DataFrame, reference: DataFrame,
             return
         touched_ws = sorted({r["ws"] for r in updates})
         state: dict = {}
-        try:
+        # Only a MISSING state dir means "first batch" — any other
+        # read failure (FS hiccup, concurrent-listing error) must fail
+        # the batch so the checkpoint replays it; swallowing it would
+        # silently drop the accumulated histograms for the touched
+        # windows and persist undercounted KS rows (r8 advice).
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             old = (spark.read.parquet(state_path)
                    .filter(F.col("ws").isin(touched_ws)).collect())
-        except Exception:
+        else:
             old = []  # first batch: no state yet
         for r in old:
             state[(r["ws"], r["we"], r["__grp"], r["__v"])] = int(r["__c"])
         for r in updates:  # absolute refreshed totals overwrite
             state[(r["ws"], r["we"], r["__grp"], r["__v"])] = int(r["__c"])
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (spark.createDataFrame(
-                [(ws, we, g, v, c) for (ws, we, g, v), c in state.items()],
-                batch_df.schema)
-             .write.partitionBy("ws").mode("overwrite")
-             .parquet(state_path))
-            wins: dict = {}
-            for (ws, we, g, v), c in state.items():
-                wins.setdefault((ws, we, g), {})[v] = c
-            ks_rows = []
-            for (ws, we, g), h in sorted(wins.items()):
-                n_a, n_b, d_num, micro = _ks_from_hist(
-                    h, ref_hist.get(g, {}))
-                ks_rows.append((ws, we, g, n_a, n_b, d_num, micro,
-                                int(batch_id)))
-            (spark.createDataFrame(
-                ks_rows,
-                "ws timestamp, we timestamp, grp string, n_a bigint, "
-                "n_b bigint, d_num bigint, d_microunits bigint, "
-                "batch_id long")
-             .write.partitionBy("batch_id").mode("overwrite")
-             .parquet(sink_path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
+        # dynamic overwrite as a PER-WRITER option, never a session
+        # conf toggle — a concurrent partitioned write on the same
+        # SparkSession must not inherit (or strip) the monitor's
+        # overwrite semantics mid-batch (r8 advice)
+        (spark.createDataFrame(
+            [(ws, we, g, v, c) for (ws, we, g, v), c in state.items()],
+            batch_df.schema)
+         .write.partitionBy("ws").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+        wins: dict = {}
+        for (ws, we, g, v), c in state.items():
+            wins.setdefault((ws, we, g), {})[v] = c
+        ks_rows = []
+        for (ws, we, g), h in sorted(wins.items()):
+            n_a, n_b, d_num, micro = _ks_from_hist(
+                h, ref_hist.get(g, {}))
+            ks_rows.append((ws, we, g, n_a, n_b, d_num, micro,
+                            int(batch_id)))
+        (spark.createDataFrame(
+            ks_rows,
+            "ws timestamp, we timestamp, grp string, n_a bigint, "
+            "n_b bigint, d_num bigint, d_microunits bigint, "
+            "batch_id long")
+         .write.partitionBy("batch_id").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(sink_path))
 
     writer = (hist.writeStream.outputMode("update")
               .foreachBatch(emit)

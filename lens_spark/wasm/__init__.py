@@ -306,18 +306,27 @@ def _split_ddl(ddl: str) -> list[str]:
     return parts
 
 
-def load_wasm_path(fs_path: str) -> str:
+def load_wasm_path(fs_path: str, *, expect_sha256: str | None = None) -> str:
     """Register a ``.wasm`` lens module as a named lens
     (content-addressed ``wasmmod_<sha12>``, idempotent — ≙ the
     reference engine caching modules by config identity). The caller
     (modules.load_module_path) has already enforced the execution
-    opt-in; here we enforce the node requirement."""
+    opt-in; here we enforce the node requirement. ``expect_sha256``
+    (set when the caller staged a declared payload) pins the bytes we
+    actually read — a staged file swapped between write and load is a
+    loud error, not a silent module substitution (r8 advice)."""
     _require_node()
     with open(fs_path, "rb") as f:
         wasm_bytes = f.read()
     if wasm_bytes[:4] != b"\x00asm":
         raise LensError(f"{fs_path!r} is not a WebAssembly binary")
     digest = hashlib.sha256(wasm_bytes).hexdigest()
+    if expect_sha256 is not None and digest != expect_sha256:
+        raise LensError(
+            f"wasm module at {fs_path!r} does not match its declared "
+            f"payload digest (got sha256:{digest[:16]}…, expected "
+            f"sha256:{expect_sha256[:16]}…) — refusing to execute "
+            "substituted bytes")
     if digest in _LOADED:
         return _LOADED[digest]
     # compile-validate at load time, like the reference's NewModule

@@ -2607,6 +2607,37 @@ def test_expect_contract_verdicts(spark):
                     {"name": "a", "predicate": "n > 1"}])
 
 
+def test_expect_tolerance_cap_is_decimal_floor(spark):
+    """r8 verdict #3 / advice: the tolerance cap is the DECIMAL floor
+    of max_fail_frac·10⁶, not a binary-float truncation. 0.000249 is
+    the flagged witness (float path yields 248); sweep every 6dp
+    micro value and every 1..4dp decimal for exactness; e-notation
+    and int inputs too."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    from lens_spark.operators.evaluation import _micro_floor, expect
+
+    assert _micro_floor(0.000249) == 249  # float-trunc gives 248
+    for i in range(0, 10_000):
+        s = f"0.{i:06d}"
+        assert _micro_floor(float(s)) == i, s
+    for nd in (1, 2, 3, 4):
+        for i in range(10 ** nd):
+            s = f"0.{i:0{nd}d}"
+            want = int((Decimal(s) * 10 ** 6)
+                       .to_integral_value(rounding=ROUND_FLOOR))
+            assert _micro_floor(float(s)) == want, s
+    assert _micro_floor(1) == 1_000_000
+    assert _micro_floor(2.49e-4) == 249
+    # end-to-end: exactly 249 ppm of violations at max_fail_frac
+    # 0.000249 is boundary-inclusive PASS (the r8 contract deviation)
+    df = spark.range(1_000_000).selectExpr(
+        "case when id < 249 then -1 else cast(id as long) end as n")
+    r = expect(df, [{"name": "b", "predicate": "n >= 0",
+                     "max_fail_frac": 0.000249}]).collect()[0]
+    assert (r.n_violations, r.max_fail_micro, r.passed) == (249, 249, True)
+
+
 def test_filter_funnel_first_fail_attribution(spark):
     """A row failing multiple rules counts against the FIRST; NULL
     predicate = fail; survivor count invariant under rule reorder."""

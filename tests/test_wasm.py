@@ -306,6 +306,43 @@ def test_wasm_data_url_loads(wasm_dir, module_paths_enabled):
     assert load_module_path(url).startswith("wasmmod_")
 
 
+def test_wasm_staging_rejects_substituted_bytes(wasm_dir,
+                                                module_paths_enabled):
+    """r8 advice (TOCTOU): a pre-created/poisoned file at the staged
+    content-addressed path must NOT be silently executed — the stager
+    re-hashes and rewrites on mismatch, the loader pins the declared
+    digest, and the staging dir itself is private (0700, owner-only)."""
+    import base64
+    import hashlib
+    import os
+    import stat
+
+    from lens_spark import wasm as wasm_host
+    from lens_spark.modules import _wasm_staging_dir, load_module_path
+
+    payload = (wasm_dir / "rename.wasm").read_bytes()
+    digest = hashlib.sha256(payload).hexdigest()
+    staging = _wasm_staging_dir()
+    st = os.stat(staging)
+    assert st.st_uid == os.getuid() and not (st.st_mode & 0o077)
+    # poison the content-addressed slot with DIFFERENT valid wasm
+    poisoned = staging + f"/lens_wasm_{digest[:16]}.wasm"
+    other = (wasm_dir / "counter.wasm").read_bytes()
+    assert other != payload
+    with open(poisoned, "wb") as f:
+        f.write(other)
+    url = ("data:application/wasm;base64,"
+           + base64.b64encode(payload).decode())
+    assert load_module_path(url).startswith("wasmmod_")
+    # the stager detected the mismatch and rewrote the declared bytes
+    with open(poisoned, "rb") as f:
+        assert hashlib.sha256(f.read()).hexdigest() == digest
+    # and the loader itself refuses a digest mismatch loudly
+    with pytest.raises(LensError, match="declared payload digest"):
+        wasm_host.load_wasm_path(str(wasm_dir / "counter.wasm"),
+                                 expect_sha256=digest)
+
+
 def test_wasm_still_gated_without_opt_in(wasm_dir):
     from lens_spark.model import LensConfig
     from lens_spark.modules import allow_module_paths
