@@ -2742,6 +2742,53 @@ def q_e2_wasm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_doc_id")))
 
 
+def q_e2_wasm_lenchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-CHANGING wasm stages under the external hash gate
+    (r8 verdict #4 — the reference's own integration tests separate
+    len-changing modules, tests/integration/cli/with_len_change_test.go:9-104):
+    an N:1 multi-pull filter (≙ ``rust_wasm32_filter`` — keeps docs
+    whose json contains ``"keep"``) chained into a 1:N buffered
+    explode (≙ ``rust_wasm32_normalize`` — un-nests the ``Books``
+    array, one output per element, emitted WITHOUT pulling), then a
+    per-language aggregate over the exploded rows. The oracle
+    restates filter+unnest relationally, so the host's both
+    length-changing envelopes sit under rows+schema+value-hash.
+    Explicit output_schema (no probe). Compatibility path by design —
+    per-row json via the ABI, NOT the 100 TB hot path (SCALE.md)."""
+    import os
+
+    from lens_spark.wasm import load_wasm_path, wasm_available
+    from lens_spark.wasm.testmods import contains_filter, explode_books
+
+    if not wasm_available():
+        raise RuntimeError("e2_wasm_lenchange needs a node binary on PATH")
+    wd = tempfile.mkdtemp(prefix="lens_wasmq_")
+    p1 = os.path.join(wd, "filter.wasm")
+    with open(p1, "wb") as f:
+        f.write(contains_filter())
+    p2 = os.path.join(wd, "explode.wasm")
+    with open(p2, "wb") as f:
+        f.write(explode_books())
+    docs = _read(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") % 3 == 0, F.lit("keep"))
+         .otherwise(F.lit("drop")).alias("marker"),
+        F.array(F.concat_ws(":", "lang", "doc_id"),
+                F.concat_ws(":", "lang", "n_chars")).alias("Books"))
+    spec = {"lenses": [
+        {"name": load_wasm_path(p1), "arguments": {
+            "output_schema": "marker string, Books array<string>"}},
+        {"name": load_wasm_path(p2), "arguments": {
+            "output_schema": "Book string"}},
+    ]}
+    out = engine.append(docs, spec)
+    return (out.groupBy(F.split("Book", ":").getItem(0).alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.split("Book", ":").getItem(1).cast("bigint"))
+                  .alias("sum_vals"),
+                 F.min("Book").alias("min_book"),
+                 F.max("Book").alias("max_book")))
+
+
 def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch data-quality gate (new r8, rows-only): the
     documents table replayed as two micro-batch files, each checked
@@ -5604,5 +5651,26 @@ SELECT lang AS language,
        CAST(sum(n_chars + 7) AS BIGINT) AS sum_chars_plus7,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id
 FROM documents GROUP BY lang
+""",
+        # Length-changing wasm chain (new r9): the N:1 filter keeps
+        # n_chars%3=0 docs (their json carries the "keep" marker) and
+        # the 1:N explode un-nests the 2-element Books array; the
+        # relational restatement is WHERE + unnest. All aggregates are
+        # exact integers or ASCII string min/max (byte order agrees).
+        "e2_wasm_lenchange": """
+WITH kept AS (
+  SELECT lang, doc_id, n_chars FROM documents WHERE n_chars % 3 = 0
+), books AS (
+  SELECT unnest([lang || ':' || CAST(doc_id AS VARCHAR),
+                 lang || ':' || CAST(n_chars AS VARCHAR)]) AS book
+  FROM kept
+)
+SELECT split_part(book, ':', 1) AS lang,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(split_part(book, ':', 2) AS BIGINT)) AS BIGINT)
+           AS sum_vals,
+       min(book) AS min_book,
+       max(book) AS max_book
+FROM books GROUP BY 1
 """,
     }

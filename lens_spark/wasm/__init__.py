@@ -97,10 +97,14 @@ def _py(v: Any) -> Any:
         return {k: _py(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_py(x) for x in v]
-    if hasattr(v, "item"):  # numpy scalar
-        return _py(v.item())
-    if hasattr(v, "tolist"):  # numpy array
+    # tolist BEFORE item: both exist on every numpy value, but
+    # ndarray.item() raises for size != 1 (an array<string> cell from
+    # Spark arrives as an ndarray), while tolist() is right for
+    # scalars and arrays alike
+    if hasattr(v, "tolist"):
         return _py(v.tolist())
+    if hasattr(v, "item"):  # non-numpy scalar wrappers
+        return _py(v.item())
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return v

@@ -286,6 +286,22 @@ def test_lens_file_wasm_filter_changes_length(spark, wasm_dir,
     assert got == [101, 103]
 
 
+def test_lens_file_wasm_explode_over_array_column(spark, wasm_dir,
+                                                  module_paths_enabled):
+    # M7-through-Spark: a 1:N wasm stage over a REAL array<string>
+    # column (pandas hands the cell over as an ndarray — the r9 _py
+    # fix: tolist before item, ndarray.item() raises for size != 1)
+    from lens_spark import engine
+
+    spec = {"lenses": [{"path": f"file:{wasm_dir}/explode.wasm",
+                        "arguments": {"output_schema": "Book string"}}]}
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, ["c"])],
+        "id long, Books array<string>")
+    got = sorted(r.Book for r in engine.append(df, spec).collect())
+    assert got == ["a", "b", "c"]
+
+
 def test_wasm_module_content_addressed_idempotent(wasm_dir,
                                                   module_paths_enabled):
     from lens_spark.modules import load_module_path
