@@ -2235,6 +2235,30 @@ def q_x5_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clf_score")
 
 
+def q_s8_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-persisted model applied by id (new r9, r8 verdict #7):
+    the interchange weights are saved as a content-addressed registry
+    artifact (≙ the reference's LensBlock chunk store,
+    host-go/store/block.go:84-133) and the lens file names ONLY
+    ``model_id`` + ``registry`` — the fit-once/apply-many deployment
+    shape. Scoring math is identical to x5_classifier_score (weights
+    are the same deterministic md5 stand-in), so the same closed-form
+    oracle hash-checks the artifact round-trip end-to-end: a wrong
+    byte anywhere in envelope/chunking/load would flip scores."""
+    from lens_spark.models import save_model
+    from lens_spark.registry import Registry
+
+    reg_root = tempfile.mkdtemp(prefix="lens_spark_modelreg_")
+    mid = save_model(Registry(reg_root), "linear_classifier",
+                     {"weights": _clf_weights(), "bias": -0.1})
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = {"lenses": [{"name": "classifier_score", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": reg_root}}]}
+    out = engine.append(docs, spec)
+    return out.select("doc_id", "clf_score")
+
+
 def q_x6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (new r6): 1-hour windows advancing
     every 15 minutes — each event lands in 4 overlapping windows (the
@@ -2878,33 +2902,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-8 ROTATION (r7 verdict #1): the ENTIRE 30-query
-        # external-check backlog (14 r6 leftovers + 16 r7 newcomers,
-        # all tail-local oracle-green every run) takes the slots of 30
-        # evictees — 20 with >=3 external green rounds (x7_dsir_weights,
-        # x7_dsir_select, x2_dup_span_stats, range_join_events,
-        # x2_bloom_decontaminate, unpivot_price_measures, sets_except,
-        # python_udf_bucket, json_extract, scalar_functions,
-        # x5_line_dedup, x8_bm25, x4_audio_features, x5_span_dedup,
-        # x5_unigram_logprob, x7_token_budget_mix, x7_sample_exact_k,
-        # x2_winnow_fps, x5_hash_embedding, x9_curation_pipeline) and
-        # 10 two-round-green whose family gets unusually rich incoming
-        # cover (7 X5: bigram_logprob/url_dedup/segment_filter/
-        # normalize_text/dedup_segments/domain_filter/truncate_tokens
-        # vs 10 incoming X5; 3 X9: dataset_diff/outlier_filter/profile
-        # vs 4 incoming X9). Kept for sole-family cover: e1_composition
-        # (E/M), s4_transform_by_id (S), x1_keep_best (X1), the three
-        # two-round-green X2s, and the 14 one-green r7 rotations.
-        # Every evictee keeps its oracle and the tail pytest checks it
-        # on every run. After this rotation the never-externally-
-        # checked backlog is EMPTY: all 133 hash-checkable queries
-        # have (or are in-window to get) >=1 external CORRECTNESS row.
-        "e1_composition": q_e1_composition,
-        "s4_transform_by_id": q_s4_transform_by_id,
+        # ROUND-9 ROTATION (r8 verdict #1): the 3-query backlog
+        # (x9_card_diff, x9_expectations, e2_wasm_pipeline — the only
+        # hash-checkable queries without an external CORRECTNESS row)
+        # plus the 2 new r9 queries (e2_wasm_lenchange — the
+        # length-changing wasm gate, r8 verdict #4; s8_saved_model —
+        # registry model artifacts, r8 verdict #7) take the slots of 5
+        # evictees with >=3 external green rounds: e1_composition (8),
+        # s4_transform_by_id (8), x2_contamination_score (3),
+        # x2_winnow_pairs (3), x2_cross_neardup (3). Family cover
+        # stays: the two wasm queries run engine.append compositions
+        # (E/M family, e1's cover); s8_saved_model exercises the
+        # registry store/load surface (S family, s4's cover); X2 keeps
+        # 7 in-window siblings. x1_keep_best (4 greens) stays — it is
+        # the sole in-window X1. Every evictee keeps its oracle and
+        # the tail pytest checks it on every run. After this rotation
+        # the never-externally-checked backlog is again EMPTY.
+        "x9_card_diff": q_x9_card_diff,
+        "x9_expectations": q_x9_expectations,
+        "e2_wasm_pipeline": q_e2_wasm_pipeline,
+        "e2_wasm_lenchange": q_e2_wasm_lenchange,
+        "s8_saved_model": q_s8_saved_model,
         "x1_keep_best": q_x1_keep_best,
-        "x2_contamination_score": q_x2_contamination_score,
-        "x2_winnow_pairs": q_x2_winnow_pairs,
-        "x2_cross_neardup": q_x2_cross_neardup,
         "x3_embedding_outliers": q_x3_embedding_outliers,
         "x3_centroid": q_x3_centroid,
         "x3_matryoshka": q_x3_matryoshka,
@@ -2950,8 +2969,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
         # --- slots 51+: hash-checkable, operator covered above --------
-        # (r8 evictees first, each with its external green history in
-        # CORRECTNESS_r01-r07; tail pytest oracle-checks every one.)
+        # (r9 evictees first — e1_composition/s4_transform_by_id 8
+        # external greens each, the three X2s 3 each — then the r8
+        # evictees; tail pytest oracle-checks every one.)
+        "e1_composition": q_e1_composition,
+        "s4_transform_by_id": q_s4_transform_by_id,
+        "x2_contamination_score": q_x2_contamination_score,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x2_cross_neardup": q_x2_cross_neardup,
         "x7_dsir_weights": q_x7_dsir_weights,
         "x7_dsir_select": q_x7_dsir_select,
         "x2_dup_span_stats": q_x2_dup_span_stats,
@@ -3035,12 +3060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        # new r8 (r7 verdict #8 + expect contract) — the r9 rotation
-        # backlog; tail pytest oracle-checks them locally every run
-        # until rotated in.
-        "x9_card_diff": q_x9_card_diff,
-        "x9_expectations": q_x9_expectations,
-        "e2_wasm_pipeline": q_e2_wasm_pipeline,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -5295,6 +5314,12 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         "x4_audio_features": _audio_features_oracle_sql(),
         "x5_compression_ratio": _compression_ratio_oracle_sql(),
         "x5_classifier_score": _classifier_score_oracle_sql(),
+        # Saved-model apply (new r9): same scoring math as
+        # x5_classifier_score but the weights travel through the
+        # content-addressed registry artifact — the oracle is the same
+        # closed-form SQL, so any envelope/chunk/load corruption
+        # hash-mismatches.
+        "s8_saved_model": _classifier_score_oracle_sql(),
         "x3_random_projection": _random_projection_oracle_sql(),
         "x7_temperature_mix": r"""
 WITH ntok AS (

@@ -1,0 +1,148 @@
+"""Fitted-model persistence through the content-addressed registry.
+
+The engine's fit operators (``bpe_fit``, ``classifier_fit``,
+``kmeans_fit``) return driver-held model state — KB-scale merge
+tables, weight vectors, centroid matrices (the documented model-state
+contract). This module gives that state the same storage the
+reference gives its lens wasm modules — content-addressed, chunked,
+verified registry blocks (≙ host-go/store/block.go:84-133 LensBlock):
+a canonical JSON envelope saved as a ``lens1b-<sha256>`` artifact, so
+fit-once/apply-many pipelines are declarable in a lens file by id:
+
+    {"lenses": [{"name": "bpe_tokenize", "arguments": {
+        "column": "text", "model_id": "lens1b-…",
+        "registry": "/models/registry"}}]}
+
+Envelope: ``{"format": "lens_spark_model", "version": 1,
+"kind": <kind>, "model": <payload>}``, serialized with sorted keys and
+compact separators so identical models always produce the identical
+artifact id (S1 idempotence). JSON round-trips doubles exactly
+(shortest-repr), so weights and centroids reload bit-identical.
+
+Kinds and payload shapes:
+
+- ``bpe_merges`` — ``[[a, b], …]`` in rank order (what ``bpe_fit``
+  returns, tuples listified).
+- ``linear_classifier`` — ``{"weights": [...], "bias": float}`` (the
+  ``classifier_fit`` → ``classifier_score`` interchange format).
+- ``kmeans_centroids`` — ``[[…], …]`` k×dim (what ``kmeans_fit``
+  returns; ≙ MLlib KMeansModel.clusterCenters).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+from lens_spark.errors import LensError
+from lens_spark.registry import Registry
+
+_FORMAT = "lens_spark_model"
+_VERSION = 1
+
+MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids")
+
+
+def _coerce_registry(registry: "Registry | str | Path") -> Registry:
+    if isinstance(registry, Registry):
+        return registry
+    return Registry(registry)
+
+
+def model_envelope(kind: str, model: Any) -> bytes:
+    """Canonical serialized envelope — the content that gets addressed."""
+    if kind not in MODEL_KINDS:
+        raise LensError(
+            f"unknown model kind {kind!r} (expected one of {MODEL_KINDS})")
+    try:
+        return json.dumps(
+            {"format": _FORMAT, "version": _VERSION, "kind": kind,
+             "model": model},
+            sort_keys=True, separators=(",", ":"), ensure_ascii=False,
+            allow_nan=False).encode("utf-8")
+    except (TypeError, ValueError) as exc:
+        raise LensError(f"model of kind {kind!r} is not JSON-serializable "
+                        f"({exc}) — NaN/Inf and non-plain types are not "
+                        "valid model state") from exc
+
+
+def save_model(registry: "Registry | str | Path", kind: str,
+               model: Any) -> str:
+    """Persist model state as a content-addressed registry artifact;
+    returns the ``lens1b-…`` id. Idempotent: the same model saves to
+    the same id."""
+    reg = _coerce_registry(registry)
+    return reg.add_artifact(model_envelope(kind, model))
+
+
+def load_model(registry: "Registry | str | Path", model_id: str, *,
+               expect_kind: str | None = None) -> Any:
+    """Load model state by artifact id (chunk-reassembled, content-
+    verified by the registry). ``expect_kind`` pins the consumer's
+    contract — applying a kmeans artifact where a tokenizer is
+    expected is a loud error, not a silent mis-apply."""
+    reg = _coerce_registry(registry)
+    data = reg.get_artifact(model_id)
+    try:
+        env = json.loads(data.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+        raise LensError(
+            f"artifact '{model_id}' is not a model envelope ({exc})"
+        ) from exc
+    if not isinstance(env, dict) or env.get("format") != _FORMAT:
+        raise LensError(f"artifact '{model_id}' is not a "
+                        f"{_FORMAT} envelope")
+    if int(env.get("version", -1)) != _VERSION:
+        raise LensError(
+            f"artifact '{model_id}' has model-envelope version "
+            f"{env.get('version')!r}; this engine reads version "
+            f"{_VERSION}")
+    kind = env.get("kind")
+    if kind not in MODEL_KINDS:
+        raise LensError(f"artifact '{model_id}' declares unknown model "
+                        f"kind {kind!r}")
+    if expect_kind is not None and kind != expect_kind:
+        raise LensError(
+            f"artifact '{model_id}' holds a {kind!r} model, but this "
+            f"lens needs {expect_kind!r}")
+    return env["model"]
+
+
+# -- fit-and-save conveniences ------------------------------------------------
+
+
+def save_bpe(registry: "Registry | str | Path", df, text_col: str,
+             **fit_kw) -> str:
+    """``bpe_fit`` then persist the merge table; returns the model id."""
+    from lens_spark.operators.bpe import bpe_fit
+
+    merges = bpe_fit(df, text_col, **fit_kw)
+    return save_model(registry, "bpe_merges", [list(m) for m in merges])
+
+
+def save_classifier(registry: "Registry | str | Path", df,
+                    label_col: str, text_col: str, **fit_kw) -> str:
+    """``classifier_fit`` then persist {weights, bias}; returns the id."""
+    from lens_spark.operators.text import classifier_fit
+
+    model = classifier_fit(df, label_col, text_col, **fit_kw)
+    return save_model(registry, "linear_classifier",
+                      {"weights": [float(w) for w in model["weights"]],
+                       "bias": float(model["bias"])})
+
+
+def save_kmeans(registry: "Registry | str | Path", df, id_col: str,
+                vec_col: str, **fit_kw) -> str:
+    """``kmeans_fit`` then persist the centroid matrix; returns the id."""
+    from lens_spark.operators.clustering import kmeans_fit
+
+    cent = kmeans_fit(df, id_col, vec_col, **fit_kw)
+    return save_model(registry, "kmeans_centroids",
+                      [[float(x) for x in c] for c in cent])
+
+
+def load_bpe_merges(registry: "Registry | str | Path",
+                    model_id: str) -> list[tuple[str, str]]:
+    raw = load_model(registry, model_id, expect_kind="bpe_merges")
+    return [(str(a), str(b)) for a, b in raw]

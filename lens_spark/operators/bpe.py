@@ -292,17 +292,29 @@ def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
                  min_count: int = 2, min_word_count: int | None = None,
                  out: str = "bpe_tokens") -> DataFrame:
-    """Fit BPE on the corpus, then append per-doc subword tokens
-    (``out``, array<string>) and their count (``n_<out>``). The merge
-    table is fitted once driver-side and closed over into ONE
-    Arrow-batched pandas UDF; encoding memoizes per distinct word
-    within each batch, so repeated words cost one merge walk."""
+    """Fit BPE on the corpus, then append per-doc subword tokens —
+    ``bpe_fit`` + :func:`bpe_encode` in one call. To fit ONCE and
+    apply many times, persist the merge table via
+    ``lens_spark.models.save_bpe`` and apply by ``model_id``."""
     merges = bpe_fit(df, text_col, num_merges=num_merges,
                      min_count=min_count, min_word_count=min_word_count)
+    return bpe_encode(df, text_col, merges, out=out)
 
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: "list[tuple[str, str]]", *,
+               out: str = "bpe_tokens") -> DataFrame:
+    """Apply a FITTED merge table: append per-doc subword tokens
+    (``out``, array<string>) and their count (``n_<out>``). The merge
+    table (driver-held model state — fit here or loaded from a
+    registry model artifact) is closed over into ONE Arrow-batched
+    pandas UDF; encoding memoizes per distinct word within each
+    batch, so repeated words cost one merge walk."""
     from pyspark.sql.functions import pandas_udf
 
     import re
+
+    merges = [(str(a), str(b)) for a, b in merges]
 
     # Same whitespace contract as functions.text.tokens (Java/RE2 \s+:
     # ASCII classes only) — Python str.split() splits on ALL Unicode
@@ -339,9 +351,22 @@ def bpe_tokenize(df: DataFrame, text_col: str, *, num_merges: int = 50,
 def bpe_tokenize_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: column (text), num_merges (50), min_count (2),
     min_word_count (defaults to min_count — the vocabulary cut),
-    out ("bpe_tokens"). Inverse drops both appended columns."""
+    out ("bpe_tokens"). OR apply a registry-persisted tokenizer:
+    model_id (lens1b-…) + registry (root path) — skips the fit and
+    encodes with the saved merge table (lens_spark.models). Inverse
+    drops both appended columns."""
     text_col = str(require_arg(arguments, "column", "bpe_tokenize"))
     out = str(arguments.get("out", "bpe_tokens"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_bpe_merges
+
+        reg = require_arg(arguments, "registry", "bpe_tokenize")
+        merges = load_bpe_merges(reg, str(model_id))
+        return Lens(
+            "bpe_tokenize", arguments,
+            lambda df: bpe_encode(df, text_col, merges, out=out),
+            lambda df: df.drop(out, f"n_{out}"))
     mwc = arguments.get("min_word_count")
     return Lens(
         "bpe_tokenize", arguments,

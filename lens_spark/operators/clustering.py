@@ -276,10 +276,25 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
 @register_lens("kmeans")
 def kmeans_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, vector, k (16), max_iter (10), tol (1e-4),
-    out ("cluster"). Inverse drops the cluster column."""
-    id_col = str(require_arg(arguments, "id", "kmeans"))
+    out ("cluster"). OR apply a registry-persisted model: model_id
+    (lens1b-…) + registry (root path) loads the centroid matrix saved
+    by lens_spark.models.save_kmeans and ASSIGNS only — the
+    fit-once/apply-many serving shape (id not needed). Inverse drops
+    the cluster column."""
     vec_col = str(require_arg(arguments, "vector", "kmeans"))
     out = str(arguments.get("out", "cluster"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        reg = require_arg(arguments, "registry", "kmeans")
+        cent = load_model(reg, str(model_id),
+                          expect_kind="kmeans_centroids")
+        return Lens(
+            "kmeans", arguments,
+            lambda df: kmeans_assign(df, vec_col, cent, out=out),
+            lambda df: df.drop(out))
+    id_col = str(require_arg(arguments, "id", "kmeans"))
     return Lens(
         "kmeans", arguments,
         lambda df: kmeans(df, id_col, vec_col,

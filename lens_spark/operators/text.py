@@ -640,16 +640,31 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
 @register_lens("classifier_score")
 def classifier_score_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), weights (list of doubles), bias
-    (0.0), out ("clf_score"). Inverse drops the appended column."""
+    (0.0), out ("clf_score"). OR apply a registry-persisted model:
+    model_id (lens1b-…) + registry (root path) loads
+    {weights, bias} saved by lens_spark.models.save_classifier (an
+    explicit bias argument overrides the saved one). Inverse drops
+    the appended column."""
     id_col = str(require_arg(arguments, "id", "classifier_score"))
     text_col = str(require_arg(arguments, "column", "classifier_score"))
-    weights = require_arg(arguments, "weights", "classifier_score")
     out = str(arguments.get("out", "clf_score"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        reg = require_arg(arguments, "registry", "classifier_score")
+        model = load_model(reg, str(model_id),
+                           expect_kind="linear_classifier")
+        weights = [float(w) for w in model["weights"]]
+        bias = float(arguments.get("bias", model.get("bias", 0.0)))
+    else:
+        weights = [float(w) for w in
+                   require_arg(arguments, "weights", "classifier_score")]
+        bias = float(arguments.get("bias", 0.0))
     return Lens(
         "classifier_score", arguments,
         lambda df: classifier_score(
-            df, id_col, text_col, weights=[float(w) for w in weights],
-            bias=float(arguments.get("bias", 0.0)), out=out),
+            df, id_col, text_col, weights=weights, bias=bias, out=out),
         lambda df: df.drop(out))
 
 

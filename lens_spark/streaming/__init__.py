@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_spark import engine
+from lens_spark.errors import LensError
 
 
 def apply_stream(stream_df: DataFrame, spec) -> DataFrame:
@@ -601,6 +602,7 @@ def run_stream_drift(stream_df: DataFrame, reference: DataFrame,
 
 def run_stream_expectations(stream_df: DataFrame, rules: "list[dict]", *,
                             checkpoint: str | None = None,
+                            state_path: str | None = None,
                             timeout: int = 120) -> DataFrame:
     """Data-quality contract AT INGEST: every micro-batch is checked
     against the same rule list as the batch ``operators.evaluation
@@ -613,19 +615,55 @@ def run_stream_expectations(stream_df: DataFrame, rules: "list[dict]", *,
     Returns a BATCH DataFrame ``(batch_id, rule, kind, n_rows,
     n_violations, fail_frac_micro, max_fail_micro, passed)`` after
     draining the source with availableNow (the runner contract of the
-    other streaming queries). Each batch's rows are EXACTLY what batch
-    ``expect(batch, rules)`` computes — asserted by test_streaming —
-    so the monitor inherits the exact-integer verdict contract.
-    Uniqueness is per-batch (cross-batch uniqueness is the incremental
-    dedup index's job — documented boundary, not silent weakening).
+    other streaming queries). Each batch's rows for predicate and
+    plain-unique rules are EXACTLY what batch ``expect(batch, rules)``
+    computes — asserted by test_streaming — so the monitor inherits
+    the exact-integer verdict contract.
 
-    Scale shape: per batch, ONE aggregate to a single counter row;
-    the accumulated output is #batches × #rules scalar rows — driver
-    model-state grade.
+    ``{"name", "unique": [cols], "scope": "stream",
+    "max_fail_frac"?}`` (r8 verdict #5) extends uniqueness ACROSS
+    batches and runs: a row violates unless it is the first
+    occurrence of its key in the whole accepted stream, checked
+    against (and appended to) the same on-disk fingerprint index
+    ``dedup_incremental`` maintains, at ``state_path/<rule>``
+    (``state_path`` persists the index across restarts; default is a
+    fresh temp dir = this run only). NULL keys violate, exactly as in
+    batch ``expect``. Reported kind is ``unique_stream``. Invariant
+    (pytest-pinned): summed over batches, stream-scope violations
+    equal what ONE batch ``expect`` reports on the concatenated
+    stream — the gate never under- or over-counts relative to its
+    batch twin. Plain ``unique`` stays per-batch (the r8-documented
+    boundary, now an explicit choice per rule).
+
+    Scale shape: per batch, ONE aggregate to a single counter row for
+    all predicate/plain-unique rules; each stream-scope rule adds one
+    index probe (dynamic-partition-pruned LEFT SEMI against broadcast
+    batch fingerprints — I/O scales with the batch, not the
+    accumulated corpus) + one bucketed index append. The accumulated
+    output is #batches × #rules scalar rows — driver model-state
+    grade.
     """
     import tempfile as _tf
 
-    from lens_spark.operators.evaluation import expect
+    from functools import reduce
+
+    from lens_spark.operators.evaluation import _micro_floor, expect
+
+    names = [str(r.get("name", "")) for r in rules]
+    if len(set(names)) != len(names) or "" in names:
+        raise LensError("run_stream_expectations: rule names must be "
+                        "unique and non-empty")
+    for r in rules:
+        scope = r.get("scope", "batch")
+        if scope not in ("batch", "stream"):
+            raise LensError("run_stream_expectations: scope must be "
+                            f"'batch' or 'stream', got {scope!r}")
+        if scope == "stream" and "unique" not in r:
+            raise LensError("run_stream_expectations: scope 'stream' "
+                            "applies to 'unique' rules only")
+    batch_rules = [r for r in rules if r.get("scope", "batch") == "batch"]
+    stream_rules = [r for r in rules if r.get("scope") == "stream"]
+    state_root = state_path or _tf.mkdtemp(prefix="lens_spark_expect_idx_")
 
     spark = stream_df.sparkSession
     acc: list = []
@@ -633,10 +671,36 @@ def run_stream_expectations(stream_df: DataFrame, rules: "list[dict]", *,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        for r in expect(batch_df, rules).collect():
-            acc.append((int(batch_id), r["rule"], r["kind"], r["n_rows"],
-                        r["n_violations"], r["fail_frac_micro"],
-                        r["max_fail_micro"], r["passed"]))
+        per_rule: dict = {}
+        if batch_rules:
+            for r in expect(batch_df, batch_rules).collect():
+                per_rule[r["rule"]] = (
+                    r["rule"], r["kind"], r["n_rows"], r["n_violations"],
+                    r["fail_frac_micro"], r["max_fail_micro"], r["passed"])
+        if stream_rules:
+            from lens_spark.operators.dedup import dedup_incremental
+
+            n = batch_df.count()
+            for r in stream_rules:
+                name = str(r["name"])
+                cols = [str(c) for c in r["unique"]]
+                if not cols:
+                    raise LensError(f"run_stream_expectations: rule "
+                                    f"{name!r}: empty 'unique' list")
+                keyed = batch_df.filter(reduce(
+                    lambda a, b: a & b,
+                    (F.col(c).isNotNull() for c in cols)))
+                accepted = dedup_incremental(
+                    keyed.select(*cols), f"{state_root}/{name}",
+                    columns=cols, update_index=True)
+                viol = n - accepted.count()
+                frac = viol * 1_000_000 // n if n > 0 else None
+                cap = _micro_floor(r.get("max_fail_frac", 0.0))
+                per_rule[name] = (
+                    name, "unique_stream", n, viol, frac, cap,
+                    n == 0 or viol * 1_000_000 <= cap * n)
+        for r in rules:  # report in declared rule order
+            acc.append((int(batch_id),) + per_rule[str(r["name"])])
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation",

@@ -74,10 +74,12 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # sole-family cover keepers
-        "e1_composition", "s4_transform_by_id", "x1_keep_best",
-        # two-round-green X2s kept for a 3rd row
-        "x2_contamination_score", "x2_winnow_pairs", "x2_cross_neardup",
+        # round-9 rotation: the r8 backlog (never externally checked
+        # until now) + the two new r9 queries
+        "x9_card_diff", "x9_expectations", "e2_wasm_pipeline",
+        "e2_wasm_lenchange", "s8_saved_model",
+        # sole-family cover keeper (X1)
+        "x1_keep_best",
         # round-7 rotation cohort: one external row, keep for a 2nd
         "x3_embedding_outliers", "x3_centroid", "x3_matryoshka",
         "x3_random_projection", "x6_rolling_agg", "cube_revenue",
@@ -145,7 +147,12 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "x5_segment_filter", "x5_normalize_text",
                  "x5_dedup_segments", "x5_domain_filter",
                  "x5_truncate_tokens", "x9_dataset_diff",
-                 "x9_outlier_filter", "x9_profile"):
+                 "x9_outlier_filter", "x9_profile",
+                 # round-9 evictees (e1/s4: 8 external green rounds
+                 # each; the three X2s: 3 each, family cover rich):
+                 "e1_composition", "s4_transform_by_id",
+                 "x2_contamination_score", "x2_winnow_pairs",
+                 "x2_cross_neardup"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 

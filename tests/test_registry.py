@@ -318,3 +318,124 @@ def test_vacuum_artifacts_keep_list_and_fresh_staging(tmp_path):
     # aged-out staging dirs are reaped
     report = registry.vacuum_artifacts(keep=[pinned], staging_grace_sec=0.0)
     assert not staging.exists()
+
+
+# -- fitted-model artifacts (r8 verdict #7) ----------------------------------
+
+
+def test_model_save_load_round_trip_and_idempotence(registry):
+    """Every model kind round-trips exactly (floats bit-identical via
+    shortest-repr JSON); the same model content-addresses to the same
+    id; kind/format/version mismatches are loud errors."""
+    from lens_spark.models import load_model, save_model
+
+    merges = [["a", "b"], ["ab", "</w>"]]
+    weights = {"weights": [0.1, -0.25, 1e-17, 3.141592653589793],
+               "bias": -0.1}
+    cent = [[0.5, -1.5], [2.25, 0.0]]
+    mid1 = save_model(registry, "bpe_merges", merges)
+    mid2 = save_model(registry, "bpe_merges", merges)
+    assert mid1 == mid2 and mid1.startswith("lens1b-")
+    assert load_model(registry, mid1, expect_kind="bpe_merges") == merges
+    wid = save_model(registry, "linear_classifier", weights)
+    got = load_model(registry, wid, expect_kind="linear_classifier")
+    assert got == weights  # exact float equality — JSON shortest-repr
+    cid = save_model(registry, "kmeans_centroids", cent)
+    assert load_model(registry, cid) == cent
+    # kind pinning: applying a kmeans artifact as a tokenizer errors
+    with pytest.raises(LensError, match="needs 'bpe_merges'"):
+        load_model(registry, cid, expect_kind="bpe_merges")
+    with pytest.raises(LensError, match="unknown model kind"):
+        save_model(registry, "not_a_kind", merges)
+    with pytest.raises(LensError, match="not JSON-serializable"):
+        save_model(registry, "kmeans_centroids", [[float("nan")]])
+    # a non-envelope artifact is rejected as a model
+    raw = registry.add_artifact(b"just bytes")
+    with pytest.raises(LensError, match="not a model envelope|not a lens_spark_model"):
+        load_model(registry, raw)
+
+
+def test_saved_tokenizer_applies_identically_via_lens_file(spark, registry):
+    """The fit-once/apply-many pipeline: bpe fitted+saved once, then a
+    LENS FILE applies the saved tokenizer by model_id — output equals
+    the fit-inline bpe_tokenize on the same corpus (byte-identical
+    token arrays), and inverse drops the appended columns."""
+    from lens_spark import engine
+    from lens_spark.models import save_bpe
+    from lens_spark.operators.bpe import bpe_tokenize
+
+    rows = [(i, "the cat sat on the mat " * (1 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mid = save_bpe(registry, df, "text", num_merges=12, min_count=1)
+    spec = {"lenses": [{"name": "bpe_tokenize", "arguments": {
+        "column": "text", "model_id": mid,
+        "registry": str(registry.root)}}]}
+    via_model = {r.doc_id: r.bpe_tokens
+                 for r in engine.append(df, spec).collect()}
+    inline = {r.doc_id: r.bpe_tokens
+              for r in bpe_tokenize(df, "text", num_merges=12,
+                                    min_count=1).collect()}
+    assert via_model == inline
+    back = engine.inverse(engine.append(df, spec), spec)
+    assert back.columns == ["doc_id", "text"]
+
+
+def test_saved_classifier_and_kmeans_apply_by_model_id(spark, registry):
+    """classifier_score and kmeans lenses accept model_id+registry:
+    scoring equals inline weights; assignment equals the fitted run
+    (kmeans by model_id is assign-only — no refit)."""
+    from lens_spark import engine
+    from lens_spark.models import save_kmeans, save_model
+    from lens_spark.operators.clustering import kmeans
+    from lens_spark.operators.text import classifier_score
+
+    weights = [round((-1) ** i * (i + 1) / 7.0, 6) for i in range(8)]
+    wid = save_model(registry, "linear_classifier",
+                     {"weights": weights, "bias": 0.25})
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(30)],
+        "doc_id long, text string")
+    spec = {"lenses": [{"name": "classifier_score", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": wid,
+        "registry": str(registry.root)}}]}
+    via_model = {r.doc_id: r.clf_score
+                 for r in engine.append(docs, spec).collect()}
+    inline = {r.doc_id: r.clf_score
+              for r in classifier_score(docs, "doc_id", "text",
+                                        weights=weights,
+                                        bias=0.25).collect()}
+    assert via_model == inline
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 3) % 5)]) for i in range(40)],
+        "id long, v array<double>")
+    kid = save_kmeans(registry, vecs, "id", "v", k=4, max_iter=5)
+    kspec = {"lenses": [{"name": "kmeans", "arguments": {
+        "vector": "v", "model_id": kid,
+        "registry": str(registry.root)}}]}
+    via_kmodel = {r.id: r.cluster
+                  for r in engine.append(vecs, kspec).collect()}
+    fitted = {r.id: r.cluster
+              for r in kmeans(vecs, "id", "v", k=4, max_iter=5).collect()}
+    assert via_kmodel == fitted
+
+
+def test_model_artifact_survives_vacuum_when_spec_references_it(
+        spark, registry):
+    """A model artifact named by a PERSISTED spec (model_id in the lens
+    arguments) is live under vacuum_artifacts — the fit-once pipeline's
+    model can't be garbage-collected out from under its spec."""
+    from lens_spark.models import save_model
+
+    mid = save_model(registry, "bpe_merges", [["a", "b"]])
+    orphan = registry.add_artifact(b"orphaned model bytes")
+    registry.add({"lenses": [{"name": "bpe_tokenize", "arguments": {
+        "column": "text", "model_id": mid,
+        "registry": str(registry.root)}}]})
+    import os
+    import time
+    old = time.time() - 7200
+    for aid in (mid, orphan):
+        os.utime(registry.blocks_dir / aid, (old, old))
+    report = registry.vacuum_artifacts(staging_grace_sec=3600)
+    assert orphan in report["removed"]
+    assert registry.has_artifact(mid) and not registry.has_artifact(orphan)

@@ -710,6 +710,80 @@ def test_run_stream_expectations_matches_batch_expect(spark, tmp_path):
     assert not by[(bid2, "id_unique")].passed      # dup id 5
 
 
+def test_stream_expectations_stream_scope_uniqueness(spark, tmp_path):
+    """scope='stream' uniqueness (r8 verdict #5): a key accepted in
+    batch 1 re-sent in batch 2 FAILS the rule there (the per-batch
+    gate alone would pass it); NULL keys violate; summed per-batch
+    violations equal one batch expect over the concatenated stream;
+    and the on-disk index persists ACROSS RUNS — a second
+    run_stream_expectations call over a new source sees run-1 keys."""
+    import pandas as pd
+
+    from lens_spark.operators.evaluation import expect
+    from lens_spark.streaming import (
+        read_file_stream, run_stream_expectations,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"id": [1, 2, 3, 3], "n": [10, 20, 30, 40]})
+    b2 = pd.DataFrame({"id": pd.array([1, 4, None], dtype="Int64"),
+                       "n": [50, 60, 70]})
+    b1.to_parquet(src / "f1.parquet")
+    b2.to_parquet(src / "f2.parquet")
+    rules = [
+        {"name": "id_unique_batch", "unique": ["id"]},
+        {"name": "id_unique_stream", "unique": ["id"], "scope": "stream",
+         "max_fail_frac": 0.25},
+    ]
+    state = tmp_path / "expect_state"
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    rows = run_stream_expectations(stream, rules,
+                                   state_path=str(state)).collect()
+    by = {(r.batch_id, r.rule): r for r in rows}
+    bid1, bid2 = sorted({int(r.batch_id) for r in rows})
+    # batch 1: within-batch dup (3,3) trips both kinds identically
+    assert by[(bid1, "id_unique_stream")].kind == "unique_stream"
+    assert by[(bid1, "id_unique_stream")].n_violations == 1
+    assert by[(bid1, "id_unique_batch")].n_violations == 1
+    # batch 2: per-batch sees only the NULL key; stream scope ALSO
+    # catches the batch-1 key replay (id=1) -> 2 of 3 rows violate
+    assert by[(bid2, "id_unique_batch")].n_violations == 1
+    assert by[(bid2, "id_unique_stream")].n_violations == 2
+    assert not by[(bid2, "id_unique_stream")].passed  # 666666 > 250000
+    # invariant: per-batch stream-scope violations sum to ONE batch
+    # expect over the concatenated stream
+    whole = spark.createDataFrame(pd.concat([b1, b2]))
+    total = expect(whole, [{"name": "u", "unique": ["id"]}]) \
+        .collect()[0].n_violations
+    assert (by[(bid1, "id_unique_stream")].n_violations
+            + by[(bid2, "id_unique_stream")].n_violations) == total
+    # cross-RUN persistence: a fresh run over a new source re-sending
+    # an old key fails the rule (per-batch twin passes)
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pd.DataFrame({"id": [2, 9], "n": [1, 2]}).to_parquet(
+        src2 / "g1.parquet")
+    stream2 = read_file_stream(spark, str(src2),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    rows2 = run_stream_expectations(stream2, rules,
+                                    state_path=str(state)).collect()
+    by2 = {r.rule: r for r in rows2}
+    assert by2["id_unique_batch"].n_violations == 0
+    assert by2["id_unique_stream"].n_violations == 1  # id=2 from run 1
+    assert not by2["id_unique_stream"].passed
+    # malformed: scope stream on a predicate rule is a loud error
+    import pytest as _pytest
+
+    from lens_spark.errors import LensError
+    with _pytest.raises(LensError, match="'unique' rules only"):
+        run_stream_expectations(stream2, [
+            {"name": "p", "predicate": "n > 0", "scope": "stream"}])
+
+
 def test_stream_drift_monitor_windows_restart_exactly_once(spark, tmp_path):
     """Continuous windowed drift monitor (r7 verdict #7): update-mode
     watermarked histogram agg + per-batch KS rows in a parquet sink.
