@@ -430,16 +430,38 @@ def test_quantile_bin_exact_guard_auto_switches(spark):
 
 def test_quantile_bin_exact_kept_below_limit(spark):
     """Below the bound the exact aggregate is kept (the oracle-checked
-    test-SF behavior is unchanged). r8: the guard is two-tier — when
-    COUNT(*) (metadata-only on parquet) is already under the bound,
-    the approx_count_distinct scan is skipped entirely (distinct ≤
-    rows, so degradation is impossible); this frame takes that skip
-    path and must still produce the exact plan."""
+    test-SF behavior is unchanged). r9: the guard is ONE fused probe
+    aggregate — COUNT(*) and approx_count_distinct in a single job on
+    every input shape (distinct ≤ rows, so clearing either counter
+    keeps exact); this frame clears it and must produce the exact
+    plan."""
     from lens_spark.operators.relational import quantile_bin
     df = spark.range(100).selectExpr("cast(id as double) as v")
     out = quantile_bin(df, "v", exact=True)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "percentile_approx" not in plan
+
+
+def test_quantile_bin_distinct_hint_skips_probe_job(spark):
+    """r8 verdict #8: a caller-asserted distinct bound decides the
+    exact/approx switch with ZERO probe jobs — no aggregate runs
+    before the plan is built. Verified via the status tracker: job
+    count is unchanged by building the plan; the hint alone picks the
+    engine (below limit → exact, above → approx)."""
+    from lens_spark.operators.relational import quantile_bin
+
+    df = spark.range(5000).selectExpr("cast(id as double) as v")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    exact_plan = quantile_bin(df, "v", exact=True, distinct_hint=5000) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    approx_plan = quantile_bin(df, "v", exact=True, distinct_hint=5000,
+                               exact_distinct_limit=100) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "distinct_hint must not launch probe jobs"
+    assert "percentile_approx" not in exact_plan
+    assert "percentile_approx" in approx_plan
 
 
 def test_quantile_bin_bad_probs(spark):
