@@ -1374,12 +1374,15 @@ def q_x5_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(text, case when doc_id % 7 = 0 then concat(' reach user',"
         " doc_id, '@example.com or 555-123-4567')"
         " when doc_id % 11 = 0 then concat(' host 10.0.', doc_id % 256,"
-        " '.1 ssn 123-45-6789') else '' end)"))
+        " '.1 ssn 123-45-6789')"
+        " when doc_id % 13 = 0 then ' pay 4111-1111-1111-1111 or"
+        " +44-20-7946-0958 via fe80:0000:0000:0000:0202:b3ff:fe1e:8329'"
+        " else '' end)"))
     spec = {"lenses": [{"name": "pii_redact", "arguments": {
         "column": "text", "counts": True}}]}
     out = engine.append(docs, spec)
-    return out.select("doc_id", "text", "n_email", "n_ssn", "n_phone",
-                      "n_ipv4")
+    return out.select("doc_id", "text", "n_email", "n_card", "n_ssn",
+                      "n_intl_phone", "n_phone", "n_ipv6", "n_ipv4")
 
 
 def q_x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3545,7 +3548,10 @@ def _pii_oracle_sql() -> str:
         " WHEN doc_id % 7 = 0 THEN concat(' reach user', doc_id,"
         " '@example.com or 555-123-4567')"
         " WHEN doc_id % 11 = 0 THEN concat(' host 10.0.', doc_id % 256,"
-        " '.1 ssn 123-45-6789') ELSE '' END) AS text FROM documents)"
+        " '.1 ssn 123-45-6789')"
+        " WHEN doc_id % 13 = 0 THEN ' pay 4111-1111-1111-1111 or"
+        " +44-20-7946-0958 via fe80:0000:0000:0000:0202:b3ff:fe1e:8329'"
+        " ELSE '' END) AS text FROM documents)"
         f" SELECT doc_id, {red} AS text, {counts} FROM aug"
     )
 

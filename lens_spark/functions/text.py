@@ -257,8 +257,16 @@ def top_bigram_fraction(text: Column) -> Column:
 
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # card before ssn/phone, intl_phone before phone (r9): the more
+    # specific shape must consume its span whole, or a later pattern
+    # redacts a fragment of it ("+1-555-123-4567" would otherwise
+    # leave "+1-[PHONE]")
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+    ("intl_phone", r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b",
+     "[PHONE]"),
     ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("ipv6", r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}\b", "[IP]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
 )
 

@@ -77,12 +77,31 @@ def test_pii_redact_all_categories(spark):
     assert (row.n_email, row.n_ssn, row.n_phone, row.n_ipv4) == (1, 1, 1, 1)
 
 
+def test_pii_redact_r9_categories_and_ordering(spark):
+    """r9 categories: card (4-4-4-4), international phone (+cc-...),
+    full-form IPv6 — and the pattern ORDER contract: the specific
+    shape consumes its whole span, so '+44-…' never degrades to a
+    dangling '+44-[PHONE]' and a card never half-redacts as a
+    phone/ssn fragment."""
+    df = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 call +44-20-7946-0958 "
+             "via fe80:0000:0000:0000:0202:b3ff:fe1e:8329")],
+        "id long, text string",
+    )
+    row = pii_redact(df, "text", counts=True).collect()[0]
+    assert row.text == "pay [CARD] call [PHONE] via [IP]"
+    assert (row.n_card, row.n_intl_phone, row.n_ipv6) == (1, 1, 1)
+    # the generic patterns must NOT also fire on these spans
+    assert (row.n_phone, row.n_ssn, row.n_ipv4) == (0, 0, 0)
+
+
 def test_pii_redact_clean_text_untouched(spark):
     df = spark.createDataFrame([(1, "nothing sensitive here")],
                                "id long, text string")
     row = pii_redact(df, "text", counts=True).collect()[0]
     assert row.text == "nothing sensitive here"
     assert row.n_email == row.n_ssn == row.n_phone == row.n_ipv4 == 0
+    assert row.n_card == row.n_intl_phone == row.n_ipv6 == 0
 
 
 def test_pii_redact_out_column(spark):
