@@ -139,6 +139,7 @@ HEADLINE = [
     "x9_filter_funnel",      # stage-attributed drop report (r7c)
     "x9_card_diff",          # versioned card diff + token KS (r8)
     "x9_expectations",       # data-quality contract gate (r8)
+    "s8_saved_model",        # registry model artifact -> classifier apply (r9)
 ]
 
 

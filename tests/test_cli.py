@@ -276,3 +276,36 @@ def test_round6_lenses_run_through_the_cli(spark, tmp_path, monkeypatch):
     assert got[0]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
     assert got[1]["novelty"] == 1.0
     assert {d["band"] for d in got} <= {0, 1}
+
+
+def test_saved_model_applies_via_cli_lens_file(spark, tmp_path, monkeypatch):
+    """r9: a lens file naming only model_id + registry scores through
+    the CLI — the fit-once/apply-many pipeline is fully declarable at
+    the reference's primary surface. Weights chosen so bucket lookups
+    are human-checkable: sigmoid(bias)=0.5 for the token-less doc."""
+    from lens_spark.models import save_model
+    from lens_spark.registry import Registry
+
+    reg = Registry(tmp_path / "reg")
+    mid = save_model(reg, "linear_classifier",
+                     {"weights": [0.0] * 16, "bias": 0.0})
+    spec = {"lenses": [{"name": "classifier_score", "arguments": {
+        "id": "id", "column": "text", "model_id": mid,
+        "registry": str(reg.root)}}]}
+    docs = [{"id": 1, "text": "alpha beta"}, {"id": 2, "text": ""}]
+    got = run_cli(tmp_path, monkeypatch, spec, docs)
+    # all-zero weights + zero bias → sigmoid(0) = 0.5 for every doc
+    assert sorted(got, key=lambda d: d["id"]) == [
+        {"id": 1, "text": "alpha beta", "clf_score": 0.5},
+        {"id": 2, "text": "", "clf_score": 0.5}]
+    # unknown model id fails loudly at spec compile, not mid-query
+    bad = dict(spec)
+    bad["lenses"] = [{"name": "classifier_score", "arguments": {
+        "id": "id", "column": "text",
+        "model_id": "lens1b-" + "0" * 64, "registry": str(reg.root)}}]
+    lensfile = tmp_path / "bad.json"
+    lensfile.write_text(json.dumps(bad))
+    monkeypatch.setattr("sys.stdin", io.StringIO(json.dumps(docs)))
+    monkeypatch.setattr("sys.stdout", io.StringIO())
+    with pytest.raises(LensError, match="not found"):
+        main([str(lensfile)], _stop_session=False)
