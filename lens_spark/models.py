@@ -27,6 +27,9 @@ Kinds and payload shapes:
   ``classifier_fit`` → ``classifier_score`` interchange format).
 - ``kmeans_centroids`` — ``[[…], …]`` k×dim (what ``kmeans_fit``
   returns; ≙ MLlib KMeansModel.clusterCenters).
+- ``token_vocab`` — ``{"vocab": [[token, id], …], "lowercase": bool}``
+  (what ``vocab_fit`` returns, id-ascending; consumed by
+  ``vocab_apply``).
 """
 
 from __future__ import annotations
@@ -41,7 +44,8 @@ from lens_spark.registry import Registry
 _FORMAT = "lens_spark_model"
 _VERSION = 1
 
-MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids")
+MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids",
+               "token_vocab")
 
 
 def _coerce_registry(registry: "Registry | str | Path") -> Registry:
@@ -140,6 +144,22 @@ def save_kmeans(registry: "Registry | str | Path", df, id_col: str,
     cent = kmeans_fit(df, id_col, vec_col, **fit_kw)
     return save_model(registry, "kmeans_centroids",
                       [[float(x) for x in c] for c in cent])
+
+
+def save_vocab(registry: "Registry | str | Path", df, text_col: str,
+               **fit_kw) -> str:
+    """``vocab_fit`` then persist the top-V vocabulary; returns the id.
+    ``lowercase`` (default True) is stored in the envelope — applying
+    a vocabulary with a different tokenization than it was fitted with
+    is the classic silent-OOV bug, so the apply side reads it from the
+    model, not from the caller."""
+    from lens_spark.operators.text import vocab_fit
+
+    lowercase = bool(fit_kw.get("lowercase", True))
+    vocab = vocab_fit(df, text_col, **fit_kw)
+    return save_model(registry, "token_vocab",
+                      {"vocab": [[t, i] for t, i in vocab],
+                       "lowercase": lowercase})
 
 
 def load_bpe_merges(registry: "Registry | str | Path",

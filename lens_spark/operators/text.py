@@ -1323,22 +1323,44 @@ def vocab_encode(df: DataFrame, id_col: str, text_col: str, *,
       token text never crosses it.
     ``vocab_size`` is capped at 2^20 so the broadcast stays MB-scale.
     """
+    vocab = _vocab_topv_df(df, text_col, vocab_size=vocab_size,
+                           lowercase=lowercase)
+    return _vocab_encode_with(df, id_col, text_col, vocab,
+                              lowercase=lowercase, oov_id=oov_id, out=out)
+
+
+def _vocab_topv_df(df: DataFrame, text_col: str, *, vocab_size: int,
+                   lowercase: bool) -> DataFrame:
+    """The top-V (``__tok``, ``__tid``) vocabulary frame, fully
+    in-plan (no collect on the hot path): map-side-combined token
+    counts → two-phase TakeOrdered top-V → row_number over the V
+    survivors. Deterministic ordering: count DESC, token ASC."""
     from pyspark.sql import Window
 
     from lens_spark.functions.text import tokens as _tok
 
     if not 1 <= int(vocab_size) <= (1 << 20):
         raise LensError("vocab_encode: vocab_size must be in [1, 2^20]")
-    toks = ensure_parallelism(df, by=[id_col]).select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(_tok(F.col(text_col), lowercase=lowercase))
-        .alias("__pos", "__tok"))
+    toks = ensure_parallelism(df).select(
+        F.explode(_tok(F.col(text_col), lowercase=lowercase))
+        .alias("__tok"))
     counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     top = counts.orderBy(F.col("__c").desc(), F.col("__tok").asc()) \
         .limit(int(vocab_size))
     w = Window.orderBy(F.col("__c").desc(), F.col("__tok").asc())
-    vocab = top.withColumn("__tid", F.row_number().over(w).cast("int")) \
+    return top.withColumn("__tid", F.row_number().over(w).cast("int")) \
         .select("__tok", "__tid")
+
+
+def _vocab_encode_with(df: DataFrame, id_col: str, text_col: str,
+                       vocab: DataFrame, *, lowercase: bool, oov_id: int,
+                       out: str) -> DataFrame:
+    from lens_spark.functions.text import tokens as _tok
+
+    toks = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(_tok(F.col(text_col), lowercase=lowercase))
+        .alias("__pos", "__tok"))
     encoded = (
         toks.join(F.broadcast(vocab), "__tok", "left")
         .select("__vid", "__pos",
@@ -1355,13 +1377,61 @@ def vocab_encode(df: DataFrame, id_col: str, text_col: str, *,
     ).drop("__vid")
 
 
+def vocab_fit(df: DataFrame, text_col: str, *, vocab_size: int = 4096,
+              lowercase: bool = True) -> "list[tuple[str, int]]":
+    """Materialize the top-V vocabulary as driver-held model state
+    (``[(token, id), …]``, id-ascending — bounded by vocab_size ≤ 2^20,
+    the model-state contract) for persistence via
+    ``lens_spark.models.save_vocab`` and later ``vocab_apply``. The
+    zero-collect in-plan path (``vocab_encode``) stays the hot path
+    when fit and encode happen in one job."""
+    rows = _vocab_topv_df(df, text_col, vocab_size=vocab_size,
+                          lowercase=lowercase).collect()
+    return sorted(((r["__tok"], int(r["__tid"])) for r in rows),
+                  key=lambda t: t[1])
+
+
+def vocab_apply(df: DataFrame, id_col: str, text_col: str,
+                vocab: "Sequence[tuple[str, int]]", *,
+                lowercase: bool = True, oov_id: int = 0,
+                out: str = "token_ids") -> DataFrame:
+    """Encode against a FITTED (or registry-loaded) vocabulary: the
+    broadcast join + positional re-collect of ``vocab_encode``, with
+    the V-row vocab supplied instead of rebuilt — fit-once/apply-many
+    (encoding a new corpus shard with last release's vocabulary)."""
+    if not vocab:
+        raise LensError("vocab_apply: vocabulary must be non-empty")
+    vdf = df.sparkSession.createDataFrame(
+        [(str(t), int(i)) for t, i in vocab], "__tok string, __tid int")
+    return _vocab_encode_with(df, id_col, text_col, vdf,
+                              lowercase=lowercase, oov_id=oov_id, out=out)
+
+
 @register_lens("vocab_encode")
 def vocab_encode_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), vocab_size (4096), lowercase
-    (true), oov_id (0), out ("token_ids"). Inverse drops the ids."""
+    (true), oov_id (0), out ("token_ids"). OR apply a registry-
+    persisted vocabulary: model_id (lens1b-…) + registry (root path)
+    loads {vocab, lowercase} saved by lens_spark.models.save_vocab —
+    lowercase comes from the MODEL (fit/apply tokenization must
+    match). Inverse drops the ids."""
     id_col = str(require_arg(arguments, "id", "vocab_encode"))
     text_col = str(require_arg(arguments, "column", "vocab_encode"))
     out = str(arguments.get("out", "token_ids"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        reg = require_arg(arguments, "registry", "vocab_encode")
+        model = load_model(reg, str(model_id), expect_kind="token_vocab")
+        vocab = [(str(t), int(i)) for t, i in model["vocab"]]
+        lc = bool(model.get("lowercase", True))
+        return Lens(
+            "vocab_encode", arguments,
+            lambda df: vocab_apply(
+                df, id_col, text_col, vocab, lowercase=lc,
+                oov_id=int(arguments.get("oov_id", 0)), out=out),
+            lambda df: df.drop(out))
     return Lens(
         "vocab_encode", arguments,
         lambda df: vocab_encode(

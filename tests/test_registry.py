@@ -439,3 +439,40 @@ def test_model_artifact_survives_vacuum_when_spec_references_it(
     report = registry.vacuum_artifacts(staging_grace_sec=3600)
     assert orphan in report["removed"]
     assert registry.has_artifact(mid) and not registry.has_artifact(orphan)
+
+
+def test_saved_vocab_applies_identically_via_lens_file(spark, registry):
+    """token_vocab artifacts: vocab_apply(vocab_fit(df)) equals the
+    in-plan vocab_encode exactly (same ordering contract), the lens
+    model_id path matches, and `lowercase` travels WITH the model
+    (fit/apply tokenization mismatch is the silent-OOV bug)."""
+    from lens_spark import engine
+    from lens_spark.models import load_model, save_vocab
+    from lens_spark.operators.text import (
+        vocab_apply, vocab_encode, vocab_fit,
+    )
+
+    rows = [(i, f"Alpha beta w{i % 7} gamma") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = {r.doc_id: r.token_ids
+              for r in vocab_encode(df, "doc_id", "text",
+                                    vocab_size=8).collect()}
+    vocab = vocab_fit(df, "text", vocab_size=8)
+    assert len(vocab) == 8 and [i for _, i in vocab] == list(range(1, 9))
+    applied = {r.doc_id: r.token_ids
+               for r in vocab_apply(df, "doc_id", "text", vocab).collect()}
+    assert applied == inline
+    mid = save_vocab(registry, df, "text", vocab_size=8)
+    assert load_model(registry, mid)["lowercase"] is True
+    spec = {"lenses": [{"name": "vocab_encode", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": str(registry.root)}}]}
+    via_model = {r.doc_id: r.token_ids
+                 for r in engine.append(df, spec).collect()}
+    assert via_model == inline
+    # applying the saved vocab to NEW docs: unseen words -> oov_id 0
+    new = spark.createDataFrame([(100, "alpha unseenword")],
+                                "doc_id long, text string")
+    got = engine.append(new, spec).collect()[0].token_ids
+    alpha_id = dict(vocab)["alpha"]
+    assert got == [alpha_id, 0]
