@@ -2877,6 +2877,37 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "n_a", "n_b", "d_num", "d_microunits")
 
 
+def q_x7_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (new r9): keep the 5 longest docs per
+    source, ranked n_chars desc with doc_id as the total-order
+    tiebreak — the per-domain quota every web-corpus recipe applies
+    so giant hosts can't dominate the mix. Two-stage top-n (local
+    prune within (key, input-partition) first), so the hottest
+    domain never funnels through one task; see
+    operators/sampling.py group_quota."""
+    docs = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "lang", "n_chars")
+    spec = {"lenses": [{"name": "group_quota", "arguments": {
+        "keys": ["source"], "n": 5, "order_by": "n_chars",
+        "tiebreak": ["doc_id"]}}]}
+    return engine.append(docs, spec)
+
+
+def q_x9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point calibration (new r9): confusion metrics at 5
+    candidate thresholds in ONE corpus pass — doc length (in kchars)
+    as a predictor of lang='en', same resolution contract as
+    x9_classifier_eval. The corpus is touched only by the
+    distinct-rounded-score aggregate; per-threshold counts come from
+    crossing that bounded table with the broadcast threshold list."""
+    docs = _read(spark, sf_dir, "documents").select("n_chars", "lang")
+    spec = {"lenses": [{"name": "threshold_sweep", "arguments": {
+        "score": "cast(n_chars as double) / 1000.0",
+        "label": "lang = 'en'",
+        "thresholds": [0.1, 0.25, 0.5, 1.0, 2.0]}}]}
+    return engine.append(docs, spec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, **in driver-significance order**.
 
@@ -2972,6 +3003,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
         # --- slots 51+: hash-checkable, operator covered above --------
+        # r10 ROTATION BACKLOG: the two late-r9 queries below are the
+        # only hash-checkable entries without an external CORRECTNESS
+        # row; no in-window query has the ≥3-green eviction credit
+        # this round (the r8 mass-rotation reset everyone to ≤2), so
+        # they wait here — the tail pytest oracle-checks them locally
+        # on every run — and rotate in next round per the recipe.
+        "x7_group_quota": q_x7_group_quota,
+        "x9_threshold_sweep": q_x9_threshold_sweep,
         # (r9 evictees first — e1_composition/s4_transform_by_id 8
         # external greens each, the three X2s 3 each — then the r8
         # evictees; tail pytest oracle-checks every one.)
@@ -5418,6 +5457,44 @@ SELECT tot AS n, pos AS n_pos,
                   / ((CAST(tp AS DOUBLE) / (tp + fp))
                      + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
 FROM rs, conf
+""",
+        "x9_threshold_sweep": """
+WITH th AS (SELECT CAST(x AS DOUBLE) AS threshold
+            FROM (VALUES (0.1), (0.25), (0.5), (1.0), (2.0)) v(x)),
+base AS (
+  SELECT round(CAST(n_chars AS DOUBLE) / 1000.0, 6) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) / 1000.0 IS NOT NULL
+    AND (lang = 'en') IS NOT NULL
+),
+cnt AS (SELECT threshold,
+  CAST(sum(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN s >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN s < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(sum(CASE WHEN s < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM base CROSS JOIN th GROUP BY threshold)
+SELECT threshold, tp, fp, tn, fn,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+           AS "precision",
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+           AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+             THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                      * (CAST(tp AS DOUBLE) / (tp + fn))
+                  / ((CAST(tp AS DOUBLE) / (tp + fp))
+                     + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
+FROM cnt ORDER BY threshold
+""",
+        "x7_group_quota": """
+SELECT doc_id, source, lang, n_chars, quota_rank FROM (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST
+         ) AS quota_rank
+  FROM documents
+) WHERE quota_rank <= 5
 """,
         "x6_time_rollup": """
 SELECT date_trunc('hour', ts) AS hour, date_trunc('day', ts) AS day,

@@ -369,3 +369,93 @@ def ks_drift_lens(arguments: Mapping[str, Any]) -> Lens:
                         by=str(by) if by is not None else None)
 
     return Lens("ks_drift", arguments, forward)
+
+
+def threshold_sweep(df: DataFrame, *, score: str, label: str,
+                    thresholds: "list[float]",
+                    score_decimals: int = 6) -> DataFrame:
+    """Confusion metrics at EVERY candidate threshold in one pass —
+    the operating-point calibration a curation pipeline runs after
+    ``classifier_fit`` before committing a filter threshold for the
+    whole corpus ("at which cut do we keep 90% of good docs?").
+
+    No reference counterpart (no model surface — SURVEY.md §2.6);
+    closes the classifier family next to ``binary_eval``.
+
+    Returns one row per threshold, ascending: ``threshold, tp, fp,
+    tn, fn, precision, recall, f1`` (ratios 6dp, NULL when their
+    denominator is 0). Prediction is ``round(score, score_decimals)
+    >= threshold`` — same resolution contract as ``binary_eval``.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    aggregate to the distinct-rounded-score table (bounded by the
+    score resolution, ≤ ~10^d rows for scores in [0,1] — KB/MB-scale,
+    never corpus-scale). The per-threshold counts come from crossing
+    that bounded table with the ≤1001 thresholds (broadcast, no
+    corpus-side work) and one tiny groupBy — T·distinct rows at most.
+    Counts stay exact integers; division happens once per output row.
+    """
+    if score_decimals < 0 or score_decimals > 9:
+        raise LensError("threshold_sweep: score_decimals must be in [0, 9]")
+    ts = sorted(float(t) for t in thresholds)
+    if not ts or len(ts) > 1001:
+        raise LensError(
+            "threshold_sweep needs 1..1001 thresholds — the sweep table "
+            "is broadcast and per-threshold output rows are materialized")
+    if len(set(ts)) != len(ts):
+        raise LensError("threshold_sweep: duplicate thresholds")
+    s = F.round(F.expr(score).cast("double"), score_decimals)
+    y = F.expr(label).cast("boolean").cast("int")
+    base = (df.select(s.alias("__s"), y.alias("__y"))
+            .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull()))
+    per_score = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").cast("bigint").alias("p"))
+    spark = df.sparkSession
+    th = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    # Bounded × bounded cross: distinct rounded scores × thresholds.
+    crossed = per_score.crossJoin(F.broadcast(th))
+    pred = F.col("__s") >= F.col("threshold")
+    agg = crossed.groupBy("threshold").agg(
+        F.sum(F.when(pred, F.col("p")).otherwise(F.lit(0)))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(pred, F.col("n") - F.col("p")).otherwise(F.lit(0)))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~pred, F.col("n") - F.col("p")).otherwise(F.lit(0)))
+        .cast("bigint").alias("tn"),
+        F.sum(F.when(~pred, F.col("p")).otherwise(F.lit(0)))
+        .cast("bigint").alias("fn"))
+    # Tiny left join back onto the threshold list so an empty/all-NULL
+    # input still reports one all-zero row per threshold.
+    agg = th.join(agg, "threshold", "left").select(
+        "threshold",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("tp", "fp", "tn", "fn")])
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    div = lambda a, b: F.when(b > 0, a.cast("double") / b.cast("double"))  # noqa: E731
+    prec = div(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = div(F.col("tp"), F.col("tp") + F.col("fn"))
+    return agg.select(
+        "threshold", "tp", "fp", "tn", "fn",
+        r6(prec).alias("precision"),
+        r6(rec).alias("recall"),
+        r6(F.when(prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                  2 * prec * rec / (prec + rec))).alias("f1"),
+    ).orderBy("threshold")
+
+
+@register_lens("threshold_sweep")
+def threshold_sweep_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: score (col/expr), label (col/expr), thresholds
+    (list[float]), score_decimals."""
+
+    def forward(df: DataFrame) -> DataFrame:
+        return threshold_sweep(
+            df,
+            score=str(require_arg(arguments, "score", "threshold_sweep")),
+            label=str(require_arg(arguments, "label", "threshold_sweep")),
+            thresholds=[float(t) for t in require_arg(
+                arguments, "thresholds", "threshold_sweep")],
+            score_decimals=int(arguments.get("score_decimals", 6)),
+        )
+
+    return Lens("threshold_sweep", arguments, forward)

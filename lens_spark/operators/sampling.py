@@ -773,3 +773,81 @@ def realize_epochs_lens(arguments: Mapping[str, Any]) -> Lens:
             out=out, salt=str(arguments.get("salt", ""))),
         lambda df: df.filter(F.col(out) == 1).drop(out),
     )
+
+
+def group_quota(df: DataFrame, key_cols: "list[str]", n: int, *,
+                order_by: str, tiebreak: "list[str]",
+                descending: bool = True,
+                rank_col: str = "quota_rank") -> DataFrame:
+    """Keep at most ``n`` rows per key group, ranked by ``order_by`` —
+    the per-domain cap every web-corpus curation recipe applies so a
+    handful of giant hosts can't dominate the training mix (keep the
+    best ``n`` pages per domain, best ``n`` docs per source feed).
+
+    No reference counterpart (SURVEY.md §2.6 — the reference has no
+    row-selection operators); X-series extension.
+
+    ``order_by`` is a column name or SQL expression (ranked
+    descending by default — "best first"); ``tiebreak`` is a REQUIRED
+    non-empty list of columns that, together with ``order_by``, totally
+    orders rows within a key group. That totality is the determinism
+    contract: with it, the survivor set and ``rank_col`` are invariant
+    under partitioning and engine (the oracle gate relies on this);
+    without it, row_number over ties would be plan-dependent. NULL
+    order values rank last under either direction (explicit
+    ``NULLS LAST`` on both engines).
+
+    Scale shape — the two-stage top-k (same argument as
+    ``similarity._rank_topk``): a single
+    ``row_number() OVER (PARTITION BY key)`` funnels the hottest
+    domain's rows through one task, and web corpora are exactly where
+    keys are Zipf-skewed. Stage 1 ranks within
+    ``(key, input-partition)`` and keeps ≤ n per group — a per-key
+    top-n is invariant under pruning each partition to its local
+    top-n by the same total order — so the final per-key window sorts
+    ≤ n · num_partitions rows however hot the key. Both exchanges
+    carry only survivors-or-better; nothing global is sorted.
+    """
+    if n < 1:
+        raise LensError(f"group_quota needs n >= 1, got {n}")
+    if not key_cols:
+        raise LensError("group_quota needs at least one key column")
+    if not tiebreak:
+        raise LensError(
+            "group_quota: tiebreak columns are required — without a "
+            "total order within a key group the survivor set would be "
+            "partitioning-dependent")
+    from pyspark.sql import Window
+
+    ov = F.expr(order_by)
+    head = ov.desc_nulls_last() if descending else ov.asc_nulls_last()
+    order = [head] + [F.col(c).asc_nulls_last() for c in tiebreak]
+    local_w = Window.partitionBy(*key_cols, "__gq_pid").orderBy(*order)
+    pruned = (df.withColumn("__gq_pid", F.spark_partition_id())
+              .withColumn("__gq_lr", F.row_number().over(local_w))
+              .filter(F.col("__gq_lr") <= n)
+              .drop("__gq_pid", "__gq_lr"))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (pruned.withColumn(rank_col,
+                              F.row_number().over(w).cast("bigint"))
+            .filter(F.col(rank_col) <= n))
+
+
+@register_lens("group_quota")
+def group_quota_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), n, order_by (col/expr), tiebreak
+    (list[str]), descending (true), rank ("quota_rank")."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "group_quota")]
+    n = int(require_arg(arguments, "n", "group_quota"))
+    order_by = str(require_arg(arguments, "order_by", "group_quota"))
+    tiebreak = [str(c) for c in
+                require_arg(arguments, "tiebreak", "group_quota")]
+    rank_col = str(arguments.get("rank", "quota_rank"))
+    return Lens(
+        "group_quota", arguments,
+        lambda df: group_quota(
+            df, keys, n, order_by=order_by, tiebreak=tiebreak,
+            descending=bool(arguments.get("descending", True)),
+            rank_col=rank_col),
+        lambda df: df.drop(rank_col),
+    )

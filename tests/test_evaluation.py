@@ -93,3 +93,50 @@ def test_bad_decimals_raises(spark):
     df = spark.createDataFrame([(0.9, 1)], "s double, y int")
     with pytest.raises(LensError, match="score_decimals"):
         binary_eval(df, score="s", label="y", score_decimals=12)
+
+
+def test_threshold_sweep_counts_match_manual(spark):
+    """Per-threshold confusion counts equal a row-at-a-time recount;
+    prediction is round(score, 6) >= t (the resolution contract);
+    ratio columns are 6dp with NULL-on-zero-denominator."""
+    from lens_spark.operators.evaluation import threshold_sweep
+
+    rows = [(float(s) / 10.0, s % 3 == 0) for s in range(40)]
+    df = spark.createDataFrame(rows, "score double, good boolean")
+    ts = [0.5, 1.5, 2.5, 3.95]
+    out = {r.threshold: r for r in threshold_sweep(
+        df, score="score", label="good", thresholds=ts).collect()}
+    assert sorted(out) == ts
+    for t in ts:
+        tp = sum(1 for s, y in rows if round(s, 6) >= t and y)
+        fp = sum(1 for s, y in rows if round(s, 6) >= t and not y)
+        tn = sum(1 for s, y in rows if round(s, 6) < t and not y)
+        fn = sum(1 for s, y in rows if round(s, 6) < t and y)
+        r = out[t]
+        assert (r.tp, r.fp, r.tn, r.fn) == (tp, fp, tn, fn), t
+        assert r.precision == round(tp / (tp + fp), 6) if tp + fp else r.precision is None
+        assert r.recall == round(tp / (tp + fn), 6) if tp + fn else r.recall is None
+
+
+def test_threshold_sweep_empty_input_and_validation(spark):
+    """An empty (or all-NULL) input still reports one all-zero row per
+    threshold; bad threshold lists raise."""
+    import pytest as _pytest
+
+    from lens_spark.operators.evaluation import threshold_sweep
+
+    empty = spark.createDataFrame([], "score double, good boolean")
+    rows = threshold_sweep(empty, score="score", label="good",
+                           thresholds=[0.25, 0.75]).collect()
+    assert [(r.threshold, r.tp, r.fp, r.tn, r.fn) for r in rows] == \
+        [(0.25, 0, 0, 0, 0), (0.75, 0, 0, 0, 0)]
+    assert all(r.precision is None and r.recall is None and r.f1 is None
+               for r in rows)
+    with _pytest.raises(LensError, match="1..1001"):
+        threshold_sweep(empty, score="score", label="good", thresholds=[])
+    with _pytest.raises(LensError, match="duplicate"):
+        threshold_sweep(empty, score="score", label="good",
+                        thresholds=[0.5, 0.5])
+    with _pytest.raises(LensError, match="score_decimals"):
+        threshold_sweep(empty, score="score", label="good",
+                        thresholds=[0.5], score_decimals=10)

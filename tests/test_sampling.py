@@ -312,3 +312,58 @@ def test_mix_by_temperature_alpha_one_matches_natural_budget(spark):
                out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     assert set(per_doc.values()) == {2}
     assert len(per_doc) == 80
+
+
+def test_group_quota_keeps_top_n_per_key_and_is_partitioning_stable(spark):
+    """Survivors = exactly the top-n per key under (order desc,
+    tiebreak asc), with ranks 1..min(n, group size); the same set and
+    ranks come back under a different input partitioning (the
+    two-stage prune is invariant — the determinism contract)."""
+    from lens_spark.operators.sampling import group_quota
+
+    rows = [(i, "dom%d" % (i % 3), (i * 7) % 20) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, dom string, score long")
+
+    def expect_for(pdf_rows, n):
+        byk = {}
+        for i, d, s in pdf_rows:
+            byk.setdefault(d, []).append((-s, i))
+        out = set()
+        for d, items in byk.items():
+            for rk, (_, i) in enumerate(sorted(items)[:n], start=1):
+                out.add((d, i, rk))
+        return out
+
+    want = expect_for(rows, 4)
+    got = {(r.dom, r.id, r.quota_rank) for r in group_quota(
+        df, ["dom"], 4, order_by="score", tiebreak=["id"]).collect()}
+    assert got == want
+    got2 = {(r.dom, r.id, r.quota_rank) for r in group_quota(
+        df.repartition(13, "score"), ["dom"], 4,
+        order_by="score", tiebreak=["id"]).collect()}
+    assert got2 == want
+
+
+def test_group_quota_small_groups_null_order_and_validation(spark):
+    """Groups smaller than n survive whole; NULL order values rank
+    last under either direction; missing tiebreak / bad n raise."""
+    import pytest as _pytest
+
+    from lens_spark.operators.sampling import group_quota
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None), (3, "a", 9), (4, "b", 1)],
+        "id long, dom string, score long")
+    out = {(r.dom, r.id, r.quota_rank) for r in group_quota(
+        df, ["dom"], 2, order_by="score", tiebreak=["id"]).collect()}
+    assert out == {("a", 3, 1), ("a", 1, 2), ("b", 4, 1)}
+    asc = {(r.dom, r.id, r.quota_rank) for r in group_quota(
+        df, ["dom"], 3, order_by="score", tiebreak=["id"],
+        descending=False).collect()}
+    assert asc == {("a", 1, 1), ("a", 3, 2), ("a", 2, 3), ("b", 4, 1)}
+    with _pytest.raises(LensError, match="tiebreak"):
+        group_quota(df, ["dom"], 2, order_by="score", tiebreak=[])
+    with _pytest.raises(LensError, match="n >= 1"):
+        group_quota(df, ["dom"], 0, order_by="score", tiebreak=["id"])
+    with _pytest.raises(LensError, match="key column"):
+        group_quota(df, [], 2, order_by="score", tiebreak=["id"])
