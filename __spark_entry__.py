@@ -2893,6 +2893,25 @@ def q_x7_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(docs, spec)
 
 
+def q_x6_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample + gap-fill (new r9): hourly per-event-type
+    buckets over the sparse value>=8 slice — count zero-filled, sum
+    carried forward (LOCF), gap buckets materialized and flagged.
+    ONE corpus-touching aggregate; the grid explode, fill join, and
+    ffill window all run on the bucketed table (≤ span/interval rows
+    per key). Sum is decimal-exact before the final double cast so
+    the hash matches the oracle regardless of partition order."""
+    ev = _read(spark, sf_dir, "events").filter("value >= 8")
+    spec = {"lenses": [{"name": "resample", "arguments": {
+        "keys": ["event_type"], "ts": "ts", "every": "1 hour",
+        "aggs": {
+            "n_events": "count(1)",
+            "sum_value": "cast(sum(cast(value as decimal(18,6))) as double)",
+        },
+        "fill": {"n_events": "zero", "sum_value": "ffill"}}}]}
+    return engine.append(ev, spec)
+
+
 def q_x9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operating-point calibration (new r9): confusion metrics at 5
     candidate thresholds in ONE corpus pass — doc length (in kchars)
@@ -3011,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on every run — and rotate in next round per the recipe.
         "x7_group_quota": q_x7_group_quota,
         "x9_threshold_sweep": q_x9_threshold_sweep,
+        "x6_resample": q_x6_resample,
         # (r9 evictees first — e1_composition/s4_transform_by_id 8
         # external greens each, the three X2s 3 each — then the r8
         # evictees; tail pytest oracle-checks every one.)
@@ -5485,6 +5505,29 @@ SELECT threshold, tp, fp, tn, fn,
                   / ((CAST(tp AS DOUBLE) / (tp + fp))
                      + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
 FROM cnt ORDER BY threshold
+""",
+        "x6_resample": """
+WITH f AS (SELECT * FROM events WHERE value >= 8),
+base AS (
+  SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS e,
+         CAST(count(1) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM f WHERE ts IS NOT NULL GROUP BY 1, 2),
+spans AS (SELECT event_type, min(e) AS mn, max(e) AS mx
+          FROM base GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS e
+         FROM spans),
+j AS (SELECT g.event_type, g.e, b.n_events AS nev, b.sum_value AS sv,
+             (b.e IS NULL) AS is_gap
+      FROM grid g LEFT JOIN base b
+        ON g.event_type = b.event_type AND g.e = b.e)
+SELECT event_type, make_timestamp(e * 1000000) AS bucket_start,
+       coalesce(nev, CAST(0 AS BIGINT)) AS n_events,
+       last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+       is_gap
+FROM j
 """,
         "x7_group_quota": """
 SELECT doc_id, source, lang, n_chars, quota_rank FROM (

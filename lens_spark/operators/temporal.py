@@ -309,3 +309,120 @@ def sessionize_lens(arguments: Mapping[str, Any]) -> Lens:
 
     out = str(arguments.get("out", "session_idx"))
     return Lens("sessionize", arguments, forward, lambda df: df.drop(out))
+
+
+def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
+             every: str, *, aggs: Mapping[str, str],
+             fill: "Mapping[str, str] | str" = "null",
+             bucket_col: str = "bucket_start",
+             gap_col: str = "is_gap") -> DataFrame:
+    """Fixed-interval downsampling with gap materialization — the
+    hypertable resample: per key, aggregate events into ``every``-wide
+    buckets, then EMIT every bucket between that key's first and last
+    event, filling the empty ones (``zero`` / ``ffill`` /
+    ``null`` per output column). Feeds anything that assumes a dense
+    regular grid: drift monitors, rate alerting, seasonal models.
+
+    No reference counterpart (no time semantics — SURVEY.md §2.6).
+
+    ``aggs`` maps output column name → SQL aggregate expression over
+    the bucket's rows; ``fill`` is one policy for all columns or a
+    per-column map. ``ffill`` carries the last non-null value forward
+    within the key (including across a present-but-NULL bucket — the
+    LOCF contract); leading gaps before the first non-null stay NULL.
+    ``gap_col`` marks buckets with no source rows.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy (key, bucket) — everything after runs on the bucketed
+    table, smaller by the compression factor of the interval. The
+    grid is sequence()-exploded from per-key (min, max) epoch spans
+    (narrow), the fill join is an equi-join on (key, bucket), and the
+    ffill window orders buckets WITHIN a key — bounded by
+    span/interval per key, never by corpus rows. Pick ``every`` so
+    span/interval stays task-sized (a year of 1-second buckets is
+    31M rows per key — that is a caller decision, documented, same
+    contract as any per-key window)."""
+    if not key_cols:
+        raise LensError("resample needs at least one key column")
+    if not aggs:
+        raise LensError("resample needs at least one aggregate")
+    step = _interval_seconds(every, "resample")
+    if step <= 0:
+        raise LensError(f"resample: interval must be positive, got {every}")
+    policies = ({c: str(fill) for c in aggs} if isinstance(fill, str)
+                else {c: str(dict(fill).get(c, "null")) for c in aggs})
+    bad = {c: p for c, p in policies.items()
+           if p not in ("null", "zero", "ffill")}
+    if bad:
+        raise LensError(f"resample: unknown fill policy {bad} "
+                        "(each must be null|zero|ffill)")
+    reserved = set(key_cols) | {bucket_col, gap_col}
+    if set(aggs) & reserved:
+        raise LensError(f"resample: aggregate names collide with "
+                        f"key/bucket/gap columns: {sorted(set(aggs) & reserved)}")
+
+    # session tz is UTC (lens_spark.session) and interval boundaries
+    # are whole seconds, so long-epoch bucketing is engine-portable.
+    # NTZ first casts to TIMESTAMP (wall-clock-preserving under the
+    # UTC session zone) — NTZ→BIGINT is not a legal cast in Spark 4.
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    e = (F.floor(ts.cast("long") / step) * step).cast("long")
+    base = (df.filter(F.col(ts_col).isNotNull())
+            .groupBy(*key_cols, e.alias("__rs_e"))
+            .agg(*[F.expr(expr).alias(name) for name, expr in aggs.items()])
+            .withColumn("__rs_hit", F.lit(1)))
+    spans = base.groupBy(*key_cols).agg(
+        F.min("__rs_e").alias("__rs_mn"), F.max("__rs_e").alias("__rs_mx"))
+    grid = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__rs_mn"), F.col("__rs_mx"),
+                             F.lit(step).cast("long"))).alias("__rs_e"))
+    joined = grid.join(base, on=[*key_cols, "__rs_e"], how="left")
+
+    w = (Window.partitionBy(*key_cols).orderBy(F.col("__rs_e").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = []
+    for name in aggs:
+        p = policies[name]
+        if p == "zero":
+            cols.append(F.coalesce(
+                F.col(name),
+                F.lit(0).cast(dict(joined.dtypes)[name])).alias(name))
+        elif p == "ffill":
+            cols.append(F.last(F.col(name), ignorenulls=True)
+                        .over(w).alias(name))
+        else:
+            cols.append(F.col(name))
+    bucket = F.timestamp_seconds(F.col("__rs_e"))
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # preserve the input's timestamp flavor (wall clock == UTC
+        # epoch under the UTC session zone)
+        bucket = bucket.cast("timestamp_ntz")
+    return joined.select(
+        *key_cols,
+        bucket.alias(bucket_col),
+        *cols,
+        F.col("__rs_hit").isNull().alias(gap_col))
+
+
+@register_lens("resample")
+def resample_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: keys (list[str]), ts, every ("1 hour"), aggs
+    ({name: sql-agg-expr}), fill ("null"|"zero"|"ffill" or per-column
+    map), bucket ("bucket_start"), gap ("is_gap")."""
+    keys = [str(c) for c in require_arg(arguments, "keys", "resample")]
+    ts = str(require_arg(arguments, "ts", "resample"))
+    every = str(require_arg(arguments, "every", "resample"))
+    aggs = {str(k): str(v) for k, v in
+            dict(require_arg(arguments, "aggs", "resample")).items()}
+    fill = arguments.get("fill", "null")
+    return Lens(
+        "resample", arguments,
+        lambda df: resample(
+            df, keys, ts, every, aggs=aggs,
+            fill=(fill if isinstance(fill, str)
+                  else {str(k): str(v) for k, v in dict(fill).items()}),
+            bucket_col=str(arguments.get("bucket", "bucket_start")),
+            gap_col=str(arguments.get("gap", "is_gap"))))

@@ -240,3 +240,68 @@ def test_rolling_agg_bad_interval_raises(clicks):
     from lens_spark.operators.temporal import rolling_agg
     with pytest.raises(LensError, match="cannot parse interval"):
         rolling_agg(clicks, key="key", ts_col="cts", window="1 fortnight")
+
+
+def test_resample_fills_gaps_with_policies(spark):
+    """Gap buckets are materialized between each key's first and last
+    bucket: zero-fill restores 0 counts, ffill carries the last
+    non-null value forward (including across present-but-NULL
+    buckets), leading gaps stay NULL, and is_gap marks exactly the
+    bucket rows with no source events."""
+    from datetime import datetime as DT
+
+    from lens_spark.operators.temporal import resample
+
+    rows = [
+        ("a", DT(2024, 1, 1, 0, 10), 1.0),
+        ("a", DT(2024, 1, 1, 0, 50), 2.0),
+        # gap hours 1-2
+        ("a", DT(2024, 1, 1, 3, 5), 7.0),
+        ("a", DT(2024, 1, 1, 4, 5), None),   # present bucket, NULL agg
+        ("b", DT(2024, 1, 1, 2, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample(df, ["k"], "ts", "1 hour",
+                   aggs={"n": "count(v)", "s": "sum(v)"},
+                   fill={"n": "zero", "s": "ffill"})
+    got = {(r.k, r.bucket_start.hour): (r.n, r.s, r.is_gap)
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (2, 3.0, False),
+        ("a", 1): (0, 3.0, True),
+        ("a", 2): (0, 3.0, True),
+        ("a", 3): (1, 7.0, False),
+        ("a", 4): (0, 7.0, False),   # present bucket: count(v)=0, LOCF
+        ("b", 2): (1, 5.0, False),
+    }
+    assert len(got) == 6
+
+
+def test_resample_null_policy_and_validation(spark):
+    """Default null policy leaves gap aggregates NULL; bad args raise
+    LensError before any job runs."""
+    import pytest as _pytest
+    from datetime import datetime as DT
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.temporal import resample
+
+    df = spark.createDataFrame(
+        [("a", DT(2024, 1, 1, 0), 1.0), ("a", DT(2024, 1, 1, 2), 3.0)],
+        "k string, ts timestamp, v double")
+    out = {(r.k, r.bucket_start.hour): (r.s, r.is_gap)
+           for r in resample(df, ["k"], "ts", "1 hour",
+                             aggs={"s": "sum(v)"}).collect()}
+    assert out == {("a", 0): (1.0, False), ("a", 1): (None, True),
+                   ("a", 2): (3.0, False)}
+    with _pytest.raises(LensError, match="fill policy"):
+        resample(df, ["k"], "ts", "1 hour", aggs={"s": "sum(v)"},
+                 fill="bogus")
+    with _pytest.raises(LensError, match="key column"):
+        resample(df, [], "ts", "1 hour", aggs={"s": "sum(v)"})
+    with _pytest.raises(LensError, match="aggregate"):
+        resample(df, ["k"], "ts", "1 hour", aggs={})
+    with _pytest.raises(LensError, match="collide"):
+        resample(df, ["k"], "ts", "1 hour", aggs={"is_gap": "sum(v)"})
+    with _pytest.raises(LensError, match="interval"):
+        resample(df, ["k"], "ts", "0 hour", aggs={"s": "sum(v)"})
