@@ -388,12 +388,19 @@ def threshold_sweep(df: DataFrame, *, score: str, label: str,
     >= threshold`` — same resolution contract as ``binary_eval``.
 
     Scale shape: the corpus is touched by ONE map-side-combined
-    aggregate to the distinct-rounded-score table (bounded by the
-    score resolution, ≤ ~10^d rows for scores in [0,1] — KB/MB-scale,
-    never corpus-scale). The per-threshold counts come from crossing
-    that bounded table with the ≤1001 thresholds (broadcast, no
-    corpus-side work) and one tiny groupBy — T·distinct rows at most.
-    Counts stay exact integers; division happens once per output row.
+    aggregate to the distinct-rounded-score table. Before that
+    aggregate, scores are COLLAPSED to the threshold-relevant range
+    (ADVICE r9): every score ≥ max(thresholds) classifies identically
+    at every threshold, as does every score < min(thresholds), so
+    both tails fold to a single sentinel row each. The distinct table
+    is therefore bounded by (max_t − min_t) · 10^score_decimals + 2
+    — a property of the SWEEP, not of the score range — so a raw
+    wide-range score (n_chars, perplexity) stays KB/MB-scale as long
+    as the threshold grid itself is sane. The per-threshold counts
+    come from crossing that bounded table with the ≤1001 thresholds
+    (broadcast, no corpus-side work) and one tiny groupBy —
+    T·distinct rows at most. Counts stay exact integers; division
+    happens once per output row.
     """
     if score_decimals < 0 or score_decimals > 9:
         raise LensError("threshold_sweep: score_decimals must be in [0, 9]")
@@ -405,6 +412,13 @@ def threshold_sweep(df: DataFrame, *, score: str, label: str,
     if len(set(ts)) != len(ts):
         raise LensError("threshold_sweep: duplicate thresholds")
     s = F.round(F.expr(score).cast("double"), score_decimals)
+    # Collapse scores outside [min_t, max_t) — they classify
+    # identically at every threshold, so one sentinel row per tail
+    # keeps the distinct table bounded for unbounded score ranges
+    # (-inf < every finite threshold; max_t >= every threshold).
+    s = (F.when(s >= F.lit(ts[-1]), F.lit(ts[-1]))
+         .when(s < F.lit(ts[0]), F.lit(float("-inf")))
+         .otherwise(s))
     y = F.expr(label).cast("boolean").cast("int")
     base = (df.select(s.alias("__s"), y.alias("__y"))
             .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull()))

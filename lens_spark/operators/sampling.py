@@ -817,6 +817,11 @@ def group_quota(df: DataFrame, key_cols: "list[str]", n: int, *,
             "group_quota: tiebreak columns are required — without a "
             "total order within a key group the survivor set would be "
             "partitioning-dependent")
+    clash = {"__gq_pid", "__gq_lr"} & (set(df.columns) | {rank_col})
+    if clash:
+        raise LensError(
+            f"group_quota: column names {sorted(clash)} collide with "
+            "reserved internal columns (__gq_pid/__gq_lr)")
     from pyspark.sql import Window
 
     ov = F.expr(order_by)

@@ -315,7 +315,8 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
              every: str, *, aggs: Mapping[str, str],
              fill: "Mapping[str, str] | str" = "null",
              bucket_col: str = "bucket_start",
-             gap_col: str = "is_gap") -> DataFrame:
+             gap_col: str = "is_gap",
+             max_buckets: int = 10_000_000) -> DataFrame:
     """Fixed-interval downsampling with gap materialization — the
     hypertable resample: per key, aggregate events into ``every``-wide
     buckets, then EMIT every bucket between that key's first and last
@@ -341,7 +342,15 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
     span/interval per key, never by corpus rows. Pick ``every`` so
     span/interval stays task-sized (a year of 1-second buckets is
     31M rows per key — that is a caller decision, documented, same
-    contract as any per-key window)."""
+    contract as any per-key window).
+
+    ``max_buckets`` bounds the per-key grid: one corrupt timestamp
+    (an epoch-0 row in a 2024 corpus) would otherwise silently
+    inflate that key's (min, max) span to billions of sequence()
+    elements. The guard is evaluated lazily inside the plan
+    (``assert_true`` on the per-key span — no extra job, no second
+    corpus scan) and fails the query loudly, naming the key span,
+    instead of OOMing the executor that drew the bad key."""
     if not key_cols:
         raise LensError("resample needs at least one key column")
     if not aggs:
@@ -356,10 +365,18 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
     if bad:
         raise LensError(f"resample: unknown fill policy {bad} "
                         "(each must be null|zero|ffill)")
+    if max_buckets < 1:
+        raise LensError("resample: max_buckets must be >= 1")
     reserved = set(key_cols) | {bucket_col, gap_col}
     if set(aggs) & reserved:
         raise LensError(f"resample: aggregate names collide with "
                         f"key/bucket/gap columns: {sorted(set(aggs) & reserved)}")
+    internals = {"__rs_e", "__rs_hit", "__rs_mn", "__rs_mx"}
+    clash = internals & (set(aggs) | reserved | set(df.columns))
+    if clash:
+        raise LensError(
+            f"resample: column names {sorted(clash)} collide with "
+            "reserved internal columns (__rs_e/__rs_hit/__rs_mn/__rs_mx)")
 
     # session tz is UTC (lens_spark.session) and interval boundaries
     # are whole seconds, so long-epoch bucketing is engine-portable.
@@ -375,6 +392,19 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
             .withColumn("__rs_hit", F.lit(1)))
     spans = base.groupBy(*key_cols).agg(
         F.min("__rs_e").alias("__rs_mn"), F.max("__rs_e").alias("__rs_mx"))
+    # Lazy span guard (ADVICE r9): one corrupt timestamp must fail
+    # loudly, not explode the grid. assert_true evaluates inside the
+    # same stage (NULL when ok → the filter is a no-op), so the guard
+    # costs zero extra jobs and names the offending key span.
+    n_buckets = ((F.col("__rs_mx") - F.col("__rs_mn")) / F.lit(step)) + 1
+    spans = spans.where(F.assert_true(
+        n_buckets <= F.lit(float(max_buckets)),
+        F.concat_ws(
+            " ", F.lit("resample: key ("),
+            *[F.col(c).cast("string") for c in key_cols],
+            F.lit(f") spans more than max_buckets={max_buckets} "
+                  f"'{every}' buckets — a corrupt/outlier timestamp, "
+                  "or raise max_buckets"))).isNull())
     grid = spans.select(
         *key_cols,
         F.explode(F.sequence(F.col("__rs_mn"), F.col("__rs_mx"),
@@ -411,7 +441,8 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
 def resample_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: keys (list[str]), ts, every ("1 hour"), aggs
     ({name: sql-agg-expr}), fill ("null"|"zero"|"ffill" or per-column
-    map), bucket ("bucket_start"), gap ("is_gap")."""
+    map), bucket ("bucket_start"), gap ("is_gap"),
+    max_buckets (10_000_000)."""
     keys = [str(c) for c in require_arg(arguments, "keys", "resample")]
     ts = str(require_arg(arguments, "ts", "resample"))
     every = str(require_arg(arguments, "every", "resample"))
@@ -425,4 +456,5 @@ def resample_lens(arguments: Mapping[str, Any]) -> Lens:
             fill=(fill if isinstance(fill, str)
                   else {str(k): str(v) for k, v in dict(fill).items()}),
             bucket_col=str(arguments.get("bucket", "bucket_start")),
-            gap_col=str(arguments.get("gap", "is_gap"))))
+            gap_col=str(arguments.get("gap", "is_gap")),
+            max_buckets=int(arguments.get("max_buckets", 10_000_000))))

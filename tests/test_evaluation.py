@@ -140,3 +140,25 @@ def test_threshold_sweep_empty_input_and_validation(spark):
     with _pytest.raises(LensError, match="score_decimals"):
         threshold_sweep(empty, score="score", label="good",
                         thresholds=[0.5], score_decimals=10)
+
+
+def test_threshold_sweep_wide_range_scores_collapse_exactly(spark):
+    """ADVICE r9: scores outside [min_t, max_t) fold to sentinel rows
+    before the cross join, so a raw wide-range score (n_chars-style)
+    keeps the distinct table bounded by the sweep — and the counts
+    stay EXACT, including scores equal to the min/max thresholds."""
+    from lens_spark.operators.evaluation import threshold_sweep
+
+    rows = [(float(s), s % 2 == 0) for s in
+            [-1e12, -5.0, 9.999999, 10.0, 55.5, 100.0, 100.000001, 3e15]]
+    df = spark.createDataFrame(rows, "score double, good boolean")
+    ts = [10.0, 50.0, 100.0]
+    out = {r.threshold: r for r in threshold_sweep(
+        df, score="score", label="good", thresholds=ts).collect()}
+    for t in ts:
+        tp = sum(1 for s, y in rows if round(s, 6) >= t and y)
+        fp = sum(1 for s, y in rows if round(s, 6) >= t and not y)
+        tn = sum(1 for s, y in rows if round(s, 6) < t and not y)
+        fn = sum(1 for s, y in rows if round(s, 6) < t and y)
+        assert (out[t].tp, out[t].fp, out[t].tn, out[t].fn) == \
+            (tp, fp, tn, fn), t

@@ -367,3 +367,19 @@ def test_group_quota_small_groups_null_order_and_validation(spark):
         group_quota(df, ["dom"], 0, order_by="score", tiebreak=["id"])
     with _pytest.raises(LensError, match="key column"):
         group_quota(df, [], 2, order_by="score", tiebreak=["id"])
+
+
+def test_group_quota_reserved_internal_columns_raise(spark):
+    """ADVICE r9: inputs (or rank_col) named like the __gq_* internals
+    would silently corrupt the two-stage prune — refuse loudly."""
+    import pytest as _pytest
+
+    from lens_spark.operators.sampling import group_quota
+
+    df = spark.createDataFrame([(1, "a", 5)], "id long, dom string, score long")
+    with _pytest.raises(LensError, match="__gq_"):
+        group_quota(df.withColumnRenamed("score", "__gq_pid"),
+                    ["dom"], 2, order_by="id", tiebreak=["id"])
+    with _pytest.raises(LensError, match="__gq_"):
+        group_quota(df, ["dom"], 2, order_by="score", tiebreak=["id"],
+                    rank_col="__gq_lr")

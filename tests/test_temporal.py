@@ -305,3 +305,37 @@ def test_resample_null_policy_and_validation(spark):
         resample(df, ["k"], "ts", "1 hour", aggs={"is_gap": "sum(v)"})
     with _pytest.raises(LensError, match="interval"):
         resample(df, ["k"], "ts", "0 hour", aggs={"s": "sum(v)"})
+
+
+def test_resample_span_guard_and_reserved_internals(spark):
+    """ADVICE r9: one corrupt epoch-0 timestamp must fail the query
+    loudly (lazy assert_true on the per-key span — no extra job)
+    instead of exploding the grid; names colliding with the __rs_*
+    internals raise LensError up front."""
+    import pytest as _pytest
+    from datetime import datetime as DT
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.temporal import resample
+
+    df = spark.createDataFrame(
+        [("a", DT(1970, 1, 1, 0), 1.0),      # corrupt epoch-0 row
+         ("a", DT(2024, 1, 1, 0), 2.0)],
+        "k string, ts timestamp, v double")
+    bad = resample(df, ["k"], "ts", "1 hour", aggs={"s": "sum(v)"},
+                   max_buckets=1000)
+    with _pytest.raises(Exception, match="max_buckets"):
+        bad.collect()
+    # same span passes with the bound raised (473k hourly buckets)
+    ok = resample(df, ["k"], "ts", "1 hour", aggs={"s": "sum(v)"},
+                  max_buckets=500_000)
+    assert ok.count() == 473_353
+
+    with _pytest.raises(LensError, match="max_buckets"):
+        resample(df, ["k"], "ts", "1 hour", aggs={"s": "sum(v)"},
+                 max_buckets=0)
+    with _pytest.raises(LensError, match="__rs_"):
+        resample(df, ["k"], "ts", "1 hour", aggs={"__rs_hit": "sum(v)"})
+    df2 = df.withColumnRenamed("v", "__rs_mn")
+    with _pytest.raises(LensError, match="__rs_"):
+        resample(df2, ["k"], "ts", "1 hour", aggs={"s": "sum(__rs_mn)"})
