@@ -2262,6 +2262,40 @@ def q_s8_saved_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clf_score")
 
 
+def q_s8_saved_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_vocab artifact applied by id (new r10, r9 verdict #4):
+    ``vocab_fit`` materializes the top-1024 vocabulary as driver
+    model state, ``save_vocab``'s envelope persists it to the
+    content-addressed registry (≙ host-go/store/block.go:84-133
+    LensBlock), and the lens file encodes a corpus naming ONLY
+    ``model_id`` + ``registry`` — fit-once/apply-many for the
+    tokenizer the way s8_saved_model does for the classifier. The
+    digest columns are x5_vocab_ids' (order-sensitive md5 over the id
+    sequence), so its closed-form oracle hash-checks the save → load
+    → broadcast-apply round-trip end-to-end: one flipped byte in the
+    envelope, chunking, or vocabulary order would change ids_md5."""
+    from lens_spark.models import save_vocab
+    from lens_spark.registry import Registry
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    reg_root = tempfile.mkdtemp(prefix="lens_spark_modelreg_")
+    mid = save_vocab(Registry(reg_root), docs, "text", vocab_size=1024)
+    spec = {"lenses": [{"name": "vocab_encode", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": reg_root}}]}
+    out = engine.append(docs, spec)
+    ids = F.col("token_ids")
+    return out.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).alias("n_oov"),
+        F.aggregate(ids, F.lit(0).cast("bigint"),
+                    lambda a, x: a + x.cast("bigint")).alias("ids_sum"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda x: x.cast("string"))))
+        .alias("ids_md5"),
+    )
+
+
 def q_x6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (new r6): 1-hour windows advancing
     every 15 minutes — each event lands in 4 overlapping windows (the
@@ -2941,56 +2975,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        external CORRECTNESS row (the round-5 rotation note below);
     2. slots 51+ — hash-checkable queries whose operator is already
        covered by an in-window sibling (e.g. m2_inverse_roundtrip by
-       e8_inversion_roundtrip + m2_add; m5_counter by m5_counter_large;
-       x2_minhash_pairs by x2_jaccard_verified; m1_rename/m4_rename_chain
-       by the in-window core chain; agg_pricing_summary and the
-       rollup/pivot/window-frame evictees by grouping_sets_qty /
-       unpivot_price_measures / window_topk_orders; x5_lang_id and
-       x5_fingerprint_dups by x5_text_stats; x4_image_features by
-       x4_media_metadata — each ≥3 rounds driver-green). The tail test
-       in tests/test_entry_contract.py oracle-checks every one of
+       e8_inversion_roundtrip + m2_add; m1_rename/m4_rename_chain by
+       the in-window core chain; the rollup/pivot/window-frame
+       evictees by grouping_sets_qty / unpivot_price_measures /
+       window_topk_orders; x5_lang_id and x5_fingerprint_dups by
+       x5_text_stats; x4_image_features by x4_media_metadata — each
+       ≥3 rounds driver-green, rotated back in when their external
+       row goes stale, r10 policy). The tail test in
+       tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
     3. tail — the 22 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-9 ROTATION (r8 verdict #1): the 3-query backlog
-        # (x9_card_diff, x9_expectations, e2_wasm_pipeline — the only
-        # hash-checkable queries without an external CORRECTNESS row)
-        # plus the 2 new r9 queries (e2_wasm_lenchange — the
-        # length-changing wasm gate, r8 verdict #4; s8_saved_model —
-        # registry model artifacts, r8 verdict #7) take the slots of 5
-        # evictees with >=3 external green rounds: e1_composition (8),
-        # s4_transform_by_id (8), x2_contamination_score (3),
-        # x2_winnow_pairs (3), x2_cross_neardup (3). Family cover
-        # stays: the two wasm queries run engine.append compositions
-        # (E/M family, e1's cover); s8_saved_model exercises the
-        # registry store/load surface (S family, s4's cover); X2 keeps
-        # 7 in-window siblings. x1_keep_best (4 greens) stays — it is
-        # the sole in-window X1. Every evictee keeps its oracle and
-        # the tail pytest checks it on every run. After this rotation
-        # the never-externally-checked backlog is again EMPTY.
+        # ROUND-10 ROTATION (r9 verdict #2 + #8). IN: the r9 backlog
+        # (x7_group_quota, x9_threshold_sweep, x6_resample — the only
+        # hash-checkable queries without an external CORRECTNESS row),
+        # the new r10 query s8_saved_vocab (token_vocab artifact
+        # applied by model_id, r9 verdict #4), and SIX stale veterans
+        # whose last external row is >=4 rounds old (m5_counter,
+        # arith_pipeline, agg_pricing_summary, x2_minhash_pairs,
+        # x6_exact_distinct — last external green r2; x1_dedup_exact —
+        # r5, which also restores sole-X1 cover for the x1_keep_best
+        # eviction). OUT: ten evictees each with >=3 external green
+        # rounds — x1_keep_best (5), x3_matryoshka,
+        # x3_random_projection, x6_rolling_agg, x6_time_rollup,
+        # x6_sliding_windows, x7_temperature_mix, x2_edit_pairs,
+        # x9_quantile_bin, x9_classifier_eval (3 each). Family cover
+        # stays: X1 via x1_dedup_exact; X3 via x3_embedding_outliers +
+        # x3_centroid; X6 via x6_group_quantiles / x6_equiwidth_hist /
+        # x6_exact_distinct / x6_resample; X7 via x7_epoch_plan /
+        # x7_interleave / x7_realize_epochs / x7_group_quota; X2 keeps
+        # 7 siblings; X9 keeps 7; M5 via m5_counter; core agg/arith
+        # via agg_pricing_summary / arith_pipeline / cube_revenue; S
+        # via the two s8 queries. Every evictee keeps its oracle and
+        # the tail pytest checks it on every run. STANDING POLICY (r9
+        # verdict #8): besides backlog-ins, rotate >=5 green veterans
+        # per round so every hash-checkable query gets an external row
+        # at least every ~3 rounds, oldest-external-row first.
+        "x7_group_quota": q_x7_group_quota,
+        "x9_threshold_sweep": q_x9_threshold_sweep,
+        "x6_resample": q_x6_resample,
+        "s8_saved_vocab": q_s8_saved_vocab,
+        "m5_counter": q_m5_counter,
+        "arith_pipeline": q_arith_pipeline,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "x2_minhash_pairs": q_x2_minhash_pairs,
+        "x6_exact_distinct": q_x6_exact_distinct,
+        "x1_dedup_exact": q_x1_dedup_exact,
         "x9_card_diff": q_x9_card_diff,
         "x9_expectations": q_x9_expectations,
         "e2_wasm_pipeline": q_e2_wasm_pipeline,
         "e2_wasm_lenchange": q_e2_wasm_lenchange,
         "s8_saved_model": q_s8_saved_model,
-        "x1_keep_best": q_x1_keep_best,
         "x3_embedding_outliers": q_x3_embedding_outliers,
         "x3_centroid": q_x3_centroid,
-        "x3_matryoshka": q_x3_matryoshka,
-        "x3_random_projection": q_x3_random_projection,
-        "x6_rolling_agg": q_x6_rolling_agg,
-        "cube_revenue": q_cube_revenue,
-        "x6_time_rollup": q_x6_time_rollup,
-        "x6_sliding_windows": q_x6_sliding_windows,
         "x6_group_quantiles": q_x6_group_quantiles,
-        "x7_temperature_mix": q_x7_temperature_mix,
-        "x2_edit_pairs": q_x2_edit_pairs,
+        "cube_revenue": q_cube_revenue,
         "x2_components": q_x2_components,
-        "x9_quantile_bin": q_x9_quantile_bin,
-        "x9_classifier_eval": q_x9_classifier_eval,
         "x5_compression_ratio": q_x5_compression_ratio,
         "x2_containment": q_x2_containment,
         "x2_novelty": q_x2_novelty,
@@ -3022,15 +3065,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
         # --- slots 51+: hash-checkable, operator covered above --------
-        # r10 ROTATION BACKLOG: the two late-r9 queries below are the
-        # only hash-checkable entries without an external CORRECTNESS
-        # row; no in-window query has the ≥3-green eviction credit
-        # this round (the r8 mass-rotation reset everyone to ≤2), so
-        # they wait here — the tail pytest oracle-checks them locally
-        # on every run — and rotate in next round per the recipe.
-        "x7_group_quota": q_x7_group_quota,
-        "x9_threshold_sweep": q_x9_threshold_sweep,
-        "x6_resample": q_x6_resample,
+        # r10 evictees (x1_keep_best 5 external greens; the other nine
+        # 3 each; family cover retained in-window — see the rotation
+        # note above; the tail pytest oracle-checks every one):
+        "x1_keep_best": q_x1_keep_best,
+        "x3_matryoshka": q_x3_matryoshka,
+        "x3_random_projection": q_x3_random_projection,
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "x6_time_rollup": q_x6_time_rollup,
+        "x6_sliding_windows": q_x6_sliding_windows,
+        "x7_temperature_mix": q_x7_temperature_mix,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x9_classifier_eval": q_x9_classifier_eval,
         # (r9 evictees first — e1_composition/s4_transform_by_id 8
         # external greens each, the three X2s 3 each — then the r8
         # evictees; tail pytest oracle-checks every one.)
@@ -3092,11 +3139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_media_metadata": q_x4_media_metadata,
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
         "m4_rename_chain": q_m4_rename_chain,
-        "m5_counter": q_m5_counter,
-        "arith_pipeline": q_arith_pipeline,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "x2_minhash_pairs": q_x2_minhash_pairs,
-        "x6_exact_distinct": q_x6_exact_distinct,
         "e7_identity": q_e7_identity,
         "join_semi_customers": q_join_semi_customers,
         "stats_aggregates": q_stats_aggregates,
@@ -3109,7 +3151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_lang_id": q_x5_lang_id,
         "x5_fingerprint_dups": q_x5_fingerprint_dups,
         "x4_image_features": q_x4_image_features,
-        "x1_dedup_exact": q_x1_dedup_exact,
         "x2_jaccard_verified": q_x2_jaccard_verified,
         "x2_embedding_neardup": q_x2_embedding_neardup,
         "x2_ngram_jaccard": q_x2_ngram_jaccard,
@@ -3472,6 +3513,43 @@ SELECT vec_id, CAST(list_sum(m) AS DOUBLE) / 1e6 AS p_sum,
        CAST(list_min(m) AS DOUBLE) / 1e6 AS p_min,
        CAST(list_max(m) AS DOUBLE) / 1e6 AS p_max
 FROM m
+"""
+
+
+def _vocab_ids_oracle_sql() -> str:
+    """Shared by x5_vocab_ids (in-plan fit) and s8_saved_vocab (fit →
+    registry artifact → apply by model_id): the engine contract is
+    that both paths produce the identical encoding, so one closed-form
+    oracle — top-1024 vocabulary (count DESC, token ASC), in-order id
+    arrays, OOV→0, order-sensitive md5 digest — gates them both."""
+    return r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, tid FROM (
+    SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
+               AS tid
+    FROM counts)
+  WHERE tid <= 1024
+),
+enc AS (
+  SELECT doc_id, list(coalesce(v.tid, 0) ORDER BY pos) AS ids
+  FROM toks LEFT JOIN vocab v USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(e.ids), 0) AS INT) AS n_tokens,
+       CAST(coalesce(len(list_filter(e.ids, x -> x = 0)), 0) AS INT)
+           AS n_oov,
+       CAST(coalesce(list_sum(e.ids), 0) AS BIGINT) AS ids_sum,
+       md5(coalesce(array_to_string(e.ids, ','), '')) AS ids_md5
+FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
@@ -4820,35 +4898,10 @@ SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
        ) + r""" AS avg_logprob
 FROM kept GROUP BY 1
 """,
-        "x5_vocab_ids": r"""
-WITH toks AS (
-  SELECT doc_id, i AS pos, w[i] AS tok
-  FROM (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           t -> t <> '') AS w
-        FROM documents),
-       unnest(range(1, len(w) + 1)) AS t(i)
-),
-counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-vocab AS (
-  SELECT tok, tid FROM (
-    SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
-               AS tid
-    FROM counts)
-  WHERE tid <= 1024
-),
-enc AS (
-  SELECT doc_id, list(coalesce(v.tid, 0) ORDER BY pos) AS ids
-  FROM toks LEFT JOIN vocab v USING (tok) GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(len(e.ids), 0) AS INT) AS n_tokens,
-       CAST(coalesce(len(list_filter(e.ids, x -> x = 0)), 0) AS INT)
-           AS n_oov,
-       CAST(coalesce(list_sum(e.ids), 0) AS BIGINT) AS ids_sum,
-       md5(coalesce(array_to_string(e.ids, ','), '')) AS ids_md5
-FROM documents d LEFT JOIN enc e USING (doc_id)
-""",
+        "x5_vocab_ids": _vocab_ids_oracle_sql(),
+        # s8_saved_vocab is x5_vocab_ids through the saved-artifact
+        # path (identical digest contract) — same closed-form oracle.
+        "s8_saved_vocab": _vocab_ids_oracle_sql(),
         "x8_length_batches": r"""
 WITH h AS (
   SELECT doc_id,

@@ -140,13 +140,39 @@ HEADLINE = [
     "x9_card_diff",          # versioned card diff + token KS (r8)
     "x9_expectations",       # data-quality contract gate (r8)
     "s8_saved_model",        # registry model artifact -> classifier apply (r9)
+    "x7_group_quota",        # per-domain cap, two-stage top-n (r9)
+    "x9_threshold_sweep",    # one-pass operating-point calibration (r9)
+    "x6_resample",           # gap-filled fixed-interval downsample (r9)
+    "s8_saved_vocab",        # registry vocab artifact -> broadcast apply (r10)
 ]
+
+
+def _parse_bench_tail(tail: str):
+    """Best-effort recovery of per-query medians + calibration from a
+    driver "tail" capture (last 2000 chars of stdout) when "parsed"
+    is empty — the r8/r9 official lines outgrew the capture window.
+    Regex over `"name": 1.23` pairs inside the queries dict; names
+    colliding with top-level keys are excluded."""
+    if '"calibration"' not in tail:
+        return None
+    qpart = tail[:tail.index('"calibration"')]
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', qpart)
+    skip = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+    queries = {k: float(v) for k, v in pairs if k not in skip}
+    m = re.search(r'"calibration":\s*([0-9.]+)', tail)
+    if not queries or not m:
+        return None
+    return {"queries": queries, "calibration": float(m.group(1)),
+            "partial": True}
 
 
 def _load_prev_bench(here: str):
     """Latest committed BENCH_r{N}.json (driver-written: the official
     stdout payload under "parsed", round number under "n") — the
-    round-over-round comparison base for the regressions section."""
+    round-over-round comparison base for the regressions section.
+    Falls back to regex-recovering the driver's truncated "tail"
+    capture for rounds whose official line outgrew the 2000-char
+    window (r8/r9): a partial prev beats comparing 3 rounds back."""
     import glob
 
     best = None
@@ -155,8 +181,10 @@ def _load_prev_bench(here: str):
             with open(p) as fh:
                 d = json.load(fh)
             parsed = d.get("parsed") or {}
-            if isinstance(parsed, dict) and parsed.get("queries") \
-                    and parsed.get("calibration"):
+            if not (isinstance(parsed, dict) and parsed.get("queries")
+                    and parsed.get("calibration")):
+                parsed = _parse_bench_tail(d.get("tail") or "")
+            if parsed:
                 best = (d.get("n"), parsed)  # lexical sort = round order
         except (OSError, ValueError):
             continue
@@ -233,7 +261,11 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     warm = os.path.isdir(warm_dir)
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # 5 runs per query since r10 (r9 verdict #3): two consecutive
+    # rounds burned effort attributing sandbox-contention artifacts
+    # (x9_filter_funnel r8, x3_knn_graph r9) because one contended run
+    # out of 3 sets the median; with 5, two runs must be contended.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
@@ -323,10 +355,25 @@ def main() -> int:
         "calibration": calibration,
         "sf": sf,
     }
-    if regr_official:
-        payload["regressions"] = regr_official
+    # The driver captures only the LAST 2000 chars of stdout; the r8
+    # and r9 official lines outgrew that (69 queries + an inline
+    # regressions block) and failed to machine-parse — two rounds of
+    # BENCH_r{N}.json with an empty "parsed". Since r10: compact JSON
+    # separators, regressions live ONLY in the sidecar/stderr, and a
+    # hard length guard degrades precision (3dp→2dp) and finally
+    # drops the cheapest queries from the official dict (they remain
+    # in BENCH_STATS.json) sooner than ship an unparseable line.
     spark.stop()
-    print(json.dumps(payload))
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1950:
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1950 and payload["queries"]:
+        cheapest = min(payload["queries"], key=payload["queries"].get)
+        del payload["queries"][cheapest]
+        payload["queries_truncated"] = "see BENCH_STATS.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     return 0
 
 

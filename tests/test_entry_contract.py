@@ -74,18 +74,20 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-9 rotation: the r8 backlog (never externally checked
-        # until now) + the two new r9 queries
+        # round-10 rotation: the r9 backlog (never externally checked
+        # until now) + the new r10 query
+        "x7_group_quota", "x9_threshold_sweep", "x6_resample",
+        "s8_saved_vocab",
+        # round-10 stale-veteran refresh (r9 verdict #8: last external
+        # row >=4 rounds old; x1_dedup_exact also restores X1 cover)
+        "m5_counter", "arith_pipeline", "agg_pricing_summary",
+        "x2_minhash_pairs", "x6_exact_distinct", "x1_dedup_exact",
+        # round-9 rotation cohort: one external row, keep for a 2nd
         "x9_card_diff", "x9_expectations", "e2_wasm_pipeline",
         "e2_wasm_lenchange", "s8_saved_model",
-        # sole-family cover keeper (X1)
-        "x1_keep_best",
-        # round-7 rotation cohort: one external row, keep for a 2nd
-        "x3_embedding_outliers", "x3_centroid", "x3_matryoshka",
-        "x3_random_projection", "x6_rolling_agg", "cube_revenue",
-        "x6_time_rollup", "x6_sliding_windows", "x6_group_quantiles",
-        "x7_temperature_mix", "x2_edit_pairs", "x2_components",
-        "x9_quantile_bin", "x9_classifier_eval",
+        # round-7 cohort keepers (family-cover anchors)
+        "x3_embedding_outliers", "x3_centroid", "cube_revenue",
+        "x6_group_quantiles", "x2_components",
         # round-8 rotation cohort: the ENTIRE 30-query never-
         # externally-checked backlog (14 r6 leftovers + 16 r7
         # newcomers) — first external check this round
@@ -113,8 +115,9 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  "join_anti_customers", "asof_last_event",
                  "x4_media_metadata", "m5_counter_large",
                  "e8_inversion_roundtrip",
-                 # round-6 evictees:
-                 "x1_dedup_exact", "x2_jaccard_verified",
+                 # round-6 evictees (x1_dedup_exact rotated back IN in
+                 # round 10):
+                 "x2_jaccard_verified",
                  "x2_embedding_neardup", "x2_ngram_jaccard",
                  "x2_decontaminate", "x3_quantize_embedding",
                  "x5_text_stats", "x5_top_tokens", "x5_repetition_stats",
@@ -152,7 +155,13 @@ def test_driver_window_holds_only_hash_checkable_queries():
                  # each; the three X2s: 3 each, family cover rich):
                  "e1_composition", "s4_transform_by_id",
                  "x2_contamination_score", "x2_winnow_pairs",
-                 "x2_cross_neardup"):
+                 "x2_cross_neardup",
+                 # round-10 evictees (x1_keep_best 5 external greens,
+                 # the other nine 3 each):
+                 "x1_keep_best", "x3_matryoshka", "x3_random_projection",
+                 "x6_rolling_agg", "x6_time_rollup", "x6_sliding_windows",
+                 "x7_temperature_mix", "x2_edit_pairs", "x9_quantile_bin",
+                 "x9_classifier_eval"):
         assert name in qkeys[50:] and name in oracles, (
             f"{name} must sit in the hash-checkable tail")
 
