@@ -30,6 +30,11 @@ Kinds and payload shapes:
 - ``token_vocab`` — ``{"vocab": [[token, id], …], "lowercase": bool}``
   (what ``vocab_fit`` returns, id-ascending; consumed by
   ``vocab_apply``).
+- ``lang_classifier`` — ``{"langs": [...], "num_buckets": int,
+  "models": {lang: {"weights": [...], "bias": float}}}`` — one-vs-rest
+  linear models over the shared hashed bag-of-words featurization
+  (what ``save_lang_id`` fits; consumed by the ``lang_id`` lens's
+  ``model_id`` path, which scores ALL languages in one corpus pass).
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ _FORMAT = "lens_spark_model"
 _VERSION = 1
 
 MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids",
-               "token_vocab")
+               "token_vocab", "lang_classifier")
 
 
 def _coerce_registry(registry: "Registry | str | Path") -> Registry:
@@ -160,6 +165,48 @@ def save_vocab(registry: "Registry | str | Path", df, text_col: str,
     return save_model(registry, "token_vocab",
                       {"vocab": [[t, i] for t, i in vocab],
                        "lowercase": lowercase})
+
+
+def save_lang_id(registry: "Registry | str | Path", df, label_col: str,
+                 text_col: str, *, langs: "list[str] | None" = None,
+                 **fit_kw) -> str:
+    """Fit a one-vs-rest language classifier (one ``classifier_fit``
+    logistic regression per language over the shared hashed
+    bag-of-words featurization) and persist the whole model family as
+    ONE ``lang_classifier`` artifact; returns the model id.
+
+    ``langs`` defaults to the distinct non-null labels in
+    ``label_col`` (sorted — the alphabetical order is also the
+    prediction tie-break contract). Fit cost is L passes over the
+    corpus; this is the fit-once side — the 100 TB scoring pass loads
+    the artifact and touches the corpus exactly once (see the
+    ``lang_id`` lens ``model_id`` path)."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.text import classifier_fit
+
+    if langs is None:
+        langs = sorted(
+            r[0] for r in df.select(label_col).distinct().collect()
+            if r[0] is not None)
+    langs = [str(lg) for lg in langs]
+    if not langs:
+        raise LensError("save_lang_id: no languages to fit")
+    if len(langs) > 64:
+        raise LensError(
+            f"save_lang_id: {len(langs)} languages — the one-pass "
+            "scorer widens the broadcast weight table by one column "
+            "per language; 64 is the sanity bound")
+    nb = int(fit_kw.get("num_buckets", 1024))
+    models = {}
+    for lg in langs:
+        labeled = df.withColumn(
+            "__ovr_y", (F.col(label_col) == F.lit(lg)).cast("int"))
+        models[lg] = classifier_fit(labeled, "__ovr_y", text_col,
+                                    **fit_kw)
+    return save_model(registry, "lang_classifier",
+                      {"langs": langs, "num_buckets": nb,
+                       "models": models})
 
 
 def load_bpe_merges(registry: "Registry | str | Path",

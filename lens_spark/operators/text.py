@@ -71,10 +71,34 @@ def text_stats_lens(arguments: Mapping[str, Any]) -> Lens:
 
 @register_lens("lang_id")
 def lang_id_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (text), out ("pred_lang") — marker-heuristic
+    language id (narrow expression, no shuffle). OR the fitted path
+    (r9 verdict #5): model_id (lens1b-…) + registry + id load a
+    ``lang_classifier`` artifact saved by
+    ``lens_spark.models.save_lang_id`` and score ALL languages in one
+    corpus pass (see ``lang_id_score``); optional score ("lang_score")
+    appends the winner's sigmoid confidence."""
     text_col = str(require_arg(arguments, "column", "lang_id"))
     out = str(arguments.get("out", "pred_lang"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        id_col = str(require_arg(arguments, "id", "lang_id"))
+        reg = require_arg(arguments, "registry", "lang_id")
+        model = load_model(reg, str(model_id),
+                           expect_kind="lang_classifier")
+        score_out = arguments.get("score")
+        return Lens(
+            "lang_id", arguments,
+            lambda df: lang_id_score(
+                df, id_col, text_col, model, out=out,
+                score_out=(str(score_out) if score_out else None)),
+            lambda df: df.drop(out, *( [str(score_out)] if score_out
+                                       else [] )))
     return Lens("lang_id", arguments,
-                lambda df: df.withColumn(out, predict_lang(F.col(text_col))))
+                lambda df: df.withColumn(out, predict_lang(F.col(text_col))),
+                lambda df: df.drop(out))
 
 
 @register_lens("quality_score")
@@ -666,6 +690,75 @@ def classifier_score_lens(arguments: Mapping[str, Any]) -> Lens:
         lambda df: classifier_score(
             df, id_col, text_col, weights=weights, bias=bias, out=out),
         lambda df: df.drop(out))
+
+
+def lang_id_score(df: DataFrame, id_col: str, text_col: str,
+                  model: Mapping[str, Any], *, out: str = "pred_lang",
+                  score_out: "str | None" = None) -> DataFrame:
+    """Fitted language identification: score EVERY language of a
+    ``lang_classifier`` model (see ``lens_spark.models.save_lang_id``)
+    in ONE corpus pass and append the argmax label — the model-path
+    upgrade of the marker-heuristic ``lang_id`` (r9 verdict #5).
+
+    Scale shape (the whole point vs L separate ``classifier_score``
+    passes): the broadcast weight table carries one column PER
+    LANGUAGE (bucket, w_en, w_de, …) — num_buckets rows × L doubles,
+    still KB/MB-scale — so tokens explode once, the md5 bucket fold
+    happens once, the broadcast hash join happens once, and the
+    per-doc aggregate computes all L decimal fixed-point means
+    map-side-combined in the same shuffle. The argmax is a narrow
+    ``greatest`` + when-chain over L columns; ties break
+    alphabetically (the marker heuristic's contract). Token-less docs
+    argmax the biases alone and keep their row.
+    """
+    langs = [str(lg) for lg in model["langs"]]
+    if not langs:
+        raise LensError("lang_id: model has no languages")
+    if sorted(set(langs)) != sorted(langs):
+        raise LensError("lang_id: duplicate languages in model")
+    models = model["models"]
+    nb = int(model["num_buckets"])
+    for lg in langs:
+        if len(models[lg]["weights"]) != nb:
+            raise LensError(
+                f"lang_id: model for {lg!r} has "
+                f"{len(models[lg]['weights'])} weights, envelope says "
+                f"num_buckets={nb}")
+    spark = df.sparkSession
+    ordered = sorted(langs)
+    wcols = ", ".join(f"`__li_w_{lg}` double" for lg in ordered)
+    wdf = spark.createDataFrame(
+        [(i, *[round(float(models[lg]["weights"][i]), 6)
+               for lg in ordered]) for i in range(nb)],
+        f"__li_b long, {wcols}")
+    bucket = (F.conv(F.substring(F.md5(F.col("__li_t")), 1, 8), 16, 10)
+              .cast("bigint") % F.lit(nb))
+    toks = (
+        ensure_parallelism(df, by=[id_col])
+        .select(F.col(id_col).alias("__li_id"),
+                F.explode(tokens(F.col(text_col))).alias("__li_t"))
+        .select("__li_id", bucket.alias("__li_b"))
+    )
+    mean_of = lambda lg: (  # noqa: E731 — decimal fixed-point mean
+        F.sum(F.col(f"__li_w_{lg}").cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1)))
+    scored = (toks.join(F.broadcast(wdf), "__li_b")
+              .groupBy("__li_id")
+              .agg(*[mean_of(lg).alias(f"__li_z_{lg}") for lg in ordered]))
+    joined = df.join(scored, df[id_col] == scored["__li_id"], "left")
+    logits = {lg: F.lit(float(models[lg]["bias"]))
+              + F.coalesce(F.col(f"__li_z_{lg}"), F.lit(0.0))
+              for lg in ordered}
+    best = (F.greatest(*logits.values()) if len(ordered) > 1
+            else logits[ordered[0]])
+    pred = F.lit(ordered[-1])
+    for lg in reversed(ordered[:-1]):
+        pred = F.when(logits[lg] == best, F.lit(lg)).otherwise(pred)
+    cols = [pred.alias(out)]
+    if score_out:
+        cols.append(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-best)), 6)
+                    .alias(score_out))
+    return joined.select(*df.columns, *cols)
 
 
 @register_lens("hash_embedding")

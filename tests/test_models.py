@@ -1,0 +1,150 @@
+"""Fitted-model path tests beyond the registry round-trips in
+test_registry.py: the lang_classifier artifact (one-vs-rest fit →
+single-artifact save → one-pass multi-language scoring by model_id,
+r9 verdict #5) and its accuracy against the marker heuristic on the
+fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark import engine
+from lens_spark.errors import LensError
+from lens_spark.registry import Registry
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    return Registry(tmp_path / "reg")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+
+
+def _labeled_corpus(spark, n_per_lang: int = 60):
+    """Deterministic labeled multi-language corpus. The driver fixture
+    (documents.parquet) draws its text from ONE shared synthetic
+    vocabulary regardless of the `lang` label — the label carries no
+    textual signal there (both the marker heuristic and any classifier
+    sit at majority-class accuracy on it), so the lang-id comparison
+    needs a corpus where language and text are actually correlated.
+    Each language gets its marker words (the heuristic's signal) PLUS
+    non-marker function words (signal only a fitted model can use);
+    40% of docs contain NO marker words at all — the stratum where the
+    heuristic must fail and the fitted model must not."""
+    from lens_spark.functions.text import LANG_MARKERS
+
+    extra = {
+        "en": ("that", "with", "have", "this", "from", "they"),
+        "de": ("ein", "mit", "auf", "sich", "auch", "wird"),
+        "fr": ("dans", "pour", "avec", "sont", "plus", "mais"),
+        "es": ("con", "por", "para", "como", "pero", "sobre"),
+        "zh": ("他", "们", "这", "有", "个", "上"),
+    }
+    shared = ("data", "table", "row", "spark", "query", "batch")
+    rows = []
+    doc_id = 0
+    for lang in sorted(extra):
+        markers = LANG_MARKERS[lang]
+        for i in range(n_per_lang):
+            words = []
+            for j in range(12):
+                k = (i * 7 + j * 3) % 6
+                if j % 3 == 0:
+                    words.append(shared[k])
+                elif i % 5 < 2:        # 40%: extra-words-only stratum
+                    words.append(extra[lang][k])
+                elif j % 3 == 1:
+                    words.append(markers[k])
+                else:
+                    words.append(extra[lang][k])
+            rows.append((doc_id, " ".join(words), lang))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_fitted_lang_id_beats_marker_heuristic(spark, registry):
+    """The r9 verdict's quality ask: fit the existing classifier
+    one-vs-rest per language on a labeled corpus, save as a single
+    lang_classifier artifact, score by model_id through the lang_id
+    lens, and compare against the marker heuristic. The fitted model
+    must (a) be strongly accurate and (b) beat the heuristic — it
+    learns the non-marker function words the heuristic is blind to."""
+    from lens_spark.models import save_lang_id
+    from pyspark.sql import functions as F
+
+    corpus = _labeled_corpus(spark)
+    mid = save_lang_id(registry, corpus, "lang", "text",
+                       num_buckets=512, iters=15, lr=2.0)
+    assert mid.startswith("lens1b-")
+    spec = {"lenses": [{"name": "lang_id", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": str(registry.root), "score": "lang_score"}}]}
+    fitted = engine.append(corpus, spec)
+    n = corpus.count()
+    fit_acc = fitted.filter(F.col("pred_lang") == F.col("lang")).count() / n
+    marker = engine.append(corpus, {"lenses": [{
+        "name": "lang_id", "arguments": {"column": "text"}}]})
+    marker_acc = marker.filter(
+        F.col("pred_lang") == F.col("lang")).count() / n
+    assert marker_acc <= 0.75, marker_acc  # the heuristic's blind spot
+    assert fit_acc >= 0.95, (fit_acc, marker_acc)
+    assert fit_acc > marker_acc, (fit_acc, marker_acc)
+    # confidence column present and bounded
+    row = fitted.select(F.min("lang_score"), F.max("lang_score")).first()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    # inverse drops both appended columns
+    back = engine.inverse(fitted, spec)
+    assert back.columns == corpus.columns
+
+
+def test_lang_id_model_envelope_validation(spark, registry, docs):
+    """Kind pinning + envelope integrity for the lang_classifier kind:
+    a classifier artifact where a lang model is expected errors loudly;
+    weights/num_buckets mismatches are refused before any job."""
+    from lens_spark.models import save_lang_id, save_model
+    from lens_spark.operators.text import lang_id_score
+
+    wid = save_model(registry, "linear_classifier",
+                     {"weights": [0.1, 0.2], "bias": 0.0})
+    spec = {"lenses": [{"name": "lang_id", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": wid,
+        "registry": str(registry.root)}}]}
+    with pytest.raises(LensError, match="needs 'lang_classifier'"):
+        engine.append(docs, spec)
+    bad = {"langs": ["en", "de"], "num_buckets": 4,
+           "models": {"en": {"weights": [0.0] * 4, "bias": 0.0},
+                      "de": {"weights": [0.0] * 3, "bias": 0.0}}}
+    with pytest.raises(LensError, match="num_buckets"):
+        lang_id_score(docs, "doc_id", "text", bad)
+    with pytest.raises(LensError, match="no languages"):
+        lang_id_score(docs, "doc_id", "text",
+                      {"langs": [], "num_buckets": 4, "models": {}})
+    # too many languages refused at fit time (broadcast-width bound)
+    with pytest.raises(LensError, match="64"):
+        save_lang_id(registry, docs, "lang", "text",
+                     langs=[f"l{i}" for i in range(65)])
+
+
+def test_lang_id_score_one_pass_tie_break_and_empty_docs(spark):
+    """Deterministic contract pins: alphabetical tie-break (the marker
+    heuristic's rule) and token-less docs argmaxing the biases alone
+    while keeping their row."""
+    from lens_spark.operators.text import lang_id_score
+
+    # zero weights everywhere -> all logits equal the bias
+    model = {"langs": ["fr", "de", "en"], "num_buckets": 4,
+             "models": {
+                 "en": {"weights": [0.0] * 4, "bias": 0.5},
+                 "de": {"weights": [0.0] * 4, "bias": 0.5},
+                 "fr": {"weights": [0.0] * 4, "bias": -1.0}}}
+    df = spark.createDataFrame([(1, "hello world"), (2, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang
+           for r in lang_id_score(df, "doc_id", "text", model).collect()}
+    # en and de tie at 0.5 -> alphabetical first (de) for BOTH the
+    # tokenized doc (zero weights) and the empty doc (bias argmax)
+    assert got == {1: "de", 2: "de"}
