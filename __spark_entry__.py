@@ -2911,6 +2911,44 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "n_a", "n_b", "d_num", "d_microunits")
 
 
+def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota AT INTAKE (new r10, rows-only): the documents
+    table replayed as two micro-batch files and capped to at most 40
+    accepted docs per lang ACROSS the batches by run_stream_quota —
+    batch 1 fills each lang's quota with its n_chars-best rows, batch
+    2 gets only what remains (first-come-first-served intake; the
+    persistent accepted-count index carries the charge between
+    batches). Output is the landed dataset's per-lang accepted counts
+    — deterministic because (n_chars desc, doc_id) totally orders
+    contenders and the batch split is a fixed doc_id halving. The
+    cross-RUN half of the contract (a second run over a new source
+    still sees run 1's charges) is pinned by test_streaming."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.streaming import read_file_stream, run_stream_quota
+
+    src = f"{sf_dir}/documents.parquet"
+    pdf = pd.read_parquet(src, columns=["doc_id", "lang", "n_chars"])
+    staged = tempfile.mkdtemp(prefix="lens_spark_quota_src_")
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(os.path.join(staged, "b1.parquet"))
+    pdf.iloc[n // 2:].to_parquet(os.path.join(staged, "b2.parquet"))
+    landed = tempfile.mkdtemp(prefix="lens_spark_quota_out_")
+    idx = tempfile.mkdtemp(prefix="lens_spark_quota_idx_")
+    stream = read_file_stream(spark, staged, schema_from=src,
+                              maxFilesPerTrigger=1)
+    run_stream_quota(stream, f"{landed}/data", f"{idx}/counts",
+                     keys=["lang"], n=40, order_by="n_chars",
+                     tiebreak=["doc_id"])
+    return (spark.read.parquet(f"{landed}/data")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("accepted"),
+                 F.sum("n_chars").alias("chars_kept"))
+            .orderBy("lang"))
+
+
 def q_x7_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (new r9): keep the 5 longest docs per
     source, ranked n_chars desc with doc_id as the total-order
@@ -2984,7 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        row goes stale, r10 policy). The tail test in
        tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 22 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 23 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
@@ -3186,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_bpe_tokenize": q_x5_bpe_tokenize,
         "streaming_drift": q_streaming_drift,
         "streaming_expectations": q_streaming_expectations,
+        "streaming_quota": q_streaming_quota,
     }
 
 

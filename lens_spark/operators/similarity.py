@@ -185,8 +185,15 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, *, dim: int,
     bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
     rows = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col), F.col(vec_col))
-    b = (rows.withColumn("__bucket", F.explode(bucket_udf(F.col(vec_col))))
-         .localCheckpoint(eager=False))
+    # NO localCheckpoint on the exploded table (removed r10, measured):
+    # pinning corpus x num_tables vectors in executor storage memory
+    # made the query bimodal under heap pressure (15 isolated runs:
+    # median 9.8s, max/min 5.1x with it; 3.3s, 1.28x without — see
+    # SCALE.md round-10 attribution), and at 100 TB caching the
+    # exploded corpus is exactly the wrong residency decision. The
+    # seeded bucket UDF recomputes deterministically per join side —
+    # a cheap, stateless, vectorized explode.
+    b = rows.withColumn("__bucket", F.explode(bucket_udf(F.col(vec_col))))
     if max_bucket is not None:
         sizes = b.groupBy("__bucket").count()
         stats = (sizes.filter(F.col("count") > max_bucket)

@@ -719,6 +719,153 @@ def run_stream_expectations(stream_df: DataFrame, rules: "list[dict]", *,
              "max_fail_micro bigint, passed boolean")
 
 
+def run_stream_quota(stream_df: DataFrame, out_path: str,
+                     index_path: str, *, keys: "list[str]", n: int,
+                     order_by: str, tiebreak: "list[str]",
+                     descending: bool = True,
+                     fmt: str = "parquet",
+                     partition_by: "list[str] | None" = None,
+                     broadcast_probe: bool = True,
+                     checkpoint: str | None = None,
+                     timeout: int = 120) -> None:
+    """Per-key quota AT INTAKE, across batches and runs (r9 verdict
+    #6): the streaming complement of ``operators.sampling.group_quota``
+    — web-crawl ingestion wants "at most n pages per domain" enforced
+    at the stream boundary, not at publish, exactly like
+    ``run_stream_expectations``'s stream-scope uniqueness enforces
+    "each id once".
+
+    Semantics: a row is accepted while its key's ACCEPTED count —
+    accumulated over every earlier micro-batch of this run and every
+    earlier run sharing ``index_path`` — is below ``n``. Within a
+    micro-batch, contenders are ranked by ``(order_by, tiebreak)``
+    under ``group_quota``'s determinism contract (``tiebreak`` is
+    REQUIRED and must totally order rows within a key group); across
+    batches it is first-come-first-served — intake cannot evict what
+    it already accepted, so a later batch's "better" rows lose to an
+    earlier batch's quota fill (the documented intake-vs-publish
+    boundary; re-curation over the landed corpus is batch
+    ``group_quota``'s job). Survivors append to ``out_path``.
+
+    State: a per-key ACCEPTED-count index at ``index_path/parts``,
+    ``(kh, cnt)`` partitioned by ``pb = pmod(kh, INDEX_PROBE_BUCKETS)``
+    — the same bucketed, partition-pruned layout as
+    ``dedup_incremental``'s fingerprint index. ``kh = xxhash64`` of
+    the key columns: 8 bytes + a count per key on disk regardless of
+    key width, with the same documented collision tradeoff (a 64-bit
+    collision merges two keys' budgets). Each batch appends per-key
+    INCREMENT rows (one file per touched pb directory); reads sum
+    increments per key, so no read-modify-write of the index ever
+    happens and the probe I/O scales with the batch's touched
+    buckets, not the accumulated key universe.
+    ``broadcast_probe=False`` degrades to an unbroadcast probe join
+    for batches too wide to broadcast their distinct-key panel.
+
+    Scale shape per batch: ONE two-stage ranked prune (group_quota —
+    no hot-key funnel), one partition-pruned index probe aggregated
+    to ``(kh, used)`` (bounded by the batch's distinct keys, broadcast
+    back), one landing append, one counted index append. Nothing
+    scales with the accumulated corpus.
+
+    Delivery contract (same as ``stream_ingest_dedup``): the landing
+    write commits BEFORE the count append, so a crash between the two
+    re-accepts and re-lands that batch's rows on replay
+    (at-least-once); a replay after the count append sees the counts
+    already charged and lands nothing new beyond remaining quota.
+    The index writer lease spans the whole critical section, so two
+    ingest jobs sharing an index cannot both accept the last slot.
+    """
+    from lens_spark.operators.dedup import (
+        INDEX_PROBE_BUCKETS,
+        _index_writer_lock,
+        _refresh_writer_lock,
+    )
+    from lens_spark.operators.sampling import group_quota
+    from lens_spark.sources import dataset_nonempty
+
+    if n < 1:
+        raise LensError(f"run_stream_quota needs n >= 1, got {n}")
+    if not keys:
+        raise LensError("run_stream_quota needs at least one key column")
+    if not tiebreak:
+        raise LensError(
+            "run_stream_quota: tiebreak columns are required — the "
+            "accepted set must not depend on partitioning (same "
+            "contract as group_quota)")
+    clash = {"__sq_rank", "__sq_kh"} & set(stream_df.columns)
+    if clash:
+        raise LensError(
+            f"run_stream_quota: column names {sorted(clash)} collide "
+            "with reserved internal columns (__sq_rank/__sq_kh)")
+    parts_path = f"{index_path}/parts"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with _index_writer_lock(spark, index_path):
+            kh = F.xxhash64(*[F.col(c).cast("string") for c in keys])
+            ranked = group_quota(
+                batch_df, list(keys), n, order_by=order_by,
+                tiebreak=list(tiebreak), descending=descending,
+                rank_col="__sq_rank").withColumn("__sq_kh", kh)
+            if dataset_nonempty(spark, parts_path):
+                probe = (ranked.select(F.col("__sq_kh").alias("kh"))
+                         .distinct()
+                         .withColumn("pb", F.pmod(
+                             F.col("kh"), F.lit(INDEX_PROBE_BUCKETS)))
+                         # always-true selective predicate for the DPP
+                         # rule — see the neardup_incremental comment
+                         .filter(F.col("pb") >= 0))
+                if broadcast_probe:
+                    probe = F.broadcast(probe)
+                used = (spark.read.parquet(parts_path)
+                        .join(probe, ["kh", "pb"])
+                        .groupBy("kh")
+                        .agg(F.sum("cnt").alias("__sq_used")))
+                if broadcast_probe:
+                    used = F.broadcast(used)
+                accepted = (ranked.join(
+                    used, ranked["__sq_kh"] == used["kh"], "left")
+                    .filter(F.col("__sq_rank")
+                            <= F.lit(n) - F.coalesce(F.col("__sq_used"),
+                                                     F.lit(0)))
+                    .drop("kh", "__sq_used"))
+            else:
+                accepted = ranked  # group_quota already capped at n
+            # pin survivors before the index append invalidates the
+            # scan cache (same argument as dedup_incremental)
+            accepted = accepted.localCheckpoint(eager=True)
+            _refresh_writer_lock(spark, index_path)
+            writer = (accepted.drop("__sq_rank", "__sq_kh")
+                      .write.format(fmt).mode("append"))
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(out_path)
+            _refresh_writer_lock(spark, index_path)
+            (accepted.groupBy(F.col("__sq_kh").alias("kh"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("pb", F.pmod(F.col("kh"),
+                                      F.lit(INDEX_PROBE_BUCKETS)))
+             .repartition(F.col("pb"))
+             .write.mode("append").partitionBy("pb").parquet(parts_path))
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"run_stream_quota: availableNow run exceeded {timeout}s "
+            "before draining the source — the landing dataset is "
+            "INCOMPLETE; re-run with the same checkpoint to continue, "
+            "or raise timeout=")
+
+
 def _ks_from_hist(hist_a: dict, hist_b: dict) -> tuple:
     """Exact integer two-sample KS from distinct-value histograms —
     the driver-side twin of ``operators.evaluation.ks_drift`` (value →

@@ -854,3 +854,67 @@ def test_stream_drift_monitor_windows_restart_exactly_once(spark, tmp_path):
     assert by_hour[0].d_microunits == 0 and by_hour[0].n_a == 5
     # window 2 is ref-disjoint: D = 1
     assert by_hour[2].d_microunits == 1_000_000
+
+
+def test_run_stream_quota_caps_keys_across_batches_and_runs(spark, tmp_path):
+    """Per-key quota at intake (r9 verdict #6): within a batch the
+    top-n by order_by win (group_quota determinism contract); across
+    batches the remaining quota shrinks by what earlier batches
+    accepted; across RUNS the persistent count index keeps charging
+    the same keys; a later batch's better rows cannot evict earlier
+    accepts (first-come-first-served intake)."""
+    import pandas as pd
+
+    from lens_spark.errors import LensError
+    from lens_spark.streaming import read_file_stream, run_stream_quota
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: 6 'a' rows (scores 1..6), 2 'b' rows
+    b1 = pd.DataFrame({"dom": ["a"] * 6 + ["b"] * 2,
+                       "id": list(range(1, 7)) + [10, 11],
+                       "score": [1, 2, 3, 4, 5, 6, 9, 8]})
+    # batch 2: 3 more 'a' rows with BETTER scores, 1 'b'
+    b2 = pd.DataFrame({"dom": ["a", "a", "a", "b"],
+                       "id": [20, 21, 22, 23],
+                       "score": [100, 99, 98, 7]})
+    b1.to_parquet(src / "f1.parquet")
+    b2.to_parquet(src / "f2.parquet")
+    out = str(tmp_path / "landed")
+    idx = str(tmp_path / "quota_idx")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    run_stream_quota(stream, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    landed = spark.read.parquet(out)
+    got = {(r.dom, r.id) for r in landed.collect()}
+    # batch 1 fills 'a' with its top-4 by score (ids 3..6); batch 2's
+    # better-scored 'a' rows find the quota spent — intake can't evict
+    a_ids = {i for d, i in got if d == "a"}
+    assert a_ids == {3, 4, 5, 6}
+    # 'b': 2 accepted in batch 1, 1 more (of 1) in batch 2 -> 3 <= n
+    assert {i for d, i in got if d == "b"} == {10, 11, 23}
+    # a SECOND RUN over a new source: 'a' still spent, fresh key fills
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pd.DataFrame({"dom": ["a", "c", "c"], "id": [30, 31, 32],
+                  "score": [999, 1, 2]}).to_parquet(src2 / "g1.parquet")
+    stream2 = read_file_stream(spark, str(src2),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    run_stream_quota(stream2, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    landed2 = {(r.dom, r.id) for r in spark.read.parquet(out).collect()}
+    assert landed2 - got == {("c", 31), ("c", 32)}  # id=30 rejected
+    # per-key totals never exceed n anywhere
+    counts = {r.dom: r.c for r in spark.read.parquet(out)
+              .groupBy("dom").agg(F.count("*").alias("c")).collect()}
+    assert all(v <= 4 for v in counts.values())
+    # contract errors are loud
+    with pytest.raises(LensError, match="tiebreak"):
+        run_stream_quota(stream2, out, idx, keys=["dom"], n=4,
+                         order_by="score", tiebreak=[])
+    with pytest.raises(LensError, match="n >= 1"):
+        run_stream_quota(stream2, out, idx, keys=["dom"], n=0,
+                         order_by="score", tiebreak=["id"])
