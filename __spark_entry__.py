@@ -1627,6 +1627,21 @@ def q_x5_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x5_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage report (new r10): per-lang OOV
+    rate of a deliberately small top-16 vocabulary (the sf corpus has
+    ~31 distinct words — 1024 would cover everything and the OOV path
+    would never execute) —
+    the QA table a tokenizer release ships. Exact bigint counts +
+    floor-divided micro-fraction (the hash-stable contract); one
+    token explode, broadcast vocab join, one grouped aggregate."""
+    from lens_spark.operators.text import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", by=["lang"], vocab_size=16) \
+        .orderBy("lang")
+
+
 def q_x8_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-grouped batching (new r6b): md5-sharded, length-ordered
     fixed-size batches — pad-to-longest waste bounded by within-batch
@@ -3201,6 +3216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pii_redact": q_x5_pii_redact,
         "x7_hash_split": q_x7_hash_split,
         "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        # r10 tail addition (hash-checkable; external-window candidate
+        # for the r11 rotation — the tail pytest oracle-checks it now):
+        "x5_vocab_coverage": q_x5_vocab_coverage,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -4941,6 +4959,47 @@ FROM kept GROUP BY 1
         # s8_saved_vocab is x5_vocab_ids through the saved-artifact
         # path (identical digest contract) — same closed-form oracle.
         "s8_saved_vocab": _vocab_ids_oracle_sql(),
+        "x5_vocab_coverage": r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS tid
+    FROM counts)
+  WHERE tid <= 16
+),
+tagged AS (
+  SELECT t.lang, t.tok,
+         CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS known
+  FROM toks t LEFT JOIN vocab v USING (tok)
+),
+stats AS (
+  SELECT lang,
+         count(*) AS words_total,
+         sum(known) AS words_known,
+         count(DISTINCT tok) AS distinct_words,
+         count(DISTINCT CASE WHEN known = 1 THEN tok END) AS distinct_known
+  FROM tagged GROUP BY lang
+),
+docs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(s.words_total, 0) AS BIGINT) AS words_total,
+       CAST(coalesce(s.words_known, 0) AS BIGINT) AS words_known,
+       CAST(coalesce(s.distinct_words, 0) AS BIGINT) AS distinct_words,
+       CAST(coalesce(s.distinct_known, 0) AS BIGINT) AS distinct_known,
+       CASE WHEN coalesce(s.words_total, 0) > 0 THEN
+         CAST(FLOOR(CAST(s.words_total - s.words_known AS DECIMAL(38,0))
+                    * 1000000 / s.words_total) AS BIGINT)
+       END AS oov_micro
+FROM docs d LEFT JOIN stats s USING (lang)
+ORDER BY d.lang
+""",
         "x8_length_batches": r"""
 WITH h AS (
   SELECT doc_id,

@@ -144,6 +144,7 @@ HEADLINE = [
     "x9_threshold_sweep",    # one-pass operating-point calibration (r9)
     "x6_resample",           # gap-filled fixed-interval downsample (r9)
     "s8_saved_vocab",        # registry vocab artifact -> broadcast apply (r10)
+    "x5_vocab_coverage",     # per-lang tokenizer OOV report, pre-agg (r10)
 ]
 
 

@@ -19,7 +19,7 @@ Two paths:
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 import pandas as pd
@@ -250,23 +250,41 @@ def knn_graph_lens(arguments: Mapping[str, Any]) -> Lens:
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
              vec_col: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True,
+             centroids: "Sequence[Sequence[float]] | None" = None
+             ) -> DataFrame:
     """IVF-style approximate NN: coarse-quantize the corpus into
     ``nlist`` cells, probe the ``nprobe`` nearest cells per query.
 
-    Centroids are the ``nlist`` lowest-id corpus vectors — deterministic
-    and model-free (a trained k-means would drop in here without
-    changing the dataflow). Assignment broadcasts the centroid table
-    (nlist × dim floats — KBs) against the corpus scan: one narrow
-    pass, no shuffle. The query side keeps its ``nprobe`` best cells,
-    and the candidate join is corpus-cell ⋈ broadcast(query-cells) —
-    scanning ~nprobe/nlist of the corpus instead of all of it, which is
-    the IVF cost/recall dial (vs. ann_topk's hash-bucket dial).
+    Default centroids are the ``nlist`` lowest-id corpus vectors —
+    deterministic and model-free. ``centroids=`` drops in a TRAINED
+    coarse quantizer (a ``kmeans_fit`` matrix, typically loaded from a
+    registry ``kmeans_centroids`` artifact — r10): same dataflow, but
+    the expensive fit happens once and serving jobs skip it, and
+    k-means cells partition the corpus by actual density instead of
+    by whichever vectors sort first. Assignment broadcasts the
+    centroid table (nlist × dim floats — KBs) against the corpus
+    scan: one narrow pass, no shuffle. The query side keeps its
+    ``nprobe`` best cells, and the candidate join is corpus-cell ⋈
+    broadcast(query-cells) — scanning ~nprobe/nlist of the corpus
+    instead of all of it, which is the IVF cost/recall dial (vs.
+    ann_topk's hash-bucket dial).
     """
-    cent = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-        .select(F.col(id_col).alias("__cell"), F.col(vec_col).alias("__cent"))
-    )
+    if centroids is not None:
+        if not centroids:
+            raise ValueError("ivf_topk: centroids must be non-empty")
+        nlist = len(centroids)
+        cent = F.broadcast(corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "__cell long, __cent array<double>"
+        ).withColumn("__cent", F.col("__cent").cast(
+            corpus.schema[vec_col].dataType.simpleString())))
+    else:
+        cent = F.broadcast(
+            corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+            .select(F.col(id_col).alias("__cell"),
+                    F.col(vec_col).alias("__cent"))
+        )
 
     def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
         rows = df.select(F.col(id_col).alias(id_alias),
@@ -549,7 +567,9 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, vector, k, query_predicate (SQL selecting the query
     rows from the input), method ("brute" | "ann" | "ivf"), dim (for
-    ann), nlist/nprobe (for ivf)."""
+    ann), nlist/nprobe (for ivf); ivf also takes model_id + registry
+    to serve against a registry-persisted kmeans_centroids artifact
+    (fit-once/apply-many coarse quantizer, r10)."""
     id_col = str(require_arg(arguments, "id", "similarity_topk"))
     vec_col = str(require_arg(arguments, "vector", "similarity_topk"))
     k = int(arguments.get("k", 10))
@@ -565,9 +585,17 @@ def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
                             num_tables=int(arguments.get("num_tables", 4)),
                             seed=int(arguments.get("seed", 42)))
         if method == "ivf":
+            cents = None
+            if arguments.get("model_id") is not None:
+                from lens_spark.models import load_model
+
+                reg = require_arg(arguments, "registry", "similarity_topk")
+                cents = load_model(reg, str(arguments["model_id"]),
+                                   expect_kind="kmeans_centroids")
             return ivf_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k,
                             nlist=int(arguments.get("nlist", 16)),
-                            nprobe=int(arguments.get("nprobe", 4)))
+                            nprobe=int(arguments.get("nprobe", 4)),
+                            centroids=cents)
         if method == "pq":
             dim = int(require_arg(arguments, "dim", "similarity_topk"))
             return pq_topk(df, queries, id_col=id_col, vec_col=vec_col,

@@ -1535,6 +1535,129 @@ def vocab_encode_lens(arguments: Mapping[str, Any]) -> Lens:
         lambda df: df.drop(out))
 
 
+def vocab_coverage(df: DataFrame, text_col: str, *,
+                   by: "Sequence[str] | None" = None,
+                   vocab: "Sequence[tuple[str, int]] | None" = None,
+                   vocab_size: int = 4096,
+                   lowercase: bool = True) -> DataFrame:
+    """Tokenizer-vocabulary coverage report, per group: how well a
+    token vocabulary covers each slice of the corpus — the QA table a
+    tokenizer release ships with ("what's the OOV rate per language
+    before we train on this"). No reference counterpart (SURVEY.md
+    §2.6); X5/X9 evaluation extension pairing with ``vocab_encode``
+    (which produces ids) and ``threshold_sweep`` (the same
+    one-pass-report philosophy).
+
+    Output, one row per ``by`` group (or one global row): ``n_docs,
+    words_total, words_known, distinct_words, distinct_known,
+    oov_micro`` — all exact bigints; ``oov_micro`` is the exact
+    floor-divided micro-fraction of token occurrences outside the
+    vocabulary (NULL when the group has no tokens), the repo-wide
+    hash-stable fraction contract. ``vocab`` is a fitted
+    ``[(token, id), …]`` (``vocab_fit`` / a registry ``token_vocab``
+    artifact); None fits the top-``vocab_size`` corpus vocabulary
+    in-plan (``vocab_encode``'s exact build rule: count desc, token
+    asc).
+
+    Scale shape: ONE token explode over the corpus, map-side-combined
+    down to (group, token) counts BEFORE anything else touches it, a
+    broadcast hash join against the V-row vocabulary (V ≤ 2^20 —
+    MB-scale) on that collapsed table, then one grouped aggregate of
+    plain SUM/COUNTs — distinct counts fall out of the pre-aggregation
+    for free, so there is no countDistinct Expand duplicating the
+    exploded corpus. A narrow per-doc count joins back by group key —
+    the group table is bounded by the key domain, never the corpus.
+    """
+    gcols = [str(c) for c in (by or [])]
+    reserved = {"__tok", "__known", "__vc_docs"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise LensError(
+            f"vocab_coverage: column names {sorted(clash)} collide "
+            "with reserved internal columns")
+    if vocab is not None:
+        if not vocab:
+            raise LensError("vocab_coverage: vocabulary must be non-empty")
+        vdf = df.sparkSession.createDataFrame(
+            [(str(t),) for t, _ in vocab], "__tok string")
+    else:
+        vdf = _vocab_topv_df(df, text_col, vocab_size=vocab_size,
+                             lowercase=lowercase).select("__tok")
+    toks = ensure_parallelism(df).select(
+        *gcols,
+        F.explode(tokens(F.col(text_col), lowercase=lowercase))
+        .alias("__tok"))
+    # Pre-aggregate to (group, token) counts BEFORE tagging: the
+    # occurrence explode collapses map-side, the vocab join touches
+    # one row per distinct (group, token), and the distinct counts
+    # become plain COUNTs — no countDistinct Expand duplicating the
+    # exploded corpus.
+    tok_counts = toks.groupBy(*gcols, "__tok").agg(
+        F.count(F.lit(1)).alias("__tc"))
+    tagged = tok_counts.join(
+        F.broadcast(vdf.withColumn("__known", F.lit(1))), "__tok", "left")
+    stats = tagged.groupBy(*gcols).agg(
+        F.sum("__tc").alias("words_total"),
+        F.coalesce(F.sum(F.when(F.col("__known") == 1, F.col("__tc"))),
+                   F.lit(0)).cast("bigint").alias("words_known"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.count(F.when(F.col("__known") == 1, F.lit(1)))
+        .alias("distinct_known"))
+    docs = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (docs.join(stats, gcols, "left") if gcols
+              else docs.crossJoin(stats))
+    wt = F.coalesce(F.col("words_total"), F.lit(0)).cast("bigint")
+    wk = F.coalesce(F.col("words_known"), F.lit(0)).cast("bigint")
+    return joined.select(
+        *gcols,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        wt.alias("words_total"),
+        wk.alias("words_known"),
+        F.coalesce(F.col("distinct_words"), F.lit(0)).cast("bigint")
+        .alias("distinct_words"),
+        F.coalesce(F.col("distinct_known"), F.lit(0)).cast("bigint")
+        .alias("distinct_known"),
+        F.when(wt > 0,
+               F.floor((wt - wk).cast("decimal(38,0)") * 1000000 / wt)
+               .cast("bigint")).alias("oov_micro"))
+
+
+@register_lens("vocab_coverage")
+def vocab_coverage_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: column (text), by (group cols, optional), vocab_size
+    (4096), lowercase (true). OR model_id (lens1b-…) + registry to
+    score a registry-persisted token_vocab (lowercase comes from the
+    model — fit/apply tokenization must match). AGGREGATING lens
+    (irreversible): inverse refuses like the other report lenses."""
+    text_col = str(require_arg(arguments, "column", "vocab_coverage"))
+    by = [str(c) for c in arguments.get("by", [])] or None
+    model_id = arguments.get("model_id")
+
+    def _refuse(df: DataFrame) -> DataFrame:
+        raise LensError("vocab_coverage is not invertible: the "
+                        "coverage report discards the documents")
+
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        reg = require_arg(arguments, "registry", "vocab_coverage")
+        model = load_model(reg, str(model_id), expect_kind="token_vocab")
+        fitted = [(str(t), int(i)) for t, i in model["vocab"]]
+        lc = bool(model.get("lowercase", True))
+        return Lens(
+            "vocab_coverage", arguments,
+            lambda df: vocab_coverage(df, text_col, by=by, vocab=fitted,
+                                      lowercase=lc),
+            _refuse)
+    return Lens(
+        "vocab_coverage", arguments,
+        lambda df: vocab_coverage(
+            df, text_col, by=by,
+            vocab_size=int(arguments.get("vocab_size", 4096)),
+            lowercase=bool(arguments.get("lowercase", True))),
+        _refuse)
+
+
 def sentence_split(df: DataFrame, id_col: str, text_col: str, *,
                    out_idx: str = "sent_idx",
                    out: str = "sentence") -> DataFrame:

@@ -2666,3 +2666,65 @@ def test_filter_funnel_first_fail_attribution(spark):
         filter_funnel(df, [])
     with pytest.raises(LensError):
         filter_funnel(df, [("a", "n > 1"), ("a", "n > 2")])
+
+
+# --- vocab_coverage -------------------------------------------------------
+
+def test_vocab_coverage_counts_and_oov_micro(spark):
+    """Exact per-group coverage arithmetic: occurrence and distinct
+    counts split by vocab membership; oov_micro is the exact floored
+    micro-fraction; a group whose docs have no tokens gets zero counts
+    and NULL oov_micro (not a crash, not 0)."""
+    from lens_spark.operators.text import vocab_coverage
+    df = spark.createDataFrame(
+        [(1, "en", "b b a rare"), (2, "en", "a unknown"),
+         (3, "de", "b zz"), (4, "xx", "")],
+        "doc_id long, lang string, text string")
+    # global vocab (size 2): counts b=3, a=2 -> {b, a}
+    rows = {r.lang: r for r in
+            vocab_coverage(df, "text", by=["lang"], vocab_size=2).collect()}
+    en = rows["en"]
+    assert (en.n_docs, en.words_total, en.words_known) == (2, 6, 4)
+    assert (en.distinct_words, en.distinct_known) == (4, 2)
+    assert en.oov_micro == 333333          # floor(1e6 * 2/6)
+    de = rows["de"]
+    assert (de.n_docs, de.words_total, de.words_known) == (1, 2, 1)
+    assert de.oov_micro == 500000
+    xx = rows["xx"]
+    assert (xx.n_docs, xx.words_total, xx.words_known) == (1, 0, 0)
+    assert xx.oov_micro is None
+
+
+def test_vocab_coverage_global_row_and_fitted_vocab(spark):
+    """by=None emits ONE corpus row; a fitted/registry vocabulary is
+    scored as-given (not refit on the scored corpus)."""
+    from lens_spark.operators.text import vocab_coverage
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id long, text string")
+    out = vocab_coverage(df, "text", vocab=[("a", 1), ("zzz", 2)]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.words_total, r.words_known) == (2, 5, 2)
+    assert (r.distinct_words, r.distinct_known) == (4, 1)
+    assert r.oov_micro == 600000
+
+
+def test_vocab_coverage_lens_refuses_inverse_and_guards(spark):
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.operators.text import vocab_coverage
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "en", "a b")],
+                               "doc_id long, lang string, text string")
+    spec = {"lenses": [{"name": "vocab_coverage", "arguments": {
+        "column": "text", "by": ["lang"], "vocab_size": 4}}]}
+    got = engine.append(df, spec).collect()
+    assert got[0].words_total == 2
+    with _pytest.raises(LensError, match="not invertible"):
+        engine.inverse(engine.append(df, spec), spec).collect()
+    clash = df.withColumnRenamed("doc_id", "__known")
+    with _pytest.raises(LensError, match="reserved"):
+        vocab_coverage(clash, "text", by=["lang"])
+    with _pytest.raises(LensError, match="non-empty"):
+        vocab_coverage(df, "text", vocab=[])

@@ -369,3 +369,43 @@ def test_knn_graph_k_bound_and_rank_contract(spark, emb):
     bad = per.filter((F.col("n") > 3) | (F.col("mr") > 3)
                      | (F.col("mn") != 1)).count()
     assert bad == 0
+
+
+def test_ivf_explicit_centroids_match_default_and_kmeans_serves(
+        spark, emb, tmp_path):
+    """centroids= (r10): passing the same vectors the default quantizer
+    picks (lowest-nlist ids) reproduces the default output exactly —
+    the dataflow is identical, only the quantizer source changes. A
+    kmeans_centroids registry artifact then serves through the
+    similarity_topk lens by model_id (fit-once/apply-many), with
+    recall still above the probe-fraction floor."""
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    default = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                       k=K, nlist=8, nprobe=3)
+    lowest = [r.embedding for r in
+              emb.orderBy("vec_id").limit(8).collect()]
+    explicit = ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                        k=K, nprobe=3, centroids=lowest)
+    got_d = {(r.query_id, r.neighbor_id, r.rank) for r in default.collect()}
+    got_e = {(r.query_id, r.neighbor_id, r.rank) for r in explicit.collect()}
+    assert got_d == got_e
+    # trained quantizer from the registry, applied by model_id
+    from lens_spark import engine
+    from lens_spark.models import load_model, save_kmeans
+    from lens_spark.registry import Registry
+
+    reg = Registry(tmp_path / "reg")
+    mid = save_kmeans(reg, emb, "vec_id", "embedding", k=8, max_iter=3)
+    assert load_model(reg, mid, expect_kind="kmeans_centroids")
+    spec = {"lenses": [{"name": "similarity_topk", "arguments": {
+        "id": "vec_id", "vector": "embedding", "k": K,
+        "query_predicate": f"vec_id < {N_QUERIES}", "method": "ivf",
+        "nprobe": 3, "model_id": mid, "registry": str(tmp_path / "reg")}}]}
+    served = engine.append(emb, spec)
+    exact = brute_force_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=K)
+    assert _recall(served, exact) >= 0.5
+    # bad usage is loud
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                 k=K, centroids=[])
