@@ -35,6 +35,14 @@ Kinds and payload shapes:
   linear models over the shared hashed bag-of-words featurization
   (what ``save_lang_id`` fits; consumed by the ``lang_id`` lens's
   ``model_id`` path, which scores ALL languages in one corpus pass).
+- ``bloom_bitset`` — ``{"bitset_b64": str, "m_bits": int,
+  "k_probes": int, "ngram": int, "shingle": str, "n_grams": int}`` —
+  a benchmark-suite Bloom filter (what ``save_bloom`` builds; consumed
+  by the ``bloom_decontaminate`` lens's ``model_id`` path, r10). The
+  one kind whose payload scales past KBs (12 bits per distinct
+  benchmark gram — MBs for real suites); the registry's chunked block
+  store handles it, and serving broadcasts the same bitset the inline
+  path already broadcasts.
 """
 
 from __future__ import annotations
@@ -50,7 +58,7 @@ _FORMAT = "lens_spark_model"
 _VERSION = 1
 
 MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids",
-               "token_vocab", "lang_classifier")
+               "token_vocab", "lang_classifier", "bloom_bitset")
 
 
 def _coerce_registry(registry: "Registry | str | Path") -> Registry:
@@ -207,6 +215,38 @@ def save_lang_id(registry: "Registry | str | Path", df, label_col: str,
     return save_model(registry, "lang_classifier",
                       {"langs": langs, "num_buckets": nb,
                        "models": models})
+
+
+def save_bloom(registry: "Registry | str | Path", benchmark, text_col: str,
+               *, ngram: int = 8, shingle: str = "word",
+               bits_per_gram: int = 12,
+               max_driver_grams: int = 50_000_000) -> str:
+    """Build the benchmark-suite Bloom bitset ONCE (same distinct
+    gram-hash scan and filter construction as ``bloom_decontaminate``)
+    and persist it as a ``bloom_bitset`` artifact; returns the id.
+    The recurring corpus job applies it by ``model_id`` with no
+    benchmark scan at all (``bloom_decontaminate_saved`` — see its
+    documented no-confirm fp contract). ngram/shingle are stored in
+    the envelope so probing always matches the fit tokenization."""
+    import base64
+
+    import numpy as np
+
+    from lens_spark.operators.dedup import (
+        _bench_gram_hashes,
+        _build_bloom_bitset,
+        _collect_bench_gram_hashes,
+    )
+
+    bench_grams = _bench_gram_hashes(benchmark, text_col, ngram, shingle)
+    hashes = _collect_bench_gram_hashes(
+        bench_grams, max_driver_grams, "save_bloom").view(np.uint64)
+    bitset, m_bits, k_probes = _build_bloom_bitset(hashes, bits_per_gram)
+    return save_model(registry, "bloom_bitset", {
+        "bitset_b64": base64.b64encode(bitset.tobytes()).decode("ascii"),
+        "m_bits": int(m_bits), "k_probes": int(k_probes),
+        "ngram": int(ngram), "shingle": str(shingle),
+        "n_grams": int(len(hashes))})
 
 
 def load_bpe_merges(registry: "Registry | str | Path",

@@ -2351,6 +2351,102 @@ def _collect_bench_gram_hashes(bench_grams: DataFrame,
     return arr
 
 
+def _build_bloom_bitset(hashes: "np.ndarray", bits_per_gram: int
+                        ) -> "tuple[np.ndarray, int, int]":
+    """Build the Bloom bitset over uint64 gram hashes: power-of-two
+    ``m_bits`` sized at ``bits_per_gram`` per distinct gram, optimal
+    probe count, Kirsch-Mitzenmacher double hashing. Returns
+    ``(bitset bytes-array, m_bits, k_probes)`` — the whole serializable
+    filter state (persisted as a ``bloom_bitset`` registry artifact by
+    ``lens_spark.models.save_bloom``, r10)."""
+    import math
+
+    n = max(len(hashes), 1)
+    m_bits = 1 << max(int(math.ceil(math.log2(n * bits_per_gram))), 6)
+    k_probes = max(1, round(0.6931 * m_bits / n))
+    bitset = np.zeros(m_bits >> 3, dtype=np.uint8)
+    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    for i in range(k_probes):
+        idx = (hashes + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        np.bitwise_or.at(bitset, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bitset, m_bits, k_probes
+
+
+def _bloom_might_contain_udf(spark, bitset: "np.ndarray", m_bits: int,
+                             k_probes: int):
+    """Arrow-batched membership kernel over xxhash64 gram columns —
+    the bitset ships once per executor as a spark broadcast, probes
+    are vectorized numpy (k dependent bit-probes via double hashing;
+    K-M correlation is safe for bloom probes by design, unlike the
+    minhash family — dedup.py:106-112)."""
+    bc = spark.sparkContext.broadcast(bitset)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(s: pd.Series) -> pd.Series:
+        bits = bc.value
+        h = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+        hh2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        hit = np.ones(len(h), dtype=bool)
+        for i in range(k_probes):
+            idx = (h + np.uint64(i) * hh2) & np.uint64(m_bits - 1)
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    return might_contain
+
+
+def bloom_decontaminate_saved(df: DataFrame, model: "Mapping[str, Any]",
+                              id_col: str, text_col: str, *,
+                              min_overlaps: int = 1) -> DataFrame:
+    """Decontaminate against a SAVED ``bloom_bitset`` registry artifact
+    (``lens_spark.models.save_bloom``, r10) — the fit-once/apply-many
+    form: the recurring corpus job never scans the benchmark suite at
+    all; it broadcasts the prebuilt bitset and filters in one narrow
+    pass + one per-doc count.
+
+    Contract difference vs ``bloom_decontaminate`` (documented, not
+    hidden): there is NO exact confirm join (the benchmark grams are
+    not available), so the drop set is the bloom's: every truly
+    contaminated doc is dropped (no false negatives by construction),
+    plus ~fp-rate extra gram hits (≈0.4% per gram at the default 12
+    bits/gram) that can push clean borderline docs over
+    ``min_overlaps``. Decontamination is exactly the place where that
+    direction of error is acceptable — keep-contaminated is the
+    failure mode that poisons an eval, drop-a-few-extra is noise.
+    Gram length, shingle mode, and tokenization all come from the
+    MODEL (fitting one way and probing another is the silent-miss
+    bug), like ``token_vocab``'s stored lowercase flag.
+    """
+    m_bits = int(model["m_bits"])
+    k_probes = int(model["k_probes"])
+    ngram = int(model["ngram"])
+    shingle = str(model["shingle"])
+    import base64
+
+    bitset = np.frombuffer(
+        base64.b64decode(str(model["bitset_b64"])), dtype=np.uint8)
+    if len(bitset) != m_bits >> 3:
+        raise LensError(
+            f"bloom_bitset artifact is corrupt: bitset holds "
+            f"{len(bitset)} bytes, m_bits={m_bits} needs {m_bits >> 3}")
+    might_contain = _bloom_might_contain_udf(df.sparkSession, bitset,
+                                             m_bits, k_probes)
+    grams = _shingles(text_col, ngram, shingle)
+    doc_grams = ensure_parallelism(df, by=[id_col]).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), F.xxhash64(F.col("__g")).alias("__gh"))
+    contaminated = (
+        doc_grams.filter(might_contain(F.col("__gh")))
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_overlaps)
+        .select(id_col)
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
                         text_col: str, *, bench_text_col: str | None = None,
                         ngram: int = 8, min_overlaps: int = 1,
@@ -2383,8 +2479,6 @@ def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     unlike the minhash family where K-M correlation broke row
     distinctness, dedup.py:106-112).
     """
-    import math
-
     grams = _shingles(text_col, ngram, shingle)
     # Eagerly checkpoint the distinct gram-hash set: both the driver
     # collect (bitset build) and the confirm semi-join read it, and
@@ -2398,31 +2492,9 @@ def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     hashes = _collect_bench_gram_hashes(
         bench_grams, max_driver_grams, "bloom_decontaminate"
     ).view(np.uint64)
-    n = max(len(hashes), 1)
-    m_bits = 1 << max(int(math.ceil(math.log2(n * bits_per_gram))), 6)
-    k_probes = max(1, round(0.6931 * m_bits / n))
-    bitset = np.zeros(m_bits >> 3, dtype=np.uint8)
-    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-    for i in range(k_probes):
-        idx = (hashes + np.uint64(i) * h2) & np.uint64(m_bits - 1)
-        np.bitwise_or.at(bitset, (idx >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bitset)
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def might_contain(s: pd.Series) -> pd.Series:
-        bits = bc.value
-        h = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
-        hh2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-        hit = np.ones(len(h), dtype=bool)
-        for i in range(k_probes):
-            idx = (h + np.uint64(i) * hh2) & np.uint64(m_bits - 1)
-            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
-            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-        return pd.Series(hit)
+    bitset, m_bits, k_probes = _build_bloom_bitset(hashes, bits_per_gram)
+    might_contain = _bloom_might_contain_udf(df.sparkSession, bitset,
+                                             m_bits, k_probes)
 
     doc_grams = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col), F.explode(grams).alias("__g")
@@ -2440,10 +2512,26 @@ def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
 @register_lens("bloom_decontaminate")
 def bloom_decontaminate_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: benchmark (path), id, column, bench_column, ngram (8),
-    min_overlaps (1), shingle ("word"), bits_per_gram (12)."""
-    bench_path = str(require_arg(arguments, "benchmark", "bloom_decontaminate"))
+    min_overlaps (1), shingle ("word"), bits_per_gram (12). OR apply a
+    registry-persisted filter: model_id (lens1b-…) + registry loads a
+    ``bloom_bitset`` artifact saved by lens_spark.models.save_bloom —
+    ngram/shingle come from the MODEL; no benchmark scan, no exact
+    confirm join (documented fp contract on
+    ``bloom_decontaminate_saved``)."""
     id_col = str(require_arg(arguments, "id", "bloom_decontaminate"))
     text_col = str(require_arg(arguments, "column", "bloom_decontaminate"))
+    model_id = arguments.get("model_id")
+    if model_id is not None:
+        from lens_spark.models import load_model
+
+        reg = require_arg(arguments, "registry", "bloom_decontaminate")
+        model = load_model(reg, str(model_id), expect_kind="bloom_bitset")
+        return Lens(
+            "bloom_decontaminate", arguments,
+            lambda df: bloom_decontaminate_saved(
+                df, model, id_col, text_col,
+                min_overlaps=int(arguments.get("min_overlaps", 1))))
+    bench_path = str(require_arg(arguments, "benchmark", "bloom_decontaminate"))
 
     def fwd(df: DataFrame) -> DataFrame:
         bench = df.sparkSession.read.parquet(bench_path)

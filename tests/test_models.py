@@ -148,3 +148,66 @@ def test_lang_id_score_one_pass_tie_break_and_empty_docs(spark):
     # en and de tie at 0.5 -> alphabetical first (de) for BOTH the
     # tokenized doc (zero weights) and the empty doc (bias argmax)
     assert got == {1: "de", 2: "de"}
+
+
+def test_save_bloom_apply_by_id_no_false_negatives(spark, registry,
+                                                   tmp_path):
+    """bloom_bitset artifacts (r10): the saved filter applied by
+    model_id drops EVERY doc the exact benchmark-scan path drops (the
+    bloom has no false negatives by construction) without touching the
+    benchmark at serving time; over-drop is bounded by the fp contract
+    (tiny here); ngram/shingle come from the model; kind mismatch and
+    corrupt bitsets are loud."""
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.models import load_model, save_bloom, save_vocab
+    from lens_spark.operators.dedup import (
+        bloom_decontaminate_saved,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota kappa"),
+         (3, "completely unrelated text with many different words"),
+         (4, "alpha beta gamma delta NOT the same tail here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),
+         (101, "zeta eta theta iota kappa")],
+        "bid long, text string")
+    mid = save_bloom(registry, bench, "text", ngram=5)
+    model = load_model(registry, mid, expect_kind="bloom_bitset")
+    assert model["ngram"] == 5 and model["n_grams"] >= 2
+    exact_kept = {r.doc_id for r in
+                  decontaminate(docs, bench, "doc_id", "text",
+                                ngram=5).collect()}
+    saved_kept = {r.doc_id for r in
+                  bloom_decontaminate_saved(docs, model, "doc_id",
+                                            "text").collect()}
+    # no false negatives: everything the bloom keeps, exact keeps
+    assert saved_kept <= exact_kept
+    # and on this tiny gram universe there is no fp either
+    assert saved_kept == exact_kept == {3, 4}
+    # the lens path: model_id + registry, no benchmark argument
+    spec = {"lenses": [{"name": "bloom_decontaminate", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": str(registry.root)}}]}
+    assert {r.doc_id for r in engine.append(docs, spec).collect()} \
+        == saved_kept
+    # idempotent save -> same artifact id
+    assert save_bloom(registry, bench, "text", ngram=5) == mid
+    # kind mismatch is loud
+    vid = save_vocab(registry, docs, "text", vocab_size=4)
+    with pytest.raises(LensError, match="needs 'bloom_bitset'"):
+        spec_bad = {"lenses": [{"name": "bloom_decontaminate",
+                                "arguments": {"id": "doc_id",
+                                              "column": "text",
+                                              "model_id": vid,
+                                              "registry": str(registry.root)}}]}
+        engine.append(docs, spec_bad)
+    # corrupt bitset length is loud
+    bad = dict(model)
+    bad["m_bits"] = int(model["m_bits"]) * 2
+    with pytest.raises(LensError, match="corrupt"):
+        bloom_decontaminate_saved(docs, bad, "doc_id", "text").collect()
