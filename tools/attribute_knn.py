@@ -25,6 +25,12 @@ Usage:
     python tools/attribute_knn.py            # 5 runs per regime, summary
     python tools/attribute_knn.py --runs 7
     python tools/attribute_knn.py --one isolated   # (internal) one run
+
+NOTE (post-attribution): the measured fix landed in r10 — knn_graph no
+longer localCheckpoints the exploded table, so `isolated` now times
+the shipped (fixed) code and `no_ckpt` is redundant with it; both are
+kept so the protocol can re-attribute any future checkpoint-suspect
+query by swapping QUERY/PREDECESSOR.
 """
 
 from __future__ import annotations
