@@ -866,6 +866,80 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             "or raise timeout=")
 
 
+def compact_quota_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance pass for ``run_stream_quota``'s accepted-count
+    index: merge per-batch INCREMENT rows into one ``(kh, cnt)`` row
+    per key. The hot path never read-modify-writes (each batch appends
+    one increment file per touched pb bucket, reads sum increments),
+    so after thousands of batches a Zipf-hot key carries thousands of
+    rows and every directory thousands of footers — this is the
+    off-path deep-clean, the row-merging sibling of
+    ``dedup.compact_index`` (which rewrites files byte-equivalently;
+    here rows LAWFULLY merge because the index's contract is the sum).
+
+    Takes the writer lease (compaction and ingest serialize), reuses
+    the dedup index's staged-rename protocol — tmp write → parts →
+    parts.old → rename → delete — so a crash at any point is rolled
+    forward/back by the next locked call. Returns {"rows_before",
+    "rows_after", "files_before", "files_after"}.
+    """
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _parts_pb_migration_recover,
+    )
+    from lens_spark.sources import dataset_nonempty
+
+    parts_path = f"{index_path}/parts"
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _visible_files(root: str) -> int:
+        it = fs.listFiles(P(root), True)
+        n = 0
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                n += 1
+        return n
+
+    with _index_writer_lock(spark, index_path):
+        _parts_pb_migration_recover(spark, parts_path)
+        if not dataset_nonempty(spark, parts_path):
+            return {"rows_before": 0, "rows_after": 0,
+                    "files_before": 0, "files_after": 0}
+        parts = spark.read.parquet(parts_path)
+        if not {"kh", "cnt", "pb"} <= set(parts.columns):
+            raise LensError(
+                f"compact_quota_index: {parts_path!r} is not a quota "
+                f"count index (columns {sorted(parts.columns)}; "
+                "expected kh/cnt/pb) — use dedup.compact_index for "
+                "fingerprint/band/cell indexes")
+        rows_before = parts.count()
+        files_before = _visible_files(parts_path)
+        merged = (parts.groupBy("kh", "pb")
+                  .agg(F.sum("cnt").alias("cnt"))
+                  .select("kh", "cnt", "pb"))
+        # one task per pb directory -> one file per directory
+        (merged.repartition(F.col("pb"))
+         .write.mode("overwrite").partitionBy("pb")
+         .parquet(parts_path + ".migrating"))
+        if not fs.rename(P(parts_path), P(parts_path + ".old")):
+            raise LensError(
+                f"compact_quota_index: could not stage {parts_path!r} "
+                "aside.")
+        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+            raise LensError(
+                "compact_quota_index: could not rename the compacted "
+                "dataset into place — recovery will complete it on the "
+                "next locked call.")
+        fs.delete(P(parts_path + ".old"), True)
+        rows_after = spark.read.parquet(parts_path).count()
+        files_after = _visible_files(parts_path)
+    return {"rows_before": int(rows_before), "rows_after": int(rows_after),
+            "files_before": int(files_before),
+            "files_after": int(files_after)}
+
+
 def _ks_from_hist(hist_a: dict, hist_b: dict) -> tuple:
     """Exact integer two-sample KS from distinct-value histograms —
     the driver-side twin of ``operators.evaluation.ks_drift`` (value →

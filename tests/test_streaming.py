@@ -918,3 +918,60 @@ def test_run_stream_quota_caps_keys_across_batches_and_runs(spark, tmp_path):
     with pytest.raises(LensError, match="n >= 1"):
         run_stream_quota(stream2, out, idx, keys=["dom"], n=0,
                          order_by="score", tiebreak=["id"])
+
+
+def test_compact_quota_index_merges_increments_and_preserves_charges(
+        spark, tmp_path):
+    """The quota count index appends one increment row per (batch,
+    key); compaction merges them to one row per key under the writer
+    lease WITHOUT changing what the index means — a run after
+    compaction sees exactly the same remaining quotas. Wrong-layout
+    indexes are refused loudly."""
+    import pandas as pd
+
+    from lens_spark.errors import LensError
+    from lens_spark.streaming import (
+        compact_quota_index, read_file_stream, run_stream_quota,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # key 'a' accepted in BOTH batches -> two increment rows pre-compact
+    pd.DataFrame({"dom": ["a", "a"], "id": [1, 2],
+                  "score": [5, 4]}).to_parquet(src / "f1.parquet")
+    pd.DataFrame({"dom": ["a", "b"], "id": [3, 4],
+                  "score": [9, 1]}).to_parquet(src / "f2.parquet")
+    out, idx = str(tmp_path / "landed"), str(tmp_path / "idx")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"),
+                              maxFilesPerTrigger=1)
+    run_stream_quota(stream, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    stats = compact_quota_index(spark, idx)
+    assert stats["rows_before"] == 3          # a@b1, a@b2, b@b2
+    assert stats["rows_after"] == 2           # a merged, b
+    assert stats["files_after"] <= stats["files_before"]
+    # post-compact, 'a' has 3 charged of 4: one more slot remains
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pd.DataFrame({"dom": ["a", "a"], "id": [10, 11],
+                  "score": [8, 7]}).to_parquet(src2 / "g1.parquet")
+    stream2 = read_file_stream(spark, str(src2),
+                               schema_from=str(src / "f1.parquet"),
+                               maxFilesPerTrigger=1)
+    run_stream_quota(stream2, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    a_ids = {r.id for r in spark.read.parquet(out)
+             .filter("dom = 'a'").collect()}
+    assert a_ids == {1, 2, 3, 10}             # exactly one more accepted
+    # the follow-up run appended one fresh 'a' increment; a second
+    # compaction folds it back into one row per key
+    again = compact_quota_index(spark, idx)
+    assert (again["rows_before"], again["rows_after"]) == (3, 2)
+    # wrong layout (a dedup fp index) is refused
+    from lens_spark.operators.dedup import dedup_incremental
+    fpidx = str(tmp_path / "fpidx")
+    dedup_incremental(spark.createDataFrame([(1,)], "k long"), fpidx,
+                      columns=["k"])
+    with pytest.raises(LensError, match="not a quota count index"):
+        compact_quota_index(spark, fpidx)
