@@ -309,3 +309,38 @@ def test_saved_model_applies_via_cli_lens_file(spark, tmp_path, monkeypatch):
     monkeypatch.setattr("sys.stdout", io.StringIO())
     with pytest.raises(LensError, match="not found"):
         main([str(lensfile)], _stop_session=False)
+
+
+def test_bloom_and_ivf_artifacts_apply_via_cli_lens_file(spark, tmp_path,
+                                                         monkeypatch):
+    """r10: the two new artifact-serving paths are fully declarable at
+    the reference's primary surface — a lens file naming only
+    model_id + registry (no benchmark path, no quantizer params)
+    decontaminates against a saved bloom_bitset and serves IVF top-k
+    against saved kmeans_centroids through the CLI."""
+    from lens_spark.models import save_bloom, save_model
+    from lens_spark.registry import Registry
+
+    reg = Registry(tmp_path / "reg")
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "bid long, text string")
+    bloom_id = save_bloom(reg, bench, "text", ngram=5)
+    spec = {"lenses": [{"name": "bloom_decontaminate", "arguments": {
+        "id": "id", "column": "text", "model_id": bloom_id,
+        "registry": str(reg.root)}}]}
+    docs = [{"id": 1, "text": "alpha beta gamma delta epsilon"},
+            {"id": 2, "text": "clean words entirely elsewhere found"}]
+    got = run_cli(tmp_path, monkeypatch, spec, docs)
+    assert [d["id"] for d in got] == [2]      # benchmark doc dropped
+    # IVF: two orthogonal saved centroids route the query to its cell
+    kid = save_model(reg, "kmeans_centroids",
+                     [[1.0, 0.0], [0.0, 1.0]])
+    spec2 = {"lenses": [{"name": "similarity_topk", "arguments": {
+        "id": "id", "vector": "v", "k": 1, "method": "ivf",
+        "nprobe": 1, "query_predicate": "id = 1",
+        "model_id": kid, "registry": str(reg.root)}}]}
+    vecs = [{"id": 1, "v": [1.0, 0.1]}, {"id": 2, "v": [0.9, 0.2]},
+            {"id": 3, "v": [0.1, 1.0]}]
+    got2 = run_cli(tmp_path, monkeypatch, spec2, vecs)
+    # query 1 lives in the x-cell with id 2; id 3 is in the other cell
+    assert [(d["query_id"], d["neighbor_id"]) for d in got2] == [(1, 2)]
