@@ -3643,16 +3643,17 @@ def _compression_ratio_oracle_sql() -> str:
     VALUES table LEFT-JOINed against the live `documents` view. Keys
     are content hashes, not doc_ids, so the same SQL string is correct
     at every precomputed scale (sf0.001 for the local tail test,
-    sf0.01 for the driver); an unknown corpus yields NULL ratios → a
-    loud hash mismatch, never a silent pass. ~1000 rows ≈ 50 KB of
-    SQL — trivial for DuckDB's parser."""
+    sf0.01 for the driver, sf0.1 since r10 so the tri-scale local
+    sweep is green too); an unknown corpus yields NULL ratios → a
+    loud hash mismatch, never a silent pass. A few thousand distinct
+    texts ≈ 100s of KB of SQL — trivial for DuckDB's parser."""
     import hashlib
     import zlib
 
     import duckdb as _dd
 
     vals: dict[str, float] = {}
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         rel = _dd.sql(
             f"SELECT text FROM '/root/testdata/{sf}/documents.parquet' "
             "WHERE text IS NOT NULL AND length(text) > 0")
