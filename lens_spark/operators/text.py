@@ -1569,7 +1569,7 @@ def vocab_coverage(df: DataFrame, text_col: str, *,
     the group table is bounded by the key domain, never the corpus.
     """
     gcols = [str(c) for c in (by or [])]
-    reserved = {"__tok", "__known", "__vc_docs"}
+    reserved = {"__tok", "__known", "__tc"}
     clash = reserved & set(df.columns)
     if clash:
         raise LensError(

@@ -778,6 +778,7 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
     from lens_spark.operators.dedup import (
         INDEX_PROBE_BUCKETS,
         _index_writer_lock,
+        _parts_pb_migration_recover,
         _refresh_writer_lock,
     )
     from lens_spark.operators.sampling import group_quota
@@ -804,6 +805,12 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             return
         spark = batch_df.sparkSession
         with _index_writer_lock(spark, index_path):
+            # Roll forward/back a compaction that crashed mid-rename
+            # BEFORE probing: with parts/ staged aside as parts.old,
+            # dataset_nonempty would see an empty index and re-grant
+            # full quotas (r11 advice — the dedup peers already guard
+            # this at dedup.py:1537/1764).
+            _parts_pb_migration_recover(spark, parts_path)
             kh = F.xxhash64(*[F.col(c).cast("string") for c in keys])
             ranked = group_quota(
                 batch_df, list(keys), n, order_by=order_by,

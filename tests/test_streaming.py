@@ -975,3 +975,46 @@ def test_compact_quota_index_merges_increments_and_preserves_charges(
                       columns=["k"])
     with pytest.raises(LensError, match="not a quota count index"):
         compact_quota_index(spark, fpidx)
+
+
+def test_run_stream_quota_recovers_crashed_compaction(spark, tmp_path):
+    """If compact_quota_index crashes between its two renames (parts/
+    missing, parts.old + parts.migrating present), the next ingest must
+    roll the migration forward BEFORE probing the index — otherwise
+    dataset_nonempty sees an empty index and silently re-grants full
+    quotas (r11 advice; the dedup peers guard the same window)."""
+    import shutil
+
+    import pandas as pd
+
+    from lens_spark.streaming import read_file_stream, run_stream_quota
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"dom": ["a"] * 4, "id": [1, 2, 3, 4],
+                  "score": [4, 3, 2, 1]}).to_parquet(src / "f1.parquet")
+    out, idx = str(tmp_path / "landed"), str(tmp_path / "idx")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"))
+    # fill 'a' completely (n=4)
+    run_stream_quota(stream, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    # simulate the crash-between-renames state: parts/ staged aside,
+    # the completed compacted dataset sitting in parts.migrating
+    parts = tmp_path / "idx" / "parts"
+    shutil.move(str(parts), str(parts) + ".old")
+    shutil.copytree(str(parts) + ".old", str(parts) + ".migrating")
+    # a new run offering more 'a' rows must land NOTHING for 'a'
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pd.DataFrame({"dom": ["a", "a"], "id": [10, 11],
+                  "score": [99, 98]}).to_parquet(src2 / "g1.parquet")
+    stream2 = read_file_stream(spark, str(src2),
+                               schema_from=str(src / "f1.parquet"))
+    run_stream_quota(stream2, out, idx, keys=["dom"], n=4,
+                     order_by="score", tiebreak=["id"])
+    ids = {r.id for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 3, 4}          # quota still charged
+    assert parts.exists()               # migration rolled forward
+    assert not (tmp_path / "idx" / "parts.old").exists()
+    assert not (tmp_path / "idx" / "parts.migrating").exists()
