@@ -85,6 +85,29 @@ def require_arg(arguments: Mapping[str, Any], key: str, lens: str) -> Any:
     return arguments[key]
 
 
+def check_reserved(df: DataFrame, cols, op: str, *, extra=()) -> None:
+    """Refuse loudly when an input column collides with one of ``op``'s
+    reserved internal column names (the ``__``-prefixed scratch columns
+    it will create). ``extra`` adds caller-chosen output names (e.g. a
+    user-provided ``rank_col``) to the collision surface.
+
+    One shared helper instead of per-operator hand-rolled checks (r10
+    verdict #4): two consecutive advice rounds found operators whose
+    reserved set drifted from the internals they actually create. The
+    companion lint (`tests/test_reserved_internals_lint.py`) statically
+    extracts every ``withColumn("__…")`` / ``.alias("__…")`` literal in
+    a function that calls this helper and fails if one is missing from
+    the declared set — so the set and the code cannot drift apart
+    silently again.
+    """
+    reserved = {str(c) for c in cols}
+    clash = reserved & (set(df.columns) | {str(c) for c in extra})
+    if clash:
+        raise LensError(
+            f"{op}: column names {sorted(clash)} collide with reserved "
+            f"internal columns ({'/'.join(sorted(reserved))})")
+
+
 def ensure_parallelism(df: DataFrame, *, by: list[str] | None = None,
                        min_fraction: float = 0.5) -> DataFrame:
     """Repartition iff the plan has too few partitions for the cluster.

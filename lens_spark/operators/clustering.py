@@ -81,10 +81,18 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
     may flip cluster), verified by equivalence tests against a local
     reference, not a SQL oracle.
     """
+    # Pin the (id, vec) projection for the max_iter+1 passes as
+    # DISK_ONLY, not localCheckpoint (r11, measured in SCALE.md
+    # "Round-11 additions"): at 100 TB a corpus-sized projection must
+    # not compete with shuffle/execution memory in executor storage —
+    # the knn_graph residency argument applied as default posture.
+    # Fresh-process attribution showed DISK_ONLY ≥ par at bench scale.
+    from pyspark import StorageLevel
+
     base = (
         ensure_parallelism(df, by=[id_col])
         .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .localCheckpoint(eager=False)  # read max_iter+1 times
+        .persist(StorageLevel.DISK_ONLY)
     )
     seed_rows = (base.withColumn("__hk", F.md5(F.col("__id").cast("string")))
                  .orderBy("__hk").limit(int(k)).select("__v").collect())
@@ -143,6 +151,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
         cent = new_cent
         if shift < tol:
             break
+    base.unpersist()  # model state is driver-side; free the pin now
     return cent.tolist()
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 # Width of the hex prefix compared against thresholds: 8 hex digits =
 # 32 bits of resolution, i.e. sampling-rate granularity of 2^-32.
@@ -817,11 +817,8 @@ def group_quota(df: DataFrame, key_cols: "list[str]", n: int, *,
             "group_quota: tiebreak columns are required — without a "
             "total order within a key group the survivor set would be "
             "partitioning-dependent")
-    clash = {"__gq_pid", "__gq_lr"} & (set(df.columns) | {rank_col})
-    if clash:
-        raise LensError(
-            f"group_quota: column names {sorted(clash)} collide with "
-            "reserved internal columns (__gq_pid/__gq_lr)")
+    check_reserved(df, {"__gq_pid", "__gq_lr"}, "group_quota",
+                   extra=[rank_col])
     from pyspark.sql import Window
 
     ov = F.expr(order_by)

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 _L, _R = "__asof_l", "__asof_r"
 
@@ -371,12 +371,8 @@ def resample(df: DataFrame, key_cols: "list[str]", ts_col: str,
     if set(aggs) & reserved:
         raise LensError(f"resample: aggregate names collide with "
                         f"key/bucket/gap columns: {sorted(set(aggs) & reserved)}")
-    internals = {"__rs_e", "__rs_hit", "__rs_mn", "__rs_mx"}
-    clash = internals & (set(aggs) | reserved | set(df.columns))
-    if clash:
-        raise LensError(
-            f"resample: column names {sorted(clash)} collide with "
-            "reserved internal columns (__rs_e/__rs_hit/__rs_mn/__rs_mx)")
+    check_reserved(df, {"__rs_e", "__rs_hit", "__rs_mn", "__rs_mx"},
+                   "resample", extra=set(aggs) | reserved)
 
     # session tz is UTC (lens_spark.session) and interval boundaries
     # are whole seconds, so long-epoch bucketing is engine-portable.

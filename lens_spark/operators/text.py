@@ -26,7 +26,7 @@ from lens_spark.functions.text import (
     unique_token_ratio_of,
 )
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, ensure_parallelism, register_lens, require_arg
 
 
 def text_stats(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
@@ -572,7 +572,7 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
     counterpart of training offline in fasttext/sklearn.
 
     Scale shape (the ``kmeans_fit`` recipe): per-doc bucket arrays are
-    extracted once (narrow expression, lazily checkpointed); each
+    extracted once (narrow expression, pinned DISK_ONLY); each
     iteration is ONE mapInPandas pass computing per-partition gradient
     partials — the exchange carries ≤ num_buckets+2 (bucket, partial)
     doubles per partition, never rows — and the driver holds the
@@ -587,12 +587,17 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
         raise LensError("classifier_fit: num_buckets and iters must be >= 1")
     bucket_of = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
                            .cast("bigint") % F.lit(nb))
+    # DISK_ONLY pin for the `iters` passes, not localCheckpoint (r11,
+    # SCALE.md "Round-11 additions"): a corpus-sized feature projection
+    # must not occupy executor storage memory at 100 TB.
+    from pyspark import StorageLevel
+
     base = (
         ensure_parallelism(df)
         .select(F.col(label_col).cast("double").alias("__y"),
                 F.transform(tokens(F.col(text_col)), bucket_of)
                 .alias("__b"))
-        .localCheckpoint(eager=False)  # read `iters` times
+        .persist(StorageLevel.DISK_ONLY)
     )
     w = np.zeros(nb)
     b = 0.0
@@ -657,6 +662,7 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
             raise LensError("classifier_fit: empty training corpus")
         w = w - lrf * (gw / n + l2f * w)
         b = b - lrf * (gb / n)
+    base.unpersist()  # model is driver-side; free the pin now
     return {"weights": [round(float(x), 6) for x in w],
             "bias": round(float(b), 6)}
 
@@ -1569,12 +1575,7 @@ def vocab_coverage(df: DataFrame, text_col: str, *,
     the group table is bounded by the key domain, never the corpus.
     """
     gcols = [str(c) for c in (by or [])]
-    reserved = {"__tok", "__known", "__tc"}
-    clash = reserved & set(df.columns)
-    if clash:
-        raise LensError(
-            f"vocab_coverage: column names {sorted(clash)} collide "
-            "with reserved internal columns")
+    check_reserved(df, {"__tok", "__known", "__tc"}, "vocab_coverage")
     if vocab is not None:
         if not vocab:
             raise LensError("vocab_coverage: vocabulary must be non-empty")

@@ -793,11 +793,8 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             "run_stream_quota: tiebreak columns are required — the "
             "accepted set must not depend on partitioning (same "
             "contract as group_quota)")
-    clash = {"__sq_rank", "__sq_kh"} & set(stream_df.columns)
-    if clash:
-        raise LensError(
-            f"run_stream_quota: column names {sorted(clash)} collide "
-            "with reserved internal columns (__sq_rank/__sq_kh)")
+    check_reserved(stream_df, {"__sq_rank", "__sq_kh", "__sq_used"},
+                   "run_stream_quota")
     parts_path = f"{index_path}/parts"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

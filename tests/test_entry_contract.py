@@ -275,6 +275,12 @@ def test_bench_regressions_section_math():
     assert abs(side["table"][n0]["x"] - 1.0) < 0.01
     assert abs(side["table"][n1]["x"] - 1.3) < 0.01
     assert abs(side["table"][n1]["xmin"] - 1.17) < 0.01
+    # raw multipliers (r11): no calibration division — the machine
+    # being 2x slower shows up in xr but not x
+    assert abs(side["table"][n0]["xr"] - 2.0) < 0.01
+    assert abs(side["table"][n1]["xr"] - 2.6) < 0.01
+    assert abs(side["table"][n1]["xrmin"] - 2.34) < 0.01
     assert set(official["flagged"]) == {n1}
+    assert abs(official["flagged"][n1]["xr"] - 2.6) < 0.01
     # no BENCH files ⇒ section degrades to absent, bench still runs
     assert bench._regressions(timings, stats, cal, "/tmp") == (None, None)

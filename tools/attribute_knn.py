@@ -31,6 +31,15 @@ longer localCheckpoints the exploded table, so `isolated` now times
 the shipped (fixed) code and `no_ckpt` is redundant with it; both are
 kept so the protocol can re-attribute any future checkpoint-suspect
 query by swapping QUERY/PREDECESSOR.
+
+r11: generalized for the embedding-family cluster (VERDICT r10 "What's
+wrong" #1, suspect clustering.py kmeans-input localCheckpoint):
+`--query x2_semdedup` retargets the protocol, and the new
+`disk_persist` regime swaps every localCheckpoint for
+persist(StorageLevel.DISK_ONLY) — storage memory freed, recompute
+still avoided — separating "pinning in executor storage memory hurts"
+from "re-reading the lineage hurts". The bench-order predecessor is
+looked up from bench.HEADLINE automatically.
 """
 
 from __future__ import annotations
@@ -49,15 +58,24 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
-PREDECESSOR = "x9_quantile_bin"  # bench.py HEADLINE order, directly before
 QUERY = "x3_knn_graph"
+VARIANTS = ("isolated", "post_pred", "no_ckpt", "disk_persist")
+
+
+def _predecessor(query: str) -> str:
+    """The query directly before `query` in bench.py HEADLINE order —
+    the heap/broadcast state it inherits mid-bench."""
+    from bench import HEADLINE
+
+    i = HEADLINE.index(query)
+    return HEADLINE[i - 1] if i > 0 else HEADLINE[-1]
 
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_one(variant: str) -> dict:
+def run_one(variant: str, query: str) -> dict:
     import __spark_entry__ as entrymod
     from bench import _calibration_df
     from lens_spark.session import get_spark
@@ -66,16 +84,22 @@ def run_one(variant: str) -> dict:
         from pyspark.sql import DataFrame
 
         DataFrame.localCheckpoint = lambda self, eager=True: self
+    elif variant == "disk_persist":
+        from pyspark import StorageLevel
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = (
+            lambda self, eager=True: self.persist(StorageLevel.DISK_ONLY))
 
     spark = get_spark("lens_spark-attr-knn")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    fn = queries[QUERY]
+    fn = queries[query]
 
     for _ in range(2):  # same warm-up regime as bench.py
         _noop(fn(spark, WARM_DIR))
     if variant == "post_pred":
-        _noop(queries[PREDECESSOR](spark, SF_DIR))
+        _noop(queries[_predecessor(query)](spark, SF_DIR))
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
@@ -96,21 +120,24 @@ def run_one(variant: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--one", choices=["isolated", "post_pred", "no_ckpt"])
+    ap.add_argument("--one", choices=VARIANTS)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--query", default=QUERY)
+    ap.add_argument("--variants", default="isolated,no_ckpt,disk_persist",
+                    help="comma list from " + ",".join(VARIANTS))
     args = ap.parse_args()
 
     if args.one:
-        print(json.dumps(run_one(args.one)))
+        print(json.dumps(run_one(args.one, args.query)))
         return 0
 
     results: dict[str, list[dict]] = {}
-    for variant in ("isolated", "post_pred", "no_ckpt"):
+    for variant in [v for v in args.variants.split(",") if v]:
         results[variant] = []
         for i in range(args.runs):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--one", variant],
+                 "--one", variant, "--query", args.query],
                 capture_output=True, text=True, cwd=REPO, timeout=600)
             line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
             try:
@@ -139,7 +166,7 @@ def main() -> int:
             "cal_median": round(med_cal, 3),
             "knn_norm_median": round(statistics.median(knn) / med_cal, 3),
         }
-    print(json.dumps(summary, indent=2))
+    print(json.dumps({"query": args.query, "regimes": summary}, indent=2))
     return 0
 
 
