@@ -177,22 +177,36 @@ def save_vocab(registry: "Registry | str | Path", df, text_col: str,
 
 def save_lang_id(registry: "Registry | str | Path", df, label_col: str,
                  text_col: str, *, langs: "list[str] | None" = None,
-                 **fit_kw) -> str:
-    """Fit a one-vs-rest language classifier (one ``classifier_fit``
-    logistic regression per language over the shared hashed
-    bag-of-words featurization) and persist the whole model family as
-    ONE ``lang_classifier`` artifact; returns the model id.
+                 method: str = "multinomial", **fit_kw) -> str:
+    """Fit a language classifier over the shared hashed bag-of-words
+    featurization and persist the whole model family as ONE
+    ``lang_classifier`` artifact; returns the model id.
+
+    ``method="multinomial"`` (default since r11, r10 verdict #6) fits
+    one softmax model for all L languages via
+    ``classifier_fit_multinomial`` — ``iters`` corpus passes TOTAL.
+    ``method="ovr"`` keeps the round-10 one-vs-rest trainer (one
+    ``classifier_fit`` logistic regression per language) — L ×
+    ``iters`` passes, 64× the fit-side scan I/O at the L=64 bound;
+    both produce the identical artifact envelope (per-language
+    {weights, bias}), so the one-pass scorer serves either.
 
     ``langs`` defaults to the distinct non-null labels in
     ``label_col`` (sorted — the alphabetical order is also the
-    prediction tie-break contract). Fit cost is L passes over the
-    corpus; this is the fit-once side — the 100 TB scoring pass loads
-    the artifact and touches the corpus exactly once (see the
-    ``lang_id`` lens ``model_id`` path)."""
+    prediction tie-break contract). This is the fit-once side — the
+    100 TB scoring pass loads the artifact and touches the corpus
+    exactly once (see the ``lang_id`` lens ``model_id`` path)."""
     from pyspark.sql import functions as F
 
-    from lens_spark.operators.text import classifier_fit
+    from lens_spark.operators.text import (
+        classifier_fit,
+        classifier_fit_multinomial,
+    )
 
+    if method not in ("multinomial", "ovr"):
+        raise LensError(
+            f"save_lang_id: unknown method {method!r} "
+            "(multinomial|ovr)")
     if langs is None:
         langs = sorted(
             r[0] for r in df.select(label_col).distinct().collect()
@@ -206,12 +220,16 @@ def save_lang_id(registry: "Registry | str | Path", df, label_col: str,
             "scorer widens the broadcast weight table by one column "
             "per language; 64 is the sanity bound")
     nb = int(fit_kw.get("num_buckets", 1024))
-    models = {}
-    for lg in langs:
-        labeled = df.withColumn(
-            "__ovr_y", (F.col(label_col) == F.lit(lg)).cast("int"))
-        models[lg] = classifier_fit(labeled, "__ovr_y", text_col,
-                                    **fit_kw)
+    if method == "multinomial" and len(langs) >= 2:
+        models = classifier_fit_multinomial(
+            df, label_col, text_col, labels=langs, **fit_kw)
+    else:  # ovr, or a single-language degenerate fit
+        models = {}
+        for lg in langs:
+            labeled = df.withColumn(
+                "__ovr_y", (F.col(label_col) == F.lit(lg)).cast("int"))
+            models[lg] = classifier_fit(labeled, "__ovr_y", text_col,
+                                        **fit_kw)
     return save_model(registry, "lang_classifier",
                       {"langs": langs, "num_buckets": nb,
                        "models": models})

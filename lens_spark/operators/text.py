@@ -667,6 +667,139 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
             "bias": round(float(b), 6)}
 
 
+def classifier_fit_multinomial(df: DataFrame, label_col: str,
+                               text_col: str, *,
+                               labels: "list[str] | None" = None,
+                               num_buckets: int = 1024, iters: int = 20,
+                               lr: float = 1.0,
+                               l2: float = 0.0) -> "dict[str, dict]":
+    """Softmax (multinomial logistic) regression over the SAME hashed
+    bag-of-words featurization as :func:`classifier_fit` — ALL L
+    classes in one model, ONE corpus pass per iteration.
+
+    This is the fit-side I/O upgrade over one-vs-rest (r10 verdict
+    #6): ``save_lang_id``'s OVR loop costs L × ``iters`` corpus passes
+    (at L=64 languages, 64× the scan I/O of this trainer at 100 TB);
+    here each iteration is a single mapInPandas pass whose exchange
+    carries ≤ num_buckets × L (bucket, class, partial) doubles per
+    partition — gradient partials for the whole weight matrix, never
+    rows. The driver holds the (num_buckets × L) model and closes it
+    over into the next pass — the ``kmeans_fit`` /
+    ``classifier_fit`` recipe widened by one axis.
+
+    Returns ``{label: {"weights": [...], "bias": float}}`` — the same
+    per-class interchange shape as L separate ``classifier_fit`` runs,
+    so ``lang_id_score`` and the ``lang_classifier`` artifact envelope
+    serve either trainer unchanged. Softmax and OVR-sigmoid optimize
+    different losses, so weights differ numerically; prediction
+    quality is equivalence-tested (test_models.py pins both ≥0.95 on
+    the fixture corpus and high mutual agreement). Full-batch GD,
+    deterministic up to partition-order float addition (rows-only
+    territory, same note as ``classifier_fit``).
+    """
+    import numpy as np
+
+    nb, its = int(num_buckets), int(iters)
+    if nb < 1 or its < 1:
+        raise LensError(
+            "classifier_fit_multinomial: num_buckets and iters must be >= 1")
+    if labels is None:
+        labels = sorted(
+            r[0] for r in df.select(label_col).distinct().collect()
+            if r[0] is not None)
+    labels = [str(lg) for lg in labels]
+    if len(labels) < 2:
+        raise LensError(
+            f"classifier_fit_multinomial: needs >= 2 classes, got {labels}")
+    ll = len(labels)
+    idx = {lg: i for i, lg in enumerate(labels)}
+    y_expr = F.col(label_col).cast("string")
+    y_idx = F.lit(None).cast("int")
+    for lg, i in idx.items():
+        y_idx = F.when(y_expr == F.lit(lg), F.lit(i)).otherwise(y_idx)
+    bucket_of = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                           .cast("bigint") % F.lit(nb))
+    from pyspark import StorageLevel
+
+    base = (
+        ensure_parallelism(df)
+        .filter(y_idx.isNotNull())  # unlisted labels don't train
+        .select(y_idx.alias("__y"),
+                F.transform(tokens(F.col(text_col)), bucket_of)
+                .alias("__b"))
+        .persist(StorageLevel.DISK_ONLY)  # read `iters` times
+    )
+    w = np.zeros((nb, ll))
+    b = np.zeros(ll)
+    lrf, l2f = float(lr), float(l2)
+    for _ in range(its):
+        wb, bb = w, b  # bind current model into the task closure
+
+        def grads(batches):
+            # One vectorized kernel for the whole class axis: logits
+            # are a (nnz, L) gather accumulated per row, softmax rows,
+            # and the gradient one np.add.at scatter back onto the
+            # (nb, L) matrix — no Python-level row OR class loop.
+            gw = np.zeros((nb, ll))
+            gb = np.zeros(ll)
+            n = 0
+            for pdf in batches:
+                y = pdf["__y"].to_numpy(dtype=np.int64)
+                rows = pdf["__b"].to_numpy()
+                nrows = len(y)
+                if nrows == 0:
+                    continue
+                lens = np.fromiter((len(r) for r in rows),
+                                   dtype=np.int64, count=nrows)
+                flat = (np.concatenate(
+                    [np.asarray(r, dtype=np.int64) for r in rows])
+                    if lens.sum() else np.empty(0, dtype=np.int64))
+                row_ids = np.repeat(np.arange(nrows), lens)
+                safe_len = np.maximum(lens, 1).astype(np.float64)
+                z = np.tile(bb, (nrows, 1))
+                np.add.at(z, row_ids,
+                          wb[flat] / safe_len[row_ids, None])
+                z -= z.max(axis=1, keepdims=True)  # stable softmax
+                p = np.exp(z)
+                p /= p.sum(axis=1, keepdims=True)
+                p[np.arange(nrows), y] -= 1.0  # E = P - onehot(y)
+                np.add.at(gw, flat, p[row_ids] / safe_len[row_ids, None])
+                gb += p.sum(axis=0)
+                n += nrows
+            if n == 0:
+                return
+            nzb, nzl = np.nonzero(gw)
+            out = pd.DataFrame({
+                "b": np.concatenate([nzb, np.full(ll, -1), [-2]]),
+                "l": np.concatenate([nzl, np.arange(ll), [0]]),
+                "g": np.concatenate([gw[nzb, nzl], gb, [float(n)]]),
+            })
+            yield out
+
+        partials = (base.mapInPandas(grads, "b long, l int, g double")
+                    .groupBy("b", "l").agg(F.sum("g").alias("__g"))
+                    .collect())
+        gw = np.zeros((nb, ll))
+        gb = np.zeros(ll)
+        n = 0.0
+        for r in partials:
+            if r["b"] == -2:
+                n = r["__g"]
+            elif r["b"] == -1:
+                gb[r["l"]] = r["__g"]
+            else:
+                gw[r["b"], r["l"]] = r["__g"]
+        if n == 0:
+            raise LensError(
+                "classifier_fit_multinomial: empty training corpus")
+        w = w - lrf * (gw / n + l2f * w)
+        b = b - lrf * (gb / n)
+    base.unpersist()  # model is driver-side; free the pin now
+    return {lg: {"weights": [round(float(x), 6) for x in w[:, i]],
+                 "bias": round(float(b[i]), 6)}
+            for lg, i in idx.items()}
+
+
 @register_lens("classifier_score")
 def classifier_score_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, column (text), weights (list of doubles), bias
