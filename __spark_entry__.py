@@ -2311,6 +2311,41 @@ def q_s8_saved_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s8_saved_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_classifier artifact fitted AND applied by model_id (new
+    r11, r10 verdict #5): ``save_lang_id`` (one-pass multinomial
+    trainer, r10 verdict #6) fits on a synthetic corpus whose three
+    "languages" have DISJOINT vocabularies and a closed-form label
+    (doc_id % 3) — linearly separable by construction, so the trained
+    argmax provably recovers the construction label with a wide
+    margin (float partial-sum ordering can perturb weights in the
+    last ulp but cannot flip a separated argmax). The oracle is the
+    construction label itself, which hash-gates the entire fit →
+    envelope → content-addressed registry (≙ the reference's
+    LensBlock store, host-go/store/block.go:84-133) → one-pass
+    broadcast scorer path end-to-end: a wrong byte anywhere in
+    gradient exchange, artifact chunking, or the weight-table
+    broadcast would flip predictions."""
+    from lens_spark.models import save_lang_id
+    from lens_spark.registry import Registry
+
+    lang = F.element_at(F.array(F.lit("aa"), F.lit("bb"), F.lit("cc")),
+                        F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1)
+    tok = lambda m: F.concat(  # noqa: E731 — lang-prefixed token
+        lang, F.lit("w"),
+        F.pmod(F.col("doc_id") * m, F.lit(5)).cast("string"))
+    corpus = (_read(spark, sf_dir, "documents")
+              .select("doc_id", lang.alias("lang"),
+                      F.concat_ws(" ", tok(7), tok(3)).alias("text")))
+    reg_root = tempfile.mkdtemp(prefix="lens_spark_modelreg_")
+    mid = save_lang_id(Registry(reg_root), corpus, "lang", "text",
+                       num_buckets=512, iters=10, lr=2.0)
+    spec = {"lenses": [{"name": "lang_id", "arguments": {
+        "id": "doc_id", "column": "text", "model_id": mid,
+        "registry": reg_root}}]}
+    return engine.append(corpus, spec).select("doc_id", "pred_lang")
+
+
 def q_x6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING event-time windows (new r6): 1-hour windows advancing
     every 15 minutes — each event lands in 4 overlapping windows (the
@@ -3042,31 +3077,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-10 ROTATION (r9 verdict #2 + #8). IN: the r9 backlog
-        # (x7_group_quota, x9_threshold_sweep, x6_resample — the only
-        # hash-checkable queries without an external CORRECTNESS row),
-        # the new r10 query s8_saved_vocab (token_vocab artifact
-        # applied by model_id, r9 verdict #4), and SIX stale veterans
-        # whose last external row is >=4 rounds old (m5_counter,
-        # arith_pipeline, agg_pricing_summary, x2_minhash_pairs,
-        # x6_exact_distinct — last external green r2; x1_dedup_exact —
-        # r5, which also restores sole-X1 cover for the x1_keep_best
-        # eviction). OUT: ten evictees each with >=3 external green
-        # rounds — x1_keep_best (5), x3_matryoshka,
-        # x3_random_projection, x6_rolling_agg, x6_time_rollup,
-        # x6_sliding_windows, x7_temperature_mix, x2_edit_pairs,
-        # x9_quantile_bin, x9_classifier_eval (3 each). Family cover
-        # stays: X1 via x1_dedup_exact; X3 via x3_embedding_outliers +
-        # x3_centroid; X6 via x6_group_quantiles / x6_equiwidth_hist /
-        # x6_exact_distinct / x6_resample; X7 via x7_epoch_plan /
-        # x7_interleave / x7_realize_epochs / x7_group_quota; X2 keeps
-        # 7 siblings; X9 keeps 7; M5 via m5_counter; core agg/arith
-        # via agg_pricing_summary / arith_pipeline / cube_revenue; S
-        # via the two s8 queries. Every evictee keeps its oracle and
-        # the tail pytest checks it on every run. STANDING POLICY (r9
-        # verdict #8): besides backlog-ins, rotate >=5 green veterans
-        # per round so every hash-checkable query gets an external row
-        # at least every ~3 rounds, oldest-external-row first.
+        # ROUND-11 ROTATION (r10 verdict #3: oldest-external-row first,
+        # hard). IN: x5_vocab_coverage (the only hash-checkable query
+        # that has never had an external row) and the NEW s8_saved_lang
+        # (lang_classifier artifact by model_id, r10 verdict #5), then
+        # the entire >=5-rounds-stale cohort — m2_inverse_roundtrip /
+        # m4_rename_chain (last external r2), the 19-query r4 cohort
+        # (core M/E chains, joins, pivot/rollup, stats, as-of,
+        # session_agg, x4 metadata/features, x5 lang_id/fingerprints,
+        # x7_sample_hash), and the 12-query r5 cohort (X2 dedup
+        # verifiers, x3_quantize_embedding, the x5 quality/stats
+        # family, x7_hash_split, x8_tfidf_top_terms) — plus two
+        # family-cover reserves with the oldest rows in their family
+        # (x1_keep_best r9; x9_curation_pipeline r7, also one of the
+        # two r10 `weak` bench rows, so its external row lands the
+        # same round the attribution closes it), and 13 of the 14
+        # r6-cohort veterans. OUT: the entire r10 window (every member
+        # has a fresh r10 external green) and x7_stratified_sample
+        # (r6-stale, X7 keeps four in-window siblings; first in line
+        # for r12). After this round no hash-checkable query's latest
+        # external row is older than r6 (= 5 rounds at r11). Every
+        # evictee keeps its oracle and the tail pytest oracle-checks
+        # it on every run. STANDING POLICY (r9 verdict #8): rotate
+        # oldest-external-row first so every hash-checkable query gets
+        # an external row at least every ~3 rounds; backlog
+        # (never-external) queries always take priority.
+        "x5_vocab_coverage": q_x5_vocab_coverage,
+        "s8_saved_lang": q_s8_saved_lang,
+        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
+        "m4_rename_chain": q_m4_rename_chain,
+        "asof_last_event": q_asof_last_event,
+        "e7_identity": q_e7_identity,
+        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
+        "events_session_agg": q_events_session_agg,
+        "join_anti_customers": q_join_anti_customers,
+        "join_semi_customers": q_join_semi_customers,
+        "m1_rename": q_m1_rename,
+        "m2_add": q_m2_add,
+        "m5_counter_large": q_m5_counter_large,
+        "m6_filter": q_m6_filter,
+        "pivot_status_revenue": q_pivot_status_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "stats_aggregates": q_stats_aggregates,
+        "window_running_revenue": q_window_running_revenue,
+        "x4_image_features": q_x4_image_features,
+        "x4_media_metadata": q_x4_media_metadata,
+        "x5_fingerprint_dups": q_x5_fingerprint_dups,
+        "x5_lang_id": q_x5_lang_id,
+        "x7_sample_hash": q_x7_sample_hash,
+        "x2_decontaminate": q_x2_decontaminate,
+        "x2_embedding_neardup": q_x2_embedding_neardup,
+        "x2_jaccard_verified": q_x2_jaccard_verified,
+        "x2_ngram_jaccard": q_x2_ngram_jaccard,
+        "x3_quantize_embedding": q_x3_quantize_embedding,
+        "x5_pii_redact": q_x5_pii_redact,
+        "x5_quality_filter": q_x5_quality_filter,
+        "x5_repetition_stats": q_x5_repetition_stats,
+        "x5_text_stats": q_x5_text_stats,
+        "x5_top_tokens": q_x5_top_tokens,
+        "x7_hash_split": q_x7_hash_split,
+        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        "x1_keep_best": q_x1_keep_best,
+        "x9_curation_pipeline": q_x9_curation_pipeline,
+        "events_sessionized": q_events_sessionized,
+        "events_windowed": q_events_windowed,
+        "grouping_sets_qty": q_grouping_sets_qty,
+        "join_enriched_orders": q_join_enriched_orders,
+        "m7_explode": q_m7_explode,
+        "window_topk_orders": q_window_topk_orders,
+        "x2_simhash": q_x2_simhash,
+        "x3_similarity_topk": q_x3_similarity_topk,
+        "x5_chunk_docs": q_x5_chunk_docs,
+        "x5_html_text": q_x5_html_text,
+        "x6_quantiles": q_x6_quantiles,
+        "x7_oversample": q_x7_oversample,
+        "x7_shuffle_shards": q_x7_shuffle_shards,
+        # --- slots 51+: hash-checkable, operator covered above --------
+        # The full r10 window (50 fresh r10 external greens) plus the
+        # remaining pre-r10 evictees; ordering inside the tail is
+        # historical. The tail pytest oracle-checks every entry each
+        # run, so eviction never means unchecked:
         "x7_group_quota": q_x7_group_quota,
         "x9_threshold_sweep": q_x9_threshold_sweep,
         "x6_resample": q_x6_resample,
@@ -3117,11 +3207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
-        # --- slots 51+: hash-checkable, operator covered above --------
-        # r10 evictees (x1_keep_best 5 external greens; the other nine
-        # 3 each; family cover retained in-window — see the rotation
-        # note above; the tail pytest oracle-checks every one):
-        "x1_keep_best": q_x1_keep_best,
         "x3_matryoshka": q_x3_matryoshka,
         "x3_random_projection": q_x3_random_projection,
         "x6_rolling_agg": q_x6_rolling_agg,
@@ -3131,9 +3216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_edit_pairs": q_x2_edit_pairs,
         "x9_quantile_bin": q_x9_quantile_bin,
         "x9_classifier_eval": q_x9_classifier_eval,
-        # (r9 evictees first — e1_composition/s4_transform_by_id 8
-        # external greens each, the three X2s 3 each — then the r8
-        # evictees; tail pytest oracle-checks every one.)
         "e1_composition": q_e1_composition,
         "s4_transform_by_id": q_s4_transform_by_id,
         "x2_contamination_score": q_x2_contamination_score,
@@ -3158,7 +3240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_sample_exact_k": q_x7_sample_exact_k,
         "x2_winnow_fps": q_x2_winnow_fps,
         "x5_hash_embedding": q_x5_hash_embedding,
-        "x9_curation_pipeline": q_x9_curation_pipeline,
         "x5_bigram_logprob": q_x5_bigram_logprob,
         "x5_url_dedup": q_x5_url_dedup,
         "x5_segment_filter": q_x5_segment_filter,
@@ -3169,56 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_dataset_diff": q_x9_dataset_diff,
         "x9_outlier_filter": q_x9_outlier_filter,
         "x9_profile": q_x9_profile,
-        "m7_explode": q_m7_explode,
-        "join_enriched_orders": q_join_enriched_orders,
-        "window_topk_orders": q_window_topk_orders,
-        "grouping_sets_qty": q_grouping_sets_qty,
-        "events_sessionized": q_events_sessionized,
-        "events_windowed": q_events_windowed,
-        "x3_similarity_topk": q_x3_similarity_topk,
-        "x6_quantiles": q_x6_quantiles,
         "x7_stratified_sample": q_x7_stratified_sample,
-        "x7_oversample": q_x7_oversample,
-        "x5_chunk_docs": q_x5_chunk_docs,
-        "x2_simhash": q_x2_simhash,
-        "x7_shuffle_shards": q_x7_shuffle_shards,
-        "x5_html_text": q_x5_html_text,
-        "m5_counter_large": q_m5_counter_large,
-        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
-        "m2_add": q_m2_add,
-        "m6_filter": q_m6_filter,
-        "join_anti_customers": q_join_anti_customers,
-        "asof_last_event": q_asof_last_event,
-        "x4_media_metadata": q_x4_media_metadata,
-        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
-        "m4_rename_chain": q_m4_rename_chain,
-        "e7_identity": q_e7_identity,
-        "join_semi_customers": q_join_semi_customers,
-        "stats_aggregates": q_stats_aggregates,
-        "x7_sample_hash": q_x7_sample_hash,
-        "m1_rename": q_m1_rename,
-        "rollup_revenue": q_rollup_revenue,
-        "pivot_status_revenue": q_pivot_status_revenue,
-        "window_running_revenue": q_window_running_revenue,
-        "events_session_agg": q_events_session_agg,
-        "x5_lang_id": q_x5_lang_id,
-        "x5_fingerprint_dups": q_x5_fingerprint_dups,
-        "x4_image_features": q_x4_image_features,
-        "x2_jaccard_verified": q_x2_jaccard_verified,
-        "x2_embedding_neardup": q_x2_embedding_neardup,
-        "x2_ngram_jaccard": q_x2_ngram_jaccard,
-        "x2_decontaminate": q_x2_decontaminate,
-        "x3_quantize_embedding": q_x3_quantize_embedding,
-        "x5_text_stats": q_x5_text_stats,
-        "x5_top_tokens": q_x5_top_tokens,
-        "x5_repetition_stats": q_x5_repetition_stats,
-        "x5_quality_filter": q_x5_quality_filter,
-        "x5_pii_redact": q_x5_pii_redact,
-        "x7_hash_split": q_x7_hash_split,
-        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        # r10 tail addition (hash-checkable; external-window candidate
-        # for the r11 rotation — the tail pytest oracle-checks it now):
-        "x5_vocab_coverage": q_x5_vocab_coverage,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -5537,6 +5569,17 @@ FROM both_docs GROUP BY 1 HAVING count(*) > 1
         # closed-form SQL, so any envelope/chunk/load corruption
         # hash-mismatches.
         "s8_saved_model": _classifier_score_oracle_sql(),
+        # Saved-lang apply (new r11): the fit corpus is linearly
+        # separable by construction with a closed-form label, so the
+        # oracle is the construction label itself — hash-gating the
+        # multinomial fit -> artifact -> one-pass scorer path.
+        "s8_saved_lang": """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc'
+       END AS pred_lang
+FROM documents
+""",
         "x3_random_projection": _random_projection_oracle_sql(),
         "x7_temperature_mix": r"""
 WITH ntok AS (

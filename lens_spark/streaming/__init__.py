@@ -775,6 +775,7 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
     The index writer lease spans the whole critical section, so two
     ingest jobs sharing an index cannot both accept the last slot.
     """
+    from lens_spark.operators.base import check_reserved
     from lens_spark.operators.dedup import (
         INDEX_PROBE_BUCKETS,
         _index_writer_lock,

@@ -74,96 +74,43 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-10 rotation: the r9 backlog (never externally checked
-        # until now) + the new r10 query
-        "x7_group_quota", "x9_threshold_sweep", "x6_resample",
-        "s8_saved_vocab",
-        # round-10 stale-veteran refresh (r9 verdict #8: last external
-        # row >=4 rounds old; x1_dedup_exact also restores X1 cover)
-        "m5_counter", "arith_pipeline", "agg_pricing_summary",
-        "x2_minhash_pairs", "x6_exact_distinct", "x1_dedup_exact",
-        # round-9 rotation cohort: one external row, keep for a 2nd
-        "x9_card_diff", "x9_expectations", "e2_wasm_pipeline",
-        "e2_wasm_lenchange", "s8_saved_model",
-        # round-7 cohort keepers (family-cover anchors)
-        "x3_embedding_outliers", "x3_centroid", "cube_revenue",
-        "x6_group_quantiles", "x2_components",
-        # round-8 rotation cohort: the ENTIRE 30-query never-
-        # externally-checked backlog (14 r6 leftovers + 16 r7
-        # newcomers) — first external check this round
-        "x5_compression_ratio", "x2_containment", "x2_novelty",
-        "x4_image_phash", "x5_classifier_score", "x5_logprob_band",
-        "x5_mask_tokens", "x5_sentence_dedup", "x5_sentences",
-        "x5_token_histogram", "x5_vocab_ids", "x8_concat_blocks",
-        "x8_fim", "x8_length_batches", "x8_span_corrupt",
-        "x9_snapshot_diff", "x2_cluster_stats", "x8_chat_render",
-        "x7_epoch_plan", "x9_ks_drift", "x2_cluster_rep",
-        "x5_structure_stats", "x8_preference_pairs", "x7_interleave",
-        "x5_pseudonymize", "x6_equiwidth_hist", "x9_dataset_card",
-        "x2_overlap_matrix", "x7_realize_epochs", "x9_filter_funnel",
+        # round-11 rotation (r10 verdict #3: oldest-external-row
+        # first, hard): the never-external backlog (x5_vocab_coverage
+        # + the new s8_saved_lang), every query whose latest external
+        # row is >=5 rounds old (r2/r4/r5 cohorts), two family-cover
+        # reserves (x1_keep_best, x9_curation_pipeline), and 13 of
+        # the 14 r6-cohort veterans — see the queries() rotation note
+        "asof_last_event", "e7_identity", "e8_inversion_roundtrip",
+        "events_session_agg", "events_sessionized", "events_windowed",
+        "grouping_sets_qty", "join_anti_customers", "join_enriched_orders",
+        "join_semi_customers", "m1_rename", "m2_add", "m2_inverse_roundtrip",
+        "m4_rename_chain", "m5_counter_large", "m6_filter", "m7_explode",
+        "pivot_status_revenue", "rollup_revenue", "s8_saved_lang",
+        "stats_aggregates", "window_running_revenue", "window_topk_orders",
+        "x1_keep_best", "x2_decontaminate", "x2_embedding_neardup",
+        "x2_jaccard_verified", "x2_ngram_jaccard", "x2_simhash",
+        "x3_quantize_embedding", "x3_similarity_topk", "x4_image_features",
+        "x4_media_metadata", "x5_chunk_docs", "x5_fingerprint_dups",
+        "x5_html_text", "x5_lang_id", "x5_pii_redact", "x5_quality_filter",
+        "x5_repetition_stats", "x5_text_stats", "x5_top_tokens",
+        "x5_vocab_coverage", "x6_quantiles", "x7_hash_split",
+        "x7_oversample", "x7_sample_hash", "x7_shuffle_shards",
+        "x8_tfidf_top_terms", "x9_curation_pipeline"
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)
     assert not out, f"required queries outside the checked window: {out}"
-    # rotation evictees must keep their oracle (hash-checkable tail)
+    # Every hash-checkable query NOT in this round's window must sit
+    # in the tail WITH its oracle intact (the tail test below checks
+    # each against DuckDB locally every run, so eviction never means
+    # unchecked). Programmatic since r11 — the hand-maintained
+    # evictee list grew unmaintainable as rotations compounded.
     oracles = set(entrymod.oracle_sql())
-    for name in ("e7_identity", "join_semi_customers", "stats_aggregates",
-                 "x7_sample_hash", "m1_rename", "rollup_revenue",
-                 "pivot_status_revenue", "window_running_revenue",
-                 "events_session_agg", "x5_lang_id", "x5_fingerprint_dups",
-                 "x4_image_features", "m2_add", "m6_filter",
-                 "join_anti_customers", "asof_last_event",
-                 "x4_media_metadata", "m5_counter_large",
-                 "e8_inversion_roundtrip",
-                 # round-6 evictees (x1_dedup_exact rotated back IN in
-                 # round 10):
-                 "x2_jaccard_verified",
-                 "x2_embedding_neardup", "x2_ngram_jaccard",
-                 "x2_decontaminate", "x3_quantize_embedding",
-                 "x5_text_stats", "x5_top_tokens", "x5_repetition_stats",
-                 "x5_quality_filter", "x5_pii_redact", "x7_hash_split",
-                 "x8_tfidf_top_terms",
-                 # round-7 evictees (10 of them ≥3 external green
-                 # rounds; x5_chunk_docs / x2_simhash /
-                 # x7_shuffle_shards / x5_html_text 2 rounds each with
-                 # rich in-window family cover — see queries()):
-                 "m7_explode", "join_enriched_orders",
-                 "window_topk_orders", "grouping_sets_qty",
-                 "events_sessionized", "events_windowed",
-                 "x3_similarity_topk", "x6_quantiles",
-                 "x7_stratified_sample", "x7_oversample",
-                 "x5_chunk_docs", "x2_simhash", "x7_shuffle_shards",
-                 "x5_html_text",
-                 # round-8 evictees (20 with >=3 external green rounds
-                 # + 10 two-round-green with rich incoming family
-                 # cover — see queries()):
-                 "x7_dsir_weights", "x7_dsir_select",
-                 "x2_dup_span_stats", "range_join_events",
-                 "x2_bloom_decontaminate", "unpivot_price_measures",
-                 "sets_except", "python_udf_bucket", "json_extract",
-                 "scalar_functions", "x5_line_dedup", "x8_bm25",
-                 "x4_audio_features", "x5_span_dedup",
-                 "x5_unigram_logprob", "x7_token_budget_mix",
-                 "x7_sample_exact_k", "x2_winnow_fps",
-                 "x5_hash_embedding", "x9_curation_pipeline",
-                 "x5_bigram_logprob", "x5_url_dedup",
-                 "x5_segment_filter", "x5_normalize_text",
-                 "x5_dedup_segments", "x5_domain_filter",
-                 "x5_truncate_tokens", "x9_dataset_diff",
-                 "x9_outlier_filter", "x9_profile",
-                 # round-9 evictees (e1/s4: 8 external green rounds
-                 # each; the three X2s: 3 each, family cover rich):
-                 "e1_composition", "s4_transform_by_id",
-                 "x2_contamination_score", "x2_winnow_pairs",
-                 "x2_cross_neardup",
-                 # round-10 evictees (x1_keep_best 5 external greens,
-                 # the other nine 3 each):
-                 "x1_keep_best", "x3_matryoshka", "x3_random_projection",
-                 "x6_rolling_agg", "x6_time_rollup", "x6_sliding_windows",
-                 "x7_temperature_mix", "x2_edit_pairs", "x9_quantile_bin",
-                 "x9_classifier_eval"):
-        assert name in qkeys[50:] and name in oracles, (
-            f"{name} must sit in the hash-checkable tail")
+    tail_hash = [k for k in qkeys[50:] if k in oracles]
+    evicted = oracles - must_be_in_window
+    misplaced = evicted - set(tail_hash)
+    assert not misplaced, (
+        f"hash-checkable evictees missing from the tail: {misplaced}")
 
 
 def test_tail_hash_checkable_queries_match_oracle_locally(spark, con):
