@@ -726,6 +726,7 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
                      fmt: str = "parquet",
                      partition_by: "list[str] | None" = None,
                      broadcast_probe: bool = True,
+                     auto_compact_files: "int | None" = 64,
                      checkpoint: str | None = None,
                      timeout: int = 120) -> None:
     """Per-key quota AT INTAKE, across batches and runs (r9 verdict
@@ -774,6 +775,21 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
     already charged and lands nothing new beyond remaining quota.
     The index writer lease spans the whole critical section, so two
     ingest jobs sharing an index cannot both accept the last slot.
+
+    Index maintenance (r10 verdict #7): each batch appends one
+    increment file per touched pb bucket, so a long-running intake
+    would accumulate files without bound if compaction stayed manual.
+    ``auto_compact_files`` (default 64, ``None`` disables) bounds it:
+    after the count append the sink lists the buckets THIS batch
+    touched (one ``listStatus`` per touched bucket — the same order of
+    metadata I/O the probe's partition pruning already pays, never a
+    full-index listing) and, if any exceeds the threshold, runs the
+    compaction core under the lease it already holds. Since a bucket
+    only grows when touched and every touch checks, no bucket ever
+    ends a batch above the threshold; compaction cost is proportional
+    to the index (distinct keys), amortized to ~1/threshold of it per
+    batch. Crash mid-compaction is rolled forward by the recovery
+    call at the top of the next batch's locked section.
     """
     from lens_spark.operators.base import check_reserved
     from lens_spark.operators.dedup import (
@@ -794,6 +810,10 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             "run_stream_quota: tiebreak columns are required — the "
             "accepted set must not depend on partitioning (same "
             "contract as group_quota)")
+    if auto_compact_files is not None and auto_compact_files < 1:
+        raise LensError(
+            "run_stream_quota: auto_compact_files must be >= 1 "
+            "(or None to disable the compaction trigger)")
     check_reserved(stream_df, {"__sq_rank", "__sq_kh", "__sq_used"},
                    "run_stream_quota")
     parts_path = f"{index_path}/parts"
@@ -854,6 +874,27 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
                                       F.lit(INDEX_PROBE_BUCKETS)))
              .repartition(F.col("pb"))
              .write.mode("append").partitionBy("pb").parquet(parts_path))
+            if auto_compact_files:
+                # bounded trigger check: only the buckets THIS batch
+                # touched (<= its distinct keys, <= INDEX_PROBE_BUCKETS)
+                touched = [r["pb"] for r in accepted.select(
+                    F.pmod(F.col("__sq_kh"), F.lit(INDEX_PROBE_BUCKETS))
+                    .alias("pb")).distinct().collect()]
+                jvm = spark._jvm
+                P = jvm.org.apache.hadoop.fs.Path
+                fs = P(parts_path).getFileSystem(
+                    spark._jsc.hadoopConfiguration())
+                worst = 0
+                for pb in touched:
+                    d = P(f"{parts_path}/pb={pb}")
+                    if fs.exists(d):
+                        worst = max(worst, sum(
+                            1 for s in fs.listStatus(d)
+                            if not s.getPath().getName()
+                            .startswith(("_", "."))))
+                if worst > auto_compact_files:
+                    _refresh_writer_lock(spark, index_path)
+                    _compact_quota_parts(spark, parts_path)
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation",
@@ -871,30 +912,15 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             "or raise timeout=")
 
 
-def compact_quota_index(spark: SparkSession, index_path: str) -> dict:
-    """Maintenance pass for ``run_stream_quota``'s accepted-count
-    index: merge per-batch INCREMENT rows into one ``(kh, cnt)`` row
-    per key. The hot path never read-modify-writes (each batch appends
-    one increment file per touched pb bucket, reads sum increments),
-    so after thousands of batches a Zipf-hot key carries thousands of
-    rows and every directory thousands of footers — this is the
-    off-path deep-clean, the row-merging sibling of
-    ``dedup.compact_index`` (which rewrites files byte-equivalently;
-    here rows LAWFULLY merge because the index's contract is the sum).
-
-    Takes the writer lease (compaction and ingest serialize), reuses
-    the dedup index's staged-rename protocol — tmp write → parts →
-    parts.old → rename → delete — so a crash at any point is rolled
-    forward/back by the next locked call. Returns {"rows_before",
-    "rows_after", "files_before", "files_after"}.
-    """
-    from lens_spark.operators.dedup import (
-        _index_writer_lock,
-        _parts_pb_migration_recover,
-    )
+def _compact_quota_parts(spark: SparkSession, parts_path: str) -> dict:
+    """Compaction core for the quota count index — CALLER HOLDS the
+    index writer lease (``compact_quota_index`` wraps this with the
+    lock; ``run_stream_quota``'s auto-trigger calls it under the lease
+    its sink already holds). Staged-rename protocol as documented on
+    ``compact_quota_index``."""
+    from lens_spark.operators.dedup import _parts_pb_migration_recover
     from lens_spark.sources import dataset_nonempty
 
-    parts_path = f"{index_path}/parts"
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -907,42 +933,70 @@ def compact_quota_index(spark: SparkSession, index_path: str) -> dict:
                 n += 1
         return n
 
-    with _index_writer_lock(spark, index_path):
-        _parts_pb_migration_recover(spark, parts_path)
-        if not dataset_nonempty(spark, parts_path):
-            return {"rows_before": 0, "rows_after": 0,
-                    "files_before": 0, "files_after": 0}
-        parts = spark.read.parquet(parts_path)
-        if not {"kh", "cnt", "pb"} <= set(parts.columns):
-            raise LensError(
-                f"compact_quota_index: {parts_path!r} is not a quota "
-                f"count index (columns {sorted(parts.columns)}; "
-                "expected kh/cnt/pb) — use dedup.compact_index for "
-                "fingerprint/band/cell indexes")
-        rows_before = parts.count()
-        files_before = _visible_files(parts_path)
-        merged = (parts.groupBy("kh", "pb")
-                  .agg(F.sum("cnt").alias("cnt"))
-                  .select("kh", "cnt", "pb"))
-        # one task per pb directory -> one file per directory
-        (merged.repartition(F.col("pb"))
-         .write.mode("overwrite").partitionBy("pb")
-         .parquet(parts_path + ".migrating"))
-        if not fs.rename(P(parts_path), P(parts_path + ".old")):
-            raise LensError(
-                f"compact_quota_index: could not stage {parts_path!r} "
-                "aside.")
-        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
-            raise LensError(
-                "compact_quota_index: could not rename the compacted "
-                "dataset into place — recovery will complete it on the "
-                "next locked call.")
-        fs.delete(P(parts_path + ".old"), True)
-        rows_after = spark.read.parquet(parts_path).count()
-        files_after = _visible_files(parts_path)
+    _parts_pb_migration_recover(spark, parts_path)
+    if not dataset_nonempty(spark, parts_path):
+        return {"rows_before": 0, "rows_after": 0,
+                "files_before": 0, "files_after": 0}
+    parts = spark.read.parquet(parts_path)
+    if not {"kh", "cnt", "pb"} <= set(parts.columns):
+        raise LensError(
+            f"compact_quota_index: {parts_path!r} is not a quota "
+            f"count index (columns {sorted(parts.columns)}; "
+            "expected kh/cnt/pb) — use dedup.compact_index for "
+            "fingerprint/band/cell indexes")
+    rows_before = parts.count()
+    files_before = _visible_files(parts_path)
+    merged = (parts.groupBy("kh", "pb")
+              .agg(F.sum("cnt").alias("cnt"))
+              .select("kh", "cnt", "pb"))
+    # one task per pb directory -> one file per directory
+    (merged.repartition(F.col("pb"))
+     .write.mode("overwrite").partitionBy("pb")
+     .parquet(parts_path + ".migrating"))
+    if not fs.rename(P(parts_path), P(parts_path + ".old")):
+        raise LensError(
+            f"compact_quota_index: could not stage {parts_path!r} "
+            "aside.")
+    if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+        raise LensError(
+            "compact_quota_index: could not rename the compacted "
+            "dataset into place — recovery will complete it on the "
+            "next locked call.")
+    fs.delete(P(parts_path + ".old"), True)
+    rows_after = spark.read.parquet(parts_path).count()
+    files_after = _visible_files(parts_path)
     return {"rows_before": int(rows_before), "rows_after": int(rows_after),
             "files_before": int(files_before),
             "files_after": int(files_after)}
+
+
+def compact_quota_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance pass for ``run_stream_quota``'s accepted-count
+    index: merge per-batch INCREMENT rows into one ``(kh, cnt)`` row
+    per key. The hot path never read-modify-writes (each batch appends
+    one increment file per touched pb bucket, reads sum increments),
+    so after thousands of batches a Zipf-hot key carries thousands of
+    rows and every directory thousands of footers — this is the
+    off-path deep-clean, the row-merging sibling of
+    ``dedup.compact_index`` (which rewrites files byte-equivalently;
+    here rows LAWFULLY merge because the index's contract is the sum).
+
+    Manual cadence is OPTIONAL since r11: ``run_stream_quota`` itself
+    triggers this compaction when a bucket it touched exceeds
+    ``auto_compact_files`` increment files (see its docstring for the
+    bound and cost accounting) — call this directly for scheduled
+    deep-cleans or after disabling the auto-trigger.
+
+    Takes the writer lease (compaction and ingest serialize), reuses
+    the dedup index's staged-rename protocol — tmp write → parts →
+    parts.old → rename → delete — so a crash at any point is rolled
+    forward/back by the next locked call. Returns {"rows_before",
+    "rows_after", "files_before", "files_after"}.
+    """
+    from lens_spark.operators.dedup import _index_writer_lock
+
+    with _index_writer_lock(spark, index_path):
+        return _compact_quota_parts(spark, f"{index_path}/parts")
 
 
 def _ks_from_hist(hist_a: dict, hist_b: dict) -> tuple:
