@@ -1749,6 +1749,27 @@ def q_x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
 
 
+def q_x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (new r11): coarse-cell routing × PQ table-lookup scoring
+    in ONE fused corpus pass — only rows whose cell a query probes are
+    scored, and each is m byte-code lookups instead of a dim-float
+    cosine (the FAISS composition of ivf_topk's scan dial and
+    pq_topk's memory dial; Jégou et al. 2011). Exact re-rank of the
+    ADC shortlist; measured per-query recall@k in the output.
+    Rows-only: iterative float fits aren't single-query SQL; accuracy
+    and the fit-free artifact-serving path (kmeans_centroids +
+    pq_codebooks by model_id) are pinned by tests/test_similarity.py."""
+    from lens_spark.operators.similarity import topk_with_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = topk_with_recall(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=10, method="ivfpq",
+                           dim=64, nlist=16, nprobe=8, m=8, nbits=6,
+                           rerank=100)
+    return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
+
+
 def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent ANN index on parquet: 90% of the embedding table is
     ingested as the accepted corpus (hyperplane cells + int8 codes),
@@ -3262,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ann_serving": q_x3_ann_serving,
         "x3_ivf_topk": q_x3_ivf_topk,
         "x3_pq_topk": q_x3_pq_topk,
+        "x3_ivfpq_topk": q_x3_ivfpq_topk,
         "x3_pq_serving": q_x3_pq_serving,
         "x3_knn_graph": q_x3_knn_graph,
         "x4_frame_sample": q_x4_frame_sample,

@@ -155,6 +155,7 @@ HEADLINE = [
     "x6_resample",           # gap-filled fixed-interval downsample (r9)
     "s8_saved_vocab",        # registry vocab artifact -> broadcast apply (r10)
     "x5_vocab_coverage",     # per-lang tokenizer OOV report, pre-agg (r10)
+    "x3_ivfpq_topk",         # IVFADC: cell routing x PQ ADC, one pass (r11)
 ]
 
 

@@ -58,7 +58,8 @@ _FORMAT = "lens_spark_model"
 _VERSION = 1
 
 MODEL_KINDS = ("bpe_merges", "linear_classifier", "kmeans_centroids",
-               "token_vocab", "lang_classifier", "bloom_bitset")
+               "token_vocab", "lang_classifier", "bloom_bitset",
+               "pq_codebooks")
 
 
 def _coerce_registry(registry: "Registry | str | Path") -> Registry:
@@ -147,6 +148,39 @@ def save_classifier(registry: "Registry | str | Path", df,
     return save_model(registry, "linear_classifier",
                       {"weights": [float(w) for w in model["weights"]],
                        "bias": float(model["bias"])})
+
+
+def save_pq(registry: "Registry | str | Path", df, id_col: str,
+            vec_col: str, *, dim: int, m: int = 4, nbits: int = 4,
+            train_size: int = 2048, iters: int = 8) -> str:
+    """Train PQ codebooks (the ``pq_topk`` recipe: deterministic
+    smallest-md5(id) sample, driver-side per-subspace Lloyd's) and
+    persist them as a ``pq_codebooks`` artifact; returns the id.
+    ``dim``/``m``/``nbits`` travel in the envelope so the serving side
+    (``similarity_topk`` method ``pq``/``ivfpq`` with ``pq_model_id``)
+    can never apply codebooks with a mismatched geometry — the PQ
+    sibling of ``save_kmeans``'s coarse quantizer; together they make
+    IVFADC serving completely fit-free."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.similarity import _pq_train_codebooks
+
+    ksub = 1 << int(nbits)
+    if dim % m != 0:
+        raise LensError(f"save_pq: dim={dim} not divisible by m={m}")
+    sample = np.stack(
+        df.withColumn("__mk", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__mk").limit(int(train_size))
+        .select(vec_col).toPandas()[vec_col].to_numpy()).astype(np.float64)
+    if sample.shape[1] != dim:
+        raise LensError(
+            f"save_pq: vector dim {sample.shape[1]} != dim={dim}")
+    books = _pq_train_codebooks(sample, int(m), ksub, int(iters))
+    return save_model(registry, "pq_codebooks", {
+        "dim": int(dim), "m": int(m), "nbits": int(nbits),
+        "books": [[[float(x) for x in c] for c in book]
+                  for book in books]})
 
 
 def save_kmeans(registry: "Registry | str | Path", df, id_col: str,

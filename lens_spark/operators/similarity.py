@@ -500,6 +500,197 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
             .filter(F.col("rank") <= k))
 
 
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+               vec_col: str, dim: int, k: int = 10, nlist: int = 16,
+               nprobe: int = 4, m: int = 4, nbits: int = 4,
+               train_size: int = 2048, iters: int = 8,
+               rerank: "int | None" = None, exclude_self: bool = True,
+               centroids: "Sequence[Sequence[float]] | None" = None,
+               codebooks: "Sequence | None" = None) -> DataFrame:
+    """IVF routing + PQ asymmetric-distance scoring in one operator —
+    the FAISS ``IVFADC`` composition (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011), and the
+    100 TB serving shape: ``ivf_topk`` prunes WHICH vectors are
+    scored (~nprobe/nlist of the corpus) but pays exact float cosine
+    on each; ``pq_topk`` scores via byte-code table lookups but scans
+    every code for every query. This does both: only rows whose
+    coarse cell is probed by a query are scored, and the scoring is
+    LUT sums over m byte codes — per-query compute drops by
+    ~nlist/nprobe vs pq_topk, per-candidate compute by ~dim/m float
+    ops vs ivf_topk.
+
+    Dataflow (ONE corpus scan, no vector ever shuffles):
+    (1) coarse centroids — ``centroids=`` drops in a trained
+    ``kmeans_centroids`` artifact, else the nlist lowest-id corpus
+    vectors (the ``ivf_topk`` default); (2) PQ codebooks — trained
+    driver-side on the smallest-md5(id) sample (the ``pq_topk``
+    recipe), or served from a ``pq_codebooks`` artifact via
+    ``codebooks=``; (3) the query panel (bounded, ≤4096) routes to
+    its ``nprobe`` nearest cells and broadcasts per-query LUTs +
+    probed-cell sets; (4) one fused Arrow pass over the corpus
+    assigns each batch row's cell, PQ-encodes it, and scores it ONLY
+    against the queries probing that cell — the kernel blocks by
+    distinct cell within the batch (≤ nlist blocks), so the inner
+    math is dense LUT gathers, no per-row Python. Each batch emits
+    ≤ keep_n rows per query; the shared two-stage ``_rank_topk``
+    finishes. ``rerank`` adds the pq_topk exact-refinement tail
+    (broadcast semi-join candidate fetch, never a corpus shuffle).
+
+    Persistent-deployment note (the real 100 TB win): materialize
+    (id, cell, codes) ONCE, partitioned by cell — the
+    ``embedding_neardup_incremental`` parquet-index idiom — and query
+    panels then read ONLY the probed cells' partitions (partition
+    pruning on disk, ~nprobe/nlist of the bytes, each 128× smaller
+    than raw vectors). In-query, assignment+encoding happen on the
+    fly inside the single scan, so the saving is compute and shuffle,
+    not scan I/O. Scores are approximate cosine against the
+    reconstructed corpus vector (queries stay exact — asymmetric),
+    rounded to 6dp; recall is measured, not assumed, via
+    ``topk_with_recall(method="ivfpq")``.
+    """
+    from lens_spark.errors import LensError
+
+    ksub = 1 << int(nbits)
+    if dim % m != 0:
+        raise LensError(f"ivfpq_topk: dim={dim} not divisible by m={m}")
+    if nprobe > nlist:
+        raise LensError(
+            f"ivfpq_topk: nprobe={nprobe} exceeds nlist={nlist}")
+    dsub = dim // m
+
+    # (1) coarse centroids, driver-side numpy for the kernel
+    if centroids is not None:
+        if not centroids:
+            raise LensError("ivfpq_topk: centroids must be non-empty")
+        cent = np.array([list(c) for c in centroids], dtype=np.float64)
+        nlist = len(cent)
+    else:
+        cent = np.stack(
+            corpus.orderBy(F.col(id_col).asc()).limit(int(nlist))
+            .select(vec_col).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        nlist = len(cent)
+    if cent.shape[1] != dim:
+        raise LensError(
+            f"ivfpq_topk: centroid dim {cent.shape[1]} != dim={dim}")
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    # (2) PQ codebooks: artifact or the deterministic md5-sample fit
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.shape != (m, ksub, dsub):
+            raise LensError(
+                f"ivfpq_topk: codebooks shape {books.shape} != "
+                f"(m={m}, ksub={ksub}, dsub={dsub})")
+    else:
+        sample = np.stack(
+            corpus.withColumn("__mk", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__mk").limit(int(train_size))
+            .select(vec_col).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        books = _pq_train_codebooks(sample, m, ksub, int(iters))
+    sqnorm = (books ** 2).sum(axis=2)                          # (m,ksub)
+
+    # (3) query panel: probed cells + LUTs, one bounded broadcast
+    max_queries = 4096
+    qpdf = (queries.select(F.col(id_col).alias("qid"), vec_col)
+            .limit(max_queries + 1).toPandas())
+    if len(qpdf) > max_queries:
+        raise LensError(
+            f"ivfpq_topk: query panel exceeds {max_queries}; run in "
+            "panels (the LUT broadcast scales with nq)")
+    qids = qpdf["qid"].to_numpy()
+    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((qv ** 2).sum(axis=1))
+    # cosine routing (the ivf_topk metric): per query, the nprobe
+    # most-cosine-similar cells
+    csim = (qv @ cent.T) / np.maximum(
+        qnorm[:, None] * np.sqrt(np.maximum(cent_sq, 1e-12))[None, :],
+        1e-12)
+    probed = np.argsort(-csim, axis=1, kind="stable")[:, :int(nprobe)]
+    lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)                # (nq,m,ksub)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (lut, qids, qnorm, probed))
+
+    out_schema = "query_id long, neighbor_id long, score double"
+    keep_n = max(int(rerank), k) if rerank else k
+
+    # (4) fused assign + encode + cell-blocked ADC scoring
+    def score_batches(batches):
+        b_lut, b_qids, b_qnorm, b_probed = bc.value
+        nq = len(b_qids)
+        # invert probed: cell -> the queries probing it
+        cell_queries: dict[int, list[int]] = {}
+        for qi in range(nq):
+            for c in b_probed[qi]:
+                cell_queries.setdefault(int(c), []).append(qi)
+        cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
+        for pdf in batches:
+            nid = pdf["neighbor_id"].to_numpy()
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells = np.argmin(
+                -2.0 * (x @ cent.T) + cent_sq, axis=1)         # (n,)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub:(j + 1) * dsub]
+                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
+                     + sqnorm[j])
+                codes[:, j] = d.argmin(axis=1)
+            rn2 = np.zeros(len(nid))
+            for j in range(m):
+                rn2 += sqnorm[j][codes[:, j]]
+            rnorm = np.sqrt(np.maximum(rn2, 1e-12))
+            parts = []
+            for c in np.unique(cells):
+                qs = cell_queries.get(int(c))
+                if qs is None:
+                    continue                    # nobody probes this cell
+                rows = np.nonzero(cells == c)[0]
+                lq = b_lut[qs]                  # (nqs, m, ksub)
+                ip = np.zeros((len(rows), len(qs)))
+                for j in range(m):
+                    ip += lq[:, j, codes[rows, j]].T
+                s = np.round(
+                    ip / np.maximum(rnorm[rows][:, None]
+                                    * b_qnorm[qs][None, :], 1e-12), 6)
+                kk = min(keep_n + 1 if exclude_self else keep_n,
+                         len(rows))
+                for qj, qi in enumerate(qs):
+                    top = np.argpartition(-s[:, qj], kk - 1)[:kk]
+                    parts.append(pd.DataFrame({
+                        "query_id": b_qids[qi],
+                        "neighbor_id": nid[rows[top]],
+                        "score": s[top, qj]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = (ensure_parallelism(corpus)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__v"))
+              .mapInPandas(score_batches, out_schema))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    if not rerank:
+        return _rank_topk(scored, "query_id", k)
+    shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
+                 .select("query_id", "neighbor_id"))
+    cand = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cv")) \
+        .join(F.broadcast(shortlist), "neighbor_id")
+    qdf = queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("__qv"))
+    exact = (cand.join(F.broadcast(qdf), "query_id")
+             .withColumn("score", F.round(
+                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+             .select("query_id", "neighbor_id", "score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (exact.withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
 def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                      vec_col: str, k: int = 10, method: str = "ann",
                      **params: Any) -> DataFrame:
@@ -527,6 +718,9 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     elif method == "pq":
         approx = pq_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
                          k=k, **params)
+    elif method == "ivfpq":
+        approx = ivfpq_topk(corpus, queries, id_col=id_col,
+                            vec_col=vec_col, k=k, **params)
     else:
         raise ValueError(f"topk_with_recall: unknown method {method!r}")
     # the approx result feeds two legs (hit count + final output); it is
@@ -566,10 +760,12 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 @register_lens("similarity_topk")
 def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
     """arguments: id, vector, k, query_predicate (SQL selecting the query
-    rows from the input), method ("brute" | "ann" | "ivf"), dim (for
-    ann), nlist/nprobe (for ivf); ivf also takes model_id + registry
-    to serve against a registry-persisted kmeans_centroids artifact
-    (fit-once/apply-many coarse quantizer, r10)."""
+    rows from the input), method ("brute" | "ann" | "ivf" | "pq" |
+    "ivfpq"), dim (for ann/pq/ivfpq), nlist/nprobe (ivf/ivfpq),
+    m/nbits/train_size/iters/rerank (pq/ivfpq); ivf and ivfpq take
+    model_id + registry for a registry-persisted kmeans_centroids
+    coarse quantizer (r10), and pq_model_id for pq_codebooks (r11) —
+    with both, ivfpq serving is completely fit-free."""
     id_col = str(require_arg(arguments, "id", "similarity_topk"))
     vec_col = str(require_arg(arguments, "vector", "similarity_topk"))
     k = int(arguments.get("k", 10))
@@ -605,6 +801,40 @@ def similarity_topk_lens(arguments: Mapping[str, Any]) -> Lens:
                            iters=int(arguments.get("iters", 8)),
                            rerank=(int(arguments["rerank"])
                                    if arguments.get("rerank") else None))
+        if method == "ivfpq":
+            dim = int(require_arg(arguments, "dim", "similarity_topk"))
+            cents = books = None
+            if arguments.get("model_id") is not None:
+                from lens_spark.models import load_model
+
+                reg = require_arg(arguments, "registry", "similarity_topk")
+                cents = load_model(reg, str(arguments["model_id"]),
+                                   expect_kind="kmeans_centroids")
+            m = int(arguments.get("m", 4))
+            nbits = int(arguments.get("nbits", 4))
+            if arguments.get("pq_model_id") is not None:
+                from lens_spark.models import load_model
+
+                reg = require_arg(arguments, "registry", "similarity_topk")
+                env = load_model(reg, str(arguments["pq_model_id"]),
+                                 expect_kind="pq_codebooks")
+                if int(env["dim"]) != dim:
+                    from lens_spark.errors import LensError
+                    raise LensError(
+                        f"similarity_topk: pq_codebooks artifact has "
+                        f"dim={env['dim']}, lens says dim={dim}")
+                m, nbits, books = int(env["m"]), int(env["nbits"]), \
+                    env["books"]
+            return ivfpq_topk(
+                df, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+                k=k, nlist=int(arguments.get("nlist", 16)),
+                nprobe=int(arguments.get("nprobe", 4)), m=m,
+                nbits=nbits,
+                train_size=int(arguments.get("train_size", 2048)),
+                iters=int(arguments.get("iters", 8)),
+                rerank=(int(arguments["rerank"])
+                        if arguments.get("rerank") else None),
+                centroids=cents, codebooks=books)
         return brute_force_topk(df, queries, id_col=id_col, vec_col=vec_col, k=k)
 
     return Lens("similarity_topk", arguments, forward)

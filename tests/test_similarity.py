@@ -409,3 +409,97 @@ def test_ivf_explicit_centroids_match_default_and_kmeans_serves(
     with pytest.raises(ValueError, match="non-empty"):
         ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
                  k=K, centroids=[])
+
+
+def test_ivfpq_topk_recall_and_dials(spark, emb):
+    """IVFADC composition (r11): probing all cells with a generous PQ
+    budget approaches PQ-only quality; fewer probes trade recall for
+    the ~nprobe/nlist compute cut; exact re-rank recovers ADC
+    misordering. Deterministic end to end (lowest-id centroids,
+    md5-sample codebooks)."""
+    from lens_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=K)
+    full = ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                      dim=64, k=K, nlist=8, nprobe=8, m=8, nbits=6)
+    pruned = ivfpq_topk(emb, queries, id_col="vec_id",
+                        vec_col="embedding", dim=64, k=K, nlist=8,
+                        nprobe=2, m=8, nbits=6)
+    r_full, r_pruned = _recall(full, exact), _recall(pruned, exact)
+    assert r_full >= 0.45
+    assert r_full >= r_pruned          # the probe dial moves the right way
+    rr = ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                    dim=64, k=K, nlist=8, nprobe=8, m=8, nbits=6,
+                    rerank=4 * K)
+    assert _recall(rr, exact) >= max(r_full, 0.7)
+
+
+def test_ivfpq_topk_contract_errors_and_recall_wrapper(spark, emb):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.similarity import ivfpq_topk, topk_with_recall
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                     dim=64, k=5, nlist=8, nprobe=4, m=4, nbits=4)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.score <= 1.0 + 1e-9
+    with pytest.raises(LensError, match="not divisible"):
+        ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                   dim=64, k=5, m=7)
+    with pytest.raises(LensError, match="nprobe"):
+        ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                   dim=64, k=5, nlist=4, nprobe=8)
+    wrapped = topk_with_recall(emb, queries, id_col="vec_id",
+                               vec_col="embedding", k=5, method="ivfpq",
+                               dim=64, nlist=8, nprobe=8, m=8, nbits=6)
+    assert "recall_at_k" in wrapped.columns
+    assert wrapped.select("query_id").distinct().count() == 2
+
+
+def test_ivfpq_serves_saved_artifacts_fit_free(spark, emb, tmp_path):
+    """Fit-free IVFADC serving (r11): kmeans_centroids + pq_codebooks
+    artifacts loaded by id through the similarity_topk lens reproduce
+    the inline fit exactly — the serving job does no training scan.
+    Geometry mismatches are refused loudly."""
+    from lens_spark import engine
+    from lens_spark.errors import LensError
+    from lens_spark.models import load_model, save_kmeans, save_pq
+    from lens_spark.operators.similarity import ivfpq_topk
+    from lens_spark.registry import Registry
+
+    reg = Registry(str(tmp_path / "reg"))
+    kid = save_kmeans(reg, emb, "vec_id", "embedding", k=8, max_iter=5)
+    pid = save_pq(reg, emb, "vec_id", "embedding", dim=64, m=8, nbits=4)
+    cents = load_model(reg, kid, expect_kind="kmeans_centroids")
+    env = load_model(reg, pid, expect_kind="pq_codebooks")
+    spec = {"lenses": [{"name": "similarity_topk", "arguments": {
+        "id": "vec_id", "vector": "embedding", "k": 5,
+        "query_predicate": "vec_id < 2", "method": "ivfpq", "dim": 64,
+        "nprobe": 4, "model_id": kid, "pq_model_id": pid,
+        "registry": str(tmp_path / "reg")}}]}
+    served = {(r.query_id, r.neighbor_id, r.score)
+              for r in engine.append(emb, spec).collect()}
+    inline = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 2), id_col="vec_id",
+        vec_col="embedding", dim=64, k=5, nprobe=4,
+        m=int(env["m"]), nbits=int(env["nbits"]),
+        centroids=cents, codebooks=env["books"])
+    assert served == {(r.query_id, r.neighbor_id, r.score)
+                      for r in inline.collect()}
+    assert len(served) == 10
+    with pytest.raises(LensError, match="dim"):
+        engine.append(emb, {"lenses": [{"name": "similarity_topk",
+            "arguments": {"id": "vec_id", "vector": "embedding", "k": 5,
+                          "query_predicate": "vec_id < 2",
+                          "method": "ivfpq", "dim": 32,
+                          "pq_model_id": pid,
+                          "registry": str(tmp_path / "reg")}}]})
+    with pytest.raises(LensError, match="shape"):
+        ivfpq_topk(emb, emb.filter(F.col("vec_id") < 2),
+                   id_col="vec_id", vec_col="embedding", dim=64, k=5,
+                   m=4, nbits=4, codebooks=env["books"])  # m mismatch
