@@ -229,5 +229,17 @@ def test_bench_regressions_section_math():
     assert abs(side["table"][n1]["xrmin"] - 2.34) < 0.01
     assert set(official["flagged"]) == {n1}
     assert abs(official["flagged"][n1]["xr"] - 2.6) < 0.01
+    # AND rule (r11): calibrated-only exceedance does NOT flag — a
+    # machine 2x FASTER (cal halves) with a query only 40% faster
+    # gives x = 1.2 but xr = 0.6; that is calibration drift, counted
+    # in the sidecar, not flagged
+    timings2 = {n0: t0 * 0.6}
+    stats2 = {n0: {"min": t0 * 0.55}}
+    side2, official2 = bench._regressions(timings2, stats2,
+                                          pcal * 0.5, ".")
+    assert abs(side2["table"][n0]["x"] - 1.2) < 0.01
+    assert abs(side2["table"][n0]["xr"] - 0.6) < 0.01
+    assert official2["flagged"] == {}
+    assert side2["n_flagged_cal_only"] == 1
     # no BENCH files ⇒ section degrades to absent, bench still runs
     assert bench._regressions(timings, stats, cal, "/tmp") == (None, None)
