@@ -1770,6 +1770,29 @@ def q_x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", "recall_at_k")
 
 
+def q_x3_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVFADC index (new r11): one build pass lands
+    (id, m-byte code) parquet PARTITIONED BY coarse cell +
+    model.json; the serving lens then reads ONLY the nprobe probed
+    cells' partitions (disk partition pruning — the scan I/O is
+    ~(nprobe/nlist)·(m/(4·dim)) of the raw vectors) and ADC-scores
+    byte codes against broadcast per-query LUTs, with exact re-rank
+    fetching true vectors by broadcast semi-join. Rows-only:
+    served-equals-inline, recall, and the PartitionFilters plan shape
+    are pinned by tests/test_similarity.py."""
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="lens_spark_ivfpq_") + "/idx"
+    ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=16, m=8, nbits=6)
+    spec = {"lenses": [{"name": "ivfpq_search", "arguments": {
+        "index": idx, "id": "vec_id", "vector": "embedding", "k": 10,
+        "nprobe": 8, "rerank": 100,
+        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+    return engine.append(emb.filter(F.col("vec_id") < 5), spec)
+
+
 def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent ANN index on parquet: 90% of the embedding table is
     ingested as the accepted corpus (hyperplane cells + int8 codes),
@@ -3284,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ivf_topk": q_x3_ivf_topk,
         "x3_pq_topk": q_x3_pq_topk,
         "x3_ivfpq_topk": q_x3_ivfpq_topk,
+        "x3_ivfpq_index": q_x3_ivfpq_index,
         "x3_pq_serving": q_x3_pq_serving,
         "x3_knn_graph": q_x3_knn_graph,
         "x4_frame_sample": q_x4_frame_sample,

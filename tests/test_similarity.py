@@ -503,3 +503,72 @@ def test_ivfpq_serves_saved_artifacts_fit_free(spark, emb, tmp_path):
         ivfpq_topk(emb, emb.filter(F.col("vec_id") < 2),
                    id_col="vec_id", vec_col="embedding", dim=64, k=5,
                    m=4, nbits=4, codebooks=env["books"])  # m mismatch
+
+
+def test_ivfpq_index_build_and_search_match_inline(spark, emb, tmp_path):
+    """The materialized index (r11): build once, serve panels with
+    partition pruning. Same model (shared fit helper) => search
+    scores are IDENTICAL to the in-query ivfpq_topk at the same
+    params; the probed-cell filter must reach the scan as a
+    PartitionFilter (cells are the parquet partition column), and
+    re-rank against the true-vector table refines exactly like the
+    inline path."""
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+        ivfpq_topk,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    stats = ivfpq_index_build(emb, idx, id_col="vec_id",
+                              vec_col="embedding", dim=64, nlist=8,
+                              m=8, nbits=6)
+    assert stats["n_vectors"] == emb.count()
+    assert 1 <= stats["cells_used"] <= stats["nlist"] == 8
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    served = ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                                vec_col="embedding", k=K, nprobe=4)
+    inline = ivfpq_topk(emb, queries, id_col="vec_id",
+                        vec_col="embedding", dim=64, k=K, nlist=8,
+                        nprobe=4, m=8, nbits=6)
+    got = {(r.query_id, r.neighbor_id, r.score) for r in served.collect()}
+    want = {(r.query_id, r.neighbor_id, r.score) for r in inline.collect()}
+    assert got == want and len(got) == N_QUERIES * K
+    # the probed-cell predicate prunes partitions on disk
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # re-rank path needs the true vectors and matches inline re-rank
+    rr = ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                            vec_col="embedding", k=K, nprobe=8,
+                            rerank=4 * K, rerank_corpus=emb)
+    rr_inline = ivfpq_topk(emb, queries, id_col="vec_id",
+                           vec_col="embedding", dim=64, k=K, nlist=8,
+                           nprobe=8, m=8, nbits=6, rerank=4 * K)
+    assert ({(r.query_id, r.neighbor_id, r.score) for r in rr.collect()}
+            == {(r.query_id, r.neighbor_id, r.score)
+                for r in rr_inline.collect()})
+
+
+def test_ivfpq_index_error_paths(spark, emb, tmp_path):
+    from lens_spark.errors import LensError
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(LensError, match="model.json"):
+        ivfpq_index_search(spark, str(tmp_path / "nope"), queries,
+                           id_col="vec_id", vec_col="embedding")
+    with pytest.raises(LensError, match="nbits"):
+        ivfpq_index_build(emb, str(tmp_path / "i2"), id_col="vec_id",
+                          vec_col="embedding", dim=64, nbits=9)
+    idx = str(tmp_path / "i3")
+    ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=4, m=4, nbits=4)
+    with pytest.raises(LensError, match="nprobe"):
+        ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                           vec_col="embedding", nprobe=8)
+    with pytest.raises(LensError, match="rerank_corpus"):
+        ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                           vec_col="embedding", nprobe=2, rerank=20)
