@@ -344,3 +344,30 @@ def test_bloom_and_ivf_artifacts_apply_via_cli_lens_file(spark, tmp_path,
     got2 = run_cli(tmp_path, monkeypatch, spec2, vecs)
     # query 1 lives in the x-cell with id 2; id 3 is in the other cell
     assert [(d["query_id"], d["neighbor_id"]) for d in got2] == [(1, 2)]
+
+
+def test_ivfpq_index_serves_via_cli_lens_file(spark, tmp_path, monkeypatch):
+    """r11: the materialized IVFADC index is fully declarable at the
+    reference's primary surface — a lens file naming only the index
+    path (+ optional rerank_table) serves top-k through the CLI; the
+    fit ran once at build time, the CLI job reads codes only."""
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.05 * ((i + j) % 3)
+              for j in range(8)]) for i in range(32)],
+        "id long, v array<double>")
+    idx = str(tmp_path / "idx")
+    ivfpq_index_build(corpus, idx, id_col="id", vec_col="v", dim=8,
+                      nlist=4, m=4, nbits=4)
+    spec = {"lenses": [{"name": "ivfpq_search", "arguments": {
+        "index": idx, "id": "id", "vector": "v", "k": 2,
+        "nprobe": 1}}]}
+    queries = [{"id": 100, "v": [1.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0, 0.0, 0.0]}]
+    got = run_cli(tmp_path, monkeypatch, spec, queries)
+    assert len(got) == 2
+    assert all(d["query_id"] == 100 for d in got)
+    # the 1.0-at-dim-0 pattern is the id%4==0 family
+    assert all(d["neighbor_id"] % 4 == 0 for d in got)
+    assert got[0]["rank"] == 1 and got[0]["score"] >= got[1]["score"]
