@@ -799,6 +799,72 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
             "cells_used": int(agg["c"])}
 
 
+def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
+                       vec_col: str, locked: bool = True) -> int:
+    """Grow a materialized IVFADC index: encode a NEW batch of vectors
+    with the index's FROZEN model (centroids + codebooks from
+    ``model.json`` — never refit, so old and new codes stay mutually
+    comparable) and append their codes, one file per touched cell
+    partition. Under the shared exclusive writer lease
+    (``dedup``'s index convention) so two ingest jobs cannot interleave
+    a torn append with a search job's directory listing. Returns the
+    number of vectors appended.
+
+    This is the streaming-corpus shape: the expensive fit happened at
+    build time; each arriving batch costs one narrow encode pass +
+    one partitioned append. Ids are the CALLER's contract — appending
+    an id twice stores two code rows (run the batch through
+    ``dedup_incremental``/``embedding_neardup_incremental`` first if
+    intake dedup is wanted). Appends add one file per touched cell
+    per batch; at high batch counts compact with a parquet rewrite of
+    ``parts/`` (codes are immutable rows — any byte-preserving
+    re-bucketing is lawful).
+    """
+    import contextlib
+
+    from lens_spark.operators.dedup import _index_writer_lock
+
+    spark = batch.sparkSession
+    meta = _read_ivfpq_model(spark, index_path)
+    dim, m = int(meta["dim"]), int(meta["m"])
+    cent = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["books"], dtype=np.float64)
+    cent_sq = (cent ** 2).sum(axis=1)
+    sqnorm = (books ** 2).sum(axis=2)
+    dsub = dim // m
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells = np.argmin(-2.0 * (x @ cent.T) + cent_sq, axis=1)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                xs = x[:, j * dsub:(j + 1) * dsub]
+                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
+                     + sqnorm[j])
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf["__id"],
+                "code": [c.tobytes() for c in codes],
+                "cell": cells.astype("int64")})
+
+    rows = (ensure_parallelism(batch)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"))
+            .mapInPandas(encode, "id long, code binary, cell long"))
+    # pin the count BEFORE the append (the dedup checkpoint-before-
+    # append discipline: nothing downstream re-reads files mid-write)
+    rows = rows.localCheckpoint(eager=True)
+    n = rows.count()
+    lock = (_index_writer_lock(spark, index_path) if locked
+            else contextlib.nullcontext())
+    with lock:
+        (rows.repartition(F.col("cell"))
+         .write.mode("append").partitionBy("cell")
+         .parquet(f"{index_path}/parts"))
+    return int(n)
+
+
 def _read_ivfpq_model(spark, index_path: str) -> dict:
     import json as _json
 

@@ -572,3 +572,51 @@ def test_ivfpq_index_error_paths(spark, emb, tmp_path):
     with pytest.raises(LensError, match="rerank_corpus"):
         ivfpq_index_search(spark, idx, queries, id_col="vec_id",
                            vec_col="embedding", nprobe=2, rerank=20)
+
+
+def test_ivfpq_index_append_grows_index_with_frozen_model(spark, emb,
+                                                          tmp_path):
+    """Append encodes with the index's frozen model, so build-half +
+    append-half serves EXACTLY like a build over the full corpus with
+    the same explicit model — codes are mutually comparable across
+    ingest batches, the streaming-corpus contract."""
+    from lens_spark.models import load_model, save_kmeans, save_pq
+    from lens_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+    from lens_spark.registry import Registry
+
+    reg = Registry(str(tmp_path / "reg"))
+    cents = load_model(reg, save_kmeans(reg, emb, "vec_id", "embedding",
+                                        k=8, max_iter=5),
+                       expect_kind="kmeans_centroids")
+    env = load_model(reg, save_pq(reg, emb, "vec_id", "embedding",
+                                  dim=64, m=8, nbits=6),
+                     expect_kind="pq_codebooks")
+    first = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    grown = str(tmp_path / "grown")
+    ivfpq_index_build(first, grown, id_col="vec_id",
+                      vec_col="embedding", dim=64, m=8, nbits=6,
+                      centroids=cents, codebooks=env["books"])
+    n = ivfpq_index_append(rest, grown, id_col="vec_id",
+                           vec_col="embedding")
+    assert n == rest.count()
+    whole = str(tmp_path / "whole")
+    ivfpq_index_build(emb, whole, id_col="vec_id", vec_col="embedding",
+                      dim=64, m=8, nbits=6, centroids=cents,
+                      codebooks=env["books"])
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = {(r.query_id, r.neighbor_id, r.score)
+           for r in ivfpq_index_search(spark, grown, queries,
+                                       id_col="vec_id",
+                                       vec_col="embedding", k=K,
+                                       nprobe=4).collect()}
+    want = {(r.query_id, r.neighbor_id, r.score)
+            for r in ivfpq_index_search(spark, whole, queries,
+                                        id_col="vec_id",
+                                        vec_col="embedding", k=K,
+                                        nprobe=4).collect()}
+    assert got == want and len(got) == N_QUERIES * K
