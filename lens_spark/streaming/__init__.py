@@ -486,6 +486,52 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     return writer.start()
 
 
+def run_stream_ivfpq_append(stream_df: DataFrame, index_path: str, *,
+                            id_col: str, vec_col: str,
+                            checkpoint: str | None = None,
+                            timeout: int = 120) -> int:
+    """Keep a materialized IVFADC index current with an arriving
+    vector stream: each micro-batch encodes with the index's FROZEN
+    build-time model and appends its codes
+    (``similarity.ivfpq_index_append`` — one narrow pass + one
+    partitioned append per batch, under the writer lease). The
+    streaming complement of ``ivfpq_index_build`` the way
+    ``stream_ingest_dedup`` complements the batch dedup indexes: the
+    fit never reruns at intake, search jobs see each batch atomically
+    (the lease serializes appends with nothing — parquet readers list
+    files once — but a torn multi-file append is excluded because the
+    whole batch lands inside one write job), and restart resumes from
+    the checkpoint without re-encoding drained batches. Dedup at
+    intake is the caller's layer (compose with ``stream_ingest_dedup``
+    upstream) — this runner stores what arrives. Returns the total
+    number of vectors appended across the drained batches."""
+    from lens_spark.operators.similarity import ivfpq_index_append
+
+    total = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        total["n"] += ivfpq_index_append(batch_df, index_path,
+                                         id_col=id_col, vec_col=vec_col)
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"run_stream_ivfpq_append: availableNow run exceeded "
+            f"{timeout}s before draining the source — the index is "
+            "INCOMPLETE; re-run with the same checkpoint to continue, "
+            "or raise timeout=")
+    return int(total["n"])
+
+
 def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
                          text_col: str, bench_text_col: str | None = None,
                          ngram: int = 8, shingle: str = "word",

@@ -1063,3 +1063,61 @@ def test_run_stream_quota_auto_compacts_hot_buckets(spark, tmp_path):
         run_stream_quota(stream, out, idx, keys=["dom"], n=4,
                          order_by="score", tiebreak=["id"],
                          auto_compact_files=0)
+
+
+def test_run_stream_ivfpq_append_keeps_index_current(spark, tmp_path):
+    """The IVFADC index's streaming maintenance runner (r11): batches
+    arriving as files append their codes encoded with the frozen
+    build-time model; a search after the drain sees every appended
+    vector, identical to a batch build over the union."""
+    import pandas as pd
+
+    from lens_spark.models import load_model, save_kmeans, save_pq
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+    from lens_spark.registry import Registry
+    from lens_spark.streaming import read_file_stream, run_stream_ivfpq_append
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    reg = Registry(str(tmp_path / "reg"))
+    cents = load_model(reg, save_kmeans(reg, emb, "vec_id", "embedding",
+                                        k=8, max_iter=5),
+                       expect_kind="kmeans_centroids")
+    env = load_model(reg, save_pq(reg, emb, "vec_id", "embedding",
+                                  dim=64, m=8, nbits=6),
+                     expect_kind="pq_codebooks")
+    idx = str(tmp_path / "idx")
+    seed = emb.filter("vec_id % 4 = 0")
+    ivfpq_index_build(seed, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, m=8, nbits=6, centroids=cents,
+                      codebooks=env["books"])
+    # the arriving stream: the other 3/4, two files -> two batches
+    src = tmp_path / "src"
+    src.mkdir()
+    rest = emb.filter("vec_id % 4 <> 0").toPandas()
+    rest.iloc[: len(rest) // 2].to_parquet(src / "b1.parquet")
+    rest.iloc[len(rest) // 2:].to_parquet(src / "b2.parquet")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "b1.parquet"),
+                              maxFilesPerTrigger=1)
+    n = run_stream_ivfpq_append(stream, idx, id_col="vec_id",
+                                vec_col="embedding")
+    assert n == len(rest)
+    whole = str(tmp_path / "whole")
+    ivfpq_index_build(emb, whole, id_col="vec_id", vec_col="embedding",
+                      dim=64, m=8, nbits=6, centroids=cents,
+                      codebooks=env["books"])
+    queries = emb.filter("vec_id < 5")
+    got = {(r.query_id, r.neighbor_id, r.score)
+           for r in ivfpq_index_search(spark, idx, queries,
+                                       id_col="vec_id",
+                                       vec_col="embedding", k=10,
+                                       nprobe=4).collect()}
+    want = {(r.query_id, r.neighbor_id, r.score)
+            for r in ivfpq_index_search(spark, whole, queries,
+                                        id_col="vec_id",
+                                        vec_col="embedding", k=10,
+                                        nprobe=4).collect()}
+    assert got == want and len(got) == 50
