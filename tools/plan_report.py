@@ -75,6 +75,15 @@ FLAGSHIPS = [
                           "before the broadcast vocab join; distinct "
                           "counts are plain COUNTs, no countDistinct "
                           "Expand over the exploded corpus"),
+    ("x3_ivfpq_index", "materialized IVFADC serving (r11) — the codes "
+                       "scan carries PartitionFilters on the probed "
+                       "cells (disk partition pruning; at 100 TB the "
+                       "panel reads ~nprobe/nlist of an index 128× "
+                       "narrower than the vectors), ADC emits only "
+                       "(query, neighbor, score) scalars, and the exact "
+                       "re-rank fetches true vectors via a BROADCAST "
+                       "join on the bounded shortlist — no corpus "
+                       "exchange anywhere"),
 ]
 
 
