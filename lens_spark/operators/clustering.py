@@ -94,64 +94,67 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
         .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    seed_rows = (base.withColumn("__hk", F.md5(F.col("__id").cast("string")))
-                 .orderBy("__hk").limit(int(k)).select("__v").collect())
-    if len(seed_rows) < k:
-        raise LensError(
-            f"kmeans_fit: corpus has {len(seed_rows)} rows < k={k}")
-    cent = np.array([list(r["__v"]) for r in seed_rows], dtype=np.float64)
-    dim = cent.shape[1]
-    kk, dd = int(k), int(dim)
-    for _ in range(int(max_iter)):
-        # Assignment and the update's partial sums FUSED into one
-        # mapInPandas pass (r5; previously a pandas-UDF assignment
-        # column + posexplode + groupBy): each partition emits at most
-        # k·dim (cell, d, s, n) rows, so the update exchange carries
-        # k·dim·partitions scalars instead of n·dim exploded rows —
-        # the map-side-combine principle applied inside the kernel.
-        c = cent.astype(np.float64)
-        c_sq = (c * c).sum(axis=1)
+    try:
+        seed_rows = (base.withColumn("__hk", F.md5(F.col("__id").cast("string")))
+                     .orderBy("__hk").limit(int(k)).select("__v").collect())
+        if len(seed_rows) < k:
+            raise LensError(
+                f"kmeans_fit: corpus has {len(seed_rows)} rows < k={k}")
+        cent = np.array([list(r["__v"]) for r in seed_rows], dtype=np.float64)
+        dim = cent.shape[1]
+        kk, dd = int(k), int(dim)
+        for _ in range(int(max_iter)):
+            # Assignment and the update's partial sums FUSED into one
+            # mapInPandas pass (r5; previously a pandas-UDF assignment
+            # column + posexplode + groupBy): each partition emits at most
+            # k·dim (cell, d, s, n) rows, so the update exchange carries
+            # k·dim·partitions scalars instead of n·dim exploded rows —
+            # the map-side-combine principle applied inside the kernel.
+            c = cent.astype(np.float64)
+            c_sq = (c * c).sum(axis=1)
 
-        def partials(batches):
-            acc_p = np.zeros((kk, dd))
-            cnt_p = np.zeros(kk, dtype=np.int64)
-            for pdf in batches:
-                x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-                cells = np.argmin(-2.0 * (x @ c.T) + c_sq, axis=1)
-                np.add.at(acc_p, cells, x)
-                np.add.at(cnt_p, cells, 1)
-            nz = np.nonzero(cnt_p)[0]
-            if len(nz) == 0:
-                yield pd.DataFrame({"cell": pd.Series([], dtype="int32"),
-                                    "d": pd.Series([], dtype="int32"),
-                                    "s": pd.Series([], dtype="float64"),
-                                    "n": pd.Series([], dtype="int64")})
-                return
-            yield pd.concat([
-                pd.DataFrame({"cell": np.int32(cell),
-                              "d": np.arange(dd, dtype=np.int32),
-                              "s": acc_p[cell], "n": cnt_p[cell]})
-                for cell in nz], ignore_index=True)
+            def partials(batches):
+                acc_p = np.zeros((kk, dd))
+                cnt_p = np.zeros(kk, dtype=np.int64)
+                for pdf in batches:
+                    x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                    cells = np.argmin(-2.0 * (x @ c.T) + c_sq, axis=1)
+                    np.add.at(acc_p, cells, x)
+                    np.add.at(cnt_p, cells, 1)
+                nz = np.nonzero(cnt_p)[0]
+                if len(nz) == 0:
+                    yield pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                        "d": pd.Series([], dtype="int32"),
+                                        "s": pd.Series([], dtype="float64"),
+                                        "n": pd.Series([], dtype="int64")})
+                    return
+                yield pd.concat([
+                    pd.DataFrame({"cell": np.int32(cell),
+                                  "d": np.arange(dd, dtype=np.int32),
+                                  "s": acc_p[cell], "n": cnt_p[cell]})
+                    for cell in nz], ignore_index=True)
 
-        sums = (
-            base.mapInPandas(partials, "cell int, d int, s double, n long")
-            .groupBy("cell", "d")
-            .agg(F.sum("s").alias("__s"), F.sum("n").alias("__n"))
-            .collect()
-        )
-        new_cent = cent.copy()
-        counts = np.zeros(k)
-        acc = np.zeros((k, dim))
-        for r in sums:
-            acc[r["cell"], r["d"]] = r["__s"]
-            counts[r["cell"]] = r["__n"]
-        nonempty = counts > 0
-        new_cent[nonempty] = acc[nonempty] / counts[nonempty, None]
-        shift = float(np.max(np.linalg.norm(new_cent - cent, axis=1)))
-        cent = new_cent
-        if shift < tol:
-            break
-    base.unpersist()  # model state is driver-side; free the pin now
+            sums = (
+                base.mapInPandas(partials, "cell int, d int, s double, n long")
+                .groupBy("cell", "d")
+                .agg(F.sum("s").alias("__s"), F.sum("n").alias("__n"))
+                .collect()
+            )
+            new_cent = cent.copy()
+            counts = np.zeros(k)
+            acc = np.zeros((k, dim))
+            for r in sums:
+                acc[r["cell"], r["d"]] = r["__s"]
+                counts[r["cell"]] = r["__n"]
+            nonempty = counts > 0
+            new_cent[nonempty] = acc[nonempty] / counts[nonempty, None]
+            shift = float(np.max(np.linalg.norm(new_cent - cent, axis=1)))
+            cent = new_cent
+            if shift < tol:
+                break
+    finally:
+        # release the corpus-sized pin even on a failed fit (r11 review)
+        base.unpersist()
     return cent.tolist()
 
 

@@ -477,27 +477,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
     # The shortlist is bounded by rerank·|queries| rows (≤ 4096·rerank by
-    # the panel cap) — broadcast it into the candidate fetch so the
-    # corpus side never shuffles: at 100 TB the alternative is a full
-    # sort-merge exchange of every corpus vector to re-rank a few
-    # thousand candidates.
-    cand = corpus.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("__cv")) \
-        .join(F.broadcast(shortlist), "neighbor_id")
-    qdf = queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("__qv"))
-    exact = (cand.join(F.broadcast(qdf), "query_id")
-             .withColumn("score", F.round(
-                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-             .select("query_id", "neighbor_id", "score"))
-    # Final rank over the rerank set: per query it holds ≤ `rerank` rows
-    # by construction (the shortlist IS a global per-query top-rerank),
-    # so the two-stage funnel guard is unnecessary — one window pass.
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (exact.withColumn("rank",
-                             F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k))
+    # the panel cap) — _exact_rerank broadcasts it into the candidate
+    # fetch so the corpus side never shuffles: at 100 TB the
+    # alternative is a full sort-merge exchange of every corpus vector
+    # to re-rank a few thousand candidates.
+    return _exact_rerank(corpus, queries, shortlist, id_col, vec_col, k)
 
 
 def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
@@ -514,6 +498,8 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
     downstream kernel."""
     from lens_spark.errors import LensError
 
+    if int(m) < 1:
+        raise LensError(f"{op}: m={m} must be >= 1")
     ksub = 1 << int(nbits)
     if dim % m != 0:
         raise LensError(f"{op}: dim={dim} not divisible by m={m}")
@@ -522,6 +508,10 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
         if not len(centroids):
             raise LensError(f"{op}: centroids must be non-empty")
         cent = np.array([list(c) for c in centroids], dtype=np.float64)
+        if cent.ndim != 2:
+            raise LensError(
+                f"{op}: centroids must be a list of {dim}-d vectors "
+                f"(got a {cent.ndim}-d array)")
     else:
         cent = np.stack(
             corpus.orderBy(F.col(id_col).asc()).limit(int(nlist))
@@ -546,6 +536,131 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
     return cent, books
 
 
+def _unit_rows(a: "np.ndarray") -> "np.ndarray":
+    return a / np.maximum(np.sqrt((a ** 2).sum(axis=1))[:, None], 1e-12)
+
+
+def _ivfpq_cells(x: "np.ndarray", centn: "np.ndarray") -> "np.ndarray":
+    """COSINE cell assignment — the ``ivf_topk`` metric, and the same
+    metric the query-side routing uses (r11 review fix: the first cut
+    assigned corpus rows by L2 while routing queries by cosine, which
+    silently mis-cells ~20% of vectors under unequal-norm
+    kmeans_centroids and costs recall). ``centn`` is the
+    unit-normalized centroid matrix; |x| is constant per row, so the
+    raw-dot argmax against unit centroids IS the cosine argmax. Ties
+    break to the lowest cell index (ivf_topk's __cell-asc order)."""
+    return np.argmax(x @ centn.T, axis=1)
+
+
+def _pq_encode(x: "np.ndarray", books: "np.ndarray",
+               sqnorm: "np.ndarray") -> "np.ndarray":
+    """Per-subspace nearest-codeword codes for a batch — the one
+    encode kernel shared by the in-query operator, the index build,
+    and the index append (build-side and query-side encodings must
+    never drift)."""
+    m, dsub = books.shape[0], books.shape[2]
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        d = (xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T + sqnorm[j]
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def _invert_probes(probed: "np.ndarray", nq: int) -> dict:
+    """cell -> np.array of the query indexes probing it."""
+    cell_queries: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for c in probed[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    return {c: np.asarray(v) for c, v in cell_queries.items()}
+
+
+def _adc_parts(nid, cells, codes, sqnorm, b_lut, b_qids, b_qnorm,
+               cell_queries, keep_n, exclude_self):
+    """Cell-blocked ADC scoring of one Arrow batch: for each distinct
+    cell some query probes, a dense LUT-gather block scores only that
+    cell's rows against only its probing queries; each (query, block)
+    emits its local top-``keep_n``. Returns a list of frames (shared
+    by the in-query kernel and the index-serving kernel)."""
+    m = codes.shape[1]
+    rn2 = np.zeros(len(nid))
+    for j in range(m):
+        rn2 += sqnorm[j][codes[:, j]]
+    rnorm = np.sqrt(np.maximum(rn2, 1e-12))
+    parts = []
+    for c in np.unique(cells):
+        qs = cell_queries.get(int(c))
+        if qs is None:
+            continue                        # nobody probes this cell
+        rows = np.nonzero(cells == c)[0]
+        lq = b_lut[qs]                      # (nqs, m, ksub)
+        ip = np.zeros((len(rows), len(qs)))
+        for j in range(m):
+            ip += lq[:, j, codes[rows, j]].T
+        s = np.round(
+            ip / np.maximum(rnorm[rows][:, None]
+                            * b_qnorm[qs][None, :], 1e-12), 6)
+        kk = min(keep_n + 1 if exclude_self else keep_n, len(rows))
+        for qj, qi in enumerate(qs):
+            top = np.argpartition(-s[:, qj], kk - 1)[:kk]
+            parts.append(pd.DataFrame({
+                "query_id": b_qids[qi], "neighbor_id": nid[rows[top]],
+                "score": s[top, qj]}))
+    return parts
+
+
+def _ivfpq_query_panel(queries: DataFrame, id_col: str, vec_col: str,
+                       cent: "np.ndarray", books: "np.ndarray",
+                       nprobe: int, op: str):
+    """Bounded query-panel collect + cosine cell routing + per-query
+    IP lookup tables. Returns (qids, qnorm, probed, lut) — the
+    broadcast payload both serving paths ship."""
+    from lens_spark.errors import LensError
+
+    max_queries = 4096
+    qpdf = (queries.select(F.col(id_col).alias("qid"), vec_col)
+            .limit(max_queries + 1).toPandas())
+    if len(qpdf) > max_queries:
+        raise LensError(
+            f"{op}: query panel exceeds {max_queries}; run in panels "
+            "(the LUT broadcast scales with nq)")
+    m, dsub = books.shape[0], books.shape[2]
+    qids = qpdf["qid"].to_numpy()
+    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((qv ** 2).sum(axis=1))
+    # cosine routing, same metric as _ivfpq_cells corpus assignment
+    csim = _unit_rows(qv) @ _unit_rows(cent).T
+    probed = np.argsort(-csim, axis=1, kind="stable")[:, :int(nprobe)]
+    lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)                # (nq,m,ksub)
+    return qids, qnorm, probed, lut
+
+
+def _exact_rerank(vec_table: DataFrame, queries: DataFrame,
+                  shortlist: DataFrame, id_col: str, vec_col: str,
+                  k: int) -> DataFrame:
+    """Exact-refinement tail shared by pq_topk / ivfpq_topk /
+    ivfpq_index_search: fetch only the shortlist's true vectors by
+    broadcast join (≤ rerank·|queries| rows — never a corpus shuffle),
+    rescore with exact cosine, one window pass (the shortlist IS a
+    global per-query top-rerank, so no two-stage funnel is needed)."""
+    cand = vec_table.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("__cv")) \
+        .join(F.broadcast(shortlist), "neighbor_id")
+    qdf = queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("__qv"))
+    exact = (cand.join(F.broadcast(qdf), "query_id")
+             .withColumn("score", F.round(
+                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+             .select("query_id", "neighbor_id", "score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (exact.withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                vec_col: str, dim: int, k: int = 10, nlist: int = 16,
                nprobe: int = 4, m: int = 4, nbits: int = 4,
@@ -568,19 +683,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     Dataflow (ONE corpus scan, no vector ever shuffles):
     (1) coarse centroids — ``centroids=`` drops in a trained
     ``kmeans_centroids`` artifact, else the nlist lowest-id corpus
-    vectors (the ``ivf_topk`` default); (2) PQ codebooks — trained
-    driver-side on the smallest-md5(id) sample (the ``pq_topk``
-    recipe), or served from a ``pq_codebooks`` artifact via
-    ``codebooks=``; (3) the query panel (bounded, ≤4096) routes to
-    its ``nprobe`` nearest cells and broadcasts per-query LUTs +
-    probed-cell sets; (4) one fused Arrow pass over the corpus
-    assigns each batch row's cell, PQ-encodes it, and scores it ONLY
-    against the queries probing that cell — the kernel blocks by
-    distinct cell within the batch (≤ nlist blocks), so the inner
-    math is dense LUT gathers, no per-row Python. Each batch emits
-    ≤ keep_n rows per query; the shared two-stage ``_rank_topk``
-    finishes. ``rerank`` adds the pq_topk exact-refinement tail
-    (broadcast semi-join candidate fetch, never a corpus shuffle).
+    vectors (the ``ivf_topk`` default); corpus cells assign by
+    COSINE, the same metric that routes the queries (``ivf_topk``'s
+    contract — mixed metrics silently cost recall under unequal-norm
+    centroids); (2) PQ codebooks — trained driver-side on the
+    smallest-md5(id) sample (the ``pq_topk`` recipe), or served from
+    a ``pq_codebooks`` artifact via ``codebooks=``; (3) the query
+    panel (bounded, ≤4096) routes to its ``nprobe`` nearest cells and
+    broadcasts per-query LUTs + probed-cell sets; (4) one fused Arrow
+    pass over the corpus assigns each batch row's cell, PQ-encodes
+    it, and scores it ONLY against the queries probing that cell —
+    the kernel blocks by distinct cell within the batch (≤ nlist
+    blocks), so the inner math is dense LUT gathers, no per-row
+    Python. Each batch emits ≤ keep_n rows per query; the shared
+    two-stage ``_rank_topk`` finishes. ``rerank`` adds the pq_topk
+    exact-refinement tail (broadcast semi-join candidate fetch, never
+    a corpus shuffle).
 
     Persistent-deployment note (the real 100 TB win): materialize
     (id, cell, codes) ONCE, partitioned by cell — the
@@ -599,7 +717,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     if centroids is None and nprobe > nlist:
         raise LensError(
             f"ivfpq_topk: nprobe={nprobe} exceeds nlist={nlist}")
-    dsub = dim // max(m, 1)
     cent, books = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
         iters, centroids, codebooks, "ivfpq_topk")
@@ -607,80 +724,28 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     if nprobe > nlist:
         raise LensError(
             f"ivfpq_topk: nprobe={nprobe} exceeds nlist={nlist}")
-    cent_sq = (cent ** 2).sum(axis=1)
+    centn = _unit_rows(cent)
     sqnorm = (books ** 2).sum(axis=2)                          # (m,ksub)
-
-    # (3) query panel: probed cells + LUTs, one bounded broadcast
-    max_queries = 4096
-    qpdf = (queries.select(F.col(id_col).alias("qid"), vec_col)
-            .limit(max_queries + 1).toPandas())
-    if len(qpdf) > max_queries:
-        raise LensError(
-            f"ivfpq_topk: query panel exceeds {max_queries}; run in "
-            "panels (the LUT broadcast scales with nq)")
-    qids = qpdf["qid"].to_numpy()
-    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    qnorm = np.sqrt((qv ** 2).sum(axis=1))
-    # cosine routing (the ivf_topk metric): per query, the nprobe
-    # most-cosine-similar cells
-    csim = (qv @ cent.T) / np.maximum(
-        qnorm[:, None] * np.sqrt(np.maximum(cent_sq, 1e-12))[None, :],
-        1e-12)
-    probed = np.argsort(-csim, axis=1, kind="stable")[:, :int(nprobe)]
-    lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
-                    for j in range(m)], axis=1)                # (nq,m,ksub)
+    qids, qnorm, probed, lut = _ivfpq_query_panel(
+        queries, id_col, vec_col, cent, books, nprobe, "ivfpq_topk")
     bc = corpus.sparkSession.sparkContext.broadcast(
         (lut, qids, qnorm, probed))
 
     out_schema = "query_id long, neighbor_id long, score double"
     keep_n = max(int(rerank), k) if rerank else k
 
-    # (4) fused assign + encode + cell-blocked ADC scoring
+    # fused assign + encode + cell-blocked ADC scoring
     def score_batches(batches):
         b_lut, b_qids, b_qnorm, b_probed = bc.value
-        nq = len(b_qids)
-        # invert probed: cell -> the queries probing it
-        cell_queries: dict[int, list[int]] = {}
-        for qi in range(nq):
-            for c in b_probed[qi]:
-                cell_queries.setdefault(int(c), []).append(qi)
-        cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
+        cell_queries = _invert_probes(b_probed, len(b_qids))
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy()
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            cells = np.argmin(
-                -2.0 * (x @ cent.T) + cent_sq, axis=1)         # (n,)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for j in range(m):
-                xs = x[:, j * dsub:(j + 1) * dsub]
-                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
-                     + sqnorm[j])
-                codes[:, j] = d.argmin(axis=1)
-            rn2 = np.zeros(len(nid))
-            for j in range(m):
-                rn2 += sqnorm[j][codes[:, j]]
-            rnorm = np.sqrt(np.maximum(rn2, 1e-12))
-            parts = []
-            for c in np.unique(cells):
-                qs = cell_queries.get(int(c))
-                if qs is None:
-                    continue                    # nobody probes this cell
-                rows = np.nonzero(cells == c)[0]
-                lq = b_lut[qs]                  # (nqs, m, ksub)
-                ip = np.zeros((len(rows), len(qs)))
-                for j in range(m):
-                    ip += lq[:, j, codes[rows, j]].T
-                s = np.round(
-                    ip / np.maximum(rnorm[rows][:, None]
-                                    * b_qnorm[qs][None, :], 1e-12), 6)
-                kk = min(keep_n + 1 if exclude_self else keep_n,
-                         len(rows))
-                for qj, qi in enumerate(qs):
-                    top = np.argpartition(-s[:, qj], kk - 1)[:kk]
-                    parts.append(pd.DataFrame({
-                        "query_id": b_qids[qi],
-                        "neighbor_id": nid[rows[top]],
-                        "score": s[top, qj]}))
+            cells = _ivfpq_cells(x, centn)
+            codes = _pq_encode(x, books, sqnorm)
+            parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
+                               b_qids, b_qnorm, cell_queries, keep_n,
+                               exclude_self)
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
@@ -694,20 +759,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
         return _rank_topk(scored, "query_id", k)
     shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
-    cand = corpus.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("__cv")) \
-        .join(F.broadcast(shortlist), "neighbor_id")
-    qdf = queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("__qv"))
-    exact = (cand.join(F.broadcast(qdf), "query_id")
-             .withColumn("score", F.round(
-                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-             .select("query_id", "neighbor_id", "score"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (exact.withColumn("rank",
-                             F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k))
+    return _exact_rerank(corpus, queries, shortlist, id_col, vec_col, k)
 
 
 def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
@@ -717,9 +769,10 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
                       centroids: "Sequence | None" = None,
                       codebooks: "Sequence | None" = None) -> dict:
     """Materialize the IVFADC index ``ivfpq_topk`` computes on the fly:
-    ONE corpus pass assigns each vector's coarse cell and PQ-encodes it
-    to ``m`` bytes, landing ``(id, code)`` parquet PARTITIONED BY CELL
-    plus the model (centroids + codebooks) as ``model.json`` beside it.
+    ONE corpus pass assigns each vector's coarse cell (cosine — the
+    routing metric) and PQ-encodes it to ``m`` bytes, landing
+    ``(id, code)`` parquet PARTITIONED BY CELL plus the model
+    (centroids + codebooks) as ``model.json`` beside it.
 
     This is the real 100 TB similarity-serving shape (the
     ``embedding_neardup_incremental`` plain-parquet-index philosophy —
@@ -750,29 +803,14 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     cent, books = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
         iters, centroids, codebooks, "ivfpq_index_build")
-    cent_sq = (cent ** 2).sum(axis=1)
+    centn = _unit_rows(cent)
     sqnorm = (books ** 2).sum(axis=2)
-    mm, dsub = books.shape[0], books.shape[2]
-
-    def encode(batches):
-        for pdf in batches:
-            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            cells = np.argmin(-2.0 * (x @ cent.T) + cent_sq, axis=1)
-            codes = np.empty((len(x), mm), dtype=np.uint8)
-            for j in range(mm):
-                xs = x[:, j * dsub:(j + 1) * dsub]
-                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
-                     + sqnorm[j])
-                codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({
-                "id": pdf["__id"],
-                "code": [c.tobytes() for c in codes],
-                "cell": cells.astype("int64")})
 
     rows = (ensure_parallelism(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"))
-            .mapInPandas(encode, "id long, code binary, cell long"))
+            .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
+                         "id long, code binary, cell long"))
     # one task per cell directory -> one file per cell per build
     (rows.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
@@ -785,8 +823,8 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     try:
         out.write(_json.dumps({
             "format": "lens_spark_ivfpq_index", "version": 1,
-            "dim": int(dim), "m": int(mm), "nbits": int(nbits),
-            "nlist": int(len(cent)),
+            "dim": int(dim), "m": int(books.shape[0]),
+            "nbits": int(nbits), "nlist": int(len(cent)),
             "centroids": [[float(x) for x in c] for c in cent],
             "books": [[[float(x) for x in c] for c in book]
                       for book in books]}, sort_keys=True).encode("utf-8"))
@@ -797,6 +835,22 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
                      F.countDistinct("cell").alias("c")).first()
     return {"n_vectors": int(agg["n"]), "nlist": int(len(cent)),
             "cells_used": int(agg["c"])}
+
+
+def _ivfpq_encode_fn(centn: "np.ndarray", books: "np.ndarray",
+                     sqnorm: "np.ndarray"):
+    """mapInPandas kernel shared by index build and append: cosine
+    cell assignment + PQ byte codes."""
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells = _ivfpq_cells(x, centn)
+            codes = _pq_encode(x, books, sqnorm).astype(np.uint8)
+            yield pd.DataFrame({
+                "id": pdf["__id"],
+                "code": [c.tobytes() for c in codes],
+                "cell": cells.astype("int64")})
+    return encode
 
 
 def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
@@ -815,43 +869,33 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     one partitioned append. Ids are the CALLER's contract — appending
     an id twice stores two code rows (run the batch through
     ``dedup_incremental``/``embedding_neardup_incremental`` first if
-    intake dedup is wanted). Appends add one file per touched cell
-    per batch; at high batch counts compact with a parquet rewrite of
+    intake dedup is wanted). An at-least-once replay of the same
+    batch therefore stores byte-identical duplicate rows: SEARCH
+    RESULTS ARE UNAFFECTED (``ivfpq_index_search`` collapses
+    identical (query, neighbor, score) rows before ranking — the
+    ann/ivf score-before-distinct idiom); the cost is index bytes
+    until a compaction. Appends add one file per touched cell per
+    batch; at high batch counts compact with a parquet rewrite of
     ``parts/`` (codes are immutable rows — any byte-preserving
-    re-bucketing is lawful).
+    re-bucketing is lawful, and a replay-duplicate-dropping DISTINCT
+    rewrite is too).
     """
     import contextlib
 
     from lens_spark.operators.dedup import _index_writer_lock
 
     spark = batch.sparkSession
-    meta = _read_ivfpq_model(spark, index_path)
-    dim, m = int(meta["dim"]), int(meta["m"])
+    meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_append")
     cent = np.array(meta["centroids"], dtype=np.float64)
     books = np.array(meta["books"], dtype=np.float64)
-    cent_sq = (cent ** 2).sum(axis=1)
+    centn = _unit_rows(cent)
     sqnorm = (books ** 2).sum(axis=2)
-    dsub = dim // m
-
-    def encode(batches):
-        for pdf in batches:
-            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            cells = np.argmin(-2.0 * (x @ cent.T) + cent_sq, axis=1)
-            codes = np.empty((len(x), m), dtype=np.uint8)
-            for j in range(m):
-                xs = x[:, j * dsub:(j + 1) * dsub]
-                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
-                     + sqnorm[j])
-                codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({
-                "id": pdf["__id"],
-                "code": [c.tobytes() for c in codes],
-                "cell": cells.astype("int64")})
 
     rows = (ensure_parallelism(batch)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"))
-            .mapInPandas(encode, "id long, code binary, cell long"))
+            .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
+                         "id long, code binary, cell long"))
     # pin the count BEFORE the append (the dedup checkpoint-before-
     # append discipline: nothing downstream re-reads files mid-write)
     rows = rows.localCheckpoint(eager=True)
@@ -865,7 +909,7 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     return int(n)
 
 
-def _read_ivfpq_model(spark, index_path: str) -> dict:
+def _read_ivfpq_model(spark, index_path: str, op: str) -> dict:
     import json as _json
 
     from lens_spark.errors import LensError
@@ -876,7 +920,7 @@ def _read_ivfpq_model(spark, index_path: str) -> dict:
     p = P(f"{index_path}/model.json")
     if not fs.exists(p):
         raise LensError(
-            f"ivfpq_index_search: no model.json under {index_path!r} — "
+            f"{op}: no model.json under {index_path!r} — "
             "not an ivfpq index (build one with ivfpq_index_build)")
     stream = fs.open(p)
     try:  # the snapshots.py manifest-read idiom (py4j line loop)
@@ -892,7 +936,7 @@ def _read_ivfpq_model(spark, index_path: str) -> dict:
     meta = _json.loads(bytes(data).decode("utf-8"))
     if meta.get("format") != "lens_spark_ivfpq_index":
         raise LensError(
-            f"ivfpq_index_search: {index_path!r} model.json has format "
+            f"{op}: {index_path!r} model.json has format "
             f"{meta.get('format')!r}")
     return meta
 
@@ -911,7 +955,10 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     the byte codes against broadcast per-query LUTs, two-stage top-k.
     The fit never reruns; the raw vectors are never read — a panel
     touches ~(nprobe/nlist) of an index that is itself ~(4·dim/m)×
-    smaller than the vectors.
+    smaller than the vectors. Identical (query, neighbor, score) rows
+    collapse before ranking (the ann/ivf score-before-distinct
+    idiom), so replay-duplicated append rows cannot occupy two top-k
+    slots.
 
     ``rerank`` + ``rerank_corpus`` (the table holding true vectors)
     adds the exact-refinement tail: candidates fetch by broadcast
@@ -919,8 +966,7 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     """
     from lens_spark.errors import LensError
 
-    meta = _read_ivfpq_model(spark, index_path)
-    dim, m = int(meta["dim"]), int(meta["m"])
+    meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_search")
     nlist = int(meta["nlist"])
     if nprobe > nlist:
         raise LensError(
@@ -932,26 +978,10 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
             "stores codes, not vectors)")
     cent = np.array(meta["centroids"], dtype=np.float64)
     books = np.array(meta["books"], dtype=np.float64)
-    cent_sq = (cent ** 2).sum(axis=1)
     sqnorm = (books ** 2).sum(axis=2)
-    dsub = dim // m
-
-    max_queries = 4096
-    qpdf = (queries.select(F.col(id_col).alias("qid"), vec_col)
-            .limit(max_queries + 1).toPandas())
-    if len(qpdf) > max_queries:
-        raise LensError(
-            f"ivfpq_index_search: query panel exceeds {max_queries}; "
-            "run in panels (the LUT broadcast scales with nq)")
-    qids = qpdf["qid"].to_numpy()
-    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    qnorm = np.sqrt((qv ** 2).sum(axis=1))
-    csim = (qv @ cent.T) / np.maximum(
-        qnorm[:, None] * np.sqrt(np.maximum(cent_sq, 1e-12))[None, :],
-        1e-12)
-    probed = np.argsort(-csim, axis=1, kind="stable")[:, :int(nprobe)]
-    lut = np.stack([qv[:, j * dsub:(j + 1) * dsub] @ books[j].T
-                    for j in range(m)], axis=1)
+    qids, qnorm, probed, lut = _ivfpq_query_panel(
+        queries, id_col, vec_col, cent, books, nprobe,
+        "ivfpq_index_search")
     bc = spark.sparkContext.broadcast((lut, qids, qnorm, probed))
 
     keep_n = max(int(rerank), k) if rerank else k
@@ -959,41 +989,15 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
 
     def score_batches(batches):
         b_lut, b_qids, b_qnorm, b_probed = bc.value
-        cell_queries: dict[int, list[int]] = {}
-        for qi in range(len(b_qids)):
-            for c in b_probed[qi]:
-                cell_queries.setdefault(int(c), []).append(qi)
-        cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
+        cell_queries = _invert_probes(b_probed, len(b_qids))
         for pdf in batches:
             nid = pdf["id"].to_numpy()
             cells = pdf["cell"].to_numpy()
             codes = np.stack([np.frombuffer(b, dtype=np.uint8)
                               for b in pdf["code"]]).astype(np.int64)
-            rn2 = np.zeros(len(nid))
-            for j in range(m):
-                rn2 += sqnorm[j][codes[:, j]]
-            rnorm = np.sqrt(np.maximum(rn2, 1e-12))
-            parts = []
-            for c in np.unique(cells):
-                qs = cell_queries.get(int(c))
-                if qs is None:
-                    continue
-                rows = np.nonzero(cells == c)[0]
-                lq = b_lut[qs]
-                ip = np.zeros((len(rows), len(qs)))
-                for j in range(m):
-                    ip += lq[:, j, codes[rows, j]].T
-                s = np.round(
-                    ip / np.maximum(rnorm[rows][:, None]
-                                    * b_qnorm[qs][None, :], 1e-12), 6)
-                kk = min(keep_n + 1 if exclude_self else keep_n,
-                         len(rows))
-                for qj, qi in enumerate(qs):
-                    top = np.argpartition(-s[:, qj], kk - 1)[:kk]
-                    parts.append(pd.DataFrame({
-                        "query_id": b_qids[qi],
-                        "neighbor_id": nid[rows[top]],
-                        "score": s[top, qj]}))
+            parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
+                               b_qids, b_qnorm, cell_queries, keep_n,
+                               exclude_self)
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
@@ -1003,24 +1007,15 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
         score_batches, "query_id long, neighbor_id long, score double")
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    # score-before-distinct: collapses replayed-append duplicates
+    # (identical rows by construction) while shuffling only scalars
+    scored = scored.distinct()
     if not rerank:
         return _rank_topk(scored, "query_id", k)
     shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
-    cand = rerank_corpus.select(F.col(id_col).alias("neighbor_id"),
-                                F.col(vec_col).alias("__cv")) \
-        .join(F.broadcast(shortlist), "neighbor_id")
-    qdf = queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("__qv"))
-    exact = (cand.join(F.broadcast(qdf), "query_id")
-             .withColumn("score", F.round(
-                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-             .select("query_id", "neighbor_id", "score"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (exact.withColumn("rank",
-                             F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k))
+    return _exact_rerank(rerank_corpus, queries, shortlist, id_col,
+                         vec_col, k)
 
 
 def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,

@@ -599,70 +599,73 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
                 .alias("__b"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    w = np.zeros(nb)
-    b = 0.0
-    lrf, l2f = float(lr), float(l2)
-    for _ in range(its):
-        wb, bb = w, b  # bind current model into the task closure
+    try:
+        w = np.zeros(nb)
+        b = 0.0
+        lrf, l2f = float(lr), float(l2)
+        for _ in range(its):
+            wb, bb = w, b  # bind current model into the task closure
 
-        def grads(batches):
-            # Fully vectorized Arrow-batch kernel (r6 verdict #6 — the
-            # previous version looped rows in Python). Flatten every
-            # row's bucket list into one (row_id, bucket) pair array;
-            # logits are a wb-gather + per-row segment sum (bincount
-            # over row ids), the gradient a per-bucket segment sum of
-            # err/len — two bincounts per batch, zero Python-level
-            # row iteration.
+            def grads(batches):
+                # Fully vectorized Arrow-batch kernel (r6 verdict #6 — the
+                # previous version looped rows in Python). Flatten every
+                # row's bucket list into one (row_id, bucket) pair array;
+                # logits are a wb-gather + per-row segment sum (bincount
+                # over row ids), the gradient a per-bucket segment sum of
+                # err/len — two bincounts per batch, zero Python-level
+                # row iteration.
+                gw = np.zeros(nb)
+                gb = 0.0
+                n = 0
+                for pdf in batches:
+                    y = pdf["__y"].to_numpy(dtype=np.float64)
+                    rows = pdf["__b"].to_numpy()
+                    nrows = len(y)
+                    if nrows == 0:
+                        continue
+                    lens = np.fromiter((len(r) for r in rows),
+                                       dtype=np.int64, count=nrows)
+                    flat = (np.concatenate(
+                        [np.asarray(r, dtype=np.int64) for r in rows])
+                        if lens.sum() else np.empty(0, dtype=np.int64))
+                    row_ids = np.repeat(np.arange(nrows), lens)
+                    safe_len = np.maximum(lens, 1).astype(np.float64)
+                    z = bb + np.bincount(
+                        row_ids, weights=wb[flat],
+                        minlength=nrows) / safe_len
+                    err = 1.0 / (1.0 + np.exp(-z)) - y
+                    gw += np.bincount(
+                        flat, weights=(err / safe_len)[row_ids],
+                        minlength=nb)
+                    gb += float(err.sum())
+                    n += nrows
+                if n == 0:
+                    return
+                out = pd.DataFrame({
+                    "b": np.concatenate([np.nonzero(gw)[0], [-1, -2]]),
+                    "g": np.concatenate([gw[np.nonzero(gw)[0]], [gb, float(n)]]),
+                })
+                yield out
+
+            partials = (base.mapInPandas(grads, "b long, g double")
+                        .groupBy("b").agg(F.sum("g").alias("__g")).collect())
             gw = np.zeros(nb)
             gb = 0.0
-            n = 0
-            for pdf in batches:
-                y = pdf["__y"].to_numpy(dtype=np.float64)
-                rows = pdf["__b"].to_numpy()
-                nrows = len(y)
-                if nrows == 0:
-                    continue
-                lens = np.fromiter((len(r) for r in rows),
-                                   dtype=np.int64, count=nrows)
-                flat = (np.concatenate(
-                    [np.asarray(r, dtype=np.int64) for r in rows])
-                    if lens.sum() else np.empty(0, dtype=np.int64))
-                row_ids = np.repeat(np.arange(nrows), lens)
-                safe_len = np.maximum(lens, 1).astype(np.float64)
-                z = bb + np.bincount(
-                    row_ids, weights=wb[flat],
-                    minlength=nrows) / safe_len
-                err = 1.0 / (1.0 + np.exp(-z)) - y
-                gw += np.bincount(
-                    flat, weights=(err / safe_len)[row_ids],
-                    minlength=nb)
-                gb += float(err.sum())
-                n += nrows
+            n = 0.0
+            for r in partials:
+                if r["b"] == -2:
+                    n = r["__g"]
+                elif r["b"] == -1:
+                    gb = r["__g"]
+                else:
+                    gw[r["b"]] = r["__g"]
             if n == 0:
-                return
-            out = pd.DataFrame({
-                "b": np.concatenate([np.nonzero(gw)[0], [-1, -2]]),
-                "g": np.concatenate([gw[np.nonzero(gw)[0]], [gb, float(n)]]),
-            })
-            yield out
-
-        partials = (base.mapInPandas(grads, "b long, g double")
-                    .groupBy("b").agg(F.sum("g").alias("__g")).collect())
-        gw = np.zeros(nb)
-        gb = 0.0
-        n = 0.0
-        for r in partials:
-            if r["b"] == -2:
-                n = r["__g"]
-            elif r["b"] == -1:
-                gb = r["__g"]
-            else:
-                gw[r["b"]] = r["__g"]
-        if n == 0:
-            raise LensError("classifier_fit: empty training corpus")
-        w = w - lrf * (gw / n + l2f * w)
-        b = b - lrf * (gb / n)
-    base.unpersist()  # model is driver-side; free the pin now
+                raise LensError("classifier_fit: empty training corpus")
+            w = w - lrf * (gw / n + l2f * w)
+            b = b - lrf * (gb / n)
+    finally:
+        # release the corpus-sized pin even on a failed fit (r11 review)
+        base.unpersist()
     return {"weights": [round(float(x), 6) for x in w],
             "bias": round(float(b), 6)}
 
@@ -729,72 +732,75 @@ def classifier_fit_multinomial(df: DataFrame, label_col: str,
                 .alias("__b"))
         .persist(StorageLevel.DISK_ONLY)  # read `iters` times
     )
-    w = np.zeros((nb, ll))
-    b = np.zeros(ll)
-    lrf, l2f = float(lr), float(l2)
-    for _ in range(its):
-        wb, bb = w, b  # bind current model into the task closure
+    try:
+        w = np.zeros((nb, ll))
+        b = np.zeros(ll)
+        lrf, l2f = float(lr), float(l2)
+        for _ in range(its):
+            wb, bb = w, b  # bind current model into the task closure
 
-        def grads(batches):
-            # One vectorized kernel for the whole class axis: logits
-            # are a (nnz, L) gather accumulated per row, softmax rows,
-            # and the gradient one np.add.at scatter back onto the
-            # (nb, L) matrix — no Python-level row OR class loop.
+            def grads(batches):
+                # One vectorized kernel for the whole class axis: logits
+                # are a (nnz, L) gather accumulated per row, softmax rows,
+                # and the gradient one np.add.at scatter back onto the
+                # (nb, L) matrix — no Python-level row OR class loop.
+                gw = np.zeros((nb, ll))
+                gb = np.zeros(ll)
+                n = 0
+                for pdf in batches:
+                    y = pdf["__y"].to_numpy(dtype=np.int64)
+                    rows = pdf["__b"].to_numpy()
+                    nrows = len(y)
+                    if nrows == 0:
+                        continue
+                    lens = np.fromiter((len(r) for r in rows),
+                                       dtype=np.int64, count=nrows)
+                    flat = (np.concatenate(
+                        [np.asarray(r, dtype=np.int64) for r in rows])
+                        if lens.sum() else np.empty(0, dtype=np.int64))
+                    row_ids = np.repeat(np.arange(nrows), lens)
+                    safe_len = np.maximum(lens, 1).astype(np.float64)
+                    z = np.tile(bb, (nrows, 1))
+                    np.add.at(z, row_ids,
+                              wb[flat] / safe_len[row_ids, None])
+                    z -= z.max(axis=1, keepdims=True)  # stable softmax
+                    p = np.exp(z)
+                    p /= p.sum(axis=1, keepdims=True)
+                    p[np.arange(nrows), y] -= 1.0  # E = P - onehot(y)
+                    np.add.at(gw, flat, p[row_ids] / safe_len[row_ids, None])
+                    gb += p.sum(axis=0)
+                    n += nrows
+                if n == 0:
+                    return
+                nzb, nzl = np.nonzero(gw)
+                out = pd.DataFrame({
+                    "b": np.concatenate([nzb, np.full(ll, -1), [-2]]),
+                    "l": np.concatenate([nzl, np.arange(ll), [0]]),
+                    "g": np.concatenate([gw[nzb, nzl], gb, [float(n)]]),
+                })
+                yield out
+
+            partials = (base.mapInPandas(grads, "b long, l int, g double")
+                        .groupBy("b", "l").agg(F.sum("g").alias("__g"))
+                        .collect())
             gw = np.zeros((nb, ll))
             gb = np.zeros(ll)
-            n = 0
-            for pdf in batches:
-                y = pdf["__y"].to_numpy(dtype=np.int64)
-                rows = pdf["__b"].to_numpy()
-                nrows = len(y)
-                if nrows == 0:
-                    continue
-                lens = np.fromiter((len(r) for r in rows),
-                                   dtype=np.int64, count=nrows)
-                flat = (np.concatenate(
-                    [np.asarray(r, dtype=np.int64) for r in rows])
-                    if lens.sum() else np.empty(0, dtype=np.int64))
-                row_ids = np.repeat(np.arange(nrows), lens)
-                safe_len = np.maximum(lens, 1).astype(np.float64)
-                z = np.tile(bb, (nrows, 1))
-                np.add.at(z, row_ids,
-                          wb[flat] / safe_len[row_ids, None])
-                z -= z.max(axis=1, keepdims=True)  # stable softmax
-                p = np.exp(z)
-                p /= p.sum(axis=1, keepdims=True)
-                p[np.arange(nrows), y] -= 1.0  # E = P - onehot(y)
-                np.add.at(gw, flat, p[row_ids] / safe_len[row_ids, None])
-                gb += p.sum(axis=0)
-                n += nrows
+            n = 0.0
+            for r in partials:
+                if r["b"] == -2:
+                    n = r["__g"]
+                elif r["b"] == -1:
+                    gb[r["l"]] = r["__g"]
+                else:
+                    gw[r["b"], r["l"]] = r["__g"]
             if n == 0:
-                return
-            nzb, nzl = np.nonzero(gw)
-            out = pd.DataFrame({
-                "b": np.concatenate([nzb, np.full(ll, -1), [-2]]),
-                "l": np.concatenate([nzl, np.arange(ll), [0]]),
-                "g": np.concatenate([gw[nzb, nzl], gb, [float(n)]]),
-            })
-            yield out
-
-        partials = (base.mapInPandas(grads, "b long, l int, g double")
-                    .groupBy("b", "l").agg(F.sum("g").alias("__g"))
-                    .collect())
-        gw = np.zeros((nb, ll))
-        gb = np.zeros(ll)
-        n = 0.0
-        for r in partials:
-            if r["b"] == -2:
-                n = r["__g"]
-            elif r["b"] == -1:
-                gb[r["l"]] = r["__g"]
-            else:
-                gw[r["b"], r["l"]] = r["__g"]
-        if n == 0:
-            raise LensError(
-                "classifier_fit_multinomial: empty training corpus")
-        w = w - lrf * (gw / n + l2f * w)
-        b = b - lrf * (gb / n)
-    base.unpersist()  # model is driver-side; free the pin now
+                raise LensError(
+                    "classifier_fit_multinomial: empty training corpus")
+            w = w - lrf * (gw / n + l2f * w)
+            b = b - lrf * (gb / n)
+    finally:
+        # release the corpus-sized pin even on a failed fit (r11 review)
+        base.unpersist()
     return {lg: {"weights": [round(float(x), 6) for x in w[:, i]],
                  "bias": round(float(b[i]), 6)}
             for lg, i in idx.items()}

@@ -620,3 +620,35 @@ def test_ivfpq_index_append_grows_index_with_frozen_model(spark, emb,
                                         vec_col="embedding", k=K,
                                         nprobe=4).collect()}
     assert got == want and len(got) == N_QUERIES * K
+
+
+def test_ivfpq_cell_metric_matches_query_routing(spark, emb, tmp_path):
+    """r11 review fix: corpus cells must assign by COSINE — the metric
+    that routes queries. Under unequal-norm kmeans centroids, L2
+    assignment disagreed with cosine routing for ~20% of vectors, so a
+    query IDENTICAL to a corpus vector missed it at nprobe=1. Pinned:
+    with exclude_self=False, every corpus-vector query retrieves
+    itself (deterministic model, deterministic result)."""
+    from lens_spark.operators.clustering import kmeans_fit
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+        ivfpq_topk,
+    )
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 40)
+    out = ivfpq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                     dim=64, k=10, nprobe=1, m=8, nbits=6,
+                     centroids=cents, exclude_self=False)
+    hits = out.filter(F.col("query_id") == F.col("neighbor_id")).count()
+    assert hits == 40, hits
+    # and the materialized path agrees (same shared kernels)
+    idx = str(tmp_path / "idx")
+    ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, m=8, nbits=6, centroids=cents)
+    got = ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                             vec_col="embedding", k=10, nprobe=1,
+                             exclude_self=False)
+    hits2 = got.filter(F.col("query_id") == F.col("neighbor_id")).count()
+    assert hits2 == 40, hits2

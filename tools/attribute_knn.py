@@ -62,13 +62,17 @@ QUERY = "x3_knn_graph"
 VARIANTS = ("isolated", "post_pred", "no_ckpt", "disk_persist")
 
 
-def _predecessor(query: str) -> str:
+def _predecessor(query: str) -> "str | None":
     """The query directly before `query` in bench.py HEADLINE order —
-    the heap/broadcast state it inherits mid-bench."""
+    the heap/broadcast state it inherits mid-bench. None for the
+    FIRST headline query: it runs right after the start calibration
+    on a fresh heap, so there is no predecessor state to simulate
+    (post_pred then degrades to the isolated regime rather than
+    fabricating one — r11 review)."""
     from bench import HEADLINE
 
     i = HEADLINE.index(query)
-    return HEADLINE[i - 1] if i > 0 else HEADLINE[-1]
+    return HEADLINE[i - 1] if i > 0 else None
 
 
 def _noop(df) -> None:
@@ -99,7 +103,9 @@ def run_one(variant: str, query: str) -> dict:
     for _ in range(2):  # same warm-up regime as bench.py
         _noop(fn(spark, WARM_DIR))
     if variant == "post_pred":
-        _noop(queries[_predecessor(query)](spark, SF_DIR))
+        pred = _predecessor(query)
+        if pred is not None:
+            _noop(queries[pred](spark, SF_DIR))
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
