@@ -882,7 +882,10 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     """
     import contextlib
 
-    from lens_spark.operators.dedup import _index_writer_lock
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _parts_pb_migration_recover,
+    )
 
     spark = batch.sparkSession
     meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_append")
@@ -903,6 +906,9 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     lock = (_index_writer_lock(spark, index_path) if locked
             else contextlib.nullcontext())
     with lock:
+        # roll forward a compaction that crashed between its renames
+        # BEFORE appending (the quota-index lesson, r11 advice)
+        _parts_pb_migration_recover(spark, f"{index_path}/parts")
         (rows.repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
@@ -941,6 +947,79 @@ def _read_ivfpq_model(spark, index_path: str, op: str) -> dict:
     return meta
 
 
+def compact_ivfpq_index(spark, index_path: str, *,
+                        drop_replay_duplicates: bool = False) -> dict:
+    """Maintenance pass for a materialized IVFADC index: rewrite
+    ``parts/`` to ONE file per cell partition (each
+    ``ivfpq_index_append`` batch added one file per touched cell, so a
+    long-running intake accumulates footers exactly like the quota /
+    fingerprint indexes — this is their deep-clean applied here).
+    ``drop_replay_duplicates=True`` additionally collapses
+    byte-identical (id, code, cell) rows — the residue an
+    at-least-once streaming replay leaves behind (search results were
+    already immune; this reclaims the bytes). Takes the writer lease,
+    uses the shared staged-rename protocol (tmp → parts → parts.old →
+    rename → delete), so a crash at any point is rolled forward/back
+    by the next locked call (append and this compactor both recover;
+    read-only search refuses on leftovers). Returns {"rows_before",
+    "rows_after", "files_before", "files_after"}.
+    """
+    from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _parts_pb_migration_recover,
+    )
+    from lens_spark.sources import dataset_nonempty
+
+    parts_path = f"{index_path}/parts"
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _visible_files(root: str) -> int:
+        it = fs.listFiles(P(root), True)
+        n = 0
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                n += 1
+        return n
+
+    with _index_writer_lock(spark, index_path):
+        _parts_pb_migration_recover(spark, parts_path)
+        if not dataset_nonempty(spark, parts_path):
+            return {"rows_before": 0, "rows_after": 0,
+                    "files_before": 0, "files_after": 0}
+        parts = spark.read.parquet(parts_path)
+        if not {"id", "code", "cell"} <= set(parts.columns):
+            raise LensError(
+                f"compact_ivfpq_index: {parts_path!r} is not an ivfpq "
+                f"code index (columns {sorted(parts.columns)}; "
+                "expected id/code/cell)")
+        rows_before = parts.count()
+        files_before = _visible_files(parts_path)
+        out = parts.select("id", "code", "cell")
+        if drop_replay_duplicates:
+            out = out.distinct()
+        (out.repartition(F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(parts_path + ".migrating"))
+        if not fs.rename(P(parts_path), P(parts_path + ".old")):
+            raise LensError(
+                f"compact_ivfpq_index: could not stage {parts_path!r} "
+                "aside.")
+        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+            raise LensError(
+                "compact_ivfpq_index: could not rename the compacted "
+                "dataset into place — recovery will complete it on the "
+                "next locked call.")
+        fs.delete(P(parts_path + ".old"), True)
+        rows_after = spark.read.parquet(parts_path).count()
+        files_after = _visible_files(parts_path)
+    return {"rows_before": int(rows_before), "rows_after": int(rows_after),
+            "files_before": int(files_before),
+            "files_after": int(files_after)}
+
+
 def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
                        id_col: str, vec_col: str, k: int = 10,
                        nprobe: int = 4,
@@ -965,8 +1044,14 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     semi-join on id — ≤ rerank·|queries| rows, never a corpus scan.
     """
     from lens_spark.errors import LensError
+    from lens_spark.operators.dedup import _parts_migration_leftovers
 
     meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_search")
+    if _parts_migration_leftovers(spark, f"{index_path}/parts"):
+        raise LensError(
+            f"ivfpq_index_search: index at {index_path!r} has an "
+            "interrupted compaction; run compact_ivfpq_index (or any "
+            "append) to recover it before read-only use.")
     nlist = int(meta["nlist"])
     if nprobe > nlist:
         raise LensError(

@@ -652,3 +652,65 @@ def test_ivfpq_cell_metric_matches_query_routing(spark, emb, tmp_path):
                              exclude_self=False)
     hits2 = got.filter(F.col("query_id") == F.col("neighbor_id")).count()
     assert hits2 == 40, hits2
+
+
+def test_compact_ivfpq_index_bounds_files_and_drops_replay_dupes(
+        spark, emb, tmp_path):
+    """Index maintenance (r11): many appends -> one file per touched
+    cell per batch; compaction rewrites to one file per cell without
+    changing search results; drop_replay_duplicates reclaims the rows
+    an at-least-once replay duplicated. A crashed compaction
+    (parts.old + parts.migrating, parts missing) makes read-only
+    search refuse and the next append recover."""
+    import shutil
+
+    from lens_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    idx = str(tmp_path / "idx")
+    half = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    ivfpq_index_build(half, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=8, m=8, nbits=6)
+    ivfpq_index_append(rest, idx, id_col="vec_id", vec_col="embedding")
+    # simulate an at-least-once replay: the same batch appends twice
+    ivfpq_index_append(rest, idx, id_col="vec_id", vec_col="embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def results():
+        return {(r.query_id, r.neighbor_id, r.score)
+                for r in ivfpq_index_search(
+                    spark, idx, queries, id_col="vec_id",
+                    vec_col="embedding", k=K, nprobe=4).collect()}
+
+    before = results()
+    assert len(before) == N_QUERIES * K   # replay dupes collapsed
+    stats = compact_ivfpq_index(spark, idx, drop_replay_duplicates=True)
+    n_total = emb.count() + rest.count()  # replayed batch stored twice
+    assert stats["rows_before"] == n_total
+    assert stats["rows_after"] == emb.count()
+    assert stats["files_after"] < stats["files_before"]
+    assert results() == before
+    # crash window: parts staged aside -> search refuses, append recovers
+    parts = tmp_path / "idx" / "parts"
+    shutil.move(str(parts), str(parts) + ".old")
+    shutil.copytree(str(parts) + ".old", str(parts) + ".migrating")
+    from lens_spark.errors import LensError
+    with pytest.raises(LensError, match="interrupted compaction"):
+        ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                           vec_col="embedding", k=K, nprobe=4)
+    one = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    ivfpq_index_append(one, idx, id_col="vec_id", vec_col="embedding")
+    assert parts.exists()
+    assert not (tmp_path / "idx" / "parts.old").exists()
+    # recovered index serves, and the appended vector — an exact copy
+    # of vector 0 — lands in vector 0's cell with vector 0's code, so
+    # query 0 now retrieves it (proof the append went through the
+    # recovered directory correctly)
+    after = results()
+    assert (0, 1000000) in {(q, n) for q, n, _ in after}
