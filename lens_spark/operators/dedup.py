@@ -988,32 +988,69 @@ def _parts_migration_leftovers(spark, parts_path: str) -> bool:
         or fs.exists(P(parts_path + ".migrating")))
 
 
+def _staged_swap(spark, parts_path: str, write_tmp, op: str) -> None:
+    """Replace ``parts/`` with a rewritten dataset, crash-safely.
+
+    THE one staged-rename protocol every persistent index (MinHash
+    band, exact-fingerprint, quota count, IVFPQ code) shares — the
+    r10/r11 advice class was precisely these four maintaining private
+    copies of the sequence and drifting. ``write_tmp(tmp_path)`` must
+    write the complete replacement dataset to ``tmp_path``
+    (``parts.migrating``); the swap then goes rename parts →
+    parts.old, rename tmp → parts, delete old. The tmp dataset is
+    complete before the first rename, so every crash point is rolled
+    forward or back by ``_parts_pb_migration_recover`` on the next
+    locked call, and read-only callers refuse the unsafe window via
+    ``_parts_migration_leftovers``. CALLER HOLDS the writer lease.
+    """
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    write_tmp(parts_path + ".migrating")
+    if not fs.rename(P(parts_path), P(parts_path + ".old")):
+        raise LensError(
+            f"{op}: could not stage {parts_path!r} aside — inspect "
+            "the directory manually.")
+    if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
+        raise LensError(
+            f"{op}: could not rename the rewritten dataset into place "
+            f"at {parts_path!r} — recovery will complete it on the "
+            "next locked call.")
+    fs.delete(P(parts_path + ".old"), True)
+
+
+def _visible_file_count(spark, root: str) -> int:
+    """Recursive count of data files under ``root`` (skips Spark's
+    ``_SUCCESS``/hidden entries) — the before/after metric every index
+    compactor reports."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(P(root), True)
+    n = 0
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith(("_", ".")):
+            n += 1
+    return n
+
+
 def _migrate_parts_to_bucketed(spark, parts_path: str, pb_col) -> None:
     """Rewrite a pre-r6 (kind-only) ``parts/`` index into the bucketed
     (kind, pb) layout, in place, under the caller's writer lock.
 
     Parquet partition discovery requires a uniform directory depth, so
     old and new layouts cannot coexist in one dataset — the rewrite
-    stages into ``parts.migrating`` and swaps via two renames (see
+    stages through ``_staged_swap`` (see
     ``_parts_pb_migration_recover`` for the crash matrix). One-time
     cost proportional to the index (not the corpus) size.
     """
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    (spark.read.parquet(parts_path).withColumn("pb", pb_col)
-     .write.mode("overwrite").partitionBy("kind", "pb")
-     .parquet(parts_path + ".migrating"))
-    if not fs.rename(P(parts_path), P(parts_path + ".old")):
-        raise LensError(
-            f"incremental index migration at {parts_path!r}: could not "
-            "stage the legacy dataset aside — inspect manually.")
-    if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
-        raise LensError(
-            f"incremental index migration at {parts_path!r}: could not "
-            "rename the bucketed dataset into place — recovery will "
-            "complete it on the next locked call.")
-    fs.delete(P(parts_path + ".old"), True)
+    def write_tmp(tmp: str) -> None:
+        (spark.read.parquet(parts_path).withColumn("pb", pb_col)
+         .write.mode("overwrite").partitionBy("kind", "pb")
+         .parquet(tmp))
+
+    _staged_swap(spark, parts_path, write_tmp,
+                 "incremental index migration")
 
 
 def compact_index(spark, index_path: str, *,
@@ -1041,15 +1078,6 @@ def compact_index(spark, index_path: str, *,
 
     parts_path = f"{index_path}/parts"
 
-    def _visible_files(fs, P, root) -> int:
-        it = fs.listFiles(P(root), True)
-        n = 0
-        while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith(("_", ".")):
-                n += 1
-        return n
-
     with _index_writer_lock(spark, index_path):
         _parts_pb_migration_recover(spark, parts_path)
         if not dataset_nonempty(spark, parts_path):
@@ -1061,10 +1089,7 @@ def compact_index(spark, index_path: str, *,
                 "bucketed (kind, pb) layout; run one writing "
                 "neardup_incremental / embedding_neardup_incremental "
                 "call to migrate it, then compact.")
-        jvm = spark._jvm
-        P = jvm.org.apache.hadoop.fs.Path
-        fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
-        before = _visible_files(fs, P, parts_path)
+        before = _visible_file_count(spark, parts_path)
         # Files-per-directory = number of tasks holding that dir's
         # rows: repartitioning BY the partition columns puts each
         # partition combo in exactly one task → exactly one file per
@@ -1078,19 +1103,14 @@ def compact_index(spark, index_path: str, *,
         if tgt > 1:
             keys.append(F.pmod(F.xxhash64(F.col(parts.columns[0])
                                           .cast("string")), F.lit(tgt)))
-        (parts.repartition(*keys)
-         .write.mode("overwrite").partitionBy(*part_cols)
-         .parquet(parts_path + ".migrating"))
-        if not fs.rename(P(parts_path), P(parts_path + ".old")):
-            raise LensError(
-                f"compact_index: could not stage {parts_path!r} aside.")
-        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
-            raise LensError(
-                f"compact_index: could not rename the compacted dataset "
-                "into place — recovery will complete it on the next "
-                "locked call.")
-        fs.delete(P(parts_path + ".old"), True)
-        after = _visible_files(fs, P, parts_path)
+
+        def write_tmp(tmp: str) -> None:
+            (parts.repartition(*keys)
+             .write.mode("overwrite").partitionBy(*part_cols)
+             .parquet(tmp))
+
+        _staged_swap(spark, parts_path, write_tmp, "compact_index")
+        after = _visible_file_count(spark, parts_path)
     return {"files_before": before, "files_after": after}
 
 

@@ -968,21 +968,12 @@ def compact_ivfpq_index(spark, index_path: str, *,
     from lens_spark.operators.dedup import (
         _index_writer_lock,
         _parts_pb_migration_recover,
+        _staged_swap,
+        _visible_file_count,
     )
     from lens_spark.sources import dataset_nonempty
 
     parts_path = f"{index_path}/parts"
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _visible_files(root: str) -> int:
-        it = fs.listFiles(P(root), True)
-        n = 0
-        while it.hasNext():
-            if not it.next().getPath().getName().startswith(("_", ".")):
-                n += 1
-        return n
 
     with _index_writer_lock(spark, index_path):
         _parts_pb_migration_recover(spark, parts_path)
@@ -996,25 +987,18 @@ def compact_ivfpq_index(spark, index_path: str, *,
                 f"code index (columns {sorted(parts.columns)}; "
                 "expected id/code/cell)")
         rows_before = parts.count()
-        files_before = _visible_files(parts_path)
+        files_before = _visible_file_count(spark, parts_path)
         out = parts.select("id", "code", "cell")
         if drop_replay_duplicates:
             out = out.distinct()
-        (out.repartition(F.col("cell"))
-         .write.mode("overwrite").partitionBy("cell")
-         .parquet(parts_path + ".migrating"))
-        if not fs.rename(P(parts_path), P(parts_path + ".old")):
-            raise LensError(
-                f"compact_ivfpq_index: could not stage {parts_path!r} "
-                "aside.")
-        if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
-            raise LensError(
-                "compact_ivfpq_index: could not rename the compacted "
-                "dataset into place — recovery will complete it on the "
-                "next locked call.")
-        fs.delete(P(parts_path + ".old"), True)
+
+        def write_tmp(tmp: str) -> None:
+            (out.repartition(F.col("cell"))
+             .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+
+        _staged_swap(spark, parts_path, write_tmp, "compact_ivfpq_index")
         rows_after = spark.read.parquet(parts_path).count()
-        files_after = _visible_files(parts_path)
+        files_after = _visible_file_count(spark, parts_path)
     return {"rows_before": int(rows_before), "rows_after": int(rows_after),
             "files_before": int(files_before),
             "files_after": int(files_after)}

@@ -964,20 +964,12 @@ def _compact_quota_parts(spark: SparkSession, parts_path: str) -> dict:
     lock; ``run_stream_quota``'s auto-trigger calls it under the lease
     its sink already holds). Staged-rename protocol as documented on
     ``compact_quota_index``."""
-    from lens_spark.operators.dedup import _parts_pb_migration_recover
+    from lens_spark.operators.dedup import (
+        _parts_pb_migration_recover,
+        _staged_swap,
+        _visible_file_count,
+    )
     from lens_spark.sources import dataset_nonempty
-
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _visible_files(root: str) -> int:
-        it = fs.listFiles(P(root), True)
-        n = 0
-        while it.hasNext():
-            if not it.next().getPath().getName().startswith(("_", ".")):
-                n += 1
-        return n
 
     _parts_pb_migration_recover(spark, parts_path)
     if not dataset_nonempty(spark, parts_path):
@@ -991,26 +983,19 @@ def _compact_quota_parts(spark: SparkSession, parts_path: str) -> dict:
             "expected kh/cnt/pb) — use dedup.compact_index for "
             "fingerprint/band/cell indexes")
     rows_before = parts.count()
-    files_before = _visible_files(parts_path)
+    files_before = _visible_file_count(spark, parts_path)
     merged = (parts.groupBy("kh", "pb")
               .agg(F.sum("cnt").alias("cnt"))
               .select("kh", "cnt", "pb"))
-    # one task per pb directory -> one file per directory
-    (merged.repartition(F.col("pb"))
-     .write.mode("overwrite").partitionBy("pb")
-     .parquet(parts_path + ".migrating"))
-    if not fs.rename(P(parts_path), P(parts_path + ".old")):
-        raise LensError(
-            f"compact_quota_index: could not stage {parts_path!r} "
-            "aside.")
-    if not fs.rename(P(parts_path + ".migrating"), P(parts_path)):
-        raise LensError(
-            "compact_quota_index: could not rename the compacted "
-            "dataset into place — recovery will complete it on the "
-            "next locked call.")
-    fs.delete(P(parts_path + ".old"), True)
+
+    def write_tmp(tmp: str) -> None:
+        # one task per pb directory -> one file per directory
+        (merged.repartition(F.col("pb"))
+         .write.mode("overwrite").partitionBy("pb").parquet(tmp))
+
+    _staged_swap(spark, parts_path, write_tmp, "compact_quota_index")
     rows_after = spark.read.parquet(parts_path).count()
-    files_after = _visible_files(parts_path)
+    files_after = _visible_file_count(spark, parts_path)
     return {"rows_before": int(rows_before), "rows_after": int(rows_after),
             "files_before": int(files_before),
             "files_after": int(files_after)}
