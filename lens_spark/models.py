@@ -285,6 +285,7 @@ def save_bloom(registry: "Registry | str | Path", benchmark, text_col: str,
     import numpy as np
 
     from lens_spark.operators.dedup import (
+        BLOOM_HASH_SCHEME,
         _bench_gram_hashes,
         _build_bloom_bitset,
         _collect_bench_gram_hashes,
@@ -298,7 +299,8 @@ def save_bloom(registry: "Registry | str | Path", benchmark, text_col: str,
         "bitset_b64": base64.b64encode(bitset.tobytes()).decode("ascii"),
         "m_bits": int(m_bits), "k_probes": int(k_probes),
         "ngram": int(ngram), "shingle": str(shingle),
-        "n_grams": int(len(hashes))})
+        "n_grams": int(len(hashes)),
+        "hash_scheme": BLOOM_HASH_SCHEME})
 
 
 def load_bpe_merges(registry: "Registry | str | Path",

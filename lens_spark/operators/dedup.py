@@ -2371,21 +2371,58 @@ def _collect_bench_gram_hashes(bench_grams: DataFrame,
     return arr
 
 
+BLOOM_HASH_SCHEME = "km-fmix64"
+"""Versions the (base, stride) derivation baked into every persisted
+``bloom_bitset`` artifact. ``bloom_decontaminate_saved`` refuses an
+artifact whose scheme doesn't match the probe kernel in this build —
+probing a bitset with a different derivation silently mis-filters."""
+
+
+def _bloom_stride(h: "np.ndarray") -> "np.ndarray":
+    """Second Kirsch-Mitzenmacher hash for the bloom probe sequence —
+    murmur3's fmix64 of the gram hash, forced odd. THE one derivation
+    shared by build and probe (a private copy drifting is the
+    silent-miss bug class).
+
+    Why fmix64 and not ``h * odd_const | 1``: the probe index is taken
+    mod a power-of-two ``m``, and mod-2^64 multiplication is CLOSED on
+    the low bits — with the multiplicative stride, base AND stride
+    (hence the entire k-probe arithmetic progression) depended only on
+    ``h mod m``, so any corpus gram sharing its low log2(m) bits with
+    any bench gram was a guaranteed false positive: effective fp
+    ≈ n/m per gram, independent of k, ~1%/gram at check scale instead
+    of the designed 0.62^k (caught r11 when s8_saved_bloom's exact
+    oracle flagged systematic over-drops; ``bloom_decontaminate``'s
+    confirm join had been absorbing the same defect as pure probe-side
+    waste). fmix64's xor-shift-multiply rounds pull high bits into the
+    low word, so (h mod m, stride mod m) behave as an approximately
+    pairwise-independent pair and the standard K-M bound applies.
+    """
+    x = h.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x | np.uint64(1)
+
+
 def _build_bloom_bitset(hashes: "np.ndarray", bits_per_gram: int
                         ) -> "tuple[np.ndarray, int, int]":
     """Build the Bloom bitset over uint64 gram hashes: power-of-two
     ``m_bits`` sized at ``bits_per_gram`` per distinct gram, optimal
-    probe count, Kirsch-Mitzenmacher double hashing. Returns
-    ``(bitset bytes-array, m_bits, k_probes)`` — the whole serializable
-    filter state (persisted as a ``bloom_bitset`` registry artifact by
-    ``lens_spark.models.save_bloom``, r10)."""
+    probe count, Kirsch-Mitzenmacher double hashing (stride via the
+    shared ``_bloom_stride`` fmix64 — see its derivation note).
+    Returns ``(bitset bytes-array, m_bits, k_probes)`` — the whole
+    serializable filter state (persisted as a ``bloom_bitset``
+    registry artifact by ``lens_spark.models.save_bloom``, r10)."""
     import math
 
     n = max(len(hashes), 1)
     m_bits = 1 << max(int(math.ceil(math.log2(n * bits_per_gram))), 6)
     k_probes = max(1, round(0.6931 * m_bits / n))
     bitset = np.zeros(m_bits >> 3, dtype=np.uint8)
-    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    h2 = _bloom_stride(hashes)
     for i in range(k_probes):
         idx = (hashes + np.uint64(i) * h2) & np.uint64(m_bits - 1)
         np.bitwise_or.at(bitset, (idx >> np.uint64(3)).astype(np.int64),
@@ -2407,7 +2444,7 @@ def _bloom_might_contain_udf(spark, bitset: "np.ndarray", m_bits: int,
     def might_contain(s: pd.Series) -> pd.Series:
         bits = bc.value
         h = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
-        hh2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        hh2 = _bloom_stride(h)
         hit = np.ones(len(h), dtype=bool)
         for i in range(k_probes):
             idx = (h + np.uint64(i) * hh2) & np.uint64(m_bits - 1)
@@ -2440,6 +2477,13 @@ def bloom_decontaminate_saved(df: DataFrame, model: "Mapping[str, Any]",
     MODEL (fitting one way and probing another is the silent-miss
     bug), like ``token_vocab``'s stored lowercase flag.
     """
+    scheme = model.get("hash_scheme")
+    if scheme != BLOOM_HASH_SCHEME:
+        raise LensError(
+            f"bloom_bitset artifact was built with probe-hash scheme "
+            f"{scheme!r} but this build probes with "
+            f"{BLOOM_HASH_SCHEME!r} — probing across schemes silently "
+            "mis-filters; rebuild the artifact with save_bloom.")
     m_bits = int(model["m_bits"])
     k_probes = int(model["k_probes"])
     ngram = int(model["ngram"])

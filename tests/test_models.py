@@ -211,6 +211,61 @@ def test_save_bloom_apply_by_id_no_false_negatives(spark, registry,
     bad["m_bits"] = int(model["m_bits"]) * 2
     with pytest.raises(LensError, match="corrupt"):
         bloom_decontaminate_saved(docs, bad, "doc_id", "text").collect()
+    # a probe-kernel change without an artifact rebuild is loud, not a
+    # silent mis-filter (hash_scheme is pinned in the envelope, r11)
+    stale = dict(model)
+    stale["hash_scheme"] = "km-mult-v0"
+    with pytest.raises(LensError, match="probe-hash scheme"):
+        bloom_decontaminate_saved(docs, stale, "doc_id", "text").collect()
+
+
+def test_bloom_probe_sequence_uses_high_bits():
+    """Regression for the r11 bloom kernel fix: with the original
+    ``h * odd_const | 1`` stride, the probe sequence mod power-of-two m
+    depended ONLY on the low bits of h, so any low-bits collision
+    between a probe gram and any inserted gram was a guaranteed false
+    positive (effective fp ≈ n/m per gram no matter how many probes —
+    ~1%/gram at bits_per_gram=48, which is how s8_saved_bloom's exact
+    oracle caught it). Pin both halves of the fix:
+
+    1. two hashes agreeing on the low 32 bits must still produce
+       DIFFERENT probe sequences (stride pulls in high bits);
+    2. the measured fp rate over disjoint random probes sits near the
+       designed 0.5^k bound — i.e. zero hits at default sizing — not
+       near n/m.
+    """
+    import numpy as np
+
+    from lens_spark.operators.dedup import (
+        _bloom_stride,
+        _build_bloom_bitset,
+    )
+
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(0, 2**63, size=4096, dtype=np.int64) \
+                  .view(np.uint64)
+    bitset, m_bits, k = _build_bloom_bitset(inserted, 12)
+
+    # (1) low-bits twins diverge: same low 32 bits, different high bits
+    twins_lo = inserted[:256]
+    twins_hi = twins_lo ^ (np.uint64(0xDEADBEEF) << np.uint64(32))
+    assert not np.any(_bloom_stride(twins_lo) == _bloom_stride(twins_hi))
+
+    # (2) fp rate at the design bound, not at n/m: probe 100k fresh
+    # hashes disjoint from the inserted set
+    probes = rng.integers(0, 2**63, size=100_000,
+                          dtype=np.int64).view(np.uint64)
+    probes = probes[~np.isin(probes, inserted)]
+    h2 = _bloom_stride(probes)
+    hit = np.ones(len(probes), dtype=bool)
+    for i in range(k):
+        idx = (probes + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        byte = bitset[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    fp = hit.mean()
+    # old kernel measured ~n/m ≈ 0.06 here; the design bound is
+    # ~0.5^k ≈ 2e-3 at k≈9 — allow a loose 10x margin over design
+    assert fp < 0.02, f"bloom fp rate {fp:.4f} regressed toward n/m"
 
 
 def test_multinomial_lang_fit_matches_ovr_quality(spark, registry):
