@@ -1,0 +1,207 @@
+"""Unified maintenance entry point for every persistent index.
+
+Four operator families keep crash-safe on-disk indexes (all built on
+the shared ``dedup._staged_swap`` publish protocol and the same writer
+lease): the MinHash band / embedding cell indexes
+(``neardup_incremental`` family), the exact-fingerprint index
+(``dedup_incremental``), the stream-quota count index
+(``run_stream_quota``), and the materialized IVFADC code index
+(``ivfpq_index_build``). Each appends small files per ingest batch and
+each has its own deep-clean compactor. At 100 TB the operational shape
+is ONE nightly job over the index root, not four hand-scheduled ones —
+this module is that job:
+
+    from lens_spark.maintenance import compact_all
+    compact_all(spark, "hdfs:///curation/indexes")
+
+or, from a cron shell::
+
+    python -m lens_spark.maintenance /data/indexes [--dry-run]
+
+Detection is by layout, not registration: an index is any directory
+holding a ``parts/`` parquet dataset (plus ``model.json`` for IVFPQ),
+and its family is read from the parts schema — the same columns every
+reader already depends on. A live writer lease makes ``compact_all``
+skip that index and report it, never block or corrupt; an index
+mid-crash is rolled forward by the family compactor it dispatches to
+(they all recover before rewriting). Discovery walks the Hadoop
+FileSystem API, so the same call works on ``hdfs:``/``s3a:`` roots —
+a driver-local ``Path.rglob`` would silently see an empty remote tree
+(the dataset_exists defect class).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from lens_spark.errors import ConcurrentIndexWriterError, LensError
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+#: parts-schema fingerprints, checked in order (IVFPQ first because its
+#: model.json is the strongest witness; quota before fingerprint
+#: because both carry pb).
+_KIND_COLUMNS = (
+    ("ivfpq", {"id", "code", "cell"}),
+    ("quota", {"kh", "cnt", "pb"}),
+    ("band", {"kind", "pb"}),
+    ("fingerprint", {"fp", "pb"}),
+)
+
+
+def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
+    """Classify the index at ``index_path`` by its on-disk layout:
+    ``ivfpq`` | ``quota`` | ``band`` | ``fingerprint``. Raises
+    ``LensError`` for a directory that is not a recognized index (no
+    ``parts/`` dataset, or a parts schema none of the families own).
+    An index whose last rewrite crashed mid-swap (``parts`` missing
+    but staging dirs present) is still classified when ``model.json``
+    identifies it (ivfpq); otherwise the caller should let the family
+    compactor recover it — we refuse with the leftovers message
+    rather than guessing."""
+    from lens_spark.operators.dedup import _parts_migration_leftovers
+    from lens_spark.sources import dataset_nonempty
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(f"{index_path}/model.json")):
+        return "ivfpq"
+    parts_path = f"{index_path}/parts"
+    if _parts_migration_leftovers(spark, parts_path):
+        raise LensError(
+            f"detect_index_kind: {index_path!r} has an interrupted "
+            "rewrite (parts/ staged aside); run its family compactor "
+            "or any writing call to recover it first.")
+    if not dataset_nonempty(spark, parts_path):
+        raise LensError(
+            f"detect_index_kind: {index_path!r} has no parts/ dataset "
+            "— not a persistent index (or still empty).")
+    cols = set(spark.read.parquet(parts_path).columns)
+    for kind, marker in _KIND_COLUMNS:
+        if marker <= cols:
+            return kind
+    raise LensError(
+        f"detect_index_kind: {index_path!r} parts schema "
+        f"{sorted(cols)} matches no known index family.")
+
+
+def compact_any(spark: "SparkSession", index_path: str, **kwargs) -> dict:
+    """Detect the index family at ``index_path`` and run its deep-clean
+    compactor. Returns the compactor's stats dict plus ``kind``.
+    ``kwargs`` pass through (e.g. ``drop_replay_duplicates=True`` for
+    ivfpq, ``target_files_per_partition`` for band/fingerprint); keys a
+    family doesn't accept raise TypeError loudly rather than being
+    silently dropped."""
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _parts_migration_leftovers,
+        _parts_pb_migration_recover,
+    )
+
+    parts_path = f"{index_path}/parts"
+    if _parts_migration_leftovers(spark, parts_path):
+        # a swap crashed between renames: roll it forward under the
+        # lease FIRST so detection can read the parts schema (the
+        # recovery protocol is family-agnostic; the family compactor
+        # will recover again idempotently under its own lease)
+        with _index_writer_lock(spark, index_path):
+            _parts_pb_migration_recover(spark, parts_path)
+    kind = detect_index_kind(spark, index_path)
+    if kind == "ivfpq":
+        from lens_spark.operators.similarity import compact_ivfpq_index
+        stats = compact_ivfpq_index(spark, index_path, **kwargs)
+    elif kind == "quota":
+        from lens_spark.streaming import compact_quota_index
+        stats = compact_quota_index(spark, index_path, **kwargs)
+    else:  # band / fingerprint share one compactor
+        from lens_spark.operators.dedup import compact_index
+        stats = compact_index(spark, index_path, **kwargs)
+    return {"kind": kind, **stats}
+
+
+def discover_indexes(spark: "SparkSession", root: str, *,
+                     max_depth: int = 4) -> list[str]:
+    """Index roots under ``root``: directories holding a ``parts``
+    child (or ``model.json``), found by a bounded breadth-first walk
+    of the Hadoop FileSystem (hidden/underscore entries skipped, and
+    the walk does not descend INTO an index — parts/pb=N subdirs are
+    data, not more indexes). ``root`` itself may be an index."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(P(root)):
+        raise LensError(f"discover_indexes: {root!r} does not exist")
+
+    def is_index(d: str) -> bool:
+        return (fs.exists(P(f"{d}/parts"))
+                or fs.exists(P(f"{d}/parts.migrating"))
+                or fs.exists(P(f"{d}/parts.old"))
+                or fs.exists(P(f"{d}/model.json")))
+
+    found: list[str] = []
+    frontier = [(root, 0)]
+    while frontier:
+        d, depth = frontier.pop(0)
+        if is_index(d):
+            found.append(d)
+            continue  # never descend into an index
+        if depth >= max_depth:
+            continue
+        for st in fs.listStatus(P(d)):
+            name = st.getPath().getName()
+            if st.isDirectory() and not name.startswith(("_", ".")):
+                frontier.append((f"{d.rstrip('/')}/{name}", depth + 1))
+    return sorted(found)
+
+
+def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
+                dry_run: bool = False) -> dict:
+    """The nightly job: discover every index under ``root`` and run
+    each family's compactor. One index's problem never aborts the
+    sweep — a live writer lease is reported as ``{"skipped":
+    "locked"}`` (ingest and maintenance serialize per index, by
+    design), any other error as ``{"error": ...}`` — so a fleet of
+    streaming ingests and one maintenance cron coexist without
+    coordination beyond the per-index lease. ``dry_run`` lists and
+    classifies without rewriting."""
+    report: dict[str, dict] = {}
+    for idx in discover_indexes(spark, root, max_depth=max_depth):
+        try:
+            if dry_run:
+                report[idx] = {"kind": detect_index_kind(spark, idx),
+                               "dry_run": True}
+            else:
+                report[idx] = compact_any(spark, idx)
+        except ConcurrentIndexWriterError:
+            report[idx] = {"skipped": "locked"}
+        except LensError as e:
+            report[idx] = {"error": str(e)}
+    return report
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(
+        prog="python -m lens_spark.maintenance",
+        description="Compact every persistent lens_spark index under "
+                    "a root directory (band/fingerprint/quota/ivfpq).")
+    parser.add_argument("root", help="index root (local/hdfs:/s3a: path)")
+    parser.add_argument("--max-depth", type=int, default=4)
+    parser.add_argument("--dry-run", action="store_true",
+                        help="list and classify indexes without rewriting")
+    args = parser.parse_args(argv)
+    from lens_spark.session import get_spark
+
+    spark = get_spark()
+    report = compact_all(spark, args.root, max_depth=args.max_depth,
+                         dry_run=args.dry_run)
+    print(json.dumps(report, indent=2, sort_keys=True))
+    return 0 if all("error" not in v for v in report.values()) else 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""lens_spark.maintenance — the one nightly job over every persistent
+index family (discover → classify by layout → dispatch each family's
+compactor), plus its skip/recover/dry-run behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _mk_fp_index(spark, path):
+    from lens_spark.operators.dedup import dedup_incremental
+
+    for ids in ([(1, "a"), (2, "b")], [(3, "c"), (4, "d")]):
+        df = spark.createDataFrame(ids, "id long, text string")
+        dedup_incremental(df, path, columns=["id", "text"]).count()
+
+
+def _mk_band_index(spark, path):
+    from lens_spark.operators.dedup import neardup_incremental
+
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    for i, txt in enumerate(["the quick brown fox jumps over the lazy dog",
+                             "pack my box with five dozen liquor jugs"]):
+        df = spark.createDataFrame([(i, txt)], "id long, text string")
+        neardup_incremental(df, path, "id", "text", **kw).count()
+
+
+def _mk_ivfpq_index(spark, path):
+    import random
+
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivfpq_index_build(emb, path, id_col="vec_id", vec_col="embedding",
+                      dim=8, nlist=2, m=4, nbits=4)
+
+
+def _mk_quota_index(spark, tmp_path, path):
+    import pandas as pd
+
+    from lens_spark.streaming import read_file_stream, run_stream_quota
+
+    src = tmp_path / "quota_src"
+    os.makedirs(src)
+    pd.DataFrame({"dom": ["a", "a", "b"], "id": [1, 2, 3],
+                  "score": [1, 2, 3]}).to_parquet(src / "f1.parquet")
+    stream = read_file_stream(spark, str(src),
+                              schema_from=str(src / "f1.parquet"))
+    run_stream_quota(stream, str(tmp_path / "quota_landed"), path,
+                     keys=["dom"], n=2, order_by="score", tiebreak=["id"])
+
+
+def test_compact_all_discovers_classifies_and_compacts(spark, tmp_path):
+    """One sweep over a mixed index root: every family is found (at
+    varying depth, never descending INTO an index), classified from
+    its on-disk layout, and deep-cleaned by its own compactor; the
+    compacted fingerprint index still recognizes previously-accepted
+    rows (data preserved, not just files moved)."""
+    from lens_spark.maintenance import compact_all, detect_index_kind
+    from lens_spark.operators.dedup import dedup_incremental
+
+    root = tmp_path / "indexes"
+    _mk_fp_index(spark, str(root / "fp_idx"))
+    _mk_band_index(spark, str(root / "nd_idx"))
+    _mk_ivfpq_index(spark, str(root / "nested" / "deeper" / "ivf_idx"))
+    _mk_quota_index(spark, tmp_path, str(root / "quota_idx"))
+
+    report = compact_all(spark, str(root))
+    kinds = {os.path.basename(p): v.get("kind") for p, v in report.items()}
+    assert kinds == {"fp_idx": "fingerprint", "nd_idx": "band",
+                     "ivf_idx": "ivfpq", "quota_idx": "quota"}
+    for p, stats in report.items():
+        assert "error" not in stats and "skipped" not in stats, (p, stats)
+        assert stats["files_after"] <= stats["files_before"], (p, stats)
+    # the fp index still holds its accepted fingerprints post-compact
+    replay = spark.createDataFrame([(1, "a"), (9, "new")],
+                                   "id long, text string")
+    out = dedup_incremental(replay, str(root / "fp_idx"),
+                            columns=["id", "text"], update_index=False)
+    assert {r.id for r in out.collect()} == {9}
+    # detect alone agrees with the sweep
+    assert detect_index_kind(spark, str(root / "nd_idx")) == "band"
+
+
+def test_compact_all_skips_locked_and_reports_errors(spark, tmp_path):
+    """A live writer lease skips (never blocks or corrupts) that index
+    only; a directory that looks index-ish but has an unknown parts
+    schema is reported as an error; the rest of the sweep proceeds."""
+    from lens_spark.maintenance import compact_all
+
+    root = tmp_path / "mixed"
+    _mk_fp_index(spark, str(root / "ok_idx"))
+    _mk_fp_index(spark, str(root / "busy_idx"))
+    open(root / "busy_idx" / "_writer.lock", "w").write("")
+    # unknown family: a parts/ dataset none of the readers own
+    weird = root / "weird_idx"
+    spark.createDataFrame([(1,)], "z long").write.parquet(
+        str(weird / "parts"))
+
+    report = compact_all(spark, str(root))
+    by_name = {os.path.basename(p): v for p, v in report.items()}
+    assert by_name["ok_idx"]["kind"] == "fingerprint"
+    assert by_name["busy_idx"] == {"skipped": "locked"}
+    assert "matches no known index family" in by_name["weird_idx"]["error"]
+
+
+def test_compact_any_recovers_a_crashed_swap_first(spark, tmp_path):
+    """An index whose last rewrite crashed between the two renames
+    (parts/ missing, parts.old + parts.migrating present) is rolled
+    forward BEFORE classification, then compacted normally — the sweep
+    repairs, never refuses, the recoverable window."""
+    import shutil
+
+    from lens_spark.maintenance import compact_any
+
+    idx = tmp_path / "crashed"
+    _mk_fp_index(spark, str(idx))
+    parts = idx / "parts"
+    shutil.move(str(parts), str(parts) + ".old")
+    shutil.copytree(str(parts) + ".old", str(parts) + ".migrating")
+    stats = compact_any(spark, str(idx))
+    assert stats["kind"] == "fingerprint"
+    assert parts.exists()
+    assert not (idx / "parts.old").exists()
+    assert not (idx / "parts.migrating").exists()
+
+
+def test_discover_respects_depth_and_dry_run(spark, tmp_path):
+    from lens_spark.maintenance import compact_all, discover_indexes
+
+    root = tmp_path / "deep"
+    _mk_fp_index(spark, str(root / "a" / "b" / "c" / "idx"))
+    assert discover_indexes(spark, str(root), max_depth=2) == []
+    found = discover_indexes(spark, str(root), max_depth=4)
+    assert [os.path.basename(p) for p in found] == ["idx"]
+    report = compact_all(spark, str(root), dry_run=True)
+    (stats,) = report.values()
+    assert stats == {"kind": "fingerprint", "dry_run": True}
+
+
+def test_detect_rejects_non_index(spark, tmp_path):
+    from lens_spark.errors import LensError
+    from lens_spark.maintenance import detect_index_kind
+
+    empty = tmp_path / "not_an_index"
+    os.makedirs(empty)
+    with pytest.raises(LensError, match="no parts/ dataset"):
+        detect_index_kind(spark, str(empty))
