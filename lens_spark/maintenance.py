@@ -177,7 +177,12 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
         except ConcurrentIndexWriterError:
             report[idx] = {"skipped": "locked"}
         except LensError as e:
-            report[idx] = {"error": str(e)}
+            # a bootstrapped-but-still-empty index is benign, not a
+            # problem the operator must look at
+            if "no parts/ dataset" in str(e):
+                report[idx] = {"skipped": "empty"}
+            else:
+                report[idx] = {"error": str(e)}
     return report
 
 

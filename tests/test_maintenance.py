@@ -101,10 +101,14 @@ def test_compact_all_skips_locked_and_reports_errors(spark, tmp_path):
     spark.createDataFrame([(1,)], "z long").write.parquet(
         str(weird / "parts"))
 
+    # bootstrapped but never written: parts/ exists, no data yet
+    os.makedirs(root / "empty_idx" / "parts")
+
     report = compact_all(spark, str(root))
     by_name = {os.path.basename(p): v for p, v in report.items()}
     assert by_name["ok_idx"]["kind"] == "fingerprint"
     assert by_name["busy_idx"] == {"skipped": "locked"}
+    assert by_name["empty_idx"] == {"skipped": "empty"}
     assert "matches no known index family" in by_name["weird_idx"]["error"]
 
 
