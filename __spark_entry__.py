@@ -1558,6 +1558,32 @@ def q_x8_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(_read(spark, sf_dir, "documents"), spec)
 
 
+def q_x8_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized BM25 postings index (new late-r11): the SPARSE
+    counterpart of x3_ivfpq_index — ``postings_index_build`` lands one
+    row per distinct (doc, term) as parquet PARTITIONED BY term-hash
+    bucket plus frozen corpus scalars in model.json; the
+    ``postings_search`` lens then serves a query panel by reading ONLY
+    the panel's terms' partitions (dynamic partition pruning, pinned
+    by test_ranking) and ranking with the shared two-stage top-k.
+    Unlike the dense index (iterative float fits → rows-only), BM25 is
+    closed-form, so the SERVED path hash-gates against the exact
+    DuckDB oracle — the same SQL as x8_bm25, because served-equals-
+    inline is the contract: one wrong byte in the postings layout,
+    frozen stats, pruning join, or digest sum flips the hash."""
+    from lens_spark.operators.ranking import postings_index_build
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="lens_spark_postings_") + "/idx"
+    postings_index_build(docs, idx, id_col="doc_id", text_col="text")
+    panel = spark.createDataFrame([(0, "spark shuffle hash join")],
+                                  "qid long, qtext string")
+    spec = {"lenses": [{"name": "postings_search", "arguments": {
+        "index": idx, "id": "qid", "column": "qtext", "k": 50}}]}
+    out = engine.append(panel, spec)
+    return out.select(F.col("neighbor_id").alias("doc_id"), "bm25")
+
+
 def q_x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic mixing: downsample src0 to 10%, src1 to
     50%, keep the rest — the corpus-recipe primitive. Membership is
@@ -3233,12 +3259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_oversample": q_x7_oversample,
         "x7_shuffle_shards": q_x7_shuffle_shards,
         # --- slots 51+: hash-checkable, operator covered above --------
-        # s8_saved_bloom (added late r11, after the r11 window was
-        # committed) heads the tail as the DECLARED R12 ROTATION
-        # BACKLOG — the never-external-row rule puts it in-window
-        # next round (the x5_vocab_coverage precedent, r10→r11); the
-        # tail pytest oracle-checks it locally every run meanwhile.
+        # s8_saved_bloom and x8_bm25_index (added late r11, after the
+        # r11 window was committed) head the tail as the DECLARED R12
+        # ROTATION BACKLOG — the never-external-row rule puts them
+        # in-window next round (the x5_vocab_coverage precedent,
+        # r10→r11); the tail pytest oracle-checks both locally every
+        # run meanwhile.
         "s8_saved_bloom": q_s8_saved_bloom,
+        "x8_bm25_index": q_x8_bm25_index,
         # The full r10 window (50 fresh r10 external greens) plus the
         # remaining pre-r10 evictees; ordering inside the tail is
         # historical. The tail pytest oracle-checks every entry each
@@ -5956,6 +5984,28 @@ ranked AS (SELECT doc_id, term, score,
 SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5
 """,
         "x8_bm25": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ('hash', 'join', 'shuffle', 'spark') GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n,
+                 avg(len({_TOKENS_SQL})) AS avgdl FROM documents),
+dl AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+scored AS (SELECT tf.doc_id,
+  ln(1.0e0 + (n - d.df + 0.5e0) / (d.df + 0.5e0))
+    * (tf.tf * (1.2e0 + 1)) / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats)
+SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+""",
+        # x8_bm25_index: served-from-materialized-index equals inline
+        # BM25 by contract (frozen n/avgdl/df are the build-time live
+        # stats; same tokenization, idf, quantized sum), so the oracle
+        # is x8_bm25's SQL verbatim for the same 4-term query.
+        "x8_bm25_index": f"""
 WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM t
        WHERE term IN ('hash', 'join', 'shuffle', 'spark') GROUP BY 1, 2),

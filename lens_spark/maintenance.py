@@ -39,15 +39,23 @@ from lens_spark.errors import ConcurrentIndexWriterError, LensError
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
-#: parts-schema fingerprints, checked in order (IVFPQ first because its
-#: model.json is the strongest witness; quota before fingerprint
-#: because both carry pb).
+#: parts-schema fingerprints, checked in order (model.json-bearing
+#: families are resolved by their format field first; quota before
+#: fingerprint because both carry pb).
 _KIND_COLUMNS = (
     ("ivfpq", {"id", "code", "cell"}),
+    ("postings", {"term", "doc", "tf", "dl", "df", "pb"}),
     ("quota", {"kh", "cnt", "pb"}),
     ("band", {"kind", "pb"}),
     ("fingerprint", {"fp", "pb"}),
 )
+
+#: model.json "format" → index kind (both dense and sparse retrieval
+#: indexes carry a model file beside parts/)
+_MODEL_FORMATS = {
+    "lens_spark_ivfpq_index": "ivfpq",
+    "lens_spark_postings_index": "postings",
+}
 
 
 def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
@@ -67,7 +75,26 @@ def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(P(f"{index_path}/model.json")):
-        return "ivfpq"
+        import json as _json
+
+        stream = fs.open(P(f"{index_path}/model.json"))
+        try:
+            data = bytearray()
+            buf = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = buf.readLine()
+            while line is not None:
+                data.extend((line + "\n").encode("utf-8"))
+                line = buf.readLine()
+        finally:
+            stream.close()
+        fmt = _json.loads(bytes(data).decode("utf-8")).get("format")
+        kind = _MODEL_FORMATS.get(str(fmt))
+        if kind is None:
+            raise LensError(
+                f"detect_index_kind: {index_path!r} model.json format "
+                f"{fmt!r} matches no known index family.")
+        return kind
     parts_path = f"{index_path}/parts"
     if _parts_migration_leftovers(spark, parts_path):
         raise LensError(
@@ -115,7 +142,7 @@ def compact_any(spark: "SparkSession", index_path: str, **kwargs) -> dict:
     elif kind == "quota":
         from lens_spark.streaming import compact_quota_index
         stats = compact_quota_index(spark, index_path, **kwargs)
-    else:  # band / fingerprint share one compactor
+    else:  # band / fingerprint / postings share the pb-layout compactor
         from lens_spark.operators.dedup import compact_index
         stats = compact_index(spark, index_path, **kwargs)
     return {"kind": kind, **stats}

@@ -142,3 +142,267 @@ def bm25_score_lens(arguments: Mapping[str, Any]) -> Lens:
                                       k1=float(arguments.get("k1", 1.2)),
                                       b=float(arguments.get("b", 0.75)),
                                       limit=int(lim) if lim else None))
+
+
+# --------------------------------------------------------------------
+# Materialized BM25 postings index — the SPARSE counterpart of the
+# dense ivfpq index (similarity.py): one build pass lands the postings
+# as plain parquet PARTITIONED BY TERM-HASH BUCKET, and a query panel
+# then reads ONLY its own terms' buckets. Same philosophy as the
+# incremental-dedup / ivfpq indexes: no search service, just files an
+# object store already holds, maintained by the shared lease +
+# staged-swap machinery (lens_spark.maintenance sweeps it too).
+# --------------------------------------------------------------------
+
+POSTINGS_FORMAT = "lens_spark_postings_index"
+POSTINGS_BUCKETS = 64
+"""Default term-hash bucket count. A query panel touches ≤ its
+distinct-term count of buckets; more buckets = finer pruning but more
+files per build/append. 64 suits panels of tens of terms."""
+
+
+def postings_index_build(corpus: DataFrame, index_path: str, *,
+                         id_col: str, text_col: str,
+                         buckets: int = POSTINGS_BUCKETS) -> dict:
+    """Materialize the inverted index ``bm25_score`` computes on the
+    fly: ONE tokenize pass to (term, doc, tf) postings — each row also
+    carrying the doc length and the term's document frequency, so
+    scoring needs no side tables — landed as parquet PARTITIONED BY
+    ``pb = pmod(xxhash64(term), buckets)`` plus the corpus scalars
+    (``n_docs``, ``sum_dl``) in ``model.json`` beside it.
+
+    The 100 TB shape: after the one-time build,
+    ``postings_index_search`` scans only the partitions its query
+    panel's terms hash into (~|panel terms|/buckets of the index), and
+    the index itself holds one row per distinct (doc, term) — no
+    original text. Build is the same two map-side-combined aggregations
+    ``bm25_score`` pays per query, paid once.
+
+    Returns {"n_docs", "n_terms", "n_postings"}.
+    """
+    import json as _json
+
+    from lens_spark.errors import LensError
+
+    if buckets < 1:
+        raise LensError("postings_index_build: buckets must be >= 1")
+    tf = _term_freq(corpus, id_col, text_col)
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = (ensure_parallelism(corpus, by=[id_col])
+          .select(F.col(id_col).alias("doc"),
+                  F.size(tokens(F.col(text_col))).alias("dl")))
+    rows = (tf.withColumnRenamed(id_col, "doc")
+            .join(docfreq, "term").join(dl, "doc")
+            .select("term", "doc", "tf", "dl", "df",
+                    F.pmod(F.xxhash64("term"),
+                           F.lit(int(buckets))).alias("pb")))
+    # one task per bucket directory -> one file per bucket per build
+    (rows.repartition(F.col("pb"))
+     .write.mode("overwrite").partitionBy("pb")
+     .parquet(f"{index_path}/parts"))
+    stats = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("s")).first()
+    spark = corpus.sparkSession
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(P(f"{index_path}/model.json"), True)
+    try:
+        out.write(_json.dumps({
+            "format": POSTINGS_FORMAT, "version": 1,
+            "buckets": int(buckets), "n_docs": int(stats["n"]),
+            "sum_dl": int(stats["s"] or 0)},
+            sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    landed = spark.read.parquet(f"{index_path}/parts")
+    agg = landed.agg(F.count(F.lit(1)).alias("p"),
+                     F.countDistinct("term").alias("t")).first()
+    return {"n_docs": int(stats["n"]), "n_terms": int(agg["t"]),
+            "n_postings": int(agg["p"])}
+
+
+def _read_postings_model(spark, index_path: str, op: str) -> dict:
+    """model.json beside the postings parts — the ivfpq-model read
+    idiom (similarity._read_ivfpq_model: Hadoop-FS buffered reader so
+    hdfs:/s3a: paths work)."""
+    import json as _json
+
+    from lens_spark.errors import LensError
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    p = P(f"{index_path}/model.json")
+    if not fs.exists(p):
+        raise LensError(
+            f"{op}: no model.json under {index_path!r} — not a "
+            "postings index (build one with postings_index_build)")
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        line = buf.readLine()
+        while line is not None:
+            data.extend((line + "\n").encode("utf-8"))
+            line = buf.readLine()
+    finally:
+        stream.close()
+    meta = _json.loads(bytes(data).decode("utf-8"))
+    if meta.get("format") != POSTINGS_FORMAT:
+        raise LensError(
+            f"{op}: {index_path!r} model.json has format "
+            f"{meta.get('format')!r}")
+    return meta
+
+
+def postings_index_append(batch: DataFrame, index_path: str, *,
+                          id_col: str, text_col: str,
+                          locked: bool = True) -> dict:
+    """Grow a materialized postings index with NEW documents under the
+    index's FROZEN statistics (the ivfpq_index_append contract): each
+    new doc's terms take the BUILD-TIME ``df`` (read from the index's
+    own pruned partitions — one partition-pruned probe, I/O scales
+    with the batch's terms), and ``n_docs``/``sum_dl`` stay the build
+    values, so old and new postings score on exactly the same scale.
+    The honest trade, stated not hidden: a term the build never saw
+    has no frozen ``df``, so its postings are NOT added (reported in
+    the return value) and the term stays unretrievable until a
+    rebuild — BM25's global statistics make any other choice silently
+    re-scale every existing score. Appends one file per touched
+    bucket under the shared writer lease; an at-least-once replay
+    stores byte-identical duplicate rows — search collapses them
+    before aggregation (the dedupe-before-sum idiom), the cost is
+    index bytes until ``lens_spark.maintenance`` compacts.
+
+    Returns {"n_postings", "n_dropped_unknown_terms"}.
+    """
+    import contextlib
+
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _parts_pb_migration_recover,
+    )
+
+    spark = batch.sparkSession
+    meta = _read_postings_model(spark, index_path, "postings_index_append")
+    buckets = int(meta["buckets"])
+    parts_path = f"{index_path}/parts"
+
+    tf = _term_freq(batch, id_col, text_col)
+    dl = (batch.select(F.col(id_col).alias("doc"),
+                       F.size(tokens(F.col(text_col))).alias("dl")))
+    new = (tf.withColumnRenamed(id_col, "doc").join(dl, "doc")
+           .withColumn("pb", F.pmod(F.xxhash64("term"),
+                                    F.lit(buckets))))
+    # frozen df lookup: probe ONLY the buckets this batch's terms hash
+    # into (the dedup_incremental partition-pruning idiom)
+    probe = (new.select("term", "pb").distinct()
+             .filter(F.col("pb") >= 0))
+    frozen_df = (spark.read.parquet(parts_path)
+                 .join(F.broadcast(probe), ["term", "pb"], "left_semi")
+                 .select("term", "df").distinct())
+    rows = (new.join(frozen_df, "term")
+            .select("term", "doc", "tf", "dl", "df", "pb")
+            .localCheckpoint(eager=True))  # pin before the append
+    # invalidates the parts scan (the dedup checkpoint discipline)
+    n_rows = rows.count()
+    n_dropped = new.count() - n_rows
+    lock = (_index_writer_lock(spark, index_path) if locked
+            else contextlib.nullcontext())
+    with lock:
+        _parts_pb_migration_recover(spark, parts_path)
+        (rows.repartition(F.col("pb"))
+         .write.mode("append").partitionBy("pb").parquet(parts_path))
+    return {"n_postings": int(n_rows),
+            "n_dropped_unknown_terms": int(n_dropped)}
+
+
+def postings_index_search(spark, queries: DataFrame, index_path: str, *,
+                          id_col: str, text_col: str, k: int = 10,
+                          k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Serve BM25 top-k for a panel of text queries from a materialized
+    ``postings_index_build`` index: tokenize the panel, scan ONLY the
+    partitions the panel's terms hash into (``pb`` is the parquet
+    partition column, so the broadcast (term, pb) probe prunes
+    directories on disk), sum the matched term contributions per
+    (query, doc) with the exact scaled-integer digest ``bm25_score``
+    uses, and rank with the shared two-stage top-k — a single query's
+    candidates never funnel through one task. Matched postings pass a
+    DISTINCT before the sum (each (term, doc) row is byte-identical
+    across at-least-once replays, so replay residue cannot
+    double-count a term — the sparse analogue of the ann
+    score-before-distinct idiom). Returns (query_id, neighbor_id,
+    bm25, rank).
+
+    Scoring math and tokenization are ``bm25_score``'s exactly (same
+    idf, same quantized sum), with N/avgdl FROZEN at build time from
+    ``model.json`` — serving never rescans the corpus.
+    """
+    from lens_spark.errors import LensError
+    from lens_spark.functions.digest import (
+        round6_scaled_sum_expr,
+        scaled_term,
+    )
+    from lens_spark.operators.dedup import _parts_migration_leftovers
+    from lens_spark.operators.similarity import _rank_topk
+
+    meta = _read_postings_model(spark, index_path,
+                                "postings_index_search")
+    parts_path = f"{index_path}/parts"
+    if _parts_migration_leftovers(spark, parts_path):
+        raise LensError(
+            f"postings_index_search: index at {index_path!r} has an "
+            "interrupted rewrite; run lens_spark.maintenance (or any "
+            "append) to recover it before read-only use.")
+    buckets = int(meta["buckets"])
+    n_docs = int(meta["n_docs"])
+    avgdl = float(meta["sum_dl"]) / max(n_docs, 1)
+
+    qterms = (queries
+              .select(F.col(id_col).alias("query_id"),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+              .distinct()
+              .withColumn("pb", F.pmod(F.xxhash64("term"),
+                                       F.lit(buckets))))
+    probe = (qterms.select("term", "pb").distinct()
+             # always-true selective predicate for the DPP rule — see
+             # the neardup_incremental probe comment
+             .filter(F.col("pb") >= 0))
+    matched = (spark.read.parquet(parts_path)
+               .join(F.broadcast(probe), ["term", "pb"])
+               .select("term", "doc", "tf", "dl", "df")
+               .distinct())  # dedupe-before-sum: replay residue
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (qterms.join(matched, "term")
+              .withColumn("__c", contrib)
+              .groupBy("query_id", F.col("doc").alias("neighbor_id"))
+              .agg(F.sum(scaled_term(F.col("__c"))).alias("__s"))
+              .select("query_id", "neighbor_id",
+                      F.expr(round6_scaled_sum_expr("__s"))
+                      .alias("score")))
+    out = _rank_topk(scored, "query_id", int(k))
+    return out.select("query_id", "neighbor_id",
+                      F.col("score").alias("bm25"), "rank")
+
+
+@register_lens("postings_search")
+def postings_search_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: index (path from postings_index_build), id, column
+    (query text), k (10), k1 (1.2), b (0.75). The input dataframe is
+    the QUERY PANEL (the ivfpq_search convention)."""
+    index_path = str(require_arg(arguments, "index", "postings_search"))
+    id_col = str(require_arg(arguments, "id", "postings_search"))
+    text_col = str(require_arg(arguments, "column", "postings_search"))
+    return Lens(
+        "postings_search", arguments,
+        lambda df: postings_index_search(
+            df.sparkSession, df, index_path, id_col=id_col,
+            text_col=text_col, k=int(arguments.get("k", 10)),
+            k1=float(arguments.get("k1", 1.2)),
+            b=float(arguments.get("b", 0.75))))

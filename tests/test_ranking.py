@@ -76,3 +76,166 @@ def test_lens_registration(corpus):
         "id": "id", "column": "text", "k": 2}}]}
     out = engine.append(corpus, spec)
     assert out.columns == ["id", "term", "score", "rank"]
+
+
+# --------------------------------------------------------------------
+# Materialized BM25 postings index (the sparse counterpart of ivfpq)
+# --------------------------------------------------------------------
+
+
+def _panel(spark, *texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 "qid long, qtext string")
+
+
+def test_postings_index_served_equals_inline_bm25(spark, corpus, tmp_path):
+    """Serving from the materialized index must reproduce bm25_score
+    exactly — same idf, same frozen-at-build N/avgdl (= the live
+    corpus stats at build time), same quantized digest sum."""
+    from lens_spark.operators.ranking import (
+        postings_index_build,
+        postings_index_search,
+    )
+
+    idx = str(tmp_path / "pidx")
+    stats = postings_index_build(corpus, idx, id_col="id",
+                                 text_col="text")
+    assert stats["n_docs"] == 4 and stats["n_postings"] >= stats["n_terms"]
+
+    panel = _panel(spark, "spark join", "hash")
+    got = postings_index_search(spark, panel, idx, id_col="qid",
+                                text_col="qtext", k=10)
+    served = {(r.query_id, r.neighbor_id): r.bm25 for r in got.collect()}
+    for qid, terms in ((0, ["spark", "join"]), (1, ["hash"])):
+        inline = {r.id: r.bm25 for r in
+                  bm25_score(corpus, "id", "text", terms).collect()}
+        assert {d for q, d in served if q == qid} == set(inline)
+        for (q, d), s in served.items():
+            if q == qid:
+                assert s == inline[d], (q, d, s, inline[d])
+    # ranks are contiguous from 1 per query, ordered by score desc
+    ranks = sorted((r.query_id, r.rank, r.bm25) for r in got.collect())
+    for q in (0, 1):
+        qr = [(rk, sc) for qq, rk, sc in ranks if qq == q]
+        assert [rk for rk, _ in qr] == list(range(1, len(qr) + 1))
+        assert all(qr[i][1] >= qr[i + 1][1] for i in range(len(qr) - 1))
+
+
+def test_postings_append_frozen_stats_and_unknown_terms(spark, corpus,
+                                                        tmp_path):
+    """Append half the corpus to an index built on the other half:
+    known-term postings score on the BUILD scale (df/N/avgdl frozen),
+    and a term the build never saw is dropped and reported, not
+    silently mis-scored."""
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+        postings_index_search,
+    )
+
+    first = corpus.filter("id <= 2")
+    idx = str(tmp_path / "pidx_grow")
+    postings_index_build(first, idx, id_col="id", text_col="text")
+    rep = postings_index_append(corpus.filter("id > 2"), idx,
+                                id_col="id", text_col="text")
+    # doc 4 contributes spark+hash (known); doc 3's 4 terms are unknown
+    assert rep["n_postings"] == 2
+    assert rep["n_dropped_unknown_terms"] == 4
+    got = postings_index_search(
+        spark, _panel(spark, "spark"), idx, id_col="qid",
+        text_col="qtext", k=10)
+    by_doc = {r.neighbor_id: r.bm25 for r in got.collect()}
+    assert set(by_doc) == {1, 4}  # appended doc 4 is retrievable
+    # frozen scale: doc 1's score is byte-identical to the build-only
+    # index (the append changed nothing about existing postings)
+    idx2 = str(tmp_path / "pidx_base")
+    postings_index_build(first, idx2, id_col="id", text_col="text")
+    base = {r.neighbor_id: r.bm25 for r in postings_index_search(
+        spark, _panel(spark, "spark"), idx2, id_col="qid",
+        text_col="qtext", k=10).collect()}
+    assert by_doc[1] == base[1]
+
+
+def test_postings_replay_duplicates_do_not_double_count(spark, corpus,
+                                                        tmp_path):
+    """An at-least-once replay of the same append stores byte-identical
+    rows; the dedupe-before-sum distinct keeps every score unchanged."""
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+        postings_index_search,
+    )
+
+    idx = str(tmp_path / "pidx_replay")
+    postings_index_build(corpus.filter("id <= 3"), idx, id_col="id",
+                         text_col="text")
+    batch = corpus.filter("id = 4")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    before = {(r.query_id, r.neighbor_id): r.bm25
+              for r in postings_index_search(
+                  spark, _panel(spark, "spark hash"), idx,
+                  id_col="qid", text_col="qtext", k=10).collect()}
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    after = {(r.query_id, r.neighbor_id): r.bm25
+             for r in postings_index_search(
+                 spark, _panel(spark, "spark hash"), idx,
+                 id_col="qid", text_col="qtext", k=10).collect()}
+    assert after == before
+
+
+def test_postings_partition_pruning_and_lens(spark, corpus, tmp_path):
+    """The panel's term probe reaches the parquet scan as a partition
+    filter (scan I/O scales with the panel's buckets, not the index),
+    and the postings_search lens serves the panel through a lens file."""
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "pidx_prune")
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+    panel = _panel(spark, "spark")
+    spec = {"lenses": [{"name": "postings_search", "arguments": {
+        "index": idx, "id": "qid", "column": "qtext", "k": 5}}]}
+    out = engine.append(panel, spec)
+    assert out.columns == ["query_id", "neighbor_id", "bm25", "rank"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the panel's (term, pb) probe reaches the postings scan as a
+    # dynamic-partition-pruning subquery on the pb directory column
+    assert "dynamicpruning" in plan.lower() and "pb" in plan
+    assert {r.neighbor_id for r in out.collect()} == {1, 4}
+
+
+def test_postings_maintenance_detects_and_compacts(spark, corpus,
+                                                   tmp_path):
+    """The maintenance sweep classifies a postings index from its
+    model.json format and compacts it with the shared pb-layout
+    compactor; search refuses an interrupted rewrite until recovery."""
+    import shutil
+
+    from lens_spark.errors import LensError
+    from lens_spark.maintenance import compact_all, detect_index_kind
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+        postings_index_search,
+    )
+
+    root = tmp_path / "pmx"
+    idx = str(root / "pidx")
+    postings_index_build(corpus.filter("id <= 3"), idx, id_col="id",
+                         text_col="text")
+    postings_index_append(corpus.filter("id = 4"), idx, id_col="id",
+                          text_col="text")
+    assert detect_index_kind(spark, idx) == "postings"
+    report = compact_all(spark, str(root))
+    stats = report[idx]
+    assert stats["kind"] == "postings"
+    assert stats["files_after"] <= stats["files_before"]
+    # data preserved
+    got = postings_index_search(spark, _panel(spark, "spark"), idx,
+                                id_col="qid", text_col="qtext", k=10)
+    assert {r.neighbor_id for r in got.collect()} == {1, 4}
+    # read-only refusal on the unsafe window
+    parts = root / "pidx" / "parts"
+    shutil.move(str(parts), str(parts) + ".old")
+    with pytest.raises(LensError, match="interrupted rewrite"):
+        postings_index_search(spark, _panel(spark, "spark"), idx,
+                              id_col="qid", text_col="qtext").collect()
