@@ -84,6 +84,15 @@ FLAGSHIPS = [
                        "re-rank fetches true vectors via a BROADCAST "
                        "join on the bounded shortlist — no corpus "
                        "exchange anywhere"),
+    ("x8_bm25_index", "materialized BM25 postings serving (late r11) — "
+                      "the postings scan carries a dynamicpruning "
+                      "subquery on the term-hash bucket column (the "
+                      "panel's broadcast (term, pb) probe prunes "
+                      "directories on disk: a panel reads ~|its terms| "
+                      "of 64 buckets, never the index), the sum "
+                      "aggregates map-side-combined scaled longs, and "
+                      "the two-stage top-k keeps any one query's "
+                      "candidates off a single task"),
 ]
 
 
