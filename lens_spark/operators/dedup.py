@@ -1054,7 +1054,8 @@ def _migrate_parts_to_bucketed(spark, parts_path: str, pb_col) -> None:
 
 
 def compact_index(spark, index_path: str, *,
-                  target_files_per_partition: int = 1) -> dict:
+                  target_files_per_partition: int = 1,
+                  drop_replay_duplicates: bool = False) -> dict:
     """Rewrite an incremental index's ``parts/`` dataset with
     ``target_files_per_partition`` files per (kind, pb) partition.
 
@@ -1068,11 +1069,21 @@ def compact_index(spark, index_path: str, *,
     equivalent, only file boundaries change. Returns {"files_before",
     "files_after"}.
 
-    Works on both index families (neardup_incremental and
-    embedding_neardup_incremental — same parts/ conventions). A
-    pre-r6 kind-only index must be migrated first (any writing call
-    does it); compacting it here would need the kind-specific pb
-    derivation this utility deliberately doesn't duplicate.
+    ``drop_replay_duplicates=True`` additionally collapses
+    byte-identical rows — the residue an at-least-once streaming
+    replay leaves behind. Safe for every family this compactor serves
+    (fingerprint, band, postings rows are all SET-semantics facts:
+    probes semi-join or distinct them, so duplicates never changed
+    results, only bytes); the quota index is NOT served here — its
+    rows are increments, deduping them would drop counts, and
+    ``compact_quota_index`` SUMS instead.
+
+    Works on the neardup_incremental / embedding_neardup_incremental
+    band indexes, the dedup_incremental fingerprint index, and the
+    postings index (same parts/ conventions). A pre-r6 kind-only
+    index must be migrated first (any writing call does it);
+    compacting it here would need the kind-specific pb derivation
+    this utility deliberately doesn't duplicate.
     """
     from lens_spark.sources import dataset_nonempty
 
@@ -1083,6 +1094,8 @@ def compact_index(spark, index_path: str, *,
         if not dataset_nonempty(spark, parts_path):
             return {"files_before": 0, "files_after": 0}
         parts = spark.read.parquet(parts_path)
+        if drop_replay_duplicates:
+            parts = parts.distinct()
         if "pb" not in parts.columns:
             raise LensError(
                 f"compact_index: index at {index_path!r} predates the "

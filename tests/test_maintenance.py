@@ -154,3 +154,33 @@ def test_detect_rejects_non_index(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(LensError, match="no parts/ dataset"):
         detect_index_kind(spark, str(empty))
+
+
+def test_compact_any_drop_replay_duplicates_reclaims_postings(spark,
+                                                              tmp_path):
+    """kwargs pass through compact_any: a replayed postings append
+    leaves byte-identical rows; drop_replay_duplicates=True reclaims
+    them (row count returns to the pre-replay value) and search
+    results are unchanged throughout."""
+    from lens_spark.maintenance import compact_any
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "id long, text string")
+    idx = str(tmp_path / "pidx_dupes")
+    postings_index_build(corpus.filter("id = 1"), idx, id_col="id",
+                         text_col="text")
+    batch = corpus.filter("id = 2")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    n_with_dupes = spark.read.parquet(f"{idx}/parts").count()
+    stats = compact_any(spark, idx, drop_replay_duplicates=True)
+    assert stats["kind"] == "postings"
+    n_after = spark.read.parquet(f"{idx}/parts").count()
+    assert n_after < n_with_dupes
+    # doc 2 contributes only its build-known term "beta": exactly one
+    # surviving posting row for it
+    assert n_after == 3  # doc1: alpha+beta, doc2: beta
