@@ -156,7 +156,7 @@ HEADLINE = [
     "s8_saved_vocab",        # registry vocab artifact -> broadcast apply (r10)
     "x5_vocab_coverage",     # per-lang tokenizer OOV report, pre-agg (r10)
     "x3_ivfpq_topk",         # IVFADC: cell routing x PQ ADC, one pass (r11)
-    "x8_bm25_index",         # materialized BM25 postings serving (r11)
+    "x8_bm25_index",         # BM25 postings index BUILD + panel serve (r11)
 ]
 
 

@@ -60,35 +60,20 @@ _MODEL_FORMATS = {
 
 def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
     """Classify the index at ``index_path`` by its on-disk layout:
-    ``ivfpq`` | ``quota`` | ``band`` | ``fingerprint``. Raises
-    ``LensError`` for a directory that is not a recognized index (no
-    ``parts/`` dataset, or a parts schema none of the families own).
-    An index whose last rewrite crashed mid-swap (``parts`` missing
-    but staging dirs present) is still classified when ``model.json``
-    identifies it (ivfpq); otherwise the caller should let the family
-    compactor recover it — we refuse with the leftovers message
-    rather than guessing."""
+    ``ivfpq`` | ``postings`` | ``quota`` | ``band`` | ``fingerprint``.
+    Raises ``LensError`` for a directory that is not a recognized
+    index (no ``parts/`` dataset, or a parts schema none of the
+    families own). An index whose last rewrite crashed mid-swap
+    (``parts`` missing but staging dirs present) is still classified
+    when ``model.json`` identifies it; otherwise the caller should let
+    the family compactor recover it — we refuse with the leftovers
+    message rather than guessing."""
     from lens_spark.operators.dedup import _parts_migration_leftovers
-    from lens_spark.sources import dataset_nonempty
+    from lens_spark.sources import dataset_nonempty, read_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(P(f"{index_path}/model.json")):
-        import json as _json
-
-        stream = fs.open(P(f"{index_path}/model.json"))
-        try:
-            data = bytearray()
-            buf = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8"))
-            line = buf.readLine()
-            while line is not None:
-                data.extend((line + "\n").encode("utf-8"))
-                line = buf.readLine()
-        finally:
-            stream.close()
-        fmt = _json.loads(bytes(data).decode("utf-8")).get("format")
+    meta = read_json_file(spark, f"{index_path}/model.json")
+    if meta is not None:
+        fmt = meta.get("format")
         kind = _MODEL_FORMATS.get(str(fmt))
         if kind is None:
             raise LensError(
@@ -114,13 +99,19 @@ def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
         f"{sorted(cols)} matches no known index family.")
 
 
-def compact_any(spark: "SparkSession", index_path: str, **kwargs) -> dict:
+def compact_any(spark: "SparkSession", index_path: str, *,
+                drop_replay_duplicates: bool = False, **kwargs) -> dict:
     """Detect the index family at ``index_path`` and run its deep-clean
     compactor. Returns the compactor's stats dict plus ``kind``.
-    ``kwargs`` pass through (e.g. ``drop_replay_duplicates=True`` for
-    ivfpq, ``target_files_per_partition`` for band/fingerprint); keys a
-    family doesn't accept raise TypeError loudly rather than being
-    silently dropped."""
+
+    ``drop_replay_duplicates`` reclaims byte-identical rows left by
+    at-least-once streaming replays — routed to every SET-semantics
+    family (ivfpq, postings, band, fingerprint) and deliberately NOT
+    to the quota index, whose rows are increments: its counts ARE the
+    documented at-least-once charge record, and its compactor SUMS.
+    Other ``kwargs`` pass through (e.g. ``target_files_per_partition``
+    for the pb-layout families); keys a family doesn't accept raise
+    TypeError loudly rather than being silently dropped."""
     from lens_spark.operators.dedup import (
         _index_writer_lock,
         _parts_migration_leftovers,
@@ -138,13 +129,17 @@ def compact_any(spark: "SparkSession", index_path: str, **kwargs) -> dict:
     kind = detect_index_kind(spark, index_path)
     if kind == "ivfpq":
         from lens_spark.operators.similarity import compact_ivfpq_index
-        stats = compact_ivfpq_index(spark, index_path, **kwargs)
+        stats = compact_ivfpq_index(
+            spark, index_path,
+            drop_replay_duplicates=drop_replay_duplicates, **kwargs)
     elif kind == "quota":
         from lens_spark.streaming import compact_quota_index
         stats = compact_quota_index(spark, index_path, **kwargs)
     else:  # band / fingerprint / postings share the pb-layout compactor
         from lens_spark.operators.dedup import compact_index
-        stats = compact_index(spark, index_path, **kwargs)
+        stats = compact_index(
+            spark, index_path,
+            drop_replay_duplicates=drop_replay_duplicates, **kwargs)
     return {"kind": kind, **stats}
 
 
@@ -184,15 +179,19 @@ def discover_indexes(spark: "SparkSession", root: str, *,
 
 
 def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
-                dry_run: bool = False) -> dict:
+                dry_run: bool = False,
+                drop_replay_duplicates: bool = False) -> dict:
     """The nightly job: discover every index under ``root`` and run
     each family's compactor. One index's problem never aborts the
     sweep — a live writer lease is reported as ``{"skipped":
     "locked"}`` (ingest and maintenance serialize per index, by
-    design), any other error as ``{"error": ...}`` — so a fleet of
-    streaming ingests and one maintenance cron coexist without
-    coordination beyond the per-index lease. ``dry_run`` lists and
-    classifies without rewriting."""
+    design), any other failure (including non-lens ones: a corrupt
+    parquet footer, a permission-denied subtree) as ``{"error": ...}``
+    — so a fleet of streaming ingests and one maintenance cron coexist
+    without coordination beyond the per-index lease. ``dry_run`` lists
+    and classifies without rewriting; ``drop_replay_duplicates``
+    additionally reclaims at-least-once replay rows in the
+    set-semantics families (see ``compact_any``)."""
     report: dict[str, dict] = {}
     for idx in discover_indexes(spark, root, max_depth=max_depth):
         try:
@@ -200,7 +199,9 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
                 report[idx] = {"kind": detect_index_kind(spark, idx),
                                "dry_run": True}
             else:
-                report[idx] = compact_any(spark, idx)
+                report[idx] = compact_any(
+                    spark, idx,
+                    drop_replay_duplicates=drop_replay_duplicates)
         except ConcurrentIndexWriterError:
             report[idx] = {"skipped": "locked"}
         except LensError as e:
@@ -210,6 +211,9 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
                 report[idx] = {"skipped": "empty"}
             else:
                 report[idx] = {"error": str(e)}
+        except Exception as e:  # noqa: BLE001 — the sweep must survive
+            # any one index's corruption; the report carries the cause
+            report[idx] = {"error": f"{type(e).__name__}: {e}"}
     return report
 
 
@@ -225,12 +229,18 @@ def main(argv: "list[str] | None" = None) -> int:
     parser.add_argument("--max-depth", type=int, default=4)
     parser.add_argument("--dry-run", action="store_true",
                         help="list and classify indexes without rewriting")
+    parser.add_argument("--drop-replay-duplicates", action="store_true",
+                        help="also reclaim byte-identical rows left by "
+                             "at-least-once replays (set-semantics "
+                             "families only; quota counts are never "
+                             "touched)")
     args = parser.parse_args(argv)
     from lens_spark.session import get_spark
 
     spark = get_spark()
     report = compact_all(spark, args.root, max_depth=args.max_depth,
-                         dry_run=args.dry_run)
+                         dry_run=args.dry_run,
+                         drop_replay_duplicates=args.drop_replay_duplicates)
     print(json.dumps(report, indent=2, sort_keys=True))
     return 0 if all("error" not in v for v in report.values()) else 1
 

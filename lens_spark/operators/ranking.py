@@ -178,32 +178,61 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     original text. Build is the same two map-side-combined aggregations
     ``bm25_score`` pays per query, paid once.
 
+    Build REFUSES an existing index path: an in-place rebuild has an
+    unfixable crash window (``parts/`` hashed mod the new bucket count
+    while ``model.json`` still says the old one → searches silently
+    return empty panels), and a concurrent search would read a
+    half-overwritten dataset. Rebuild into a fresh path and swap at
+    the dataset layer, or grow with ``postings_index_append``. Within
+    a fresh build, ``model.json`` is written LAST as the commit
+    marker — a crashed build leaves no model, and every reader
+    refuses an index without one.
+
     Returns {"n_docs", "n_terms", "n_postings"}.
     """
     import json as _json
 
+    from pyspark import StorageLevel
+
     from lens_spark.errors import LensError
+    from lens_spark.sources import dataset_nonempty
 
     if buckets < 1:
         raise LensError("postings_index_build: buckets must be >= 1")
+    spark = corpus.sparkSession
+    if (dataset_nonempty(spark, f"{index_path}/parts")
+            or dataset_nonempty(spark, index_path)):
+        raise LensError(
+            f"postings_index_build: {index_path!r} already holds an "
+            "index — in-place rebuild has a torn parts/model.json "
+            "crash window; build into a fresh path and swap, or use "
+            "postings_index_append.")
     tf = _term_freq(corpus, id_col, text_col)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dl feeds BOTH the postings join and the corpus scalars — pin it
+    # to disk so the second use doesn't re-tokenize the corpus (and
+    # never competes with shuffle memory; the kmeans DISK_ONLY posture)
     dl = (ensure_parallelism(corpus, by=[id_col])
           .select(F.col(id_col).alias("doc"),
-                  F.size(tokens(F.col(text_col))).alias("dl")))
-    rows = (tf.withColumnRenamed(id_col, "doc")
-            .join(docfreq, "term").join(dl, "doc")
-            .select("term", "doc", "tf", "dl", "df",
-                    F.pmod(F.xxhash64("term"),
-                           F.lit(int(buckets))).alias("pb")))
-    # one task per bucket directory -> one file per bucket per build
-    (rows.repartition(F.col("pb"))
-     .write.mode("overwrite").partitionBy("pb")
-     .parquet(f"{index_path}/parts"))
-    stats = corpus.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(tokens(F.col(text_col)))).alias("s")).first()
-    spark = corpus.sparkSession
+                  F.size(tokens(F.col(text_col))).alias("dl"))
+          .persist(StorageLevel.DISK_ONLY))
+    try:
+        rows = (tf.withColumnRenamed(id_col, "doc")
+                .join(docfreq, "term").join(dl, "doc")
+                .select("term", "doc", "tf", "dl", "df",
+                        F.pmod(F.xxhash64("term"),
+                               F.lit(int(buckets))).alias("pb")))
+        # one task per bucket directory -> one file per bucket per build
+        (rows.repartition(F.col("pb"))
+         .write.mode("overwrite").partitionBy("pb")
+         .parquet(f"{index_path}/parts"))
+        # n_docs counts every row (idf's N); avgdl averages over docs
+        # with a non-null length — bm25_score's F.count(*)/F.avg split
+        stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.count("dl").alias("ndl"),
+                       F.sum("dl").alias("s")).first()
+    finally:
+        dl.unpersist()
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -212,6 +241,7 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
         out.write(_json.dumps({
             "format": POSTINGS_FORMAT, "version": 1,
             "buckets": int(buckets), "n_docs": int(stats["n"]),
+            "n_dl": int(stats["ndl"]),
             "sum_dl": int(stats["s"] or 0)},
             sort_keys=True).encode("utf-8"))
     finally:
@@ -224,33 +254,14 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
 
 
 def _read_postings_model(spark, index_path: str, op: str) -> dict:
-    """model.json beside the postings parts — the ivfpq-model read
-    idiom (similarity._read_ivfpq_model: Hadoop-FS buffered reader so
-    hdfs:/s3a: paths work)."""
-    import json as _json
-
     from lens_spark.errors import LensError
+    from lens_spark.sources import read_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    p = P(f"{index_path}/model.json")
-    if not fs.exists(p):
+    meta = read_json_file(spark, f"{index_path}/model.json")
+    if meta is None:
         raise LensError(
             f"{op}: no model.json under {index_path!r} — not a "
             "postings index (build one with postings_index_build)")
-    stream = fs.open(p)
-    try:
-        data = bytearray()
-        buf = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        line = buf.readLine()
-        while line is not None:
-            data.extend((line + "\n").encode("utf-8"))
-            line = buf.readLine()
-    finally:
-        stream.close()
-    meta = _json.loads(bytes(data).decode("utf-8"))
     if meta.get("format") != POSTINGS_FORMAT:
         raise LensError(
             f"{op}: {index_path!r} model.json has format "
@@ -277,7 +288,9 @@ def postings_index_append(batch: DataFrame, index_path: str, *,
     before aggregation (the dedupe-before-sum idiom), the cost is
     index bytes until ``lens_spark.maintenance`` compacts.
 
-    Returns {"n_postings", "n_dropped_unknown_terms"}.
+    Returns {"n_postings", "n_dropped_postings"} — the dropped count
+    is POSTINGS rows whose term the build never saw (one unknown term
+    in ten docs counts ten).
     """
     import contextlib
 
@@ -294,30 +307,38 @@ def postings_index_append(batch: DataFrame, index_path: str, *,
     tf = _term_freq(batch, id_col, text_col)
     dl = (batch.select(F.col(id_col).alias("doc"),
                        F.size(tokens(F.col(text_col))).alias("dl")))
+    # pin the batch postings once: counted twice (total + surviving)
+    # and joined below — batch-sized, never the index
     new = (tf.withColumnRenamed(id_col, "doc").join(dl, "doc")
            .withColumn("pb", F.pmod(F.xxhash64("term"),
-                                    F.lit(buckets))))
-    # frozen df lookup: probe ONLY the buckets this batch's terms hash
-    # into (the dedup_incremental partition-pruning idiom)
-    probe = (new.select("term", "pb").distinct()
-             .filter(F.col("pb") >= 0))
-    frozen_df = (spark.read.parquet(parts_path)
-                 .join(F.broadcast(probe), ["term", "pb"], "left_semi")
-                 .select("term", "df").distinct())
-    rows = (new.join(frozen_df, "term")
-            .select("term", "doc", "tf", "dl", "df", "pb")
-            .localCheckpoint(eager=True))  # pin before the append
-    # invalidates the parts scan (the dedup checkpoint discipline)
-    n_rows = rows.count()
-    n_dropped = new.count() - n_rows
+                                    F.lit(buckets)))
+           .localCheckpoint(eager=True))
+    n_new = new.count()
     lock = (_index_writer_lock(spark, index_path) if locked
             else contextlib.nullcontext())
     with lock:
+        # recover a crashed rewrite BEFORE touching parts/ (the quota
+        # sink lesson): both the frozen-df probe and the append must
+        # see a live dataset, and the lease serializes us against a
+        # concurrent compaction staging parts/ aside mid-read
         _parts_pb_migration_recover(spark, parts_path)
+        # frozen df lookup: probe ONLY the buckets this batch's terms
+        # hash into (the dedup_incremental partition-pruning idiom)
+        probe = (new.select("term", "pb").distinct()
+                 .filter(F.col("pb") >= 0))
+        frozen_df = (spark.read.parquet(parts_path)
+                     .join(F.broadcast(probe), ["term", "pb"],
+                           "left_semi")
+                     .select("term", "df").distinct())
+        rows = (new.join(frozen_df, "term")
+                .select("term", "doc", "tf", "dl", "df", "pb")
+                .localCheckpoint(eager=True))  # pin before the append
+        # invalidates the parts scan (the dedup checkpoint discipline)
+        n_rows = rows.count()
         (rows.repartition(F.col("pb"))
          .write.mode("append").partitionBy("pb").parquet(parts_path))
     return {"n_postings": int(n_rows),
-            "n_dropped_unknown_terms": int(n_dropped)}
+            "n_dropped_postings": int(n_new - n_rows)}
 
 
 def postings_index_search(spark, queries: DataFrame, index_path: str, *,
@@ -359,7 +380,9 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
             "append) to recover it before read-only use.")
     buckets = int(meta["buckets"])
     n_docs = int(meta["n_docs"])
-    avgdl = float(meta["sum_dl"]) / max(n_docs, 1)
+    # avgdl averages over docs with a non-null length (bm25_score's
+    # F.avg semantics); n_docs is idf's N over every row
+    avgdl = float(meta["sum_dl"]) / max(int(meta.get("n_dl", n_docs)), 1)
 
     qterms = (queries
               .select(F.col(id_col).alias("query_id"),

@@ -800,6 +800,20 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         raise LensError(
             f"ivfpq_index_build: nbits={nbits} not in [1, 8] — stored "
             "codes are one byte per subspace")
+    # refuse in-place rebuild: a crash between the parts overwrite and
+    # the model.json write leaves codes encoded under one model and a
+    # model file describing another — searches would silently mis-rank
+    # (the postings_index_build contract, applied late-r11)
+    from lens_spark.sources import dataset_nonempty
+
+    spark = corpus.sparkSession
+    if (dataset_nonempty(spark, f"{index_path}/parts")
+            or dataset_nonempty(spark, index_path)):
+        raise LensError(
+            f"ivfpq_index_build: {index_path!r} already holds an index "
+            "— in-place rebuild has a torn parts/model.json crash "
+            "window; build into a fresh path and swap, or grow with "
+            "ivfpq_index_append.")
     cent, books = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
         iters, centroids, codebooks, "ivfpq_index_build")
@@ -916,30 +930,14 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
 
 
 def _read_ivfpq_model(spark, index_path: str, op: str) -> dict:
-    import json as _json
-
     from lens_spark.errors import LensError
+    from lens_spark.sources import read_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    p = P(f"{index_path}/model.json")
-    if not fs.exists(p):
+    meta = read_json_file(spark, f"{index_path}/model.json")
+    if meta is None:
         raise LensError(
             f"{op}: no model.json under {index_path!r} — "
             "not an ivfpq index (build one with ivfpq_index_build)")
-    stream = fs.open(p)
-    try:  # the snapshots.py manifest-read idiom (py4j line loop)
-        data = bytearray()
-        buf = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        line = buf.readLine()
-        while line is not None:
-            data.extend((line + "\n").encode("utf-8"))
-            line = buf.readLine()
-    finally:
-        stream.close()
-    meta = _json.loads(bytes(data).decode("utf-8"))
     if meta.get("format") != "lens_spark_ivfpq_index":
         raise LensError(
             f"{op}: {index_path!r} model.json has format "

@@ -28,6 +28,34 @@ def dataset_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def read_json_file(spark: SparkSession, path: str) -> "dict | None":
+    """Parse a small JSON file through the Hadoop FileSystem API
+    (``None`` if absent) — THE one loader for every index's
+    ``model.json`` (ivfpq, postings, maintenance detection). A
+    driver-local ``open()`` would miss ``hdfs:``/``s3a:`` paths, and
+    three private copies of the py4j buffered-reader loop were the
+    same drift class the staged-swap extraction closed."""
+    import json as _json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        line = buf.readLine()
+        while line is not None:
+            data.extend((line + "\n").encode("utf-8"))
+            line = buf.readLine()
+    finally:
+        stream.close()
+    return _json.loads(bytes(data).decode("utf-8"))
+
+
 def dataset_nonempty(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists and holds at least one *visible* file.
 

@@ -140,7 +140,7 @@ def test_postings_append_frozen_stats_and_unknown_terms(spark, corpus,
                                 id_col="id", text_col="text")
     # doc 4 contributes spark+hash (known); doc 3's 4 terms are unknown
     assert rep["n_postings"] == 2
-    assert rep["n_dropped_unknown_terms"] == 4
+    assert rep["n_dropped_postings"] == 4
     got = postings_index_search(
         spark, _panel(spark, "spark"), idx, id_col="qid",
         text_col="qtext", k=10)
@@ -239,3 +239,18 @@ def test_postings_maintenance_detects_and_compacts(spark, corpus,
     with pytest.raises(LensError, match="interrupted rewrite"):
         postings_index_search(spark, _panel(spark, "spark"), idx,
                               id_col="qid", text_col="qtext").collect()
+
+
+def test_postings_build_refuses_in_place_rebuild(spark, corpus, tmp_path):
+    """An in-place rebuild has a torn parts/model.json crash window
+    (parts hashed mod the new bucket count, model still claiming the
+    old one -> silently empty panels) — build refuses an existing
+    index outright."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "pidx_rebuild")
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+    with pytest.raises(LensError, match="already holds an index"):
+        postings_index_build(corpus, idx, id_col="id", text_col="text",
+                             buckets=128)

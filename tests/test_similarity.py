@@ -714,3 +714,20 @@ def test_compact_ivfpq_index_bounds_files_and_drops_replay_dupes(
     # recovered directory correctly)
     after = results()
     assert (0, 1000000) in {(q, n) for q, n, _ in after}
+
+
+def test_ivfpq_build_refuses_in_place_rebuild(spark, emb, tmp_path):
+    """Same torn parts/model.json window as the postings index: a
+    rebuild crash between the parts overwrite and the model write
+    leaves codes encoded under one model and a file describing
+    another — build refuses an existing index."""
+    from lens_spark.errors import LensError
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    idx = str(tmp_path / "ivf_rebuild")
+    ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=4, m=4, nbits=4)
+    with pytest.raises(LensError, match="already holds an index"):
+        ivfpq_index_build(emb, idx, id_col="vec_id",
+                          vec_col="embedding", dim=64, nlist=8, m=4,
+                          nbits=4)
