@@ -1584,6 +1584,54 @@ def q_x8_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("neighbor_id").alias("doc_id"), "bm25")
 
 
+def q_x8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (new late-r11): reciprocal-rank fusion
+    (Cormack et al. 2009) over two lexical systems with incomparable
+    score scales — BM25 and a smoothed-TF-IDF query scorer — each
+    producing a top-20 ranking for the same 4-term query, fused as
+    Σ 1/(60+rank) through the ``rrf_fuse`` lens over the tagged union.
+    Both per-system scores AND the fused score use the quantized
+    scaled-long digest, so every rank — hence the fused set — is
+    cross-engine exact; the oracle recomputes both rankings and the
+    fusion in SQL. Rankings come from the shared two-stage top-k, so
+    no global window funnels the corpus through one task."""
+    from lens_spark.functions.digest import (
+        round6_scaled_sum_expr,
+        scaled_term,
+    )
+    from lens_spark.operators.ranking import _term_freq, bm25_score
+    from lens_spark.operators.similarity import _rank_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = ["hash", "join", "shuffle", "spark"]
+
+    a = bm25_score(docs, "doc_id", "text", terms).select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("bm25").alias("score"))
+    a_rank = _rank_topk(a.withColumnRenamed("qid", "query_id"),
+                        "query_id", 20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    tf = _term_freq(docs, "doc_id", "text").filter(
+        F.col("term").isin(terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n1 = docs.select(F.count(F.lit(1)).alias("__n"))
+    c = F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
+    b = (tf.join(dfreq, "term").crossJoin(F.broadcast(n1))
+         .groupBy(F.col("doc_id").alias("neighbor_id"))
+         .agg(F.sum(scaled_term(c)).alias("__s"))
+         .select(F.lit(0).cast("long").alias("query_id"), "neighbor_id",
+                 F.expr(round6_scaled_sum_expr("__s")).alias("score")))
+    b_rank = _rank_topk(b, "query_id", 20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    union = a_rank.unionByName(b_rank)
+    spec = {"lenses": [{"name": "rrf_fuse", "arguments": {
+        "query": "query_id", "id": "doc_id", "k0": 60, "k": 10}}]}
+    return engine.append(union, spec).select("doc_id", "rrf", "rank")
+
+
 def q_x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic mixing: downsample src0 to 10%, src1 to
     50%, keep the rest — the corpus-recipe primitive. Membership is
@@ -3259,14 +3307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_oversample": q_x7_oversample,
         "x7_shuffle_shards": q_x7_shuffle_shards,
         # --- slots 51+: hash-checkable, operator covered above --------
-        # s8_saved_bloom and x8_bm25_index (added late r11, after the
-        # r11 window was committed) head the tail as the DECLARED R12
-        # ROTATION BACKLOG — the never-external-row rule puts them
-        # in-window next round (the x5_vocab_coverage precedent,
-        # r10→r11); the tail pytest oracle-checks both locally every
-        # run meanwhile.
+        # s8_saved_bloom, x8_bm25_index, and x8_hybrid_rrf (added late
+        # r11, after the r11 window was committed) head the tail as
+        # the DECLARED R12 ROTATION BACKLOG — the never-external-row
+        # rule puts them in-window next round (the x5_vocab_coverage
+        # precedent, r10→r11); the tail pytest oracle-checks all
+        # three locally every run meanwhile.
         "s8_saved_bloom": q_s8_saved_bloom,
         "x8_bm25_index": q_x8_bm25_index,
+        "x8_hybrid_rrf": q_x8_hybrid_rrf,
         # The full r10 window (50 fresh r10 external greens) plus the
         # remaining pre-r10 evictees; ordering inside the tail is
         # historical. The tail pytest oracle-checks every entry each
@@ -6022,6 +6071,46 @@ SELECT doc_id,
        {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS bm25
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+""",
+        # x8_hybrid_rrf: both system rankings (BM25, smoothed-TF-IDF
+        # query score) recomputed with the same quantized digests, then
+        # the reciprocal-rank fusion itself — rank ties break by doc
+        # asc at every stage, mirroring the two-stage top-k order.
+        "x8_hybrid_rrf": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ('hash', 'join', 'shuffle', 'spark') GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n,
+                 avg(len({_TOKENS_SQL})) AS avgdl FROM documents),
+dl AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+bm25c AS (SELECT tf.doc_id,
+  ln(1.0e0 + (n - d.df + 0.5e0) / (d.df + 0.5e0))
+    * (tf.tf * (1.2e0 + 1)) / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats),
+bm25s AS (SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS s
+  FROM bm25c GROUP BY doc_id),
+a AS (SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM bm25s QUALIFY rank <= 20),
+tfc AS (SELECT tf.doc_id,
+  tf.tf * (ln((stats.n + 1) / (d.df + 1)) + 1) AS c
+  FROM tf JOIN d USING (term) CROSS JOIN stats),
+tfs AS (SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS s
+  FROM tfc GROUP BY doc_id),
+b AS (SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM tfs QUALIFY rank <= 20),
+u AS (SELECT doc_id, rank FROM a UNION ALL SELECT doc_id, rank FROM b),
+fused AS (SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("1.0e0 / (60 + rank)") + ")")} AS rrf
+  FROM u GROUP BY doc_id)
+SELECT doc_id, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM fused QUALIFY rank <= 10
 """,
         "x7_stratified_sample": _stratified_oracle_sql(),
         "x3_quantize_embedding": """

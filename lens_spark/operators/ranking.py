@@ -429,3 +429,64 @@ def postings_search_lens(arguments: Mapping[str, Any]) -> Lens:
             text_col=text_col, k=int(arguments.get("k", 10)),
             k1=float(arguments.get("k1", 1.2)),
             b=float(arguments.get("b", 0.75))))
+
+
+def rrf_fuse(rankings: DataFrame, query_col: str, id_col: str,
+             rank_col: str = "rank", *, k0: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — THE standard
+    hybrid-retrieval combiner: given a tagged UNION of per-system
+    rankings (any number of systems: BM25, dense ANN, TF-IDF — each
+    contributing (query, candidate, rank) rows), score every candidate
+    as Σ 1/(k0 + rank) over the systems that ranked it and return the
+    fused top-``k``. Rank-based, so systems with incomparable score
+    scales (lexical vs cosine) fuse without calibration; k0=60 is the
+    published default.
+
+    Input shape is ONE dataframe (the lens contract): union the
+    systems' rankings first — duplicate (query, candidate) rows from
+    different systems are exactly what the sum wants, and a candidate
+    one system misses simply contributes fewer terms. The per-term
+    reciprocals are quantized to scaled longs before the sum
+    (functions.digest) so the fused score is order-independent and
+    cross-engine exact; ties break by candidate id. Two-stage top-k —
+    no per-query funnel. Returns (query, candidate, rrf, rank) named
+    by the input columns.
+    """
+    from lens_spark.errors import LensError
+    from lens_spark.functions.digest import (
+        round6_scaled_sum_expr,
+        scaled_term,
+    )
+    from lens_spark.operators.similarity import _rank_topk
+
+    if int(k0) < 1:
+        raise LensError("rrf_fuse: k0 must be >= 1")
+    contrib = F.lit(1.0) / (F.lit(int(k0)) + F.col(rank_col)
+                            .cast("double"))
+    scored = (rankings
+              .groupBy(F.col(query_col).alias("query_id"),
+                       F.col(id_col).alias("neighbor_id"))
+              .agg(F.sum(scaled_term(contrib)).alias("__s"))
+              .select("query_id", "neighbor_id",
+                      F.expr(round6_scaled_sum_expr("__s"))
+                      .alias("score")))
+    out = _rank_topk(scored, "query_id", int(k))
+    return out.select(F.col("query_id").alias(query_col),
+                      F.col("neighbor_id").alias(id_col),
+                      F.col("score").alias("rrf"), "rank")
+
+
+@register_lens("rrf_fuse")
+def rrf_fuse_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: query (query-id column), id (candidate column), rank
+    ("rank"), k0 (60), k (10). Input is the tagged union of the
+    systems' rankings."""
+    qc = str(require_arg(arguments, "query", "rrf_fuse"))
+    idc = str(require_arg(arguments, "id", "rrf_fuse"))
+    return Lens(
+        "rrf_fuse", arguments,
+        lambda df: rrf_fuse(df, qc, idc,
+                            str(arguments.get("rank", "rank")),
+                            k0=int(arguments.get("k0", 60)),
+                            k=int(arguments.get("k", 10))))

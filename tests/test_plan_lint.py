@@ -38,6 +38,11 @@ GLOBAL_WINDOW_OK = {
         "ranks DISTINCT 6dp-rounded scores — ≤2·10^6 rows by contract",
     "x5_vocab_ids":
         "row_number over the top-V vocabulary after TakeOrdered (V=1024)",
+    "x8_hybrid_rrf":
+        "the single-query panel's literal query_id folds out of the "
+        "two-stage top-k's second window, leaving it physically "
+        "global — but its input is the stage-1 (qid, pid)-partitioned "
+        "prune, ≤ k·shuffle_partitions rows (k≤20) per system/fusion",
 }
 
 

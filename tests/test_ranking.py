@@ -254,3 +254,29 @@ def test_postings_build_refuses_in_place_rebuild(spark, corpus, tmp_path):
     with pytest.raises(LensError, match="already holds an index"):
         postings_index_build(corpus, idx, id_col="id", text_col="text",
                              buckets=128)
+
+
+def test_rrf_fuse_hand_computed_and_lens(spark):
+    """RRF on a hand-computed two-system union: a candidate both
+    systems rank beats either single-system candidate; scores are the
+    quantized Σ 1/(k0+rank); the lens form matches."""
+    rankings = spark.createDataFrame(
+        [(0, 10, 1, "bm25"), (0, 20, 2, "bm25"),
+         (0, 20, 1, "dense"), (0, 30, 2, "dense")],
+        "qid long, doc long, rank long, system string")
+    from lens_spark.operators.ranking import rrf_fuse
+
+    out = rrf_fuse(rankings, "qid", "doc", "rank", k0=60, k=10)
+    rows = {r.doc: (r.rrf, r.rank) for r in out.collect()}
+    exp_d20 = round(round(1 / 61 * 1e11) / 1e11
+                    + round(1 / 62 * 1e11) / 1e11, 6)
+    assert rows[20][1] == 1 and rows[20][0] == pytest.approx(exp_d20)
+    assert rows[10][1] == 2 and rows[10][0] == pytest.approx(
+        round(1 / 61, 6))
+    assert rows[30][1] == 3 and rows[30][0] == pytest.approx(
+        round(1 / 62, 6))
+    spec = {"lenses": [{"name": "rrf_fuse", "arguments": {
+        "query": "qid", "id": "doc", "k0": 60, "k": 2}}]}
+    fused = engine.append(rankings, spec)
+    assert fused.columns == ["qid", "doc", "rrf", "rank"]
+    assert {r.doc for r in fused.collect()} == {20, 10}  # k=2 cut
