@@ -144,12 +144,18 @@ def compact_any(spark: "SparkSession", index_path: str, *,
 
 
 def discover_indexes(spark: "SparkSession", root: str, *,
-                     max_depth: int = 4) -> list[str]:
+                     max_depth: int = 4,
+                     errors: "dict[str, str] | None" = None) -> list[str]:
     """Index roots under ``root``: directories holding a ``parts``
     child (or ``model.json``), found by a bounded breadth-first walk
     of the Hadoop FileSystem (hidden/underscore entries skipped, and
     the walk does not descend INTO an index — parts/pb=N subdirs are
-    data, not more indexes). ``root`` itself may be an index."""
+    data, not more indexes). ``root`` itself may be an index.
+
+    A subtree the walk cannot list (permission denied, transient FS
+    fault) never aborts discovery: it is skipped, and recorded in
+    ``errors`` (path → message) when the caller passes a dict —
+    ``compact_all`` surfaces those alongside per-index results."""
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -166,12 +172,19 @@ def discover_indexes(spark: "SparkSession", root: str, *,
     frontier = [(root, 0)]
     while frontier:
         d, depth = frontier.pop(0)
-        if is_index(d):
-            found.append(d)
-            continue  # never descend into an index
-        if depth >= max_depth:
+        try:
+            if is_index(d):
+                found.append(d)
+                continue  # never descend into an index
+            if depth >= max_depth:
+                continue
+            children = fs.listStatus(P(d))
+        except Exception as e:  # noqa: BLE001 — one unreadable
+            # subtree must not abort the sweep's discovery
+            if errors is not None:
+                errors[d] = f"{type(e).__name__}: {e}"
             continue
-        for st in fs.listStatus(P(d)):
+        for st in children:
             name = st.getPath().getName()
             if st.isDirectory() and not name.startswith(("_", ".")):
                 frontier.append((f"{d.rstrip('/')}/{name}", depth + 1))
@@ -193,7 +206,9 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
     additionally reclaims at-least-once replay rows in the
     set-semantics families (see ``compact_any``)."""
     report: dict[str, dict] = {}
-    for idx in discover_indexes(spark, root, max_depth=max_depth):
+    walk_errors: dict[str, str] = {}
+    for idx in discover_indexes(spark, root, max_depth=max_depth,
+                                errors=walk_errors):
         try:
             if dry_run:
                 report[idx] = {"kind": detect_index_kind(spark, idx),
@@ -214,6 +229,8 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
         except Exception as e:  # noqa: BLE001 — the sweep must survive
             # any one index's corruption; the report carries the cause
             report[idx] = {"error": f"{type(e).__name__}: {e}"}
+    for path, msg in walk_errors.items():
+        report[path] = {"error": f"discovery: {msg}"}
     return report
 
 

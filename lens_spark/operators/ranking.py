@@ -178,15 +178,19 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     original text. Build is the same two map-side-combined aggregations
     ``bm25_score`` pays per query, paid once.
 
-    Build REFUSES an existing index path: an in-place rebuild has an
-    unfixable crash window (``parts/`` hashed mod the new bucket count
-    while ``model.json`` still says the old one → searches silently
-    return empty panels), and a concurrent search would read a
-    half-overwritten dataset. Rebuild into a fresh path and swap at
-    the dataset layer, or grow with ``postings_index_append``. Within
-    a fresh build, ``model.json`` is written LAST as the commit
-    marker — a crashed build leaves no model, and every reader
-    refuses an index without one.
+    Build REFUSES a path holding a COMMITTED index (``model.json``
+    present): an in-place rebuild has an unfixable crash window
+    (``parts/`` hashed mod the new bucket count while ``model.json``
+    still says the old one → searches silently return empty panels).
+    Rebuild into a fresh path and swap at the dataset layer, or grow
+    with ``postings_index_append``. ``model.json`` is written LAST as
+    the commit marker — a CRASHED build leaves parts/ without a
+    model, every reader refuses it, and retrying the build at the
+    same path simply overwrites the marker-less leftover. The whole
+    build runs under the index writer lease, so two concurrent
+    builds to the same fresh path cannot both pass the refusal check
+    and interleave their writes (the second gets
+    ``ConcurrentIndexWriterError``).
 
     Returns {"n_docs", "n_terms", "n_postings"}.
     """
@@ -195,60 +199,63 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     from pyspark import StorageLevel
 
     from lens_spark.errors import LensError
-    from lens_spark.sources import dataset_nonempty
+    from lens_spark.operators.dedup import _index_writer_lock
+    from lens_spark.sources import read_json_file
 
     if buckets < 1:
         raise LensError("postings_index_build: buckets must be >= 1")
     spark = corpus.sparkSession
-    if (dataset_nonempty(spark, f"{index_path}/parts")
-            or dataset_nonempty(spark, index_path)):
-        raise LensError(
-            f"postings_index_build: {index_path!r} already holds an "
-            "index — in-place rebuild has a torn parts/model.json "
-            "crash window; build into a fresh path and swap, or use "
-            "postings_index_append.")
-    tf = _term_freq(corpus, id_col, text_col)
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # dl feeds BOTH the postings join and the corpus scalars — pin it
-    # to disk so the second use doesn't re-tokenize the corpus (and
-    # never competes with shuffle memory; the kmeans DISK_ONLY posture)
-    dl = (ensure_parallelism(corpus, by=[id_col])
-          .select(F.col(id_col).alias("doc"),
-                  F.size(tokens(F.col(text_col))).alias("dl"))
-          .persist(StorageLevel.DISK_ONLY))
-    try:
-        rows = (tf.withColumnRenamed(id_col, "doc")
-                .join(docfreq, "term").join(dl, "doc")
-                .select("term", "doc", "tf", "dl", "df",
-                        F.pmod(F.xxhash64("term"),
-                               F.lit(int(buckets))).alias("pb")))
-        # one task per bucket directory -> one file per bucket per build
-        (rows.repartition(F.col("pb"))
-         .write.mode("overwrite").partitionBy("pb")
-         .parquet(f"{index_path}/parts"))
-        # n_docs counts every row (idf's N); avgdl averages over docs
-        # with a non-null length — bm25_score's F.count(*)/F.avg split
-        stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                       F.count("dl").alias("ndl"),
-                       F.sum("dl").alias("s")).first()
-    finally:
-        dl.unpersist()
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(P(f"{index_path}/model.json"), True)
-    try:
-        out.write(_json.dumps({
-            "format": POSTINGS_FORMAT, "version": 1,
-            "buckets": int(buckets), "n_docs": int(stats["n"]),
-            "n_dl": int(stats["ndl"]),
-            "sum_dl": int(stats["s"] or 0)},
-            sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    landed = spark.read.parquet(f"{index_path}/parts")
-    agg = landed.agg(F.count(F.lit(1)).alias("p"),
-                     F.countDistinct("term").alias("t")).first()
+    with _index_writer_lock(spark, index_path):
+        if read_json_file(spark, f"{index_path}/model.json") is not None:
+            raise LensError(
+                f"postings_index_build: {index_path!r} already holds a "
+                "committed index — in-place rebuild has a torn "
+                "parts/model.json crash window; build into a fresh "
+                "path and swap, or use postings_index_append.")
+        tf = _term_freq(corpus, id_col, text_col)
+        docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # dl feeds BOTH the postings join and the corpus scalars — pin
+        # it to disk so the second use doesn't re-tokenize the corpus
+        # (and never competes with shuffle memory; the kmeans
+        # DISK_ONLY posture)
+        dl = (ensure_parallelism(corpus, by=[id_col])
+              .select(F.col(id_col).alias("doc"),
+                      F.size(tokens(F.col(text_col))).alias("dl"))
+              .persist(StorageLevel.DISK_ONLY))
+        try:
+            rows = (tf.withColumnRenamed(id_col, "doc")
+                    .join(docfreq, "term").join(dl, "doc")
+                    .select("term", "doc", "tf", "dl", "df",
+                            F.pmod(F.xxhash64("term"),
+                                   F.lit(int(buckets))).alias("pb")))
+            # one task per bucket directory -> one file per bucket
+            (rows.repartition(F.col("pb"))
+             .write.mode("overwrite").partitionBy("pb")
+             .parquet(f"{index_path}/parts"))
+            # n_docs counts every row (idf's N); avgdl averages over
+            # docs with a non-null length — bm25_score's
+            # F.count(*)/F.avg split
+            stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                           F.count("dl").alias("ndl"),
+                           F.sum("dl").alias("s")).first()
+        finally:
+            dl.unpersist()
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(P(f"{index_path}/model.json"), True)
+        try:
+            out.write(_json.dumps({
+                "format": POSTINGS_FORMAT, "version": 1,
+                "buckets": int(buckets), "n_docs": int(stats["n"]),
+                "n_dl": int(stats["ndl"]),
+                "sum_dl": int(stats["s"] or 0)},
+                sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+        landed = spark.read.parquet(f"{index_path}/parts")
+        agg = landed.agg(F.count(F.lit(1)).alias("p"),
+                         F.countDistinct("term").alias("t")).first()
     return {"n_docs": int(stats["n"]), "n_terms": int(agg["t"]),
             "n_postings": int(agg["p"])}
 

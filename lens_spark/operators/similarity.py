@@ -800,20 +800,18 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         raise LensError(
             f"ivfpq_index_build: nbits={nbits} not in [1, 8] — stored "
             "codes are one byte per subspace")
-    # refuse in-place rebuild: a crash between the parts overwrite and
-    # the model.json write leaves codes encoded under one model and a
-    # model file describing another — searches would silently mis-rank
-    # (the postings_index_build contract, applied late-r11)
-    from lens_spark.sources import dataset_nonempty
+    # Refuse rebuilding over a COMMITTED index (model.json is the
+    # commit marker, written LAST): a crash between the parts
+    # overwrite and the model write leaves codes encoded under one
+    # model and a file describing another — searches would silently
+    # mis-rank. A marker-less leftover (crashed build) is safely
+    # overwritten by a retry. The fit runs BEFORE the lease (it never
+    # touches the index); the refusal check + writes run UNDER it, so
+    # two concurrent builds to one fresh path cannot interleave
+    # (the postings_index_build contract, late-r11).
+    from lens_spark.operators.dedup import _index_writer_lock
+    from lens_spark.sources import read_json_file
 
-    spark = corpus.sparkSession
-    if (dataset_nonempty(spark, f"{index_path}/parts")
-            or dataset_nonempty(spark, index_path)):
-        raise LensError(
-            f"ivfpq_index_build: {index_path!r} already holds an index "
-            "— in-place rebuild has a torn parts/model.json crash "
-            "window; build into a fresh path and swap, or grow with "
-            "ivfpq_index_append.")
     cent, books = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
         iters, centroids, codebooks, "ivfpq_index_build")
@@ -825,28 +823,36 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
                     F.col(vec_col).alias("__v"))
             .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
                          "id long, code binary, cell long"))
-    # one task per cell directory -> one file per cell per build
-    (rows.repartition(F.col("cell"))
-     .write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{index_path}/parts"))
     spark = corpus.sparkSession
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(P(f"{index_path}/model.json"), True)
-    try:
-        out.write(_json.dumps({
-            "format": "lens_spark_ivfpq_index", "version": 1,
-            "dim": int(dim), "m": int(books.shape[0]),
-            "nbits": int(nbits), "nlist": int(len(cent)),
-            "centroids": [[float(x) for x in c] for c in cent],
-            "books": [[[float(x) for x in c] for c in book]
-                      for book in books]}, sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    landed = spark.read.parquet(f"{index_path}/parts")
-    agg = landed.agg(F.count(F.lit(1)).alias("n"),
-                     F.countDistinct("cell").alias("c")).first()
+    with _index_writer_lock(spark, index_path):
+        if read_json_file(spark, f"{index_path}/model.json") is not None:
+            raise LensError(
+                f"ivfpq_index_build: {index_path!r} already holds a "
+                "committed index — in-place rebuild has a torn "
+                "parts/model.json crash window; build into a fresh "
+                "path and swap, or grow with ivfpq_index_append.")
+        # one task per cell directory -> one file per cell per build
+        (rows.repartition(F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(f"{index_path}/parts"))
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(P(f"{index_path}/model.json"), True)
+        try:
+            out.write(_json.dumps({
+                "format": "lens_spark_ivfpq_index", "version": 1,
+                "dim": int(dim), "m": int(books.shape[0]),
+                "nbits": int(nbits), "nlist": int(len(cent)),
+                "centroids": [[float(x) for x in c] for c in cent],
+                "books": [[[float(x) for x in c] for c in book]
+                          for book in books]},
+                sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+        landed = spark.read.parquet(f"{index_path}/parts")
+        agg = landed.agg(F.count(F.lit(1)).alias("n"),
+                         F.countDistinct("cell").alias("c")).first()
     return {"n_vectors": int(agg["n"]), "nlist": int(len(cent)),
             "cells_used": int(agg["c"])}
 

@@ -67,20 +67,15 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    from lens_spark.sources import read_json_file
+
     jvm, fs = _fs(spark, path)
     mp = _manifest_path(jvm, path, version)
-    stream = fs.open(mp)
-    try:
-        data = bytearray()
-        buf = spark._jvm.java.io.BufferedReader(
-            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        line = buf.readLine()
-        while line is not None:
-            data.extend((line + "\n").encode("utf-8"))
-            line = buf.readLine()
-        return json.loads(bytes(data).decode("utf-8"))
-    finally:
-        stream.close()
+    meta = read_json_file(spark, mp.toString())
+    if meta is None:
+        raise FileNotFoundError(
+            f"snapshot manifest v{version} missing under {path!r}")
+    return meta
 
 
 def snapshot_write(df: DataFrame, path: str, *, mode: str = "append",

@@ -251,7 +251,7 @@ def test_postings_build_refuses_in_place_rebuild(spark, corpus, tmp_path):
 
     idx = str(tmp_path / "pidx_rebuild")
     postings_index_build(corpus, idx, id_col="id", text_col="text")
-    with pytest.raises(LensError, match="already holds an index"):
+    with pytest.raises(LensError, match="already holds a committed index"):
         postings_index_build(corpus, idx, id_col="id", text_col="text",
                              buckets=128)
 
@@ -280,3 +280,38 @@ def test_rrf_fuse_hand_computed_and_lens(spark):
     fused = engine.append(rankings, spec)
     assert fused.columns == ["qid", "doc", "rrf", "rank"]
     assert {r.doc for r in fused.collect()} == {20, 10}  # k=2 cut
+
+
+def test_postings_build_crashed_leftover_is_retryable(spark, corpus,
+                                                      tmp_path):
+    """model.json is the commit marker, written LAST: a build that
+    crashed after the parts write (no model) must be retryable in
+    place, not bricked by the rebuild refusal; and a concurrent
+    builder holding the lease is refused loudly."""
+    import os
+    import shutil
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.operators.ranking import (
+        postings_index_build,
+        postings_index_search,
+    )
+
+    idx = str(tmp_path / "pidx_crash")
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+    # simulate the crash window: parts/ present, commit marker gone
+    os.remove(f"{idx}/model.json")
+    stats = postings_index_build(corpus, idx, id_col="id",
+                                 text_col="text")
+    assert stats["n_docs"] == 4
+    got = postings_index_search(spark, _panel(spark, "spark"), idx,
+                                id_col="qid", text_col="qtext", k=10)
+    assert {r.neighbor_id for r in got.collect()} == {1, 4}
+    # a live writer lease blocks a concurrent build outright
+    busy = str(tmp_path / "pidx_busy")
+    os.makedirs(busy)
+    open(f"{busy}/_writer.lock", "w").write("")
+    with pytest.raises(ConcurrentIndexWriterError):
+        postings_index_build(corpus, busy, id_col="id",
+                             text_col="text")
+    shutil.rmtree(busy)

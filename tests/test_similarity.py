@@ -727,7 +727,7 @@ def test_ivfpq_build_refuses_in_place_rebuild(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf_rebuild")
     ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
                       dim=64, nlist=4, m=4, nbits=4)
-    with pytest.raises(LensError, match="already holds an index"):
+    with pytest.raises(LensError, match="already holds a committed index"):
         ivfpq_index_build(emb, idx, id_col="vec_id",
                           vec_col="embedding", dim=64, nlist=8, m=4,
                           nbits=4)
