@@ -36,3 +36,21 @@ class InvalidLensIdError(LensError):
     malformed ids are an error, while *well-formed but unknown* ids fall
     through to the identity transform (host-go/repository/repository.go:250-254).
     """
+
+
+class EmptyIndexError(LensError):
+    """A directory that is not (or not yet) a persistent index: no
+    ``parts/`` dataset and no ``model.json``. Benign for maintenance
+    sweeps — a bootstrapped-but-never-written index root is skipped,
+    not reported as an error. Typed (rather than matched on message
+    text) so a rewording of the message can never silently reclassify
+    empty indexes as failures."""
+
+
+class InterruptedRewriteError(LensError):
+    """An index whose last rewrite crashed (or is concurrently running)
+    mid-swap: ``parts/`` is staged aside and classification by schema
+    is impossible until a family compactor — or any writing call —
+    rolls the swap forward. Typed so ``compact_any`` can retry
+    recovery + classification once instead of reporting a transient
+    concurrent-writer gap as an index error."""

@@ -34,7 +34,12 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from lens_spark.errors import ConcurrentIndexWriterError, LensError
+from lens_spark.errors import (
+    ConcurrentIndexWriterError,
+    EmptyIndexError,
+    InterruptedRewriteError,
+    LensError,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
@@ -61,13 +66,15 @@ _MODEL_FORMATS = {
 def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
     """Classify the index at ``index_path`` by its on-disk layout:
     ``ivfpq`` | ``postings`` | ``quota`` | ``band`` | ``fingerprint``.
-    Raises ``LensError`` for a directory that is not a recognized
-    index (no ``parts/`` dataset, or a parts schema none of the
-    families own). An index whose last rewrite crashed mid-swap
-    (``parts`` missing but staging dirs present) is still classified
-    when ``model.json`` identifies it; otherwise the caller should let
-    the family compactor recover it — we refuse with the leftovers
-    message rather than guessing."""
+    Raises ``EmptyIndexError`` for a directory with no ``parts/``
+    dataset (typed so sweeps can skip it as benign, never by matching
+    message text), ``InterruptedRewriteError`` for a mid-swap index,
+    and plain ``LensError`` for a parts schema none of the families
+    own. An index whose last rewrite crashed mid-swap (``parts``
+    missing but staging dirs present) is still classified when
+    ``model.json`` identifies it; otherwise the caller should let
+    the family compactor recover it — we refuse with the typed
+    interrupted-rewrite error rather than guessing."""
     from lens_spark.operators.dedup import _parts_migration_leftovers
     from lens_spark.sources import dataset_nonempty, read_json_file
 
@@ -82,12 +89,12 @@ def detect_index_kind(spark: "SparkSession", index_path: str) -> str:
         return kind
     parts_path = f"{index_path}/parts"
     if _parts_migration_leftovers(spark, parts_path):
-        raise LensError(
+        raise InterruptedRewriteError(
             f"detect_index_kind: {index_path!r} has an interrupted "
             "rewrite (parts/ staged aside); run its family compactor "
             "or any writing call to recover it first.")
     if not dataset_nonempty(spark, parts_path):
-        raise LensError(
+        raise EmptyIndexError(
             f"detect_index_kind: {index_path!r} has no parts/ dataset "
             "— not a persistent index (or still empty).")
     cols = set(spark.read.parquet(parts_path).columns)
@@ -119,14 +126,25 @@ def compact_any(spark: "SparkSession", index_path: str, *,
     )
 
     parts_path = f"{index_path}/parts"
-    if _parts_migration_leftovers(spark, parts_path):
-        # a swap crashed between renames: roll it forward under the
-        # lease FIRST so detection can read the parts schema (the
-        # recovery protocol is family-agnostic; the family compactor
-        # will recover again idempotently under its own lease)
-        with _index_writer_lock(spark, index_path):
-            _parts_pb_migration_recover(spark, parts_path)
-    kind = detect_index_kind(spark, index_path)
+    # A swap crashed between renames: roll it forward under the lease
+    # FIRST so detection can read the parts schema (the recovery
+    # protocol is family-agnostic; the family compactor will recover
+    # again idempotently under its own lease). The recovery lease is
+    # released before detection, so a CONCURRENT writer can stage
+    # parts/ aside in the gap — retry recover+detect once on the
+    # typed interrupted-rewrite error instead of reporting a healthy
+    # index as failed.
+    kind = None
+    for attempt in (0, 1):
+        if _parts_migration_leftovers(spark, parts_path):
+            with _index_writer_lock(spark, index_path):
+                _parts_pb_migration_recover(spark, parts_path)
+        try:
+            kind = detect_index_kind(spark, index_path)
+            break
+        except InterruptedRewriteError:
+            if attempt:
+                raise
     if kind == "ivfpq":
         from lens_spark.operators.similarity import compact_ivfpq_index
         stats = compact_ivfpq_index(
@@ -219,13 +237,13 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
                     drop_replay_duplicates=drop_replay_duplicates)
         except ConcurrentIndexWriterError:
             report[idx] = {"skipped": "locked"}
-        except LensError as e:
+        except EmptyIndexError:
             # a bootstrapped-but-still-empty index is benign, not a
-            # problem the operator must look at
-            if "no parts/ dataset" in str(e):
-                report[idx] = {"skipped": "empty"}
-            else:
-                report[idx] = {"error": str(e)}
+            # problem the operator must look at (typed, never matched
+            # on message text)
+            report[idx] = {"skipped": "empty"}
+        except LensError as e:
+            report[idx] = {"error": str(e)}
         except Exception as e:  # noqa: BLE001 — the sweep must survive
             # any one index's corruption; the report carries the cause
             report[idx] = {"error": f"{type(e).__name__}: {e}"}

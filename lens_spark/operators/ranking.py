@@ -199,7 +199,10 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     from pyspark import StorageLevel
 
     from lens_spark.errors import LensError
-    from lens_spark.operators.dedup import _index_writer_lock
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _refresh_writer_lock,
+    )
     from lens_spark.sources import read_json_file
 
     if buckets < 1:
@@ -232,6 +235,15 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
             (rows.repartition(F.col("pb"))
              .write.mode("overwrite").partitionBy("pb")
              .parquet(f"{index_path}/parts"))
+            # The parts write is the build's long pole (full-corpus
+            # tokenize + two shuffled aggregations); refresh the lease
+            # mtime after each long stage so a build longer than the
+            # stale window is not mistaken for a crashed holder and
+            # broken by a concurrent writer — the streaming sinks'
+            # per-batch discipline. A SINGLE stage exceeding the
+            # window remains the documented residual: raise
+            # stale_after_sec for such corpora.
+            _refresh_writer_lock(spark, index_path)
             # n_docs counts every row (idf's N); avgdl averages over
             # docs with a non-null length — bm25_score's
             # F.count(*)/F.avg split
@@ -240,6 +252,7 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
                            F.sum("dl").alias("s")).first()
         finally:
             dl.unpersist()
+        _refresh_writer_lock(spark, index_path)
         jvm = spark._jvm
         P = jvm.org.apache.hadoop.fs.Path
         fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())

@@ -835,6 +835,12 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         (rows.repartition(F.col("cell"))
          .write.mode("overwrite").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
+        # the parts write (full-corpus encode pass) is the long pole:
+        # refresh the lease mtime so a build longer than the stale
+        # window keeps its lock (postings_index_build discipline); a
+        # single stage over the window stays the documented residual
+        from lens_spark.operators.dedup import _refresh_writer_lock
+        _refresh_writer_lock(spark, index_path)
         jvm = spark._jvm
         P = jvm.org.apache.hadoop.fs.Path
         fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())

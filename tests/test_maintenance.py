@@ -147,13 +147,44 @@ def test_discover_respects_depth_and_dry_run(spark, tmp_path):
 
 
 def test_detect_rejects_non_index(spark, tmp_path):
-    from lens_spark.errors import LensError
+    """The empty case raises the TYPED EmptyIndexError — compact_all
+    skips on the type, so a future rewording of the message can never
+    reclassify empty indexes as sweep errors (r11 advice)."""
+    from lens_spark.errors import EmptyIndexError
     from lens_spark.maintenance import detect_index_kind
 
     empty = tmp_path / "not_an_index"
     os.makedirs(empty)
-    with pytest.raises(LensError, match="no parts/ dataset"):
+    with pytest.raises(EmptyIndexError):
         detect_index_kind(spark, str(empty))
+
+
+def test_compact_any_retries_classification_once_on_race(spark, tmp_path,
+                                                         monkeypatch):
+    """compact_any releases the recovery lease before classification;
+    a concurrent writer staging parts/ aside in that gap makes
+    detection raise the typed InterruptedRewriteError. The sweep
+    retries recover+detect ONCE instead of reporting a healthy index
+    as an error (r11 advice). Simulated by a detect wrapper that
+    raises on its first call only."""
+    import lens_spark.maintenance as m
+    from lens_spark.errors import InterruptedRewriteError
+
+    idx = tmp_path / "raced"
+    _mk_fp_index(spark, str(idx))
+    real_detect = m.detect_index_kind
+    calls = {"n": 0}
+
+    def flaky_detect(sp, path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise InterruptedRewriteError("simulated concurrent swap")
+        return real_detect(sp, path)
+
+    monkeypatch.setattr(m, "detect_index_kind", flaky_detect)
+    stats = m.compact_any(spark, str(idx))
+    assert stats["kind"] == "fingerprint"
+    assert calls["n"] == 2
 
 
 def test_compact_any_drop_replay_duplicates_reclaims_postings(spark,
