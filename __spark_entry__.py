@@ -3226,36 +3226,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        row goes stale, r10 policy). The tail test in
        tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 23 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 25 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-11 ROTATION (r10 verdict #3: oldest-external-row first,
-        # hard). IN: x5_vocab_coverage (the only hash-checkable query
-        # that has never had an external row) and the NEW s8_saved_lang
-        # (lang_classifier artifact by model_id, r10 verdict #5), then
-        # the entire >=5-rounds-stale cohort — m2_inverse_roundtrip /
-        # m4_rename_chain (last external r2), the 19-query r4 cohort
-        # (core M/E chains, joins, pivot/rollup, stats, as-of,
-        # session_agg, x4 metadata/features, x5 lang_id/fingerprints,
-        # x7_sample_hash), and the 12-query r5 cohort (X2 dedup
-        # verifiers, x3_quantize_embedding, the x5 quality/stats
-        # family, x7_hash_split, x8_tfidf_top_terms) — plus two
-        # family-cover reserves with the oldest rows in their family
-        # (x1_keep_best r9; x9_curation_pipeline r7, also one of the
-        # two r10 `weak` bench rows, so its external row lands the
-        # same round the attribution closes it), and 13 of the 14
-        # r6-cohort veterans. OUT: the entire r10 window (every member
-        # has a fresh r10 external green) and x7_stratified_sample
-        # (r6-stale, X7 keeps four in-window siblings; first in line
-        # for r12). After this round no hash-checkable query's latest
-        # external row is older than r6 (= 5 rounds at r11). Every
-        # evictee keeps its oracle and the tail pytest oracle-checks
-        # it on every run. STANDING POLICY (r9 verdict #8): rotate
-        # oldest-external-row first so every hash-checkable query gets
-        # an external row at least every ~3 rounds; backlog
-        # (never-external) queries always take priority.
+        # ROUND-12 ROTATION (r11 verdict #2 + standing oldest-first
+        # policy, r9 verdict #8). IN, in staleness order: the three
+        # never-external newcomers (s8_saved_bloom / x8_bm25_index /
+        # x8_hybrid_rrf — added late-r11 after that round's window was
+        # committed; the declared backlog), x7_stratified_sample (last
+        # external r6 — the oldest row in the ledger), the ENTIRE
+        # r7-stale cohort (29 queries: DSIR, range join, winnowing,
+        # the x5 segment/url/domain family, x9 profile/diff/outliers,
+        # scalar/json/python_udf, x8_bm25, x4_audio_features), the r8
+        # cohort (5: e1_composition, s4_transform_by_id, the
+        # contamination/winnow/cross-neardup verifiers) and the r9
+        # cohort (9: MRL/JL projections, the x6 temporal family,
+        # temperature mix, edit pairs, quantile_bin, classifier_eval)
+        # — then three r10 reserves: x2_components and
+        # x5_sentence_dedup (the two double-flagged bench rows this
+        # round's attribution closes — their external rows land the
+        # same round, the x9_curation_pipeline precedent) and
+        # m5_counter (M-family in-window cover; every other M query is
+        # r11-fresh). OUT: the entire r11 window (every member has a
+        # fresh r11 external green). After this round no hash-checkable
+        # query's latest external row is older than r10 (= 2 rounds).
+        # Every evictee keeps its oracle and the tail pytest
+        # oracle-checks it on every run.
+        "s8_saved_bloom": q_s8_saved_bloom,
+        "x8_bm25_index": q_x8_bm25_index,
+        "x8_hybrid_rrf": q_x8_hybrid_rrf,
+        "x7_stratified_sample": q_x7_stratified_sample,
+        "x7_dsir_weights": q_x7_dsir_weights,
+        "x7_dsir_select": q_x7_dsir_select,
+        "x2_dup_span_stats": q_x2_dup_span_stats,
+        "range_join_events": q_range_join_events,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
+        "unpivot_price_measures": q_unpivot_price_measures,
+        "sets_except": q_sets_except,
+        "python_udf_bucket": q_python_udf_bucket,
+        "json_extract": q_json_extract,
+        "scalar_functions": q_scalar_functions,
+        "x5_line_dedup": q_x5_line_dedup,
+        "x8_bm25": q_x8_bm25,
+        "x4_audio_features": q_x4_audio_features,
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "x2_winnow_fps": q_x2_winnow_fps,
+        "x5_hash_embedding": q_x5_hash_embedding,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x5_url_dedup": q_x5_url_dedup,
+        "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
+        "x5_dedup_segments": q_x5_dedup_segments,
+        "x5_domain_filter": q_x5_domain_filter,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
+        "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
+        "e1_composition": q_e1_composition,
+        "s4_transform_by_id": q_s4_transform_by_id,
+        "x2_contamination_score": q_x2_contamination_score,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x2_cross_neardup": q_x2_cross_neardup,
+        "x3_matryoshka": q_x3_matryoshka,
+        "x3_random_projection": q_x3_random_projection,
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "x6_time_rollup": q_x6_time_rollup,
+        "x6_sliding_windows": q_x6_sliding_windows,
+        "x7_temperature_mix": q_x7_temperature_mix,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x9_classifier_eval": q_x9_classifier_eval,
+        "x2_components": q_x2_components,
+        "x5_sentence_dedup": q_x5_sentence_dedup,
+        "m5_counter": q_m5_counter,
+        # --- slots 51+: hash-checkable, operator covered above --------
+        # The full r11 window (50 fresh r11 external greens) followed
+        # by the r10 remainder; ordering inside the tail is
+        # historical. The tail pytest oracle-checks every entry each
+        # run, so eviction never means unchecked:
         "x5_vocab_coverage": q_x5_vocab_coverage,
         "s8_saved_lang": q_s8_saved_lang,
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
@@ -3306,25 +3359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_quantiles": q_x6_quantiles,
         "x7_oversample": q_x7_oversample,
         "x7_shuffle_shards": q_x7_shuffle_shards,
-        # --- slots 51+: hash-checkable, operator covered above --------
-        # s8_saved_bloom, x8_bm25_index, and x8_hybrid_rrf (added late
-        # r11, after the r11 window was committed) head the tail as
-        # the DECLARED R12 ROTATION BACKLOG — the never-external-row
-        # rule puts them in-window next round (the x5_vocab_coverage
-        # precedent, r10→r11); the tail pytest oracle-checks all
-        # three locally every run meanwhile.
-        "s8_saved_bloom": q_s8_saved_bloom,
-        "x8_bm25_index": q_x8_bm25_index,
-        "x8_hybrid_rrf": q_x8_hybrid_rrf,
-        # The full r10 window (50 fresh r10 external greens) plus the
-        # remaining pre-r10 evictees; ordering inside the tail is
-        # historical. The tail pytest oracle-checks every entry each
-        # run, so eviction never means unchecked:
         "x7_group_quota": q_x7_group_quota,
         "x9_threshold_sweep": q_x9_threshold_sweep,
         "x6_resample": q_x6_resample,
         "s8_saved_vocab": q_s8_saved_vocab,
-        "m5_counter": q_m5_counter,
         "arith_pipeline": q_arith_pipeline,
         "agg_pricing_summary": q_agg_pricing_summary,
         "x2_minhash_pairs": q_x2_minhash_pairs,
@@ -3339,7 +3377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_centroid": q_x3_centroid,
         "x6_group_quantiles": q_x6_group_quantiles,
         "cube_revenue": q_cube_revenue,
-        "x2_components": q_x2_components,
         "x5_compression_ratio": q_x5_compression_ratio,
         "x2_containment": q_x2_containment,
         "x2_novelty": q_x2_novelty,
@@ -3347,7 +3384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_classifier_score": q_x5_classifier_score,
         "x5_logprob_band": q_x5_logprob_band,
         "x5_mask_tokens": q_x5_mask_tokens,
-        "x5_sentence_dedup": q_x5_sentence_dedup,
         "x5_sentences": q_x5_sentences,
         "x5_token_histogram": q_x5_token_histogram,
         "x5_vocab_ids": q_x5_vocab_ids,
@@ -3370,50 +3406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
-        "x3_matryoshka": q_x3_matryoshka,
-        "x3_random_projection": q_x3_random_projection,
-        "x6_rolling_agg": q_x6_rolling_agg,
-        "x6_time_rollup": q_x6_time_rollup,
-        "x6_sliding_windows": q_x6_sliding_windows,
-        "x7_temperature_mix": q_x7_temperature_mix,
-        "x2_edit_pairs": q_x2_edit_pairs,
-        "x9_quantile_bin": q_x9_quantile_bin,
-        "x9_classifier_eval": q_x9_classifier_eval,
-        "e1_composition": q_e1_composition,
-        "s4_transform_by_id": q_s4_transform_by_id,
-        "x2_contamination_score": q_x2_contamination_score,
-        "x2_winnow_pairs": q_x2_winnow_pairs,
-        "x2_cross_neardup": q_x2_cross_neardup,
-        "x7_dsir_weights": q_x7_dsir_weights,
-        "x7_dsir_select": q_x7_dsir_select,
-        "x2_dup_span_stats": q_x2_dup_span_stats,
-        "range_join_events": q_range_join_events,
-        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "unpivot_price_measures": q_unpivot_price_measures,
-        "sets_except": q_sets_except,
-        "python_udf_bucket": q_python_udf_bucket,
-        "json_extract": q_json_extract,
-        "scalar_functions": q_scalar_functions,
-        "x5_line_dedup": q_x5_line_dedup,
-        "x8_bm25": q_x8_bm25,
-        "x4_audio_features": q_x4_audio_features,
-        "x5_span_dedup": q_x5_span_dedup,
-        "x5_unigram_logprob": q_x5_unigram_logprob,
-        "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_sample_exact_k": q_x7_sample_exact_k,
-        "x2_winnow_fps": q_x2_winnow_fps,
-        "x5_hash_embedding": q_x5_hash_embedding,
-        "x5_bigram_logprob": q_x5_bigram_logprob,
-        "x5_url_dedup": q_x5_url_dedup,
-        "x5_segment_filter": q_x5_segment_filter,
-        "x5_normalize_text": q_x5_normalize_text,
-        "x5_dedup_segments": q_x5_dedup_segments,
-        "x5_domain_filter": q_x5_domain_filter,
-        "x5_truncate_tokens": q_x5_truncate_tokens,
-        "x9_dataset_diff": q_x9_dataset_diff,
-        "x9_outlier_filter": q_x9_outlier_filter,
-        "x9_profile": q_x9_profile,
-        "x7_stratified_sample": q_x7_stratified_sample,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,

@@ -402,58 +402,68 @@ def main() -> int:
             json.dump(sidecar, fh, indent=1, sort_keys=True)
     except OSError as exc:  # sidecar is best-effort; never break the official line
         print(f"bench: could not write BENCH_STATS.json: {exc}", file=sys.stderr)
+    # The driver captures only the LAST 2000 chars of stdout; the r8
+    # and r9 official lines outgrew that (69 queries + an inline
+    # regressions block) and failed to machine-parse, and r11's shed
+    # ladder dropped 8 queries from the parsed dict to make room for
+    # the regressions block. r12 (verdict r11 #7): the per-query dict
+    # is the one thing the judge compares round-over-round, so it is
+    # now the LAST thing shed — everything starts compact (2dp
+    # queries/value/cal3; regr entries as [x, xr] pairs) and the
+    # ladder degrades the regressions block first (6 worst → 3 worst
+    # → count only), then cal3, and only as a truly last resort drops
+    # queries with the truncation marker. Full 3dp data always lives
+    # in BENCH_STATS.json. The official line prints LAST — r10's
+    # sidecar dump printed before it and was truncated out of the
+    # driver's tail capture.
     payload = {
         "metric": "lens_spark_headline_queries",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "calibration": calibration,
         # start/mid/end placement medians (r10 verdict #2); verbose
         # dict form lives in the sidecar under _calibration.placements
-        "cal3": [cal_meds["start"], cal_meds["mid"], cal_meds["end"]],
+        "cal3": [round(cal_meds["start"], 2), round(cal_meds["mid"], 2),
+                 round(cal_meds["end"], 2)],
         "sf": sf,
     }
     # r11 (verdict r10 #2): the flagged regressions belong in the
-    # PARSED capture, not only the sidecar — capped at the 6 worst by
-    # calibrated x so they can't bloat the line; each carries raw (xr)
-    # alongside calibrated (x).
-    if regr_official and regr_official["flagged"]:
-        fl = regr_official["flagged"]
-        worst = sorted(fl, key=lambda k: fl[k]["x"], reverse=True)[:6]
-        payload["regr"] = {"vs": regr_official["vs"],
-                           "flagged": {k: {"x": fl[k]["x"],
-                                           "xr": fl[k]["xr"]}
-                                       for k in worst},
-                           "n_flagged": len(fl)}
-    # The driver captures only the LAST 2000 chars of stdout; the r8
-    # and r9 official lines outgrew that (69 queries + an inline
-    # regressions block) and failed to machine-parse — two rounds of
-    # BENCH_r{N}.json with an empty "parsed". Since r10: compact JSON
-    # separators, a hard length guard degrades precision (3dp→2dp),
-    # then drops the cheapest queries from the official dict, and only
-    # as a last resort sheds the regressions block (everything stays
-    # in BENCH_STATS.json) sooner than ship an unparseable line. The
-    # official line prints LAST — r10's sidecar dump printed before it
-    # and was truncated out of the driver's tail capture.
+    # PARSED capture, not only the sidecar — capped at the worst by
+    # calibrated x so they can't bloat the line; each entry is the
+    # [calibrated x, raw xr] pair of the double-flag rule.
+    fl = (regr_official or {}).get("flagged") or {}
+
+    def _regr_block(cap):
+        worst = sorted(fl, key=lambda k: fl[k]["x"], reverse=True)[:cap]
+        return {"vs": regr_official["vs"], "n": len(fl),
+                "fl": {k: [round(fl[k]["x"], 2), round(fl[k]["xr"], 2)]
+                       for k in worst}}
+
+    if fl:
+        payload["regr"] = _regr_block(6)
     spark.stop()
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1950:
-        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(payload, separators=(",", ":"))
-    # shed cheapest queries BEFORE the regressions block (r11): the
-    # judge reads the flagged table from the parsed capture; a
-    # sub-second query's 2dp timing is fully recoverable from
-    # BENCH_STATS.json, a missing regressions table is not.
-    while len(line) > 1950 and payload["queries"]:
+    GUARD = 1985  # the line is printed last, so only its own length counts
+
+    def _line():
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = _line()
+    if len(line) > GUARD and fl:
+        payload["regr"] = _regr_block(3)
+        line = _line()
+    if len(line) > GUARD and fl:
+        payload["regr"] = {"vs": regr_official["vs"], "n": len(fl),
+                           "see": "BENCH_STATS.json"}
+        line = _line()
+    if len(line) > GUARD:
+        payload.pop("cal3", None)  # placements stay in the sidecar
+        line = _line()
+    while len(line) > GUARD and payload["queries"]:  # last resort
         cheapest = min(payload["queries"], key=payload["queries"].get)
         del payload["queries"][cheapest]
         payload["queries_truncated"] = "see BENCH_STATS.json"
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1950 and "regr" in payload:  # last resort
-        payload["regr"] = {"vs": regr_official["vs"],
-                           "n_flagged": len(regr_official["flagged"]),
-                           "see": "BENCH_STATS.json"}
-        line = json.dumps(payload, separators=(",", ":"))
+        line = _line()
     print(json.dumps(sidecar), file=sys.stderr)
     print(line)
     return 0

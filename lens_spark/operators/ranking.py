@@ -291,7 +291,9 @@ def _read_postings_model(spark, index_path: str, op: str) -> dict:
 
 def postings_index_append(batch: DataFrame, index_path: str, *,
                           id_col: str, text_col: str,
-                          locked: bool = True) -> dict:
+                          locked: bool = True,
+                          dropped_path: "str | None" = None,
+                          dropped_tag: "str | None" = None) -> dict:
     """Grow a materialized postings index with NEW documents under the
     index's FROZEN statistics (the ivfpq_index_append contract): each
     new doc's terms take the BUILD-TIME ``df`` (read from the index's
@@ -310,7 +312,14 @@ def postings_index_append(batch: DataFrame, index_path: str, *,
 
     Returns {"n_postings", "n_dropped_postings"} — the dropped count
     is POSTINGS rows whose term the build never saw (one unknown term
-    in ten docs counts ten).
+    in ten docs counts ten). ``dropped_path`` additionally lands the
+    dropped TERMS themselves as an append-only parquet log
+    (``term, n_postings_dropped, tag`` — ``tag`` is the caller's
+    batch label, e.g. the streaming batch id): a return-value count
+    is lost the moment a streaming sink returns, but which terms went
+    unretrievable is exactly what the rebuild decision needs. The log
+    is at-least-once like the append itself — a replayed batch
+    re-logs its rows; dedupe on ``tag`` when reading.
     """
     import contextlib
 
@@ -355,6 +364,15 @@ def postings_index_append(batch: DataFrame, index_path: str, *,
                 .localCheckpoint(eager=True))  # pin before the append
         # invalidates the parts scan (the dedup checkpoint discipline)
         n_rows = rows.count()
+        if dropped_path is not None:
+            # land the dropped-terms log BEFORE the parts append: the
+            # anti-join reads frozen_df's pruned parts scan, which the
+            # append write would invalidate. Batch-sized work only.
+            (new.join(frozen_df, "term", "left_anti")
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).alias("n_postings_dropped"))
+             .withColumn("tag", F.lit(dropped_tag).cast("string"))
+             .write.mode("append").parquet(dropped_path))
         (rows.repartition(F.col("pb"))
          .write.mode("append").partitionBy("pb").parquet(parts_path))
     return {"n_postings": int(n_rows),

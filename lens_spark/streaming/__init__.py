@@ -532,6 +532,68 @@ def run_stream_ivfpq_append(stream_df: DataFrame, index_path: str, *,
     return int(total["n"])
 
 
+def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
+                               id_col: str, text_col: str,
+                               checkpoint: str | None = None,
+                               dropped_path: str | None = None,
+                               timeout: int = 120) -> dict:
+    """Keep a materialized BM25 postings index current with an
+    arriving document stream: each micro-batch tokenizes, takes the
+    index's FROZEN build-time statistics (``df``/``n_docs``/``avgdl``
+    never move — old and new postings stay on one score scale), and
+    appends one file per touched term bucket
+    (``ranking.postings_index_append``, under the shared writer lease
+    with crash recovery first). The sparse twin of
+    ``run_stream_ivfpq_append``: the expensive global-stats pass
+    happened at build time, each batch costs one narrow tokenize +
+    one partition-pruned frozen-df probe + one partitioned append,
+    and restart resumes from the checkpoint without re-appending
+    drained batches.
+
+    The frozen-stats contract's honest trade surfaces PER BATCH:
+    terms the build never saw cannot be scored and are dropped. In a
+    streaming run a return-value count is gone the moment the sink
+    returns, so pass ``dropped_path`` to land the dropped terms as an
+    append-only parquet log (``term, n_postings_dropped, tag`` with
+    ``tag`` = the micro-batch id) — the monitoring signal that decides
+    when the index has drifted far enough from its corpus to earn a
+    ``rebuild_index``. Replayed batches re-log under the same tag;
+    dedupe on ``tag`` when reading.
+
+    Returns {"n_postings", "n_dropped_postings"} summed over the
+    drained batches (this run only — the durable record is the index
+    itself plus the dropped log)."""
+    from lens_spark.operators.ranking import postings_index_append
+
+    totals = {"n_postings": 0, "n_dropped_postings": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = postings_index_append(batch_df, index_path, id_col=id_col,
+                                  text_col=text_col,
+                                  dropped_path=dropped_path,
+                                  dropped_tag=str(batch_id))
+        totals["n_postings"] += r["n_postings"]
+        totals["n_dropped_postings"] += r["n_dropped_postings"]
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"run_stream_postings_append: availableNow run exceeded "
+            f"{timeout}s before draining the source — the index is "
+            "INCOMPLETE; re-run with the same checkpoint to continue, "
+            "or raise timeout=")
+    return {k: int(v) for k, v in totals.items()}
+
+
 def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
                          text_col: str, bench_text_col: str | None = None,
                          ngram: int = 8, shingle: str = "word",

@@ -74,28 +74,31 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-11 rotation (r10 verdict #3: oldest-external-row
-        # first, hard): the never-external backlog (x5_vocab_coverage
-        # + the new s8_saved_lang), every query whose latest external
-        # row is >=5 rounds old (r2/r4/r5 cohorts), two family-cover
-        # reserves (x1_keep_best, x9_curation_pipeline), and 13 of
-        # the 14 r6-cohort veterans — see the queries() rotation note
-        "asof_last_event", "e7_identity", "e8_inversion_roundtrip",
-        "events_session_agg", "events_sessionized", "events_windowed",
-        "grouping_sets_qty", "join_anti_customers", "join_enriched_orders",
-        "join_semi_customers", "m1_rename", "m2_add", "m2_inverse_roundtrip",
-        "m4_rename_chain", "m5_counter_large", "m6_filter", "m7_explode",
-        "pivot_status_revenue", "rollup_revenue", "s8_saved_lang",
-        "stats_aggregates", "window_running_revenue", "window_topk_orders",
-        "x1_keep_best", "x2_decontaminate", "x2_embedding_neardup",
-        "x2_jaccard_verified", "x2_ngram_jaccard", "x2_simhash",
-        "x3_quantize_embedding", "x3_similarity_topk", "x4_image_features",
-        "x4_media_metadata", "x5_chunk_docs", "x5_fingerprint_dups",
-        "x5_html_text", "x5_lang_id", "x5_pii_redact", "x5_quality_filter",
-        "x5_repetition_stats", "x5_text_stats", "x5_top_tokens",
-        "x5_vocab_coverage", "x6_quantiles", "x7_hash_split",
-        "x7_oversample", "x7_sample_hash", "x7_shuffle_shards",
-        "x8_tfidf_top_terms", "x9_curation_pipeline"
+        # round-12 rotation (r11 verdict #2 + standing oldest-first
+        # policy): the never-external backlog (s8_saved_bloom,
+        # x8_bm25_index, x8_hybrid_rrf), x7_stratified_sample (last
+        # external r6), the whole r7/r8/r9-stale cohorts, and three
+        # r10 reserves (x2_components + x5_sentence_dedup — the
+        # double-flagged bench rows — and m5_counter for M-family
+        # cover) — see the queries() rotation note
+        "s8_saved_bloom", "x8_bm25_index", "x8_hybrid_rrf",
+        "x7_stratified_sample",
+        "x7_dsir_weights", "x7_dsir_select", "x2_dup_span_stats",
+        "range_join_events", "x2_bloom_decontaminate",
+        "unpivot_price_measures", "sets_except", "python_udf_bucket",
+        "json_extract", "scalar_functions", "x5_line_dedup", "x8_bm25",
+        "x4_audio_features", "x5_span_dedup", "x5_unigram_logprob",
+        "x7_token_budget_mix", "x7_sample_exact_k", "x2_winnow_fps",
+        "x5_hash_embedding", "x5_bigram_logprob", "x5_url_dedup",
+        "x5_segment_filter", "x5_normalize_text", "x5_dedup_segments",
+        "x5_domain_filter", "x5_truncate_tokens", "x9_dataset_diff",
+        "x9_outlier_filter", "x9_profile",
+        "e1_composition", "s4_transform_by_id", "x2_contamination_score",
+        "x2_winnow_pairs", "x2_cross_neardup",
+        "x3_matryoshka", "x3_random_projection", "x6_rolling_agg",
+        "x6_time_rollup", "x6_sliding_windows", "x7_temperature_mix",
+        "x2_edit_pairs", "x9_quantile_bin", "x9_classifier_eval",
+        "x2_components", "x5_sentence_dedup", "m5_counter",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)

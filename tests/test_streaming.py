@@ -1121,3 +1121,144 @@ def test_run_stream_ivfpq_append_keeps_index_current(spark, tmp_path):
                                         vec_col="embedding", k=10,
                                         nprobe=4).collect()}
     assert got == want and len(got) == 50
+
+
+def _postings_stream_fixture(spark, tmp_path):
+    """Build-on-half fixture shared by the postings streaming tests:
+    a committed index over docs 1-2 plus a file-source directory with
+    one pending batch (docs 3-4). Returns (idx, src, build_corpus)."""
+    from lens_spark.operators.ranking import postings_index_build
+
+    build = spark.createDataFrame(
+        [(1, "spark shuffle spark join"),
+         (2, "hash join hash join hash")],
+        "id long, text string")
+    idx = str(tmp_path / "pidx")
+    postings_index_build(build, idx, id_col="id", text_col="text")
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(3, "spark hash quantum"), (4, "join shuffle physics")],
+        "id long, text string").toPandas().to_parquet(src / "b1.parquet")
+    return idx, src, build
+
+
+def test_run_stream_postings_append_cross_run(spark, tmp_path):
+    """The postings index's streaming maintenance runner (r11 verdict
+    #3): batches append under the FROZEN build stats; a restart with
+    the same checkpoint resumes without re-appending drained batches;
+    after both runs, serving equals the batch-built-and-appended
+    index exactly; and each batch's unknown terms land in the
+    dropped-terms parquet log under that batch's tag (a return-value
+    count is lost in streaming — the log is the durable signal)."""
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+        postings_index_search,
+    )
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_postings_append,
+    )
+
+    idx, src, build = _postings_stream_fixture(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    dropped = str(tmp_path / "dropped")
+
+    def stream():
+        return read_file_stream(spark, str(src),
+                                schema_from=str(src / "b1.parquet"),
+                                maxFilesPerTrigger=1)
+
+    # run 1: drains b1 only (docs 3-4; quantum + physics unknown)
+    r1 = run_stream_postings_append(stream(), idx, id_col="id",
+                                    text_col="text", checkpoint=ckpt,
+                                    dropped_path=dropped)
+    assert r1 == {"n_postings": 4, "n_dropped_postings": 2}
+    # restart: a new file arrives; same checkpoint -> only b2 drains
+    spark.createDataFrame(
+        [(5, "spark join"), (6, "hash hash novelterm")],
+        "id long, text string").toPandas().to_parquet(src / "b2.parquet")
+    r2 = run_stream_postings_append(stream(), idx, id_col="id",
+                                    text_col="text", checkpoint=ckpt,
+                                    dropped_path=dropped)
+    assert r2 == {"n_postings": 3, "n_dropped_postings": 1}
+
+    # serving equals the batch path over the same docs (frozen scale)
+    panel = spark.createDataFrame([(1, "spark hash join")],
+                                  "qid long, qtext string")
+    got = {(r.query_id, r.neighbor_id, r.bm25)
+           for r in postings_index_search(spark, panel, idx, id_col="qid",
+                                          text_col="qtext", k=10).collect()}
+    batch_idx = str(tmp_path / "pidx_batch")
+    postings_index_build(build, batch_idx, id_col="id", text_col="text")
+    postings_index_append(
+        spark.createDataFrame(
+            [(3, "spark hash quantum"), (4, "join shuffle physics"),
+             (5, "spark join"), (6, "hash hash novelterm")],
+            "id long, text string"),
+        batch_idx, id_col="id", text_col="text")
+    want = {(r.query_id, r.neighbor_id, r.bm25)
+            for r in postings_index_search(spark, panel, batch_idx,
+                                           id_col="qid", text_col="qtext",
+                                           k=10).collect()}
+    assert got == want
+    assert {r.neighbor_id for r in postings_index_search(
+        spark, panel, idx, id_col="qid", text_col="qtext",
+        k=10).collect()} == {1, 2, 3, 4, 5, 6}
+
+    # the dropped-terms log: per-batch tags, the exact unknown terms
+    log = spark.read.parquet(dropped).collect()
+    by_tag = {}
+    for r in log:
+        by_tag.setdefault(r.tag, set()).add((r.term, r.n_postings_dropped))
+    assert len(by_tag) == 2
+    tags = sorted(by_tag)  # batch ids are distinct per checkpoint run
+    assert by_tag[tags[0]] == {("quantum", 1), ("physics", 1)}
+    assert by_tag[tags[1]] == {("novelterm", 1)}
+
+
+def test_stream_postings_replay_then_maintenance_reclaims(spark, tmp_path):
+    """An at-least-once replay through the streaming runner (same
+    source, FRESH checkpoint) stores byte-identical postings rows:
+    search results are unchanged throughout (dedupe-before-sum), and
+    the nightly maintenance sweep with drop_replay_duplicates=True
+    reclaims the residue (r11 verdict #3's maintenance leg)."""
+    from lens_spark.maintenance import compact_all
+    from lens_spark.operators.ranking import postings_index_search
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_postings_append,
+    )
+
+    idx, src, _ = _postings_stream_fixture(spark, tmp_path)
+
+    def drain(ckpt):
+        return run_stream_postings_append(
+            read_file_stream(spark, str(src),
+                             schema_from=str(src / "b1.parquet")),
+            idx, id_col="id", text_col="text",
+            checkpoint=str(tmp_path / ckpt))
+
+    panel = spark.createDataFrame([(1, "spark hash join")],
+                                  "qid long, qtext string")
+
+    def serve():
+        return {(r.query_id, r.neighbor_id, r.bm25, r.rank)
+                for r in postings_index_search(
+                    spark, panel, idx, id_col="qid", text_col="qtext",
+                    k=10).collect()}
+
+    assert drain("ckpt1") == {"n_postings": 4, "n_dropped_postings": 2}
+    want = serve()
+    n_rows = spark.read.parquet(f"{idx}/parts").count()
+    # fresh checkpoint = the runner cannot know b1 already drained:
+    # the documented at-least-once replay
+    assert drain("ckpt2") == {"n_postings": 4, "n_dropped_postings": 2}
+    assert serve() == want  # replay residue never double-counts
+    assert spark.read.parquet(f"{idx}/parts").count() == n_rows + 4
+    report = compact_all(spark, str(tmp_path),
+                         drop_replay_duplicates=True)
+    assert report[idx]["kind"] == "postings"
+    assert spark.read.parquet(f"{idx}/parts").count() == n_rows
+    assert serve() == want
