@@ -161,6 +161,130 @@ def compact_any(spark: "SparkSession", index_path: str, *,
     return {"kind": kind, **stats}
 
 
+def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
+    """Roll a crashed ``rebuild_index`` swap to a consistent state.
+
+    The swap sequence is: build into ``<index>.rebuild`` (committed —
+    its ``model.json`` marker is present — before any rename), rename
+    ``<index>`` → ``<index>.old``, rename ``.rebuild`` → ``<index>``,
+    delete ``.old``. Crash matrix: live index present → any leftover
+    ``.old`` is a post-swap residue, reclaim it; index missing with a
+    COMMITTED ``.rebuild`` → the crash hit between the renames, roll
+    FORWARD (the rebuild had fully committed); index missing with
+    only ``.old`` → roll BACK (should be unreachable — staging
+    commits before the first rename — but a manual intervention can
+    produce it). Idempotent; called by ``rebuild_index`` on entry."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    idx, staging, trash = (P(index_path), P(index_path + ".rebuild"),
+                           P(index_path + ".old"))
+    if fs.exists(idx):
+        if fs.exists(trash):
+            fs.delete(trash, True)
+        return
+    if fs.exists(P(index_path + ".rebuild/model.json")):
+        if not fs.rename(staging, idx):
+            raise LensError(
+                f"rebuild_index recovery at {index_path!r}: could not "
+                "roll the committed .rebuild forward — inspect the "
+                "directory manually.")
+        if fs.exists(trash):
+            fs.delete(trash, True)
+        # the crashed rebuild's planted lease travels with the
+        # roll-forward; it is dead — clear it so writers need not
+        # wait out the stale window
+        fs.delete(P(f"{index_path}/_writer.lock"), False)
+    elif fs.exists(trash):
+        if not fs.rename(trash, idx):
+            raise LensError(
+                f"rebuild_index recovery at {index_path!r}: could not "
+                "roll .old back — inspect the directory manually.")
+
+
+def rebuild_index(spark: "SparkSession", index_path: str,
+                  build_fn) -> dict:
+    """The honest refresh for any model-bearing index (ivfpq,
+    postings), as ONE call instead of a manual protocol: the builders
+    REFUSE in-place rebuild because ``parts/`` and ``model.json``
+    cannot be replaced atomically together (r11 — the torn window
+    where codes/postings reflect one model and the file describes
+    another). This helper does what their refusal text prescribes —
+    ``build_fn(fresh_path)`` builds into a staging sibling
+    (``<index>.rebuild``) while the OLD INDEX KEEPS SERVING, then the
+    commit is two directory renames and a delete.
+
+    ``build_fn`` receives the staging path and must leave a committed
+    index there (``model.json`` present — the builders' own commit
+    marker); its return value is passed through. Typical use::
+
+        rebuild_index(spark, idx, lambda p: postings_index_build(
+            corpus, p, id_col="id", text_col="text"))
+
+    Runs under the index writer lease for its whole span, so appends
+    cannot land on the old index mid-rebuild and silently vanish with
+    it (the lost-update class); the lease mtime is refreshed after
+    the build stage (a single stage longer than the stale window
+    stays the documented residual). Readers never see a torn index:
+    they serve the old one until the swap, and a crash at any point
+    is rolled forward/back by the next ``rebuild_index`` call
+    (``_recover_rebuild``'s matrix — the staging dir commits BEFORE
+    the first rename, so both sides of every crash window hold a
+    complete index). The residual reader gap is the instant between
+    the two renames, where the path briefly does not exist — a
+    transient, retryable read error, the same guarantee class as the
+    Hadoop commit protocol the parquet readers already ride on."""
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _refresh_writer_lock,
+    )
+
+    index_path = index_path.rstrip("/")
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    _recover_rebuild(spark, index_path)
+    if not fs.exists(P(index_path)):
+        raise LensError(
+            f"rebuild_index: {index_path!r} does not exist — use the "
+            "family's build call directly for a first build.")
+    staging = index_path + ".rebuild"
+    trash = index_path + ".old"
+    with _index_writer_lock(spark, index_path):
+        # a crashed PREVIOUS attempt's staging (committed or not) is
+        # stale — its corpus snapshot is older than the caller's
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)
+        result = build_fn(staging)
+        if not fs.exists(P(f"{staging}/model.json")):
+            raise LensError(
+                f"rebuild_index: build_fn left no committed index at "
+                f"{staging!r} (model.json missing) — the live index "
+                "was not touched.")
+        _refresh_writer_lock(spark, index_path)
+        # Pre-plant our lease INSIDE the staging dir: the held lock
+        # file travels into the trash with the first rename, so
+        # without this the new index path would be lock-free mid-swap
+        # — a writer could acquire there and then have its lock
+        # deleted by our release (two-writers window). With the
+        # planted file, {index_path}/_writer.lock exists continuously
+        # across the swap and the release at context exit deletes
+        # OUR lease, nobody else's.
+        fs.createNewFile(P(f"{staging}/_writer.lock"))
+        if not fs.rename(P(index_path), P(trash)):
+            raise LensError(
+                f"rebuild_index: could not stage {index_path!r} aside "
+                "— the live index was not touched.")
+        if not fs.rename(P(staging), P(index_path)):
+            fs.rename(P(trash), P(index_path))  # roll back: stay servable
+            raise LensError(
+                f"rebuild_index: could not rename the rebuilt index "
+                f"into place at {index_path!r}; rolled the old index "
+                "back.")
+        fs.delete(P(trash), True)
+    return result if isinstance(result, dict) else {"rebuilt": True}
+
+
 def discover_indexes(spark: "SparkSession", root: str, *,
                      max_depth: int = 4,
                      errors: "dict[str, str] | None" = None) -> list[str]:
@@ -204,8 +328,17 @@ def discover_indexes(spark: "SparkSession", root: str, *,
             continue
         for st in children:
             name = st.getPath().getName()
-            if st.isDirectory() and not name.startswith(("_", ".")):
-                frontier.append((f"{d.rstrip('/')}/{name}", depth + 1))
+            if not st.isDirectory() or name.startswith(("_", ".")):
+                continue
+            # a rebuild_index staging (.rebuild) or trash (.old)
+            # sibling looks exactly like an index — it IS one
+            # mid-handoff. The sweep must neither compact it out from
+            # under the rebuild that owns it nor descend into it; the
+            # next rebuild_index call on the primary path recovers or
+            # deletes it.
+            if name.endswith((".rebuild", ".old")):
+                continue
+            frontier.append((f"{d.rstrip('/')}/{name}", depth + 1))
     return sorted(found)
 
 

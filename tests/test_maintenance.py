@@ -215,3 +215,152 @@ def test_compact_any_drop_replay_duplicates_reclaims_postings(spark,
     # doc 2 contributes only its build-known term "beta": exactly one
     # surviving posting row for it
     assert n_after == 3  # doc1: alpha+beta, doc2: beta
+
+
+def _pcorpus(spark, upto):
+    rows = [(1, "spark shuffle spark join"),
+            (2, "hash join hash join hash"),
+            (3, "quantum physics lecture notes"),
+            (4, "spark hash quantum")][:upto]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _pserve(spark, idx, qtext="spark hash quantum"):
+    from lens_spark.operators.ranking import postings_index_search
+
+    panel = spark.createDataFrame([(1, qtext)], "qid long, qtext string")
+    return {(r.neighbor_id, r.bm25, r.rank)
+            for r in postings_index_search(spark, panel, idx, id_col="qid",
+                                           text_col="qtext", k=10).collect()}
+
+
+def test_rebuild_index_postings_refreshes_frozen_stats(spark, tmp_path):
+    """rebuild_index (r11 verdict #6): the one-call honest refresh the
+    builders' in-place refusal prescribes — fresh-path build + atomic
+    publish + old-path reclaim. After the rebuild over the grown
+    corpus, serving equals a fresh build (terms the old index could
+    not retrieve now score), and no staging/trash dirs remain."""
+    from lens_spark.maintenance import rebuild_index
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    # 'quantum' unknown to the v1 stats: unretrievable by design
+    assert not {d for d, *_ in _pserve(spark, idx)} & {3}
+    full = _pcorpus(spark, 4)
+    stats = rebuild_index(
+        spark, idx,
+        lambda p: postings_index_build(full, p, id_col="id",
+                                       text_col="text"))
+    assert stats["n_docs"] == 4
+    fresh = str(tmp_path / "fresh")
+    postings_index_build(full, fresh, id_col="id", text_col="text")
+    assert _pserve(spark, idx) == _pserve(spark, fresh)
+    assert {3, 4} <= {d for d, *_ in _pserve(spark, idx)}
+    assert not os.path.exists(idx + ".rebuild")
+    assert not os.path.exists(idx + ".old")
+    # writers are not blocked afterwards (the lease handoff released)
+    from lens_spark.operators.ranking import postings_index_append
+    postings_index_append(_pcorpus(spark, 2).filter("id = 1"), idx,
+                          id_col="id", text_col="text")
+
+
+def test_rebuild_index_crash_mid_build_keeps_old_servable(spark, tmp_path):
+    """A build_fn that dies (or commits nothing) leaves the live index
+    byte-untouched and still serving; the retry cleans the stale
+    staging and succeeds."""
+    from lens_spark.errors import LensError
+    from lens_spark.maintenance import rebuild_index
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    before = _pserve(spark, idx, "spark hash")
+    with pytest.raises(RuntimeError, match="boom"):
+        rebuild_index(spark, idx, lambda p: (_ for _ in ()).throw(
+            RuntimeError("boom")))
+    assert _pserve(spark, idx, "spark hash") == before
+
+    def half_build(p):  # writes parts but never commits model.json
+        full = _pcorpus(spark, 4)
+        postings_index_build(full, p, id_col="id", text_col="text")
+        os.remove(os.path.join(p, "model.json"))
+
+    with pytest.raises(LensError, match="no committed index"):
+        rebuild_index(spark, idx, half_build)
+    assert _pserve(spark, idx, "spark hash") == before
+    full = _pcorpus(spark, 4)
+    rebuild_index(spark, idx, lambda p: postings_index_build(
+        full, p, id_col="id", text_col="text"))
+    assert {3, 4} <= {d for d, *_ in _pserve(spark, idx)}
+
+
+def test_rebuild_index_crash_between_renames_rolls_forward(spark,
+                                                           tmp_path):
+    """The narrowest crash window: staging committed, the live index
+    renamed aside, process dies before the second rename. The next
+    rebuild_index call rolls the committed rebuild FORWARD (it had
+    fully committed), reclaims the trash, clears the dead planted
+    lease so writers need not wait out the stale window — and then
+    runs its own rebuild normally."""
+    import shutil
+
+    from lens_spark.maintenance import _recover_rebuild, rebuild_index
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    # simulate: committed staging (with the planted lease), live index
+    # staged aside, crash before rename #2
+    full = _pcorpus(spark, 4)
+    postings_index_build(full, idx + ".rebuild", id_col="id",
+                         text_col="text")
+    open(idx + ".rebuild/_writer.lock", "w").close()
+    shutil.move(idx, idx + ".old")
+
+    _recover_rebuild(spark, idx)
+    assert os.path.exists(idx) and not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + ".rebuild")
+    assert {3, 4} <= {d for d, *_ in _pserve(spark, idx)}
+    # the dead planted lease was cleared: an append acquires at once
+    postings_index_append(_pcorpus(spark, 2).filter("id = 1"), idx,
+                          id_col="id", text_col="text")
+
+
+def test_rebuild_index_ivfpq_and_discovery_skips_staging(spark, tmp_path):
+    """rebuild_index is family-agnostic (the staging/commit protocol
+    never reads parts schemas): an IVFADC index rebuilds with a new
+    model the same one call — and the maintenance walk neither
+    reports nor descends into a mid-handoff .rebuild/.old sibling."""
+    import random
+
+    from lens_spark.maintenance import discover_indexes, rebuild_index
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    root = tmp_path / "root"
+    idx = str(root / "vidx")
+    _mk_ivfpq_index(spark, idx)
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(96)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rebuild_index(spark, idx, lambda p: ivfpq_index_build(
+        emb, p, id_col="vec_id", vec_col="embedding", dim=8, nlist=3,
+        m=4, nbits=4))
+    got = ivfpq_index_search(spark, idx, emb.filter("vec_id < 2"),
+                             id_col="vec_id", vec_col="embedding", k=5,
+                             nprobe=3)
+    assert got.count() == 10  # vectors only in the NEW corpus retrieve
+    # a mid-handoff sibling is invisible to the sweep
+    _mk_fp_index(spark, str(root / "fp_idx.rebuild"))
+    _mk_fp_index(spark, str(root / "fp_idx.old"))
+    found = discover_indexes(spark, str(root), max_depth=3)
+    assert [os.path.basename(p) for p in found] == ["vidx"]
