@@ -1632,6 +1632,45 @@ def q_x8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(union, spec).select("doc_id", "rrf", "rank")
 
 
+def q_x8_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse hybrid retrieval flagship (r12, r11 verdict #5):
+    the real thing x8_hybrid_rrf's two-lexical-systems stand-in
+    pointed at — ONE lens (``hybrid_search``) serving the same query
+    panel from BOTH materialized indexes over one corpus: BM25 from
+    the term-bucket-partitioned postings index (scan pruned to the
+    panel's term buckets) and exact-reranked cosine ANN from the
+    cell-partitioned IVFADC index (scan pruned to the probed cells),
+    fused by reciprocal rank (Σ 1/(60+rank), quantized scaled-long
+    sum). Three bounded stages, none corpus-sized — the 100 TB shape
+    is two panel-proportional index probes + one fusion aggregation
+    over ≤ 2·per_system_k rows/query. Rows-only: the dense leg is
+    approximate; the recall contract vs the exact brute-force+BM25
+    fusion and the pruned-scan plan shape are pinned by
+    tests/test_ranking.py. Plan pinned in PLANS.md."""
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="lens_spark_hybrid_")
+    pidx, vidx = base + "/pidx", base + "/vidx"
+    postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
+    ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=16, m=8, nbits=6)
+    # panel: 5 corpus docs with BOTH their text and aligned embedding
+    # (column names match embeddings.parquet so the exact re-rank
+    # fetch joins by name)
+    panel = (docs.join(emb, docs.doc_id == emb.vec_id)
+             .filter(F.col("vec_id") < 5)
+             .select("vec_id", "text", "embedding"))
+    spec = {"lenses": [{"name": "hybrid_search", "arguments": {
+        "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
+        "column": "text", "vector": "embedding", "k": 10,
+        "per_system_k": 30, "nprobe": 8, "rerank": 100,
+        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+    return engine.append(panel, spec)
+
+
 def q_x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic mixing: downsample src0 to 10%, src1 to
     50%, keep the rest — the corpus-recipe primitive. Membership is
@@ -3432,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": q_streaming_drift,
         "streaming_expectations": q_streaming_expectations,
         "streaming_quota": q_streaming_quota,
+        "x8_hybrid_dense_sparse": q_x8_hybrid_dense_sparse,
     }
 
 

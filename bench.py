@@ -157,6 +157,7 @@ HEADLINE = [
     "x5_vocab_coverage",     # per-lang tokenizer OOV report, pre-agg (r10)
     "x3_ivfpq_topk",         # IVFADC: cell routing x PQ ADC, one pass (r11)
     "x8_bm25_index",         # BM25 postings index BUILD + panel serve (r11)
+    "x8_hybrid_dense_sparse",  # both index builds + fused hybrid serve (r12)
 ]
 
 

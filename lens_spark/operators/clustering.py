@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, ensure_parallelism, register_lens, require_arg
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -81,6 +81,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, *, k: int = 16,
     may flip cluster), verified by equivalence tests against a local
     reference, not a SQL oracle.
     """
+    check_reserved(df, {"__hk", "__id", "__n", "__s", "__v"}, "kmeans_fit")
     # Pin the (id, vec) projection for the max_iter+1 passes as
     # DISK_ONLY, not localCheckpoint (r11, measured in SCALE.md
     # "Round-11 additions"): at 100 TB a corpus-sized projection must
@@ -199,6 +200,7 @@ def semdedup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     distinct). Split out so the verify stage's plan is inspectable
     (tests assert the cluster repartition) and reusable for audits
     that want the pairs, not the survivor set."""
+    check_reserved(df, {"__id", "__v"}, "semdedup_pairs")
     if k is None:
         k = semdedup_auto_k(df.select(id_col).count())
     assigned = (
@@ -266,6 +268,7 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, *,
     repartitioned by cluster so its exchange is the verify stage's
     own, sized by spark.sql.shuffle.partitions.
     """
+    check_reserved(df, {"__rep"}, "semdedup")
     from lens_spark.operators.dedup import connected_components
 
     if keep not in ("min", "max"):
@@ -351,6 +354,9 @@ def group_centroid(df: DataFrame, key_cols: Sequence[str], vec_col: str, *,
     drift with partition order); the published centroid is double.
     Null vectors are excluded from both ``n`` and the mean.
     """
+    check_reserved(df, {
+        "__cl", "__m", "__n", "__pos", "__s",
+    }, "group_centroid")
     keys = [str(k) for k in key_cols]
     if not keys:
         raise LensError("group_centroid: key_cols must be non-empty")

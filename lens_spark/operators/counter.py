@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 _PID = "__lens_pid"
 
@@ -47,6 +47,7 @@ def assign_sequence(df: DataFrame, order_by: list[str], out: str = "id",
     (the persist uses MEMORY_AND_DISK, so it spills instead of
     evicting — eviction would trigger a range-repartition recompute).
     """
+    check_reserved(df, {"__lens_mid"}, "assign_sequence")
     for c in order_by:
         if c not in df.columns:
             raise LensError(f"lens 'counter': property with name '{c}' not found")

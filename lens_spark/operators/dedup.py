@@ -37,6 +37,7 @@ from lens_spark.functions.text import tokens
 from lens_spark.functions.vectors import cosine_similarity
 from lens_spark.operators.base import (
     Lens,
+    check_reserved,
     ensure_parallelism,
     reassemble_by_position,
     register_lens,
@@ -86,6 +87,7 @@ def dedup_keep_best(df: DataFrame, key_cols: list[str], score_col: str,
     exact_dedup's first-wins agg. Preserves input schema and column
     order; no row survives twice.
     """
+    check_reserved(df, {"__kb"}, "dedup_keep_best")
     order = F.struct(F.col(score_col), F.col(tie_col))
     best = (
         df.groupBy(*[F.col(k) for k in key_cols])
@@ -168,6 +170,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *,
     eval, ~50× slower. Docs with no shingles (fewer than ``ngram``
     tokens) have no signature and drop out.
     """
+    check_reserved(df, {"__d", "__hb", "__s"}, "minhash_signature")
     # Two explode forms on purpose: when no shingle table is shared,
     # explode the shingle expression INLINE — aliasing the array in its
     # own Project first and exploding the column measured 5× slower at
@@ -312,6 +315,7 @@ def neardup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     pipeline and the exact-Jaccard verify legs (previously two full
     tokenize+slice passes over the corpus).
     """
+    check_reserved(df, {"__sh", "__sh_a", "__sh_b"}, "neardup_pairs")
     shingled = None
     if threshold is not None and sig is None:
         shingled = ensure_parallelism(df, by=[id_col]).select(
@@ -358,6 +362,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     them is the standard df-cut and only loses pairs whose overlap is
     entirely stopword boilerplate.
     """
+    check_reserved(df, {
+        "__common", "__df", "__id", "__n", "__na", "__nb", "__s", "__s0",
+    }, "ngram_jaccard_pairs")
     shingled = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col).alias("__id"),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s0"),
@@ -418,6 +425,9 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str, *,
     hash join back, a per-doc mean of (df = 1). Shingle-less docs
     score 0.0 and keep their row.
     """
+    check_reserved(df, {
+        "__df", "__nv", "__nv_id", "__s", "__s0",
+    }, "ngram_novelty")
     shingled = (ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col).alias("__nv_id"),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s0"))
@@ -468,6 +478,9 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
     sizes + df-cut + both join sides, ``max_df`` as the stop-shingle
     skew cut.
     """
+    check_reserved(df, {
+        "__common", "__df", "__id", "__n", "__na", "__nb", "__s", "__s0",
+    }, "containment_pairs")
     shingled = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col).alias("__id"),
         F.explode(_shingles(text_col, ngram, shingle)).alias("__s0"),
@@ -540,6 +553,9 @@ def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str, *,
     joins onto the candidate list by id — the band exchange itself
     never carries text.
     """
+    check_reserved(df, {
+        "__l", "__la", "__lb", "__t", "__ta", "__tb",
+    }, "edit_distance_pairs")
     if max_dist < 0 or prefix < 1:
         raise LensError("edit_distance_pairs: max_dist must be >= 0 "
                         "and prefix >= 1")
@@ -607,6 +623,7 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *,
     against duplicated keys → per-doc count (agg). Exchanges carry
     hashes and ids only, never span text.
     """
+    check_reserved(df, {"__df", "__ds_id", "__sh", "__sp"}, "dup_span_stats")
     spans = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col).alias("__ds_id"),
         F.explode(_shingles(text_col, span, shingle)).alias("__sp"),
@@ -669,6 +686,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     one-hop-per-round. Emits a RuntimeWarning if ``max_iter`` exhausts
     before convergence (labels would be split across a component).
     """
+    check_reserved(pairs, {"__cid", "__cmin"}, "connected_components")
     # The pair pipeline (typically LSH join + verify) feeds several
     # actions below (threshold probe, then collect OR the two edge-union
     # legs) — persist it once instead of re-running it per action. The
@@ -820,6 +838,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hash = top 60 bits of md5 (functions.hashing.SIMHASH_BITS), so the
     DuckDB oracle reproduces the exact integers.
     """
+    check_reserved(df, {"__h", "__n", "__t"}, "simhash_table")
     from lens_spark.functions.hashing import SIMHASH_BITS
 
     df = ensure_parallelism(df, by=[id_col])
@@ -861,6 +880,9 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     exactly when bucket collision probability is highest — the higher
     the threshold, the better the recall.
     """
+    check_reserved(df, {
+        "__bucket", "__id", "__v", "__va", "__vb",
+    }, "embedding_neardup_pairs")
     if method == "lsh":
         import numpy as np
         import pandas as pd
@@ -1290,6 +1312,7 @@ def dedup_incremental(df: DataFrame, index_path: str, *,
     critical section (streaming.stream_ingest_dedup — the lock file is
     not reentrant).
     """
+    check_reserved(df, {"__fp"}, "dedup_incremental")
     from lens_spark.sources import dataset_nonempty
 
     cols = [str(c) for c in (columns or _identity_columns(df))]
@@ -1421,6 +1444,9 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     the lease over a wider critical section (the lock file is not
     reentrant).
     """
+    check_reserved(df, {
+        "__cid", "__csig", "__est_j", "__pb", "__sa", "__sb",
+    }, "neardup_incremental")
     from lens_spark.sources import dataset_nonempty
 
     spark = df.sparkSession
@@ -1760,6 +1786,9 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
     (nothing downstream re-reads the files being appended), survivors'
     cells + int8 codes append as one write job.
     """
+    check_reserved(df, {
+        "__cid", "__cos", "__cq", "__pb",
+    }, "embedding_neardup_incremental")
     from lens_spark.operators.similarity import _bucket_array_udf
     from lens_spark.functions.vectors import quantize_int8
     from lens_spark.sources import dataset_nonempty
@@ -1930,6 +1959,7 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, *,
     Docs whose every line was boilerplate stay in the output with an
     empty string (left join + coalesce), preserving row count.
     """
+    check_reserved(df, {"__df", "__ld_id", "__lh", "__pos"}, "line_dedup")
     import re as _re
 
     out = out or text_col
@@ -1965,6 +1995,7 @@ def sentence_dedup(df: DataFrame, id_col: str, text_col: str, *,
     ``reassemble_by_position`` contract). Fully-boilerplate docs keep
     their row as "".
     """
+    check_reserved(df, {"__df", "__sd_id", "__sh"}, "sentence_dedup")
     from lens_spark.operators.text import sentence_split
 
     out = out or text_col
@@ -2019,6 +2050,8 @@ def neardup_against(df: DataFrame, reference: DataFrame, id_col: str,
     (never df × reference) → estimate verify → distinct. Exchanges
     carry band hashes and signatures, never text.
     """
+    check_reserved(df, {"__sa", "__sb"}, "neardup_against")
+    check_reserved(reference, {"__sa", "__sb"}, "neardup_against")
     rid = ref_id_col or id_col
     rtext = ref_text_col or text_col
     sig_a = minhash_signature(df, id_col, text_col, num_hashes=num_hashes,
@@ -2097,6 +2130,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
     the exchanges carry (id, fp) only. Hashes are md5-derived 32-bit
     ints so the DuckDB oracle reproduces them exactly.
     """
+    check_reserved(df, {"__wf_h", "__wf_tk"}, "winnow_fingerprints")
     toks = tokens(F.col(text_col))
     m = F.size(F.col("__wf_tk"))
     gram_hashes = F.transform(
@@ -2146,6 +2180,7 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str, *,
     hazard (df² /2 pairs); cutting it loses only pairs whose overlap
     is entirely that boilerplate.
     """
+    check_reserved(df, {"__df"}, "winnow_pairs")
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window) \
         .localCheckpoint(eager=False)
     if max_df is not None:
@@ -2215,6 +2250,9 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str, *,
     token text, vs none here (text moves only through the two
     doc-level joins), measured ~35% faster at sf0.1.
     """
+    check_reserved(df, {
+        "__df", "__ds", "__ra_clean", "__sd_id", "__start", "__tk",
+    }, "span_dedup")
     out = out or text_col
     toks_expr = tokens(F.col(text_col), lowercase=False)
     # Lazy checkpoint: the tokenized table feeds BOTH the span-start leg
@@ -2345,6 +2383,8 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     explode; the only wide ops are the per-doc overlap count (map-side
     combined) and the final anti-join on id. Never corpus × benchmark.
     """
+    check_reserved(df, {"__g", "__gh", "__hits"}, "decontaminate")
+    check_reserved(benchmark, {"__g", "__gh", "__hits"}, "decontaminate")
     grams = _shingles(text_col, ngram, shingle)
     bench_grams = _bench_gram_hashes(
         benchmark, bench_text_col or text_col, ngram, shingle)
@@ -2490,6 +2530,7 @@ def bloom_decontaminate_saved(df: DataFrame, model: "Mapping[str, Any]",
     MODEL (fitting one way and probing another is the silent-miss
     bug), like ``token_vocab``'s stored lowercase flag.
     """
+    check_reserved(df, {"__g", "__gh", "__hits"}, "bloom_decontaminate_saved")
     scheme = model.get("hash_scheme")
     if scheme != BLOOM_HASH_SCHEME:
         raise LensError(
@@ -2556,6 +2597,8 @@ def bloom_decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
     unlike the minhash family where K-M correlation broke row
     distinctness, dedup.py:106-112).
     """
+    check_reserved(df, {"__g", "__gh", "__hits"}, "bloom_decontaminate")
+    check_reserved(benchmark, {"__g", "__gh", "__hits"}, "bloom_decontaminate")
     grams = _shingles(text_col, ngram, shingle)
     # Eagerly checkpoint the distinct gram-hash set: both the driver
     # collect (bitset build) and the confirm semi-join read it, and
@@ -2639,6 +2682,12 @@ def contamination_score(df: DataFrame, benchmark: DataFrame, id_col: str,
     per-doc counts map-side combined, one join back on id. Never
     corpus × benchmark.
     """
+    check_reserved(df, {
+        "__cs_id", "__g", "__gh", "__hits", "__in_bench", "__n",
+    }, "contamination_score")
+    check_reserved(benchmark, {
+        "__cs_id", "__g", "__gh", "__hits", "__in_bench", "__n",
+    }, "contamination_score")
     grams = _shingles(text_col, ngram, shingle)
     bench_grams = (
         benchmark.select(
@@ -2704,6 +2753,7 @@ def overlap_matrix(df: DataFrame, group_col: str, text_col: str, *,
     then a partial-aggregated groupBy to #groups² result rows.
     Nothing is all-pairs over rows — only over the bounded group set.
     """
+    check_reserved(df, {"__g", "__gh"}, "overlap_matrix")
     if int(ngram) < 1:
         raise LensError("overlap_matrix: ngram must be >= 1")
     grams = (ensure_parallelism(df)

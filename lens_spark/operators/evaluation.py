@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 
 def binary_eval(df: DataFrame, *, score: str, label: str,
@@ -52,6 +52,7 @@ def binary_eval(df: DataFrame, *, score: str, label: str,
     genuine ties. Ranks are carried as the integer 2·rank so no
     floating point enters before the final division.
     """
+    check_reserved(df, {"__s", "__y"}, "binary_eval")
     if score_decimals < 0 or score_decimals > 9:
         raise LensError("binary_eval: score_decimals must be in [0, 9]")
     s = F.round(F.expr(score).cast("double"), score_decimals)
@@ -144,6 +145,8 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str, *,
     near-unique double column should round/bin it first (the same
     contract binary_eval's score_decimals applies).
     """
+    check_reserved(df_a, {"__ca", "__cb", "__g", "__v"}, "ks_drift")
+    check_reserved(df_b, {"__ca", "__cb", "__g", "__v"}, "ks_drift")
     if by is None:
         # Constant group: still a one-partition window, but over the
         # distinct-value histogram — document the boundedness contract
@@ -218,6 +221,7 @@ def filter_funnel(df: DataFrame,
     (model-state contract). Exact integers; micro-fractions by floor
     division (digest contract).
     """
+    check_reserved(df, {"__stage"}, "filter_funnel")
     if not rules:
         raise LensError("filter_funnel: need at least one rule")
     names = [str(n) for n, _ in rules]
@@ -294,6 +298,7 @@ def expect(df: DataFrame, rules: "list[dict]") -> DataFrame:
     driver-side on the counters (model-state contract). No shuffle
     beyond the 1-row agg.
     """
+    check_reserved(df, {"__n"}, "expect")
     if not rules:
         raise LensError("expect: need at least one rule")
     names = [str(r.get("name", "")) for r in rules]
@@ -402,6 +407,7 @@ def threshold_sweep(df: DataFrame, *, score: str, label: str,
     T·distinct rows at most. Counts stay exact integers; division
     happens once per output row.
     """
+    check_reserved(df, {"__s", "__y"}, "threshold_sweep")
     if score_decimals < 0 or score_decimals > 9:
         raise LensError("threshold_sweep: score_decimals must be in [0, 9]")
     ts = sorted(float(t) for t in thresholds)

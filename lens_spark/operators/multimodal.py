@@ -34,7 +34,7 @@ from lens_spark.functions.imagecodec import (
     resize_nearest,
     split_png_stream,
 )
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 IMAGE_FEATURE_SCHEMA = (
     "width int, height int, mode string, feature array<float>"
@@ -217,6 +217,7 @@ def image_neardup_pairs(df: DataFrame, id_col: str, payload_col: str, *,
     ``bit_count(xor)`` — no Python in the join path; the decode UDF
     runs once per image, not per pair.
     """
+    check_reserved(df, {"__ha", "__hb"}, "image_neardup_pairs")
     from lens_spark.errors import LensError
 
     if not 0 <= int(max_hamming) <= 64:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lens_spark.functions.text import whitespace_token_count
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 
 def pack_sequences(df: DataFrame, id_col: str, *,
@@ -45,6 +45,7 @@ def pack_sequences(df: DataFrame, id_col: str, *,
     doc inside its sequence), ``n_tokens``, ``truncate`` (true when a
     single doc exceeds ``max_tokens`` and would need truncation).
     """
+    check_reserved(df, {"__nt", "__shard"}, "pack_sequences")
     from lens_spark.errors import LensError
 
     if token_count_col is None and text_col is None:
@@ -137,6 +138,7 @@ def concat_blocks(df: DataFrame, id_col: str, *, block_tokens: int,
     ``num_shards`` is the task-size dial (same contract as
     pack_sequences). Empty docs get block_last = block_first.
     """
+    check_reserved(df, {"__end", "__h", "__nt"}, "concat_blocks")
     from pyspark.sql import Window
 
     from lens_spark.errors import LensError
@@ -213,6 +215,7 @@ def length_batches(df: DataFrame, id_col: str, *, batch_size: int,
     the grouping marginally: shards are content-hash uniform, so
     every shard sees the full length distribution.
     """
+    check_reserved(df, {"__nt", "__shard"}, "length_batches")
     from pyspark.sql import Window
 
     from lens_spark.errors import LensError

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lens_spark.functions.text import tokens
-from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, ensure_parallelism, register_lens, require_arg
 
 
 def _term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -50,6 +50,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, *,
     (smoothed idf, sklearn-style), rounded to 6dp; ties broken by term
     asc so ranks are deterministic.
     """
+    check_reserved(df, {"__n"}, "tfidf_top_terms")
     tf = _term_freq(df, id_col, text_col)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
@@ -83,6 +84,7 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
     containing ≥1 query term appear. Returns (id, bm25) rounded 6dp,
     optionally top-``limit`` by (score desc, id asc).
     """
+    check_reserved(df, {"__avgdl", "__c", "__dl", "__n", "__s"}, "bm25_score")
     terms = sorted({t.lower() for t in query_terms})
     tf = _term_freq(df, id_col, text_col).filter(F.col("term").isin(terms))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -400,6 +402,7 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
     idf, same quantized sum), with N/avgdl FROZEN at build time from
     ``model.json`` — serving never rescans the corpus.
     """
+    check_reserved(queries, {"__c", "__s"}, "postings_index_search")
     from lens_spark.errors import LensError
     from lens_spark.functions.digest import (
         round6_scaled_sum_expr,
@@ -491,6 +494,7 @@ def rrf_fuse(rankings: DataFrame, query_col: str, id_col: str,
     no per-query funnel. Returns (query, candidate, rrf, rank) named
     by the input columns.
     """
+    check_reserved(rankings, {"__s"}, "rrf_fuse")
     from lens_spark.errors import LensError
     from lens_spark.functions.digest import (
         round6_scaled_sum_expr,
@@ -528,3 +532,90 @@ def rrf_fuse_lens(arguments: Mapping[str, Any]) -> Lens:
                             str(arguments.get("rank", "rank")),
                             k0=int(arguments.get("k0", 60)),
                             k=int(arguments.get("k", 10))))
+
+
+def hybrid_search(spark, queries: DataFrame, *, postings_index: str,
+                  ivfpq_index: str, id_col: str, text_col: str,
+                  vec_col: str, k: int = 10, per_system_k: int = 20,
+                  k0: int = 60, nprobe: int = 4,
+                  rerank: "int | None" = None,
+                  rerank_corpus: "DataFrame | None" = None) -> DataFrame:
+    """Dense+sparse hybrid retrieval over one corpus — the flagship
+    composition the two materialized indexes exist for: each panel row
+    carries BOTH a text query (``text_col``) and a query vector
+    (``vec_col``); BM25 serves from the postings index
+    (``postings_index_search`` — partition-pruned to the panel's term
+    buckets), cosine ANN serves from the IVFADC index
+    (``ivfpq_index_search`` — partition-pruned to the probed cells,
+    optional exact re-rank), and the two top-``per_system_k`` rankings
+    fuse by reciprocal rank (``rrf_fuse``, Σ 1/(k0+rank)) into the
+    final top-``k``. Rank fusion needs no score calibration, which is
+    the point: BM25's log-idf scale and cosine's [-1, 1] never meet.
+
+    The 100 TB shape is three bounded stages, none corpus-sized: two
+    index probes whose I/O scales with the PANEL (each reads only its
+    pruned partitions), one fusion aggregation over ≤ 2·per_system_k
+    rows per query. Both indexes must be built over the same id space
+    (the caller's contract — same corpus, same ids); a candidate only
+    one system ranks simply contributes one reciprocal term.
+    ``exclude_self`` is off on the dense side: panel query ids and
+    corpus doc ids are different spaces here, and a chance collision
+    must not silently drop a hit.
+
+    Returns (query_id, neighbor_id, rrf, rank). Rows-only
+    verification (the dense leg is approximate); the recall contract
+    vs the exact brute-force+BM25 fusion is pinned by
+    tests/test_ranking.py.
+    """
+    from lens_spark.operators.similarity import ivfpq_index_search
+
+    sparse = postings_index_search(
+        spark, queries, postings_index, id_col=id_col,
+        text_col=text_col, k=int(per_system_k))
+    dense = ivfpq_index_search(
+        spark, ivfpq_index, queries, id_col=id_col, vec_col=vec_col,
+        k=int(per_system_k), nprobe=nprobe, rerank=rerank,
+        rerank_corpus=rerank_corpus, exclude_self=False)
+    union = (sparse.select("query_id", "neighbor_id", "rank")
+             .unionByName(dense.select("query_id", "neighbor_id",
+                                       "rank")))
+    return rrf_fuse(union, "query_id", "neighbor_id", "rank",
+                    k0=int(k0), k=int(k))
+
+
+@register_lens("hybrid_search")
+def hybrid_search_lens(arguments: Mapping[str, Any]) -> Lens:
+    """arguments: postings_index, ivfpq_index, id, column (query
+    text), vector (query vector), k (10), per_system_k (20), k0 (60),
+    nprobe (4), rerank (optional) + rerank_table (parquet path with
+    true vectors). Input is the query panel. AGGREGATING lens (the
+    output is the fused ranking, not the input rows): inverse
+    refuses."""
+    pidx = str(require_arg(arguments, "postings_index", "hybrid_search"))
+    vidx = str(require_arg(arguments, "ivfpq_index", "hybrid_search"))
+    id_col = str(require_arg(arguments, "id", "hybrid_search"))
+    text_col = str(require_arg(arguments, "column", "hybrid_search"))
+    vec_col = str(require_arg(arguments, "vector", "hybrid_search"))
+    rerank = (int(arguments["rerank"]) if arguments.get("rerank")
+              else None)
+    rerank_table = arguments.get("rerank_table")
+
+    def forward(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        corpus = (spark.read.parquet(str(rerank_table))
+                  if rerank_table is not None else None)
+        return hybrid_search(
+            spark, df, postings_index=pidx, ivfpq_index=vidx,
+            id_col=id_col, text_col=text_col, vec_col=vec_col,
+            k=int(arguments.get("k", 10)),
+            per_system_k=int(arguments.get("per_system_k", 20)),
+            k0=int(arguments.get("k0", 60)),
+            nprobe=int(arguments.get("nprobe", 4)),
+            rerank=rerank, rerank_corpus=corpus)
+
+    def refuse(df: DataFrame) -> DataFrame:
+        from lens_spark.errors import LensError
+        raise LensError("hybrid_search is not invertible: the fused "
+                        "ranking discards the query rows")
+
+    return Lens("hybrid_search", arguments, forward, refuse)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lens_spark.errors import LensError
-from lens_spark.operators.base import Lens, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, register_lens, require_arg
 
 _WINDOW_FNS = {
     "row_number": F.row_number,
@@ -353,6 +353,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str], *,
     allowed — the right side exists in ``salt`` replicas, so a right/
     full outer join would emit each unmatched right row ``salt`` times.
     """
+    check_reserved(left, {"__salt"}, "salted_join")
+    check_reserved(right, {"__salt"}, "salted_join")
     allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
     if how not in allowed:
         raise LensError(
@@ -504,6 +506,7 @@ def outlier_filter(df: DataFrame, column: str, *, method: str = "zscore",
     dispersion (sample σ undefined below 2 rows) passes through
     unfiltered rather than silently vanishing into a NULL predicate.
     """
+    check_reserved(df, {"__mu", "__q1", "__q3", "__sd"}, "outlier_filter")
     c = F.col(column).cast("double")
     if method == "zscore":
         stats = df.agg(F.avg(c).alias("__mu"),
@@ -591,6 +594,7 @@ def dataset_profile(df: DataFrame, columns: list[str] | None = None, *,
     oracle-grade audits, not for 100 TB routine profiling. Output is
     long-format, one row per profiled column.
     """
+    check_reserved(df, {"__n"}, "dataset_profile")
     cols = [str(c) for c in (columns or df.columns)]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
@@ -654,6 +658,7 @@ def quantile_bin(df: DataFrame, column: str, *,
     sort-based percentile aggregate is too hot — documented
     trade-off, bins then approximate near boundaries.
     """
+    check_reserved(df, {"__n", "__nd", "__thr"}, "quantile_bin")
     ps = [float(p) for p in probs]
     if not ps or any(not 0.0 < p < 1.0 for p in ps) or ps != sorted(ps):
         raise LensError("quantile_bin: probs must be sorted, in (0, 1), "
@@ -752,6 +757,7 @@ def equiwidth_hist(df: DataFrame, column: str, *, bins: int = 10,
     row bin spine — nothing anywhere is proportional to the corpus
     but the scans.
     """
+    check_reserved(df, {"__hi", "__lo"}, "equiwidth_hist")
     b = int(bins)
     if b < 1:
         raise LensError("equiwidth_hist: bins must be >= 1")

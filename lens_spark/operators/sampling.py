@@ -155,6 +155,7 @@ def oversample(df: DataFrame, key_cols: list[str], strata_col: str,
     under repartitioning. Narrow op — explode of a ≤⌈w⌉-element
     sequence, no shuffle at any scale.
     """
+    check_reserved(df, {"__os_n"}, "oversample")
     w_floor: Column = F.lit(int(float(default_weight)))
     thresh: Column = F.lit(
         fraction_to_threshold(float(default_weight) - int(float(default_weight))))
@@ -198,6 +199,7 @@ def mix_by_token_budget(df: DataFrame, key_cols: list[str], strata_col: str,
     but orders a whole stratum through one window partition — a
     single-task straggler at web scale; the threshold form is narrow.
     """
+    check_reserved(df, {"__mix_nt", "__s", "__t"}, "mix_by_token_budget")
     if token_count_col is None:
         if text_col is None:
             raise LensError(
@@ -242,6 +244,7 @@ def mix_by_temperature(df: DataFrame, key_cols: list[str], strata_col: str,
     collapses that). Per-stratum token totals are a KB-sized driver
     agg, like every mixing model here.
     """
+    check_reserved(df, {"__mix_nt", "__s", "__t"}, "mix_by_temperature")
     if token_count_col is None:
         if text_col is None:
             raise LensError(
@@ -312,6 +315,7 @@ def sample_exact_k(df: DataFrame, key_cols: list[str], strata_col: str,
     construction: the threshold pre-filter keeps a hash-prefix
     superset of the hash top-k whenever it keeps ≥ k rows.
     """
+    check_reserved(df, {"__ek_h", "__ek_r", "__n", "__s"}, "sample_exact_k")
     from pyspark.sql import Window
 
     if k < 1:
@@ -379,6 +383,7 @@ def shuffle_shards(df: DataFrame, key_cols: list[str], num_shards: int, *,
     of a few dozen bytes fit a task; at 100 TB that's just a larger N).
     One exchange total, carrying keys + an 8-char hash.
     """
+    check_reserved(df, {"__ss_h"}, "shuffle_shards")
     from pyspark.sql import Window
 
     if num_shards < 1:
@@ -504,6 +509,7 @@ def epoch_plan(df: DataFrame, strata_col: str, *,
     on the aggregate. Weights are config, not data — Σw is computed
     driver-side from the argument dict, never from a second pass.
     """
+    check_reserved(df, {"__ep_nt"}, "epoch_plan")
     if token_count_col is None:
         if text_col is None:
             raise LensError("epoch_plan needs token_count_col or text_col")
@@ -627,6 +633,7 @@ def interleave(df: DataFrame, strata_col: str, key_cols: list[str],
     ``num_shards`` explicitly when the serving order must be
     reproducible across environments (the bench queries do).
     """
+    check_reserved(df, {"__h"}, "interleave")
     from pyspark.sql import Window
 
     if num_shards is None:
@@ -726,6 +733,7 @@ def realize_epochs(df: DataFrame, strata_col: str, key_cols: list[str], *,
     is a narrow explode of a ≤⌈epochs⌉-element sequence. ``out``
     numbers the copies 1..n so downstream keys stay unique.
     """
+    check_reserved(df, {"__rp_em", "__rp_n", "__rp_s"}, "realize_epochs")
     plan = epoch_plan(df, strata_col,
                       total_budget_tokens=total_budget_tokens,
                       weights=weights, default_weight=default_weight,

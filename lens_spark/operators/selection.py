@@ -47,6 +47,7 @@ from lens_spark.errors import LensError
 from lens_spark.functions.text import tokens
 from lens_spark.operators.base import (
     Lens,
+    check_reserved,
     ensure_parallelism,
     register_lens,
     require_arg,
@@ -108,6 +109,14 @@ def dsir_logweights(df: DataFrame, target: DataFrame, id_col: str,
     models (collisions intentional; ratio table bounded and
     broadcastable at any corpus size).
     """
+    check_reserved(df, {
+        "__cr", "__ct", "__ds_id", "__g", "__lrs", "__lw", "__s", "__tr",
+        "__tt", "__v",
+    }, "dsir_logweights")
+    check_reserved(target, {
+        "__cr", "__ct", "__ds_id", "__g", "__lrs", "__lw", "__s", "__tr",
+        "__tt", "__v",
+    }, "dsir_logweights")
     # ONE tokenize+explode pass over the raw corpus: the (id, key)
     # table feeds BOTH the raw LM count agg and the scoring join
     # (checkpointed — without it each leg re-scans and re-hashes the
@@ -225,6 +234,8 @@ def dsir_select(df: DataFrame, target: DataFrame, id_col: str,
     no global sort, no driver funnel, row count approximate within
     ``quantile_error``·N of n (the scale path).
     """
+    check_reserved(df, {"__dsir_key"}, "dsir_select")
+    check_reserved(target, {"__dsir_key"}, "dsir_select")
     scored = dsir_logweights(df, target, id_col, text_col, k=k,
                              num_buckets=num_buckets,
                              out="__dsir_lw")

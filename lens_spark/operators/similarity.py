@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 import logging
 
 from lens_spark.functions.vectors import cosine_similarity
-from lens_spark.operators.base import Lens, ensure_parallelism, register_lens, require_arg
+from lens_spark.operators.base import Lens, check_reserved, ensure_parallelism, register_lens, require_arg
 
 _LOG = logging.getLogger(__name__)
 
@@ -70,6 +70,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                      vec_col: str, k: int = 10,
                      exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, score, rank)."""
+    check_reserved(corpus, {"__cv", "__qv"}, "brute_force_topk")
+    check_reserved(queries, {"__cv", "__qv"}, "brute_force_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -130,6 +132,8 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str, vec_col: str
              dim: int, k: int = 10, num_bits: int = 8, num_tables: int = 4,
              seed: int = 42, exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: only bucket-mates (any table) are scored."""
+    check_reserved(corpus, {"__bucket"}, "ann_topk")
+    check_reserved(queries, {"__bucket"}, "ann_topk")
 
     bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
 
@@ -182,6 +186,7 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, *, dim: int,
     (matryoshka_truncate / random_projection / quantize) when the
     corpus is wide.
     """
+    check_reserved(df, {"__bucket", "__cv", "__qv"}, "knn_graph")
     bucket_udf = _bucket_array_udf(dim, num_bits, num_tables, seed)
     rows = ensure_parallelism(df, by=[id_col]).select(
         F.col(id_col), F.col(vec_col))
@@ -270,6 +275,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     instead of all of it, which is the IVF cost/recall dial (vs.
     ann_topk's hash-bucket dial).
     """
+    check_reserved(corpus, {"__cell", "__cent", "__csim", "__r"}, "ivf_topk")
+    check_reserved(queries, {"__cell", "__cent", "__csim", "__r"}, "ivf_topk")
     if centroids is not None:
         if not centroids:
             raise ValueError("ivf_topk: centroids must be non-empty")
@@ -385,6 +392,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     error then only costs recall when a true neighbor falls outside
     the shortlist, not when ADC misorders the shortlist.
     """
+    check_reserved(corpus, {"__mk", "__v"}, "pq_topk")
+    check_reserved(queries, {"__mk", "__v"}, "pq_topk")
     ksub = 1 << int(nbits)
     if dim % m != 0:
         from lens_spark.errors import LensError
@@ -712,6 +721,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     rounded to 6dp; recall is measured, not assumed, via
     ``topk_with_recall(method="ivfpq")``.
     """
+    check_reserved(corpus, {"__v"}, "ivfpq_topk")
+    check_reserved(queries, {"__v"}, "ivfpq_topk")
     from lens_spark.errors import LensError
 
     if centroids is None and nprobe > nlist:
@@ -792,6 +803,7 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     pass trained ``centroids``/``codebooks`` artifacts to share one
     model across indexes.
     """
+    check_reserved(corpus, {"__id", "__v"}, "ivfpq_index_build")
     import json as _json
 
     from lens_spark.errors import LensError
@@ -906,6 +918,7 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     re-bucketing is lawful, and a replay-duplicate-dropping DISTINCT
     rewrite is too).
     """
+    check_reserved(batch, {"__id", "__v"}, "ivfpq_index_append")
     import contextlib
 
     from lens_spark.operators.dedup import (
@@ -1115,6 +1128,8 @@ def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     samples, not the serving path; at full scale run it on a sampled
     query panel.
     """
+    check_reserved(corpus, {"__hits", "__n_true"}, "topk_with_recall")
+    check_reserved(queries, {"__hits", "__n_true"}, "topk_with_recall")
     if method == "ann":
         approx = ann_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
                           k=k, **params)

@@ -59,6 +59,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_time: str,
     path (equivalence-tested); the extra cost is one groupBy over the
     right side and one tiny window over the summary.
     """
+    check_reserved(left, {
+        "__b", "__carry", "__is_l", "__k", "__m_rt", "__rt", "__s", "__t",
+    }, "asof_join")
+    check_reserved(right, {
+        "__b", "__carry", "__is_l", "__k", "__m_rt", "__rt", "__s", "__t",
+    }, "asof_join")
     if direction not in ("backward", "forward"):
         raise LensError(f"asof_join: unknown direction '{direction}'")
     payload = payload or [c for c in right.columns if c not in (on, right_time)]
@@ -229,6 +235,7 @@ def rolling_agg(df: DataFrame, *, key: str, ts_col: str,
     whose full history exceeds one task is the same skew case as
     sessionize — salt upstream or bucket the key space.
     """
+    check_reserved(df, {"__rsec"}, "rolling_agg")
     secs = _interval_seconds(window, "rolling_agg")
     t = F.date_trunc("second", F.col(ts_col).cast("timestamp"))
     tagged = df.withColumn("__rsec", t.cast("long"))

@@ -261,6 +261,10 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     tokens may conflate counts with probability ~n²/2⁶⁴ — harmless for
     a smoothed frequency estimate.
     """
+    check_reserved(df, {
+        "__c", "__lp_id", "__lp_mean", "__lp_n", "__lp_s", "__lps", "__t0",
+        "__th",
+    }, "unigram_logprob")
     toks = (
         ensure_parallelism(df, by=[id_col])
         .select(F.col(id_col).alias("__lp_id"),
@@ -377,6 +381,10 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str, *,
     joins on (prev, tok) and prev (AQE splits stop-bigram skew) →
     per-doc avg. Exchanges carry hashes, ids, and doubles only.
     """
+    check_reserved(df, {
+        "__bg", "__bl_id", "__bl_mean", "__bl_n", "__bl_s", "__bl_tk",
+        "__bls", "__c1", "__c2", "__p", "__t",
+    }, "bigram_logprob")
     toks = tokens(F.col(text_col))
     pairs = (
         ensure_parallelism(df, by=[id_col])
@@ -470,6 +478,10 @@ def hash_embedding(df: DataFrame, id_col: str, text_col: str, *,
     partial), per-doc map assembly, one dense transform. Token-less
     docs keep their row with the zero vector.
     """
+    check_reserved(df, {
+        "__he_b", "__he_id", "__he_m", "__he_raw", "__he_s", "__he_t",
+        "__he_v", "__he_vec",
+    }, "hash_embedding")
     bucket = (F.conv(F.substring(F.md5(F.col("__he_t")), 1, 8), 16, 10)
               .cast("bigint") % F.lit(int(dim)))
     sign = F.when(F.substring(F.md5(F.col("__he_t")), 9, 1) < "8",
@@ -535,6 +547,9 @@ def classifier_score(df: DataFrame, id_col: str, text_col: str, *,
     so the mean is partition-order-independent (the DSIR fixed-point
     lesson). Token-less docs score sigmoid(bias) and keep their row.
     """
+    check_reserved(df, {
+        "__clf_b", "__clf_id", "__clf_t", "__clf_z",
+    }, "classifier_score")
     spark = df.sparkSession
     nb = len(weights)
     if nb < 1:
@@ -580,6 +595,7 @@ def classifier_fit(df: DataFrame, label_col: str, text_col: str, *,
     batch GD is deterministic up to partition-order float addition
     (rows-only territory, same note as kmeans_fit).
     """
+    check_reserved(df, {"__b", "__g", "__y"}, "classifier_fit")
     import numpy as np
 
     nb, its = int(num_buckets), int(iters)
@@ -700,6 +716,7 @@ def classifier_fit_multinomial(df: DataFrame, label_col: str,
     deterministic up to partition-order float addition (rows-only
     territory, same note as ``classifier_fit``).
     """
+    check_reserved(df, {"__b", "__g", "__y"}, "classifier_fit_multinomial")
     import numpy as np
 
     nb, its = int(num_buckets), int(iters)
@@ -856,6 +873,7 @@ def lang_id_score(df: DataFrame, id_col: str, text_col: str,
     alphabetically (the marker heuristic's contract). Token-less docs
     argmax the biases alone and keep their row.
     """
+    check_reserved(df, {"__li_b", "__li_id", "__li_t"}, "lang_id_score")
     langs = [str(lg) for lg in model["langs"]]
     if not langs:
         raise LensError("lang_id: model has no languages")
@@ -1033,6 +1051,7 @@ def segment_filter(df: DataFrame, id_col: str, text_col: str, *,
     reassembly (ONE agg) → join back on id. The only exchange carrying
     text is the reassembly agg — the same contract as line_dedup.
     """
+    check_reserved(df, {"__pos", "__sg_id"}, "segment_filter")
     import re as _re
 
     out = out or text_col
@@ -1172,6 +1191,7 @@ def chunk_documents(df: DataFrame, text_col: str, *,
     narrow, zero exchanges at any corpus size. The chunk text is built
     from the one bound token array, never by re-splitting.
     """
+    check_reserved(df, {"__ck_toks"}, "chunk_documents")
     size = int(size)
     overlap = int(overlap)
     if size <= 0:
@@ -1816,6 +1836,7 @@ def sentence_split(df: DataFrame, id_col: str, text_col: str, *,
     scope by contract — this is the deterministic splitter, not an
     NLP model.
     """
+    check_reserved(df, {"__sents"}, "sentence_split")
     sents = F.filter(
         F.transform(
             F.regexp_extract_all(F.col(text_col).cast("string"),
@@ -1910,6 +1931,7 @@ def mask_tokens(df: DataFrame, id_col: str, text_col: str, *,
     referenced subtree per reference), then two indexed higher-order
     transforms over the bound array.
     """
+    check_reserved(df, {"__mt"}, "mask_tokens")
     from lens_spark.functions.text import let_, tokens as _tok
 
     if not 0.0 <= float(rate) <= 1.0:
@@ -1996,6 +2018,7 @@ def span_corrupt(df: DataFrame, id_col: str, text_col: str, *,
     targets string is built from sequence(0, nblocks−1) without
     re-exploding. ``salt`` draws an independent epoch's corruption.
     """
+    check_reserved(df, {"__sc"}, "span_corrupt")
     from lens_spark.functions.text import let_, tokens as _tok
 
     b, sl = int(block), int(span_len)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from lens_spark import engine
 from lens_spark.errors import LensError
+from lens_spark.operators.base import check_reserved
 
 
 def apply_stream(stream_df: DataFrame, spec) -> DataFrame:
@@ -1147,6 +1148,12 @@ def stream_drift_monitor(stream_df: DataFrame, reference: DataFrame,
     beyond ``watermark`` is dropped by the aggregation — the
     documented watermark trade, not silent skew.
     """
+    check_reserved(stream_df, {
+        "__c", "__grp", "__v", "__w",
+    }, "stream_drift_monitor")
+    check_reserved(reference, {
+        "__c", "__grp", "__v", "__w",
+    }, "stream_drift_monitor")
     spark = stream_df.sparkSession
 
     gcol = (F.col(by).cast("string") if by is not None

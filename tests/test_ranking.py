@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from lens_spark import engine
 from lens_spark.operators.ranking import bm25_score, tfidf_top_terms
@@ -315,3 +316,126 @@ def test_postings_build_crashed_leftover_is_retryable(spark, corpus,
         postings_index_build(corpus, busy, id_col="id",
                              text_col="text")
     shutil.rmtree(busy)
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup(spark, tmp_path_factory):
+    """One corpus with BOTH text and vectors, indexed both ways.
+    Panel ids are offset +1000 so dense self-exclusion semantics never
+    enter (the hybrid contract: panel and corpus ids are different
+    spaces)."""
+    import random
+
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    rng = random.Random(11)
+    vocab = ["spark", "hash", "join", "shuffle", "sort", "scan",
+             "codegen", "parquet"]
+    rows = []
+    for i in range(48):
+        text = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(4, 10)))
+        vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, text, vec))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, text string, embedding array<float>")
+    base = tmp_path_factory.mktemp("hybrid")
+    pidx, vidx = str(base / "pidx"), str(base / "vidx")
+    postings_index_build(corpus, pidx, id_col="vec_id", text_col="text")
+    ivfpq_index_build(corpus, vidx, id_col="vec_id", vec_col="embedding",
+                      dim=8, nlist=4, m=4, nbits=6)
+    panel = (corpus.filter("vec_id < 3")
+             .select((F.col("vec_id") + 1000).alias("vec_id"),
+                     "text", "embedding"))
+    return corpus, pidx, vidx, panel
+
+
+def _exact_hybrid(spark, corpus, pidx, panel, *, per_system_k, k0, k):
+    """The exact reference fusion: BM25 from the postings index (the
+    sparse leg is exact by construction) + BRUTE-FORCE cosine, fused
+    with the same rrf parameters."""
+    from lens_spark.operators.ranking import (
+        postings_index_search,
+        rrf_fuse,
+    )
+    from lens_spark.operators.similarity import brute_force_topk
+
+    sparse = postings_index_search(spark, panel, pidx, id_col="vec_id",
+                                   text_col="text", k=per_system_k)
+    dense = brute_force_topk(corpus, panel, id_col="vec_id",
+                             vec_col="embedding", k=per_system_k)
+    union = (sparse.select("query_id", "neighbor_id", "rank")
+             .unionByName(dense.select("query_id", "neighbor_id",
+                                       "rank")))
+    return rrf_fuse(union, "query_id", "neighbor_id", "rank",
+                    k0=k0, k=k)
+
+
+def test_hybrid_search_full_probe_rerank_equals_exact_fusion(
+        spark, hybrid_setup):
+    """With every cell probed and an exact re-rank covering the
+    corpus, the dense leg IS brute-force cosine — so the fused hybrid
+    must equal the exact BM25 + brute-force fusion row for row (rrf
+    scores included: both paths use the quantized scaled-long sum)."""
+    from lens_spark.operators.ranking import hybrid_search
+
+    corpus, pidx, vidx, panel = hybrid_setup
+    got = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx, id_col="vec_id",
+                        text_col="text", vec_col="embedding", k=10,
+                        per_system_k=20, nprobe=4, rerank=48,
+                        rerank_corpus=corpus)
+    want = _exact_hybrid(spark, corpus, pidx, panel, per_system_k=20,
+                         k0=60, k=10)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+    assert got.columns == ["query_id", "neighbor_id", "rrf", "rank"]
+
+
+def test_hybrid_search_recall_vs_exact_fusion(spark, hybrid_setup):
+    """The approximate regime (nprobe < nlist, no re-rank): fused
+    recall@10 against the exact fusion stays useful — the sparse leg
+    is always exact, so even a lossy dense leg keeps most of the
+    fused set."""
+    from lens_spark.operators.ranking import hybrid_search
+
+    corpus, pidx, vidx, panel = hybrid_setup
+    got = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx, id_col="vec_id",
+                        text_col="text", vec_col="embedding", k=10,
+                        per_system_k=20, nprobe=3)
+    want = _exact_hybrid(spark, corpus, pidx, panel, per_system_k=20,
+                         k0=60, k=10)
+    want_sets, got_sets = {}, {}
+    for r in want.collect():
+        want_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got.collect():
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got_sets.get(q, set()) & s) / len(s)
+               for q, s in want_sets.items()]
+    assert len(recalls) == 3
+    assert min(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_hybrid_search_lens_plan_and_refusal(spark, hybrid_setup):
+    """The lens path: BOTH index scans stay pruned inside the fused
+    plan (the postings scan by the panel's term-bucket DPP subquery,
+    the IVFADC scan by the probed-cell partition filter), and the
+    aggregating lens refuses inversion."""
+    from lens_spark.errors import LensError
+
+    corpus, pidx, vidx, panel = hybrid_setup
+    spec = {"lenses": [{"name": "hybrid_search", "arguments": {
+        "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
+        "column": "text", "vector": "embedding", "k": 10,
+        "per_system_k": 20, "nprobe": 2}}]}
+    out = engine.append(panel, spec)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() and "pb" in plan
+    assert "cell" in plan and "PartitionFilters: [cell" in plan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell")
+    assert out.count() == 30
+    with pytest.raises(LensError, match="not invertible"):
+        engine.inverse(panel, spec).collect()

@@ -20,11 +20,38 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Functions REQUIRED to use the shared helper (the r10+ ranked/report
-# operators the verdict names). Removing the call — or hand-rolling the
-# check again — fails here, not in a future advice round.
+# Functions REQUIRED to use the shared helper. r12 (r11 verdict #8):
+# adoption extended from the 4 r10/r11 operators to EVERY module-level
+# public operator that creates __-prefixed scratch columns (82 more,
+# scripted insert, each with the exact literal set this lint extracts)
+# — the static guarantee now covers the whole operator surface, not
+# just the newest cohort. Removing a call — or hand-rolling the check
+# again — fails here, not in a future advice round.
 MUST_OPT_IN = {
-    "group_quota", "run_stream_quota", "vocab_coverage", "resample",
+    "ann_topk", "asof_join", "assign_sequence", "bigram_logprob",
+    "binary_eval", "bloom_decontaminate", "bloom_decontaminate_saved",
+    "bm25_score", "brute_force_topk", "chunk_documents", "classifier_fit",
+    "classifier_fit_multinomial", "classifier_score", "concat_blocks",
+    "connected_components", "containment_pairs", "contamination_score",
+    "dataset_profile", "decontaminate", "dedup_incremental",
+    "dedup_keep_best", "dsir_logweights", "dsir_select", "dup_span_stats",
+    "edit_distance_pairs", "embedding_neardup_incremental",
+    "embedding_neardup_pairs", "epoch_plan", "equiwidth_hist", "expect",
+    "filter_funnel", "group_centroid", "group_quota", "hash_embedding",
+    "image_neardup_pairs", "interleave", "ivf_topk", "ivfpq_index_append",
+    "ivfpq_index_build", "ivfpq_topk", "kmeans_fit", "knn_graph", "ks_drift",
+    "lang_id_score", "length_batches", "line_dedup", "mask_tokens",
+    "minhash_signature", "mix_by_temperature", "mix_by_token_budget",
+    "neardup_against", "neardup_incremental", "neardup_pairs",
+    "ngram_jaccard_pairs", "ngram_novelty", "outlier_filter",
+    "overlap_matrix", "oversample", "pack_sequences",
+    "postings_index_search", "pq_topk", "quantile_bin", "realize_epochs",
+    "resample", "rolling_agg", "rrf_fuse", "run_stream_quota", "salted_join",
+    "sample_exact_k", "segment_filter", "semdedup", "semdedup_pairs",
+    "sentence_dedup", "sentence_split", "shuffle_shards", "simhash_table",
+    "span_corrupt", "span_dedup", "stream_drift_monitor", "tfidf_top_terms",
+    "threshold_sweep", "topk_with_recall", "unigram_logprob",
+    "vocab_coverage", "winnow_fingerprints", "winnow_pairs",
 }
 
 

@@ -30,11 +30,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #                               _SUCCESS completeness witness
 #   compact_dataset           — generic dataset compactor with its own
 #                               __compacting/__old + rollback protocol
+#   rebuild_index /           — the WHOLE-INDEX-dir handoff (r12):
+#   _recover_rebuild            parts/ and model.json must move
+#                               together atomically, which the
+#                               parts-level _staged_swap cannot
+#                               express; staging commits (model.json
+#                               marker) BEFORE the first rename, with
+#                               its own forward/back recovery matrix
+#                               (maintenance._recover_rebuild) and a
+#                               crash pytest per window
 ALLOWED_RENAMERS = {
     "_staged_swap",
     "_parts_pb_migration_recover",
     "_migrate_flat_fp_index",
     "compact_dataset",
+    "rebuild_index",
+    "_recover_rebuild",
 }
 
 STAGING_MARKERS = (".migrating", ".old", "__compacting", "__old")
