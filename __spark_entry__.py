@@ -1587,7 +1587,9 @@ def q_x8_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval fusion (new late-r11): reciprocal-rank fusion
     (Cormack et al. 2009) over two lexical systems with incomparable
-    score scales — BM25 and a smoothed-TF-IDF query scorer — each
+    score scales — BM25 and a smoothed-TF-IDF query scorer (chosen so
+    the WHOLE fusion is SQL-expressible and hash-gates; the real
+    dense+sparse composition is x8_hybrid_dense_sparse) — each
     producing a top-20 ranking for the same 4-term query, fused as
     Σ 1/(60+rank) through the ``rrf_fuse`` lens over the tagged union.
     Both per-system scores AND the fused score use the quantized
