@@ -1673,6 +1673,46 @@ def q_x8_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(panel, spec)
 
 
+def q_x8_hybrid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid flagship HASH-GATED (r12): with every cell probed
+    (nprobe = nlist) and an exact re-rank shortlist covering the
+    corpus, the IVFADC leg is provably exact brute-force cosine (the
+    ADC pass only prunes, and it prunes nothing), so the ENTIRE
+    dense+sparse fusion — BM25 from the postings index + cosine from
+    the code index + Σ 1/(60+rank) — becomes closed-form and the
+    DuckDB oracle recomputes all three stages. One wrong byte in the
+    postings layout, frozen stats, cell routing, code encode/decode,
+    re-rank join, or fusion digest flips the hash. The approximate
+    production regime stays x8_hybrid_dense_sparse (rows-only +
+    recall pytest); this query pins the MACHINERY exactly."""
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="lens_spark_hybridx_")
+    pidx, vidx = base + "/pidx", base + "/vidx"
+    postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
+    ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=16, m=8, nbits=6)
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # panel id outside the corpus id space (the hybrid contract);
+    # text query = the x8_bm25_index terms, vector query = vec 0
+    panel = spark.createDataFrame(
+        [(1_000_000, "spark shuffle hash join",
+          [float(x) for x in qvec])],
+        "vec_id long, text string, embedding array<float>")
+    spec = {"lenses": [{"name": "hybrid_search", "arguments": {
+        "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
+        "column": "text", "vector": "embedding", "k": 10,
+        "per_system_k": 20, "k0": 60, "nprobe": 16, "rerank": int(n),
+        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+    out = engine.append(panel, spec)
+    return out.select(F.col("neighbor_id").alias("doc_id"), "rrf",
+                      "rank")
+
+
 def q_x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic mixing: downsample src0 to 10%, src1 to
     50%, keep the rest — the corpus-recipe primitive. Membership is
@@ -3447,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
+        "x8_hybrid_exact": q_x8_hybrid_exact,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -6138,6 +6179,50 @@ tfs AS (SELECT doc_id,
 b AS (SELECT doc_id,
              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
       FROM tfs QUALIFY rank <= 20),
+u AS (SELECT doc_id, rank FROM a UNION ALL SELECT doc_id, rank FROM b),
+fused AS (SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("1.0e0 / (60 + rank)") + ")")} AS rrf
+  FROM u GROUP BY doc_id)
+SELECT doc_id, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM fused QUALIFY rank <= 10
+""",
+        # x8_hybrid_exact: the full dense+sparse hybrid with the dense
+        # leg made provably exact (nprobe=nlist + corpus-wide re-rank
+        # shortlist: ADC prunes nothing) — BM25 from the postings
+        # index, cosine vs vec 0 (round6, the _exact_rerank digest),
+        # and the reciprocal-rank fusion, all recomputed in SQL. Rank
+        # ties break by id asc at every stage (the two-stage top-k
+        # order). The panel id lives outside the corpus space, so the
+        # cosine leg includes vec 0 itself at rank 1 (cosine 1.0).
+        "x8_hybrid_exact": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ('hash', 'join', 'shuffle', 'spark') GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n,
+                 avg(len({_TOKENS_SQL})) AS avgdl FROM documents),
+dl AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+bm25c AS (SELECT tf.doc_id,
+  ln(1.0e0 + (n - d.df + 0.5e0) / (d.df + 0.5e0))
+    * (tf.tf * (1.2e0 + 1)) / (tf.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats),
+bm25s AS (SELECT doc_id,
+       {round6_scaled_sum_sql("sum(" + scaled_term_sql("c") + ")")} AS s
+  FROM bm25c GROUP BY doc_id),
+a AS (SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM bm25s QUALIFY rank <= 20),
+b AS (SELECT c.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+               c.vec_id ASC) AS rank
+      FROM embeddings c,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      QUALIFY rank <= 20),
 u AS (SELECT doc_id, rank FROM a UNION ALL SELECT doc_id, rank FROM b),
 fused AS (SELECT doc_id,
        {round6_scaled_sum_sql("sum(" + scaled_term_sql("1.0e0 / (60 + rank)") + ")")} AS rrf
