@@ -783,6 +783,51 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(landing).select("doc_id")
 
 
+def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming postings-index growth driven end-to-end (r12): build
+    on the first half of documents, drain the second half as two
+    micro-batch files through run_stream_postings_append (frozen
+    build-time stats, dropped-terms parquet log), then SERVE a panel
+    from the grown index. Rows-only: a foreachBatch pipeline isn't a
+    single SQL statement; restart/replay/equivalence semantics are
+    pinned by tests/test_streaming.py (cross-run pytest), and the
+    batch append path underneath hash-gates via x8_bm25_index."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.operators.ranking import (
+        postings_index_build,
+        postings_index_search,
+    )
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_postings_append,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    pdf = pd.read_parquet(src, columns=["doc_id", "text"])
+    n = len(pdf)
+    idx = tempfile.mkdtemp(prefix="lens_spark_spost_idx_") + "/idx"
+    build = spark.createDataFrame(pdf.iloc[: n // 2])
+    postings_index_build(build, idx, id_col="doc_id", text_col="text")
+    staged = tempfile.mkdtemp(prefix="lens_spark_spost_src_")
+    pdf.iloc[n // 2: 3 * n // 4].to_parquet(
+        os.path.join(staged, "b1.parquet"))
+    pdf.iloc[3 * n // 4:].to_parquet(os.path.join(staged, "b2.parquet"))
+    dropped = tempfile.mkdtemp(prefix="lens_spark_spost_drop_") + "/log"
+    stream = read_file_stream(spark, staged, schema_from=src,
+                              maxFilesPerTrigger=1)
+    run_stream_postings_append(stream, idx, id_col="doc_id",
+                               text_col="text", dropped_path=dropped)
+    panel = spark.createDataFrame([(0, "spark shuffle hash join")],
+                                  "qid long, qtext string")
+    out = postings_index_search(spark, panel, idx, id_col="qid",
+                                text_col="qtext", k=50)
+    return out.select(F.col("neighbor_id").alias("doc_id"), "bm25",
+                      "rank")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lens_spark.sources import read_ns_timestamps
 
@@ -3515,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_expectations": q_streaming_expectations,
         "streaming_quota": q_streaming_quota,
         "x8_hybrid_dense_sparse": q_x8_hybrid_dense_sparse,
+        "streaming_postings": q_streaming_postings,
     }
 
 
