@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
     parser.add_argument("--allow-module-paths", action="store_true",
                         help="opt in to executing file:/data: Python lens "
                              "modules referenced by the lens file")
+    parser.add_argument("--allow-http-modules", action="store_true",
+                        help="additionally opt in to FETCHING http(s): lens "
+                             "modules (sha256 pinned on first use, "
+                             "re-verified on every later fetch; implies "
+                             "nothing about execution — --allow-module-paths "
+                             "is still required)")
     parser.add_argument("--explain", action="store_true",
                         help="print the optimized physical plan instead of "
                              "executing (plan review before a large run)")
@@ -41,6 +47,10 @@ def main(argv: list[str] | None = None, *, _stop_session: bool = True) -> int:
         from lens_spark.modules import allow_module_paths
 
         allow_module_paths(True)
+    if args.allow_http_modules:
+        from lens_spark.modules import allow_http_modules
+
+        allow_http_modules(True)
     spec = LensConfig.load(args.lensfile)
     if args.inverse:
         spec = spec.inverted()

@@ -39,9 +39,10 @@ def _resolve_name(raw: Mapping[str, Any]) -> str:
     for scheme in _BUILTIN_SCHEMES:
         if path.startswith(scheme):
             return path[len(scheme):]
-    if path.startswith(("file:", "data:")):
-        # Python batch-fn / WASM module loading — opt-in only; raises
-        # a clear error otherwise (lens_spark/modules.py).
+    if path.startswith(("file:", "data:", "http:", "https:")):
+        # Python batch-fn / WASM module loading — opt-in only (http
+        # additionally needs the fetch opt-in + carries a sha256 TOFU
+        # pin); raises a clear error otherwise (lens_spark/modules.py).
         from lens_spark.modules import load_module_path
 
         return load_module_path(path)
@@ -49,8 +50,8 @@ def _resolve_name(raw: Mapping[str, Any]) -> str:
         raise LensError(
             f"unsupported module path {path!r}: this engine executes "
             "registered built-in / python lenses (plus opted-in "
-            "file:/data: Python and WASM modules), not remote modules "
-            "fetched over the network"
+            "file:/data:/http(s): Python and WASM modules), not other "
+            "remote schemes"
         )
     return path
 

@@ -26,12 +26,24 @@ anywhere the same source resolves.
 Loading EXECUTES arbitrary code, so it is **disabled by default** and
 gated behind an explicit opt-in: call ``allow_module_paths(True)``, set
 ``LENS_SPARK_ALLOW_MODULE_PATHS=1``, or pass ``--allow-module-paths``
-to the CLI. ``http(s):`` module URLs are never loaded (code over the
-network); fetch them yourself and load via ``file:``/``data:``.
+to the CLI. ``http(s):`` module URLs — which the reference fetches
+unconditionally (host-go/engine/engine.go:76-88) — additionally
+require a SECOND opt-in (``allow_http_modules(True)`` /
+``LENS_SPARK_ALLOW_HTTP_MODULES=1`` / ``--allow-http-modules``),
+because fetching executable code from a URL at plan time is
+config-file RCE. The fetch is TRUST-ON-FIRST-USE digest-pinned: the
+first fetch of a URL records its sha256 in a pin file under the
+private staging dir; every later fetch of the same URL must hash to
+the pinned digest or loading refuses loudly — a URL whose content
+changes is exactly the supply-chain event the pin exists to catch.
+The fetched bytes then route through the SAME content-addressed
+``data:`` path as any other module (wasm by magic/extension, python
+otherwise), so staging/verification/registration are identical.
 
 Supported URL forms (RFC 2397 for data):
 - ``file:/abs/path/lens.py`` or ``file:///abs/path/lens.py``
 - ``data:text/x-python;base64,<b64>`` / ``data:,<urlencoded source>``
+- ``http(s)://host/path/lens.{py,wasm}`` (double opt-in, sha256 TOFU)
 """
 
 from __future__ import annotations
@@ -53,6 +65,24 @@ def allow_module_paths(enabled: bool = True) -> None:
     """Process-wide opt-in for executing file:/data: lens modules."""
     global _ALLOW
     _ALLOW = bool(enabled)
+
+
+_ALLOW_HTTP: bool | None = None  # None → consult the environment variable
+
+
+def allow_http_modules(enabled: bool = True) -> None:
+    """Process-wide opt-in for FETCHING http(s): lens modules (the
+    execution opt-in ``allow_module_paths`` is still required on top
+    — fetching and executing are separate decisions)."""
+    global _ALLOW_HTTP
+    _ALLOW_HTTP = bool(enabled)
+
+
+def http_modules_allowed() -> bool:
+    if _ALLOW_HTTP is not None:
+        return _ALLOW_HTTP
+    return os.environ.get("LENS_SPARK_ALLOW_HTTP_MODULES", "").lower() in (
+        "1", "true", "yes")
 
 
 def module_paths_allowed() -> bool:
@@ -146,14 +176,59 @@ def _read_source(path: str) -> bytes:
     raise LensError(f"unsupported module path scheme: {path!r}")
 
 
+def _http_pins_path() -> str:
+    return os.path.join(_wasm_staging_dir(), "http_module_pins.json")
+
+
+def _fetch_http_module(url: str) -> bytes:
+    """Fetch an http(s) module with TRUST-ON-FIRST-USE digest pinning
+    (the SURVEY §2.8 allow-flag design, implemented r12): first fetch
+    of a URL records its sha256 in the private staging dir's pin
+    file; any later fetch of the SAME URL must hash to the pinned
+    digest — changed content refuses loudly instead of silently
+    running different code (the supply-chain event the pin catches;
+    the reference fetches unconditionally, engine.go:76-88)."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+        # scheme vetted by the caller; the double opt-in gates this path
+        data = resp.read()
+    digest = hashlib.sha256(data).hexdigest()
+    pins_path = _http_pins_path()
+    pins: dict[str, str] = {}
+    if os.path.exists(pins_path):
+        try:
+            with open(pins_path) as fh:
+                pins = json.load(fh)
+        except (OSError, ValueError):
+            pins = {}
+    pinned = pins.get(url)
+    if pinned is None:
+        pins[url] = digest
+        tmp = pins_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(pins, fh, indent=1, sort_keys=True)
+        os.replace(tmp, pins_path)
+    elif pinned != digest:
+        raise LensError(
+            f"http module {url!r} content changed: pinned sha256 "
+            f"{pinned[:16]}…, fetched {digest[:16]}… — refusing to load "
+            f"(trust-on-first-use pin, {pins_path}; delete the entry to "
+            "re-pin deliberately)")
+    return data
+
+
 def load_module_path(path: str) -> str:
-    """Resolve a ``file:``/``data:`` module path to a registered lens
-    name (content-addressed, idempotent). Raises unless the explicit
-    opt-in is active. A ``.wasm`` path or payload (detected by
-    extension, data: mime, or binary magic — never exec'd as Python)
-    routes to the Node-backed wasm host (lens_spark.wasm), which runs
-    the reference lens ABI directly (host-go/engine/engine.go:67-104);
-    it requires a ``node`` binary and the same opt-in."""
+    """Resolve a ``file:``/``data:``/``http(s):`` module path to a
+    registered lens name (content-addressed, idempotent). Raises
+    unless the explicit opt-in is active (http additionally needs the
+    fetch opt-in, see ``allow_http_modules``). A ``.wasm`` path or
+    payload (detected by extension, data: mime, or binary magic —
+    never exec'd as Python) routes to the Node-backed wasm host
+    (lens_spark.wasm), which runs the reference lens ABI directly
+    (host-go/engine/engine.go:67-104); it requires a ``node`` binary
+    and the same opt-in."""
     if not module_paths_allowed():
         raise LensError(
             f"unsupported module path {path!r}: executing external lens "
@@ -162,8 +237,30 @@ def load_module_path(path: str) -> str:
             "lens modules, opt in via "
             "lens_spark.modules.allow_module_paths(True), "
             "LENS_SPARK_ALLOW_MODULE_PATHS=1, or --allow-module-paths "
-            "(http(s) modules are never executed)"
+            "(http(s) module fetch additionally requires "
+            "--allow-http-modules / LENS_SPARK_ALLOW_HTTP_MODULES=1)"
         )
+    scheme = urllib.parse.urlparse(path).scheme.lower()
+    if scheme in ("http", "https"):
+        if not http_modules_allowed():
+            raise LensError(
+                f"unsupported module path {path!r}: fetching lens modules "
+                "over http(s) is disabled (code over the network is "
+                "config-file RCE). Opt in via "
+                "lens_spark.modules.allow_http_modules(True), "
+                "LENS_SPARK_ALLOW_HTTP_MODULES=1, or "
+                "--allow-http-modules; the fetch is sha256-pinned on "
+                "first use and re-verified on every later fetch.")
+        source = _fetch_http_module(path)
+        is_wasm = (source[:4] == _WASM_MAGIC
+                   or urllib.parse.urlparse(path).path.lower()
+                   .endswith(".wasm"))
+        mime = "application/wasm" if is_wasm else "text/x-python"
+        b64 = base64.b64encode(source).decode("ascii")
+        # route through the shared data: path — content-addressed
+        # staging, digest verification, and registration are identical
+        # to every other module source
+        return load_module_path(f"data:{mime};base64,{b64}")
     if _looks_like_wasm_path(path):
         return _load_wasm(path)
     source = _read_source(path)

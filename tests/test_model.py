@@ -30,9 +30,14 @@ def test_module_paths_rejected_by_default():
         LensConfig.from_dict({"lenses": [{"path": "file:///tmp/lens.py"}]})
     with pytest.raises(LensError, match="disabled"):
         LensConfig.from_dict({"lenses": [{"path": "data:,x = 1"}]})
-    # remote module urls are never loadable, opt-in or not
-    with pytest.raises(LensError, match="not remote"):
+    # http(s) module urls (loadable since r12 behind the DOUBLE
+    # opt-in, tests/test_http_modules.py) hit the execution gate
+    # first when nothing is allowed; a non-module remote scheme is
+    # never loadable under any opt-in
+    with pytest.raises(LensError, match="disabled"):
         LensConfig.from_dict({"lenses": [{"path": "https://x.test/lens.wasm"}]})
+    with pytest.raises(LensError, match="not other remote"):
+        LensConfig.from_dict({"lenses": [{"path": "s3://bucket/lens.wasm"}]})
 
 
 def test_wasm_module_paths_route_to_wasm_host(tmp_path, module_paths_enabled):
