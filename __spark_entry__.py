@@ -3352,7 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        row goes stale, r10 policy). The tail test in
        tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 25 rows-only (``no_oracle``) queries, each backed by
+    3. tail — the 27 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash.
     """
     return {
