@@ -93,6 +93,30 @@ FLAGSHIPS = [
                       "aggregates map-side-combined scaled longs, and "
                       "the two-stage top-k keeps any one query's "
                       "candidates off a single task"),
+    ("x8_hybrid_dense_sparse", "dense+sparse hybrid flagship (r12) — ONE "
+                               "fused plan serving the same panel from "
+                               "BOTH materialized indexes and combining "
+                               "by reciprocal rank. The three 100 TB "
+                               "properties, all visible: (1) the postings "
+                               "scan carries the panel's term probe as a "
+                               "dynamicpruning subquery on pb; (2) the "
+                               "IVFADC scan carries the probed cells as "
+                               "a `cell INSET` PartitionFilter (toy "
+                               "nprobe=8/nlist=16 with 5 queries happens "
+                               "to cover all cells; at real nlist a "
+                               "panel touches nprobe/nlist of the "
+                               "index); (3) the fusion is ONE "
+                               "partial+final HashAggregate pair "
+                               "directly over the Union of the two "
+                               "bounded top-per_system_k rankings — "
+                               "≤ 2·per_system_k rows per query reach "
+                               "it, then the shared two-stage top-k. "
+                               "Neither corpus is scanned at serve "
+                               "time: the sparse leg reads postings "
+                               "buckets, the dense leg reads byte "
+                               "codes, the exact re-rank fetches true "
+                               "vectors by broadcast semi-join on the "
+                               "shortlist only"),
 ]
 
 
