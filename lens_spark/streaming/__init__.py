@@ -487,9 +487,34 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     return writer.start()
 
 
+def _max_partition_file_count(spark: SparkSession, parts_path: str) -> int:
+    """Worst data-file count across a parts dataset's first-level
+    partition directories — the auto-compaction trigger probe shared
+    by the retrieval-index streaming sinks. Bounded work: one
+    listStatus for the partition dirs plus one per dir, and the dir
+    count is structurally capped (nlist cells for ivfpq, term-hash
+    buckets for postings) — never a recursive full-index walk."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = P(parts_path)
+    if not fs.exists(root):
+        return 0
+    worst = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        worst = max(worst, sum(
+            1 for s in fs.listStatus(st.getPath())
+            if not s.getPath().getName().startswith(("_", "."))))
+    return worst
+
+
 def run_stream_ivfpq_append(stream_df: DataFrame, index_path: str, *,
                             id_col: str, vec_col: str,
                             checkpoint: str | None = None,
+                            auto_compact_files: "int | None" = 64,
                             timeout: int = 120) -> int:
     """Keep a materialized IVFADC index current with an arriving
     vector stream: each micro-batch encodes with the index's FROZEN
@@ -504,10 +529,28 @@ def run_stream_ivfpq_append(stream_df: DataFrame, index_path: str, *,
     whole batch lands inside one write job), and restart resumes from
     the checkpoint without re-encoding drained batches. Dedup at
     intake is the caller's layer (compose with ``stream_ingest_dedup``
-    upstream) — this runner stores what arrives. Returns the total
-    number of vectors appended across the drained batches."""
-    from lens_spark.operators.similarity import ivfpq_index_append
+    upstream) — this runner stores what arrives.
 
+    Each batch appends one file per touched cell, the canonical
+    small-file generator: when any cell directory exceeds
+    ``auto_compact_files`` after a batch, the sink runs
+    ``compact_ivfpq_index`` right there (the run_stream_quota
+    discipline) — no cell ends a batch above the threshold and no
+    separate cron is needed for a long-running intake (the nightly
+    ``lens_spark.maintenance`` sweep still covers crashed swaps and
+    replay-duplicate reclaim). The trigger probe is bounded (one
+    listStatus per cell dir, ≤ nlist); pass ``None`` to disable and
+    rely on the sweep alone. Returns the total number of vectors
+    appended across the drained batches."""
+    from lens_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    if auto_compact_files is not None and auto_compact_files < 1:
+        raise LensError(
+            "run_stream_ivfpq_append: auto_compact_files must be >= 1 "
+            "(or None to disable the compaction trigger)")
     total = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -515,6 +558,10 @@ def run_stream_ivfpq_append(stream_df: DataFrame, index_path: str, *,
             return
         total["n"] += ivfpq_index_append(batch_df, index_path,
                                          id_col=id_col, vec_col=vec_col)
+        if auto_compact_files and _max_partition_file_count(
+                batch_df.sparkSession,
+                f"{index_path}/parts") > auto_compact_files:
+            compact_ivfpq_index(batch_df.sparkSession, index_path)
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation",
@@ -537,6 +584,7 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
                                id_col: str, text_col: str,
                                checkpoint: str | None = None,
                                dropped_path: str | None = None,
+                               auto_compact_files: "int | None" = 64,
                                timeout: int = 120) -> dict:
     """Keep a materialized BM25 postings index current with an
     arriving document stream: each micro-batch tokenizes, takes the
@@ -561,11 +609,24 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
     ``rebuild_index``. Replayed batches re-log under the same tag;
     dedupe on ``tag`` when reading.
 
+    Each batch appends one file per touched term bucket; when any
+    bucket directory exceeds ``auto_compact_files`` after a batch,
+    the sink runs the shared pb-layout compactor right there (the
+    run_stream_quota discipline — no bucket ends a batch above the
+    threshold; the trigger probe is one listStatus per bucket dir,
+    ≤ the index's bucket count). Pass ``None`` to disable and rely
+    on the nightly ``lens_spark.maintenance`` sweep alone.
+
     Returns {"n_postings", "n_dropped_postings"} summed over the
     drained batches (this run only — the durable record is the index
     itself plus the dropped log)."""
+    from lens_spark.operators.dedup import compact_index
     from lens_spark.operators.ranking import postings_index_append
 
+    if auto_compact_files is not None and auto_compact_files < 1:
+        raise LensError(
+            "run_stream_postings_append: auto_compact_files must be "
+            ">= 1 (or None to disable the compaction trigger)")
     totals = {"n_postings": 0, "n_dropped_postings": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -577,6 +638,10 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
                                   dropped_tag=str(batch_id))
         totals["n_postings"] += r["n_postings"]
         totals["n_dropped_postings"] += r["n_dropped_postings"]
+        if auto_compact_files and _max_partition_file_count(
+                batch_df.sparkSession,
+                f"{index_path}/parts") > auto_compact_files:
+            compact_index(batch_df.sparkSession, index_path)
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation",

@@ -1262,3 +1262,98 @@ def test_stream_postings_replay_then_maintenance_reclaims(spark, tmp_path):
     assert report[idx]["kind"] == "postings"
     assert spark.read.parquet(f"{idx}/parts").count() == n_rows
     assert serve() == want
+
+
+def test_stream_append_auto_compaction_bounds_files(spark, tmp_path):
+    """The retrieval-index streaming sinks auto-compact like the quota
+    sink (r12): with auto_compact_files=1 and one file appended per
+    touched partition per batch, no partition directory ends the
+    drain above one file — and serving is unchanged (compaction is
+    byte-preserving)."""
+    import os
+
+    from lens_spark.streaming import (
+        _max_partition_file_count,
+        read_file_stream,
+        run_stream_postings_append,
+    )
+
+    idx, src, _ = _postings_stream_fixture(spark, tmp_path)
+    spark.createDataFrame(
+        [(5, "spark join"), (6, "hash hash join")],
+        "id long, text string").toPandas().to_parquet(src / "b2.parquet")
+
+    r = run_stream_postings_append(
+        read_file_stream(spark, str(src),
+                         schema_from=str(src / "b1.parquet"),
+                         maxFilesPerTrigger=1),
+        idx, id_col="id", text_col="text",
+        checkpoint=str(tmp_path / "ckpt"), auto_compact_files=1)
+    # b1: docs 3-4 contribute 4 known-term postings; b2: doc 5 has
+    # spark+join, doc 6 has hash+join -> 4 more (postings are per
+    # DISTINCT (doc, term))
+    assert r["n_postings"] == 4 + 4
+    assert _max_partition_file_count(spark, f"{idx}/parts") <= 1
+    got = _pserve_stream(spark, idx)
+    assert {d for d, *_ in got} == {1, 2, 3, 4, 5, 6}
+
+
+def _pserve_stream(spark, idx):
+    from lens_spark.operators.ranking import postings_index_search
+
+    panel = spark.createDataFrame([(1, "spark hash join")],
+                                  "qid long, qtext string")
+    return {(r.neighbor_id, r.bm25, r.rank)
+            for r in postings_index_search(spark, panel, idx, id_col="qid",
+                                           text_col="qtext",
+                                           k=10).collect()}
+
+
+def test_stream_ivfpq_auto_compaction_bounds_files(spark, tmp_path):
+    """Dense twin of the postings auto-compaction: cells stay at one
+    file through a multi-batch drain and search equals the
+    no-compaction index exactly."""
+    import random
+
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+    from lens_spark.streaming import (
+        _max_partition_file_count,
+        read_file_stream,
+        run_stream_ivfpq_append,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = emb.filter("vec_id < 16")
+    rest = emb.filter("vec_id >= 16").toPandas()
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    rest.iloc[:24].to_parquet(src / "b1.parquet")
+    rest.iloc[24:].to_parquet(src / "b2.parquet")
+
+    def mk(idx, **kw):
+        ivfpq_index_build(seed, idx, id_col="vec_id", vec_col="embedding",
+                          dim=8, nlist=4, m=4, nbits=6)
+        n = run_stream_ivfpq_append(
+            read_file_stream(spark, str(src),
+                             schema_from=str(src / "b1.parquet"),
+                             maxFilesPerTrigger=1),
+            idx, id_col="vec_id", vec_col="embedding",
+            checkpoint=str(tmp_path / f"ckpt_{kw.get('auto_compact_files')}"),
+            **kw)
+        assert n == len(rest)
+        return {(r.query_id, r.neighbor_id, r.score)
+                for r in ivfpq_index_search(
+                    spark, idx, emb.filter("vec_id < 3"),
+                    id_col="vec_id", vec_col="embedding", k=5,
+                    nprobe=4).collect()}
+
+    compacted = mk(str(tmp_path / "idx_c"), auto_compact_files=1)
+    assert _max_partition_file_count(
+        spark, str(tmp_path / "idx_c") + "/parts") <= 1
+    plain = mk(str(tmp_path / "idx_p"), auto_compact_files=None)
+    assert compacted == plain and len(compacted) == 15
