@@ -3434,7 +3434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The full r11 window (50 fresh r11 external greens) followed
         # by the r10 remainder; ordering inside the tail is
         # historical. The tail pytest oracle-checks every entry each
-        # run, so eviction never means unchecked:
+        # run, so eviction never means unchecked.
+        # DECLARED R13 ROTATION BACKLOG (the r11→r12 precedent):
+        # x8_hybrid_exact (added r12, after this round's window was
+        # committed — the only hash-checkable query with no external
+        # row) heads the r13 window under the never-external rule,
+        # followed by the r10-stale cohort (2 rounds stale at r13):
         "x5_vocab_coverage": q_x5_vocab_coverage,
         "s8_saved_lang": q_s8_saved_lang,
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
