@@ -619,3 +619,60 @@ def hybrid_search_lens(arguments: Mapping[str, Any]) -> Lens:
                         "ranking discards the query rows")
 
     return Lens("hybrid_search", arguments, forward, refuse)
+
+
+def postings_drift_report(spark, index_path: str,
+                          dropped_path: str) -> DataFrame:
+    """Turn a streaming postings index's dropped-terms log into the
+    REBUILD DECISION INPUT: one row per append batch tag with the
+    batch's dropped postings/terms plus the running cumulative drop
+    share against the index's stored postings. The frozen-stats
+    contract makes unknown terms unretrievable until a
+    ``rebuild_index``; this report is how an operator sees that debt
+    grow. Recipe: rebuild when ``cum_dropped_frac`` crosses the
+    retrievability budget (e.g. 0.05 — 5% of would-be postings are
+    invisible to search).
+
+    Replay-safe: the log is at-least-once (a replayed batch re-logs
+    byte-identical rows under the same tag), so rows pass a DISTINCT
+    before aggregation — the same dedupe-before-sum idiom the index's
+    own search uses. Bounded work: the log holds one row per
+    (dropped term, batch), the index side is one count; nothing
+    corpus-sized. Returns (tag, n_terms_dropped, n_postings_dropped,
+    cum_dropped_postings, index_postings, cum_dropped_frac) ordered
+    by tag.
+    """
+    from pyspark.sql import Window
+
+    from lens_spark.sources import dataset_nonempty
+
+    _read_postings_model(spark, index_path, "postings_drift_report")
+    index_postings = 0
+    if dataset_nonempty(spark, f"{index_path}/parts"):
+        index_postings = (spark.read.parquet(f"{index_path}/parts")
+                          .select("term", "doc").distinct().count())
+    if not dataset_nonempty(spark, dropped_path):
+        return spark.createDataFrame(
+            [], "tag string, n_terms_dropped bigint, "
+                "n_postings_dropped bigint, cum_dropped_postings bigint, "
+                "index_postings bigint, cum_dropped_frac double")
+    per_tag = (spark.read.parquet(dropped_path)
+               .select("tag", "term", "n_postings_dropped")
+               .distinct()  # at-least-once replay residue collapses
+               .groupBy("tag")
+               .agg(F.count(F.lit(1)).alias("n_terms_dropped"),
+                    F.sum("n_postings_dropped")
+                    .alias("n_postings_dropped")))
+    w = Window.orderBy("tag").rowsBetween(Window.unboundedPreceding, 0)
+    return (per_tag
+            .withColumn("cum_dropped_postings",
+                        F.sum("n_postings_dropped").over(w))
+            .withColumn("index_postings", F.lit(int(index_postings)))
+            .withColumn(
+                "cum_dropped_frac",
+                F.when(F.lit(index_postings) > 0,
+                       F.round(F.col("cum_dropped_postings")
+                               / (F.col("cum_dropped_postings")
+                                  + F.lit(int(index_postings))), 6))
+                .otherwise(F.lit(1.0)))
+            .orderBy("tag"))

@@ -439,3 +439,43 @@ def test_hybrid_search_lens_plan_and_refusal(spark, hybrid_setup):
     assert out.count() == 30
     with pytest.raises(LensError, match="not invertible"):
         engine.inverse(panel, spec).collect()
+
+
+def test_postings_drift_report_tracks_unretrievable_debt(spark, corpus,
+                                                         tmp_path):
+    """The dropped-terms log's consumer (r12): per-batch dropped
+    terms/postings with the running cumulative drop share — the
+    rebuild decision input. Replayed batches (byte-identical log rows
+    under the same tag) never double-count."""
+    from lens_spark.operators.ranking import (
+        postings_drift_report,
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "pidx_drift")
+    log = str(tmp_path / "dropped")
+    postings_index_build(corpus.filter("id <= 2"), idx, id_col="id",
+                         text_col="text")
+    # batch "b1": doc 3 is all-unknown (4 postings), doc 4 known
+    postings_index_append(corpus.filter("id > 2"), idx, id_col="id",
+                          text_col="text", dropped_path=log,
+                          dropped_tag="b1")
+    # batch "b2": one novel term in one doc
+    b2 = spark.createDataFrame([(9, "spark warp")], "id long, text string")
+    postings_index_append(b2, idx, id_col="id", text_col="text",
+                          dropped_path=log, dropped_tag="b2")
+    # replay of b2: identical rows under the same tag
+    postings_index_append(b2, idx, id_col="id", text_col="text",
+                          dropped_path=log, dropped_tag="b2")
+
+    rows = {r.tag: r for r in postings_drift_report(spark, idx,
+                                                    log).collect()}
+    assert rows["b1"].n_terms_dropped == 4
+    assert rows["b1"].n_postings_dropped == 4
+    assert rows["b2"].n_terms_dropped == 1
+    assert rows["b2"].n_postings_dropped == 1  # replay collapsed
+    assert rows["b2"].cum_dropped_postings == 5
+    n_index = rows["b2"].index_postings
+    assert rows["b2"].cum_dropped_frac == pytest.approx(
+        round(5 / (5 + n_index), 6))
