@@ -174,6 +174,10 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
     only ``.old`` → roll BACK (should be unreachable — staging
     commits before the first rename — but a manual intervention can
     produce it). Idempotent; called by ``rebuild_index`` on entry."""
+    import time
+
+    from lens_spark.operators.dedup import INDEX_LOCK_STALE_SEC
+
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -183,6 +187,26 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
         if fs.exists(trash):
             fs.delete(trash, True)
         return
+    # Recovery necessarily runs BEFORE the lease (acquiring would
+    # mkdir the missing index path and erase the crash evidence), so
+    # it must not roll a LIVE rebuild's handoff forward: the owning
+    # process's lease file travels with the dirs (planted in staging,
+    # original in trash). A lease younger than the stale window means
+    # the handoff is owned — refuse, don't race the owner's renames
+    # (the owner completes in microseconds; a crashed owner's lease
+    # ages past the window and recovery then proceeds).
+    for p in (P(f"{index_path}.rebuild/_writer.lock"),
+              P(f"{index_path}.old/_writer.lock")):
+        try:
+            age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001 — no lock file there
+            continue
+        if age <= INDEX_LOCK_STALE_SEC:
+            raise ConcurrentIndexWriterError(
+                f"rebuild_index recovery at {index_path!r}: a live "
+                "rebuild owns this handoff (its lease is younger than "
+                f"{INDEX_LOCK_STALE_SEC:.0f}s); retry after it "
+                "finishes, or after the stale window if it crashed.")
     if fs.exists(P(index_path + ".rebuild/model.json")):
         if not fs.rename(staging, idx):
             raise LensError(
@@ -230,7 +254,11 @@ def rebuild_index(spark: "SparkSession", index_path: str,
     is rolled forward/back by the next ``rebuild_index`` call
     (``_recover_rebuild``'s matrix — the staging dir commits BEFORE
     the first rename, so both sides of every crash window hold a
-    complete index). The residual reader gap is the instant between
+    complete index). A crash INSIDE the rename pair leaves the
+    handoff lease fresh, so recovery waits out the stale window
+    before rolling forward — the price of never racing a LIVE
+    rebuild's renames (recovery necessarily runs before any lock can
+    be taken on the missing index path). The residual reader gap is the instant between
     the two renames, where the path briefly does not exist — a
     transient, retryable read error, the same guarantee class as the
     Hadoop commit protocol the parquet readers already ride on."""

@@ -313,6 +313,10 @@ def test_rebuild_index_crash_between_renames_rolls_forward(spark,
         postings_index_build,
     )
 
+    import time
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+
     idx = str(tmp_path / "idx")
     postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
                          text_col="text")
@@ -324,6 +328,15 @@ def test_rebuild_index_crash_between_renames_rolls_forward(spark,
     open(idx + ".rebuild/_writer.lock", "w").close()
     shutil.move(idx, idx + ".old")
 
+    # while the planted lease is FRESH the handoff is owned by a live
+    # rebuild (recovery runs before any lock can be taken on the
+    # missing index path) — recovery must refuse, not race the
+    # owner's rename pair
+    with pytest.raises(ConcurrentIndexWriterError, match="live rebuild"):
+        _recover_rebuild(spark, idx)
+    # a CRASHED owner's lease ages past the stale window; then recover
+    old = time.time() - 4000
+    os.utime(idx + ".rebuild/_writer.lock", (old, old))
     _recover_rebuild(spark, idx)
     assert os.path.exists(idx) and not os.path.exists(idx + ".old")
     assert not os.path.exists(idx + ".rebuild")
