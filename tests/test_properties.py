@@ -660,3 +660,38 @@ def test_bpe_batched_distributed_equals_sequential(spark, words):
     dist = bpe_fit(df, "text", num_merges=6, min_count=1,
                    min_word_count=1, driver_fit_limit=0, batch_cap=4)
     assert dist == seq
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rankings=st.lists(
+    st.tuples(st.integers(0, 2),        # query
+              st.integers(0, 30),       # candidate
+              st.integers(1, 20)),      # rank
+    min_size=1, max_size=60),
+    parts=st.sampled_from([1, 3, 7]),
+    seed=st.integers(0, 2**31 - 1))
+def test_rrf_fuse_is_order_and_partitioning_invariant(spark, rankings,
+                                                      parts, seed):
+    """The fused scores and ranks must not depend on union row order,
+    system order, or physical partitioning — the quantized scaled-long
+    sum's whole claim. Hypothesis feeds random tagged-union shapes
+    (duplicate (query, candidate) rows across systems included — they
+    are exactly what the sum wants) and a random shuffle/partition
+    count; the fused table must be byte-identical."""
+    import random
+
+    from lens_spark.operators.ranking import rrf_fuse
+
+    base = spark.createDataFrame(rankings,
+                                 "query_id long, doc long, rank long")
+    got = {tuple(r) for r in rrf_fuse(base, "query_id", "doc",
+                                      k0=60, k=10).collect()}
+    shuffled = list(rankings)
+    random.Random(seed).shuffle(shuffled)
+    alt = (spark.createDataFrame(shuffled,
+                                 "query_id long, doc long, rank long")
+           .repartition(parts))
+    got2 = {tuple(r) for r in rrf_fuse(alt, "query_id", "doc",
+                                       k0=60, k=10).collect()}
+    assert got == got2
