@@ -569,6 +569,13 @@ def hybrid_search(spark, queries: DataFrame, *, postings_index: str,
     """
     from lens_spark.operators.similarity import ivfpq_index_search
 
+    # Pin the panel once: it feeds FOUR independent plan legs (the
+    # postings tokenize, the dense panel collect, the exact re-rank's
+    # query fetch, and — when the caller derived it from a join — that
+    # derivation would otherwise re-execute per leg). Panels are
+    # bounded by contract (the dense leg's 4096-row collect guard),
+    # so materializing is cheap and the derivation runs once.
+    queries = queries.localCheckpoint(eager=True)
     sparse = postings_index_search(
         spark, queries, postings_index, id_col=id_col,
         text_col=text_col, k=int(per_system_k))
