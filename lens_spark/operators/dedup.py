@@ -1146,6 +1146,20 @@ def compact_index(spark, index_path: str, *,
 
         _staged_swap(spark, parts_path, write_tmp, "compact_index")
         after = _visible_file_count(spark, parts_path)
+        # a postings index carries a maintained row-count sidecar
+        # (postings_drift_report's O(1) denominator); the full rewrite
+        # is the one place a TRUE recount is already paid for — reseed
+        # it here (also heals a sidecar lost to a torn append update,
+        # and restores stat == distinct postings after a
+        # drop_replay_duplicates pass)
+        from lens_spark.sources import read_json_file
+        meta = read_json_file(spark, f"{index_path}/model.json")
+        if meta is not None and meta.get("format") == \
+                "lens_spark_postings_index":
+            from lens_spark.operators.ranking import _write_postings_stats
+            _write_postings_stats(
+                spark, index_path,
+                spark.read.parquet(parts_path).count())
     return {"files_before": before, "files_after": after}
 
 

@@ -271,6 +271,11 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
         landed = spark.read.parquet(f"{index_path}/parts")
         agg = landed.agg(F.count(F.lit(1)).alias("p"),
                          F.countDistinct("term").alias("t")).first()
+        # seed the maintained row-count sidecar (postings_drift_report's
+        # O(1) denominator — r12 verdict #5): appends bump it, full
+        # compactions recount it, readers fall back to a scan when a
+        # torn update loses it
+        _write_postings_stats(spark, index_path, int(agg["p"]))
     return {"n_docs": int(stats["n"]), "n_terms": int(agg["t"]),
             "n_postings": int(agg["p"])}
 
@@ -289,6 +294,54 @@ def _read_postings_model(spark, index_path: str, op: str) -> dict:
             f"{op}: {index_path!r} model.json has format "
             f"{meta.get('format')!r}")
     return meta
+
+
+def _write_postings_stats(spark, index_path: str, n_postings: int) -> None:
+    """(Re)write the index's maintained row-count stat
+    (``stats.json`` — a SIDECAR, deliberately not ``model.json``:
+    model.json is the commit marker, and an in-place rewrite of it has
+    a torn-file crash window that would brick the index; tearing the
+    sidecar merely costs the O(1) fast path until the next full
+    compaction rewrites it). Staged through a tmp + rename; the
+    delete-then-rename gap can lose the file on a crash, which is the
+    same benign fallback. Caller holds the writer lease."""
+    import json as _json
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    path = f"{index_path}/stats.json"
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = P(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(_json.dumps({"n_postings": int(n_postings)},
+                              sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(P(path), False)
+    if not fs.rename(tmp, P(path)):
+        fs.delete(tmp, False)  # fallback path: report recounts
+
+
+def _read_postings_stats(spark, index_path: str) -> "int | None":
+    """The maintained stored-postings row count, or None when the
+    sidecar is absent/corrupt (pre-r13 index, or a torn update) —
+    callers then fall back to recounting the index."""
+    from lens_spark.sources import read_json_file
+
+    stats = read_json_file(spark, f"{index_path}/stats.json")
+    if stats is None or not isinstance(stats.get("n_postings"), int):
+        return None
+    return int(stats["n_postings"])
+
+
+def _bump_postings_stats(spark, index_path: str, delta: int) -> None:
+    """Increment the maintained stat under the caller's writer lease.
+    A sidecar-less index stays sidecar-less (bumping a partial count
+    would be wrong); the next full compaction recounts and seeds it."""
+    cur = _read_postings_stats(spark, index_path)
+    if cur is not None:
+        _write_postings_stats(spark, index_path, cur + int(delta))
 
 
 def postings_index_append(batch: DataFrame, index_path: str, *,
@@ -377,8 +430,17 @@ def postings_index_append(batch: DataFrame, index_path: str, *,
              .write.mode("append").parquet(dropped_path))
         (rows.repartition(F.col("pb"))
          .write.mode("append").partitionBy("pb").parquet(parts_path))
+        # maintain the drift report's O(1) denominator; an at-least-once
+        # REPLAY re-appends byte-identical rows and re-bumps, so the
+        # stat counts STORED rows (≥ distinct postings by at most the
+        # replay residue) until a drop_replay_duplicates compaction
+        # recounts — documented in postings_drift_report
+        _bump_postings_stats(spark, index_path, int(n_rows))
+        touched = sorted(int(r["pb"]) for r in
+                         rows.select("pb").distinct().collect())
     return {"n_postings": int(n_rows),
-            "n_dropped_postings": int(n_new - n_rows)}
+            "n_dropped_postings": int(n_new - n_rows),
+            "touched_pb": touched}
 
 
 def postings_index_search(spark, queries: DataFrame, index_path: str, *,
@@ -644,20 +706,36 @@ def postings_drift_report(spark, index_path: str,
     byte-identical rows under the same tag), so rows pass a DISTINCT
     before aggregation — the same dedupe-before-sum idiom the index's
     own search uses. Bounded work: the log holds one row per
-    (dropped term, batch), the index side is one count; nothing
-    corpus-sized. Returns (tag, n_terms_dropped, n_postings_dropped,
-    cum_dropped_postings, index_postings, cum_dropped_frac) ordered
-    by tag.
+    (dropped term, batch), and the index side reads the MAINTAINED
+    row-count stat (``stats.json``, seeded at build, bumped per
+    append, recounted at full compaction) — nothing corpus- or
+    index-sized. Only a pre-stat index (or one whose sidecar a torn
+    update lost) pays a one-off recount, and the stat counts STORED
+    rows, which exceeds distinct postings by at most the
+    at-least-once replay residue until a ``drop_replay_duplicates``
+    compaction reclaims it — a slightly LARGER denominator, i.e. the
+    conservative direction for a rebuild trigger is "rebuild a touch
+    late", bounded by the replay volume.
+
+    Ordering: streaming batch ids are numeric strings, and from batch
+    10 on lexicographic order ('10' < '2') would scramble the running
+    cumulative sum (r12 advice) — tags that parse as integers order
+    numerically, any non-numeric tags follow lexicographically.
+    Returns (tag, n_terms_dropped, n_postings_dropped,
+    cum_dropped_postings, index_postings, cum_dropped_frac) in that
+    order.
     """
     from pyspark.sql import Window
 
     from lens_spark.sources import dataset_nonempty
 
     _read_postings_model(spark, index_path, "postings_drift_report")
-    index_postings = 0
-    if dataset_nonempty(spark, f"{index_path}/parts"):
-        index_postings = (spark.read.parquet(f"{index_path}/parts")
-                          .select("term", "doc").distinct().count())
+    index_postings = _read_postings_stats(spark, index_path)
+    if index_postings is None:
+        index_postings = 0
+        if dataset_nonempty(spark, f"{index_path}/parts"):
+            index_postings = (spark.read.parquet(f"{index_path}/parts")
+                              .select("term", "doc").distinct().count())
     if not dataset_nonempty(spark, dropped_path):
         return spark.createDataFrame(
             [], "tag string, n_terms_dropped bigint, "
@@ -670,7 +748,13 @@ def postings_drift_report(spark, index_path: str,
                .agg(F.count(F.lit(1)).alias("n_terms_dropped"),
                     F.sum("n_postings_dropped")
                     .alias("n_postings_dropped")))
-    w = Window.orderBy("tag").rowsBetween(Window.unboundedPreceding, 0)
+    # numeric-first tag order (r12 advice): str(batch_id) tags must
+    # accumulate as 2 < 9 < 10, not '10' < '2' < '9' (try_cast: a
+    # non-numeric tag is a caller label, not an ANSI cast error)
+    tag_num = F.col("tag").try_cast("long")
+    order = [F.when(tag_num.isNull(), F.lit(1)).otherwise(F.lit(0)),
+             tag_num, F.col("tag")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return (per_tag
             .withColumn("cum_dropped_postings",
                         F.sum("n_postings_dropped").over(w))
@@ -682,4 +766,4 @@ def postings_drift_report(spark, index_path: str,
                                / (F.col("cum_dropped_postings")
                                   + F.lit(int(index_postings))), 6))
                 .otherwise(F.lit(1.0)))
-            .orderBy("tag"))
+            .orderBy(*order))

@@ -479,3 +479,80 @@ def test_postings_drift_report_tracks_unretrievable_debt(spark, corpus,
     n_index = rows["b2"].index_postings
     assert rows["b2"].cum_dropped_frac == pytest.approx(
         round(5 / (5 + n_index), 6))
+
+
+def test_drift_report_orders_numeric_tags_numerically(spark, corpus,
+                                                      tmp_path):
+    """From batch 10 on, lexicographic tag order ('10' < '2' < '9')
+    would scramble the running cumulative sum — the r12 advice defect
+    (the streaming runner tags with str(batch_id)). Numeric-string
+    tags must accumulate as 2 < 9 < 10."""
+    from lens_spark.operators.ranking import (
+        postings_drift_report,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "pidx_numtags")
+    log = str(tmp_path / "dropped_numtags")
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+    # synthesize the dropped log directly: 12 batches, one dropped
+    # posting each, tags "0".."11" (the shape str(batch_id) produces)
+    spark.createDataFrame(
+        [(f"t{i}", 1, str(i)) for i in range(12)],
+        "term string, n_postings_dropped long, tag string",
+    ).write.mode("overwrite").parquet(log)
+    rows = postings_drift_report(spark, idx, log).collect()
+    assert [r.tag for r in rows] == [str(i) for i in range(12)]
+    assert [r.cum_dropped_postings for r in rows] == list(range(1, 13))
+    # non-numeric tags order after every numeric one, lexicographically
+    spark.createDataFrame(
+        [("tx", 1, "b2"), ("ty", 1, "a1")],
+        "term string, n_postings_dropped long, tag string",
+    ).write.mode("append").parquet(log)
+    rows = postings_drift_report(spark, idx, log).collect()
+    assert [r.tag for r in rows] == [str(i) for i in range(12)] + ["a1", "b2"]
+    assert rows[-1].cum_dropped_postings == 14
+
+
+def test_postings_stat_maintained_and_report_reads_it(spark, corpus,
+                                                      tmp_path):
+    """postings_drift_report's denominator is O(1) (r12 verdict #5):
+    the stats.json sidecar equals a true recount after build, after an
+    append, and after a full compaction (which reseeds it); the
+    report's plan never scans the index when the stat is present; and
+    a lost sidecar degrades to the recount, not a wrong answer."""
+    from lens_spark.operators.dedup import compact_index
+    from lens_spark.operators.ranking import (
+        _read_postings_stats,
+        postings_drift_report,
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "pidx_stat")
+    log = str(tmp_path / "dropped_stat")
+
+    def recount():
+        return spark.read.parquet(f"{idx}/parts").count()
+
+    postings_index_build(corpus.filter("id <= 3"), idx, id_col="id",
+                         text_col="text")
+    assert _read_postings_stats(spark, idx) == recount()
+    batch = spark.createDataFrame([(9, "spark warp")],
+                                  "id long, text string")
+    postings_index_append(batch, idx, id_col="id", text_col="text",
+                          dropped_path=log, dropped_tag="1")
+    assert _read_postings_stats(spark, idx) == recount()
+    compact_index(spark, idx, drop_replay_duplicates=True)
+    assert _read_postings_stats(spark, idx) == recount()
+
+    rep = postings_drift_report(spark, idx, log)
+    assert {r.index_postings for r in rep.collect()} == {recount()}
+    # the O(1) claim, pinned on the plan: no scan of the index's parts
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert f"{idx}/parts" not in plan
+    # sidecar lost (torn update / pre-r13 index): recount fallback
+    import os
+    os.remove(f"{idx}/stats.json")
+    rep2 = postings_drift_report(spark, idx, log)
+    assert {r.index_postings for r in rep2.collect()} == {recount()}
