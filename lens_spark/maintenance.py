@@ -167,13 +167,19 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
     The swap sequence is: build into ``<index>.rebuild`` (committed —
     its ``model.json`` marker is present — before any rename), rename
     ``<index>`` → ``<index>.old``, rename ``.rebuild`` → ``<index>``,
-    delete ``.old``. Crash matrix: live index present → any leftover
-    ``.old`` is a post-swap residue, reclaim it; index missing with a
-    COMMITTED ``.rebuild`` → the crash hit between the renames, roll
-    FORWARD (the rebuild had fully committed); index missing with
-    only ``.old`` → roll BACK (should be unreachable — staging
-    commits before the first rename — but a manual intervention can
-    produce it). Idempotent; called by ``rebuild_index`` on entry."""
+    delete ``.old``. Crash matrix: live index present AND committed
+    (its own ``model.json`` at top level) → any leftover ``.old`` is
+    post-swap residue, reclaim it; index present but MODEL-LESS with
+    rebuild siblings → the raced skeleton (a concurrent writer's
+    ``_index_writer_lock`` mkdirs the path inside the rename gap —
+    r12 advice; reclaiming ``.old`` here would delete the only
+    complete copy): delete the skeleton and restore ``.old`` (or,
+    when only a committed ``.rebuild`` remains, roll that forward);
+    index missing with a COMMITTED ``.rebuild`` → the crash hit
+    between the renames, roll FORWARD; index missing with only
+    ``.old`` → roll BACK. A model-less index dir with NO rebuild
+    siblings is not ours (a crashed first build) — left alone.
+    Idempotent; called by ``rebuild_index`` on entry."""
     import time
 
     from lens_spark.operators.dedup import INDEX_LOCK_STALE_SEC
@@ -183,9 +189,15 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
     fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
     idx, staging, trash = (P(index_path), P(index_path + ".rebuild"),
                            P(index_path + ".old"))
-    if fs.exists(idx):
+    staged_committed = fs.exists(P(index_path + ".rebuild/model.json"))
+    trash_committed = fs.exists(P(index_path + ".old/model.json"))
+    if fs.exists(idx) and fs.exists(P(f"{index_path}/model.json")):
         if fs.exists(trash):
             fs.delete(trash, True)
+        return
+    if fs.exists(idx) and not (staged_committed or trash_committed):
+        # model-less, no committed rebuild artifacts: a crashed FIRST
+        # build's leftover — the builders' own retry contract owns it
         return
     # Recovery necessarily runs BEFORE the lease (acquiring would
     # mkdir the missing index path and erase the crash evidence), so
@@ -196,7 +208,12 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
     # (the owner completes in microseconds; a crashed owner's lease
     # ages past the window and recovery then proceeds).
     for p in (P(f"{index_path}.rebuild/_writer.lock"),
-              P(f"{index_path}.old/_writer.lock")):
+              P(f"{index_path}.old/_writer.lock"),
+              # the skeleton's own lock: its holder acquired on a
+              # dataset-less path (reads fail loudly), but recovery is
+              # lazy — wait out a FRESH holder rather than deleting a
+              # live lease out from under it
+              P(f"{index_path}/_writer.lock")):
         try:
             age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
         except Exception:  # noqa: BLE001 — no lock file there
@@ -207,7 +224,17 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
                 "rebuild owns this handoff (its lease is younger than "
                 f"{INDEX_LOCK_STALE_SEC:.0f}s); retry after it "
                 "finishes, or after the stale window if it crashed.")
-    if fs.exists(P(index_path + ".rebuild/model.json")):
+    if fs.exists(idx):
+        # the raced skeleton (model-less; a committed .old or .rebuild
+        # exists, so the swap owns this path). It holds at most the
+        # racing writer's lock — that writer acquired on a dataset-less
+        # path and its read fails loudly; the skeleton is safe to drop.
+        fs.delete(idx, True)
+    if staged_committed:
+        # roll FORWARD: the rebuild had fully committed before the
+        # crash (the sibling .rebuild survives the nesting race — a
+        # nested rename consumes it, and that case lands in the
+        # trash_committed branch below)
         if not fs.rename(staging, idx):
             raise LensError(
                 f"rebuild_index recovery at {index_path!r}: could not "
@@ -224,6 +251,10 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
             raise LensError(
                 f"rebuild_index recovery at {index_path!r}: could not "
                 "roll .old back — inspect the directory manually.")
+        # the dead handoff lease traveled back with .old (r12 advice:
+        # the roll-forward branch cleared it, this branch must too, or
+        # every writer waits out the full stale window)
+        fs.delete(P(f"{index_path}/_writer.lock"), False)
 
 
 def rebuild_index(spark: "SparkSession", index_path: str,
@@ -304,11 +335,45 @@ def rebuild_index(spark: "SparkSession", index_path: str,
                 f"rebuild_index: could not stage {index_path!r} aside "
                 "— the live index was not touched.")
         if not fs.rename(P(staging), P(index_path)):
-            fs.rename(P(trash), P(index_path))  # roll back: stay servable
+            # roll back, and be HONEST about whether it worked (r12
+            # advice: an unchecked rollback claimed "rolled back" even
+            # when the old index stayed stranded in .old)
+            rolled = fs.rename(P(trash), P(index_path))
             raise LensError(
                 f"rebuild_index: could not rename the rebuilt index "
-                f"into place at {index_path!r}; rolled the old index "
-                "back.")
+                f"into place at {index_path!r}; "
+                + ("rolled the old index back." if rolled else
+                   f"rolling the old index back ALSO failed — it is "
+                   f"intact at {trash!r}; rerun rebuild_index (its "
+                   "recovery restores it) or inspect manually."))
+        if not fs.exists(P(f"{index_path}/model.json")):
+            # A concurrent writer's _index_writer_lock mkdirs the index
+            # path inside the rename gap (r12 advice); Hadoop rename
+            # into the existing dir then NESTS the staging dir inside
+            # it. Repair inline: hoist the nested committed index back
+            # to the sibling staging path, drop the raced skeleton
+            # (it holds at most the racer's lock — taken on a
+            # dataset-less path, its read fails loudly), and redo the
+            # rename. .old still exists at every step, so a crash here
+            # lands in _recover_rebuild's matrix (roll back from .old,
+            # or forward from the re-hoisted .rebuild).
+            nested = P(f"{index_path}/{staging.rsplit('/', 1)[-1]}")
+            if not (fs.exists(P(f"{nested.toString()}/model.json"))
+                    and fs.rename(nested, P(staging))):
+                raise LensError(
+                    f"rebuild_index: swap at {index_path!r} did not "
+                    "land model.json at top level and no nested "
+                    "staging dir was found — inspect the directory "
+                    f"manually (the old index is intact at {trash!r}).")
+            fs.delete(P(index_path), True)
+            if not fs.rename(P(staging), P(index_path)):
+                rolled = fs.rename(P(trash), P(index_path))
+                raise LensError(
+                    f"rebuild_index: re-rename after un-nesting failed "
+                    f"at {index_path!r}; "
+                    + ("rolled the old index back." if rolled else
+                       f"the old index is intact at {trash!r}; rerun "
+                       "rebuild_index to recover."))
         fs.delete(P(trash), True)
     return result if isinstance(result, dict) else {"rebuilt": True}
 

@@ -377,3 +377,96 @@ def test_rebuild_index_ivfpq_and_discovery_skips_staging(spark, tmp_path):
     _mk_fp_index(spark, str(root / "fp_idx.old"))
     found = discover_indexes(spark, str(root), max_depth=3)
     assert [os.path.basename(p) for p in found] == ["vidx"]
+
+
+def test_recover_rebuild_raced_skeleton_rolls_old_back(spark, tmp_path):
+    """The r12-advice race: between the swap's two renames the index
+    path does not exist, so a concurrent writer's _index_writer_lock
+    (which mkdirs the path before createNewFile) can recreate it as a
+    MODEL-LESS skeleton. Recovery must NOT treat the skeleton as a
+    live index and reclaim .old — that deletes the only complete
+    copy. It waits out a fresh skeleton lease, then drops the
+    skeleton, restores .old, and clears the dead lock that traveled
+    with it (the roll-back twin of the roll-forward branch's
+    lock-clearing)."""
+    import shutil
+    import time
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.maintenance import _recover_rebuild
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    before = _pserve(spark, idx, "spark hash")
+    # crash between the renames, then the racer recreates the path
+    shutil.move(idx, idx + ".old")
+    os.makedirs(idx)
+    open(idx + "/_writer.lock", "w").close()
+    # the racer's lease is fresh: recovery waits, never deletes it
+    with pytest.raises(ConcurrentIndexWriterError):
+        _recover_rebuild(spark, idx)
+    assert os.path.exists(idx + ".old/model.json")
+    old = time.time() - 4000
+    os.utime(idx + "/_writer.lock", (old, old))
+    _recover_rebuild(spark, idx)
+    assert os.path.exists(idx + "/model.json")
+    assert not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + "/_writer.lock")
+    assert _pserve(spark, idx, "spark hash") == before
+    # writers acquire at once (the dead lock was cleared)
+    postings_index_append(_pcorpus(spark, 2).filter("id = 1"), idx,
+                          id_col="id", text_col="text")
+
+
+def test_recover_rebuild_nested_swap_keeps_index_alive(spark, tmp_path):
+    """The worst shape of the same race: rename #2 lands the staging
+    dir NESTED inside the racer's skeleton (Hadoop rename into an
+    existing dir). The sibling .rebuild is gone, .old holds the only
+    complete top-level index — recovery drops the skeleton (nested
+    rebuild included; a rebuild can rerun, a lost index cannot) and
+    rolls .old back."""
+    import shutil
+
+    from lens_spark.maintenance import _recover_rebuild
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    before = _pserve(spark, idx, "spark hash")
+    staging = idx + ".rebuild"
+    postings_index_build(_pcorpus(spark, 4), staging, id_col="id",
+                         text_col="text")
+    shutil.move(idx, idx + ".old")
+    os.makedirs(idx)  # the racer's skeleton (its lock already released)
+    shutil.move(staging, os.path.join(idx, os.path.basename(staging)))
+    _recover_rebuild(spark, idx)
+    assert os.path.exists(idx + "/model.json")
+    assert not os.path.exists(idx + ".old")
+    assert _pserve(spark, idx, "spark hash") == before
+
+
+def test_recover_rebuild_leaves_crashed_first_build_alone(spark,
+                                                          tmp_path):
+    """A model-less index dir with NO rebuild siblings is a crashed
+    FIRST build's leftover — the builders' own retry contract owns it;
+    recovery must not touch it."""
+    from lens_spark.maintenance import _recover_rebuild
+    from lens_spark.operators.ranking import postings_index_build
+
+    idx = str(tmp_path / "idx")
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    os.remove(idx + "/model.json")  # the marker-less leftover
+    _recover_rebuild(spark, idx)
+    assert os.path.exists(idx + "/parts")  # untouched
+    # retrying the build at the same path overwrites the leftover —
+    # the builders' documented contract still holds post-recovery
+    postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
+                         text_col="text")
+    assert _pserve(spark, idx, "spark hash")
