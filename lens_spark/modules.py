@@ -177,23 +177,82 @@ def _read_source(path: str) -> bytes:
 
 
 def _http_pins_path() -> str:
-    return os.path.join(_wasm_staging_dir(), "http_module_pins.json")
+    """Durable per-user location for the TOFU pin file (r12 advice: a
+    pin in the ephemeral /tmp staging dir dies with any tmp cleaner or
+    reboot, and the next fetch silently RE-PINS whatever the server
+    then serves — the exact supply-chain content change the pin exists
+    to catch). XDG_STATE_HOME per the basedir spec, else
+    ~/.local/state; the ephemeral staging dir only as a last resort
+    when the home is unwritable (containers with read-only homes)."""
+    base = os.environ.get("XDG_STATE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".local", "state")
+    d = os.path.join(base, "lens_spark")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    except OSError:
+        d = _wasm_staging_dir()
+    return os.path.join(d, "http_module_pins.json")
+
+
+HTTP_MODULE_MAX_BYTES = 64 * 1024 * 1024
+"""Response-size cap for http(s) module fetches (r12 advice: an
+uncapped read trusts — and PINS — arbitrarily large first-fetch
+content). 64 MiB comfortably holds any real lens module (the largest
+reference wasm fixture is KBs); raise it deliberately if ever needed."""
+
+
+class _SameOriginRedirect:
+    """Redirect policy for module fetches (r12 advice): urllib follows
+    redirects blindly, including an https→http downgrade to an
+    attacker-chosen host BEFORE the first-use pin is recorded — the
+    downgraded content would then be trusted and pinned. A redirect
+    may only stay on the SAME scheme and host; anything else refuses
+    loudly (pin the final URL directly instead)."""
+
+    def __new__(cls):
+        import urllib.request
+
+        class Handler(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers,
+                                 newurl):
+                old = urllib.parse.urlparse(req.full_url)
+                new = urllib.parse.urlparse(
+                    urllib.parse.urljoin(req.full_url, newurl))
+                if (new.scheme, new.netloc) != (old.scheme, old.netloc):
+                    raise LensError(
+                        f"http module fetch: refusing redirect "
+                        f"{req.full_url!r} → {newurl!r} (scheme/host "
+                        "change before the content is pinned; point "
+                        "the lens config at the final URL instead)")
+                return super().redirect_request(req, fp, code, msg,
+                                                headers, newurl)
+
+        return Handler()
 
 
 def _fetch_http_module(url: str) -> bytes:
     """Fetch an http(s) module with TRUST-ON-FIRST-USE digest pinning
     (the SURVEY §2.8 allow-flag design, implemented r12): first fetch
-    of a URL records its sha256 in the private staging dir's pin
-    file; any later fetch of the SAME URL must hash to the pinned
-    digest — changed content refuses loudly instead of silently
-    running different code (the supply-chain event the pin catches;
-    the reference fetches unconditionally, engine.go:76-88)."""
+    of a URL records its sha256 in the durable per-user pin file; any
+    later fetch of the SAME URL must hash to the pinned digest —
+    changed content refuses loudly instead of silently running
+    different code (the supply-chain event the pin catches; the
+    reference fetches unconditionally, engine.go:76-88). The response
+    is size-capped and redirects may not change scheme or host (r12
+    advice — both were first-fetch trust holes)."""
     import json
     import urllib.request
 
-    with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+    opener = urllib.request.build_opener(_SameOriginRedirect())
+    with opener.open(url, timeout=30) as resp:  # noqa: S310
         # scheme vetted by the caller; the double opt-in gates this path
-        data = resp.read()
+        data = resp.read(HTTP_MODULE_MAX_BYTES + 1)
+    if len(data) > HTTP_MODULE_MAX_BYTES:
+        raise LensError(
+            f"http module {url!r} exceeds the "
+            f"{HTTP_MODULE_MAX_BYTES // (1024 * 1024)} MiB fetch cap — "
+            "refusing to hash/pin it (lens_spark.modules."
+            "HTTP_MODULE_MAX_BYTES)")
     digest = hashlib.sha256(data).hexdigest()
     pins_path = _http_pins_path()
     pins: dict[str, str] = {}

@@ -149,3 +149,109 @@ def test_http_wasm_routes_to_wasm_host(http_host, gates):
     name = load_module_path(f"{base}/rename.wasm")
     name2 = load_module_path(f"{base}/rename.wasm")
     assert name == name2  # content-addressed, idempotent
+
+
+def test_http_pin_file_is_durable_not_tmp(monkeypatch, tmp_path):
+    """r12 advice: a pin in the ephemeral staging dir dies with a tmp
+    cleaner and the next fetch re-pins whatever the server serves.
+    The pin file lives under XDG_STATE_HOME (or ~/.local/state), never
+    the /tmp staging dir, and the dir is created private."""
+    import os
+    import stat
+
+    from lens_spark.modules import _http_pins_path, _wasm_staging_dir
+
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    p = _http_pins_path()
+    assert p.startswith(str(tmp_path / "state"))
+    assert not p.startswith(_wasm_staging_dir())
+    mode = stat.S_IMODE(os.stat(os.path.dirname(p)).st_mode)
+    assert mode == 0o700
+
+
+def test_http_fetch_rejects_cross_origin_redirect(http_host, gates,
+                                                  monkeypatch, tmp_path):
+    """r12 advice: urllib follows redirects blindly — including a
+    downgrade to an attacker-chosen host BEFORE the first-use pin is
+    recorded. Same-origin redirects still work; any scheme/host change
+    refuses loudly and nothing is pinned."""
+    import json
+    import os
+
+    from lens_spark.modules import _http_pins_path, load_module_path
+
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    base, files = http_host
+    # same-origin redirect: followed, loads, pins the ORIGINAL url
+    files["/redir"] = b""
+
+    import http.server
+
+    # patch the fixture's handler? simpler: spin a dedicated server
+    class RedirHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/same":
+                self.send_response(302)
+                self.send_header("Location", "/mod.py")
+                self.end_headers()
+            elif self.path == "/mod.py":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(_MOD_SRC)))
+                self.end_headers()
+                self.wfile.write(_MOD_SRC)
+            elif self.path == "/evil":
+                self.send_response(302)
+                self.send_header("Location",
+                                 "http://127.0.0.1:9/mod.py")
+                self.end_headers()
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RedirHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rbase = f"http://127.0.0.1:{srv.server_address[1]}"
+        name = load_module_path(f"{rbase}/same")
+        assert name.startswith("pymod_")
+        pins = json.load(open(_http_pins_path()))
+        assert f"{rbase}/same" in pins
+        # cross-origin (different port = different netloc): refused,
+        # and the poisoned URL is never pinned
+        with pytest.raises(LensError, match="refusing redirect"):
+            load_module_path(f"{rbase}/evil")
+        pins = json.load(open(_http_pins_path()))
+        assert f"{rbase}/evil" not in pins
+    finally:
+        srv.shutdown()
+        try:
+            os.remove(_http_pins_path())
+        except OSError:
+            pass
+
+
+def test_http_fetch_caps_response_size(http_host, gates, monkeypatch,
+                                       tmp_path):
+    """r12 advice: an uncapped first fetch trusts (and pins)
+    arbitrarily large content. Over-cap bodies refuse before hashing
+    and nothing is pinned."""
+    import json
+    import os
+
+    from lens_spark import modules
+
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    monkeypatch.setattr(modules, "HTTP_MODULE_MAX_BYTES", 16)
+    base, files = http_host
+    files["/big.py"] = b"x = 1\n" * 100
+    with pytest.raises(LensError, match="fetch cap"):
+        modules.load_module_path(f"{base}/big.py")
+    assert not os.path.exists(modules._http_pins_path()) or \
+        f"{base}/big.py" not in json.load(open(modules._http_pins_path()))
+    try:
+        os.remove(modules._http_pins_path())
+    except OSError:
+        pass
