@@ -983,6 +983,11 @@ def _parts_pb_migration_recover(spark, parts_path: str) -> None:
     fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
     parts, tmp, old = P(parts_path), P(parts_path + ".migrating"), \
         P(parts_path + ".old")
+    # per-partition (subset-compaction) swaps recover first — they are
+    # independent of the whole-parts matrix below, and every pre-write
+    # recovery call site must heal them too (one listStatus; no-op
+    # when no hidden leftovers exist)
+    _partition_swap_recover(spark, parts_path)
     if fs.exists(parts):
         if fs.exists(tmp):
             fs.delete(tmp, True)
@@ -999,15 +1004,21 @@ def _parts_pb_migration_recover(spark, parts_path: str) -> None:
 
 
 def _parts_migration_leftovers(spark, parts_path: str) -> bool:
-    """True iff a bucketed-layout migration crashed in the unsafe
-    window (``parts/`` missing, staging dirs present) — read-only
-    callers must refuse rather than treat the index as empty."""
+    """True iff a parts rewrite crashed in an unsafe window — read-only
+    callers must refuse rather than silently see missing data. Two
+    shapes: the whole-dataset staged swap (``parts/`` missing, staging
+    dirs present) and a per-partition subset swap (a live partition
+    dir missing while its hidden staging/trash sibling exists — a
+    reader would treat that partition as EMPTY, wrong results rather
+    than an error)."""
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    return (not fs.exists(P(parts_path))) and (
-        fs.exists(P(parts_path + ".old"))
-        or fs.exists(P(parts_path + ".migrating")))
+    if (not fs.exists(P(parts_path))) and (
+            fs.exists(P(parts_path + ".old"))
+            or fs.exists(P(parts_path + ".migrating"))):
+        return True
+    return _partition_swap_leftover_unsafe(spark, parts_path)
 
 
 def _staged_swap(spark, parts_path: str, write_tmp, op: str) -> None:
@@ -1039,6 +1050,150 @@ def _staged_swap(spark, parts_path: str, write_tmp, op: str) -> None:
             f"at {parts_path!r} — recovery will complete it on the "
             "next locked call.")
     fs.delete(P(parts_path + ".old"), True)
+
+
+def _partition_swap_names(dir_name: str) -> "tuple[str, str]":
+    """Hidden staging/trash sibling names for a PER-PARTITION rewrite
+    of ``parts/<dir_name>``. The leading dot keeps them invisible to
+    parquet partition discovery, so a reader never sees a half-swapped
+    directory as data — only the live name is ever listable."""
+    return f".{dir_name}.migrating", f".{dir_name}.old"
+
+
+def _partition_swap_recover(spark, parts_path: str) -> None:
+    """Roll interrupted PER-PARTITION rewrites forward or back — the
+    subset-compaction analogue of ``_parts_pb_migration_recover``,
+    applied per directory (run under the writer lock). For each hidden
+    leftover of a partition dir X the crash matrix is the parts-level
+    one: X present → any ``.X.migrating`` is a possibly-partial rerun
+    staging (delete) and any ``.X.old`` is post-swap residue (delete);
+    X missing with ``.X.old`` + complete ``.X.migrating`` → finish the
+    second rename and drop old; X missing with only ``.X.old`` → roll
+    back."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = P(parts_path)
+    if not fs.exists(root):
+        return
+    leftovers: dict[str, dict] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("."):
+            continue
+        for kind in ("migrating", "old"):
+            if name.endswith(f".{kind}"):
+                live = name[1:-(len(kind) + 1)]
+                leftovers.setdefault(live, {})[kind] = name
+    for live, found in leftovers.items():
+        live_p = P(f"{parts_path}/{live}")
+        tmp = P(f"{parts_path}/{found.get('migrating', '')}") \
+            if "migrating" in found else None
+        old = P(f"{parts_path}/{found.get('old', '')}") \
+            if "old" in found else None
+        if fs.exists(live_p):
+            if tmp is not None:
+                fs.delete(tmp, True)
+            if old is not None:
+                fs.delete(old, True)
+            continue
+        if old is not None and tmp is not None:
+            # between the renames: tmp is complete — roll forward
+            if not fs.rename(tmp, live_p):
+                raise LensError(
+                    f"partition swap recovery at {parts_path!r}: could "
+                    f"not roll {live!r} forward — inspect manually.")
+            fs.delete(old, True)
+        elif old is not None:
+            if not fs.rename(old, live_p):
+                raise LensError(
+                    f"partition swap recovery at {parts_path!r}: could "
+                    f"not roll {live!r} back — inspect manually.")
+        elif tmp is not None:
+            # crash before rename 1 of a partition that does not exist
+            # (unreachable via the compactor, which only stages LIVE
+            # dirs) — the staging is residue, delete it
+            fs.delete(tmp, True)
+
+
+def _partition_swap_leftover_unsafe(spark, parts_path: str) -> bool:
+    """True iff a PER-PARTITION rewrite crashed in its unsafe window
+    (a live partition dir missing while its hidden staging/trash
+    sibling exists): a read would silently treat the mid-swap
+    partition as EMPTY — wrong results, not an error — so read-only
+    callers must refuse until a writing call recovers. One listStatus
+    of parts/ (bounded by the partition-dir count) plus an exists()
+    per leftover (normally zero)."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = P(parts_path)
+    if not fs.exists(root):
+        return False
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("."):
+            continue
+        if name.endswith((".migrating", ".old")):
+            live = name[1:].rsplit(".", 1)[0]
+            if not fs.exists(P(f"{parts_path}/{live}")):
+                return True
+    return False
+
+
+def _compact_partition_subset(spark, parts_path: str, dir_names,
+                              *, target_files: int, select_cols,
+                              drop_replay_duplicates: bool,
+                              op: str) -> dict:
+    """Rewrite ONLY the named first-level partition directories of a
+    parts dataset, each through its own hidden staged swap — the
+    in-sink compaction path (r12 verdict #3): a streaming batch that
+    pushes ONE bucket over the file threshold must rewrite that
+    bucket, not the whole index (a full rewrite inside a micro-batch
+    is an ingest stall proportional to the index, recurring every
+    ~threshold batches at 100 TB). Work scales with the named dirs:
+    read one partition dir, write ``target_files`` files, two renames
+    — the rest of the index is never listed, read, or touched.
+    CALLER HOLDS the writer lease and has run recovery."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    files_before = files_after = 0
+    rows_removed = 0
+    compacted = []
+    for dir_name in dir_names:
+        live = P(f"{parts_path}/{dir_name}")
+        if not fs.exists(live):
+            continue
+        tmp_name, old_name = _partition_swap_names(dir_name)
+        tmp, old = (P(f"{parts_path}/{tmp_name}"),
+                    P(f"{parts_path}/{old_name}"))
+        files_before += _visible_file_count(spark, live.toString())
+        # the partition column lives in the DIRECTORY NAME, so reading
+        # the dir yields the data columns only — exactly what the
+        # rewrite must land (the rename restores the partition name)
+        part = spark.read.parquet(live.toString()).select(*select_cols)
+        if drop_replay_duplicates:
+            before = part.count()
+            part = part.distinct()
+            part = part.localCheckpoint(eager=True)
+            rows_removed += before - part.count()
+        (part.repartition(max(1, int(target_files)))
+         .write.mode("overwrite").parquet(tmp.toString()))
+        if not fs.rename(live, old):
+            raise LensError(
+                f"{op}: could not stage {dir_name!r} aside — inspect "
+                "the directory manually.")
+        if not fs.rename(tmp, live):
+            raise LensError(
+                f"{op}: could not rename the rewritten {dir_name!r} "
+                "into place — recovery will complete it on the next "
+                "locked call.")
+        fs.delete(old, True)
+        files_after += _visible_file_count(spark, live.toString())
+        compacted.append(dir_name)
+    return {"files_before": files_before, "files_after": files_after,
+            "rows_removed": rows_removed, "partitions": compacted}
 
 
 def _visible_file_count(spark, root: str) -> int:
@@ -1077,7 +1232,8 @@ def _migrate_parts_to_bucketed(spark, parts_path: str, pb_col) -> None:
 
 def compact_index(spark, index_path: str, *,
                   target_files_per_partition: int = 1,
-                  drop_replay_duplicates: bool = False) -> dict:
+                  drop_replay_duplicates: bool = False,
+                  partitions: "list | None" = None) -> dict:
     """Rewrite an incremental index's ``parts/`` dataset with
     ``target_files_per_partition`` files per (kind, pb) partition.
 
@@ -1106,6 +1262,16 @@ def compact_index(spark, index_path: str, *,
     index must be migrated first (any writing call does it);
     compacting it here would need the kind-specific pb derivation
     this utility deliberately doesn't duplicate.
+
+    ``partitions`` (a list of pb bucket values) switches to
+    PARTITION-SUBSET mode (r12 verdict #3 — the in-sink compaction
+    path): ONLY the named bucket directories are rewritten, each
+    through its own hidden staged swap, and work scales with the
+    subset, never the index — a streaming batch that pushes one hot
+    bucket over its file threshold must not pay (or stall ingest
+    for) a full-index rewrite. Single-level ``pb=`` layouts only
+    (the postings / fingerprint shape); whole-index rewrites remain
+    this function's default mode and the nightly sweep's job.
     """
     from lens_spark.sources import dataset_nonempty
 
@@ -1114,7 +1280,37 @@ def compact_index(spark, index_path: str, *,
     with _index_writer_lock(spark, index_path):
         _parts_pb_migration_recover(spark, parts_path)
         if not dataset_nonempty(spark, parts_path):
-            return {"files_before": 0, "files_after": 0}
+            return ({"files_before": 0, "files_after": 0}
+                    if partitions is None else
+                    {"files_before": 0, "files_after": 0,
+                     "rows_removed": 0, "partitions": []})
+        if partitions is not None:
+            parts = spark.read.parquet(parts_path)
+            part_cols = [c for c in ("kind", "pb") if c in parts.columns]
+            if part_cols != ["pb"]:
+                raise LensError(
+                    "compact_index: partition-subset compaction "
+                    "supports the single-level pb= layout only "
+                    f"(this index partitions by {part_cols}); run a "
+                    "full compaction instead.")
+            data_cols = [c for c in parts.columns if c != "pb"]
+            stats = _compact_partition_subset(
+                spark, parts_path, [f"pb={int(v)}" for v in partitions],
+                target_files=int(target_files_per_partition),
+                select_cols=data_cols,
+                drop_replay_duplicates=drop_replay_duplicates,
+                op="compact_index")
+            if stats["rows_removed"]:
+                from lens_spark.sources import read_json_file
+                meta = read_json_file(spark, f"{index_path}/model.json")
+                if meta is not None and meta.get("format") == \
+                        "lens_spark_postings_index":
+                    from lens_spark.operators.ranking import (
+                        _bump_postings_stats,
+                    )
+                    _bump_postings_stats(spark, index_path,
+                                         -stats["rows_removed"])
+            return stats
         parts = spark.read.parquet(parts_path)
         if drop_replay_duplicates:
             parts = parts.distinct()

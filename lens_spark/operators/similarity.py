@@ -892,7 +892,8 @@ def _ivfpq_encode_fn(centn: "np.ndarray", books: "np.ndarray",
 
 
 def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
-                       vec_col: str, locked: bool = True) -> int:
+                       vec_col: str, locked: bool = True,
+                       return_details: bool = False) -> "int | dict":
     """Grow a materialized IVFADC index: encode a NEW batch of vectors
     with the index's FROZEN model (centroids + codebooks from
     ``model.json`` — never refit, so old and new codes stay mutually
@@ -900,7 +901,11 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
     partition. Under the shared exclusive writer lease
     (``dedup``'s index convention) so two ingest jobs cannot interleave
     a torn append with a search job's directory listing. Returns the
-    number of vectors appended.
+    number of vectors appended; ``return_details=True`` returns
+    ``{"n", "touched_cell"}`` instead (the touched-cell list — bounded
+    by nlist — is what the streaming sink's partition-scoped
+    auto-compaction probes, so the trigger never lists untouched cell
+    dirs).
 
     This is the streaming-corpus shape: the expensive fit happened at
     build time; each arriving batch costs one narrow encode pass +
@@ -951,6 +956,11 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         (rows.repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
+        if return_details:
+            touched = sorted(int(r["cell"]) for r in
+                             rows.select("cell").distinct().collect())
+    if return_details:
+        return {"n": int(n), "touched_cell": touched}
     return int(n)
 
 
@@ -971,7 +981,8 @@ def _read_ivfpq_model(spark, index_path: str, op: str) -> dict:
 
 
 def compact_ivfpq_index(spark, index_path: str, *,
-                        drop_replay_duplicates: bool = False) -> dict:
+                        drop_replay_duplicates: bool = False,
+                        partitions: "list | None" = None) -> dict:
     """Maintenance pass for a materialized IVFADC index: rewrite
     ``parts/`` to ONE file per cell partition (each
     ``ivfpq_index_append`` batch added one file per touched cell, so a
@@ -986,9 +997,17 @@ def compact_ivfpq_index(spark, index_path: str, *,
     by the next locked call (append and this compactor both recover;
     read-only search refuses on leftovers). Returns {"rows_before",
     "rows_after", "files_before", "files_after"}.
+
+    ``partitions`` (a list of cell ids) switches to PARTITION-SUBSET
+    mode (r12 verdict #3 — the in-sink compaction path): ONLY the
+    named cell directories are rewritten, each through its own hidden
+    staged swap; work scales with the subset, never the index. The
+    whole-index rewrite stays the default mode and the nightly
+    sweep's job.
     """
     from lens_spark.errors import LensError
     from lens_spark.operators.dedup import (
+        _compact_partition_subset,
         _index_writer_lock,
         _parts_pb_migration_recover,
         _staged_swap,
@@ -1001,8 +1020,18 @@ def compact_ivfpq_index(spark, index_path: str, *,
     with _index_writer_lock(spark, index_path):
         _parts_pb_migration_recover(spark, parts_path)
         if not dataset_nonempty(spark, parts_path):
-            return {"rows_before": 0, "rows_after": 0,
-                    "files_before": 0, "files_after": 0}
+            return ({"rows_before": 0, "rows_after": 0,
+                     "files_before": 0, "files_after": 0}
+                    if partitions is None else
+                    {"files_before": 0, "files_after": 0,
+                     "rows_removed": 0, "partitions": []})
+        if partitions is not None:
+            return _compact_partition_subset(
+                spark, parts_path,
+                [f"cell={int(v)}" for v in partitions],
+                target_files=1, select_cols=["id", "code"],
+                drop_replay_duplicates=drop_replay_duplicates,
+                op="compact_ivfpq_index")
         parts = spark.read.parquet(parts_path)
         if not {"id", "code", "cell"} <= set(parts.columns):
             raise LensError(

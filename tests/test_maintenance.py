@@ -470,3 +470,128 @@ def test_recover_rebuild_leaves_crashed_first_build_alone(spark,
     postings_index_build(_pcorpus(spark, 2), idx, id_col="id",
                          text_col="text")
     assert _pserve(spark, idx, "spark hash")
+
+
+def _bucket_files(parts: str) -> dict:
+    """Data-file names per first-level partition dir (hidden entries
+    skipped) — the fixture for 'only the offending dir was rewritten'
+    assertions."""
+    out = {}
+    for d in os.listdir(parts):
+        if d.startswith(("_", ".")) or not os.path.isdir(
+                os.path.join(parts, d)):
+            continue
+        out[d] = sorted(f for f in os.listdir(os.path.join(parts, d))
+                        if not f.startswith(("_", ".")))
+    return out
+
+
+def test_partition_subset_compaction_touches_only_named_buckets(
+        spark, tmp_path):
+    """r12 verdict #3: the in-sink compaction path must rewrite ONLY
+    the over-threshold bucket dir(s) — every other bucket's files are
+    byte-untouched (same names on disk) and serving is identical.
+    Also pins that the maintained postings stat survives (no rows
+    removed without drop_replay_duplicates) and shrinks correctly
+    with it."""
+    from lens_spark.operators.dedup import compact_index
+    from lens_spark.operators.ranking import (
+        _read_postings_stats,
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "pidx_subset")
+    parts = f"{idx}/parts"
+    postings_index_build(_pcorpus(spark, 4), idx, id_col="id",
+                         text_col="text")
+    batch = spark.createDataFrame([(9, "spark hash")],
+                                  "id long, text string")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    before = _bucket_files(parts)
+    multi = [d for d, fl in before.items() if len(fl) > 1]
+    assert multi, "fixture: the appended buckets hold several files"
+    victim = multi[0]
+    keep = [d for d in before if d != victim]
+    assert keep, "fixture: at least one untouched bucket"
+    serve_before = _pserve(spark, idx, "spark hash quantum")
+    stat_before = _read_postings_stats(spark, idx)
+
+    stats = compact_index(spark, idx,
+                          partitions=[int(victim.split("=")[1])])
+    assert stats["partitions"] == [victim]
+    after = _bucket_files(parts)
+    assert set(after) == set(before)
+    assert len(after[victim]) == 1
+    for d in keep:
+        assert after[d] == before[d], f"{d} was rewritten"
+    assert _pserve(spark, idx, "spark hash quantum") == serve_before
+    assert _read_postings_stats(spark, idx) == stat_before
+
+    # with drop_replay_duplicates the subset's replay residue is
+    # reclaimed and the stat shrinks by exactly the removed rows
+    n_before = spark.read.parquet(parts).count()
+    stats2 = compact_index(spark, idx,
+                           partitions=[int(d.split("=")[1])
+                                       for d in multi],
+                           drop_replay_duplicates=True)
+    n_after = spark.read.parquet(parts).count()
+    assert stats2["rows_removed"] == n_before - n_after > 0
+    assert _read_postings_stats(spark, idx) == stat_before - \
+        stats2["rows_removed"] == n_after
+    assert _pserve(spark, idx, "spark hash quantum") == serve_before
+
+
+def test_partition_swap_crash_matrix_and_reader_refusal(spark,
+                                                        tmp_path):
+    """Per-partition staged swaps have the parts-level crash
+    guarantees: readers REFUSE the unsafe window (live dir missing,
+    hidden staging present — a plain read would silently see an empty
+    bucket: wrong results, not an error), and the next writing call
+    rolls the swap forward; post-swap residue is reclaimed."""
+    import shutil
+
+    from lens_spark.errors import LensError
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+        postings_index_search,
+    )
+
+    idx = str(tmp_path / "pidx_crash")
+    parts = f"{idx}/parts"
+    postings_index_build(_pcorpus(spark, 4), idx, id_col="id",
+                         text_col="text")
+    before = _pserve(spark, idx, "spark hash quantum")
+    victim = next(d for d in os.listdir(parts) if d.startswith("pb="))
+    live = os.path.join(parts, victim)
+    tmp = os.path.join(parts, f".{victim}.migrating")
+    old = os.path.join(parts, f".{victim}.old")
+
+    # crash between the renames: tmp complete, live missing
+    shutil.copytree(live, tmp)
+    shutil.move(live, old)
+    panel = spark.createDataFrame([(1, "spark hash quantum")],
+                                  "qid long, qtext string")
+    with pytest.raises(LensError, match="interrupted rewrite"):
+        postings_index_search(spark, panel, idx, id_col="qid",
+                              text_col="qtext", k=10).collect()
+    # any writing call recovers (roll forward), then serves as before
+    postings_index_append(
+        spark.createDataFrame([(8, "spark")], "id long, text string"),
+        idx, id_col="id", text_col="text")
+    assert os.path.isdir(live) and not os.path.exists(tmp)
+    assert not os.path.exists(old)
+    assert {d for d, *_ in _pserve(spark, idx, "spark hash quantum")} \
+        >= {d for d, *_ in before}
+
+    # crash before the final delete: live + .old residue — benign for
+    # readers (live is complete), reclaimed by the next writing call
+    shutil.copytree(live, old)
+    assert {d for d, *_ in _pserve(spark, idx, "spark hash quantum")} \
+        >= {d for d, *_ in before}  # readers never refuse here
+    postings_index_append(
+        spark.createDataFrame([(7, "spark")], "id long, text string"),
+        idx, id_col="id", text_col="text")
+    assert not os.path.exists(old)
