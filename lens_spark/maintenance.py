@@ -278,9 +278,10 @@ def rebuild_index(spark: "SparkSession", index_path: str,
 
     Runs under the index writer lease for its whole span, so appends
     cannot land on the old index mid-rebuild and silently vanish with
-    it (the lost-update class); the lease mtime is refreshed after
-    the build stage (a single stage longer than the stale window
-    stays the documented residual). Readers never see a torn index:
+    it (the lost-update class); a heartbeat thread keeps the lease
+    mtime fresh through arbitrarily long build stages (r12 verdict
+    #7 — previously a single stage over the stale window could lose
+    the lease mid-build). Readers never see a torn index:
     they serve the old one until the swap, and a crash at any point
     is rolled forward/back by the next ``rebuild_index`` call
     (``_recover_rebuild``'s matrix — the staging dir commits BEFORE
@@ -295,6 +296,7 @@ def rebuild_index(spark: "SparkSession", index_path: str,
     Hadoop commit protocol the parquet readers already ride on."""
     from lens_spark.operators.dedup import (
         _index_writer_lock,
+        _lease_heartbeat,
         _refresh_writer_lock,
     )
 
@@ -309,7 +311,11 @@ def rebuild_index(spark: "SparkSession", index_path: str,
             "family's build call directly for a first build.")
     staging = index_path + ".rebuild"
     trash = index_path + ".old"
-    with _index_writer_lock(spark, index_path):
+    # heartbeat (r12 verdict #7): build_fn is a full-corpus build —
+    # a single stage longer than the stale window must not lose the
+    # lease mid-rebuild to a concurrent writer's stale-break
+    with _index_writer_lock(spark, index_path), \
+            _lease_heartbeat(spark, index_path):
         # a crashed PREVIOUS attempt's staging (committed or not) is
         # stale — its corpus snapshot is older than the caller's
         if fs.exists(P(staging)):

@@ -1371,9 +1371,9 @@ def _refresh_writer_lock(spark, index_path: str) -> None:
     against mtime, and a batch whose work exceeds the window would
     otherwise get its live lock broken by a peer. Callers holding the
     lease across multi-stage work (streaming ingest batches) should
-    refresh between stages; a single stage longer than the window is
-    the documented residual risk — raise ``stale_after_sec`` for such
-    workloads."""
+    refresh between stages; for a SINGLE stage longer than the window
+    wrap the critical section in ``_lease_heartbeat`` (the index
+    builders and ``rebuild_index`` do)."""
     import time
 
     jvm = spark._jvm
@@ -1382,6 +1382,40 @@ def _refresh_writer_lock(spark, index_path: str) -> None:
     with contextlib.suppress(Exception):  # best-effort: losing the
         # refresh only narrows the stale margin, never correctness
         fs.setTimes(lock, int(time.time() * 1000), -1)
+
+
+@contextlib.contextmanager
+def _lease_heartbeat(spark, index_path: str, *,
+                     interval: "float | None" = None):
+    """Keep a HELD writer lease visibly alive through arbitrarily long
+    Spark stages (r12 verdict #7): ``_refresh_writer_lock`` between
+    stages closes the multi-stage gap, but a SINGLE stage longer than
+    the stale window still left the lock looking abandoned — a
+    concurrent writer would break it mid-build. A daemon thread
+    touches the lock mtime every ``interval`` seconds (default
+    stale/4) for the duration of the context; it dies with the driver,
+    so a CRASHED build's lease correctly ages out and the stale-break
+    path still works. Py4J is thread-safe (each thread gets its own
+    gateway connection); the touch is the same best-effort setTimes
+    the inter-stage refresh uses. CALLER HOLDS the lease."""
+    import threading
+
+    stop = threading.Event()
+    ival = float(interval if interval is not None
+                 else INDEX_LOCK_STALE_SEC / 4.0)
+
+    def beat() -> None:
+        while not stop.wait(ival):
+            _refresh_writer_lock(spark, index_path)
+
+    t = threading.Thread(target=beat, daemon=True,
+                         name=f"lens-lease-heartbeat:{index_path}")
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
 
 
 @contextlib.contextmanager

@@ -203,6 +203,7 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     from lens_spark.errors import LensError
     from lens_spark.operators.dedup import (
         _index_writer_lock,
+        _lease_heartbeat,
         _refresh_writer_lock,
     )
     from lens_spark.sources import read_json_file
@@ -210,7 +211,14 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     if buckets < 1:
         raise LensError("postings_index_build: buckets must be >= 1")
     spark = corpus.sparkSession
-    with _index_writer_lock(spark, index_path):
+    # heartbeat (r12 verdict #7): the inter-stage refreshes below keep
+    # the lease fresh BETWEEN stages, but a single full-corpus stage
+    # longer than the stale window would still look abandoned to a
+    # concurrent writer — the daemon thread closes that residual for
+    # arbitrary stage lengths (and dies with a crashed driver, so the
+    # stale-break path still works)
+    with _index_writer_lock(spark, index_path), \
+            _lease_heartbeat(spark, index_path):
         if read_json_file(spark, f"{index_path}/model.json") is not None:
             raise LensError(
                 f"postings_index_build: {index_path!r} already holds a "
@@ -242,9 +250,9 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
             # mtime after each long stage so a build longer than the
             # stale window is not mistaken for a crashed holder and
             # broken by a concurrent writer — the streaming sinks'
-            # per-batch discipline. A SINGLE stage exceeding the
-            # window remains the documented residual: raise
-            # stale_after_sec for such corpora.
+            # per-batch discipline. (A single stage exceeding the
+            # window is covered by the _lease_heartbeat wrapping this
+            # whole build, r12 verdict #7.)
             _refresh_writer_lock(spark, index_path)
             # n_docs counts every row (idf's N); avgdl averages over
             # docs with a non-null length — bm25_score's

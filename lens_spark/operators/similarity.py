@@ -821,7 +821,10 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     # touches the index); the refusal check + writes run UNDER it, so
     # two concurrent builds to one fresh path cannot interleave
     # (the postings_index_build contract, late-r11).
-    from lens_spark.operators.dedup import _index_writer_lock
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _lease_heartbeat,
+    )
     from lens_spark.sources import read_json_file
 
     cent, books = _fit_ivfpq_model(
@@ -836,7 +839,11 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
             .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
                          "id long, code binary, cell long"))
     spark = corpus.sparkSession
-    with _index_writer_lock(spark, index_path):
+    # heartbeat (r12 verdict #7): the full-corpus encode pass is ONE
+    # stage — an inter-stage refresh cannot keep the lease fresh
+    # through it when it outlives the stale window
+    with _index_writer_lock(spark, index_path), \
+            _lease_heartbeat(spark, index_path):
         if read_json_file(spark, f"{index_path}/model.json") is not None:
             raise LensError(
                 f"ivfpq_index_build: {index_path!r} already holds a "
@@ -847,10 +854,6 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         (rows.repartition(F.col("cell"))
          .write.mode("overwrite").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
-        # the parts write (full-corpus encode pass) is the long pole:
-        # refresh the lease mtime so a build longer than the stale
-        # window keeps its lock (postings_index_build discipline); a
-        # single stage over the window stays the documented residual
         from lens_spark.operators.dedup import _refresh_writer_lock
         _refresh_writer_lock(spark, index_path)
         jvm = spark._jvm

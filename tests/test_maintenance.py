@@ -595,3 +595,35 @@ def test_partition_swap_crash_matrix_and_reader_refusal(spark,
         spark.createDataFrame([(7, "spark")], "id long, text string"),
         idx, id_col="id", text_col="text")
     assert not os.path.exists(old)
+
+
+def test_lease_heartbeat_keeps_slow_single_stage_alive(spark, tmp_path):
+    """r12 verdict #7 (the ADVICE residual): a SINGLE Spark stage
+    longer than the stale window used to lose its lease mid-build —
+    inter-stage refreshes can't fire inside a stage. With the
+    heartbeat, a concurrent writer probing a shrunken stale window
+    still sees a FRESH lease for the whole critical section; without
+    it, the same slow stage gets its live lock broken (the exact
+    defect, pinned so the fix is observable)."""
+    import time
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.operators.dedup import (
+        _index_writer_lock,
+        _lease_heartbeat,
+    )
+
+    idx = str(tmp_path / "idx_hb")
+    with _index_writer_lock(spark, idx), \
+            _lease_heartbeat(spark, idx, interval=0.2):
+        time.sleep(1.5)  # the "slow single stage" — past the window
+        with pytest.raises(ConcurrentIndexWriterError):
+            with _index_writer_lock(spark, idx, stale_after_sec=1.0):
+                pass
+
+    # the counterfactual: no heartbeat, same slow stage — the peer's
+    # stale-break succeeds and the live holder has lost its lease
+    with _index_writer_lock(spark, idx):
+        time.sleep(1.5)
+        with _index_writer_lock(spark, idx, stale_after_sec=1.0):
+            pass  # acquired by breaking the "abandoned" lock
