@@ -158,6 +158,7 @@ HEADLINE = [
     "x3_ivfpq_topk",         # IVFADC: cell routing x PQ ADC, one pass (r11)
     "x8_bm25_index",         # BM25 postings index BUILD + panel serve (r11)
     "x8_hybrid_dense_sparse",  # both index builds + fused hybrid serve (r12)
+    "x8_hybrid_serve",       # hybrid serve path alone, indexes memoized (r13)
 ]
 
 
@@ -252,6 +253,81 @@ def _regressions(timings, stats, calibration, here):
             "table": table}
     official = {"vs": prev_n, "flagged": flagged}
     return side, official
+
+
+def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
+    """Shift flag attribution left into the bench itself (r12 verdict
+    #6): the last two rounds each burned a verdict cycle on
+    machine-drift flags that a fresh-process re-run would have
+    dismissed at capture time. For the ≤5 worst double-flagged
+    queries, re-time each in a FRESH python/JVM process (3 runs, the
+    attribute_knn regime: warm-up, per-run GC, per-process
+    calibration) and report re-run raw/calibrated multipliers vs the
+    previous round next to the flags. A flag whose re-run multipliers
+    fall back under the threshold is marked ``drift`` at capture time
+    — no verdict cycle needed."""
+    import subprocess
+
+    pcal = float(prev_parsed["calibration"])
+    out = {}
+    worst = sorted(flagged, key=lambda k: flagged[k]["x"],
+                   reverse=True)[:5]
+    for name in worst:
+        prev = prev_parsed["queries"].get(name)
+        if not prev:
+            continue
+        secs, cals = [], []
+        for _ in range(3):
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--one-query", name],
+                    capture_output=True, text=True, timeout=600,
+                    cwd=here)
+                rec = json.loads(p.stdout.strip().splitlines()[-1])
+            except Exception:  # noqa: BLE001 — a failed re-run leaves
+                continue       # the flag standing, never breaks bench
+            secs.append(float(rec["sec"]))
+            cals.append(float(rec["calibration"]))
+        if not secs:
+            continue
+        med, cal = statistics.median(secs), statistics.median(cals)
+        xr = round(med / prev, 3)
+        x = round((med / cal) / (prev / pcal), 3) if cal > 0 else None
+        out[name] = {"median": round(med, 3),
+                     "cal_median": round(cal, 3), "runs": len(secs),
+                     "xr": xr, "x": x,
+                     "drift": not (xr > 1.15 and (x or 0) > 1.15)}
+    return out
+
+
+def _one_query(name: str) -> int:
+    """Fresh-process single-query timing (the _rerun_flagged worker):
+    same warm-up + GC regime as the main loop, one timed run at
+    $SPARK_GRAFT_SF_DIR plus one calibration run, one JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("lens_spark-bench-rerun")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = entrymod.queries()[name]
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for _ in range(2):
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    start = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - start
+    for _ in range(2):
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    start = time.perf_counter()
+    _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    cal = time.perf_counter() - start
+    print(json.dumps({"query": name, "sec": round(sec, 3),
+                      "calibration": round(cal, 3)}))
+    return 0
 
 
 def _calibration_df(spark):
@@ -393,6 +469,20 @@ def main() -> int:
     # and errors go to a sidecar file + stderr where size doesn't matter.
     here = os.path.dirname(os.path.abspath(__file__))
     regr_side, regr_official = _regressions(timings, stats, calibration, here)
+    # r13 (verdict r12 #6): double-flagged queries re-run fresh-process
+    # right here, bounded to ≤5 queries × 3 runs; flags whose re-run
+    # multipliers fall under the threshold are marked drift at capture
+    # time (the sidecar carries the full re-run record). Disable with
+    # SPARK_GRAFT_BENCH_RERUN=0.
+    fl0 = (regr_official or {}).get("flagged") or {}
+    if fl0 and os.environ.get("SPARK_GRAFT_BENCH_RERUN", "1") != "0":
+        prev = _load_prev_bench(here)
+        rerun = _rerun_flagged(fl0, prev[1], here, sf_dir)
+        for name, rec in rerun.items():
+            regr_side["table"][name]["rerun"] = rec
+            regr_official["flagged"][name]["rerun_xr"] = rec["xr"]
+            if rec["drift"]:
+                regr_official["flagged"][name]["drift"] = True
     sidecar = {"query_stats": stats}
     if regr_side:
         sidecar["regressions"] = regr_side
@@ -437,9 +527,17 @@ def main() -> int:
 
     def _regr_block(cap):
         worst = sorted(fl, key=lambda k: fl[k]["x"], reverse=True)[:cap]
-        return {"vs": regr_official["vs"], "n": len(fl),
-                "fl": {k: [round(fl[k]["x"], 2), round(fl[k]["xr"], 2)]
-                       for k in worst}}
+        # entry = [calibrated x, raw xr, fresh-process re-run xr when
+        # available]; "drift" lists flags the re-run dismissed
+        block = {"vs": regr_official["vs"], "n": len(fl),
+                 "fl": {k: ([round(fl[k]["x"], 2), round(fl[k]["xr"], 2)]
+                            + ([round(fl[k]["rerun_xr"], 2)]
+                               if "rerun_xr" in fl[k] else []))
+                        for k in worst}}
+        drift = [k for k in worst if fl[k].get("drift")]
+        if drift:
+            block["drift"] = drift
+        return block
 
     if fl:
         payload["regr"] = _regr_block(6)
@@ -471,4 +569,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-query":
+        raise SystemExit(_one_query(sys.argv[2]))
     raise SystemExit(main())

@@ -74,31 +74,27 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-12 rotation (r11 verdict #2 + standing oldest-first
-        # policy): the never-external backlog (s8_saved_bloom,
-        # x8_bm25_index, x8_hybrid_rrf), x7_stratified_sample (last
-        # external r6), the whole r7/r8/r9-stale cohorts, and three
-        # r10 reserves (x2_components + x5_sentence_dedup — the
-        # double-flagged bench rows — and m5_counter for M-family
-        # cover) — see the queries() rotation note
-        "s8_saved_bloom", "x8_bm25_index", "x8_hybrid_rrf",
-        "x7_stratified_sample",
-        "x7_dsir_weights", "x7_dsir_select", "x2_dup_span_stats",
-        "range_join_events", "x2_bloom_decontaminate",
-        "unpivot_price_measures", "sets_except", "python_udf_bucket",
-        "json_extract", "scalar_functions", "x5_line_dedup", "x8_bm25",
-        "x4_audio_features", "x5_span_dedup", "x5_unigram_logprob",
-        "x7_token_budget_mix", "x7_sample_exact_k", "x2_winnow_fps",
-        "x5_hash_embedding", "x5_bigram_logprob", "x5_url_dedup",
-        "x5_segment_filter", "x5_normalize_text", "x5_dedup_segments",
-        "x5_domain_filter", "x5_truncate_tokens", "x9_dataset_diff",
-        "x9_outlier_filter", "x9_profile",
-        "e1_composition", "s4_transform_by_id", "x2_contamination_score",
-        "x2_winnow_pairs", "x2_cross_neardup",
-        "x3_matryoshka", "x3_random_projection", "x6_rolling_agg",
-        "x6_time_rollup", "x6_sliding_windows", "x7_temperature_mix",
-        "x2_edit_pairs", "x9_quantile_bin", "x9_classifier_eval",
-        "x2_components", "x5_sentence_dedup", "m5_counter",
+        # round-13 rotation (r12 verdict #2 + standing oldest-first
+        # policy): x8_hybrid_exact (the only never-external
+        # hash-checkable), x5_vocab_coverage + s8_saved_lang, and the
+        # entire 47-query r10-stale cohort — see the queries()
+        # rotation note
+        "x8_hybrid_exact", "x5_vocab_coverage", "s8_saved_lang",
+        "x7_group_quota", "x9_threshold_sweep", "x6_resample",
+        "s8_saved_vocab", "arith_pipeline", "agg_pricing_summary",
+        "x2_minhash_pairs", "x6_exact_distinct", "x1_dedup_exact",
+        "x9_card_diff", "x9_expectations", "e2_wasm_pipeline",
+        "e2_wasm_lenchange", "s8_saved_model", "x3_embedding_outliers",
+        "x3_centroid", "x6_group_quantiles", "cube_revenue",
+        "x5_compression_ratio", "x2_containment", "x2_novelty",
+        "x4_image_phash", "x5_classifier_score", "x5_logprob_band",
+        "x5_mask_tokens", "x5_sentences", "x5_token_histogram",
+        "x5_vocab_ids", "x8_concat_blocks", "x8_fim", "x8_length_batches",
+        "x8_span_corrupt", "x9_snapshot_diff", "x2_cluster_stats",
+        "x8_chat_render", "x7_epoch_plan", "x9_ks_drift", "x2_cluster_rep",
+        "x5_structure_stats", "x8_preference_pairs", "x7_interleave",
+        "x5_pseudonymize", "x6_equiwidth_hist", "x9_dataset_card",
+        "x2_overlap_matrix", "x7_realize_epochs", "x9_filter_funnel",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)
@@ -246,3 +242,39 @@ def test_bench_regressions_section_math():
     assert side2["n_flagged_cal_only"] == 1
     # no BENCH files ⇒ section degrades to absent, bench still runs
     assert bench._regressions(timings, stats, cal, "/tmp") == (None, None)
+
+
+def test_bench_rerun_flagged_math(monkeypatch):
+    """bench.py's fresh-process flag re-run (r12 verdict #6): the
+    re-run multipliers are computed against the PREVIOUS round
+    (raw and calibrated), a flag whose re-run falls under the
+    threshold is marked drift, a still-hot flag is not, and a failed
+    subprocess leaves the flag standing without breaking the bench."""
+    import json as _json
+    import subprocess
+    import types
+
+    import bench
+
+    prev = {"queries": {"qa": 1.0, "qb": 2.0, "qc": 1.0},
+            "calibration": 0.5}
+    flagged = {"qa": {"x": 1.5}, "qb": {"x": 1.3}, "qc": {"x": 1.2}}
+
+    fake_out = {
+        "qa": {"query": "qa", "sec": 1.0, "calibration": 0.5},  # parity
+        "qb": {"query": "qb", "sec": 3.0, "calibration": 0.5},  # still hot
+    }
+
+    def fake_run(cmd, **kw):
+        name = cmd[-1]
+        if name == "qc":
+            raise OSError("boom")  # re-run failure: flag stands
+        return types.SimpleNamespace(
+            stdout=_json.dumps(fake_out[name]) + "\n", returncode=0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._rerun_flagged(flagged, prev, ".", "/unused")
+    assert out["qa"]["drift"] is True and out["qa"]["xr"] == 1.0
+    assert out["qb"]["drift"] is False and out["qb"]["xr"] == 1.5
+    assert out["qb"]["x"] == 1.5  # same cal both rounds → x == xr
+    assert "qc" not in out

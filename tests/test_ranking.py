@@ -556,3 +556,22 @@ def test_postings_stat_maintained_and_report_reads_it(spark, corpus,
     os.remove(f"{idx}/stats.json")
     rep2 = postings_drift_report(spark, idx, log)
     assert {r.index_postings for r in rep2.collect()} == {recount()}
+
+
+def test_hybrid_serve_query_equals_end_to_end_query(spark):
+    """x8_hybrid_serve (r12 verdict #4 — the bench split) must return
+    row-for-row what x8_hybrid_dense_sparse returns: same panel, same
+    parameters, same machinery — the only difference is fresh vs
+    per-process memoized indexes, which must not change a byte."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    serve = {tuple(r) for r in entrymod.q_x8_hybrid_serve(
+        spark, sf).collect()}
+    e2e = {tuple(r) for r in entrymod.q_x8_hybrid_dense_sparse(
+        spark, sf).collect()}
+    assert serve == e2e and serve
+    # the memo actually memoizes: a second call reuses the same paths
+    p1 = entrymod._HYBRID_INDEX_MEMO[sf]
+    entrymod.q_x8_hybrid_serve(spark, sf).collect()
+    assert entrymod._HYBRID_INDEX_MEMO[sf] is p1

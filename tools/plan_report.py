@@ -117,6 +117,17 @@ FLAGSHIPS = [
                                "codes, the exact re-rank fetches true "
                                "vectors by broadcast semi-join on the "
                                "shortlist only"),
+    ("x8_hybrid_serve", "the hybrid flagship's SERVE PATH alone (r13, "
+                        "r12 verdict #4) — the identical fused plan as "
+                        "x8_hybrid_dense_sparse but against indexes "
+                        "built once per process, which is what the "
+                        "bench row times: the production repeating "
+                        "unit is the panel serve, builds amortize. "
+                        "Pinned separately so a serve-path plan "
+                        "regression (a lost PartitionFilter, a "
+                        "broadcast flipping to shuffle) is visible in "
+                        "this report even when the end-to-end row's "
+                        "build noise hides the seconds"),
 ]
 
 
