@@ -1144,7 +1144,7 @@ def _partition_swap_leftover_unsafe(spark, parts_path: str) -> bool:
 def _compact_partition_subset(spark, parts_path: str, dir_names,
                               *, target_files: int, select_cols,
                               drop_replay_duplicates: bool,
-                              op: str) -> dict:
+                              op: str, transform=None) -> dict:
     """Rewrite ONLY the named first-level partition directories of a
     parts dataset, each through its own hidden staged swap — the
     in-sink compaction path (r12 verdict #3): a streaming batch that
@@ -1154,7 +1154,11 @@ def _compact_partition_subset(spark, parts_path: str, dir_names,
     ~threshold batches at 100 TB). Work scales with the named dirs:
     read one partition dir, write ``target_files`` files, two renames
     — the rest of the index is never listed, read, or touched.
-    CALLER HOLDS the writer lease and has run recovery."""
+    ``transform`` (df → df) applies a family-lawful per-partition
+    rewrite (the quota index's increment-row SUM merge); row deltas
+    from either it or ``drop_replay_duplicates`` are reported in
+    ``rows_removed``. CALLER HOLDS the writer lease and has run
+    recovery."""
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(parts_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1173,9 +1177,12 @@ def _compact_partition_subset(spark, parts_path: str, dir_names,
         # the dir yields the data columns only — exactly what the
         # rewrite must land (the rename restores the partition name)
         part = spark.read.parquet(live.toString()).select(*select_cols)
-        if drop_replay_duplicates:
+        if drop_replay_duplicates or transform is not None:
             before = part.count()
-            part = part.distinct()
+            if drop_replay_duplicates:
+                part = part.distinct()
+            if transform is not None:
+                part = transform(part)
             part = part.localCheckpoint(eager=True)
             rows_removed += before - part.count()
         (part.repartition(max(1, int(target_files)))

@@ -1007,13 +1007,16 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
     after the count append the sink lists the buckets THIS batch
     touched (one ``listStatus`` per touched bucket — the same order of
     metadata I/O the probe's partition pruning already pays, never a
-    full-index listing) and, if any exceeds the threshold, runs the
-    compaction core under the lease it already holds. Since a bucket
-    only grows when touched and every touch checks, no bucket ever
-    ends a batch above the threshold; compaction cost is proportional
-    to the index (distinct keys), amortized to ~1/threshold of it per
-    batch. Crash mid-compaction is rolled forward by the recovery
-    call at the top of the next batch's locked section.
+    full-index listing) and, for the buckets that exceed the
+    threshold, merges THOSE BUCKETS ONLY (per-dir staged swaps, r12
+    verdict #3 — previously the bounded trigger still fired a
+    full-index rewrite inside the micro-batch) under the lease it
+    already holds. Since a bucket only grows when touched and every
+    touch checks, no touched bucket ever ends a batch above the
+    threshold; per-batch maintenance cost is proportional to the
+    batch's over-threshold buckets, never the index. Crash
+    mid-compaction is rolled forward by the recovery call at the top
+    of the next batch's locked section.
     """
     from lens_spark.operators.base import check_reserved
     from lens_spark.operators.dedup import (
@@ -1104,21 +1107,20 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
                 touched = [r["pb"] for r in accepted.select(
                     F.pmod(F.col("__sq_kh"), F.lit(INDEX_PROBE_BUCKETS))
                     .alias("pb")).distinct().collect()]
-                jvm = spark._jvm
-                P = jvm.org.apache.hadoop.fs.Path
-                fs = P(parts_path).getFileSystem(
-                    spark._jsc.hadoopConfiguration())
-                worst = 0
-                for pb in touched:
-                    d = P(f"{parts_path}/pb={pb}")
-                    if fs.exists(d):
-                        worst = max(worst, sum(
-                            1 for s in fs.listStatus(d)
-                            if not s.getPath().getName()
-                            .startswith(("_", "."))))
-                if worst > auto_compact_files:
+                over = _over_threshold_dirs(
+                    spark, parts_path, [f"pb={pb}" for pb in touched],
+                    auto_compact_files)
+                if over:
+                    # merge ONLY the over-threshold touched buckets
+                    # (r12 verdict #3 applied here too: the trigger
+                    # was already bounded, but the ACTION was still a
+                    # full-index rewrite inside a micro-batch — an
+                    # ingest stall ∝ index at 100 TB)
                     _refresh_writer_lock(spark, index_path)
-                    _compact_quota_parts(spark, parts_path)
+                    _compact_quota_parts(
+                        spark, parts_path,
+                        partitions=[int(d.split("=", 1)[1])
+                                    for d in over])
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .option("checkpointLocation",
@@ -1136,13 +1138,20 @@ def run_stream_quota(stream_df: DataFrame, out_path: str,
             "or raise timeout=")
 
 
-def _compact_quota_parts(spark: SparkSession, parts_path: str) -> dict:
+def _compact_quota_parts(spark: SparkSession, parts_path: str,
+                         partitions: "list | None" = None) -> dict:
     """Compaction core for the quota count index — CALLER HOLDS the
     index writer lease (``compact_quota_index`` wraps this with the
     lock; ``run_stream_quota``'s auto-trigger calls it under the lease
     its sink already holds). Staged-rename protocol as documented on
-    ``compact_quota_index``."""
+    ``compact_quota_index``. ``partitions`` (pb values) merges ONLY
+    those bucket dirs, each through its own hidden per-dir staged
+    swap (r12 verdict #3 — the in-sink path must never rewrite the
+    whole index inside a micro-batch); the increment-row SUM is
+    per-key and pb is a pure function of the key, so a per-bucket
+    merge is exactly the full merge restricted to that bucket."""
     from lens_spark.operators.dedup import (
+        _compact_partition_subset,
         _parts_pb_migration_recover,
         _staged_swap,
         _visible_file_count,
@@ -1151,8 +1160,19 @@ def _compact_quota_parts(spark: SparkSession, parts_path: str) -> dict:
 
     _parts_pb_migration_recover(spark, parts_path)
     if not dataset_nonempty(spark, parts_path):
-        return {"rows_before": 0, "rows_after": 0,
-                "files_before": 0, "files_after": 0}
+        return ({"rows_before": 0, "rows_after": 0,
+                 "files_before": 0, "files_after": 0}
+                if partitions is None else
+                {"files_before": 0, "files_after": 0,
+                 "rows_removed": 0, "partitions": []})
+    if partitions is not None:
+        return _compact_partition_subset(
+            spark, parts_path, [f"pb={int(v)}" for v in partitions],
+            target_files=1, select_cols=["kh", "cnt"],
+            drop_replay_duplicates=False, op="compact_quota_index",
+            transform=lambda df: (df.groupBy("kh")
+                                  .agg(F.sum("cnt").alias("cnt"))
+                                  .select("kh", "cnt")))
     parts = spark.read.parquet(parts_path)
     if not {"kh", "cnt", "pb"} <= set(parts.columns):
         raise LensError(

@@ -39,6 +39,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #                               its own forward/back recovery matrix
 #                               (maintenance._recover_rebuild) and a
 #                               crash pytest per window
+#   _compact_partition_subset — the PER-PARTITION variant of
+#   / _partition_swap_recover   _staged_swap (r13, subset compaction):
+#                               same write-tmp → rename-aside →
+#                               rename-in → delete sequence applied to
+#                               ONE partition dir through HIDDEN
+#                               (dot-prefixed) siblings, with its own
+#                               recovery half and reader refusal via
+#                               _parts_migration_leftovers; lives in
+#                               dedup.py beside _staged_swap — the one
+#                               shared copy every family calls
 ALLOWED_RENAMERS = {
     "_staged_swap",
     "_parts_pb_migration_recover",
@@ -46,6 +56,8 @@ ALLOWED_RENAMERS = {
     "compact_dataset",
     "rebuild_index",
     "_recover_rebuild",
+    "_compact_partition_subset",
+    "_partition_swap_recover",
 }
 
 STAGING_MARKERS = (".migrating", ".old", "__compacting", "__old")

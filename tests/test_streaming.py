@@ -1357,3 +1357,52 @@ def test_stream_ivfpq_auto_compaction_bounds_files(spark, tmp_path):
         spark, str(tmp_path / "idx_c") + "/parts") <= 1
     plain = mk(str(tmp_path / "idx_p"), auto_compact_files=None)
     assert compacted == plain and len(compacted) == 15
+
+
+def test_quota_subset_compaction_merges_only_named_buckets(spark,
+                                                           tmp_path):
+    """r12 verdict #3 applied to the quota sink: its trigger was
+    already touched-buckets-only, but the ACTION rewrote the whole
+    index. The per-bucket merge must sum increment rows ONLY in the
+    named buckets (other dirs' files byte-untouched) and preserve
+    every key's total — pb is a pure function of kh, so the bucket
+    merge is the full merge restricted to the bucket."""
+    import os
+
+    from lens_spark.operators.dedup import INDEX_PROBE_BUCKETS
+    from lens_spark.streaming import _compact_quota_parts
+    from pyspark.sql import functions as F
+
+    parts = str(tmp_path / "qidx" / "parts")
+    rows = [(kh, 1) for kh in range(40) for _ in range(3)]  # 3 increments/key
+    df = (spark.createDataFrame(rows, "kh long, cnt long")
+          .withColumn("pb", F.pmod(F.col("kh"),
+                                   F.lit(INDEX_PROBE_BUCKETS))))
+    for i in range(2):  # two appends -> multiple files per bucket
+        (df.repartition(2).write.mode("append")
+         .partitionBy("pb").parquet(parts))
+
+    def totals():
+        return {r.kh: r.total for r in
+                (spark.read.parquet(parts).groupBy("kh")
+                 .agg(F.sum("cnt").alias("total")).collect())}
+
+    def files():
+        return {d: sorted(f for f in os.listdir(os.path.join(parts, d))
+                          if not f.startswith(("_", ".")))
+                for d in os.listdir(parts) if d.startswith("pb=")}
+
+    want = totals()
+    before = files()
+    victims = sorted(before)[:2]
+    stats = _compact_quota_parts(
+        spark, parts, partitions=[int(d.split("=")[1]) for d in victims])
+    assert stats["partitions"] == victims
+    assert stats["rows_removed"] > 0  # increments merged
+    after = files()
+    for d in before:
+        if d in victims:
+            assert len(after[d]) == 1
+        else:
+            assert after[d] == before[d], f"{d} was rewritten"
+    assert totals() == want  # every key's charge is exactly preserved
