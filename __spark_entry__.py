@@ -828,6 +828,64 @@ def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank")
 
 
+def q_streaming_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH hybrid-retrieval indexes kept current from ONE document
+    stream (r13): build postings + IVFADC on the first half of the
+    corpus, drain the second half (text + embedding per row) as two
+    micro-batch files through run_stream_hybrid_append, then serve a
+    fused hybrid panel from the grown pair. Rows-only: a foreachBatch
+    pipeline isn't one SQL statement; per-index replay/restart
+    semantics are pytest-pinned (tests/test_streaming.py) and the
+    underlying batch machinery hash-gates via x8_hybrid_exact."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.operators.ranking import (
+        hybrid_search,
+        postings_index_build,
+    )
+    from lens_spark.operators.similarity import ivfpq_index_build
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_hybrid_append,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = docs.merge(emb, left_on="doc_id", right_on="vec_id")[
+        ["doc_id", "text", "embedding"]]
+    n = len(pdf)
+    base = tempfile.mkdtemp(prefix="lens_spark_shyb_")
+    pidx, vidx = base + "/pidx", base + "/vidx"
+    seed = spark.createDataFrame(pdf.iloc[: n // 2])
+    postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
+    ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
+                      id_col="doc_id", vec_col="embedding", dim=64,
+                      nlist=16, m=8, nbits=6)
+    staged = tempfile.mkdtemp(prefix="lens_spark_shyb_src_")
+    pdf.iloc[n // 2: 3 * n // 4].to_parquet(
+        os.path.join(staged, "b1.parquet"))
+    pdf.iloc[3 * n // 4:].to_parquet(os.path.join(staged, "b2.parquet"))
+    stream = read_file_stream(spark, staged,
+                              schema_from=os.path.join(staged,
+                                                       "b1.parquet"),
+                              maxFilesPerTrigger=1)
+    run_stream_hybrid_append(stream, pidx, vidx, id_col="doc_id",
+                             text_col="text", vec_col="embedding")
+    qvec = [float(x) for x in pdf.iloc[0]["embedding"]]
+    panel = spark.createDataFrame(
+        [(1_000_000, "spark shuffle hash join", qvec)],
+        "doc_id long, text string, embedding array<float>")
+    out = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx, id_col="doc_id",
+                        text_col="text", vec_col="embedding", k=10,
+                        per_system_k=20, nprobe=8)
+    return out.select(F.col("neighbor_id").alias("doc_id"), "rrf",
+                      "rank")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lens_spark.sources import read_ns_timestamps
 
@@ -3614,6 +3672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # benched against per-process memoized indexes; equality-vs-
         # end-to-end pytest in tests/test_ranking.py
         "x8_hybrid_serve": q_x8_hybrid_serve,
+        # one stream growing BOTH hybrid indexes (r13): per-index
+        # replay/restart pytests in tests/test_streaming.py
+        "streaming_hybrid": q_streaming_hybrid,
     }
 
 

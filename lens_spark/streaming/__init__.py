@@ -710,6 +710,98 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
     return {k: int(v) for k, v in totals.items()}
 
 
+def run_stream_hybrid_append(stream_df: DataFrame, postings_index: str,
+                             ivfpq_index: str, *, id_col: str,
+                             text_col: str, vec_col: str,
+                             checkpoint: str | None = None,
+                             dropped_path: str | None = None,
+                             auto_compact_files: "int | None" = 64,
+                             timeout: int = 120) -> dict:
+    """Keep BOTH of `hybrid_search`'s materialized indexes current
+    from ONE arriving document stream — each row carries the text and
+    its embedding, and every micro-batch appends to the postings index
+    (frozen BM25 stats, dropped-terms log) and the IVFADC index
+    (frozen centroids/codebooks) under their own writer leases. The
+    ingest story the hybrid flagship was missing: one checkpointed
+    runner instead of two hand-wired streams that can drift apart on
+    restart.
+
+    Atomicity is PER INDEX, not across the pair: a crash between the
+    two appends replays the batch into BOTH on restart (the
+    checkpoint only advances when the sink returns), and both
+    families' documented at-least-once story absorbs that —
+    byte-identical duplicate rows that search collapses
+    (dedupe-before-sum / score-before-distinct), reclaimed by the
+    nightly sweep. Readers therefore never see the pair torn in a way
+    that changes results: worst case one index briefly lacks the
+    newest batch the other has, exactly the lag any two independent
+    streams exhibit.
+
+    Per-batch cost is the two appenders' documented bounded shapes
+    (narrow tokenize + pruned frozen-df probe + partitioned append;
+    narrow encode + partitioned append) plus the touched-buckets-only
+    auto-compaction discipline on each side. Returns
+    {"n_postings", "n_dropped_postings", "n_vectors"} summed over the
+    drained batches."""
+    from lens_spark.operators.dedup import compact_index
+    from lens_spark.operators.ranking import postings_index_append
+    from lens_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    if auto_compact_files is not None and auto_compact_files < 1:
+        raise LensError(
+            "run_stream_hybrid_append: auto_compact_files must be >= 1 "
+            "(or None to disable the compaction trigger)")
+    totals = {"n_postings": 0, "n_dropped_postings": 0, "n_vectors": 0}
+
+    def _compact_over(spark, index_path, prefix, touched, compactor):
+        over = _over_threshold_dirs(
+            spark, f"{index_path}/parts",
+            [f"{prefix}={v}" for v in touched], auto_compact_files)
+        if over:
+            compactor(spark, index_path,
+                      partitions=[int(d.split("=", 1)[1]) for d in over])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # pin the batch once: it feeds two independent append plans
+        batch = batch_df.localCheckpoint(eager=True)
+        spark = batch.sparkSession
+        r = postings_index_append(batch, postings_index, id_col=id_col,
+                                  text_col=text_col,
+                                  dropped_path=dropped_path,
+                                  dropped_tag=str(batch_id))
+        totals["n_postings"] += r["n_postings"]
+        totals["n_dropped_postings"] += r["n_dropped_postings"]
+        v = ivfpq_index_append(batch, ivfpq_index, id_col=id_col,
+                               vec_col=vec_col, return_details=True)
+        totals["n_vectors"] += v["n"]
+        if auto_compact_files:
+            _compact_over(spark, postings_index, "pb",
+                          r.get("touched_pb", []), compact_index)
+            _compact_over(spark, ivfpq_index, "cell",
+                          v["touched_cell"], compact_ivfpq_index)
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint or tempfile.mkdtemp(prefix="lens_spark_ckpt_"))
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(timeout)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"run_stream_hybrid_append: availableNow run exceeded "
+            f"{timeout}s before draining the source — the indexes are "
+            "INCOMPLETE; re-run with the same checkpoint to continue, "
+            "or raise timeout=")
+    return {k: int(v) for k, v in totals.items()}
+
+
 def stream_decontaminate(stream_df: DataFrame, benchmark: DataFrame, *,
                          text_col: str, bench_text_col: str | None = None,
                          ngram: int = 8, shingle: str = "word",

@@ -1406,3 +1406,95 @@ def test_quota_subset_compaction_merges_only_named_buckets(spark,
         else:
             assert after[d] == before[d], f"{d} was rewritten"
     assert totals() == want  # every key's charge is exactly preserved
+
+
+def test_stream_hybrid_append_grows_both_indexes(spark, tmp_path):
+    """run_stream_hybrid_append (r13): one checkpointed stream grows
+    BOTH hybrid indexes. After the drain, the fused serve equals the
+    batch path (postings + ivfpq appends of the same rows), restart
+    with the same checkpoint is a no-op, and a REPLAY (fresh
+    checkpoint) changes no result — each family's at-least-once story
+    absorbs the duplicate rows."""
+    import random
+
+    from lens_spark.operators.ranking import (
+        hybrid_search,
+        postings_index_append,
+        postings_index_build,
+    )
+    from lens_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_hybrid_append,
+    )
+
+    rng = random.Random(31)
+    texts = ["spark shuffle join", "hash join hash", "quantum notes",
+             "spark hash quantum", "shuffle shuffle spark",
+             "join spark hash", "hash quantum join", "spark spark"]
+    rows = [(i, texts[i % len(texts)],
+             [rng.uniform(-1, 1) for _ in range(8)]) for i in range(32)]
+    schema = "doc_id long, text string, embedding array<float>"
+    full = spark.createDataFrame(rows, schema)
+    seed, rest = full.filter("doc_id < 16"), full.filter("doc_id >= 16")
+
+    def build_pair(base):
+        pidx, vidx = f"{base}/pidx", f"{base}/vidx"
+        postings_index_build(seed, pidx, id_col="doc_id",
+                             text_col="text")
+        ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
+                          id_col="doc_id", vec_col="embedding", dim=8,
+                          nlist=4, m=4, nbits=6)
+        return pidx, vidx
+
+    def serve(pidx, vidx):
+        panel = spark.createDataFrame(
+            [(10_000, "spark hash join",
+              [float(x) for x in rows[0][2]])], schema)
+        return {(r.neighbor_id, r.rrf, r.rank) for r in hybrid_search(
+            spark, panel, postings_index=pidx, ivfpq_index=vidx,
+            id_col="doc_id", text_col="text", vec_col="embedding",
+            k=10, per_system_k=15, nprobe=4).collect()}
+
+    # streamed pair
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    pdf = rest.toPandas()
+    pdf.iloc[:8].to_parquet(src / "b1.parquet")
+    pdf.iloc[8:].to_parquet(src / "b2.parquet")
+    spidx, svidx = build_pair(str(tmp_path / "streamed"))
+    dropped = str(tmp_path / "dropped")
+
+    def drain(ckpt):
+        return run_stream_hybrid_append(
+            read_file_stream(spark, str(src),
+                             schema_from=str(src / "b1.parquet"),
+                             maxFilesPerTrigger=1),
+            spidx, svidx, id_col="doc_id", text_col="text",
+            vec_col="embedding", checkpoint=str(tmp_path / ckpt),
+            dropped_path=dropped)
+
+    r = drain("ckpt1")
+    assert r["n_vectors"] == 16
+    assert r["n_postings"] + r["n_dropped_postings"] > 0
+
+    # batch pair over the same rows
+    bpidx, bvidx = build_pair(str(tmp_path / "batch"))
+    postings_index_append(rest, bpidx, id_col="doc_id",
+                          text_col="text")
+    ivfpq_index_append(rest.select("doc_id", "embedding"), bvidx,
+                       id_col="doc_id", vec_col="embedding")
+    want = serve(bpidx, bvidx)
+    assert serve(spidx, svidx) == want and want
+
+    # restart with the SAME checkpoint: nothing re-drains
+    r2 = drain("ckpt1")
+    assert r2 == {"n_postings": 0, "n_dropped_postings": 0,
+                  "n_vectors": 0}
+    # replay with a FRESH checkpoint: results unchanged (duplicate
+    # rows collapse before scoring in both families)
+    drain("ckpt2")
+    assert serve(spidx, svidx) == want
