@@ -278,3 +278,21 @@ def test_bench_rerun_flagged_math(monkeypatch):
     assert out["qb"]["drift"] is False and out["qb"]["xr"] == 1.5
     assert out["qb"]["x"] == 1.5  # same cal both rounds → x == xr
     assert "qc" not in out
+
+
+def test_readme_query_counts_match_entry():
+    """README's driver-contract line must match the entry file (the
+    r12-nit drift class: hand-maintained counts drifted twice in two
+    rounds — pin every count the docs still state)."""
+    import re
+
+    qdict = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    readme = open("README.md").read()
+    m = re.search(r"driver contract: (\d+) queries, (\d+) with DuckDB",
+                  readme)
+    assert m, "README driver-contract count line missing"
+    assert int(m.group(1)) == len(qdict), (
+        f"README says {m.group(1)} queries, entry declares {len(qdict)}")
+    assert int(m.group(2)) == len(oracles), (
+        f"README says {m.group(2)} oracles, entry declares {len(oracles)}")
