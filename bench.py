@@ -272,12 +272,19 @@ def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
     out = {}
     worst = sorted(flagged, key=lambda k: flagged[k]["x"],
                    reverse=True)[:5]
+    # global time budget: the driver runs bench.py under its own
+    # timeout, and a large flag set must degrade to fewer re-runs, not
+    # risk truncating the whole official line
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC", "420"))
     for name in worst:
         prev = prev_parsed["queries"].get(name)
         if not prev:
             continue
         secs, cals = [], []
         for _ in range(3):
+            if time.monotonic() > deadline:
+                break
             try:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
