@@ -725,6 +725,13 @@ def postings_drift_report(spark, index_path: str,
     conservative direction for a rebuild trigger is "rebuild a touch
     late", bounded by the replay volume.
 
+    The log measures drift SINCE THE BUILD the index currently
+    serves: after a ``rebuild_index`` the previously-dropped terms ARE
+    retrievable, so point the stream at a FRESH ``dropped_path`` (or
+    delete the old log) when the rebuild commits — stale entries
+    would overstate debt against the rebuilt index and trigger the
+    next rebuild early.
+
     Ordering: streaming batch ids are numeric strings, and from batch
     10 on lexicographic order ('10' < '2') would scramble the running
     cumulative sum (r12 advice) — tags that parse as integers order

@@ -646,7 +646,10 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
     ``tag`` = the micro-batch id) — the monitoring signal that decides
     when the index has drifted far enough from its corpus to earn a
     ``rebuild_index``. Replayed batches re-log under the same tag;
-    dedupe on ``tag`` when reading.
+    dedupe on ``tag`` when reading. When a rebuild commits, restart
+    the stream with a FRESH ``dropped_path`` — the log measures drift
+    since the build, and stale entries overstate debt against the
+    rebuilt index (see ``postings_drift_report``).
 
     Each batch appends one file per touched term bucket; when a
     TOUCHED bucket directory exceeds ``auto_compact_files`` after a
