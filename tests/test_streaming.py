@@ -1498,3 +1498,66 @@ def test_stream_hybrid_append_grows_both_indexes(spark, tmp_path):
     # rows collapse before scoring in both families)
     drain("ckpt2")
     assert serve(spidx, svidx) == want
+
+
+def test_stream_sink_compacts_only_offending_buckets(spark, tmp_path):
+    """The r12-verdict-#3 'Done' pin at the SINK level: an
+    over-threshold micro-batch rewrites ONLY the bucket dir(s) it
+    pushed over the threshold — every untouched bucket's file list is
+    byte-identical across the drain — and serving is unchanged."""
+    import os
+
+    from lens_spark.operators.ranking import (
+        postings_index_build,
+        postings_index_search,
+    )
+    from lens_spark.streaming import (
+        read_file_stream,
+        run_stream_postings_append,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark shuffle join hash quantum physics lecture notes"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "id long, text string")
+    idx = str(tmp_path / "pidx_sink")
+    parts = f"{idx}/parts"
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+
+    def files():
+        return {d: sorted(f for f in os.listdir(os.path.join(parts, d))
+                          if not f.startswith(("_", ".")))
+                for d in os.listdir(parts) if d.startswith("pb=")}
+
+    def serve():
+        panel = spark.createDataFrame([(1, "spark alpha")],
+                                      "qid long, qtext string")
+        return {(r.neighbor_id, r.bm25, r.rank)
+                for r in postings_index_search(
+                    spark, panel, idx, id_col="qid", text_col="qtext",
+                    k=10).collect()}
+
+    before = files()
+    want = serve()
+    # one micro-batch whose single known term touches ONE bucket
+    src = tmp_path / "sinksrc"
+    src.mkdir()
+    spark.createDataFrame([(9, "spark")], "id long, text string") \
+        .toPandas().to_parquet(src / "b1.parquet")
+    run_stream_postings_append(
+        read_file_stream(spark, str(src),
+                         schema_from=str(src / "b1.parquet")),
+        idx, id_col="id", text_col="text",
+        checkpoint=str(tmp_path / "ckpt_sink"), auto_compact_files=1)
+    after = files()
+    changed = [d for d in before if after.get(d) != before[d]]
+    # exactly the bucket 'spark' hashes into was rewritten (build file
+    # + batch file > threshold 1 → compacted to one file); nothing else
+    assert len(changed) == 1, (changed, before, after)
+    assert len(after[changed[0]]) == 1
+    got = serve()
+    # doc 9 now retrievable for 'spark'; every pre-existing row scored
+    # byte-identically
+    assert {(d, s) for d, s, _ in want if d != 9} <= \
+        {(d, s) for d, s, _ in got}
+    assert 9 in {d for d, _, _ in got}
