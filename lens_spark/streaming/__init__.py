@@ -409,6 +409,7 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
     """
     from lens_spark.operators.dedup import (
         _index_writer_lock,
+        _lease_heartbeat,
         _refresh_writer_lock,
         dedup_incremental,
         embedding_neardup_incremental,
@@ -426,7 +427,12 @@ def stream_ingest_dedup(stream_df: DataFrame, out_path: str,
                          "id_col, vec_col, and dim=")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        with _index_writer_lock(batch_df.sparkSession, index_path):
+        # heartbeat alongside the inter-stage refreshes below: one
+        # SLOW dedup/landing stage inside a big batch must not leave
+        # the lease looking abandoned to a peer (r12 verdict #7, same
+        # closure as the index builders)
+        with _index_writer_lock(batch_df.sparkSession, index_path), \
+                _lease_heartbeat(batch_df.sparkSession, index_path):
             if mode == "exact":
                 fresh = dedup_incremental(batch_df, index_path,
                                           columns=columns,
