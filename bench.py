@@ -259,30 +259,39 @@ def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
     """Shift flag attribution left into the bench itself (r12 verdict
     #6): the last two rounds each burned a verdict cycle on
     machine-drift flags that a fresh-process re-run would have
-    dismissed at capture time. For the ≤5 worst double-flagged
-    queries, re-time each in a FRESH python/JVM process (3 runs, the
-    attribute_knn regime: warm-up, per-run GC, per-process
-    calibration) and report re-run raw/calibrated multipliers vs the
-    previous round next to the flags. A flag whose re-run multipliers
-    fall back under the threshold is marked ``drift`` at capture time
-    — no verdict cycle needed."""
+    dismissed at capture time. EVERY double-flagged query is re-timed
+    in a FRESH python/JVM process (the attribute_knn regime: warm-up,
+    per-run GC, per-process calibration), and re-run raw/calibrated
+    multipliers vs the previous round are reported next to the flags.
+
+    Coverage-first under the time budget (r13 verdict #3 — the old ≤5
+    cap left boundary flags with no rerun column at all, recreating
+    the verdict-cycle problem in miniature): runs are allocated in
+    ROUND-ROBIN passes (one run for every flag, then a second for
+    every flag, then a third for the 5 worst), so budget exhaustion
+    degrades runs-per-query, never which queries get a verdict.
+
+    A flag is marked ``drift`` at capture time only when the re-run
+    is CONCLUSIVE — at least 2 runs and a usable calibration (r13
+    advice: a deadline-truncated single sample, or a cal<=0 making the
+    calibrated multiplier undefined, must leave the flag STANDING,
+    not dismiss a possible regression on no evidence); inconclusive
+    re-runs surface ``inconclusive: true`` with their run count."""
     import subprocess
 
     pcal = float(prev_parsed["calibration"])
-    out = {}
-    worst = sorted(flagged, key=lambda k: flagged[k]["x"],
-                   reverse=True)[:5]
+    worst = [n for n in sorted(flagged, key=lambda k: flagged[k]["x"],
+                               reverse=True)
+             if prev_parsed["queries"].get(n)]
     # global time budget: the driver runs bench.py under its own
-    # timeout, and a large flag set must degrade to fewer re-runs, not
-    # risk truncating the whole official line
+    # timeout, and a large flag set must degrade to fewer runs per
+    # query, not risk truncating the whole official line
     deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC", "420"))
-    for name in worst:
-        prev = prev_parsed["queries"].get(name)
-        if not prev:
-            continue
-        secs, cals = [], []
-        for _ in range(3):
+    samples = {n: {"secs": [], "cals": []} for n in worst}
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    for pass_list in (worst, worst, worst[:5]):
+        for name in pass_list:
             if time.monotonic() > deadline:
                 break
             try:
@@ -290,21 +299,31 @@ def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
                     [sys.executable, os.path.abspath(__file__),
                      "--one-query", name],
                     capture_output=True, text=True, timeout=600,
-                    cwd=here)
+                    cwd=here, env=env)
                 rec = json.loads(p.stdout.strip().splitlines()[-1])
             except Exception:  # noqa: BLE001 — a failed re-run leaves
                 continue       # the flag standing, never breaks bench
-            secs.append(float(rec["sec"]))
-            cals.append(float(rec["calibration"]))
+            samples[name]["secs"].append(float(rec["sec"]))
+            samples[name]["cals"].append(float(rec["calibration"]))
+    out = {}
+    for name in worst:
+        secs, cals = samples[name]["secs"], samples[name]["cals"]
+        prev = prev_parsed["queries"][name]
         if not secs:
+            out[name] = {"runs": 0, "inconclusive": True,
+                         "drift": False}
             continue
         med, cal = statistics.median(secs), statistics.median(cals)
         xr = round(med / prev, 3)
         x = round((med / cal) / (prev / pcal), 3) if cal > 0 else None
-        out[name] = {"median": round(med, 3),
-                     "cal_median": round(cal, 3), "runs": len(secs),
-                     "xr": xr, "x": x,
-                     "drift": not (xr > 1.15 and (x or 0) > 1.15)}
+        conclusive = len(secs) >= 2 and x is not None
+        rec = {"median": round(med, 3), "cal_median": round(cal, 3),
+               "runs": len(secs), "xr": xr, "x": x,
+               "drift": bool(conclusive
+                             and not (xr > 1.15 and x > 1.15))}
+        if not conclusive:
+            rec["inconclusive"] = True
+        out[name] = rec
     return out
 
 
@@ -492,7 +511,13 @@ def main() -> int:
         rerun = _rerun_flagged(fl0, prev[1], here, sf_dir)
         for name, rec in rerun.items():
             regr_side["table"][name]["rerun"] = rec
-            regr_official["flagged"][name]["rerun_xr"] = rec["xr"]
+            if rec.get("xr") is not None:
+                regr_official["flagged"][name]["rerun_xr"] = rec["xr"]
+            if rec.get("inconclusive"):
+                # the verdict must see the re-run could not settle it
+                # (truncated to <2 runs, or calibration unusable)
+                regr_official["flagged"][name]["rerun_inconclusive"] = \
+                    rec["runs"]
             if rec["drift"]:
                 regr_official["flagged"][name]["drift"] = True
     sidecar = {"query_stats": stats}
@@ -549,6 +574,10 @@ def main() -> int:
         drift = [k for k in worst if fl[k].get("drift")]
         if drift:
             block["drift"] = drift
+        inc = [k for k in worst
+               if fl[k].get("rerun_inconclusive") is not None]
+        if inc:
+            block["inc"] = inc
         return block
 
     if fl:

@@ -257,6 +257,41 @@ def _recover_rebuild(spark: "SparkSession", index_path: str) -> None:
         fs.delete(P(f"{index_path}/_writer.lock"), False)
 
 
+def _wait_out_skeleton_lease(spark: "SparkSession", index_path: str,
+                             timeout_msg: str, *,
+                             timeout_sec: float = 30.0) -> None:
+    """Block until ``{index_path}/_writer.lock`` is gone or stale —
+    the guard both the crash-recovery path (``_recover_rebuild``) and
+    the inline nested-swap repair need before deleting a raced
+    skeleton: the lock there is a LIVE concurrent writer's lease, and
+    deleting it mid-critical-section re-opens the two-writer window.
+    Raises ``ConcurrentIndexWriterError`` with ``timeout_msg`` if the
+    lease is still fresh after ``timeout_sec`` (writers acquiring on a
+    dataset-less skeleton fail loudly within milliseconds, so a fresh
+    lease past the deadline means something unexpected owns the
+    path)."""
+    import time
+
+    from lens_spark.operators.dedup import INDEX_LOCK_STALE_SEC
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    lock = P(f"{index_path}/_writer.lock")
+    deadline = time.time() + float(timeout_sec)
+    while fs.exists(lock):
+        try:
+            age = time.time() - fs.getFileStatus(
+                lock).getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001 — released mid-check
+            continue
+        if age > INDEX_LOCK_STALE_SEC:
+            return
+        if time.time() > deadline:
+            raise ConcurrentIndexWriterError(timeout_msg)
+        time.sleep(0.1)
+
+
 def rebuild_index(spark: "SparkSession", index_path: str,
                   build_fn) -> dict:
     """The honest refresh for any model-bearing index (ivfpq,
@@ -371,6 +406,25 @@ def rebuild_index(spark: "SparkSession", index_path: str,
                     "land model.json at top level and no nested "
                     "staging dir was found — inspect the directory "
                     f"manually (the old index is intact at {trash!r}).")
+            # The skeleton may hold the racer's LIVE lease (r13
+            # advice): deleting it out from under a live writer both
+            # races its critical section and re-opens the two-writer
+            # window (its later release would delete OUR planted lease
+            # after the re-rename). Mirror _recover_rebuild: wait for
+            # the skeleton lock to clear or age stale before dropping
+            # the skeleton. Racers abort in milliseconds — every
+            # appender verifies its index under the lock and fails
+            # loudly on a dataset-less path — so the bounded wait ends
+            # almost immediately; a still-fresh lock past the deadline
+            # aborts this call, and _recover_rebuild (committed
+            # .rebuild + .old both present) finishes the swap later.
+            _wait_out_skeleton_lease(
+                spark, index_path,
+                f"rebuild_index: a concurrent writer acquired "
+                f"{index_path!r} inside the swap's rename gap and its "
+                "lease is still live; rerun rebuild_index once it "
+                "finishes (recovery completes this swap from the "
+                f"committed {staging!r}).")
             fs.delete(P(index_path), True)
             if not fs.rename(P(staging), P(index_path)):
                 rolled = fs.rename(P(trash), P(index_path))

@@ -191,7 +191,51 @@ def _http_pins_path() -> str:
         os.makedirs(d, mode=0o700, exist_ok=True)
     except OSError:
         d = _wasm_staging_dir()
-    return os.path.join(d, "http_module_pins.json")
+    pins_path = os.path.join(d, "http_module_pins.json")
+    _migrate_legacy_pins(pins_path)
+    return pins_path
+
+
+def _migrate_legacy_pins(pins_path: str) -> None:
+    """One-time merge of the pre-durable staging-dir pin file (r13
+    advice: moving the pin location silently ORPHANED existing pins —
+    the first fetch of every already-pinned URL after the upgrade
+    would re-pin whatever the server serves at that moment, exactly
+    the supply-chain content change the pin exists to catch). Legacy
+    entries fill gaps; an entry already in the durable file wins (a
+    deliberate post-upgrade re-pin must not regress). Idempotent: the
+    legacy file is renamed aside only after the merged file is in
+    place, and a failed rename just repeats the (idempotent) merge."""
+    import json
+
+    legacy = os.path.join(_wasm_staging_dir(), "http_module_pins.json")
+    if (not os.path.exists(legacy)
+            or os.path.realpath(legacy) == os.path.realpath(pins_path)):
+        return
+    try:
+        with open(legacy) as fh:
+            old = json.load(fh)
+    except (OSError, ValueError):
+        return
+    if not isinstance(old, dict) or not old:
+        return
+    cur: dict = {}
+    if os.path.exists(pins_path):
+        try:
+            with open(pins_path) as fh:
+                cur = json.load(fh)
+        except (OSError, ValueError):
+            cur = {}
+    merged = {**old, **cur}
+    if merged != cur:
+        tmp = pins_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+        os.replace(tmp, pins_path)
+    try:
+        os.replace(legacy, legacy + ".migrated")
+    except OSError:
+        pass
 
 
 HTTP_MODULE_MAX_BYTES = 64 * 1024 * 1024

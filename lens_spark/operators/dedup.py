@@ -1292,17 +1292,42 @@ def compact_index(spark, index_path: str, *,
                     {"files_before": 0, "files_after": 0,
                      "rows_removed": 0, "partitions": []})
         if partitions is not None:
-            parts = spark.read.parquet(parts_path)
-            part_cols = [c for c in ("kind", "pb") if c in parts.columns]
-            if part_cols != ["pb"]:
-                raise LensError(
-                    "compact_index: partition-subset compaction "
-                    "supports the single-level pb= layout only "
-                    f"(this index partitions by {part_cols}); run a "
-                    "full compaction instead.")
-            data_cols = [c for c in parts.columns if c != "pb"]
+            # Schema + layout from ONE named bucket dir (r13 verdict):
+            # a full-tree spark.read.parquet(parts_path) runs parquet
+            # partition discovery — it lists EVERY file in the index —
+            # inside a streaming micro-batch, contradicting the subset
+            # contract ("the rest of the index is never listed, read,
+            # or touched"). The served families differ in data columns
+            # (fingerprint vs band vs postings), so probe one named
+            # dir instead of hard-coding like the ivfpq twin.
+            jvm = spark._jvm
+            P = jvm.org.apache.hadoop.fs.Path
+            fs = P(parts_path).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+            dir_names = [f"pb={int(v)}" for v in partitions]
+            probe = next((d for d in dir_names
+                          if fs.exists(P(f"{parts_path}/{d}"))), None)
+            if probe is None:
+                # no named bucket exists — distinguish "nothing to
+                # do" from "wrong layout" with ONE listStatus of the
+                # root (bounded by the bucket-dir count, never the
+                # file count)
+                if any(st.getPath().getName().startswith("kind=")
+                       for st in fs.listStatus(P(parts_path))
+                       if st.isDirectory()):
+                    raise LensError(
+                        "compact_index: partition-subset compaction "
+                        "supports the single-level pb= layout only "
+                        "(this index has kind= partition dirs); run "
+                        "a full compaction instead.")
+                return {"files_before": 0, "files_after": 0,
+                        "rows_removed": 0, "partitions": []}
+            # the pb value lives in the directory name, so reading
+            # the one dir yields exactly the data columns
+            data_cols = spark.read.parquet(
+                f"{parts_path}/{probe}").columns
             stats = _compact_partition_subset(
-                spark, parts_path, [f"pb={int(v)}" for v in partitions],
+                spark, parts_path, dir_names,
                 target_files=int(target_files_per_partition),
                 select_cols=data_cols,
                 drop_replay_duplicates=drop_replay_duplicates,

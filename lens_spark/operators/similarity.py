@@ -936,23 +936,48 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
 
     spark = batch.sparkSession
     meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_append")
-    cent = np.array(meta["centroids"], dtype=np.float64)
-    books = np.array(meta["books"], dtype=np.float64)
-    centn = _unit_rows(cent)
-    sqnorm = (books ** 2).sum(axis=2)
 
-    rows = (ensure_parallelism(batch)
-            .select(F.col(id_col).alias("__id"),
-                    F.col(vec_col).alias("__v"))
-            .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
-                         "id long, code binary, cell long"))
-    # pin the count BEFORE the append (the dedup checkpoint-before-
-    # append discipline: nothing downstream re-reads files mid-write)
-    rows = rows.localCheckpoint(eager=True)
+    def encode(model: dict):
+        cent = np.array(model["centroids"], dtype=np.float64)
+        books = np.array(model["books"], dtype=np.float64)
+        centn = _unit_rows(cent)
+        sqnorm = (books ** 2).sum(axis=2)
+        out = (ensure_parallelism(batch)
+               .select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"))
+               .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
+                            "id long, code binary, cell long"))
+        # pin the count BEFORE the append (the dedup checkpoint-
+        # before-append discipline: nothing downstream re-reads files
+        # mid-write)
+        return out.localCheckpoint(eager=True)
+
+    rows = encode(meta)
     n = rows.count()
     lock = (_index_writer_lock(spark, index_path) if locked
             else contextlib.nullcontext())
     with lock:
+        # Re-verify the model UNDER the lock (r13 advice): the
+        # pre-lock read can race a rebuild_index swap. Acquiring on
+        # the swap's rename-gap SKELETON must fail loudly BEFORE
+        # writing — an append landed in the skeleton would be
+        # silently deleted by the swap's repair while the streaming
+        # checkpoint advances past the batch. And a rebuild that
+        # COMPLETED in between swapped in a new model: codes encoded
+        # under the old one would silently mis-rank, so re-encode.
+        from lens_spark.errors import LensError as _LE
+        from lens_spark.sources import read_json_file as _rjf
+        live = _rjf(spark, f"{index_path}/model.json")
+        if live is None:
+            raise _LE(
+                f"ivfpq_index_append: {index_path!r} has no committed "
+                "model.json under the writer lock — a rebuild_index "
+                "swap owns this path (the pre-lock model read raced "
+                "its renames). Nothing was appended; retry after the "
+                "rebuild completes.")
+        if live != meta:
+            rows = encode(live)
+            n = rows.count()
         # roll forward a compaction that crashed between its renames
         # BEFORE appending (the quota-index lesson, r11 advice)
         _parts_pb_migration_recover(spark, f"{index_path}/parts")

@@ -169,6 +169,49 @@ def test_http_pin_file_is_durable_not_tmp(monkeypatch, tmp_path):
     assert mode == 0o700
 
 
+def test_http_pin_legacy_staging_file_migrates(monkeypatch, tmp_path):
+    """r13 advice: moving the pin file to XDG_STATE_HOME must not
+    orphan pins recorded at the old staging-dir location — that would
+    guarantee one silent re-pin per already-pinned URL, exactly the
+    content change TOFU exists to catch. Legacy entries merge into the
+    durable file on first use (legacy fills gaps, durable entries
+    win), and the legacy file retires so the merge is one-time."""
+    import json
+    import os
+
+    from lens_spark.modules import _http_pins_path, _wasm_staging_dir
+
+    legacy = os.path.join(_wasm_staging_dir(), "http_module_pins.json")
+    with open(legacy, "w") as fh:
+        json.dump({"http://a/x.py": "aa", "http://b/y.py": "bb"}, fh)
+    try:
+        state = tmp_path / "state"
+        monkeypatch.setenv("XDG_STATE_HOME", str(state))
+        durable = os.path.join(str(state), "lens_spark",
+                               "http_module_pins.json")
+        os.makedirs(os.path.dirname(durable), exist_ok=True)
+        with open(durable, "w") as fh:
+            json.dump({"http://b/y.py": "NEW"}, fh)
+
+        p = _http_pins_path()
+        assert p == durable
+        with open(p) as fh:
+            assert json.load(fh) == {"http://a/x.py": "aa",
+                                     "http://b/y.py": "NEW"}
+        assert not os.path.exists(legacy)
+        assert os.path.exists(legacy + ".migrated")
+        # one-time: a later deliberate re-pin file is never overwritten
+        with open(p, "w") as fh:
+            json.dump({}, fh)
+        _http_pins_path()
+        with open(p) as fh:
+            assert json.load(fh) == {}
+    finally:
+        for f in (legacy, legacy + ".migrated"):
+            if os.path.exists(f):
+                os.remove(f)
+
+
 def test_http_fetch_rejects_cross_origin_redirect(http_host, gates,
                                                   monkeypatch, tmp_path):
     """r12 advice: urllib follows redirects blindly — including a

@@ -451,6 +451,160 @@ def test_recover_rebuild_nested_swap_keeps_index_alive(spark, tmp_path):
     assert _pserve(spark, idx, "spark hash") == before
 
 
+def test_wait_out_skeleton_lease(spark, tmp_path):
+    """r13 advice (medium): before deleting a raced skeleton the
+    inline nested-swap repair must wait out a FRESH lease there (a
+    live concurrent writer's), exactly like _recover_rebuild — the
+    old code deleted it unconditionally. Unit-pins the extracted
+    guard: absent → pass, fresh → typed refusal after the deadline,
+    stale → pass, released mid-wait → pass."""
+    import threading
+    import time
+
+    from lens_spark.errors import ConcurrentIndexWriterError
+    from lens_spark.maintenance import _wait_out_skeleton_lease
+
+    idx = str(tmp_path / "skel")
+    os.makedirs(idx)
+    lock = os.path.join(idx, "_writer.lock")
+    _wait_out_skeleton_lease(spark, idx, "boom", timeout_sec=0.5)
+
+    open(lock, "w").close()
+    with pytest.raises(ConcurrentIndexWriterError, match="boom"):
+        _wait_out_skeleton_lease(spark, idx, "boom", timeout_sec=0.4)
+
+    old = time.time() - 4000
+    os.utime(lock, (old, old))
+    _wait_out_skeleton_lease(spark, idx, "boom", timeout_sec=0.5)
+
+    os.utime(lock, None)  # fresh again
+    t = threading.Timer(0.5, os.remove, [lock])
+    t.start()
+    _wait_out_skeleton_lease(spark, idx, "boom", timeout_sec=10.0)
+    t.join()
+
+
+def _all_part_files(parts: str) -> list:
+    out = []
+    for dirpath, _dirs, files in os.walk(parts):
+        out.extend(os.path.join(dirpath, f) for f in files
+                   if not f.startswith(("_", ".")))
+    return sorted(out)
+
+
+def test_ivfpq_append_refuses_rename_gap_skeleton(spark, tmp_path,
+                                                  monkeypatch):
+    """r13 advice (medium), writer side: ivfpq_index_append reads
+    model.json BEFORE locking, so a lock acquired on a rebuild swap's
+    rename-gap skeleton used to land the batch's vectors in a dir the
+    swap repair then silently deletes — while the streaming checkpoint
+    advanced past the batch. The append must re-verify the model UNDER
+    the lock and fail loudly with nothing written."""
+    import contextlib
+    import random
+    import shutil
+
+    import lens_spark.operators.dedup as dedup_mod
+    from lens_spark.errors import LensError
+    from lens_spark.operators.similarity import ivfpq_index_append
+
+    idx = str(tmp_path / "vidx")
+    _mk_ivfpq_index(spark, idx)
+    files_before = _all_part_files(f"{idx}/parts")
+    model_stash = str(tmp_path / "model.stash")
+
+    real_lock = dedup_mod._index_writer_lock
+
+    @contextlib.contextmanager
+    def racing_lock(s, path, **kw):
+        with real_lock(s, path, **kw):
+            if os.path.exists(f"{path}/model.json"):
+                # the swap's rename gap: the path we locked is a
+                # model-less skeleton
+                shutil.move(f"{path}/model.json", model_stash)
+            yield
+
+    monkeypatch.setattr(dedup_mod, "_index_writer_lock", racing_lock)
+    rng = random.Random(11)
+    batch = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(4)], "vec_id long, embedding array<float>")
+    with pytest.raises(LensError, match="rebuild_index swap owns"):
+        ivfpq_index_append(batch, idx, id_col="vec_id",
+                           vec_col="embedding")
+    assert _all_part_files(f"{idx}/parts") == files_before, \
+        "nothing may land in the skeleton"
+    monkeypatch.setattr(dedup_mod, "_index_writer_lock", real_lock)
+    shutil.move(model_stash, f"{idx}/model.json")
+    assert ivfpq_index_append(batch, idx, id_col="vec_id",
+                              vec_col="embedding") == 4
+
+
+def test_ivfpq_append_reencodes_under_swapped_model(spark, tmp_path,
+                                                    monkeypatch):
+    """The completed-rebuild flavor of the same race: a rebuild that
+    finished between the pre-lock model read and the lease swapped in
+    a NEW model — codes encoded under the old one would silently
+    mis-rank. The append must re-encode under the live model: a raced
+    append and a clean replay of the same batch store byte-identical
+    (id, code, cell) rows."""
+    import contextlib
+    import random
+    import shutil
+
+    import lens_spark.operators.dedup as dedup_mod
+    from lens_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+
+    idx = str(tmp_path / "vidx")
+    _mk_ivfpq_index(spark, idx)
+    # a different committed index = the post-rebuild state (different
+    # corpus → different centroids/codebooks, same dim/m/nbits)
+    idx2 = str(tmp_path / "vidx2")
+    rng = random.Random(9)
+    emb2 = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(48)],
+        "vec_id long, embedding array<float>")
+    ivfpq_index_build(emb2, idx2, id_col="vec_id", vec_col="embedding",
+                      dim=8, nlist=3, m=4, nbits=4)
+
+    real_lock = dedup_mod._index_writer_lock
+    raced = {"done": False}
+
+    @contextlib.contextmanager
+    def racing_lock(s, path, **kw):
+        with real_lock(s, path, **kw):
+            if not raced["done"] and path == idx:
+                raced["done"] = True
+                shutil.copy(f"{idx2}/model.json", f"{idx}/model.json")
+                # keep the Hadoop local-FS checksum sidecar consistent
+                for crc in (".model.json.crc",):
+                    if os.path.exists(f"{idx2}/{crc}"):
+                        shutil.copy(f"{idx2}/{crc}", f"{idx}/{crc}")
+                    elif os.path.exists(f"{idx}/{crc}"):
+                        os.remove(f"{idx}/{crc}")
+                shutil.rmtree(f"{idx}/parts")
+                shutil.copytree(f"{idx2}/parts", f"{idx}/parts")
+            yield
+
+    monkeypatch.setattr(dedup_mod, "_index_writer_lock", racing_lock)
+    rng = random.Random(13)
+    batch = spark.createDataFrame(
+        [(2000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(6)], "vec_id long, embedding array<float>")
+    assert ivfpq_index_append(batch, idx, id_col="vec_id",
+                              vec_col="embedding") == 6  # raced
+    assert ivfpq_index_append(batch, idx, id_col="vec_id",
+                              vec_col="embedding") == 6  # clean replay
+    per = (spark.read.parquet(f"{idx}/parts")
+           .filter("id >= 2000")
+           .groupBy("id", "code", "cell").count().collect())
+    assert len(per) == 6 and all(r["count"] == 2 for r in per), \
+        "the raced append must have encoded under the LIVE model"
+
+
 def test_recover_rebuild_leaves_crashed_first_build_alone(spark,
                                                           tmp_path):
     """A model-less index dir with NO rebuild siblings is a crashed
@@ -541,6 +695,57 @@ def test_partition_subset_compaction_touches_only_named_buckets(
     assert _read_postings_stats(spark, idx) == stat_before - \
         stats2["rows_removed"] == n_after
     assert _pserve(spark, idx, "spark hash quantum") == serve_before
+
+
+def test_partition_subset_compaction_never_lists_full_tree(
+        spark, tmp_path):
+    """r13 verdict #4: the subset branch must derive the data columns
+    from ONE named bucket dir — never ``spark.read.parquet`` on the
+    parts ROOT, whose partition discovery lists every file in the
+    index inside a streaming micro-batch. Pinned behaviorally: an
+    untouched foreign dir with a CONFLICTING partition depth makes any
+    full-tree discovery raise, while the subset rewrite of a named
+    healthy bucket must still succeed and leave the poisoned dir
+    untouched."""
+    import shutil
+
+    from lens_spark.operators.dedup import compact_index
+    from lens_spark.operators.ranking import (
+        postings_index_append,
+        postings_index_build,
+    )
+
+    idx = str(tmp_path / "pidx_scope")
+    parts = f"{idx}/parts"
+    postings_index_build(_pcorpus(spark, 4), idx, id_col="id",
+                         text_col="text")
+    batch = spark.createDataFrame([(9, "spark hash")],
+                                  "id long, text string")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    postings_index_append(batch, idx, id_col="id", text_col="text")
+    before = _bucket_files(parts)
+    victim = next(d for d, fl in before.items() if len(fl) > 1)
+
+    # poison: a deeper-nested leaf in an unrequested bucket — any
+    # root-level parquet discovery now fails on conflicting depth
+    poison = os.path.join(parts, "pb=999999", "deep=1")
+    os.makedirs(poison)
+    spark.createDataFrame([(1,)], "x long").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "poison_src"))
+    src = next(f for f in os.listdir(str(tmp_path / "poison_src"))
+               if f.endswith(".parquet"))
+    shutil.copy(os.path.join(str(tmp_path / "poison_src"), src),
+                os.path.join(poison, src))
+    with pytest.raises(Exception, match="[Cc]onflicting"):
+        spark.read.parquet(parts).count()
+
+    stats = compact_index(spark, idx,
+                          partitions=[int(victim.split("=")[1])])
+    assert stats["partitions"] == [victim]
+    after = _bucket_files(parts)
+    assert len(after[victim]) == 1
+    assert os.path.isfile(os.path.join(poison, src)), \
+        "the unrequested dir must be untouched"
 
 
 def test_partition_swap_crash_matrix_and_reader_refusal(spark,
