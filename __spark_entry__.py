@@ -828,6 +828,56 @@ def q_streaming_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank")
 
 
+def q_streaming_hybrid_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid pair's consistency observable (r14, r13 verdict #7):
+    seed both indexes on a bounded corpus slice, drain two micro-batch
+    appends through run_stream_hybrid_append, and return
+    ``hybrid_lag_report`` — the O(1) sidecar/checkpoint comparison
+    that makes the documented crash-between-appends transient visible
+    (both markers at the last batch, committed caught up, in_sync
+    after a clean drain; the lag-appears-then-clears crash path is
+    pytest-pinned in tests/test_streaming.py). Rows-only: a
+    foreachBatch pipeline + filesystem sidecars is not one SQL
+    statement. Bounded input (first 96 corpus rows) — the report
+    itself reads two sidecars and one commits listing at ANY corpus
+    size."""
+    import os
+
+    import pandas as pd
+
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_build
+    from lens_spark.streaming import (
+        hybrid_lag_report,
+        read_file_stream,
+        run_stream_hybrid_append,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = docs.merge(emb, left_on="doc_id", right_on="vec_id")[
+        ["doc_id", "text", "embedding"]].iloc[:96]
+    base = tempfile.mkdtemp(prefix="lens_spark_shyblag_")
+    pidx, vidx = base + "/pidx", base + "/vidx"
+    seed = spark.createDataFrame(pdf.iloc[:32])
+    postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
+    ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
+                      id_col="doc_id", vec_col="embedding", dim=64,
+                      nlist=8, m=8, nbits=6, store_vectors=True)
+    staged = tempfile.mkdtemp(prefix="lens_spark_shyblag_src_")
+    pdf.iloc[32:64].to_parquet(os.path.join(staged, "b1.parquet"))
+    pdf.iloc[64:].to_parquet(os.path.join(staged, "b2.parquet"))
+    ckpt = tempfile.mkdtemp(prefix="lens_spark_shyblag_ckpt_")
+    run_stream_hybrid_append(
+        read_file_stream(spark, staged,
+                         schema_from=os.path.join(staged, "b1.parquet"),
+                         maxFilesPerTrigger=1),
+        pidx, vidx, id_col="doc_id", text_col="text",
+        vec_col="embedding", checkpoint=ckpt)
+    return hybrid_lag_report(spark, pidx, vidx, checkpoint=ckpt)
+
+
 def q_streaming_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH hybrid-retrieval indexes kept current from ONE document
     stream (r13): build postings + IVFADC on the first half of the
@@ -863,7 +913,7 @@ def q_streaming_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
     ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
                       id_col="doc_id", vec_col="embedding", dim=64,
-                      nlist=16, m=8, nbits=6)
+                      nlist=16, m=8, nbits=6, store_vectors=True)
     staged = tempfile.mkdtemp(prefix="lens_spark_shyb_src_")
     pdf.iloc[n // 2: 3 * n // 4].to_parquet(
         os.path.join(staged, "b1.parquet"))
@@ -878,10 +928,14 @@ def q_streaming_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = spark.createDataFrame(
         [(1_000_000, "spark shuffle hash join", qvec)],
         "doc_id long, text string, embedding array<float>")
+    # rerank with NO rerank_corpus: the streamed appends carried the
+    # true vectors into the index (store_vectors), so the exact
+    # re-rank reads only the probed cells — r13 verdict #1 exercised
+    # through the streaming path
     out = hybrid_search(spark, panel, postings_index=pidx,
                         ivfpq_index=vidx, id_col="doc_id",
                         text_col="text", vec_col="embedding", k=10,
-                        per_system_k=20, nprobe=8)
+                        per_system_k=20, nprobe=8, rerank=40)
     return out.select(F.col("neighbor_id").alias("doc_id"), "rrf",
                       "rank")
 
@@ -1760,19 +1814,20 @@ def q_x8_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="lens_spark_hybrid_")
     pidx, vidx = base + "/pidx", base + "/vidx"
     postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
+    # store_vectors (r13 verdict #1): the exact re-rank serves from
+    # the index's own probed-cell partitions — no rerank_table, no
+    # per-panel full read of the vector table
     ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
-                      dim=64, nlist=16, m=8, nbits=6)
+                      dim=64, nlist=16, m=8, nbits=6,
+                      store_vectors=True)
     # panel: 5 corpus docs with BOTH their text and aligned embedding
-    # (column names match embeddings.parquet so the exact re-rank
-    # fetch joins by name)
     panel = (docs.join(emb, docs.doc_id == emb.vec_id)
              .filter(F.col("vec_id") < 5)
              .select("vec_id", "text", "embedding"))
     spec = {"lenses": [{"name": "hybrid_search", "arguments": {
         "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
         "column": "text", "vector": "embedding", "k": 10,
-        "per_system_k": 30, "nprobe": 8, "rerank": 100,
-        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+        "per_system_k": 30, "nprobe": 8, "rerank": 100}}]}
     return engine.append(panel, spec)
 
 
@@ -1798,7 +1853,7 @@ def _hybrid_indexes(spark: SparkSession, sf_dir: str) -> tuple:
                              text_col="text")
         ivfpq_index_build(emb, vidx, id_col="vec_id",
                           vec_col="embedding", dim=64, nlist=16, m=8,
-                          nbits=6)
+                          nbits=6, store_vectors=True)
         _HYBRID_INDEX_MEMO[sf_dir] = (pidx, vidx)
     return _HYBRID_INDEX_MEMO[sf_dir]
 
@@ -1822,8 +1877,7 @@ def q_x8_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"lenses": [{"name": "hybrid_search", "arguments": {
         "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
         "column": "text", "vector": "embedding", "k": 10,
-        "per_system_k": 30, "nprobe": 8, "rerank": 100,
-        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+        "per_system_k": 30, "nprobe": 8, "rerank": 100}}]}
     return engine.append(panel, spec)
 
 
@@ -1848,7 +1902,8 @@ def q_x8_hybrid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pidx, vidx = base + "/pidx", base + "/vidx"
     postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
     ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
-                      dim=64, nlist=16, m=8, nbits=6)
+                      dim=64, nlist=16, m=8, nbits=6,
+                      store_vectors=True)
     n = emb.count()
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     # panel id outside the corpus id space (the hybrid contract);
@@ -1860,8 +1915,7 @@ def q_x8_hybrid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"lenses": [{"name": "hybrid_search", "arguments": {
         "postings_index": pidx, "ivfpq_index": vidx, "id": "vec_id",
         "column": "text", "vector": "embedding", "k": 10,
-        "per_system_k": 20, "k0": 60, "nprobe": 16, "rerank": int(n),
-        "rerank_table": f"{sf_dir}/embeddings.parquet"}}]}
+        "per_system_k": 20, "k0": 60, "nprobe": 16, "rerank": int(n)}}]}
     out = engine.append(panel, spec)
     return out.select(F.col("neighbor_id").alias("doc_id"), "rrf",
                       "rank")
@@ -3461,28 +3515,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        row goes stale, r10 policy). The tail test in
        tests/test_entry_contract.py oracle-checks every one of
        these locally each run, so eviction never means unchecked;
-    3. tail — the 27 rows-only (``no_oracle``) queries, each backed by
-       an accuracy/equivalence pytest instead of a DuckDB hash.
+    3. tail — the 30 rows-only (``no_oracle``) queries, each backed by
+       an accuracy/equivalence pytest instead of a DuckDB hash (the
+       count is lint-pinned alongside 178/148 by
+       tests/test_entry_contract.py).
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-13 ROTATION (r12 verdict #2 + the standing oldest-first
-        # policy): x8_hybrid_exact heads the window under the
-        # never-external rule (added r12 after that window committed —
-        # it was the only hash-checkable query with no external row),
-        # followed by x5_vocab_coverage and s8_saved_lang and the
-        # ENTIRE 47-query cohort whose latest external row is r10 (2
-        # rounds stale at r13): the r7c monitor/packing/mixing family,
-        # the r10 registry-artifact pair, the x5/x6 digest families,
-        # the wasm pipelines, and the four r12-attributed bench rows
-        # (x8_chat_render / x7_epoch_plan / x9_ks_drift in the cohort;
-        # their external greens land the same round the attribution
-        # closed — the x9_curation_pipeline precedent). OUT: the
-        # entire r12 window (every member has a fresh r12 external
-        # green). After this round no hash-checkable query's latest
-        # external row is older than r11 (= 2 rounds). Every evictee
-        # keeps its oracle and the tail pytest oracle-checks it on
-        # every run.
+        # ROUND-14 ROTATION (r13 verdict #5 + the standing oldest-first
+        # policy): the window is the 48-query r11-stale remainder (last
+        # external green r11 — 3 rounds stale this round: the engine
+        # core chain, the joins/windows/rollups, the x2 verify family,
+        # the x5 text-metric family, the x4 media pair, the sampling
+        # trio) plus the two r12-green bench rows under attribution
+        # this round (x5_line_dedup, x5_sentence_dedup — their external
+        # hash greens land the same round the perf attribution closes,
+        # the x9_curation_pipeline precedent). OUT: the entire r13
+        # window (every member has a fresh r13 external green). After
+        # this round no hash-checkable query's latest external row is
+        # older than r12 (= 2 rounds). Every evictee keeps its oracle
+        # and the tail pytest oracle-checks it on every run.
+        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
+        "m4_rename_chain": q_m4_rename_chain,
+        "asof_last_event": q_asof_last_event,
+        "e7_identity": q_e7_identity,
+        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
+        "events_session_agg": q_events_session_agg,
+        "join_anti_customers": q_join_anti_customers,
+        "join_semi_customers": q_join_semi_customers,
+        "m1_rename": q_m1_rename,
+        "m2_add": q_m2_add,
+        "m5_counter_large": q_m5_counter_large,
+        "m6_filter": q_m6_filter,
+        "pivot_status_revenue": q_pivot_status_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "stats_aggregates": q_stats_aggregates,
+        "window_running_revenue": q_window_running_revenue,
+        "x4_image_features": q_x4_image_features,
+        "x4_media_metadata": q_x4_media_metadata,
+        "x5_fingerprint_dups": q_x5_fingerprint_dups,
+        "x5_lang_id": q_x5_lang_id,
+        "x7_sample_hash": q_x7_sample_hash,
+        "x2_decontaminate": q_x2_decontaminate,
+        "x2_embedding_neardup": q_x2_embedding_neardup,
+        "x2_jaccard_verified": q_x2_jaccard_verified,
+        "x2_ngram_jaccard": q_x2_ngram_jaccard,
+        "x3_quantize_embedding": q_x3_quantize_embedding,
+        "x5_pii_redact": q_x5_pii_redact,
+        "x5_quality_filter": q_x5_quality_filter,
+        "x5_repetition_stats": q_x5_repetition_stats,
+        "x5_text_stats": q_x5_text_stats,
+        "x5_top_tokens": q_x5_top_tokens,
+        "x7_hash_split": q_x7_hash_split,
+        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
+        "x1_keep_best": q_x1_keep_best,
+        "x9_curation_pipeline": q_x9_curation_pipeline,
+        "events_sessionized": q_events_sessionized,
+        "events_windowed": q_events_windowed,
+        "grouping_sets_qty": q_grouping_sets_qty,
+        "join_enriched_orders": q_join_enriched_orders,
+        "m7_explode": q_m7_explode,
+        "window_topk_orders": q_window_topk_orders,
+        "x2_simhash": q_x2_simhash,
+        "x3_similarity_topk": q_x3_similarity_topk,
+        "x5_chunk_docs": q_x5_chunk_docs,
+        "x5_html_text": q_x5_html_text,
+        "x6_quantiles": q_x6_quantiles,
+        "x7_oversample": q_x7_oversample,
+        "x7_shuffle_shards": q_x7_shuffle_shards,
+        "x5_line_dedup": q_x5_line_dedup,
+        "x5_sentence_dedup": q_x5_sentence_dedup,
+        # --- slots 51+: hash-checkable, operator covered above --------
+        # The r12 cohort minus the two promoted rows (these 48 head
+        # the declared R15 ROTATION BACKLOG — 3 rounds stale at r15),
+        # then the fresh r13 window. The tail pytest oracle-checks
+        # every entry each run, so eviction never means unchecked.
+        "s8_saved_bloom": q_s8_saved_bloom,
+        "x8_bm25_index": q_x8_bm25_index,
+        "x8_hybrid_rrf": q_x8_hybrid_rrf,
+        "x7_stratified_sample": q_x7_stratified_sample,
+        "x7_dsir_weights": q_x7_dsir_weights,
+        "x7_dsir_select": q_x7_dsir_select,
+        "x2_dup_span_stats": q_x2_dup_span_stats,
+        "range_join_events": q_range_join_events,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
+        "unpivot_price_measures": q_unpivot_price_measures,
+        "sets_except": q_sets_except,
+        "python_udf_bucket": q_python_udf_bucket,
+        "json_extract": q_json_extract,
+        "scalar_functions": q_scalar_functions,
+        "x8_bm25": q_x8_bm25,
+        "x4_audio_features": q_x4_audio_features,
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "x2_winnow_fps": q_x2_winnow_fps,
+        "x5_hash_embedding": q_x5_hash_embedding,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x5_url_dedup": q_x5_url_dedup,
+        "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
+        "x5_dedup_segments": q_x5_dedup_segments,
+        "x5_domain_filter": q_x5_domain_filter,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
+        "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
+        "e1_composition": q_e1_composition,
+        "s4_transform_by_id": q_s4_transform_by_id,
+        "x2_contamination_score": q_x2_contamination_score,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x2_cross_neardup": q_x2_cross_neardup,
+        "x3_matryoshka": q_x3_matryoshka,
+        "x3_random_projection": q_x3_random_projection,
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "x6_time_rollup": q_x6_time_rollup,
+        "x6_sliding_windows": q_x6_sliding_windows,
+        "x7_temperature_mix": q_x7_temperature_mix,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x9_classifier_eval": q_x9_classifier_eval,
+        "x2_components": q_x2_components,
+        "m5_counter": q_m5_counter,
         "x8_hybrid_exact": q_x8_hybrid_exact,
         "x5_vocab_coverage": q_x5_vocab_coverage,
         "s8_saved_lang": q_s8_saved_lang,
@@ -3533,113 +3688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
-        # --- slots 51+: hash-checkable, operator covered above --------
-        # The full r12 window (50 fresh r12 external greens) followed
-        # by the r11 remainder; ordering inside the tail is
-        # historical. The tail pytest oracle-checks every entry each
-        # run, so eviction never means unchecked.
-        # DECLARED R14 ROTATION BACKLOG (standing oldest-first policy):
-        # the r11-stale remainder (the r11 window minus this window's
-        # three r11 members) — 2 rounds stale at r14 — heads the next
-        # rotation; no hash-checkable query is never-external.
-        "s8_saved_bloom": q_s8_saved_bloom,
-        "x8_bm25_index": q_x8_bm25_index,
-        "x8_hybrid_rrf": q_x8_hybrid_rrf,
-        "x7_stratified_sample": q_x7_stratified_sample,
-        "x7_dsir_weights": q_x7_dsir_weights,
-        "x7_dsir_select": q_x7_dsir_select,
-        "x2_dup_span_stats": q_x2_dup_span_stats,
-        "range_join_events": q_range_join_events,
-        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "unpivot_price_measures": q_unpivot_price_measures,
-        "sets_except": q_sets_except,
-        "python_udf_bucket": q_python_udf_bucket,
-        "json_extract": q_json_extract,
-        "scalar_functions": q_scalar_functions,
-        "x5_line_dedup": q_x5_line_dedup,
-        "x8_bm25": q_x8_bm25,
-        "x4_audio_features": q_x4_audio_features,
-        "x5_span_dedup": q_x5_span_dedup,
-        "x5_unigram_logprob": q_x5_unigram_logprob,
-        "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_sample_exact_k": q_x7_sample_exact_k,
-        "x2_winnow_fps": q_x2_winnow_fps,
-        "x5_hash_embedding": q_x5_hash_embedding,
-        "x5_bigram_logprob": q_x5_bigram_logprob,
-        "x5_url_dedup": q_x5_url_dedup,
-        "x5_segment_filter": q_x5_segment_filter,
-        "x5_normalize_text": q_x5_normalize_text,
-        "x5_dedup_segments": q_x5_dedup_segments,
-        "x5_domain_filter": q_x5_domain_filter,
-        "x5_truncate_tokens": q_x5_truncate_tokens,
-        "x9_dataset_diff": q_x9_dataset_diff,
-        "x9_outlier_filter": q_x9_outlier_filter,
-        "x9_profile": q_x9_profile,
-        "e1_composition": q_e1_composition,
-        "s4_transform_by_id": q_s4_transform_by_id,
-        "x2_contamination_score": q_x2_contamination_score,
-        "x2_winnow_pairs": q_x2_winnow_pairs,
-        "x2_cross_neardup": q_x2_cross_neardup,
-        "x3_matryoshka": q_x3_matryoshka,
-        "x3_random_projection": q_x3_random_projection,
-        "x6_rolling_agg": q_x6_rolling_agg,
-        "x6_time_rollup": q_x6_time_rollup,
-        "x6_sliding_windows": q_x6_sliding_windows,
-        "x7_temperature_mix": q_x7_temperature_mix,
-        "x2_edit_pairs": q_x2_edit_pairs,
-        "x9_quantile_bin": q_x9_quantile_bin,
-        "x9_classifier_eval": q_x9_classifier_eval,
-        "x2_components": q_x2_components,
-        "x5_sentence_dedup": q_x5_sentence_dedup,
-        "m5_counter": q_m5_counter,
-        "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
-        "m4_rename_chain": q_m4_rename_chain,
-        "asof_last_event": q_asof_last_event,
-        "e7_identity": q_e7_identity,
-        "e8_inversion_roundtrip": q_e8_inversion_roundtrip,
-        "events_session_agg": q_events_session_agg,
-        "join_anti_customers": q_join_anti_customers,
-        "join_semi_customers": q_join_semi_customers,
-        "m1_rename": q_m1_rename,
-        "m2_add": q_m2_add,
-        "m5_counter_large": q_m5_counter_large,
-        "m6_filter": q_m6_filter,
-        "pivot_status_revenue": q_pivot_status_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "stats_aggregates": q_stats_aggregates,
-        "window_running_revenue": q_window_running_revenue,
-        "x4_image_features": q_x4_image_features,
-        "x4_media_metadata": q_x4_media_metadata,
-        "x5_fingerprint_dups": q_x5_fingerprint_dups,
-        "x5_lang_id": q_x5_lang_id,
-        "x7_sample_hash": q_x7_sample_hash,
-        "x2_decontaminate": q_x2_decontaminate,
-        "x2_embedding_neardup": q_x2_embedding_neardup,
-        "x2_jaccard_verified": q_x2_jaccard_verified,
-        "x2_ngram_jaccard": q_x2_ngram_jaccard,
-        "x3_quantize_embedding": q_x3_quantize_embedding,
-        "x5_pii_redact": q_x5_pii_redact,
-        "x5_quality_filter": q_x5_quality_filter,
-        "x5_repetition_stats": q_x5_repetition_stats,
-        "x5_text_stats": q_x5_text_stats,
-        "x5_top_tokens": q_x5_top_tokens,
-        "x7_hash_split": q_x7_hash_split,
-        "x8_tfidf_top_terms": q_x8_tfidf_top_terms,
-        "x1_keep_best": q_x1_keep_best,
-        "x9_curation_pipeline": q_x9_curation_pipeline,
-        "events_sessionized": q_events_sessionized,
-        "events_windowed": q_events_windowed,
-        "grouping_sets_qty": q_grouping_sets_qty,
-        "join_enriched_orders": q_join_enriched_orders,
-        "m7_explode": q_m7_explode,
-        "window_topk_orders": q_window_topk_orders,
-        "x2_simhash": q_x2_simhash,
-        "x3_similarity_topk": q_x3_similarity_topk,
-        "x5_chunk_docs": q_x5_chunk_docs,
-        "x5_html_text": q_x5_html_text,
-        "x6_quantiles": q_x6_quantiles,
-        "x7_oversample": q_x7_oversample,
-        "x7_shuffle_shards": q_x7_shuffle_shards,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3668,13 +3716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quota": q_streaming_quota,
         "x8_hybrid_dense_sparse": q_x8_hybrid_dense_sparse,
         "streaming_postings": q_streaming_postings,
-        # serve-only split of the hybrid flagship (r12 verdict #4):
-        # benched against per-process memoized indexes; equality-vs-
-        # end-to-end pytest in tests/test_ranking.py
         "x8_hybrid_serve": q_x8_hybrid_serve,
-        # one stream growing BOTH hybrid indexes (r13): per-index
-        # replay/restart pytests in tests/test_streaming.py
         "streaming_hybrid": q_streaming_hybrid,
+        "streaming_hybrid_lag": q_streaming_hybrid_lag,
     }
 
 

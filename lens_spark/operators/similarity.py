@@ -659,10 +659,16 @@ def _exact_rerank(vec_table: DataFrame, queries: DataFrame,
         .join(F.broadcast(shortlist), "neighbor_id")
     qdf = queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("__qv"))
+    # score-before-distinct (the ADC scan's idiom): when vec_table is
+    # a store_vectors index, replayed appends hold byte-identical
+    # duplicate rows — identical vectors score identically, so the
+    # scalar distinct collapses them before ranking (a duplicate must
+    # not occupy two top-k slots); with unique-id corpora it's a no-op
     exact = (cand.join(F.broadcast(qdf), "query_id")
              .withColumn("score", F.round(
                  cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-             .select("query_id", "neighbor_id", "score"))
+             .select("query_id", "neighbor_id", "score")
+             .distinct())
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (exact.withColumn("rank",
@@ -778,7 +784,8 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
                       nbits: int = 4, train_size: int = 2048,
                       iters: int = 8,
                       centroids: "Sequence | None" = None,
-                      codebooks: "Sequence | None" = None) -> dict:
+                      codebooks: "Sequence | None" = None,
+                      store_vectors: bool = False) -> dict:
     """Materialize the IVFADC index ``ivfpq_topk`` computes on the fly:
     ONE corpus pass assigns each vector's coarse cell (cosine — the
     routing metric) and PQ-encodes it to ``m`` bytes, landing
@@ -802,6 +809,21 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     nlist·dim + m·2^nbits·(dim/m) doubles — MBs at realistic sizes;
     pass trained ``centroids``/``codebooks`` artifacts to share one
     model across indexes.
+
+    ``store_vectors=True`` additionally lands the TRUE vector beside
+    each code (a ``vec`` column, the input column's exact element
+    type) — the serve-path I/O fix for exact re-rank (r13 verdict
+    #1): without it, ``rerank`` must fetch true vectors from a
+    separate corpus table whose scan is NOT cell-partitioned, so
+    every panel pays a full vector-table read just to rescore ≤
+    rerank·|queries| candidates; with it, the re-rank reads ONLY the
+    probed cells' partitions of the index itself and
+    ``rerank_corpus`` becomes unnecessary. Cost: the index grows from
+    m bytes/vector to m + 4·dim (still one dataset, one layout, one
+    maintenance story); the ADC scan is unaffected (column pruning —
+    search selects id/code/cell for scoring and id/vec only for the
+    shortlist fetch). The flag is recorded in model.json and appends
+    follow it automatically.
     """
     check_reserved(corpus, {"__id", "__v"}, "ivfpq_index_build")
     import json as _json
@@ -833,11 +855,15 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     centn = _unit_rows(cent)
     sqnorm = (books ** 2).sum(axis=2)
 
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     rows = (ensure_parallelism(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"))
-            .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
-                         "id long, code binary, cell long"))
+            .mapInPandas(
+                _ivfpq_encode_fn(centn, books, sqnorm,
+                                 store_vectors=store_vectors),
+                _ivfpq_parts_schema(vec_type if store_vectors
+                                    else None)))
     spark = corpus.sparkSession
     # heartbeat (r12 verdict #7): the full-corpus encode pass is ONE
     # stage — an inter-stage refresh cannot keep the lease fresh
@@ -865,6 +891,7 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
                 "format": "lens_spark_ivfpq_index", "version": 1,
                 "dim": int(dim), "m": int(books.shape[0]),
                 "nbits": int(nbits), "nlist": int(len(cent)),
+                "store_vectors": bool(store_vectors),
                 "centroids": [[float(x) for x in c] for c in cent],
                 "books": [[[float(x) for x in c] for c in book]
                           for book in books]},
@@ -878,19 +905,33 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
             "cells_used": int(agg["c"])}
 
 
+def _ivfpq_parts_schema(vec_type: "str | None") -> str:
+    """parts/ row schema for the IVFADC index: (id, code[, vec], cell)
+    — ``vec`` present iff the index stores true vectors
+    (store_vectors), typed exactly as the input column so a stored
+    vector round-trips bit-identical to the corpus row (the
+    stored-vector re-rank == corpus re-rank equality contract)."""
+    vec = f", vec {vec_type}" if vec_type else ""
+    return f"id long, code binary{vec}, cell long"
+
+
 def _ivfpq_encode_fn(centn: "np.ndarray", books: "np.ndarray",
-                     sqnorm: "np.ndarray"):
+                     sqnorm: "np.ndarray", *,
+                     store_vectors: bool = False):
     """mapInPandas kernel shared by index build and append: cosine
-    cell assignment + PQ byte codes."""
+    cell assignment + PQ byte codes (+ the raw vector passthrough when
+    the index stores true vectors)."""
     def encode(batches):
         for pdf in batches:
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             cells = _ivfpq_cells(x, centn)
             codes = _pq_encode(x, books, sqnorm).astype(np.uint8)
-            yield pd.DataFrame({
-                "id": pdf["__id"],
-                "code": [c.tobytes() for c in codes],
-                "cell": cells.astype("int64")})
+            cols = {"id": pdf["__id"],
+                    "code": [c.tobytes() for c in codes]}
+            if store_vectors:
+                cols["vec"] = pdf["__v"]
+            cols["cell"] = cells.astype("int64")
+            yield pd.DataFrame(cols)
     return encode
 
 
@@ -942,11 +983,19 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         books = np.array(model["books"], dtype=np.float64)
         centn = _unit_rows(cent)
         sqnorm = (books ** 2).sum(axis=2)
+        # a store_vectors index carries the true vector with every
+        # code (model.json records the flag at build time); appends
+        # follow it so old and new rows share one parts schema
+        store = bool(model.get("store_vectors"))
         out = (ensure_parallelism(batch)
                .select(F.col(id_col).alias("__id"),
                        F.col(vec_col).alias("__v"))
-               .mapInPandas(_ivfpq_encode_fn(centn, books, sqnorm),
-                            "id long, code binary, cell long"))
+               .mapInPandas(
+                   _ivfpq_encode_fn(centn, books, sqnorm,
+                                    store_vectors=store),
+                   _ivfpq_parts_schema(
+                       batch.schema[vec_col].dataType.simpleString()
+                       if store else None)))
         # pin the count BEFORE the append (the dedup checkpoint-
         # before-append discipline: nothing downstream re-reads files
         # mid-write)
@@ -1046,6 +1095,14 @@ def compact_ivfpq_index(spark, index_path: str, *,
     parts_path = f"{index_path}/parts"
 
     with _index_writer_lock(spark, index_path):
+        # a store_vectors index carries the true vector with every
+        # code — the rewrite must keep it. Column set from model.json
+        # read UNDER the lock (the same O(1) read every search pays;
+        # never a full-tree probe, and never racing a rebuild swap).
+        meta = _read_ivfpq_model(spark, index_path,
+                                 "compact_ivfpq_index")
+        data_cols = (["id", "code", "vec"]
+                     if meta.get("store_vectors") else ["id", "code"])
         _parts_pb_migration_recover(spark, parts_path)
         if not dataset_nonempty(spark, parts_path):
             return ({"rows_before": 0, "rows_after": 0,
@@ -1057,18 +1114,18 @@ def compact_ivfpq_index(spark, index_path: str, *,
             return _compact_partition_subset(
                 spark, parts_path,
                 [f"cell={int(v)}" for v in partitions],
-                target_files=1, select_cols=["id", "code"],
+                target_files=1, select_cols=data_cols,
                 drop_replay_duplicates=drop_replay_duplicates,
                 op="compact_ivfpq_index")
         parts = spark.read.parquet(parts_path)
-        if not {"id", "code", "cell"} <= set(parts.columns):
+        if not set(data_cols + ["cell"]) <= set(parts.columns):
             raise LensError(
                 f"compact_ivfpq_index: {parts_path!r} is not an ivfpq "
                 f"code index (columns {sorted(parts.columns)}; "
-                "expected id/code/cell)")
+                f"expected {data_cols + ['cell']})")
         rows_before = parts.count()
         files_before = _visible_file_count(spark, parts_path)
-        out = parts.select("id", "code", "cell")
+        out = parts.select(*data_cols, "cell")
         if drop_replay_duplicates:
             out = out.distinct()
 
@@ -1103,9 +1160,16 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     idiom), so replay-duplicated append rows cannot occupy two top-k
     slots.
 
-    ``rerank`` + ``rerank_corpus`` (the table holding true vectors)
-    adds the exact-refinement tail: candidates fetch by broadcast
-    semi-join on id — ≤ rerank·|queries| rows, never a corpus scan.
+    ``rerank`` adds the exact-refinement tail: candidates fetch by
+    broadcast join on id — ≤ rerank·|queries| rows ever shuffle. An
+    index built with ``store_vectors=True`` serves the true vectors
+    from its OWN probed-cell partitions (r13 verdict #1: the fetch's
+    scan side is cell-pruned exactly like the ADC scan — no
+    ``rerank_corpus`` table, no full vector-table read per panel; at
+    100 TB that unpruned read was the serve path's I/O ceiling).
+    Without stored vectors, pass ``rerank_corpus`` (the table holding
+    true vectors); when both are available the index's stored vectors
+    win — they are the pruned read.
     """
     from lens_spark.errors import LensError
     from lens_spark.operators.dedup import _parts_migration_leftovers
@@ -1121,10 +1185,13 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
         raise LensError(
             f"ivfpq_index_search: nprobe={nprobe} exceeds "
             f"nlist={nlist}")
-    if rerank and rerank_corpus is None:
+    store = bool(meta.get("store_vectors"))
+    if rerank and rerank_corpus is None and not store:
         raise LensError(
-            "ivfpq_index_search: rerank needs rerank_corpus (the index "
-            "stores codes, not vectors)")
+            "ivfpq_index_search: rerank needs rerank_corpus (this "
+            "index stores codes, not vectors — build with "
+            "store_vectors=True to serve the re-rank from the index's "
+            "own probed cells)")
     cent = np.array(meta["centroids"], dtype=np.float64)
     books = np.array(meta["books"], dtype=np.float64)
     sqnorm = (books ** 2).sum(axis=2)
@@ -1150,8 +1217,11 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    codes_df = (spark.read.parquet(f"{index_path}/parts")
-                .filter(F.col("cell").isin(probed_cells)))
+    pruned = (spark.read.parquet(f"{index_path}/parts")
+              .filter(F.col("cell").isin(probed_cells)))
+    # explicit column pruning: the ADC scan must never read a stored
+    # vec column (codes are the point — m bytes vs 4·dim)
+    codes_df = pruned.select("id", "code", "cell")
     scored = codes_df.mapInPandas(
         score_batches, "query_id long, neighbor_id long, score double")
     if exclude_self:
@@ -1163,7 +1233,16 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
         return _rank_topk(scored, "query_id", k)
     shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
-    return _exact_rerank(rerank_corpus, queries, shortlist, id_col,
+    if store:
+        # true vectors from the index's OWN probed-cell partitions —
+        # the same pruned read the ADC scan does, vec column instead
+        # of code. Replayed-append duplicates are byte-identical and
+        # collapse in _exact_rerank's scored-row distinct.
+        vec_table = pruned.select(F.col("id").alias(id_col),
+                                  F.col("vec").alias(vec_col))
+    else:
+        vec_table = rerank_corpus
+    return _exact_rerank(vec_table, queries, shortlist, id_col,
                          vec_col, k)
 
 

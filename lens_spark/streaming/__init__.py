@@ -719,6 +719,90 @@ def run_stream_postings_append(stream_df: DataFrame, index_path: str, *,
     return {k: int(v) for k, v in totals.items()}
 
 
+def _write_ingest_marker(spark, index_path: str, batch_id: int) -> None:
+    """Record the last streaming batch an index absorbed
+    (``ingest.json`` — the hybrid pair's lag observable, r13 verdict
+    #7). Sidecar semantics like the postings row-count stat: staged
+    tmp + rename, a torn/lost marker merely reads as unknown until the
+    next append rewrites it. Written AFTER the append commits, outside
+    the lease — a crash in the gap leaves the marker one batch BEHIND
+    the data, so ``hybrid_lag_report`` over-reports lag (the
+    conservative direction) until the at-least-once replay rewrites
+    it."""
+    import json as _json
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    path = f"{index_path}/ingest.json"
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = P(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(_json.dumps({"last_batch": int(batch_id)},
+                              sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(P(path), False)
+    if not fs.rename(tmp, P(path)):
+        fs.delete(tmp, False)  # benign: the next batch rewrites it
+
+
+def _read_ingest_marker(spark, index_path: str) -> "int | None":
+    from lens_spark.sources import read_json_file
+
+    try:
+        marker = read_json_file(spark, f"{index_path}/ingest.json")
+    except Exception:  # noqa: BLE001 — torn marker reads as unknown
+        return None
+    if marker is None or not isinstance(marker.get("last_batch"), int):
+        return None
+    return int(marker["last_batch"])
+
+
+def hybrid_lag_report(spark, postings_index: str, ivfpq_index: str,
+                      checkpoint: "str | None" = None) -> DataFrame:
+    """Turn ``run_stream_hybrid_append``'s documented
+    crash-between-appends window into an OBSERVABLE (r13 verdict #7,
+    the drift-report pattern): one row comparing the two indexes' last
+    absorbed streaming batch (their ``ingest.json`` markers) and the
+    checkpoint's last committed batch. Atomicity is per index by
+    design — a crash between the two appends leaves the postings index
+    one batch ahead of the IVFADC index until the replay clears it;
+    this report is how an operator SEES that transient instead of
+    trusting the docstring.
+
+    Columns: ``postings_batch`` / ``ivfpq_batch`` (null = no marker:
+    never streamed, pre-marker index, or torn sidecar),
+    ``committed_batch`` (max committed batch id in the checkpoint's
+    ``commits/``, null when absent), ``lag_batches`` (|postings −
+    ivfpq|, null when either marker is unknown) and ``in_sync`` (both
+    markers present and equal; false on a visible lag, null when
+    unknowable). O(1) I/O: two sidecar reads + one listStatus of the
+    commits dir — nothing index- or corpus-sized. Markers trail the
+    data by at most one batch on a crash (written after the append),
+    so a reported lag is an upper bound that the at-least-once replay
+    clears."""
+    pb = _read_ingest_marker(spark, postings_index)
+    vb = _read_ingest_marker(spark, ivfpq_index)
+    committed = None
+    if checkpoint is not None:
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        commits = P(f"{checkpoint}/commits")
+        fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(commits):
+            ids = [int(st.getPath().getName())
+                   for st in fs.listStatus(commits)
+                   if st.getPath().getName().isdigit()]
+            committed = max(ids) if ids else None
+    lag = abs(pb - vb) if pb is not None and vb is not None else None
+    in_sync = (pb == vb) if pb is not None and vb is not None else None
+    return spark.createDataFrame(
+        [(pb, vb, committed, lag, in_sync)],
+        "postings_batch long, ivfpq_batch long, committed_batch long, "
+        "lag_batches long, in_sync boolean")
+
+
 def run_stream_hybrid_append(stream_df: DataFrame, postings_index: str,
                              ivfpq_index: str, *, id_col: str,
                              text_col: str, vec_col: str,
@@ -744,7 +828,11 @@ def run_stream_hybrid_append(stream_df: DataFrame, postings_index: str,
     nightly sweep. Readers therefore never see the pair torn in a way
     that changes results: worst case one index briefly lacks the
     newest batch the other has, exactly the lag any two independent
-    streams exhibit.
+    streams exhibit — and that transient is OBSERVABLE, not just
+    documented: each append stamps its index's ``ingest.json`` marker
+    and ``hybrid_lag_report`` compares the two markers (plus the
+    checkpoint's committed batch), so an operator sees the lag appear
+    and the replay clear it (r13 verdict #7).
 
     Per-batch cost is the two appenders' documented bounded shapes
     (narrow tokenize + pruned frozen-df probe + partitioned append;
@@ -785,9 +873,14 @@ def run_stream_hybrid_append(stream_df: DataFrame, postings_index: str,
                                   dropped_tag=str(batch_id))
         totals["n_postings"] += r["n_postings"]
         totals["n_dropped_postings"] += r["n_dropped_postings"]
+        # per-index lag observable (r13 verdict #7): each marker lands
+        # right after its append, so a crash between the two appends
+        # is VISIBLE in hybrid_lag_report until the replay clears it
+        _write_ingest_marker(spark, postings_index, batch_id)
         v = ivfpq_index_append(batch, ivfpq_index, id_col=id_col,
                                vec_col=vec_col, return_details=True)
         totals["n_vectors"] += v["n"]
+        _write_ingest_marker(spark, ivfpq_index, batch_id)
         if auto_compact_files:
             _compact_over(spark, postings_index, "pb",
                           r.get("touched_pb", []), compact_index)

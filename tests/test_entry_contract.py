@@ -74,27 +74,27 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-13 rotation (r12 verdict #2 + standing oldest-first
-        # policy): x8_hybrid_exact (the only never-external
-        # hash-checkable), x5_vocab_coverage + s8_saved_lang, and the
-        # entire 47-query r10-stale cohort — see the queries()
-        # rotation note
-        "x8_hybrid_exact", "x5_vocab_coverage", "s8_saved_lang",
-        "x7_group_quota", "x9_threshold_sweep", "x6_resample",
-        "s8_saved_vocab", "arith_pipeline", "agg_pricing_summary",
-        "x2_minhash_pairs", "x6_exact_distinct", "x1_dedup_exact",
-        "x9_card_diff", "x9_expectations", "e2_wasm_pipeline",
-        "e2_wasm_lenchange", "s8_saved_model", "x3_embedding_outliers",
-        "x3_centroid", "x6_group_quantiles", "cube_revenue",
-        "x5_compression_ratio", "x2_containment", "x2_novelty",
-        "x4_image_phash", "x5_classifier_score", "x5_logprob_band",
-        "x5_mask_tokens", "x5_sentences", "x5_token_histogram",
-        "x5_vocab_ids", "x8_concat_blocks", "x8_fim", "x8_length_batches",
-        "x8_span_corrupt", "x9_snapshot_diff", "x2_cluster_stats",
-        "x8_chat_render", "x7_epoch_plan", "x9_ks_drift", "x2_cluster_rep",
-        "x5_structure_stats", "x8_preference_pairs", "x7_interleave",
-        "x5_pseudonymize", "x6_equiwidth_hist", "x9_dataset_card",
-        "x2_overlap_matrix", "x7_realize_epochs", "x9_filter_funnel",
+        # round-14 rotation (r13 verdict #5 + standing oldest-first
+        # policy): the 48-query r11-stale remainder (3 rounds stale
+        # this round) plus the two r12-green bench rows under perf
+        # attribution (x5_line_dedup, x5_sentence_dedup) — see the
+        # queries() rotation note
+        "m2_inverse_roundtrip", "m4_rename_chain", "asof_last_event",
+        "e7_identity", "e8_inversion_roundtrip", "events_session_agg",
+        "join_anti_customers", "join_semi_customers", "m1_rename",
+        "m2_add", "m5_counter_large", "m6_filter", "pivot_status_revenue",
+        "rollup_revenue", "stats_aggregates", "window_running_revenue",
+        "x4_image_features", "x4_media_metadata", "x5_fingerprint_dups",
+        "x5_lang_id", "x7_sample_hash", "x2_decontaminate",
+        "x2_embedding_neardup", "x2_jaccard_verified", "x2_ngram_jaccard",
+        "x3_quantize_embedding", "x5_pii_redact", "x5_quality_filter",
+        "x5_repetition_stats", "x5_text_stats", "x5_top_tokens",
+        "x7_hash_split", "x8_tfidf_top_terms", "x1_keep_best",
+        "x9_curation_pipeline", "events_sessionized", "events_windowed",
+        "grouping_sets_qty", "join_enriched_orders", "m7_explode",
+        "window_topk_orders", "x2_simhash", "x3_similarity_topk",
+        "x5_chunk_docs", "x5_html_text", "x6_quantiles", "x7_oversample",
+        "x7_shuffle_shards", "x5_line_dedup", "x5_sentence_dedup",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)
@@ -245,39 +245,87 @@ def test_bench_regressions_section_math():
 
 
 def test_bench_rerun_flagged_math(monkeypatch):
-    """bench.py's fresh-process flag re-run (r12 verdict #6): the
-    re-run multipliers are computed against the PREVIOUS round
-    (raw and calibrated), a flag whose re-run falls under the
-    threshold is marked drift, a still-hot flag is not, and a failed
-    subprocess leaves the flag standing without breaking the bench."""
+    """bench.py's fresh-process flag re-run (r12 verdict #6, r13
+    verdict #3 + advice): the re-run multipliers are computed against
+    the PREVIOUS round (raw and calibrated), a flag whose re-run falls
+    under the threshold is marked drift, a still-hot flag is not, a
+    failed subprocess leaves the flag STANDING as an explicit
+    inconclusive record (never silently absent, never dismissed),
+    EVERY flag gets a verdict (no worst-5 coverage cap), runs are
+    allocated coverage-first (round-robin passes), and drift is only
+    declared on >= 2 conclusive runs."""
     import json as _json
     import subprocess
     import types
 
     import bench
 
-    prev = {"queries": {"qa": 1.0, "qb": 2.0, "qc": 1.0},
+    # 7 flags — more than the old worst-5 cap — every one gets a row
+    prev = {"queries": {f"q{i}": 1.0 for i in range(7)},
             "calibration": 0.5}
-    flagged = {"qa": {"x": 1.5}, "qb": {"x": 1.3}, "qc": {"x": 1.2}}
+    prev["queries"]["qb"] = 2.0
+    flagged = {f"q{i}": {"x": 1.5 - i * 0.01} for i in range(7)}
+    flagged["qb"] = {"x": 1.3}
 
-    fake_out = {
-        "qa": {"query": "qa", "sec": 1.0, "calibration": 0.5},  # parity
-        "qb": {"query": "qb", "sec": 3.0, "calibration": 0.5},  # still hot
-    }
+    calls = {"n": 0}
 
     def fake_run(cmd, **kw):
         name = cmd[-1]
-        if name == "qc":
+        calls["n"] += 1
+        if name == "q2":
             raise OSError("boom")  # re-run failure: flag stands
+        sec = {"qb": 3.0, "q1": 1.0}.get(name, 1.0)
+        if name == "q3":
+            sec = 2.0  # stays hot
         return types.SimpleNamespace(
-            stdout=_json.dumps(fake_out[name]) + "\n", returncode=0)
+            stdout=_json.dumps({"query": name, "sec": sec,
+                                "calibration": 0.5}) + "\n",
+            returncode=0)
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     out = bench._rerun_flagged(flagged, prev, ".", "/unused")
-    assert out["qa"]["drift"] is True and out["qa"]["xr"] == 1.0
+    assert set(out) == set(flagged), "every flag carries a verdict"
+    assert out["q0"]["drift"] is True and out["q0"]["xr"] == 1.0
     assert out["qb"]["drift"] is False and out["qb"]["xr"] == 1.5
     assert out["qb"]["x"] == 1.5  # same cal both rounds → x == xr
-    assert "qc" not in out
+    assert out["q3"]["drift"] is False and out["q3"]["xr"] == 2.0
+    # the failed query is an explicit inconclusive, never a dismissal
+    assert out["q2"] == {"runs": 0, "inconclusive": True,
+                         "drift": False}
+    # coverage-first: the worst 5 get a 3rd pass, the rest got 2 runs
+    assert out["q0"]["runs"] == 3 and out["q5"]["runs"] == 2
+
+    # r13 advice: a single-run re-run must NOT dismiss a flag as
+    # drift — even at parity it is inconclusive
+    def fake_run_once(cmd, **kw):
+        if calls["n2"] > 0:
+            raise OSError("deadline")  # later passes truncated
+        calls["n2"] += 1
+        return types.SimpleNamespace(
+            stdout=_json.dumps({"query": cmd[-1], "sec": 1.0,
+                                "calibration": 0.5}) + "\n",
+            returncode=0)
+
+    calls["n2"] = 0
+    monkeypatch.setattr(subprocess, "run", fake_run_once)
+    out2 = bench._rerun_flagged({"q0": {"x": 1.5}}, prev, ".", "/u")
+    assert out2["q0"]["runs"] == 1
+    assert out2["q0"]["inconclusive"] is True
+    assert out2["q0"]["drift"] is False, \
+        "one sample at parity must leave the flag standing"
+
+    # cal <= 0 makes the calibrated multiplier undefined: inconclusive
+    def fake_run_badcal(cmd, **kw):
+        return types.SimpleNamespace(
+            stdout=_json.dumps({"query": cmd[-1], "sec": 1.0,
+                                "calibration": 0.0}) + "\n",
+            returncode=0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run_badcal)
+    out3 = bench._rerun_flagged({"q0": {"x": 1.5}}, prev, ".", "/u")
+    assert out3["q0"]["x"] is None
+    assert out3["q0"]["inconclusive"] is True
+    assert out3["q0"]["drift"] is False
 
 
 def test_readme_query_counts_match_entry():
@@ -296,3 +344,19 @@ def test_readme_query_counts_match_entry():
         f"README says {m.group(1)} queries, entry declares {len(qdict)}")
     assert int(m.group(2)) == len(oracles), (
         f"README says {m.group(2)} oracles, entry declares {len(oracles)}")
+    # SURVEY.md states the same split plus the rows-only count (r13
+    # nit: "27 rows-only" went stale because only 177/148 were pinned)
+    survey = open("SURVEY.md").read()
+    m = re.search(r"(\d+) queries total: (\d+) oracle hash-matched",
+                  survey)
+    assert m, "SURVEY.md query-count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qdict),
+                                                  len(oracles))
+    m = re.search(r"(\d+) rows-only", survey)
+    assert m, "SURVEY.md rows-only count missing"
+    assert int(m.group(1)) == len(qdict) - len(oracles), (
+        f"SURVEY.md says {m.group(1)} rows-only, entry declares "
+        f"{len(qdict) - len(oracles)}")
+    # and the queries() docstring itself states the rows-only count
+    m = re.search(r"the (\d+) rows-only", entrymod.queries.__doc__)
+    assert m and int(m.group(1)) == len(qdict) - len(oracles)

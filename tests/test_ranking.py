@@ -441,6 +441,46 @@ def test_hybrid_search_lens_plan_and_refusal(spark, hybrid_setup):
         engine.inverse(panel, spec).collect()
 
 
+def test_hybrid_store_vectors_rerank_needs_no_corpus_scan(
+        spark, hybrid_setup, tmp_path):
+    """r13 verdict #1 at the hybrid level: with the IVFADC index built
+    ``store_vectors=True``, the exact re-rank runs WITHOUT
+    ``rerank_corpus`` — true vectors come from the index's own
+    probed-cell partitions — and returns row-for-row what the
+    corpus-fed fusion returns (same model, same floats). The serve
+    plan's every file scan is one of the two indexes; no vector-table
+    scan exists to become the per-panel I/O ceiling."""
+    from lens_spark.operators.ranking import hybrid_search
+    from lens_spark.operators.similarity import ivfpq_index_build
+
+    corpus, pidx, vidx, panel = hybrid_setup
+    vidx_sv = str(tmp_path / "vidx_sv")
+    # same corpus + params as the fixture's index → same model
+    ivfpq_index_build(corpus, vidx_sv, id_col="vec_id",
+                      vec_col="embedding", dim=8, nlist=4, m=4,
+                      nbits=6, store_vectors=True)
+    got = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx_sv, id_col="vec_id",
+                        text_col="text", vec_col="embedding", k=10,
+                        per_system_k=20, nprobe=4, rerank=48)
+    want = hybrid_search(spark, panel, postings_index=pidx,
+                         ivfpq_index=vidx, id_col="vec_id",
+                         text_col="text", vec_col="embedding", k=10,
+                         per_system_k=20, nprobe=4, rerank=48,
+                         rerank_corpus=corpus)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans
+    for ln in scans:
+        # every scan is partition-pruned index I/O: the IVFADC scans
+        # by probed cell, the postings scan by term bucket (pb) — an
+        # unpartitioned vector-table scan would carry neither
+        assert "PartitionFilters" in ln and ("cell#" in ln
+                                             or "pb#" in ln), ln
+
+
 def test_postings_drift_report_tracks_unretrievable_debt(spark, corpus,
                                                          tmp_path):
     """The dropped-terms log's consumer (r12): per-batch dropped

@@ -5,6 +5,8 @@ never materialize O(n²) at scale)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -714,6 +716,83 @@ def test_compact_ivfpq_index_bounds_files_and_drops_replay_dupes(
     # recovered directory correctly)
     after = results()
     assert (0, 1000000) in {(q, n) for q, n, _ in after}
+
+
+def test_ivfpq_store_vectors_serves_rerank_from_probed_cells(
+        spark, emb, tmp_path):
+    """r13 verdict #1 (the serve path's declared 100 TB I/O ceiling):
+    an index built with store_vectors=True lands the true vector
+    beside each code, so the exact re-rank reads ONLY the probed
+    cells' partitions of the index itself — no rerank_corpus table,
+    no full vector-table scan per panel. Pinned: (1) stored-vector
+    re-rank EQUALS corpus re-rank (same floats, same scores); (2) the
+    serve plan's every scan targets the index path, the ADC scan
+    reads id+code (never vec), the fetch scan reads id+vec (never
+    code), and both carry the cell PartitionFilter; (3) appends
+    follow the model flag automatically and a replayed append cannot
+    occupy two top-k slots; (4) full and partition-subset compaction
+    preserve the vec column."""
+    from lens_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    half = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    plain, sv = str(tmp_path / "plain"), str(tmp_path / "sv")
+    for p, kw in ((plain, {}), (sv, {"store_vectors": True})):
+        # same corpus + params → same deterministic model both sides
+        ivfpq_index_build(half, p, id_col="vec_id",
+                          vec_col="embedding", dim=64, nlist=8, m=8,
+                          nbits=6, **kw)
+        ivfpq_index_append(rest, p, id_col="vec_id",
+                           vec_col="embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def serve(idx, **kw):
+        return ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                                  vec_col="embedding", k=K, nprobe=4,
+                                  rerank=4 * K, **kw)
+
+    want = {(r.query_id, r.neighbor_id, r.score)
+            for r in serve(plain, rerank_corpus=emb).collect()}
+    stored = serve(sv)  # no rerank_corpus — the index has the vectors
+    got = {(r.query_id, r.neighbor_id, r.score)
+           for r in stored.collect()}
+    assert got == want and len(got) == N_QUERIES * K
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan
+    for ln in scans:
+        # every scan is either the index's own partitions or the
+        # QUERY PANEL's bounded read (pushed vec_id < N_QUERIES) —
+        # never an unfiltered corpus vector table
+        assert "/sv/" in ln or f"LessThan(vec_id,{N_QUERIES})" in ln, ln
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("code" in s and "vec" not in s for s in schemas), \
+        "the ADC scan must not read the stored vectors"
+    assert any("vec" in s and "code" not in s for s in schemas), \
+        "the re-rank fetch must not read the codes"
+    assert plan.count("PartitionFilters") >= 2 and "cell" in plan
+
+    # at-least-once replay: byte-identical duplicate rows collapse in
+    # the scored-row distinct — never two top-k slots
+    ivfpq_index_append(rest, sv, id_col="vec_id", vec_col="embedding")
+    assert {(r.query_id, r.neighbor_id, r.score)
+            for r in serve(sv).collect()} == want
+    st = compact_ivfpq_index(spark, sv, drop_replay_duplicates=True)
+    assert st["rows_after"] == emb.count() < st["rows_before"]
+    assert {(r.query_id, r.neighbor_id, r.score)
+            for r in serve(sv).collect()} == want
+    cells = [int(r.cell) for r in spark.read.parquet(f"{sv}/parts")
+             .select("cell").distinct().limit(1).collect()]
+    st2 = compact_ivfpq_index(spark, sv, partitions=cells)
+    assert st2["partitions"] == [f"cell={cells[0]}"]
+    assert {(r.query_id, r.neighbor_id, r.score)
+            for r in serve(sv).collect()} == want
 
 
 def test_ivfpq_build_refuses_in_place_rebuild(spark, emb, tmp_path):

@@ -1500,6 +1500,87 @@ def test_stream_hybrid_append_grows_both_indexes(spark, tmp_path):
     assert serve(spidx, svidx) == want
 
 
+def test_hybrid_lag_report_sees_crash_between_appends(spark, tmp_path,
+                                                      monkeypatch):
+    """r13 verdict #7: run_stream_hybrid_append's per-index atomicity
+    leaves a documented transient — a crash between the two appends
+    puts a batch in the postings index the IVFADC index lacks.
+    hybrid_lag_report turns it observable: the lag APPEARS after the
+    injected crash (postings marker one batch ahead, checkpoint not
+    advanced) and CLEARS after the replay (markers equal, committed
+    caught up)."""
+    import random
+
+    import lens_spark.operators.similarity as sim
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_build
+    from lens_spark.streaming import (
+        hybrid_lag_report,
+        read_file_stream,
+        run_stream_hybrid_append,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, "spark hash join", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(24)]
+    schema = "doc_id long, text string, embedding array<float>"
+    full = spark.createDataFrame(rows, schema)
+    seed, rest = full.filter("doc_id < 8"), full.filter("doc_id >= 8")
+    pidx, vidx = str(tmp_path / "pidx"), str(tmp_path / "vidx")
+    postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
+    ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
+                      id_col="doc_id", vec_col="embedding", dim=8,
+                      nlist=4, m=4, nbits=6)
+    # a never-streamed pair reports unknown, not a fake zero lag
+    rep0 = hybrid_lag_report(spark, pidx, vidx).collect()[0]
+    assert rep0.postings_batch is None and rep0.in_sync is None
+
+    src = tmp_path / "lagsrc"
+    src.mkdir()
+    pdf = rest.toPandas()
+    pdf.iloc[:8].to_parquet(src / "b1.parquet")
+    pdf.iloc[8:].to_parquet(src / "b2.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    # crash INSIDE batch 1, between the postings append (done) and the
+    # ivfpq append (never runs)
+    real = sim.ivfpq_index_append
+    calls = {"n": 0}
+
+    def crash_on_second(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between the two appends")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "ivfpq_index_append", crash_on_second)
+
+    def drain():
+        return run_stream_hybrid_append(
+            read_file_stream(spark, str(src),
+                             schema_from=str(src / "b1.parquet"),
+                             maxFilesPerTrigger=1),
+            pidx, vidx, id_col="doc_id", text_col="text",
+            vec_col="embedding", checkpoint=ckpt)
+
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+    rep = hybrid_lag_report(spark, pidx, vidx,
+                            checkpoint=ckpt).collect()[0]
+    assert rep.postings_batch == 1 and rep.ivfpq_batch == 0
+    assert rep.lag_batches == 1 and rep.in_sync is False
+    assert rep.committed_batch == 0  # the crashed batch never committed
+
+    # the at-least-once replay (same checkpoint) clears the lag
+    monkeypatch.setattr(sim, "ivfpq_index_append", real)
+    drain()
+    rep2 = hybrid_lag_report(spark, pidx, vidx,
+                             checkpoint=ckpt).collect()[0]
+    assert rep2.postings_batch == rep2.ivfpq_batch == 1
+    assert rep2.lag_batches == 0 and rep2.in_sync is True
+    assert rep2.committed_batch == 1
+
+
 def test_stream_sink_compacts_only_offending_buckets(spark, tmp_path):
     """The r12-verdict-#3 'Done' pin at the SINK level: an
     over-threshold micro-batch rewrites ONLY the bucket dir(s) it

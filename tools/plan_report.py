@@ -111,12 +111,17 @@ FLAGSHIPS = [
                                "bounded top-per_system_k rankings — "
                                "≤ 2·per_system_k rows per query reach "
                                "it, then the shared two-stage top-k. "
-                               "Neither corpus is scanned at serve "
-                               "time: the sparse leg reads postings "
-                               "buckets, the dense leg reads byte "
-                               "codes, the exact re-rank fetches true "
-                               "vectors by broadcast semi-join on the "
-                               "shortlist only"),
+                               "NO table outside the two indexes is "
+                               "scanned at serve time (r14, r13 "
+                               "verdict #1): the sparse leg reads "
+                               "postings buckets, the dense leg reads "
+                               "byte codes, and the exact re-rank "
+                               "reads true vectors from the SAME "
+                               "probed-cell partitions (the index is "
+                               "built store_vectors=True) — the old "
+                               "rerank_corpus scan, the one "
+                               "panel-independent full read on this "
+                               "path, is gone"),
     ("x8_hybrid_serve", "the hybrid flagship's SERVE PATH alone (r13, "
                         "r12 verdict #4) — the identical fused plan as "
                         "x8_hybrid_dense_sparse but against indexes "
@@ -127,7 +132,12 @@ FLAGSHIPS = [
                         "regression (a lost PartitionFilter, a "
                         "broadcast flipping to shuffle) is visible in "
                         "this report even when the end-to-end row's "
-                        "build noise hides the seconds"),
+                        "build noise hides the seconds. r14 (r13 "
+                        "verdict #1): every file scan here is one of "
+                        "the two indexes' pruned partitions — the "
+                        "exact re-rank's vec fetch is the second "
+                        "cell-INSET scan, and the per-panel "
+                        "rerank_corpus full read no longer exists"),
 ]
 
 
