@@ -318,19 +318,37 @@ def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
         x = round((med / cal) / (prev / pcal), 3) if cal > 0 else None
         conclusive = len(secs) >= 2 and x is not None
         rec = {"median": round(med, 3), "cal_median": round(cal, 3),
-               "runs": len(secs), "xr": xr, "x": x,
+               "runs": len(secs), "xr": xr, "x": x, "prev": prev,
                "drift": bool(conclusive
                              and not (xr > 1.15 and x > 1.15))}
         if not conclusive:
             rec["inconclusive"] = True
+        if prev < 0.5:
+            # Known regime limit, stated in the record: a fresh
+            # process's floor for SUB-SECOND rows sits ~2x the warmed
+            # 70-query session's median (tiered-JIT depth the worker's
+            # warm-ups cannot reach), so this re-run can CONFIRM a
+            # tiny row's flag but can never dismiss one — attribution
+            # for standing tiny-row flags needs the interleaved
+            # same-regime code-bisect (SCALE.md r14 protocol).
+            rec["tiny_row_regime_limit"] = True
         out[name] = rec
     return out
 
 
 def _one_query(name: str) -> int:
     """Fresh-process single-query timing (the _rerun_flagged worker):
-    same warm-up + GC regime as the main loop, one timed run at
-    $SPARK_GRAFT_SF_DIR plus one calibration run, one JSON line."""
+    same warm-up + GC regime as the main loop, MEDIAN OF 3 timed runs
+    at $SPARK_GRAFT_SF_DIR plus a 3-run calibration median, one JSON
+    line. Three timed runs, not one (r14): a single timed run in a
+    fresh JVM carries ~0.2s of residual JIT that a 70-query bench
+    session has long amortized — for SUB-SECOND queries that residue
+    alone exceeds the 1.15 flag threshold, so single-shot re-runs of
+    tiny rows read structurally hot (measured: three parity rows
+    re-ran at 1.8–2.4× raw while interleaved same-regime bisects put
+    all three at ≤1.04×). Runs 2–3 of one process are past the JIT
+    knee; their median compares like-with-like against the session
+    median."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("lens_spark-bench-rerun")
     spark.sparkContext.setLogLevel("ERROR")
@@ -341,23 +359,28 @@ def _one_query(name: str) -> int:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     # one untimed run at the TARGET sf too: the main bench's median sits
     # on runs 2+ (post one-time costs — index-build memos, AQE replans),
-    # so a single-shot re-run must start from the same state or a memo
-    # query's re-run would time its index build and fake a regression
+    # so a re-run must start from the same state or a memo query's
+    # re-run would time its index build and fake a regression
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    start = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    sec = time.perf_counter() - start
+    secs = []
+    for _ in range(3):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        secs.append(time.perf_counter() - start)
     for _ in range(2):
         _calibration_df(spark).write.format("noop").mode("overwrite").save()
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    start = time.perf_counter()
-    _calibration_df(spark).write.format("noop").mode("overwrite").save()
-    cal = time.perf_counter() - start
-    print(json.dumps({"query": name, "sec": round(sec, 3),
-                      "calibration": round(cal, 3)}))
+    cals = []
+    for _ in range(3):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        start = time.perf_counter()
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+        cals.append(time.perf_counter() - start)
+    print(json.dumps({"query": name,
+                      "sec": round(statistics.median(secs), 3),
+                      "calibration": round(statistics.median(cals), 3)}))
     return 0
 
 
