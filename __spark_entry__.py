@@ -2156,6 +2156,33 @@ def q_x3_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.append(emb.filter(F.col("vec_id") < 5), spec)
 
 
+def q_x3_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense index's rebuild decision input (r14 — the
+    postings_drift_report pattern on the IVFADC side): build on 3/4
+    of the embedding table, append the held-out quarter, return the
+    O(1)-sidecar drift report (held-out-sample error baseline vs the
+    appends' own measured reconstruction error, build-vs-appended
+    cell-routing L1, appended share). In-distribution appends here, so
+    the report reads healthy; the drifted-distribution and replay
+    behaviors are pytest-pinned (tests/test_similarity.py). Rows-only:
+    the values come from the encode kernel + filesystem sidecars, not
+    one SQL statement."""
+    from lens_spark.operators.similarity import (
+        ivfpq_drift_report,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="lens_spark_ivfdrift_") + "/idx"
+    ivfpq_index_build(emb.filter("vec_id % 4 <> 0"), idx,
+                      id_col="vec_id", vec_col="embedding", dim=64,
+                      nlist=16, m=8, nbits=6)
+    ivfpq_index_append(emb.filter("vec_id % 4 = 0"), idx,
+                       id_col="vec_id", vec_col="embedding")
+    return ivfpq_drift_report(spark, idx)
+
+
 def q_x2_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent ANN index on parquet: 90% of the embedding table is
     ingested as the accepted corpus (hyperplane cells + int8 codes),
@@ -3517,7 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        these locally each run, so eviction never means unchecked;
     3. tail — the 30 rows-only (``no_oracle``) queries, each backed by
        an accuracy/equivalence pytest instead of a DuckDB hash (the
-       count is lint-pinned alongside 178/148 by
+       count is lint-pinned alongside 179/149 by
        tests/test_entry_contract.py).
     """
     return {
@@ -3688,6 +3715,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_overlap_matrix": q_x2_overlap_matrix,
         "x7_realize_epochs": q_x7_realize_epochs,
         "x9_filter_funnel": q_x9_filter_funnel,
+        # hash-checkable (r14): a clean 2-batch drain's lag report is a
+        # DETERMINISTIC row (both markers at batch 1, committed 1,
+        # lag 0, in sync) — the oracle pins the end-to-end drain
+        # behavior, not a recomputation (a failed batch, an unwritten
+        # marker, or a stuck checkpoint each flip the hash)
+        "streaming_hybrid_lag": q_streaming_hybrid_lag,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,
@@ -3701,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_pq_topk": q_x3_pq_topk,
         "x3_ivfpq_topk": q_x3_ivfpq_topk,
         "x3_ivfpq_index": q_x3_ivfpq_index,
+        "x3_ivfpq_drift": q_x3_ivfpq_drift,
         "x3_pq_serving": q_x3_pq_serving,
         "x3_knn_graph": q_x3_knn_graph,
         "x4_frame_sample": q_x4_frame_sample,
@@ -3718,7 +3752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_postings": q_streaming_postings,
         "x8_hybrid_serve": q_x8_hybrid_serve,
         "streaming_hybrid": q_streaming_hybrid,
-        "streaming_hybrid_lag": q_streaming_hybrid_lag,
     }
 
 
@@ -4305,6 +4338,12 @@ def oracle_sql() -> dict[str, str]:
             " (ORDER BY l_orderkey, l_linenumber) AS seq FROM lineitem"
         ),
         "m6_filter": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "streaming_hybrid_lag": (
+            "SELECT CAST(1 AS BIGINT) AS postings_batch,"
+            " CAST(1 AS BIGINT) AS ivfpq_batch,"
+            " CAST(1 AS BIGINT) AS committed_batch,"
+            " CAST(0 AS BIGINT) AS lag_batches, TRUE AS in_sync"
+        ),
         "m7_explode": (
             "SELECT l_orderkey, unnest(list_sort(list(l_linenumber))) AS l_linenumber"
             " FROM lineitem GROUP BY l_orderkey"

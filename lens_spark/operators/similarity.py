@@ -562,17 +562,28 @@ def _ivfpq_cells(x: "np.ndarray", centn: "np.ndarray") -> "np.ndarray":
 
 
 def _pq_encode(x: "np.ndarray", books: "np.ndarray",
-               sqnorm: "np.ndarray") -> "np.ndarray":
+               sqnorm: "np.ndarray", return_err: bool = False):
     """Per-subspace nearest-codeword codes for a batch — the one
     encode kernel shared by the in-query operator, the index build,
     and the index append (build-side and query-side encodings must
-    never drift)."""
+    never drift). ``return_err=True`` additionally returns each row's
+    RELATIVE squared reconstruction error (Σⱼ min‖xⱼ−bookⱼ‖² / ‖x‖²,
+    clamped at 0) — free here because the per-subspace distance
+    matrices are already in hand; this is the quantization-quality
+    signal ``ivfpq_drift_report`` tracks (a frozen codebook encodes a
+    drifted distribution with growing error, which silently costs
+    recall)."""
     m, dsub = books.shape[0], books.shape[2]
     codes = np.empty((len(x), m), dtype=np.int64)
+    err = np.zeros(len(x)) if return_err else None
     for j in range(m):
         xs = x[:, j * dsub:(j + 1) * dsub]
         d = (xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T + sqnorm[j]
         codes[:, j] = d.argmin(axis=1)
+        if return_err:
+            err += np.maximum(d.min(axis=1), 0.0)
+    if return_err:
+        return codes, err / np.maximum((x ** 2).sum(axis=1), 1e-12)
     return codes
 
 
@@ -899,10 +910,37 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         finally:
             out.close()
         landed = spark.read.parquet(f"{index_path}/parts")
-        agg = landed.agg(F.count(F.lit(1)).alias("n"),
-                         F.countDistinct("cell").alias("c")).first()
-    return {"n_vectors": int(agg["n"]), "nlist": int(len(cent)),
-            "cells_used": int(agg["c"])}
+        cell_counts = {
+            int(r["cell"]): int(r["n"]) for r in
+            landed.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+        n_vec = sum(cell_counts.values())
+        # Seed the drift sidecar (r14): the baseline is the relative
+        # reconstruction error on a bounded HELD-OUT sample (largest
+        # md5(id) — disjoint from the smallest-md5 PQ training sample
+        # whenever the corpus exceeds 2·train_size, degrading
+        # gracefully below), measured with the exact serving encode;
+        # plus the build-time cell-occupancy histogram (bounded by
+        # nlist). Appends bump the appended-side accumulators;
+        # ivfpq_drift_report compares. A torn/lost sidecar merely
+        # reads as unknown — model.json stays the only commit marker.
+        sample = np.stack(
+            corpus.withColumn("__mk",
+                              F.md5(F.col(id_col).cast("string")))
+            .orderBy(F.col("__mk").desc()).limit(int(train_size))
+            .select(vec_col).toPandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        _, errs = _pq_encode(sample, books, sqnorm, return_err=True)
+        _write_ivfpq_drift(spark, index_path, {
+            "format": "lens_spark_ivfpq_drift", "version": 1,
+            "baseline_rel_err": round(float(np.mean(errs)), 9),
+            "baseline_n": int(len(errs)), "n_build": int(n_vec),
+            "build_cells": {str(k): v
+                            for k, v in sorted(cell_counts.items())},
+            "appended_err_sum": 0.0, "appended_n": 0,
+            "appended_cells": {}})
+    return {"n_vectors": int(n_vec), "nlist": int(len(cent)),
+            "cells_used": len(cell_counts)}
 
 
 def _ivfpq_parts_schema(vec_type: "str | None") -> str:
@@ -917,22 +955,89 @@ def _ivfpq_parts_schema(vec_type: "str | None") -> str:
 
 def _ivfpq_encode_fn(centn: "np.ndarray", books: "np.ndarray",
                      sqnorm: "np.ndarray", *,
-                     store_vectors: bool = False):
+                     store_vectors: bool = False,
+                     emit_err: bool = False):
     """mapInPandas kernel shared by index build and append: cosine
     cell assignment + PQ byte codes (+ the raw vector passthrough when
-    the index stores true vectors)."""
+    the index stores true vectors; + each row's relative
+    reconstruction error when the caller feeds the drift sidecar —
+    near-free, the encode's distance matrices already exist, and the
+    column is dropped before anything lands on disk)."""
     def encode(batches):
         for pdf in batches:
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             cells = _ivfpq_cells(x, centn)
-            codes = _pq_encode(x, books, sqnorm).astype(np.uint8)
+            if emit_err:
+                codes, err = _pq_encode(x, books, sqnorm,
+                                        return_err=True)
+            else:
+                codes = _pq_encode(x, books, sqnorm)
+            codes = codes.astype(np.uint8)
             cols = {"id": pdf["__id"],
                     "code": [c.tobytes() for c in codes]}
             if store_vectors:
                 cols["vec"] = pdf["__v"]
             cols["cell"] = cells.astype("int64")
+            if emit_err:
+                cols["err"] = err
             yield pd.DataFrame(cols)
     return encode
+
+
+def _write_ivfpq_drift(spark, index_path: str, payload: dict) -> None:
+    """(Re)write the IVFADC index's drift sidecar (``drift.json`` — a
+    SIDECAR like the postings row-count stat, deliberately not
+    model.json: tearing it merely costs the drift observable until
+    the next build/append rewrites it). Staged tmp + rename; caller
+    holds the writer lease."""
+    import json as _json
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    path = f"{index_path}/drift.json"
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = P(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(_json.dumps(payload, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(P(path), False)
+    if not fs.rename(tmp, P(path)):
+        fs.delete(tmp, False)  # benign: report reads unknown
+
+
+def _read_ivfpq_drift(spark, index_path: str) -> "dict | None":
+    """The drift sidecar, or None when absent/torn (pre-r14 index, or
+    a torn update) — the report then degrades to unknown."""
+    from lens_spark.sources import read_json_file
+
+    try:
+        d = read_json_file(spark, f"{index_path}/drift.json")
+    except Exception:  # noqa: BLE001 — torn sidecar reads as unknown
+        return None
+    if d is None or d.get("format") != "lens_spark_ivfpq_drift":
+        return None
+    return d
+
+
+def _bump_ivfpq_drift(spark, index_path: str, err_sum: float, n: int,
+                      batch_cells: "dict[int, int]") -> None:
+    """Accumulate one append batch into the drift sidecar under the
+    caller's writer lease. A sidecar-less index stays sidecar-less
+    (bumping a partial record would be wrong; the next rebuild
+    reseeds it)."""
+    d = _read_ivfpq_drift(spark, index_path)
+    if d is None:
+        return
+    d["appended_err_sum"] = float(d["appended_err_sum"]) + float(err_sum)
+    d["appended_n"] = int(d["appended_n"]) + int(n)
+    cells = {str(k): int(v) for k, v in d.get("appended_cells",
+                                              {}).items()}
+    for c, k in batch_cells.items():
+        cells[str(c)] = cells.get(str(c), 0) + int(k)
+    d["appended_cells"] = cells
+    _write_ivfpq_drift(spark, index_path, d)
 
 
 def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
@@ -987,22 +1092,36 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         # code (model.json records the flag at build time); appends
         # follow it so old and new rows share one parts schema
         store = bool(model.get("store_vectors"))
+        # err rides along transiently (near-free: the encode's
+        # distance matrices already exist) to feed the drift sidecar;
+        # it is dropped before anything lands on disk
         out = (ensure_parallelism(batch)
                .select(F.col(id_col).alias("__id"),
                        F.col(vec_col).alias("__v"))
                .mapInPandas(
                    _ivfpq_encode_fn(centn, books, sqnorm,
-                                    store_vectors=store),
+                                    store_vectors=store,
+                                    emit_err=True),
                    _ivfpq_parts_schema(
                        batch.schema[vec_col].dataType.simpleString()
-                       if store else None)))
+                       if store else None) + ", err double"))
         # pin the count BEFORE the append (the dedup checkpoint-
         # before-append discipline: nothing downstream re-reads files
         # mid-write)
         return out.localCheckpoint(eager=True)
 
+    def batch_stats(rows):
+        # bounded aggregations over the CHECKPOINTED batch (≤ nlist
+        # cells; one scalar err sum) — never touches the index
+        agg = rows.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("err").alias("es")).collect()
+        cells = {int(r["cell"]): int(r["n"]) for r in agg}
+        return cells, float(sum(r["es"] or 0.0 for r in agg))
+
     rows = encode(meta)
     n = rows.count()
+    batch_cells, err_sum = batch_stats(rows)
     lock = (_index_writer_lock(spark, index_path) if locked
             else contextlib.nullcontext())
     with lock:
@@ -1027,17 +1146,23 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         if live != meta:
             rows = encode(live)
             n = rows.count()
+            batch_cells, err_sum = batch_stats(rows)
         # roll forward a compaction that crashed between its renames
         # BEFORE appending (the quota-index lesson, r11 advice)
         _parts_pb_migration_recover(spark, f"{index_path}/parts")
-        (rows.repartition(F.col("cell"))
+        (rows.drop("err").repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
-        if return_details:
-            touched = sorted(int(r["cell"]) for r in
-                             rows.select("cell").distinct().collect())
+        # drift accumulators (r14): bumped under the lease AFTER the
+        # append commits — a crash in between under-counts the
+        # appended side, i.e. the report triggers a rebuild a touch
+        # late (the conservative direction, same class as the
+        # postings stat); an at-least-once replay re-adds identical
+        # rows, leaving the error RATIO unbiased while appended_n
+        # over-counts conservatively
+        _bump_ivfpq_drift(spark, index_path, err_sum, n, batch_cells)
     if return_details:
-        return {"n": int(n), "touched_cell": touched}
+        return {"n": int(n), "touched_cell": sorted(batch_cells)}
     return int(n)
 
 
@@ -1139,6 +1264,68 @@ def compact_ivfpq_index(spark, index_path: str, *,
     return {"rows_before": int(rows_before), "rows_after": int(rows_after),
             "files_before": int(files_before),
             "files_after": int(files_after)}
+
+
+def ivfpq_drift_report(spark, index_path: str) -> DataFrame:
+    """The DENSE side's rebuild decision input (r14 — the
+    ``postings_drift_report`` pattern applied to the IVFADC index):
+    the frozen centroids + codebooks encode a DRIFTED vector
+    distribution with growing reconstruction error and skewed cell
+    routing, which silently costs recall — nothing fails, results just
+    get worse. This report is how an operator sees that debt grow,
+    from O(1) sidecar state only (``drift.json``: seeded at build with
+    a held-out-sample error baseline + the build cell histogram,
+    bumped per append under the lease — nothing index- or
+    corpus-sized is ever read).
+
+    One row: ``n_build`` / ``n_appended`` / ``appended_frac``,
+    ``baseline_rel_err`` (mean relative squared reconstruction error
+    on the build-time held-out sample), ``appended_rel_err`` (same
+    metric over every appended row, measured by the appends' own
+    encode pass), ``err_ratio`` (appended/baseline — the quantization
+    degradation), ``routing_l1`` (L1 distance between the normalized
+    build vs appended cell-occupancy distributions, 0..2 — routing
+    drift starves/floods cells and breaks the nprobe/nlist pruning
+    assumption), and ``new_cell_frac`` (appended mass landing in
+    cells the build left empty). Recipe: rebuild (``rebuild_index``)
+    when ``err_ratio`` > ~1.5, ``routing_l1`` > ~1.0, or
+    ``appended_frac`` > ~0.5 — whichever the workload's recall budget
+    trips first; ``topk_with_recall`` on a query sample is the direct
+    confirmation.
+
+    Honest accounting, stated not hidden: an at-least-once replay
+    re-adds identical rows, leaving ``err_ratio`` unbiased while
+    ``appended_n`` over-counts (conservative for the appended_frac
+    trigger); a crash between an append and its sidecar bump
+    under-counts one batch (rebuild a touch late); a pre-r14 or torn
+    sidecar reads as all-null (unknown), and the next
+    ``ivfpq_index_build``/``rebuild_index`` reseeds it."""
+    _read_ivfpq_model(spark, index_path, "ivfpq_drift_report")
+    schema = ("n_build long, n_appended long, appended_frac double, "
+              "baseline_rel_err double, appended_rel_err double, "
+              "err_ratio double, routing_l1 double, "
+              "new_cell_frac double")
+    d = _read_ivfpq_drift(spark, index_path)
+    if d is None:
+        return spark.createDataFrame([(None,) * 8], schema)
+    n_build, n_app = int(d["n_build"]), int(d["appended_n"])
+    base = float(d["baseline_rel_err"])
+    frac = round(n_app / max(n_build + n_app, 1), 6)
+    app_err = ratio = routing = new_frac = None
+    if n_app:
+        app_err = round(float(d["appended_err_sum"]) / n_app, 9)
+        if base > 0:
+            ratio = round(app_err / base, 6)
+        bc = {int(k): int(v) for k, v in d["build_cells"].items()}
+        ac = {int(k): int(v) for k, v in d["appended_cells"].items()}
+        tb, ta = max(sum(bc.values()), 1), max(sum(ac.values()), 1)
+        routing = round(sum(abs(bc.get(k, 0) / tb - ac.get(k, 0) / ta)
+                            for k in set(bc) | set(ac)), 6)
+        new_frac = round(sum(v for k, v in ac.items()
+                             if bc.get(k, 0) == 0) / ta, 6)
+    return spark.createDataFrame(
+        [(n_build, n_app, frac, round(base, 9), app_err, ratio,
+          routing, new_frac)], schema)
 
 
 def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,

@@ -379,6 +379,63 @@ def test_rebuild_index_ivfpq_and_discovery_skips_staging(spark, tmp_path):
     assert [os.path.basename(p) for p in found] == ["vidx"]
 
 
+def test_rebuild_migrates_codes_only_index_to_store_vectors(
+        spark, tmp_path):
+    """The upgrade path for r13-and-earlier IVFADC indexes (codes
+    only): one rebuild_index call with a store_vectors=True build_fn.
+    Before: rerank without rerank_corpus refuses loudly; after: the
+    exact re-rank serves from the index's own probed cells, appends
+    follow the new flag, and the old index served reads throughout
+    (the swap is two renames)."""
+    import random
+
+    from lens_spark.errors import LensError
+    from lens_spark.maintenance import rebuild_index
+    from lens_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    rng = random.Random(21)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "vidx")
+    ivfpq_index_build(emb.filter("vec_id < 48"), idx, id_col="vec_id",
+                      vec_col="embedding", dim=8, nlist=4, m=4, nbits=6)
+    queries = emb.filter("vec_id < 3")
+
+    def serve(**kw):
+        return ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                                  vec_col="embedding", k=5, nprobe=4,
+                                  rerank=20, **kw)
+
+    with pytest.raises(LensError, match="store_vectors"):
+        serve().collect()
+    want = {(r.query_id, r.neighbor_id, r.score)
+            for r in serve(rerank_corpus=emb).collect()}
+
+    rebuild_index(spark, idx, lambda p: ivfpq_index_build(
+        emb.filter("vec_id < 48"), p, id_col="vec_id",
+        vec_col="embedding", dim=8, nlist=4, m=4, nbits=6,
+        store_vectors=True))
+    assert {(r.query_id, r.neighbor_id, r.score)
+            for r in serve().collect()} == want
+    # appends follow the rebuilt index's flag (vectors land too): an
+    # appended vector queried against itself is retrievable through
+    # the stored-vector re-rank with no corpus table anywhere
+    ivfpq_index_append(emb.filter("vec_id >= 48"), idx,
+                       id_col="vec_id", vec_col="embedding")
+    assert "vec" in spark.read.parquet(f"{idx}/parts").columns
+    hit = ivfpq_index_search(
+        spark, idx, emb.filter("vec_id = 50"), id_col="vec_id",
+        vec_col="embedding", k=3, nprobe=4, rerank=10,
+        exclude_self=False)
+    assert (50, 50) in {(r.query_id, r.neighbor_id)
+                        for r in hit.collect()}
+
+
 def test_recover_rebuild_raced_skeleton_rolls_old_back(spark, tmp_path):
     """The r12-advice race: between the swap's two renames the index
     path does not exist, so a concurrent writer's _index_writer_lock

@@ -795,6 +795,86 @@ def test_ivfpq_store_vectors_serves_rerank_from_probed_cells(
             for r in serve(sv).collect()} == want
 
 
+def test_ivfpq_drift_report_tracks_distribution_drift(spark, tmp_path):
+    """r14 — the dense side's rebuild decision input (the
+    postings_drift_report pattern): frozen centroids/codebooks encode
+    a drifted distribution with growing reconstruction error and
+    skewed routing, silently costing recall. Pinned: (1) a fresh build
+    reports a baseline and zero appended; (2) an IN-distribution
+    append keeps err_ratio near 1; (3) an OUT-of-distribution append
+    (10x-shifted vectors) drives err_ratio and routing_l1 far above
+    the control — the rebuild triggers fire; (4) an at-least-once
+    replay leaves the error ratio unbiased while appended_n
+    over-counts (the documented conservative direction); (5) a
+    sidecar-less (pre-r14 / torn) index reads as unknown, not a fake
+    healthy row."""
+    import os
+    import random
+
+    from lens_spark.operators.similarity import (
+        ivfpq_drift_report,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+
+    rng = random.Random(5)
+
+    def mk(n, base_id, shift=0.0):
+        rows = [(base_id + i,
+                 [rng.uniform(-1, 1) + shift for _ in range(8)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    corpus = mk(128, 0)
+
+    def build(path):
+        ivfpq_index_build(corpus, path, id_col="vec_id",
+                          vec_col="embedding", dim=8, nlist=4, m=4,
+                          nbits=4)
+
+    def report(path):
+        return ivfpq_drift_report(spark, path).collect()[0]
+
+    ctl, drf = str(tmp_path / "ctl"), str(tmp_path / "drf")
+    build(ctl)
+    r0 = report(ctl)
+    assert r0.n_build == 128 and r0.n_appended == 0
+    assert r0.baseline_rel_err > 0 and r0.err_ratio is None
+
+    # in-distribution control append
+    ivfpq_index_append(mk(32, 1000), ctl, id_col="vec_id",
+                       vec_col="embedding")
+    rc = report(ctl)
+    assert rc.n_appended == 32 and 0 < rc.appended_frac < 0.25
+    assert rc.err_ratio is not None and rc.err_ratio < 1.5
+
+    # out-of-distribution append: 10x-shifted vectors
+    build(drf)
+    drifted = mk(32, 2000, shift=10.0)
+    ivfpq_index_append(drifted, drf, id_col="vec_id",
+                       vec_col="embedding")
+    rd = report(drf)
+    assert rd.err_ratio > 2.0 > rc.err_ratio
+    assert rd.routing_l1 > 0.9 > rc.routing_l1
+
+    # replay: identical rows re-added — ratio unbiased, count inflates
+    ivfpq_index_append(drifted, drf, id_col="vec_id",
+                       vec_col="embedding")
+    rd2 = report(drf)
+    assert rd2.n_appended == 64
+    assert abs(rd2.err_ratio - rd.err_ratio) < 1e-4
+    assert rd2.routing_l1 == rd.routing_l1
+
+    # sidecar-less index reads as unknown (and stays sidecar-less)
+    os.remove(f"{ctl}/drift.json")
+    ivfpq_index_append(mk(8, 3000), ctl, id_col="vec_id",
+                       vec_col="embedding")
+    r3 = report(ctl)
+    assert r3.n_build is None and r3.err_ratio is None
+    assert not os.path.exists(f"{ctl}/drift.json")
+
+
 def test_ivfpq_build_refuses_in_place_rebuild(spark, emb, tmp_path):
     """Same torn parts/model.json window as the postings index: a
     rebuild crash between the parts overwrite and the model write
