@@ -495,6 +495,41 @@ def discover_indexes(spark: "SparkSession", root: str, *,
     return sorted(found)
 
 
+def _health_sidecars(spark: "SparkSession", index_path: str,
+                     kind: str) -> dict:
+    """O(1) health observables for the dry-run sweep report — the
+    nightly job doubles as the fleet's index health report (r14):
+    the IVFADC drift sidecar's rebuild triggers (err_ratio,
+    appended_frac, routing_l1 — see ``ivfpq_drift_report`` for the
+    recipe), the postings maintained row stat, and either family's
+    streaming ingest marker. Sidecar reads only — never a parquet
+    listing, never index-sized work; absent/torn sidecars simply
+    don't report (pre-r14 indexes, batch-only indexes)."""
+    out: dict = {}
+    if kind == "ivfpq":
+        from lens_spark.operators.similarity import ivfpq_drift_report
+
+        row = ivfpq_drift_report(spark, index_path).collect()[0]
+        if row.n_build is not None:
+            out["drift"] = {
+                "appended_frac": row.appended_frac,
+                "err_ratio": row.err_ratio,
+                "routing_l1": row.routing_l1}
+    elif kind == "postings":
+        from lens_spark.operators.ranking import _read_postings_stats
+
+        n = _read_postings_stats(spark, index_path)
+        if n is not None:
+            out["n_postings"] = n
+    if kind in ("ivfpq", "postings"):
+        from lens_spark.streaming import _read_ingest_marker
+
+        last = _read_ingest_marker(spark, index_path)
+        if last is not None:
+            out["last_ingest_batch"] = last
+    return out
+
+
 def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
                 dry_run: bool = False,
                 drop_replay_duplicates: bool = False) -> dict:
@@ -506,9 +541,12 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
     parquet footer, a permission-denied subtree) as ``{"error": ...}``
     — so a fleet of streaming ingests and one maintenance cron coexist
     without coordination beyond the per-index lease. ``dry_run`` lists
-    and classifies without rewriting; ``drop_replay_duplicates``
-    additionally reclaims at-least-once replay rows in the
-    set-semantics families (see ``compact_any``)."""
+    and classifies without rewriting — and doubles as the fleet's
+    health report (r14): each retrieval index's O(1) sidecar
+    observables ride along (IVFADC drift triggers, postings row stat,
+    streaming ingest markers — see ``_health_sidecars``).
+    ``drop_replay_duplicates`` additionally reclaims at-least-once
+    replay rows in the set-semantics families (see ``compact_any``)."""
     report: dict[str, dict] = {}
     walk_errors: dict[str, str] = {}
     for idx in discover_indexes(spark, root, max_depth=max_depth,
@@ -517,6 +555,8 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
             if dry_run:
                 report[idx] = {"kind": detect_index_kind(spark, idx),
                                "dry_run": True}
+                report[idx].update(_health_sidecars(spark, idx,
+                                                    report[idx]["kind"]))
             else:
                 report[idx] = compact_any(
                     spark, idx,

@@ -146,6 +146,49 @@ def test_discover_respects_depth_and_dry_run(spark, tmp_path):
     assert stats == {"kind": "fingerprint", "dry_run": True}
 
 
+def test_dry_run_sweep_reports_health_sidecars(spark, tmp_path):
+    """r14: the nightly sweep's dry-run doubles as the fleet's index
+    health report — O(1) sidecar observables only. An IVFADC index
+    with appends reports its drift triggers; a postings index reports
+    its maintained row stat; a streamed index reports its last ingest
+    batch; families/indexes without a sidecar simply don't carry the
+    keys (never an error)."""
+    import random
+
+    from lens_spark.maintenance import compact_all
+    from lens_spark.operators.ranking import postings_index_build
+    from lens_spark.operators.similarity import ivfpq_index_append
+    from lens_spark.streaming import _write_ingest_marker
+
+    root = tmp_path / "fleet"
+    vidx = str(root / "vidx")
+    _mk_ivfpq_index(spark, vidx)
+    rng = random.Random(3)
+    ivfpq_index_append(
+        spark.createDataFrame(
+            [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(8)], "vec_id long, embedding array<float>"),
+        vidx, id_col="vec_id", vec_col="embedding")
+    pidx = str(root / "pidx")
+    postings_index_build(
+        spark.createDataFrame([(1, "spark hash join"), (2, "spark")],
+                              "id long, text string"),
+        pidx, id_col="id", text_col="text")
+    _write_ingest_marker(spark, pidx, 7)
+    _mk_fp_index(spark, str(root / "fp_idx"))
+
+    report = compact_all(spark, str(root), dry_run=True)
+    v = report[vidx]
+    assert v["kind"] == "ivfpq" and "drift" in v
+    assert v["drift"]["appended_frac"] > 0
+    assert v["drift"]["err_ratio"] is not None
+    p = report[pidx]
+    assert p["kind"] == "postings" and p["n_postings"] > 0
+    assert p["last_ingest_batch"] == 7
+    f = report[str(root / "fp_idx")]
+    assert f == {"kind": "fingerprint", "dry_run": True}
+
+
 def test_detect_rejects_non_index(spark, tmp_path):
     """The empty case raises the TYPED EmptyIndexError — compact_all
     skips on the type, so a future rewording of the message can never
