@@ -206,7 +206,41 @@ def _load_prev_bench(here: str):
     return best
 
 
-def _regressions(timings, stats, calibration, here):
+def _positional_cal(query_order, cal3):
+    """Per-query calibration by PIECEWISE-LINEAR interpolation of the
+    three placement medians over the session (r14): the start/mid/end
+    placements were added in r11 to OBSERVE within-session machine
+    drift — this uses them to CORRECT for it, on BOTH sides of the
+    round-over-round ratio. Honest scope note (measured r14): every
+    recorded round shows the SAME session shape (start placement
+    ~40% above mid/end — JIT ramp), so when shapes match the
+    correction cancels and xp ≈ x; the gate only bites when one
+    round's session shape is anomalous (a mid-session stall, an
+    early-session contention burst), which is exactly the case a
+    session-median normalizer misattributes to whichever queries ran
+    then. Returns {query: interpolated_cal} for the given execution
+    order; None if cal3 is unusable."""
+    if not cal3 or len(cal3) != 3 or min(cal3) <= 0:
+        return None
+    n = len(query_order)
+    if n < 2:
+        return None
+    # placements ran at positions 0 (before q0), n/2, n (after last)
+    xs = (0.0, n / 2.0, float(n))
+    out = {}
+    for i, name in enumerate(query_order):
+        p = i + 0.5
+        if p <= xs[1]:
+            f = (p - xs[0]) / (xs[1] - xs[0])
+            c = cal3[0] + f * (cal3[1] - cal3[0])
+        else:
+            f = (p - xs[1]) / (xs[2] - xs[1])
+            c = cal3[1] + f * (cal3[2] - cal3[1])
+        out[name] = c
+    return out
+
+
+def _regressions(timings, stats, calibration, here, cal3=None):
     """Round-over-round regression attribution (r7 verdict #5): for
     every query present in both rounds, this round's median AND min,
     each divided by this round's `calibration`, vs the previous
@@ -220,10 +254,17 @@ def _regressions(timings, stats, calibration, here):
     threshold — a drifting calibration operand can never
     single-handedly flag a round (the r10 failure: one −12%
     calibration move turned a faster-raw round into 21 flags), and a
-    genuine regression moves both. The sidecar records how many
-    queries each operand would have flagged alone. Full table →
-    sidecar; flagged-only → the official stdout line (kept compact
-    for the driver's bounded capture window)."""
+    genuine regression moves both.
+
+    r14: the calibrated operand is POSITIONAL when both rounds carry
+    cal3 — each query normalizes by the machine speed interpolated at
+    ITS position in the session (`_positional_cal`), on both sides of
+    the ratio. Within-session drift (start 34% slower than end,
+    measured) previously flagged whole stretches of the run at once;
+    the session-median `x` stays in the table for continuity, and the
+    sidecar `rule` names which operand gated. Full table → sidecar;
+    flagged-only → the official stdout line (kept compact for the
+    driver's bounded capture window)."""
     prev = _load_prev_bench(here)
     if not prev or calibration <= 0:
         return None, None
@@ -231,6 +272,10 @@ def _regressions(timings, stats, calibration, here):
     pcal = float(parsed["calibration"])
     if pcal <= 0:
         return None, None
+    cur_pos = _positional_cal(list(timings), cal3)
+    prev_pos = _positional_cal(list(parsed["queries"]),
+                               parsed.get("cal3"))
+    positional = cur_pos is not None and prev_pos is not None
     table, flagged = {}, {}
     for name, cur in timings.items():
         p = parsed["queries"].get(name)
@@ -242,10 +287,17 @@ def _regressions(timings, stats, calibration, here):
         xrmin = round(stats[name]["min"] / p, 3)
         table[name] = {"x": x, "xmin": xmin, "xr": xr, "xrmin": xrmin,
                        "prev": p, "cur": cur}
-        if x > 1.15 and xr > 1.15:
-            flagged[name] = {"x": x, "xmin": xmin, "xr": xr}
+        xgate = x
+        if positional and name in prev_pos:
+            xp = round((cur / cur_pos[name])
+                       / (p / prev_pos[name]), 3)
+            table[name]["xp"] = xp
+            xgate = xp
+        if xgate > 1.15 and xr > 1.15:
+            flagged[name] = dict(table[name])
     side = {"vs_round": prev_n, "prev_calibration": pcal,
-            "threshold": 1.15, "rule": "x AND xr",
+            "threshold": 1.15,
+            "rule": ("xp AND xr" if positional else "x AND xr"),
             "n_flagged_cal_only": sum(1 for v in table.values()
                                       if v["x"] > 1.15 >= v["xr"]),
             "n_flagged_raw_only": sum(1 for v in table.values()
@@ -522,7 +574,9 @@ def main() -> int:
     # compact and print it LAST; per-query variance ({median,min,max,runs})
     # and errors go to a sidecar file + stderr where size doesn't matter.
     here = os.path.dirname(os.path.abspath(__file__))
-    regr_side, regr_official = _regressions(timings, stats, calibration, here)
+    regr_side, regr_official = _regressions(
+        timings, stats, calibration, here,
+        cal3=[cal_meds["start"], cal_meds["mid"], cal_meds["end"]])
     # r13 (verdict r12 #6): double-flagged queries re-run fresh-process
     # right here, bounded to ≤5 queries × 3 runs; flags whose re-run
     # multipliers fall under the threshold are marked drift at capture

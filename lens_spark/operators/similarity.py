@@ -836,7 +836,8 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     shortlist fetch). The flag is recorded in model.json and appends
     follow it automatically.
     """
-    check_reserved(corpus, {"__id", "__v"}, "ivfpq_index_build")
+    # __mk: the drift baseline's held-out md5-sample key (r14)
+    check_reserved(corpus, {"__id", "__v", "__mk"}, "ivfpq_index_build")
     import json as _json
 
     from lens_spark.errors import LensError

@@ -244,6 +244,48 @@ def test_bench_regressions_section_math():
     assert bench._regressions(timings, stats, cal, "/tmp") == (None, None)
 
 
+def test_bench_positional_calibration_gate(monkeypatch):
+    """r14: when both rounds carry cal3, the flag gate normalizes each
+    query by the machine speed interpolated at ITS session position
+    (xp) instead of the session median. Pinned on a synthetic prev:
+    (1) an anomalous 2x-slow START this round clears the early query
+    the median gate would have flagged (xp ≈ 1), while a genuinely
+    slow LATE query stays flagged; (2) matching flat shapes make
+    xp == x; (3) without cal3 the rule falls back to the r11 median
+    gate."""
+    import bench
+
+    # 9 queries at 1s each, flat prev session (cal 0.5 everywhere)
+    names = [f"q{i}" for i in range(9)]
+    prev = {"queries": {n: 1.0 for n in names},
+            "calibration": 0.5, "cal3": [0.5, 0.5, 0.5]}
+    monkeypatch.setattr(bench, "_load_prev_bench", lambda here: (13, prev))
+    # this round: start ran 2x slow (cal3 [1.0, 0.5, 0.5]); q0 ran
+    # 1.9x prev purely because of that; q8 ran 1.5x prev with the
+    # machine at parity there
+    timings = {n: 1.0 for n in names}
+    timings["q0"], timings["q8"] = 1.9, 1.5
+    stats = {k: {"min": v * 0.95} for k, v in timings.items()}
+    side, official = bench._regressions(
+        timings, stats, 0.5, ".", cal3=[1.0, 0.5, 0.5])
+    assert side["rule"] == "xp AND xr"
+    e = side["table"]["q0"]
+    # median gate would flag (x 1.9); positional divides by the ~2x
+    # start speed and clears it
+    assert e["x"] > 1.15 and e["xp"] < 1.05
+    assert "q0" not in official["flagged"]
+    lt = side["table"]["q8"]
+    assert lt["xp"] > 1.15 and "q8" in official["flagged"]
+    # matching flat shapes: xp == x exactly
+    side2, _ = bench._regressions(timings, stats, 0.5, ".",
+                                  cal3=[0.5, 0.5, 0.5])
+    assert side2["table"]["q8"]["xp"] == side2["table"]["q8"]["x"]
+    # no cal3 this round ⇒ r11 median rule, no xp column
+    side3, _ = bench._regressions(timings, stats, 0.5, ".")
+    assert side3["rule"] == "x AND xr"
+    assert "xp" not in side3["table"]["q0"]
+
+
 def test_bench_rerun_flagged_math(monkeypatch):
     """bench.py's fresh-process flag re-run (r12 verdict #6, r13
     verdict #3 + advice): the re-run multipliers are computed against
