@@ -273,8 +273,15 @@ def _regressions(timings, stats, calibration, here, cal3=None):
     if pcal <= 0:
         return None, None
     cur_pos = _positional_cal(list(timings), cal3)
-    prev_pos = _positional_cal(list(parsed["queries"]),
-                               parsed.get("cal3"))
+    # a truncated or tail-recovered prev line lost queries from its
+    # dict, so positions after the first deletion are misaligned —
+    # fall back to the median rule rather than interpolate wrong
+    # machine speeds on exactly the flag-heavy rounds (r14 review)
+    prev_intact = not (parsed.get("partial")
+                       or parsed.get("queries_truncated"))
+    prev_pos = (_positional_cal(list(parsed["queries"]),
+                                parsed.get("cal3"))
+                if prev_intact else None)
     positional = cur_pos is not None and prev_pos is not None
     table, flagged = {}, {}
     for name, cur in timings.items():
@@ -295,13 +302,17 @@ def _regressions(timings, stats, calibration, here, cal3=None):
             xgate = xp
         if xgate > 1.15 and xr > 1.15:
             flagged[name] = dict(table[name])
+    def _gate(v):
+        # the calibrated operand the active rule actually used
+        return v.get("xp", v["x"])
+
     side = {"vs_round": prev_n, "prev_calibration": pcal,
             "threshold": 1.15,
             "rule": ("xp AND xr" if positional else "x AND xr"),
             "n_flagged_cal_only": sum(1 for v in table.values()
-                                      if v["x"] > 1.15 >= v["xr"]),
+                                      if _gate(v) > 1.15 >= v["xr"]),
             "n_flagged_raw_only": sum(1 for v in table.values()
-                                      if v["xr"] > 1.15 >= v["x"]),
+                                      if v["xr"] > 1.15 >= _gate(v)),
             "table": table}
     official = {"vs": prev_n, "flagged": flagged}
     return side, official
@@ -332,8 +343,10 @@ def _rerun_flagged(flagged, prev_parsed, here, sf_dir):
     import subprocess
 
     pcal = float(prev_parsed["calibration"])
-    worst = [n for n in sorted(flagged, key=lambda k: flagged[k]["x"],
-                               reverse=True)
+    worst = [n for n in sorted(
+                 flagged,
+                 key=lambda k: flagged[k].get("xp", flagged[k]["x"]),
+                 reverse=True)
              if prev_parsed["queries"].get(n)]
     # global time budget: the driver runs bench.py under its own
     # timeout, and a large flag set must degrade to fewer runs per
@@ -577,8 +590,9 @@ def main() -> int:
     regr_side, regr_official = _regressions(
         timings, stats, calibration, here,
         cal3=[cal_meds["start"], cal_meds["mid"], cal_meds["end"]])
-    # r13 (verdict r12 #6): double-flagged queries re-run fresh-process
-    # right here, bounded to ≤5 queries × 3 runs; flags whose re-run
+    # r13 (verdict r12 #6), r14 coverage-first: EVERY double-flagged
+    # query re-runs fresh-process right here (round-robin run
+    # allocation under the time budget); flags whose re-run
     # multipliers fall under the threshold are marked drift at capture
     # time (the sidecar carries the full re-run record). Disable with
     # SPARK_GRAFT_BENCH_RERUN=0.
@@ -640,11 +654,14 @@ def main() -> int:
     fl = (regr_official or {}).get("flagged") or {}
 
     def _regr_block(cap):
-        worst = sorted(fl, key=lambda k: fl[k]["x"], reverse=True)[:cap]
-        # entry = [calibrated x, raw xr, fresh-process re-run xr when
-        # available]; "drift" lists flags the re-run dismissed
+        worst = sorted(fl, key=lambda k: fl[k].get("xp", fl[k]["x"]),
+                       reverse=True)[:cap]
+        # entry = [gating calibrated multiplier (xp when positional,
+        # else x), raw xr, fresh-process re-run xr when available];
+        # "drift" lists flags the re-run dismissed
         block = {"vs": regr_official["vs"], "n": len(fl),
-                 "fl": {k: ([round(fl[k]["x"], 2), round(fl[k]["xr"], 2)]
+                 "fl": {k: ([round(fl[k].get("xp", fl[k]["x"]), 2),
+                             round(fl[k]["xr"], 2)]
                             + ([round(fl[k]["rerun_xr"], 2)]
                                if "rerun_xr" in fl[k] else []))
                         for k in worst}}

@@ -280,15 +280,18 @@ def _wait_out_skeleton_lease(spark: "SparkSession", index_path: str,
     lock = P(f"{index_path}/_writer.lock")
     deadline = time.time() + float(timeout_sec)
     while fs.exists(lock):
+        # deadline first (r14 review: a getFileStatus that faults
+        # persistently — permission error, flaky object store — must
+        # still hit the deadline and the sleep, never busy-spin)
+        if time.time() > deadline:
+            raise ConcurrentIndexWriterError(timeout_msg)
         try:
             age = time.time() - fs.getFileStatus(
                 lock).getModificationTime() / 1000.0
-        except Exception:  # noqa: BLE001 — released mid-check
-            continue
+        except Exception:  # noqa: BLE001 — released mid-check, or a
+            age = 0.0      # faulting stat: treat as fresh, keep waiting
         if age > INDEX_LOCK_STALE_SEC:
             return
-        if time.time() > deadline:
-            raise ConcurrentIndexWriterError(timeout_msg)
         time.sleep(0.1)
 
 
@@ -387,17 +390,23 @@ def rebuild_index(spark: "SparkSession", index_path: str,
                    f"rolling the old index back ALSO failed — it is "
                    f"intact at {trash!r}; rerun rebuild_index (its "
                    "recovery restores it) or inspect manually."))
-        if not fs.exists(P(f"{index_path}/model.json")):
-            # A concurrent writer's _index_writer_lock mkdirs the index
-            # path inside the rename gap (r12 advice); Hadoop rename
-            # into the existing dir then NESTS the staging dir inside
-            # it. Repair inline: hoist the nested committed index back
-            # to the sibling staging path, drop the raced skeleton
-            # (it holds at most the racer's lock — taken on a
-            # dataset-less path, its read fails loudly), and redo the
-            # rename. .old still exists at every step, so a crash here
-            # lands in _recover_rebuild's matrix (roll back from .old,
-            # or forward from the re-hoisted .rebuild).
+        # A concurrent writer's _index_writer_lock mkdirs the index
+        # path inside the rename gap (r12 advice); Hadoop rename into
+        # the existing dir then NESTS the staging dir inside it.
+        # Repair inline, IN A BOUNDED LOOP (r14 review: the repair's
+        # own delete→rename has the exact same gap, so a second racer
+        # can nest the index AGAIN — falling through to the trash
+        # delete then destroys the only complete copies): each pass
+        # hoists the nested committed index back to the sibling
+        # staging path, waits out the skeleton's live lease, drops the
+        # skeleton, redoes the rename, and RE-VERIFIES model.json at
+        # top level before anything is reclaimed. .old still exists at
+        # every step, so a crash or retry-exhaustion here lands in
+        # _recover_rebuild's matrix (roll back from .old, or forward
+        # from the re-hoisted .rebuild).
+        for attempt in range(5):
+            if fs.exists(P(f"{index_path}/model.json")):
+                break
             nested = P(f"{index_path}/{staging.rsplit('/', 1)[-1]}")
             if not (fs.exists(P(f"{nested.toString()}/model.json"))
                     and fs.rename(nested, P(staging))):
@@ -409,15 +418,16 @@ def rebuild_index(spark: "SparkSession", index_path: str,
             # The skeleton may hold the racer's LIVE lease (r13
             # advice): deleting it out from under a live writer both
             # races its critical section and re-opens the two-writer
-            # window (its later release would delete OUR planted lease
-            # after the re-rename). Mirror _recover_rebuild: wait for
-            # the skeleton lock to clear or age stale before dropping
-            # the skeleton. Racers abort in milliseconds — every
-            # appender verifies its index under the lock and fails
-            # loudly on a dataset-less path — so the bounded wait ends
-            # almost immediately; a still-fresh lock past the deadline
-            # aborts this call, and _recover_rebuild (committed
-            # .rebuild + .old both present) finishes the swap later.
+            # window (its later release would delete OUR planted
+            # lease after the re-rename). Mirror _recover_rebuild:
+            # wait for the skeleton lock to clear or age stale before
+            # dropping the skeleton. Racers abort in milliseconds —
+            # every appender verifies its index under the lock and
+            # fails loudly on a dataset-less path — so the bounded
+            # wait ends almost immediately; a still-fresh lock past
+            # the deadline aborts this call, and _recover_rebuild
+            # (committed .rebuild + .old both present) finishes the
+            # swap later.
             _wait_out_skeleton_lease(
                 spark, index_path,
                 f"rebuild_index: a concurrent writer acquired "
@@ -434,6 +444,14 @@ def rebuild_index(spark: "SparkSession", index_path: str,
                     + ("rolled the old index back." if rolled else
                        f"the old index is intact at {trash!r}; rerun "
                        "rebuild_index to recover."))
+        if not fs.exists(P(f"{index_path}/model.json")):
+            raise ConcurrentIndexWriterError(
+                f"rebuild_index: the swap at {index_path!r} kept "
+                "being raced by concurrent writers acquiring inside "
+                "the rename gap (5 repair attempts); the old index "
+                f"is intact at {trash!r} — rerun rebuild_index "
+                "(recovery rolls it back or completes the swap, and "
+                "the rebuild can rerun).")
         fs.delete(P(trash), True)
     return result if isinstance(result, dict) else {"rebuilt": True}
 
@@ -555,8 +573,17 @@ def compact_all(spark: "SparkSession", root: str, *, max_depth: int = 4,
             if dry_run:
                 report[idx] = {"kind": detect_index_kind(spark, idx),
                                "dry_run": True}
-                report[idx].update(_health_sidecars(spark, idx,
-                                                    report[idx]["kind"]))
+                try:
+                    report[idx].update(
+                        _health_sidecars(spark, idx,
+                                         report[idx]["kind"]))
+                except Exception as e:  # noqa: BLE001 — a sidecar
+                    # fault (e.g. a concurrent rebuild swap mid-read)
+                    # must not fail the dry-run entry — the
+                    # classification already succeeded, and
+                    # "health_error" never flips the sweep exit code
+                    report[idx]["health_error"] = \
+                        f"{type(e).__name__}: {e}"
             else:
                 report[idx] = compact_any(
                     spark, idx,

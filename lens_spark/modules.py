@@ -196,6 +196,56 @@ def _http_pins_path() -> str:
     return pins_path
 
 
+def _locked_pins_update(pins_path: str, mutate) -> dict:
+    """Read-modify-write the pin file under an fcntl lock (r14 review:
+    two processes racing the unserialized read→replace could silently
+    drop the other's freshly recorded pin — the next fetch of that URL
+    would then re-pin whatever the server serves, the exact
+    supply-chain substitution TOFU exists to catch). ``mutate`` takes
+    the current dict and returns the new one (or the same object for
+    no change). Returns the post-mutation dict. The lock file sits
+    beside the pin file (local FS by construction — XDG state dir or
+    the staging dir), so fcntl.flock is reliable; platforms without
+    fcntl (never this container) degrade to the unserialized path."""
+    import json
+
+    lock_path = pins_path + ".lock"
+
+    def _read() -> dict:
+        if os.path.exists(pins_path):
+            try:
+                with open(pins_path) as fh:
+                    loaded = json.load(fh)
+                if isinstance(loaded, dict):
+                    return loaded
+            except (OSError, ValueError):
+                pass
+        return {}
+
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover — non-POSIX fallback
+        pins = mutate(_read())
+        tmp = pins_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(pins, fh, indent=1, sort_keys=True)
+        os.replace(tmp, pins_path)
+        return pins
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            cur = _read()
+            pins = mutate(dict(cur))
+            if pins != cur:
+                tmp = pins_path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(pins, fh, indent=1, sort_keys=True)
+                os.replace(tmp, pins_path)
+            return pins
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
 def _migrate_legacy_pins(pins_path: str) -> None:
     """One-time merge of the pre-durable staging-dir pin file (r13
     advice: moving the pin location silently ORPHANED existing pins —
@@ -219,19 +269,7 @@ def _migrate_legacy_pins(pins_path: str) -> None:
         return
     if not isinstance(old, dict) or not old:
         return
-    cur: dict = {}
-    if os.path.exists(pins_path):
-        try:
-            with open(pins_path) as fh:
-                cur = json.load(fh)
-        except (OSError, ValueError):
-            cur = {}
-    merged = {**old, **cur}
-    if merged != cur:
-        tmp = pins_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(merged, fh, indent=1, sort_keys=True)
-        os.replace(tmp, pins_path)
+    _locked_pins_update(pins_path, lambda cur: {**old, **cur})
     try:
         os.replace(legacy, legacy + ".migrated")
     except OSError:
@@ -299,21 +337,10 @@ def _fetch_http_module(url: str) -> bytes:
             "HTTP_MODULE_MAX_BYTES)")
     digest = hashlib.sha256(data).hexdigest()
     pins_path = _http_pins_path()
-    pins: dict[str, str] = {}
-    if os.path.exists(pins_path):
-        try:
-            with open(pins_path) as fh:
-                pins = json.load(fh)
-        except (OSError, ValueError):
-            pins = {}
+    pins = _locked_pins_update(
+        pins_path, lambda cur: {**cur, url: cur.get(url, digest)})
     pinned = pins.get(url)
-    if pinned is None:
-        pins[url] = digest
-        tmp = pins_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(pins, fh, indent=1, sort_keys=True)
-        os.replace(tmp, pins_path)
-    elif pinned != digest:
+    if pinned != digest:
         raise LensError(
             f"http module {url!r} content changed: pinned sha256 "
             f"{pinned[:16]}…, fetched {digest[:16]}… — refusing to load "

@@ -1305,21 +1305,33 @@ def compact_index(spark, index_path: str, *,
             fs = P(parts_path).getFileSystem(
                 spark._jsc.hadoopConfiguration())
             dir_names = [f"pb={int(v)}" for v in partitions]
-            probe = next((d for d in dir_names
-                          if fs.exists(P(f"{parts_path}/{d}"))), None)
+            # layout check with ONE listStatus of the root (bounded
+            # by the bucket-dir count, never the file count): the old
+            # full-tree read raised loudly on a non-pb layout, and a
+            # silent zero-return here would let a mis-routed index
+            # accumulate files forever (r14 review)
+            first_level = [st.getPath().getName()
+                           for st in fs.listStatus(P(parts_path))
+                           if st.isDirectory()
+                           and not st.getPath().getName()
+                           .startswith((".", "_"))]
+            if not any(n.startswith("pb=") for n in first_level):
+                raise LensError(
+                    "compact_index: partition-subset compaction "
+                    "supports the single-level pb= layout only (this "
+                    "index's first-level dirs are "
+                    f"{sorted(first_level)[:4]}); run a full "
+                    "compaction instead.")
+            # schema from ONE named bucket dir holding at least one
+            # data file (an existing-but-empty dir cannot infer a
+            # schema; the sink never names one, direct callers might)
+            probe = next(
+                (d for d in dir_names
+                 if fs.exists(P(f"{parts_path}/{d}"))
+                 and _visible_file_count(spark,
+                                         f"{parts_path}/{d}") > 0),
+                None)
             if probe is None:
-                # no named bucket exists — distinguish "nothing to
-                # do" from "wrong layout" with ONE listStatus of the
-                # root (bounded by the bucket-dir count, never the
-                # file count)
-                if any(st.getPath().getName().startswith("kind=")
-                       for st in fs.listStatus(P(parts_path))
-                       if st.isDirectory()):
-                    raise LensError(
-                        "compact_index: partition-subset compaction "
-                        "supports the single-level pb= layout only "
-                        "(this index has kind= partition dirs); run "
-                        "a full compaction instead.")
                 return {"files_before": 0, "files_after": 0,
                         "rows_removed": 0, "partitions": []}
             # the pb value lives in the directory name, so reading

@@ -310,25 +310,13 @@ def _write_postings_stats(spark, index_path: str, n_postings: int) -> None:
     model.json is the commit marker, and an in-place rewrite of it has
     a torn-file crash window that would brick the index; tearing the
     sidecar merely costs the O(1) fast path until the next full
-    compaction rewrites it). Staged through a tmp + rename; the
-    delete-then-rename gap can lose the file on a crash, which is the
-    same benign fallback. Caller holds the writer lease."""
-    import json as _json
+    compaction rewrites it). Shared staged writer (sources
+    .write_json_file); a lost write is the same benign recount
+    fallback. Caller holds the writer lease."""
+    from lens_spark.sources import write_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    path = f"{index_path}/stats.json"
-    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = P(path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(_json.dumps({"n_postings": int(n_postings)},
-                              sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(P(path), False)
-    if not fs.rename(tmp, P(path)):
-        fs.delete(tmp, False)  # fallback path: report recounts
+    write_json_file(spark, f"{index_path}/stats.json",
+                    {"n_postings": int(n_postings)})
 
 
 def _read_postings_stats(spark, index_path: str) -> "int | None":

@@ -989,23 +989,11 @@ def _write_ivfpq_drift(spark, index_path: str, payload: dict) -> None:
     """(Re)write the IVFADC index's drift sidecar (``drift.json`` — a
     SIDECAR like the postings row-count stat, deliberately not
     model.json: tearing it merely costs the drift observable until
-    the next build/append rewrites it). Staged tmp + rename; caller
-    holds the writer lease."""
-    import json as _json
+    the next build/append rewrites it). Shared staged writer
+    (sources.write_json_file); caller holds the writer lease."""
+    from lens_spark.sources import write_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    path = f"{index_path}/drift.json"
-    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = P(path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(_json.dumps(payload, sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(P(path), False)
-    if not fs.rename(tmp, P(path)):
-        fs.delete(tmp, False)  # benign: report reads unknown
+    write_json_file(spark, f"{index_path}/drift.json", payload)
 
 
 def _read_ivfpq_drift(spark, index_path: str) -> "dict | None":
@@ -1083,6 +1071,11 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
 
     spark = batch.sparkSession
     meta = _read_ivfpq_model(spark, index_path, "ivfpq_index_append")
+    # drift accumulation only when there is a consumer (r14 review: a
+    # sidecar-less pre-r14 index must not pay a per-batch aggregation
+    # job + the err kernel for a bump that no-ops; one O(1) sidecar
+    # probe decides)
+    want_drift = _read_ivfpq_drift(spark, index_path) is not None
 
     def encode(model: dict):
         cent = np.array(model["centroids"], dtype=np.float64)
@@ -1093,19 +1086,20 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         # code (model.json records the flag at build time); appends
         # follow it so old and new rows share one parts schema
         store = bool(model.get("store_vectors"))
-        # err rides along transiently (near-free: the encode's
-        # distance matrices already exist) to feed the drift sidecar;
-        # it is dropped before anything lands on disk
+        # when the drift sidecar consumes it, err rides along
+        # transiently (near-free: the encode's distance matrices
+        # already exist) and is dropped before anything lands on disk
         out = (ensure_parallelism(batch)
                .select(F.col(id_col).alias("__id"),
                        F.col(vec_col).alias("__v"))
                .mapInPandas(
                    _ivfpq_encode_fn(centn, books, sqnorm,
                                     store_vectors=store,
-                                    emit_err=True),
+                                    emit_err=want_drift),
                    _ivfpq_parts_schema(
                        batch.schema[vec_col].dataType.simpleString()
-                       if store else None) + ", err double"))
+                       if store else None)
+                   + (", err double" if want_drift else "")))
         # pin the count BEFORE the append (the dedup checkpoint-
         # before-append discipline: nothing downstream re-reads files
         # mid-write)
@@ -1113,12 +1107,18 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
 
     def batch_stats(rows):
         # bounded aggregations over the CHECKPOINTED batch (≤ nlist
-        # cells; one scalar err sum) — never touches the index
-        agg = rows.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("err").alias("es")).collect()
+        # cells; one scalar err sum) — never touches the index, and
+        # only run for a consumer (drift sidecar / return_details)
+        if not (want_drift or return_details):
+            return {}, 0.0
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if want_drift:
+            aggs.append(F.sum("err").alias("es"))
+        agg = rows.groupBy("cell").agg(*aggs).collect()
         cells = {int(r["cell"]): int(r["n"]) for r in agg}
-        return cells, float(sum(r["es"] or 0.0 for r in agg))
+        es = (float(sum(r["es"] or 0.0 for r in agg))
+              if want_drift else 0.0)
+        return cells, es
 
     rows = encode(meta)
     n = rows.count()
@@ -1154,14 +1154,16 @@ def ivfpq_index_append(batch: DataFrame, index_path: str, *, id_col: str,
         (rows.drop("err").repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")
          .parquet(f"{index_path}/parts"))
-        # drift accumulators (r14): bumped under the lease AFTER the
-        # append commits — a crash in between under-counts the
-        # appended side, i.e. the report triggers a rebuild a touch
-        # late (the conservative direction, same class as the
-        # postings stat); an at-least-once replay re-adds identical
-        # rows, leaving the error RATIO unbiased while appended_n
-        # over-counts conservatively
-        _bump_ivfpq_drift(spark, index_path, err_sum, n, batch_cells)
+        if want_drift:
+            # drift accumulators (r14): bumped under the lease AFTER
+            # the append commits — a crash in between under-counts
+            # the appended side, i.e. the report triggers a rebuild a
+            # touch late (the conservative direction, same class as
+            # the postings stat); an at-least-once replay re-adds
+            # identical rows, leaving the error RATIO unbiased while
+            # appended_n over-counts conservatively
+            _bump_ivfpq_drift(spark, index_path, err_sum, n,
+                              batch_cells)
     if return_details:
         return {"n": int(n), "touched_cell": sorted(batch_cells)}
     return int(n)

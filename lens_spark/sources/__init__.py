@@ -56,6 +56,32 @@ def read_json_file(spark: SparkSession, path: str) -> "dict | None":
     return _json.loads(bytes(data).decode("utf-8"))
 
 
+def write_json_file(spark: SparkSession, path: str, payload) -> None:
+    """Write a small JSON sidecar through the Hadoop FileSystem API,
+    staged via tmp + rename — THE one writer for every index's
+    sidecars (postings row stats, ivfpq drift accumulators, streaming
+    ingest markers), the write twin of ``read_json_file`` and the
+    same drift-class rationale: three private copies of this py4j
+    block had already accumulated by r14. The delete-then-rename gap
+    can lose the file on a crash; every consumer treats an absent or
+    torn sidecar as the benign unknown fallback, never as
+    corruption."""
+    import json as _json
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = P(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(_json.dumps(payload, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(P(path), False)
+    if not fs.rename(tmp, P(path)):
+        fs.delete(tmp, False)  # benign: consumers read unknown
+
+
 def dataset_nonempty(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists and holds at least one *visible* file.
 

@@ -729,22 +729,10 @@ def _write_ingest_marker(spark, index_path: str, batch_id: int) -> None:
     the data, so ``hybrid_lag_report`` over-reports lag (the
     conservative direction) until the at-least-once replay rewrites
     it."""
-    import json as _json
+    from lens_spark.sources import write_json_file
 
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    path = f"{index_path}/ingest.json"
-    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = P(path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(_json.dumps({"last_batch": int(batch_id)},
-                              sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(P(path), False)
-    if not fs.rename(tmp, P(path)):
-        fs.delete(tmp, False)  # benign: the next batch rewrites it
+    write_json_file(spark, f"{index_path}/ingest.json",
+                    {"last_batch": int(batch_id)})
 
 
 def _read_ingest_marker(spark, index_path: str) -> "int | None":

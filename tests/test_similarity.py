@@ -767,10 +767,12 @@ def test_ivfpq_store_vectors_serves_rerank_from_probed_cells(
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans, plan
     for ln in scans:
-        # every scan is either the index's own partitions or the
-        # QUERY PANEL's bounded read (pushed vec_id < N_QUERIES) —
-        # never an unfiltered corpus vector table
-        assert "/sv/" in ln or f"LessThan(vec_id,{N_QUERIES})" in ln, ln
+        # every scan is either the index's own cell-pruned partitions
+        # or the QUERY PANEL's bounded read (pushed vec_id <
+        # N_QUERIES) — never an unfiltered corpus vector table (path
+        # matching is unreliable: plan strings truncate Location)
+        assert ("cell#" in ln and "PartitionFilters" in ln) \
+            or f"LessThan(vec_id,{N_QUERIES})" in ln, ln
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     assert any("code" in s and "vec" not in s for s in schemas), \
         "the ADC scan must not read the stored vectors"
