@@ -198,7 +198,7 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     """
     import json as _json
 
-    from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     from lens_spark.errors import LensError
     from lens_spark.operators.dedup import (
@@ -226,43 +226,57 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
                 "parts/model.json crash window; build into a fresh "
                 "path and swap, or use postings_index_append.")
         tf = _term_freq(corpus, id_col, text_col)
-        docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        # dl feeds BOTH the postings join and the corpus scalars — pin
-        # it to disk so the second use doesn't re-tokenize the corpus
-        # (and never competes with shuffle memory; the kmeans
-        # DISK_ONLY posture)
+        # n_terms observed on the docfreq leg as the parts write runs —
+        # one row per distinct term flows through it, so its count IS
+        # the vocabulary size; informational only (the frozen scoring
+        # stats below come from retry-safe placements), and the r6
+        # exchange-reuse between the two tf legs is untouched (the
+        # metrics node sits ABOVE docfreq's aggregate).
+        obs_terms = Observation()
+        docfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+                   .observe(obs_terms, F.count(F.lit(1)).alias("t")))
         dl = (ensure_parallelism(corpus, by=[id_col])
               .select(F.col(id_col).alias("doc"),
-                      F.size(tokens(F.col(text_col))).alias("dl"))
-              .persist(StorageLevel.DISK_ONLY))
-        try:
-            rows = (tf.withColumnRenamed(id_col, "doc")
-                    .join(docfreq, "term").join(dl, "doc")
-                    .select("term", "doc", "tf", "dl", "df",
-                            F.pmod(F.xxhash64("term"),
-                                   F.lit(int(buckets))).alias("pb")))
-            # one task per bucket directory -> one file per bucket
-            (rows.repartition(F.col("pb"))
-             .write.mode("overwrite").partitionBy("pb")
-             .parquet(f"{index_path}/parts"))
-            # The parts write is the build's long pole (full-corpus
-            # tokenize + two shuffled aggregations); refresh the lease
-            # mtime after each long stage so a build longer than the
-            # stale window is not mistaken for a crashed holder and
-            # broken by a concurrent writer — the streaming sinks'
-            # per-batch discipline. (A single stage exceeding the
-            # window is covered by the _lease_heartbeat wrapping this
-            # whole build, r12 verdict #7.)
-            _refresh_writer_lock(spark, index_path)
-            # n_docs counts every row (idf's N); avgdl averages over
-            # docs with a non-null length — bm25_score's
-            # F.count(*)/F.avg split
-            stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                           F.count("dl").alias("ndl"),
-                           F.sum("dl").alias("s")).first()
-        finally:
-            dl.unpersist()
+                      F.size(tokens(F.col(text_col))).alias("dl")))
+        rows = (tf.withColumnRenamed(id_col, "doc")
+                .join(docfreq, "term").join(dl, "doc")
+                .select("term", "doc", "tf", "dl", "df",
+                        F.pmod(F.xxhash64("term"),
+                               F.lit(int(buckets))).alias("pb")))
+        # n_postings + sum_dl ride the write itself (r14, guide §1/§5:
+        # the old build paid a DISK_ONLY pin of the corpus-sized dl
+        # table, a second stats job over it, and a FULL RE-READ of the
+        # just-written index just to count what had just flowed through
+        # the writer). Both metrics sit ABOVE the final exchange — the
+        # result stage — so task retries cannot double-count them
+        # (accumulator updates in result stages apply exactly once);
+        # sum(tf) over the landed postings equals sum(dl) over the
+        # landed docs exactly (each doc's tf values partition its
+        # token count), so the frozen avgdl numerator is unchanged.
+        obs_rows = Observation()
+        # one task per bucket directory -> one file per bucket
+        (rows.repartition(F.col("pb"))
+         .observe(obs_rows, F.count(F.lit(1)).alias("p"),
+                  F.sum("tf").alias("s"))
+         .write.mode("overwrite").partitionBy("pb")
+         .parquet(f"{index_path}/parts"))
+        # The parts write is the build's long pole (full-corpus
+        # tokenize + two shuffled aggregations); refresh the lease
+        # mtime after it so a build longer than the stale window is
+        # not mistaken for a crashed holder and broken by a concurrent
+        # writer — the streaming sinks' per-batch discipline. (A
+        # single stage exceeding the window is covered by the
+        # _lease_heartbeat wrapping this whole build, r12 verdict #7.)
         _refresh_writer_lock(spark, index_path)
+        # n_docs counts every row (idf's N); avgdl averages over docs
+        # with a non-null length (dl is null iff the text is null) —
+        # bm25_score's F.count(*)/F.avg split. One narrow column-
+        # pruned aggregate, no tokenize pass: the token mass already
+        # arrived via the write's observed sum(tf).
+        cstats = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(text_col)).alias("ndl")).first()
+        wstats = obs_rows.get
         jvm = spark._jvm
         P = jvm.org.apache.hadoop.fs.Path
         fs = P(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -270,22 +284,20 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
         try:
             out.write(_json.dumps({
                 "format": POSTINGS_FORMAT, "version": 1,
-                "buckets": int(buckets), "n_docs": int(stats["n"]),
-                "n_dl": int(stats["ndl"]),
-                "sum_dl": int(stats["s"] or 0)},
+                "buckets": int(buckets), "n_docs": int(cstats["n"]),
+                "n_dl": int(cstats["ndl"]),
+                "sum_dl": int(wstats["s"] or 0)},
                 sort_keys=True).encode("utf-8"))
         finally:
             out.close()
-        landed = spark.read.parquet(f"{index_path}/parts")
-        agg = landed.agg(F.count(F.lit(1)).alias("p"),
-                         F.countDistinct("term").alias("t")).first()
         # seed the maintained row-count sidecar (postings_drift_report's
         # O(1) denominator — r12 verdict #5): appends bump it, full
         # compactions recount it, readers fall back to a scan when a
         # torn update loses it
-        _write_postings_stats(spark, index_path, int(agg["p"]))
-    return {"n_docs": int(stats["n"]), "n_terms": int(agg["t"]),
-            "n_postings": int(agg["p"])}
+        _write_postings_stats(spark, index_path, int(wstats["p"]))
+    return {"n_docs": int(cstats["n"]),
+            "n_terms": int(obs_terms.get["t"] or 0),
+            "n_postings": int(wstats["p"])}
 
 
 def _read_postings_model(spark, index_path: str, op: str) -> dict:

@@ -66,6 +66,64 @@ def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
     )
 
 
+def _final_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
+    """Single-window per-query top-k for inputs that are ALREADY
+    task-locally pruned (the fused scoring kernels emit ≤ keep_n rows
+    per query per task — see ``_task_topk``): the two-stage
+    ``_rank_topk``'s first window would re-prune per (query,
+    partition) groups that the kernel has already bounded, paying one
+    full Exchange + Sort for a data-wise no-op (r14, guide §2.4). The
+    per-query funnel is unchanged — the final window sorts
+    ≤ keep_n · num_tasks rows per query either way."""
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
+                                             F.col("neighbor_id").asc())
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
+def _task_topk(parts: list, keep_n: int, *,
+               dedupe: bool = False) -> "pd.DataFrame":
+    """Collapse accumulated per-batch candidate frames to the
+    task-local top-``keep_n`` per query under the serving total order
+    (score desc, neighbor_id asc) — the same order every downstream
+    window uses, so pruning here can never drop a row the final top-k
+    would keep. ``dedupe`` collapses byte-identical (query, neighbor,
+    score) rows FIRST (the index-serving path: replayed appends store
+    identical rows, and an un-deduped prune could let a duplicate pair
+    crowd a distinct row out of the task's keep_n)."""
+    pdf = pd.concat(parts, ignore_index=True)
+    if dedupe:
+        pdf = pdf.drop_duplicates(["query_id", "neighbor_id", "score"])
+    pdf = pdf.sort_values(["query_id", "score", "neighbor_id"],
+                          ascending=[True, False, True], kind="stable")
+    return pdf.groupby("query_id", sort=False).head(keep_n)
+
+
+def _task_topk_stream(frames, keep_n: int, nq: int, *,
+                      dedupe: bool = False):
+    """Generator tail shared by the fused scoring kernels: accumulate
+    per-batch candidate frames and emit ONE task-local top-``keep_n``
+    per query. Accumulation is compacted whenever it exceeds a few
+    multiples of the nq·keep_n bound, so task memory stays
+    O(nq · keep_n) however many batches the task scans."""
+    compact_at = max(4 * keep_n * max(nq, 1), 65536)
+    acc: list = []
+    nrows = 0
+    for f in frames:
+        if f is None or not len(f):
+            continue
+        acc.append(f)
+        nrows += len(f)
+        if nrows > compact_at:
+            g = _task_topk(acc, keep_n, dedupe=dedupe)
+            acc, nrows = [g], len(g)
+    if acc:
+        out = _task_topk(acc, keep_n, dedupe=dedupe)
+        if len(out):
+            yield out
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                      vec_col: str, k: int = 10,
                      exclude_self: bool = True) -> DataFrame:
@@ -449,31 +507,40 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     # fuse into the same corpus scan anyway).
     def score_batches(batches):
         b_lut, b_qids, b_qnorm = bc.value
-        for pdf in batches:
-            nid = pdf["neighbor_id"].to_numpy()
-            x = np.stack(pdf["__v"].to_numpy())                # (n,dim)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for j in range(m):
-                xs = x[:, j * dsub:(j + 1) * dsub]             # (n,dsub)
-                d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
-                     + sqnorm[j])
-                codes[:, j] = d.argmin(axis=1)
-            ip = np.zeros((len(nid), len(b_qids)))
-            rn2 = np.zeros(len(nid))
-            for j in range(m):
-                ip += b_lut[:, j, codes[:, j]].T               # (n,nq)
-                rn2 += sqnorm[j][codes[:, j]]
-            denom = np.sqrt(np.maximum(rn2, 1e-12))[:, None] \
-                * b_qnorm[None, :]
-            s = np.round(ip / np.maximum(denom, 1e-12), 6)     # (n,nq)
-            rows = []
-            kk = min(keep_n + 1 if exclude_self else keep_n, len(nid))
-            for qi in range(len(b_qids)):
-                top = np.argpartition(-s[:, qi], kk - 1)[:kk]
-                rows.append(pd.DataFrame({
-                    "query_id": b_qids[qi], "neighbor_id": nid[top],
-                    "score": s[top, qi]}))
-            yield pd.concat(rows, ignore_index=True)
+        kk_task = keep_n + 1 if exclude_self else keep_n
+
+        def batch_frames():
+            for pdf in batches:
+                nid = pdf["neighbor_id"].to_numpy()
+                x = np.stack(pdf["__v"].to_numpy())            # (n,dim)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for j in range(m):
+                    xs = x[:, j * dsub:(j + 1) * dsub]         # (n,dsub)
+                    d = ((xs ** 2).sum(1)[:, None] - 2 * xs @ books[j].T
+                         + sqnorm[j])
+                    codes[:, j] = d.argmin(axis=1)
+                ip = np.zeros((len(nid), len(b_qids)))
+                rn2 = np.zeros(len(nid))
+                for j in range(m):
+                    ip += b_lut[:, j, codes[:, j]].T           # (n,nq)
+                    rn2 += sqnorm[j][codes[:, j]]
+                denom = np.sqrt(np.maximum(rn2, 1e-12))[:, None] \
+                    * b_qnorm[None, :]
+                s = np.round(ip / np.maximum(denom, 1e-12), 6)  # (n,nq)
+                rows = []
+                kk = min(kk_task, len(nid))
+                for qi in range(len(b_qids)):
+                    top = np.argpartition(-s[:, qi], kk - 1)[:kk]
+                    rows.append(pd.DataFrame({
+                        "query_id": b_qids[qi],
+                        "neighbor_id": nid[top],
+                        "score": s[top, qi]}))
+                yield pd.concat(rows, ignore_index=True)
+
+        # one task-local top-k frame per task (r14): the downstream
+        # rank then needs only the single per-query window
+        yield from _task_topk_stream(batch_frames(), kk_task,
+                                     len(b_qids))
 
     scored = (ensure_parallelism(corpus)
               .select(F.col(id_col).alias("neighbor_id"),
@@ -482,8 +549,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     if not rerank:
-        return _rank_topk(scored, "query_id", k)
-    shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
+        return _final_topk(scored, "query_id", k)
+    shortlist = (_final_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
     # The shortlist is bounded by rerank·|queries| rows (≤ 4096·rerank by
     # the panel cap) — _exact_rerank broadcasts it into the candidate
@@ -493,18 +560,84 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     return _exact_rerank(corpus, queries, shortlist, id_col, vec_col, k)
 
 
+def _collect_model_samples(corpus: DataFrame, id_col: str, vec_col: str,
+                           *, nlist: "int | None" = None,
+                           train_size: "int | None" = None,
+                           heldout_size: "int | None" = None
+                           ) -> "dict[str, np.ndarray]":
+    """Collect up to three bounded model samples in ONE Spark job
+    (r14, guide §1.2/§2.6 — the fit previously paid one full
+    TakeOrdered corpus pass PER sample, each a separate job; unioned,
+    the branches schedule together and the driver pays one action):
+
+    - ``cent``: the ``nlist`` lowest-id rows (the deterministic
+      centroid default), re-sorted by id driver-side;
+    - ``train``: the ``train_size`` smallest-md5(id) rows (the PQ
+      training draw; ``_pq_train_codebooks`` is sample-order-
+      independent by construction, but the set is re-sorted by md5
+      anyway so the collect order never matters);
+    - ``heldout``: the ``train_size`` LARGEST-md5(id) rows (the drift
+      baseline's held-out draw — disjoint from ``train`` whenever the
+      corpus exceeds the two sample sizes).
+
+    Each leg is the same TakeOrderedAndProject the separate collects
+    compiled to, so the selected SETS are identical to the old
+    per-sample jobs; only the driver-side reordering restores what the
+    union discards (per-leg sort order)."""
+    legs = []
+    md5k = F.md5(F.col(id_col).cast("string"))
+    base = corpus.select(F.col(id_col).alias("__id"),
+                         md5k.alias("__k"),
+                         F.col(vec_col).alias("__v"))
+    if nlist is not None:
+        legs.append(("cent",
+                     base.orderBy(F.col("__id").asc()).limit(int(nlist))))
+    if train_size is not None:
+        legs.append(("train",
+                     base.orderBy(F.col("__k").asc())
+                     .limit(int(train_size))))
+    if heldout_size is not None:
+        legs.append(("heldout",
+                     base.orderBy(F.col("__k").desc())
+                     .limit(int(heldout_size))))
+    if not legs:
+        return {}
+    tagged = None
+    for tag, leg in legs:
+        t = leg.withColumn("__leg", F.lit(tag))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pdf = tagged.toPandas()
+    out: dict[str, np.ndarray] = {}
+    for tag, _ in legs:
+        part = pdf[pdf["__leg"] == tag]
+        if tag == "cent":
+            part = part.sort_values("__id", kind="stable")
+        elif tag == "train":
+            part = part.sort_values("__k", kind="stable")
+        else:
+            part = part.sort_values("__k", ascending=False,
+                                    kind="stable")
+        out[tag] = np.stack(part["__v"].to_numpy()).astype(np.float64) \
+            if len(part) else np.empty((0, 0))
+    return out
+
+
 def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
                      dim: int, nlist: int, m: int, nbits: int,
                      train_size: int, iters: int,
                      centroids: "Sequence | None",
                      codebooks: "Sequence | None",
-                     op: str) -> "tuple[np.ndarray, np.ndarray]":
+                     op: str, *, heldout_size: "int | None" = None
+                     ) -> "tuple[np.ndarray, np.ndarray, np.ndarray | None]":
     """Shared IVFADC model resolution: accept trained artifacts
     (kmeans_centroids / pq_codebooks) or fit the deterministic
     defaults (lowest-id coarse centroids, md5-sample PQ codebooks).
     Returns driver-side (centroids (nlist, dim), books (m, ksub,
-    dsub)) — KB/MB-scale model state, the broadcast side of every
-    downstream kernel."""
+    dsub), heldout sample or None) — KB/MB-scale model state, the
+    broadcast side of every downstream kernel. Every sample the call
+    needs (including the build's held-out drift baseline via
+    ``heldout_size``) is fetched in ONE collect job
+    (``_collect_model_samples``)."""
     from lens_spark.errors import LensError
 
     if int(m) < 1:
@@ -513,6 +646,11 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
     if dim % m != 0:
         raise LensError(f"{op}: dim={dim} not divisible by m={m}")
     dsub = dim // m
+    samples = _collect_model_samples(
+        corpus, id_col, vec_col,
+        nlist=None if centroids is not None else int(nlist),
+        train_size=None if codebooks is not None else int(train_size),
+        heldout_size=heldout_size)
     if centroids is not None:
         if not len(centroids):
             raise LensError(f"{op}: centroids must be non-empty")
@@ -522,10 +660,7 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
                 f"{op}: centroids must be a list of {dim}-d vectors "
                 f"(got a {cent.ndim}-d array)")
     else:
-        cent = np.stack(
-            corpus.orderBy(F.col(id_col).asc()).limit(int(nlist))
-            .select(vec_col).toPandas()[vec_col].to_numpy()
-        ).astype(np.float64)
+        cent = samples["cent"]
     if cent.shape[1] != dim:
         raise LensError(
             f"{op}: centroid dim {cent.shape[1]} != dim={dim}")
@@ -536,13 +671,9 @@ def _fit_ivfpq_model(corpus: DataFrame, id_col: str, vec_col: str,
                 f"{op}: codebooks shape {books.shape} != "
                 f"(m={m}, ksub={ksub}, dsub={dsub})")
     else:
-        sample = np.stack(
-            corpus.withColumn("__mk", F.md5(F.col(id_col).cast("string")))
-            .orderBy("__mk").limit(int(train_size))
-            .select(vec_col).toPandas()[vec_col].to_numpy()
-        ).astype(np.float64)
-        books = _pq_train_codebooks(sample, m, ksub, int(iters))
-    return cent, books
+        books = _pq_train_codebooks(samples["train"], m, ksub,
+                                    int(iters))
+    return cent, books, samples.get("heldout")
 
 
 def _unit_rows(a: "np.ndarray") -> "np.ndarray":
@@ -745,7 +876,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     if centroids is None and nprobe > nlist:
         raise LensError(
             f"ivfpq_topk: nprobe={nprobe} exceeds nlist={nlist}")
-    cent, books = _fit_ivfpq_model(
+    cent, books, _ = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
         iters, centroids, codebooks, "ivfpq_topk")
     nlist = len(cent)
@@ -766,16 +897,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     def score_batches(batches):
         b_lut, b_qids, b_qnorm, b_probed = bc.value
         cell_queries = _invert_probes(b_probed, len(b_qids))
-        for pdf in batches:
-            nid = pdf["neighbor_id"].to_numpy()
-            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            cells = _ivfpq_cells(x, centn)
-            codes = _pq_encode(x, books, sqnorm)
-            parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
-                               b_qids, b_qnorm, cell_queries, keep_n,
-                               exclude_self)
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+        kk_task = keep_n + 1 if exclude_self else keep_n
+
+        def batch_frames():
+            for pdf in batches:
+                nid = pdf["neighbor_id"].to_numpy()
+                x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                cells = _ivfpq_cells(x, centn)
+                codes = _pq_encode(x, books, sqnorm)
+                parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
+                                   b_qids, b_qnorm, cell_queries,
+                                   keep_n, exclude_self)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        # one task-local top-k frame per task (r14): the downstream
+        # rank then needs only the single per-query window
+        yield from _task_topk_stream(batch_frames(), kk_task,
+                                     len(b_qids))
 
     scored = (ensure_parallelism(corpus)
               .select(F.col(id_col).alias("neighbor_id"),
@@ -784,8 +923,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     if not rerank:
-        return _rank_topk(scored, "query_id", k)
-    shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
+        return _final_topk(scored, "query_id", k)
+    shortlist = (_final_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
     return _exact_rerank(corpus, queries, shortlist, id_col, vec_col, k)
 
@@ -861,9 +1000,13 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
     )
     from lens_spark.sources import read_json_file
 
-    cent, books = _fit_ivfpq_model(
+    # the drift baseline's held-out sample (largest md5(id)) rides the
+    # SAME collect job as the fit samples (r14): the old build paid a
+    # third full TakeOrdered corpus pass for it after the parts write
+    cent, books, heldout = _fit_ivfpq_model(
         corpus, id_col, vec_col, dim, nlist, m, nbits, train_size,
-        iters, centroids, codebooks, "ivfpq_index_build")
+        iters, centroids, codebooks, "ivfpq_index_build",
+        heldout_size=int(train_size))
     centn = _unit_rows(cent)
     sqnorm = (books ** 2).sum(axis=2)
 
@@ -922,16 +1065,12 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str, *, id_col: str,
         # whenever the corpus exceeds 2·train_size, degrading
         # gracefully below), measured with the exact serving encode;
         # plus the build-time cell-occupancy histogram (bounded by
-        # nlist). Appends bump the appended-side accumulators;
-        # ivfpq_drift_report compares. A torn/lost sidecar merely
-        # reads as unknown — model.json stays the only commit marker.
-        sample = np.stack(
-            corpus.withColumn("__mk",
-                              F.md5(F.col(id_col).cast("string")))
-            .orderBy(F.col("__mk").desc()).limit(int(train_size))
-            .select(vec_col).toPandas()[vec_col].to_numpy()
-        ).astype(np.float64)
-        _, errs = _pq_encode(sample, books, sqnorm, return_err=True)
+        # nlist). The sample itself was fetched in the fit's single
+        # collect job (no post-write corpus pass). Appends bump the
+        # appended-side accumulators; ivfpq_drift_report compares. A
+        # torn/lost sidecar merely reads as unknown — model.json stays
+        # the only commit marker.
+        _, errs = _pq_encode(heldout, books, sqnorm, return_err=True)
         _write_ivfpq_drift(spark, index_path, {
             "format": "lens_spark_ivfpq_drift", "version": 1,
             "baseline_rel_err": round(float(np.mean(errs)), 9),
@@ -1396,16 +1535,27 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     def score_batches(batches):
         b_lut, b_qids, b_qnorm, b_probed = bc.value
         cell_queries = _invert_probes(b_probed, len(b_qids))
-        for pdf in batches:
-            nid = pdf["id"].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            codes = np.stack([np.frombuffer(b, dtype=np.uint8)
-                              for b in pdf["code"]]).astype(np.int64)
-            parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
-                               b_qids, b_qnorm, cell_queries, keep_n,
-                               exclude_self)
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+        kk_task = keep_n + 1 if exclude_self else keep_n
+
+        def batch_frames():
+            for pdf in batches:
+                nid = pdf["id"].to_numpy()
+                cells = pdf["cell"].to_numpy()
+                codes = np.stack([np.frombuffer(b, dtype=np.uint8)
+                                  for b in pdf["code"]]).astype(np.int64)
+                parts = _adc_parts(nid, cells, codes, sqnorm, b_lut,
+                                   b_qids, b_qnorm, cell_queries,
+                                   keep_n, exclude_self)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        # task-local top-k with IN-TASK dedupe first (r14): replayed
+        # appends store byte-identical rows, and an un-deduped prune
+        # could let a duplicate pair crowd a distinct candidate out of
+        # the task's keep_n; cross-task duplicates still collapse in
+        # the plan-level distinct below
+        yield from _task_topk_stream(batch_frames(), kk_task,
+                                     len(b_qids), dedupe=True)
 
     pruned = (spark.read.parquet(f"{index_path}/parts")
               .filter(F.col("cell").isin(probed_cells)))
@@ -1420,8 +1570,8 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     # (identical rows by construction) while shuffling only scalars
     scored = scored.distinct()
     if not rerank:
-        return _rank_topk(scored, "query_id", k)
-    shortlist = (_rank_topk(scored, "query_id", max(int(rerank), k))
+        return _final_topk(scored, "query_id", k)
+    shortlist = (_final_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
     if store:
         # true vectors from the index's OWN probed-cell partitions —

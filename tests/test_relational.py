@@ -428,6 +428,33 @@ def test_quantile_bin_exact_guard_auto_switches(spark):
     assert sum(counts.values()) == 5000 and set(counts) == {0, 1, 2, 3}
 
 
+def test_quantile_bin_freq_percentile_bit_identical(spark):
+    """r14 optimization: the exact path feeds percentile a
+    (value, frequency) pre-aggregate instead of raw rows. The
+    aggregation buffer is the same value→count map either way, so the
+    interpolated thresholds must be BIT-identical to the raw-row
+    aggregate — pinned here to the double's bits on a frame with heavy
+    duplication AND fractional interpolation positions (n-1 not
+    divisible by the prob denominators)."""
+    import struct
+
+    vals = [float(i % 13) / 7.0 for i in range(997)]  # dups + irrationals
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    arr = F.array(*[F.lit(p) for p in probs])
+    direct = df.agg(F.percentile(F.col("v"), arr).alias("p")).first()["p"]
+    via_freq = (df.groupBy("v").agg(F.count(F.lit(1)).alias("f"))
+                .agg(F.percentile(F.col("v"), arr, F.col("f"))
+                     .alias("p")).first()["p"])
+    assert [struct.pack("d", a) for a in direct] == \
+           [struct.pack("d", b) for b in via_freq]
+    # and the operator's exact plan actually uses the freq form
+    from lens_spark.operators.relational import quantile_bin
+    out = quantile_bin(df, "v")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile(v" in plan and "__f" in plan
+
+
 def test_quantile_bin_exact_kept_below_limit(spark):
     """Below the bound the exact aggregate is kept (the oracle-checked
     test-SF behavior is unchanged). r9: the guard is ONE fused probe

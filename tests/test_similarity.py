@@ -551,6 +551,55 @@ def test_ivfpq_index_build_and_search_match_inline(spark, emb, tmp_path):
                 for r in rr_inline.collect()})
 
 
+def test_ivfpq_task_pruned_rank_single_window_and_replay_safe(
+        spark, emb, tmp_path):
+    """r14 optimization: the ADC kernels emit a TASK-local top-k (one
+    pruned frame per task) so the rank needs only the single per-query
+    window — the two-stage _rank_topk's first Exchange+Sort+Window is
+    gone. Pin (a) the plan shape: exactly one Window in the no-rerank
+    serve plan; (b) replay safety: the task-level prune dedupes
+    byte-identical replayed rows BEFORE cutting at keep_n, so a
+    replay-duplicated index serves exactly what the clean index
+    serves (a duplicate pair must never crowd a distinct candidate
+    out of the shortlist)."""
+    from lens_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    head = emb.filter(F.col("vec_id") < 40)
+    tail = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    clean, dup = str(tmp_path / "clean"), str(tmp_path / "dup")
+    for idx in (clean, dup):
+        ivfpq_index_build(head, idx, id_col="vec_id",
+                          vec_col="embedding", dim=64, nlist=4, m=8,
+                          nbits=6)
+    ivfpq_index_append(tail, clean, id_col="vec_id", vec_col="embedding")
+    ivfpq_index_append(tail, dup, id_col="vec_id", vec_col="embedding")
+    ivfpq_index_append(tail, dup, id_col="vec_id", vec_col="embedding")
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    served = ivfpq_index_search(spark, clean, queries, id_col="vec_id",
+                                vec_col="embedding", k=K, nprobe=4)
+    replayed = ivfpq_index_search(spark, dup, queries, id_col="vec_id",
+                                  vec_col="embedding", k=K, nprobe=4)
+    got = {(r.query_id, r.neighbor_id, r.score, r.rank)
+           for r in served.collect()}
+    want = {(r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in replayed.collect()}
+    assert got == want and len(got) == N_QUERIES * K
+    # single-window rank: the task-pruned input needs no per-(query,
+    # partition) pre-prune window. Count Window OPERATORS in the final
+    # plan only (AQE repeats the initial plan below it, and Spark's
+    # WindowGroupLimit pushdown nodes also contain the substring).
+    import re
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Window \[", final)) == 1
+
+
 def test_ivfpq_index_error_paths(spark, emb, tmp_path):
     from lens_spark.errors import LensError
     from lens_spark.operators.similarity import (
