@@ -658,7 +658,7 @@ def quantile_bin(df: DataFrame, column: str, *,
     sort-based percentile aggregate is too hot — documented
     trade-off, bins then approximate near boundaries.
     """
-    check_reserved(df, {"__f", "__n", "__nd", "__thr"}, "quantile_bin")
+    check_reserved(df, {"__n", "__nd", "__thr"}, "quantile_bin")
     ps = [float(p) for p in probs]
     if not ps or any(not 0.0 < p < 1.0 for p in ps) or ps != sorted(ps):
         raise LensError("quantile_bin: probs must be sorted, in (0, 1), "
@@ -698,30 +698,17 @@ def quantile_bin(df: DataFrame, column: str, *,
             if (int(row["__n"]) > int(exact_distinct_limit)
                     and int(row["__nd"] or 0) > int(exact_distinct_limit)):
                 exact = False
-    if exact:
-        # Feed the exact percentile a (value, frequency) pre-aggregate
-        # instead of raw rows (r14, guide §2.3 "aggregate before you
-        # shuffle" applied to an aggregation buffer): percentile's
-        # state is a value→count map either way, so the final buffer —
-        # and hence the interpolated thresholds — are BIT-IDENTICAL
-        # (verified to the double's bits at bench scale), but the
-        # per-row map inserts into the non-codegen typed-imperative
-        # aggregate drop from one-per-row to one-per-distinct-value,
-        # with the row collapse done by a codegen hash aggregate.
-        # Measured 1.9× on the benched 600k-row / 583k-distinct
-        # column; the win grows with duplication.
-        pct = F.percentile(F.col(column),
-                           F.array(*[F.lit(p) for p in ps]),
-                           F.col("__f"))
-        thr = (df.groupBy(column)
-               .agg(F.count(F.lit(1)).alias("__f"))
-               .agg(F.transform(pct, lambda t: F.round(t, 6))
-                    .alias("__thr")))
-    else:
-        pct = F.percentile_approx(
+    # r14 optimization note (measured, NOT adopted): feeding the exact
+    # percentile a (value, frequency) pre-aggregate gives a
+    # bit-identical buffer and looked 1.9× faster under machine
+    # contention, but an interleaved same-session A/B on a quiet box
+    # showed it ~12% SLOWER on the benched 97%-distinct column — the
+    # extra value-shuffle exchange outweighs the near-zero row
+    # collapse. Revisit only for low-cardinality columns.
+    pct = F.percentile(F.col(column), F.array(*[F.lit(p) for p in ps])) \
+        if exact else F.percentile_approx(
             F.col(column), F.array(*[F.lit(p) for p in ps]), 10_000)
-        thr = df.agg(F.transform(pct, lambda t: F.round(t, 6))
-                     .alias("__thr"))
+    thr = df.agg(F.transform(pct, lambda t: F.round(t, 6)).alias("__thr"))
     return (df.crossJoin(F.broadcast(thr))
             .withColumn(out, F.size(F.filter(
                 F.col("__thr"),
