@@ -832,14 +832,28 @@ def group_quota(df: DataFrame, key_cols: "list[str]", n: int, *,
     ov = F.expr(order_by)
     head = ov.desc_nulls_last() if descending else ov.asc_nulls_last()
     order = [head] + [F.col(c).asc_nulls_last() for c in tiebreak]
-    local_w = Window.partitionBy(*key_cols, "__gq_pid").orderBy(*order)
-    pruned = (df.withColumn("__gq_pid", F.spark_partition_id())
+    # r14 (the similarity._rank_topk change, guide §2.4): within
+    # Spark's WindowGroupLimit threshold the single rank window
+    # compiles to a map-side Partial prune BEFORE the exchange — the
+    # same ≤ n·num_partitions per-key bound the manual two-stage gave,
+    # minus one Exchange+Sort (the manual stage 1 shuffled every row
+    # once before its first prune). Past the threshold the manual
+    # prune is kept — a hot Zipf key must never rely on a rule that
+    # cannot fire.
+    try:
+        wgl_max = int(df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+    except Exception:  # noqa: BLE001
+        wgl_max = 1000
+    if n > wgl_max:
+        local_w = Window.partitionBy(*key_cols, "__gq_pid").orderBy(*order)
+        df = (df.withColumn("__gq_pid", F.spark_partition_id())
               .withColumn("__gq_lr", F.row_number().over(local_w))
               .filter(F.col("__gq_lr") <= n)
               .drop("__gq_pid", "__gq_lr"))
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (pruned.withColumn(rank_col,
-                              F.row_number().over(w).cast("bigint"))
+    return (df.withColumn(rank_col,
+                          F.row_number().over(w).cast("bigint"))
             .filter(F.col(rank_col) <= n))
 
 

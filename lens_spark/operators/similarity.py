@@ -35,23 +35,37 @@ _LOG = logging.getLogger(__name__)
 
 
 def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
-    """Two-stage top-k, the 100 TB-safe shape.
+    """Per-query top-k with a map-side pre-prune, the 100 TB-safe
+    shape: no single query's candidate set may ever funnel unpruned
+    through one task.
 
-    A single ``row_number() OVER (PARTITION BY query_id)`` funnels every
-    scored row for one query into one task — at corpus scale a single
-    query's candidates serialize through one core. Instead: rank within
-    ``(query_id, input-partition)`` first and keep ≤k rows per group (a
-    per-query top-k is invariant under pruning each partition to its
-    local top-k by the same total order), so the final per-query window
-    sorts ≤ k · num_partitions rows. The first exchange spreads the
-    full scored set *evenly* over (query, pid) groups; the second moves
-    only the pruned survivors.
+    Since Spark 3.5 the optimizer provides the pre-prune NATIVELY
+    (r14, guide §2.4): a ``row_number() OVER (PARTITION BY query_id)``
+    filtered to ``rank <= k`` compiles to a ``WindowGroupLimit
+    (Partial)`` on each MAP partition *before* the exchange — each
+    task forwards at most k rows per query, so the final window sorts
+    ≤ k · num_partitions rows per query, exactly the bound the manual
+    two-stage gave. And strictly cheaper: the r1 manual form's first
+    stage was itself a ``(query_id, spark_partition_id)`` window,
+    which shuffled EVERY candidate once before its first prune — two
+    exchanges and two sorts where the native form pays one exchange
+    carrying only survivors (plan shape pinned by
+    ``test_rank_topk_native_map_side_prune``).
 
-    ``spark_partition_id()`` is materialized via a Project first —
-    nondeterministic expressions are not allowed directly in a window
-    PARTITION BY clause.
+    The optimizer rule only fires for ``k`` up to
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000);
+    past it, the manual two-stage prune is kept so a huge-k caller
+    (e.g. an exact-mode shortlist sized to the corpus) still never
+    funnels unpruned.
     """
     order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    try:
+        wgl_max = int(scored.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+    except Exception:  # noqa: BLE001 — conf missing on exotic builds
+        wgl_max = 1000
+    if 0 < int(k) <= wgl_max:
+        return _final_topk(scored, query_id, k)
     local_w = Window.partitionBy(query_id, "__pid").orderBy(*order)
     pruned = (
         scored.withColumn("__pid", F.spark_partition_id())
@@ -67,14 +81,15 @@ def _rank_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
 
 
 def _final_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
-    """Single-window per-query top-k for inputs that are ALREADY
-    task-locally pruned (the fused scoring kernels emit ≤ keep_n rows
-    per query per task — see ``_task_topk``): the two-stage
-    ``_rank_topk``'s first window would re-prune per (query,
-    partition) groups that the kernel has already bounded, paying one
-    full Exchange + Sort for a data-wise no-op (r14, guide §2.4). The
-    per-query funnel is unchanged — the final window sorts
-    ≤ keep_n · num_tasks rows per query either way."""
+    """Single-window per-query top-k (r14, guide §2.4). Safe in two
+    regimes: (a) inputs the fused scoring kernels ALREADY pruned to
+    ≤ keep_n rows per query per task (``_task_topk``), where a
+    pre-prune window would be a data-wise no-op costing an
+    Exchange+Sort; (b) any input when k is within Spark's
+    WindowGroupLimit threshold — the optimizer then inserts the
+    map-side Partial prune before the exchange itself (see
+    ``_rank_topk``). Either way the final window sorts
+    ≤ k · num_tasks rows per query — never an unpruned funnel."""
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col("neighbor_id").asc())
     return (scored.withColumn("rank",

@@ -600,6 +600,35 @@ def test_ivfpq_task_pruned_rank_single_window_and_replay_safe(
     assert len(re.findall(r"Window \[", final)) == 1
 
 
+def test_rank_topk_native_map_side_prune(spark, emb):
+    """r14: _rank_topk now relies on Spark's native WindowGroupLimit
+    pushdown for the 100 TB funnel protection — pin that the plan of a
+    NON-kernel-pruned caller (brute_force_topk) carries the Partial
+    WindowGroupLimit BEFORE the exchange (each map task forwards ≤ k
+    rows per query), and only ONE exchange+window pair where the
+    manual two-stage paid two. If a Spark upgrade or conf change ever
+    stops the rule firing, this test — not production scale — is
+    where it surfaces."""
+    import re
+
+    from lens_spark.operators.similarity import brute_force_topk
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert len(re.findall(r"Window \[", final)) == 1
+    # and the manual fallback still engages past the optimizer's
+    # pushdown threshold (a huge-k shortlist must never rely on a
+    # rule that cannot fire)
+    big = brute_force_topk(emb, queries, id_col="vec_id",
+                           vec_col="embedding", k=1500)
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in bplan
+
+
 def test_ivfpq_index_error_paths(spark, emb, tmp_path):
     from lens_spark.errors import LensError
     from lens_spark.operators.similarity import (
