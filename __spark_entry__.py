@@ -63,6 +63,24 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _build_concurrently(*builds) -> None:
+    """Overlap independent index builds from a small driver thread pool
+    (r14, optimization guide §2.6): Spark happily runs several jobs at
+    once inside one application — the hybrid queries' postings and
+    IVFADC builds touch different directories and different source
+    tables, so serializing them just leaves the tail of each build's
+    stages idle. FIFO scheduling back-fills executors freed by one
+    build's stragglers with the other build's tasks; results are
+    unchanged (same builds, same paths). Each ``builds`` item is a
+    zero-arg callable; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+        futures = [pool.submit(b) for b in builds]
+        for f in futures:
+            f.result()
+
+
 # ---------------------------------------------------------------------------
 # flagship entry (driver smoke check, sf0.001)
 # ---------------------------------------------------------------------------
@@ -861,10 +879,13 @@ def q_streaming_hybrid_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="lens_spark_shyblag_")
     pidx, vidx = base + "/pidx", base + "/vidx"
     seed = spark.createDataFrame(pdf.iloc[:32])
-    postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
-    ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
-                      id_col="doc_id", vec_col="embedding", dim=64,
-                      nlist=8, m=8, nbits=6, store_vectors=True)
+    _build_concurrently(
+        lambda: postings_index_build(seed, pidx, id_col="doc_id",
+                                     text_col="text"),
+        lambda: ivfpq_index_build(seed.select("doc_id", "embedding"),
+                                  vidx, id_col="doc_id",
+                                  vec_col="embedding", dim=64, nlist=8,
+                                  m=8, nbits=6, store_vectors=True))
     staged = tempfile.mkdtemp(prefix="lens_spark_shyblag_src_")
     pdf.iloc[32:64].to_parquet(os.path.join(staged, "b1.parquet"))
     pdf.iloc[64:].to_parquet(os.path.join(staged, "b2.parquet"))
@@ -910,10 +931,13 @@ def q_streaming_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="lens_spark_shyb_")
     pidx, vidx = base + "/pidx", base + "/vidx"
     seed = spark.createDataFrame(pdf.iloc[: n // 2])
-    postings_index_build(seed, pidx, id_col="doc_id", text_col="text")
-    ivfpq_index_build(seed.select("doc_id", "embedding"), vidx,
-                      id_col="doc_id", vec_col="embedding", dim=64,
-                      nlist=16, m=8, nbits=6, store_vectors=True)
+    _build_concurrently(
+        lambda: postings_index_build(seed, pidx, id_col="doc_id",
+                                     text_col="text"),
+        lambda: ivfpq_index_build(seed.select("doc_id", "embedding"),
+                                  vidx, id_col="doc_id",
+                                  vec_col="embedding", dim=64, nlist=16,
+                                  m=8, nbits=6, store_vectors=True))
     staged = tempfile.mkdtemp(prefix="lens_spark_shyb_src_")
     pdf.iloc[n // 2: 3 * n // 4].to_parquet(
         os.path.join(staged, "b1.parquet"))
@@ -1813,13 +1837,17 @@ def q_x8_hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     base = tempfile.mkdtemp(prefix="lens_spark_hybrid_")
     pidx, vidx = base + "/pidx", base + "/vidx"
-    postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
     # store_vectors (r13 verdict #1): the exact re-rank serves from
     # the index's own probed-cell partitions — no rerank_table, no
-    # per-panel full read of the vector table
-    ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
-                      dim=64, nlist=16, m=8, nbits=6,
-                      store_vectors=True)
+    # per-panel full read of the vector table. The two builds are
+    # independent (different dirs, different source tables) and run
+    # overlapped (guide §2.6).
+    _build_concurrently(
+        lambda: postings_index_build(docs, pidx, id_col="doc_id",
+                                     text_col="text"),
+        lambda: ivfpq_index_build(emb, vidx, id_col="vec_id",
+                                  vec_col="embedding", dim=64, nlist=16,
+                                  m=8, nbits=6, store_vectors=True))
     # panel: 5 corpus docs with BOTH their text and aligned embedding
     panel = (docs.join(emb, docs.doc_id == emb.vec_id)
              .filter(F.col("vec_id") < 5)
@@ -1849,11 +1877,13 @@ def _hybrid_indexes(spark: SparkSession, sf_dir: str) -> tuple:
         emb = _read(spark, sf_dir, "embeddings")
         base = tempfile.mkdtemp(prefix="lens_spark_hybridsrv_")
         pidx, vidx = base + "/pidx", base + "/vidx"
-        postings_index_build(docs, pidx, id_col="doc_id",
-                             text_col="text")
-        ivfpq_index_build(emb, vidx, id_col="vec_id",
-                          vec_col="embedding", dim=64, nlist=16, m=8,
-                          nbits=6, store_vectors=True)
+        _build_concurrently(
+            lambda: postings_index_build(docs, pidx, id_col="doc_id",
+                                         text_col="text"),
+            lambda: ivfpq_index_build(emb, vidx, id_col="vec_id",
+                                      vec_col="embedding", dim=64,
+                                      nlist=16, m=8, nbits=6,
+                                      store_vectors=True))
         _HYBRID_INDEX_MEMO[sf_dir] = (pidx, vidx)
     return _HYBRID_INDEX_MEMO[sf_dir]
 
@@ -1900,10 +1930,12 @@ def q_x8_hybrid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     base = tempfile.mkdtemp(prefix="lens_spark_hybridx_")
     pidx, vidx = base + "/pidx", base + "/vidx"
-    postings_index_build(docs, pidx, id_col="doc_id", text_col="text")
-    ivfpq_index_build(emb, vidx, id_col="vec_id", vec_col="embedding",
-                      dim=64, nlist=16, m=8, nbits=6,
-                      store_vectors=True)
+    _build_concurrently(
+        lambda: postings_index_build(docs, pidx, id_col="doc_id",
+                                     text_col="text"),
+        lambda: ivfpq_index_build(emb, vidx, id_col="vec_id",
+                                  vec_col="embedding", dim=64, nlist=16,
+                                  m=8, nbits=6, store_vectors=True))
     n = emb.count()
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     # panel id outside the corpus id space (the hybrid contract);
@@ -3226,11 +3258,18 @@ def q_x9_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(docs.filter("doc_id % 5 <> 0"), path, mode="overwrite")
 
     def base(v: int) -> DataFrame:
+        # lazy localCheckpoint (r14): each version's (h, nt) projection
+        # feeds THREE plan legs (the card's dup-count groupBy, the
+        # card's join side, and the KS histogram) and the plan
+        # re-scanned the snapshot — re-evaluating md5(text) + the
+        # token split — once per leg (6 scans/version measured in the
+        # before-plan). One materialization per version instead.
         return snapshot_read(spark, path, version=v).select(
             "source",
             F.md5(F.col("text")).alias("h"),
             F.size(F.filter(F.split(F.col("text"), r"\s+"),
-                            lambda x: x != "")).cast("bigint").alias("nt"))
+                            lambda x: x != "")).cast("bigint").alias("nt")) \
+            .localCheckpoint(eager=False)
 
     def card(b: DataFrame, tag: str) -> DataFrame:
         dupc = b.groupBy("h").agg(F.count(F.lit(1)).alias("c"))

@@ -3044,12 +3044,19 @@ def overlap_matrix(df: DataFrame, group_col: str, text_col: str, *,
     check_reserved(df, {"__g", "__gh"}, "overlap_matrix")
     if int(ngram) < 1:
         raise LensError("overlap_matrix: ngram must be >= 1")
+    # Lazy localCheckpoint (r14, measured: the plan computed this
+    # explode→distinct subtree THREE times — the sizes leg, and both
+    # sides of the self-join carry different projections, so exchange
+    # reuse never fired; guide §1.2 "don't compute things you throw
+    # away"). One materialization, three column-pruned consumers —
+    # the containment_pairs shingle-table idiom applied here.
     grams = (ensure_parallelism(df)
              .select(F.col(group_col).cast("string").alias("src_a"),
                        F.explode(_shingles(text_col, int(ngram),
                                            str(shingle))).alias("__g"))
              .select("src_a", F.xxhash64(F.col("__g")).alias("__gh"))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     sizes = grams.groupBy("src_a").agg(
         F.count(F.lit(1)).alias("ngrams_a"))
     shared = (grams.join(grams.select(F.col("src_a").alias("src_b"),

@@ -75,19 +75,23 @@ def test_broadcast_join_has_no_shuffle_on_fact_side(spark, orders):
 
 
 def test_brute_topk_preranks_before_global_window(spark):
-    """brute_force_topk must prune per (query, input-partition) before
-    the per-query window: two Window stages, the first partitioned by
-    spark_partition_id, so no single task sorts a whole query's
-    candidate set."""
+    """brute_force_topk must prune per input partition before the
+    per-query window so no single task sorts a whole query's candidate
+    set. Since r14 the prune is Spark's native WindowGroupLimit
+    (Partial) pushed below the exchange (one Window operator, one
+    exchange) instead of the manual (query, spark_partition_id)
+    pre-rank window — same bound, one less Exchange+Sort. The manual
+    form remains the fallback past the optimizer's pushdown threshold
+    (pinned in test_similarity's
+    test_rank_topk_native_map_side_prune)."""
     from lens_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.limit(5)
     out = brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=10)
     plan = _plan(out)
-    assert plan.count("Window") >= 2, "pre-rank stage missing"
-    assert "SPARK_PARTITION_ID" in plan.upper(), (
-        "local pre-rank must partition by spark_partition_id")
+    assert "WindowGroupLimit" in plan, "map-side pre-prune missing"
+    assert "Partial" in plan, "pre-prune must run below the exchange"
 
 
 def test_quality_filter_tokenizes_once_per_row(spark):
@@ -278,7 +282,13 @@ def test_overlap_matrix_joins_on_hash_never_nested_loop(spark):
     plan = _plan(overlap_matrix(docs, "source", "text", ngram=3))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
-    assert "xxhash64" in plan  # grams cross exchanges as hashes
+    # r14: the distinct (src, xxhash64(gram)) table is computed ONCE
+    # behind a lazy localCheckpoint (the plan used to re-run the
+    # explode→distinct for all three consumers), so the visible plan
+    # joins checkpoint scans whose 8-byte __gh column IS the hash —
+    # gram strings still never cross an exchange
+    assert "__gh" in plan
+    assert plan.count("Generate") == 0  # no per-consumer re-explode
 
 
 def test_realize_epochs_plan_broadcasts_plan_and_stays_narrow(spark):
