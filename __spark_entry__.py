@@ -3258,18 +3258,20 @@ def q_x9_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(docs.filter("doc_id % 5 <> 0"), path, mode="overwrite")
 
     def base(v: int) -> DataFrame:
-        # lazy localCheckpoint (r14): each version's (h, nt) projection
-        # feeds THREE plan legs (the card's dup-count groupBy, the
-        # card's join side, and the KS histogram) and the plan
-        # re-scanned the snapshot — re-evaluating md5(text) + the
-        # token split — once per leg (6 scans/version measured in the
-        # before-plan). One materialization per version instead.
+        # NOT checkpointed (r14, measured then reverted): each
+        # version's (h, nt) projection feeds three plan legs and the
+        # plan re-scans the snapshot per leg — but the subtree is a
+        # bare column-pruned scan + md5/split projection, and the
+        # interleaved A/B put the lazy-localCheckpoint variant at
+        # 1.12× raw (checkpoint write + lost column pruning cost more
+        # than the recompute). Contrast overlap_matrix, where the
+        # repeated subtree contains a DISTINCT exchange and the same
+        # checkpoint measured 0.92×.
         return snapshot_read(spark, path, version=v).select(
             "source",
             F.md5(F.col("text")).alias("h"),
             F.size(F.filter(F.split(F.col("text"), r"\s+"),
-                            lambda x: x != "")).cast("bigint").alias("nt")) \
-            .localCheckpoint(eager=False)
+                            lambda x: x != "")).cast("bigint").alias("nt"))
 
     def card(b: DataFrame, tag: str) -> DataFrame:
         dupc = b.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
