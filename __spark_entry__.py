@@ -3590,19 +3590,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- slots 1-50: hash-checkable, one per operator -------------
-        # ROUND-14 ROTATION (r13 verdict #5 + the standing oldest-first
-        # policy): the window is the 48-query r11-stale remainder (last
-        # external green r11 — 3 rounds stale this round: the engine
-        # core chain, the joins/windows/rollups, the x2 verify family,
-        # the x5 text-metric family, the x4 media pair, the sampling
-        # trio) plus the two r12-green bench rows under attribution
-        # this round (x5_line_dedup, x5_sentence_dedup — their external
-        # hash greens land the same round the perf attribution closes,
-        # the x9_curation_pipeline precedent). OUT: the entire r13
-        # window (every member has a fresh r13 external green). After
-        # this round no hash-checkable query's latest external row is
-        # older than r12 (= 2 rounds). Every evictee keeps its oracle
-        # and the tail pytest oracle-checks it on every run.
+        # ROUND-15 ROTATION (r14 verdict #2 + the standing oldest-first
+        # policy): the window is the declared R15 ROTATION BACKLOG —
+        # the 48-query r12 cohort (last external green r12, 3 rounds
+        # stale this round), plus streaming_hybrid_lag (hash-checkable
+        # since r14 but declared at slot 149, so it has NO external
+        # CORRECTNESS row yet — the no-external-row-must-be-in-window
+        # rule), plus x8_hybrid_exact (oldest-first head of the r13
+        # cohort, and the hash gate for this round's hybrid serve-path
+        # optimization). OUT: the entire r14 window (every member has
+        # a fresh r14 external green). After this round no
+        # hash-checkable query's latest external row is older than r13
+        # (= 2 rounds). Every evictee keeps its oracle and the tail
+        # pytest oracle-checks it on every run.
+        "s8_saved_bloom": q_s8_saved_bloom,
+        "x8_bm25_index": q_x8_bm25_index,
+        "x8_hybrid_rrf": q_x8_hybrid_rrf,
+        "x7_stratified_sample": q_x7_stratified_sample,
+        "x7_dsir_weights": q_x7_dsir_weights,
+        "x7_dsir_select": q_x7_dsir_select,
+        "x2_dup_span_stats": q_x2_dup_span_stats,
+        "range_join_events": q_range_join_events,
+        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
+        "unpivot_price_measures": q_unpivot_price_measures,
+        "sets_except": q_sets_except,
+        "python_udf_bucket": q_python_udf_bucket,
+        "json_extract": q_json_extract,
+        "scalar_functions": q_scalar_functions,
+        "x8_bm25": q_x8_bm25,
+        "x4_audio_features": q_x4_audio_features,
+        "x5_span_dedup": q_x5_span_dedup,
+        "x5_unigram_logprob": q_x5_unigram_logprob,
+        "x7_token_budget_mix": q_x7_token_budget_mix,
+        "x7_sample_exact_k": q_x7_sample_exact_k,
+        "x2_winnow_fps": q_x2_winnow_fps,
+        "x5_hash_embedding": q_x5_hash_embedding,
+        "x5_bigram_logprob": q_x5_bigram_logprob,
+        "x5_url_dedup": q_x5_url_dedup,
+        "x5_segment_filter": q_x5_segment_filter,
+        "x5_normalize_text": q_x5_normalize_text,
+        "x5_dedup_segments": q_x5_dedup_segments,
+        "x5_domain_filter": q_x5_domain_filter,
+        "x5_truncate_tokens": q_x5_truncate_tokens,
+        "x9_dataset_diff": q_x9_dataset_diff,
+        "x9_outlier_filter": q_x9_outlier_filter,
+        "x9_profile": q_x9_profile,
+        "e1_composition": q_e1_composition,
+        "s4_transform_by_id": q_s4_transform_by_id,
+        "x2_contamination_score": q_x2_contamination_score,
+        "x2_winnow_pairs": q_x2_winnow_pairs,
+        "x2_cross_neardup": q_x2_cross_neardup,
+        "x3_matryoshka": q_x3_matryoshka,
+        "x3_random_projection": q_x3_random_projection,
+        "x6_rolling_agg": q_x6_rolling_agg,
+        "x6_time_rollup": q_x6_time_rollup,
+        "x6_sliding_windows": q_x6_sliding_windows,
+        "x7_temperature_mix": q_x7_temperature_mix,
+        "x2_edit_pairs": q_x2_edit_pairs,
+        "x9_quantile_bin": q_x9_quantile_bin,
+        "x9_classifier_eval": q_x9_classifier_eval,
+        "x2_components": q_x2_components,
+        "m5_counter": q_m5_counter,
+        "streaming_hybrid_lag": q_streaming_hybrid_lag,
+        "x8_hybrid_exact": q_x8_hybrid_exact,
+        # --- slots 51+: hash-checkable, operator covered above --------
+        # Oldest-first for the next backlog: the r13 cohort minus the
+        # promoted x8_hybrid_exact (these 49 are 2 rounds stale at
+        # r15), then the fresh r14 window. The tail pytest
+        # oracle-checks every entry each run, so eviction never means
+        # unchecked.
+        "x5_vocab_coverage": q_x5_vocab_coverage,
+        "s8_saved_lang": q_s8_saved_lang,
+        "x7_group_quota": q_x7_group_quota,
+        "x9_threshold_sweep": q_x9_threshold_sweep,
+        "x6_resample": q_x6_resample,
+        "s8_saved_vocab": q_s8_saved_vocab,
+        "arith_pipeline": q_arith_pipeline,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "x2_minhash_pairs": q_x2_minhash_pairs,
+        "x6_exact_distinct": q_x6_exact_distinct,
+        "x1_dedup_exact": q_x1_dedup_exact,
+        "x9_card_diff": q_x9_card_diff,
+        "x9_expectations": q_x9_expectations,
+        "e2_wasm_pipeline": q_e2_wasm_pipeline,
+        "e2_wasm_lenchange": q_e2_wasm_lenchange,
+        "s8_saved_model": q_s8_saved_model,
+        "x3_embedding_outliers": q_x3_embedding_outliers,
+        "x3_centroid": q_x3_centroid,
+        "x6_group_quantiles": q_x6_group_quantiles,
+        "cube_revenue": q_cube_revenue,
+        "x5_compression_ratio": q_x5_compression_ratio,
+        "x2_containment": q_x2_containment,
+        "x2_novelty": q_x2_novelty,
+        "x4_image_phash": q_x4_image_phash,
+        "x5_classifier_score": q_x5_classifier_score,
+        "x5_logprob_band": q_x5_logprob_band,
+        "x5_mask_tokens": q_x5_mask_tokens,
+        "x5_sentences": q_x5_sentences,
+        "x5_token_histogram": q_x5_token_histogram,
+        "x5_vocab_ids": q_x5_vocab_ids,
+        "x8_concat_blocks": q_x8_concat_blocks,
+        "x8_fim": q_x8_fim,
+        "x8_length_batches": q_x8_length_batches,
+        "x8_span_corrupt": q_x8_span_corrupt,
+        "x9_snapshot_diff": q_x9_snapshot_diff,
+        "x2_cluster_stats": q_x2_cluster_stats,
+        "x8_chat_render": q_x8_chat_render,
+        "x7_epoch_plan": q_x7_epoch_plan,
+        "x9_ks_drift": q_x9_ks_drift,
+        "x2_cluster_rep": q_x2_cluster_rep,
+        "x5_structure_stats": q_x5_structure_stats,
+        "x8_preference_pairs": q_x8_preference_pairs,
+        "x7_interleave": q_x7_interleave,
+        "x5_pseudonymize": q_x5_pseudonymize,
+        "x6_equiwidth_hist": q_x6_equiwidth_hist,
+        "x9_dataset_card": q_x9_dataset_card,
+        "x2_overlap_matrix": q_x2_overlap_matrix,
+        "x7_realize_epochs": q_x7_realize_epochs,
+        "x9_filter_funnel": q_x9_filter_funnel,
         "m2_inverse_roundtrip": q_m2_inverse_roundtrip,
         "m4_rename_chain": q_m4_rename_chain,
         "asof_last_event": q_asof_last_event,
@@ -3653,115 +3758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_shuffle_shards": q_x7_shuffle_shards,
         "x5_line_dedup": q_x5_line_dedup,
         "x5_sentence_dedup": q_x5_sentence_dedup,
-        # --- slots 51+: hash-checkable, operator covered above --------
-        # The r12 cohort minus the two promoted rows (these 48 head
-        # the declared R15 ROTATION BACKLOG — 3 rounds stale at r15),
-        # then the fresh r13 window. The tail pytest oracle-checks
-        # every entry each run, so eviction never means unchecked.
-        "s8_saved_bloom": q_s8_saved_bloom,
-        "x8_bm25_index": q_x8_bm25_index,
-        "x8_hybrid_rrf": q_x8_hybrid_rrf,
-        "x7_stratified_sample": q_x7_stratified_sample,
-        "x7_dsir_weights": q_x7_dsir_weights,
-        "x7_dsir_select": q_x7_dsir_select,
-        "x2_dup_span_stats": q_x2_dup_span_stats,
-        "range_join_events": q_range_join_events,
-        "x2_bloom_decontaminate": q_x2_bloom_decontaminate,
-        "unpivot_price_measures": q_unpivot_price_measures,
-        "sets_except": q_sets_except,
-        "python_udf_bucket": q_python_udf_bucket,
-        "json_extract": q_json_extract,
-        "scalar_functions": q_scalar_functions,
-        "x8_bm25": q_x8_bm25,
-        "x4_audio_features": q_x4_audio_features,
-        "x5_span_dedup": q_x5_span_dedup,
-        "x5_unigram_logprob": q_x5_unigram_logprob,
-        "x7_token_budget_mix": q_x7_token_budget_mix,
-        "x7_sample_exact_k": q_x7_sample_exact_k,
-        "x2_winnow_fps": q_x2_winnow_fps,
-        "x5_hash_embedding": q_x5_hash_embedding,
-        "x5_bigram_logprob": q_x5_bigram_logprob,
-        "x5_url_dedup": q_x5_url_dedup,
-        "x5_segment_filter": q_x5_segment_filter,
-        "x5_normalize_text": q_x5_normalize_text,
-        "x5_dedup_segments": q_x5_dedup_segments,
-        "x5_domain_filter": q_x5_domain_filter,
-        "x5_truncate_tokens": q_x5_truncate_tokens,
-        "x9_dataset_diff": q_x9_dataset_diff,
-        "x9_outlier_filter": q_x9_outlier_filter,
-        "x9_profile": q_x9_profile,
-        "e1_composition": q_e1_composition,
-        "s4_transform_by_id": q_s4_transform_by_id,
-        "x2_contamination_score": q_x2_contamination_score,
-        "x2_winnow_pairs": q_x2_winnow_pairs,
-        "x2_cross_neardup": q_x2_cross_neardup,
-        "x3_matryoshka": q_x3_matryoshka,
-        "x3_random_projection": q_x3_random_projection,
-        "x6_rolling_agg": q_x6_rolling_agg,
-        "x6_time_rollup": q_x6_time_rollup,
-        "x6_sliding_windows": q_x6_sliding_windows,
-        "x7_temperature_mix": q_x7_temperature_mix,
-        "x2_edit_pairs": q_x2_edit_pairs,
-        "x9_quantile_bin": q_x9_quantile_bin,
-        "x9_classifier_eval": q_x9_classifier_eval,
-        "x2_components": q_x2_components,
-        "m5_counter": q_m5_counter,
-        "x8_hybrid_exact": q_x8_hybrid_exact,
-        "x5_vocab_coverage": q_x5_vocab_coverage,
-        "s8_saved_lang": q_s8_saved_lang,
-        "x7_group_quota": q_x7_group_quota,
-        "x9_threshold_sweep": q_x9_threshold_sweep,
-        "x6_resample": q_x6_resample,
-        "s8_saved_vocab": q_s8_saved_vocab,
-        "arith_pipeline": q_arith_pipeline,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "x2_minhash_pairs": q_x2_minhash_pairs,
-        "x6_exact_distinct": q_x6_exact_distinct,
-        "x1_dedup_exact": q_x1_dedup_exact,
-        "x9_card_diff": q_x9_card_diff,
-        "x9_expectations": q_x9_expectations,
-        "e2_wasm_pipeline": q_e2_wasm_pipeline,
-        "e2_wasm_lenchange": q_e2_wasm_lenchange,
-        "s8_saved_model": q_s8_saved_model,
-        "x3_embedding_outliers": q_x3_embedding_outliers,
-        "x3_centroid": q_x3_centroid,
-        "x6_group_quantiles": q_x6_group_quantiles,
-        "cube_revenue": q_cube_revenue,
-        "x5_compression_ratio": q_x5_compression_ratio,
-        "x2_containment": q_x2_containment,
-        "x2_novelty": q_x2_novelty,
-        "x4_image_phash": q_x4_image_phash,
-        "x5_classifier_score": q_x5_classifier_score,
-        "x5_logprob_band": q_x5_logprob_band,
-        "x5_mask_tokens": q_x5_mask_tokens,
-        "x5_sentences": q_x5_sentences,
-        "x5_token_histogram": q_x5_token_histogram,
-        "x5_vocab_ids": q_x5_vocab_ids,
-        "x8_concat_blocks": q_x8_concat_blocks,
-        "x8_fim": q_x8_fim,
-        "x8_length_batches": q_x8_length_batches,
-        "x8_span_corrupt": q_x8_span_corrupt,
-        "x9_snapshot_diff": q_x9_snapshot_diff,
-        "x2_cluster_stats": q_x2_cluster_stats,
-        "x8_chat_render": q_x8_chat_render,
-        "x7_epoch_plan": q_x7_epoch_plan,
-        "x9_ks_drift": q_x9_ks_drift,
-        "x2_cluster_rep": q_x2_cluster_rep,
-        "x5_structure_stats": q_x5_structure_stats,
-        "x8_preference_pairs": q_x8_preference_pairs,
-        "x7_interleave": q_x7_interleave,
-        "x5_pseudonymize": q_x5_pseudonymize,
-        "x6_equiwidth_hist": q_x6_equiwidth_hist,
-        "x9_dataset_card": q_x9_dataset_card,
-        "x2_overlap_matrix": q_x2_overlap_matrix,
-        "x7_realize_epochs": q_x7_realize_epochs,
-        "x9_filter_funnel": q_x9_filter_funnel,
-        # hash-checkable (r14): a clean 2-batch drain's lag report is a
-        # DETERMINISTIC row (both markers at batch 1, committed 1,
-        # lag 0, in sync) — the oracle pins the end-to-end drain
-        # behavior, not a recomputation (a failed batch, an unwritten
-        # marker, or a stuck checkpoint each flip the hash)
-        "streaming_hybrid_lag": q_streaming_hybrid_lag,
         # --- tail: rows-only (no_oracle), pytest-backed ---------------
         "x2_embedding_neardup_lsh": q_x2_embedding_neardup_lsh,
         "x3_kmeans": q_x3_kmeans,

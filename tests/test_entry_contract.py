@@ -74,27 +74,32 @@ def test_driver_window_holds_only_hash_checkable_queries():
     # that had only local verification take the slots of 13 long-green
     # evictees (see the queries() comment for the family mapping).
     must_be_in_window = {
-        # round-14 rotation (r13 verdict #5 + standing oldest-first
-        # policy): the 48-query r11-stale remainder (3 rounds stale
-        # this round) plus the two r12-green bench rows under perf
-        # attribution (x5_line_dedup, x5_sentence_dedup) — see the
-        # queries() rotation note
-        "m2_inverse_roundtrip", "m4_rename_chain", "asof_last_event",
-        "e7_identity", "e8_inversion_roundtrip", "events_session_agg",
-        "join_anti_customers", "join_semi_customers", "m1_rename",
-        "m2_add", "m5_counter_large", "m6_filter", "pivot_status_revenue",
-        "rollup_revenue", "stats_aggregates", "window_running_revenue",
-        "x4_image_features", "x4_media_metadata", "x5_fingerprint_dups",
-        "x5_lang_id", "x7_sample_hash", "x2_decontaminate",
-        "x2_embedding_neardup", "x2_jaccard_verified", "x2_ngram_jaccard",
-        "x3_quantize_embedding", "x5_pii_redact", "x5_quality_filter",
-        "x5_repetition_stats", "x5_text_stats", "x5_top_tokens",
-        "x7_hash_split", "x8_tfidf_top_terms", "x1_keep_best",
-        "x9_curation_pipeline", "events_sessionized", "events_windowed",
-        "grouping_sets_qty", "join_enriched_orders", "m7_explode",
-        "window_topk_orders", "x2_simhash", "x3_similarity_topk",
-        "x5_chunk_docs", "x5_html_text", "x6_quantiles", "x7_oversample",
-        "x7_shuffle_shards", "x5_line_dedup", "x5_sentence_dedup",
+        # round-15 rotation (r14 verdict #2 + standing oldest-first
+        # policy): the declared R15 ROTATION BACKLOG — the 48-query
+        # r12 cohort (3 rounds stale this round) — plus
+        # streaming_hybrid_lag (hash-checkable since r14 but declared
+        # at slot 149: NO external CORRECTNESS row yet) and
+        # x8_hybrid_exact (oldest-first head of the r13 cohort + the
+        # hash gate for the r15 hybrid serve-path optimization) — see
+        # the queries() rotation note
+        "s8_saved_bloom", "x8_bm25_index", "x8_hybrid_rrf",
+        "x7_stratified_sample", "x7_dsir_weights", "x7_dsir_select",
+        "x2_dup_span_stats", "range_join_events",
+        "x2_bloom_decontaminate", "unpivot_price_measures",
+        "sets_except", "python_udf_bucket", "json_extract",
+        "scalar_functions", "x8_bm25", "x4_audio_features",
+        "x5_span_dedup", "x5_unigram_logprob", "x7_token_budget_mix",
+        "x7_sample_exact_k", "x2_winnow_fps", "x5_hash_embedding",
+        "x5_bigram_logprob", "x5_url_dedup", "x5_segment_filter",
+        "x5_normalize_text", "x5_dedup_segments", "x5_domain_filter",
+        "x5_truncate_tokens", "x9_dataset_diff", "x9_outlier_filter",
+        "x9_profile", "e1_composition", "s4_transform_by_id",
+        "x2_contamination_score", "x2_winnow_pairs", "x2_cross_neardup",
+        "x3_matryoshka", "x3_random_projection", "x6_rolling_agg",
+        "x6_time_rollup", "x6_sliding_windows", "x7_temperature_mix",
+        "x2_edit_pairs", "x9_quantile_bin", "x9_classifier_eval",
+        "x2_components", "m5_counter", "streaming_hybrid_lag",
+        "x8_hybrid_exact",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     out = must_be_in_window - set(window)
