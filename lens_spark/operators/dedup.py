@@ -3050,13 +3050,26 @@ def overlap_matrix(df: DataFrame, group_col: str, text_col: str, *,
     # reuse never fired; guide §1.2 "don't compute things you throw
     # away"). One materialization, three column-pruned consumers —
     # the containment_pairs shingle-table idiom applied here.
+    # Storage level EXPLICIT (r15, r14 verdict #8): DISK_ONLY, the
+    # repo's posture for pins that scale with the corpus (the
+    # clustering.py r11 precedent — "DISK_ONLY ≥ par at bench scale",
+    # measured again on this query's A/B this round): the distinct
+    # (src, gram-hash) table is group×distinct-gram sized, usually
+    # ≪ corpus but unbounded above, and its three consumers read it
+    # once each — an executor-memory pin buys nothing a sequential
+    # disk read doesn't. localCheckpoint remains non-reliable (an
+    # executor loss fails the query and Spark recomputes from source
+    # on retry), the documented trade for truncating a 3×-replayed
+    # lineage.
+    from pyspark.storagelevel import StorageLevel
     grams = (ensure_parallelism(df)
              .select(F.col(group_col).cast("string").alias("src_a"),
                        F.explode(_shingles(text_col, int(ngram),
                                            str(shingle))).alias("__g"))
              .select("src_a", F.xxhash64(F.col("__g")).alias("__gh"))
              .distinct()
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=False,
+                              storageLevel=StorageLevel.DISK_ONLY))
     sizes = grams.groupBy("src_a").agg(
         F.count(F.lit(1)).alias("ngrams_a"))
     shared = (grams.join(grams.select(F.col("src_a").alias("src_b"),

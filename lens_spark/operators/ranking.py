@@ -194,7 +194,21 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
     and interleave their writes (the second gets
     ``ConcurrentIndexWriterError``).
 
-    Returns {"n_docs", "n_terms", "n_postings"}.
+    Returns {"n_docs", "n_terms_approx", "n_postings"}. ``n_docs`` and
+    ``n_postings`` (and the frozen scoring stats in ``model.json``) are
+    retry-exact; ``n_terms_approx`` is the vocabulary size observed on
+    the docfreq leg, which runs in a shuffle-map stage — a retried or
+    speculated task can overcount it, so the name carries the caveat
+    (r14 advice: the old exact count came from a full re-read of the
+    just-written index, an index-sized extra pass per build).
+
+    Source-stability contract: ``n_docs``/``n_dl`` come from a second,
+    narrow scan of ``corpus`` after the parts write. The build already
+    scans ``corpus`` independently for its tf and dl legs, so a source
+    that changes mid-build (a directory receiving concurrent appends, a
+    non-deterministic sample) tears the *postings themselves* before it
+    can tear the stats — the corpus must be stable for the duration of
+    the build, the standard index-build contract.
     """
     import json as _json
 
@@ -226,10 +240,12 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
                 "parts/model.json crash window; build into a fresh "
                 "path and swap, or use postings_index_append.")
         tf = _term_freq(corpus, id_col, text_col)
-        # n_terms observed on the docfreq leg as the parts write runs —
-        # one row per distinct term flows through it, so its count IS
-        # the vocabulary size; informational only (the frozen scoring
-        # stats below come from retry-safe placements), and the r6
+        # n_terms_approx observed on the docfreq leg as the parts write
+        # runs — one row per distinct term flows through it, so its
+        # count IS the vocabulary size WHEN no task retries/speculation
+        # occur; the leg is a shuffle-map stage, so a retry can
+        # overcount, which the returned key's name states (the frozen
+        # scoring stats below come from retry-safe placements). The r6
         # exchange-reuse between the two tf legs is untouched (the
         # metrics node sits ABOVE docfreq's aggregate).
         obs_terms = Observation()
@@ -296,7 +312,7 @@ def postings_index_build(corpus: DataFrame, index_path: str, *,
         # torn update loses it
         _write_postings_stats(spark, index_path, int(wstats["p"]))
     return {"n_docs": int(cstats["n"]),
-            "n_terms": int(obs_terms.get["t"] or 0),
+            "n_terms_approx": int(obs_terms.get["t"] or 0),
             "n_postings": int(wstats["p"])}
 
 

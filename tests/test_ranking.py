@@ -101,7 +101,12 @@ def test_postings_index_served_equals_inline_bm25(spark, corpus, tmp_path):
     idx = str(tmp_path / "pidx")
     stats = postings_index_build(corpus, idx, id_col="id",
                                  text_col="text")
-    assert stats["n_docs"] == 4 and stats["n_postings"] >= stats["n_terms"]
+    # n_terms_approx: the retry-inexactness is in the NAME (r14 advice —
+    # it rides a shuffle-map-stage observation); the exact stats keep
+    # their plain names
+    assert stats["n_docs"] == 4
+    assert stats["n_postings"] >= stats["n_terms_approx"]
+    assert "n_terms" not in stats, "exact-looking key for an approx stat"
 
     panel = _panel(spark, "spark join", "hash")
     got = postings_index_search(spark, panel, idx, id_col="qid",

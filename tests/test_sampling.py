@@ -344,6 +344,32 @@ def test_group_quota_keeps_top_n_per_key_and_is_partitioning_stable(spark):
     assert got2 == want
 
 
+def test_group_quota_native_map_side_prune(spark):
+    """r15 (r14 advice): group_quota's pre-shuffle funnel protection
+    relies on Spark's InferWindowGroupLimit rule, guarded only by the
+    threshold conf — mirror test_rank_topk_native_map_side_prune so a
+    Spark upgrade or an excludedRules change that stops the rule
+    firing surfaces here, not at production scale. Pins: Partial
+    WindowGroupLimit present (the map-side prune) with one window for
+    n <= threshold; the manual __gq_pid prune engages past it."""
+    import re
+
+    from lens_spark.operators.sampling import group_quota
+
+    rows = [(i, "dom%d" % (i % 3), (i * 7) % 20) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, dom string, score long")
+    out = group_quota(df, ["dom"], 4, order_by="score", tiebreak=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert len(re.findall(r"Window \[", final)) == 1
+    # the manual two-stage fallback past the optimizer threshold — a
+    # hot Zipf key must never rely on a rule that cannot fire
+    big = group_quota(df, ["dom"], 1500, order_by="score",
+                      tiebreak=["id"])
+    assert "__gq_pid" in big._jdf.queryExecution().executedPlan().toString()
+
+
 def test_group_quota_small_groups_null_order_and_validation(spark):
     """Groups smaller than n survive whole; NULL order values rank
     last under either direction; missing tiebreak / bad n raise."""
