@@ -1824,13 +1824,23 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     # partial work between them.
     ba = bands_all.select(F.col(id_col).alias("id_a"), "band_hash")
     bb = bands_all.select(F.col(id_col).alias("id_b"), "band_hash")
-    batch_pairs = (ba.join(bb, "band_hash")
-                   .filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b").distinct())
     sa = sig_arr_all.select(F.col(id_col).alias("id_a"),
                             F.col("sig").alias("__sa"))
     sb = sig_arr_all.select(F.col(id_col).alias("id_b"),
                             F.col("sig").alias("__sb"))
+    # r15 (guide §2.4/§3.1): under the operator's designed shape —
+    # small batch vs large corpus, the same contract that broadcasts
+    # probe_bands below by default — the within-batch LSH self-join
+    # and both signature fetches broadcast their batch-sized side
+    # instead of shuffling both sides by band_hash/id (measured: the
+    # verify action dropped 3 shuffle stages; est-Jaccard values
+    # identical). A bulk caller passes broadcast_probe=False and
+    # keeps the shuffled joins.
+    if broadcast_probe:
+        bb, sa, sb = F.broadcast(bb), F.broadcast(sa), F.broadcast(sb)
+    batch_pairs = (ba.join(bb, "band_hash")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b").distinct())
     verified = (batch_pairs.join(sa, "id_a").join(sb, "id_b")
                 .filter(est_expr >= F.lit(threshold))
                 .select("id_a", "id_b")
@@ -1941,11 +1951,35 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
             cand = (probe_bands
                     .join(corpus_bands, ["band_hash", "__pb"])
                     .select(id_col, "__cid").distinct())
+            # r15: the candidate-signature fetch is pruned to the pb
+            # partitions the CANDIDATE ids hash into — the same DPP
+            # idiom the band probe above uses (pb of a sigs row is a
+            # pure function of its id, so joining on (__cid, __pb) is
+            # semantically redundant but lets the scan skip every
+            # non-candidate sigs bucket directory on disk; previously
+            # this leg read EVERY sigs partition of the index per
+            # batch). The candidate side carries the batch signatures
+            # too and rides the join broadcast-side (batch-bounded,
+            # the broadcast_probe contract), so the whole est leg
+            # adds no exchange; the always-true __pb filter is the
+            # DPP rule's selective-predicate requirement (see the
+            # band probe above).
             corpus_sigs = (parts.filter(F.col("kind") == "sigs")
                            .select(F.col(id_col).alias("__cid"),
-                                   F.col("sig").alias("__csig")))
+                                   F.col("sig").alias("__csig"),
+                                   F.col("pb").alias("__pb")))
+            cand_sig = (cand.join(F.broadcast(sig_arr) if broadcast_probe
+                                  else sig_arr, id_col)
+                        .withColumn(
+                            "__pb",
+                            F.pmod(F.xxhash64(F.col("__cid")
+                                              .cast("string")),
+                                   F.lit(INDEX_PROBE_BUCKETS)))
+                        .filter(F.col("__pb") >= 0))
+            if broadcast_probe:
+                cand_sig = F.broadcast(cand_sig)
             est = (
-                cand.join(sig_arr, id_col).join(corpus_sigs, "__cid")
+                corpus_sigs.join(cand_sig, ["__cid", "__pb"])
                 .withColumn("__est_j",
                             _sig_agreement(num_hashes, "sig", "__csig"))
             )
@@ -1968,14 +2002,21 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
                     # keeps batch's (possibly checkpoint-free) plan.
                     fresh = batch
                 else:
-                    fresh = batch.join(dup_ids, id_col, "left_anti")
+                    fresh = batch.join(
+                        F.broadcast(dup_ids) if broadcast_probe
+                        else dup_ids, id_col, "left_anti")
             else:
                 # Read-only call: no append, so no index-file hazard —
                 # the checkpoint job and the emptiness probe buy
                 # nothing. Leave the anti-join lazy; the caller's one
-                # action computes the whole pipeline in one job (AQE
-                # broadcasts the dup-id side when it's small).
-                fresh = batch.join(dup_ids, id_col, "left_anti")
+                # action computes the whole pipeline in one job (the
+                # dup-id side is batch-bounded, so it broadcasts under
+                # the same small-batch contract as the probes; AQE
+                # handled it at runtime before, but the hint keeps the
+                # initial plan sort-free too).
+                fresh = batch.join(
+                    F.broadcast(dup_ids) if broadcast_probe
+                    else dup_ids, id_col, "left_anti")
         else:
             fresh = batch
         if update_index:

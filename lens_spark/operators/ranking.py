@@ -523,13 +523,35 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
              .filter(F.col("pb") >= 0))
     matched = (spark.read.parquet(parts_path)
                .join(F.broadcast(probe), ["term", "pb"])
-               .select("term", "doc", "tf", "dl", "df")
-               .distinct())  # dedupe-before-sum: replay residue
+               .select("term", "doc", "tf", "dl", "df"))
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
-    scored = (qterms.join(matched, "term")
+    # r15 (guide §2.4/§3.1): the panel side is bounded by contract —
+    # the probe broadcast above already assumes it — so the scoring
+    # join BROADCASTS qterms instead of sort-merge-joining it (the
+    # planner saw an ExistingRDD with no stats and shuffled BOTH
+    # sides by term: two exchanges + two sorts of panel-scale data).
+    # The replay-residue dedupe (byte-identical rows from at-least-
+    # once appends must not double-count) moves AFTER that join and
+    # shares ONE explicit hash(query_id, doc) exchange with the
+    # score aggregation: hash(query_id, doc) satisfies both the
+    # dedupe's clustering (subset of its keys) and the groupBy's —
+    # previously the pre-join distinct and the sum paid separate
+    # full-width exchanges. Deduping per query over the SAME
+    # (term, doc, tf, dl, df) key keeps the collapsed set identical,
+    # and the scaled-long sum is order-independent, so scores are
+    # bit-identical (hash-gated via x8_bm25_index / x8_hybrid_exact).
+    # No per-query funnel: the exchange key is (query, doc) — the
+    # rank exchange below still gets its WindowGroupLimit map-side
+    # prune.
+    scored = (matched
+              .join(F.broadcast(qterms.select("query_id", "term")),
+                    "term")
+              .repartition(F.col("query_id"), F.col("doc"))
+              .dropDuplicates(["query_id", "term", "doc", "tf", "dl",
+                               "df"])
               .withColumn("__c", contrib)
               .groupBy("query_id", F.col("doc").alias("neighbor_id"))
               .agg(F.sum(scaled_term(F.col("__c"))).alias("__s"))

@@ -820,11 +820,17 @@ def _exact_rerank(vec_table: DataFrame, queries: DataFrame,
     # a store_vectors index, replayed appends hold byte-identical
     # duplicate rows — identical vectors score identically, so the
     # scalar distinct collapses them before ranking (a duplicate must
-    # not occupy two top-k slots); with unique-id corpora it's a no-op
+    # not occupy two top-k slots); with unique-id corpora it's a no-op.
+    # r15 (guide §2.4): ONE explicit hash(query_id) exchange serves
+    # the distinct AND the rank window below (the planner otherwise
+    # exchanges on all three distinct keys, then again on query_id).
+    # Funnel-safe by construction: the shortlist is ≤ rerank rows per
+    # query, so a per-query slice is bounded however it lands.
     exact = (cand.join(F.broadcast(qdf), "query_id")
              .withColumn("score", F.round(
                  cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
              .select("query_id", "neighbor_id", "score")
+             .repartition(F.col("query_id"))
              .distinct())
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
@@ -1582,8 +1588,16 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     # score-before-distinct: collapses replayed-append duplicates
-    # (identical rows by construction) while shuffling only scalars
-    scored = scored.distinct()
+    # (identical rows by construction) while shuffling only scalars.
+    # r15 (guide §2.4): ONE explicit hash(query_id) exchange serves
+    # both the distinct and the rank window — the planner otherwise
+    # pays hash(query_id, neighbor_id, score) for the distinct and
+    # hash(query_id) again for the window. Funnel-safe: the kernel
+    # already pruned each task's output to ≤ keep_n rows per query
+    # (_task_topk_stream), so a (query, reducer) slice is bounded by
+    # num_map_tasks · keep_n — the same bound the old second exchange
+    # had after its WindowGroupLimit(Partial).
+    scored = scored.repartition(F.col("query_id")).distinct()
     if not rerank:
         return _final_topk(scored, "query_id", k)
     shortlist = (_final_topk(scored, "query_id", max(int(rerank), k))

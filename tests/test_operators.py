@@ -2728,3 +2728,37 @@ def test_vocab_coverage_lens_refuses_inverse_and_guards(spark):
         vocab_coverage(clash, "text", by=["lang"])
     with _pytest.raises(LensError, match="non-empty"):
         vocab_coverage(df, "text", vocab=[])
+
+
+def test_neardup_incremental_sig_fetch_prunes_and_broadcasts(spark,
+                                                             tmp_path):
+    """r15: the candidate-SIGNATURE fetch is partition-pruned the same
+    way the band probe is (pb of a sigs row is a pure function of its
+    id, so the est-Jaccard join carries (__cid, __pb) and the sigs
+    scan skips non-candidate bucket directories at runtime — it
+    previously read every sigs partition of the index per batch), and
+    under the default small-batch contract the within-batch self-join
+    and both signature joins broadcast their batch-sized side (no
+    SortMergeJoin anywhere in the probe plan). Dedup answer
+    unchanged."""
+    from lens_spark.operators.dedup import neardup_incremental
+
+    idx = str(tmp_path / "nd_sig_prune")
+    kw = dict(num_hashes=16, ngram=3, band_size=4, threshold=0.5)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(30)))
+         for i in range(40)] + [(99, _ND_A)],
+        "id long, text string")
+    neardup_incremental(corpus, idx, "id", "text", **kw)
+    probe = spark.createDataFrame(
+        [(200, _ND_A2), (201, "completely novel words nobody used")],
+        "id long, text string")
+    out = neardup_incremental(probe, idx, "id", "text",
+                              update_index=False, **kw)
+    assert {r.id for r in out.collect()} == {201}
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(),
+                                            "formatted")
+    # BOTH index scans (bands probe + sigs fetch) dynamically prune
+    assert plan.count("dynamicpruningexpression") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -620,3 +620,42 @@ def test_hybrid_serve_query_equals_end_to_end_query(spark):
     p1 = entrymod._HYBRID_INDEX_MEMO[sf]
     entrymod.q_x8_hybrid_serve(spark, sf).collect()
     assert entrymod._HYBRID_INDEX_MEMO[sf] is p1
+
+
+def test_postings_search_broadcasts_panel_and_fuses_dedupe_exchange(
+        spark, corpus, tmp_path):
+    """r15 (guide §2.4/§3.1): the panel-side scoring join must be a
+    broadcast (the panel is bounded by the same contract that
+    broadcasts the (term, pb) probe — the old plan sort-merge-joined
+    panel-scale data through two exchanges and two sorts), and the
+    replay-residue dedupe must share ONE explicit (query_id, doc)
+    exchange with the score aggregation instead of paying its own
+    full-width exchange before the join. The rank still gets its
+    map-side WindowGroupLimit prune — the exchange key is
+    (query, doc), never query alone, so no per-query funnel."""
+    import re
+
+    from lens_spark.operators.ranking import (
+        postings_index_build,
+        postings_index_search,
+    )
+
+    idx = str(tmp_path / "pidx_fused")
+    postings_index_build(corpus, idx, id_col="id", text_col="text")
+    out = postings_index_search(spark, _panel(spark, "spark hash join"),
+                                idx, id_col="qid", text_col="qtext", k=3)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(),
+                                            "formatted")
+    assert "SortMergeJoin" not in plan, "panel join degraded to SMJ"
+    # exactly one (query_id, doc) exchange: dedupe + sum ride it
+    # (formatted explain puts the partitioning on the Arguments line)
+    shared = re.findall(
+        r"hashpartitioning\(query_id#\d+L?, doc#\d+", plan)
+    assert len(shared) == 1, f"expected 1 shared exchange:\n{plan}"
+    # the rank exchange is the only query_id-only hash exchange, and
+    # the map-side prune still sits below it
+    assert "WindowGroupLimit" in plan
+    # results unchanged (hash-gated in the bench via x8_bm25_index;
+    # cheap sanity here): every ranked doc contains a panel term
+    assert {r.neighbor_id for r in out.collect()} <= {1, 2, 4}

@@ -970,3 +970,45 @@ def test_ivfpq_build_refuses_in_place_rebuild(spark, emb, tmp_path):
         ivfpq_index_build(emb, idx, id_col="vec_id",
                           vec_col="embedding", dim=64, nlist=8, m=4,
                           nbits=4)
+
+
+def test_index_serve_distinct_and_rank_share_one_exchange(
+        spark, emb, tmp_path):
+    """r15 (guide §2.4): the serve path's replay dedupe and its rank
+    window ride ONE explicit hash(query_id) exchange — the planner
+    otherwise paid hash(query_id, neighbor_id, score) for the
+    distinct and hash(query_id) again for the window. Funnel-safe:
+    the ADC kernel's task-local prune bounds a (query, reducer)
+    slice at num_map_tasks · keep_n either way. Pin the no-rerank
+    serve plan at exactly ONE shuffle exchange, and the rerank plan
+    (its _exact_rerank tail fuses the same way) at exactly two."""
+    import re
+
+    from lens_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    idx = str(tmp_path / "fused_idx")
+    ivfpq_index_build(emb, idx, id_col="vec_id", vec_col="embedding",
+                      dim=64, nlist=8, m=8, nbits=6)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    served = ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                                vec_col="embedding", k=K, nprobe=8)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(served._jdf.queryExecution(),
+                                            "formatted")
+    n_shuffles = len(re.findall(r"\+- Exchange \(", plan))
+    assert n_shuffles == 1, f"expected 1 shuffle exchange:\n{plan}"
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, 'd*\d+\)",
+                     plan) or "hashpartitioning(query_id" in plan
+
+    rr = ivfpq_index_search(spark, idx, queries, id_col="vec_id",
+                            vec_col="embedding", k=K, nprobe=8,
+                            rerank=4 * K, rerank_corpus=emb)
+    plan_rr = jvm.PythonSQLUtils.explainString(rr._jdf.queryExecution(),
+                                               "formatted")
+    assert len(re.findall(r"\+- Exchange \(", plan_rr)) == 2, plan_rr
+    # results still k complete rows per query
+    assert served.count() == N_QUERIES * K
