@@ -43,6 +43,12 @@ GLOBAL_WINDOW_OK = {
         "two-stage top-k's second window, leaving it physically "
         "global — but its input is the stage-1 (qid, pid)-partitioned "
         "prune, ≤ k·shuffle_partitions rows (k≤20) per system/fusion",
+    "x9_quantile_bin":
+        "r15 rank-selection thresholds: the cumulative-count window "
+        "runs over the DISTINCT value table, and exact mode is gated "
+        "by the ≤ exact_distinct_limit (2M) probe — above it the "
+        "operator auto-switches to percentile_approx and the window "
+        "disappears with it (relational.py quantile_bin)",
 }
 
 
