@@ -488,6 +488,23 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
     idf, same quantized sum), with N/avgdl FROZEN at build time from
     ``model.json`` — serving never rescans the corpus.
     """
+    from lens_spark.operators.similarity import _rank_topk
+
+    scored = _postings_scored(spark, queries, index_path, id_col=id_col,
+                              text_col=text_col, k1=k1, b=b)
+    out = _rank_topk(scored, "query_id", int(k))
+    return out.select("query_id", "neighbor_id",
+                      F.col("score").alias("bm25"), "rank")
+
+
+def _postings_scored(spark, queries: DataFrame, index_path: str, *,
+                     id_col: str, text_col: str, k1: float = 1.2,
+                     b: float = 0.75) -> DataFrame:
+    """``postings_index_search``'s SCORED frame, pre-rank — the pruned
+    postings probe, panel-broadcast scoring join and fused
+    dedupe+sum exchange, ending as (query_id, neighbor_id, score).
+    Split out in r15 so ``hybrid_search`` fuses the per-system final
+    ranks into one window (guide §2.4)."""
     check_reserved(queries, {"__c", "__s"}, "postings_index_search")
     from lens_spark.errors import LensError
     from lens_spark.functions.digest import (
@@ -495,7 +512,6 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
         scaled_term,
     )
     from lens_spark.operators.dedup import _parts_migration_leftovers
-    from lens_spark.operators.similarity import _rank_topk
 
     meta = _read_postings_model(spark, index_path,
                                 "postings_index_search")
@@ -558,9 +574,7 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
               .select("query_id", "neighbor_id",
                       F.expr(round6_scaled_sum_expr("__s"))
                       .alias("score")))
-    out = _rank_topk(scored, "query_id", int(k))
-    return out.select("query_id", "neighbor_id",
-                      F.col("score").alias("bm25"), "rank")
+    return scored
 
 
 @register_lens("postings_search")
@@ -608,20 +622,31 @@ def rrf_fuse(rankings: DataFrame, query_col: str, id_col: str,
         round6_scaled_sum_expr,
         scaled_term,
     )
-    from lens_spark.operators.similarity import _rank_topk
+    from lens_spark.operators.similarity import _final_topk
 
     if int(k0) < 1:
         raise LensError("rrf_fuse: k0 must be >= 1")
     contrib = F.lit(1.0) / (F.lit(int(k0)) + F.col(rank_col)
                             .cast("double"))
+    # r15 (guide §2.4): ONE explicit hash(query) exchange serves the
+    # fusion aggregation AND the final rank window — hash(query)
+    # satisfies the groupBy's (query, candidate) clustering (subset of
+    # its keys) and the window's, where the planner previously paid
+    # hash(query, candidate) for the agg and hash(query) again for the
+    # rank. Funnel-safe by the input contract: rankings are per-system
+    # top-k rows (each carries a rank), so a query's slice is bounded
+    # at systems·k rows however it lands. The scaled-long sum is
+    # partition-order-independent, so fused scores are bit-identical
+    # (hash-gated via x8_hybrid_exact / x8_hybrid_rrf).
     scored = (rankings
+              .repartition(F.col(query_col))
               .groupBy(F.col(query_col).alias("query_id"),
                        F.col(id_col).alias("neighbor_id"))
               .agg(F.sum(scaled_term(contrib)).alias("__s"))
               .select("query_id", "neighbor_id",
                       F.expr(round6_scaled_sum_expr("__s"))
                       .alias("score")))
-    out = _rank_topk(scored, "query_id", int(k))
+    out = _final_topk(scored, "query_id", int(k))
     return out.select(F.col("query_id").alias(query_col),
                       F.col("neighbor_id").alias(id_col),
                       F.col("score").alias("rrf"), "rank")
@@ -675,7 +700,7 @@ def hybrid_search(spark, queries: DataFrame, *, postings_index: str,
     vs the exact brute-force+BM25 fusion is pinned by
     tests/test_ranking.py.
     """
-    from lens_spark.operators.similarity import ivfpq_index_search
+    from lens_spark.operators.similarity import _ivfpq_scored
 
     # Pin the panel once: it feeds FOUR independent plan legs (the
     # postings tokenize, the dense panel collect, the exact re-rank's
@@ -684,16 +709,49 @@ def hybrid_search(spark, queries: DataFrame, *, postings_index: str,
     # bounded by contract (the dense leg's 4096-row collect guard),
     # so materializing is cheap and the derivation runs once.
     queries = queries.localCheckpoint(eager=True)
-    sparse = postings_index_search(
-        spark, queries, postings_index, id_col=id_col,
-        text_col=text_col, k=int(per_system_k))
-    dense = ivfpq_index_search(
-        spark, ivfpq_index, queries, id_col=id_col, vec_col=vec_col,
-        k=int(per_system_k), nprobe=nprobe, rerank=rerank,
-        rerank_corpus=rerank_corpus, exclude_self=False)
-    union = (sparse.select("query_id", "neighbor_id", "rank")
-             .unionByName(dense.select("query_id", "neighbor_id",
-                                       "rank")))
+    psk = int(per_system_k)
+    sparse = (_postings_scored(spark, queries, postings_index,
+                               id_col=id_col, text_col=text_col)
+              .withColumn("__sys", F.lit(0)))
+    dense = (_ivfpq_scored(spark, ivfpq_index, queries, id_col=id_col,
+                           vec_col=vec_col, k=psk, nprobe=nprobe,
+                           rerank=rerank, rerank_corpus=rerank_corpus,
+                           exclude_self=False)
+             .withColumn("__sys", F.lit(1)))
+    # r15 (guide §2.4, r14 verdict #1): BOTH per-system final ranks
+    # ride ONE (query_id, __sys) window — previously each system paid
+    # its own Exchange+Window before the union. row_number over
+    # (score desc, neighbor asc) within a (query, system) group is the
+    # exact per-system order _rank_topk/_final_topk used, so the
+    # ranked rows entering the fusion are identical (hash-gated via
+    # x8_hybrid_exact). Funnel-safe: the rank<=psk filter compiles to
+    # WindowGroupLimit(Partial) below the exchange (plan-pinned), so
+    # each map task forwards at most psk rows per (query, system) —
+    # the same bound the two separate rank exchanges had. Past the
+    # optimizer threshold the rule cannot fire, so a huge-psk caller
+    # keeps the per-system _rank_topk form (its manual prune engages
+    # there), exactly _rank_topk's posture.
+    try:
+        wgl_max = int(queries.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+    except Exception:  # noqa: BLE001 — conf missing on exotic builds
+        wgl_max = 1000
+    if psk <= wgl_max:
+        w = Window.partitionBy("query_id", "__sys").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc())
+        union = (sparse.unionByName(dense)
+                 .withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rank") <= psk)
+                 .select("query_id", "neighbor_id", "rank"))
+    else:
+        from lens_spark.operators.similarity import _rank_topk
+
+        union = (_rank_topk(sparse.drop("__sys"), "query_id", psk)
+                 .select("query_id", "neighbor_id", "rank")
+                 .unionByName(
+                     _rank_topk(dense.drop("__sys"), "query_id", psk)
+                     .select("query_id", "neighbor_id", "rank")))
     return rrf_fuse(union, "query_id", "neighbor_id", "rank",
                     k0=int(k0), k=int(k))
 

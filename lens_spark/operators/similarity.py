@@ -807,10 +807,22 @@ def _exact_rerank(vec_table: DataFrame, queries: DataFrame,
                   shortlist: DataFrame, id_col: str, vec_col: str,
                   k: int) -> DataFrame:
     """Exact-refinement tail shared by pq_topk / ivfpq_topk /
-    ivfpq_index_search: fetch only the shortlist's true vectors by
-    broadcast join (≤ rerank·|queries| rows — never a corpus shuffle),
-    rescore with exact cosine, one window pass (the shortlist IS a
-    global per-query top-rerank, so no two-stage funnel is needed)."""
+    ivfpq_index_search: ``_final_topk`` over the exact-rescored
+    shortlist (the shortlist IS a global per-query top-rerank, so no
+    two-stage funnel is needed)."""
+    return _final_topk(
+        _exact_rerank_scored(vec_table, queries, shortlist, id_col,
+                             vec_col), "query_id", k)
+
+
+def _exact_rerank_scored(vec_table: DataFrame, queries: DataFrame,
+                         shortlist: DataFrame, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """The exact-refinement SCORED frame, pre-final-rank: fetch only
+    the shortlist's true vectors by broadcast join (≤ rerank·|queries|
+    rows — never a corpus shuffle) and rescore with exact cosine.
+    Split out in r15 so ``hybrid_search`` can fuse the final rank into
+    its one per-system rank window (guide §2.4)."""
     cand = vec_table.select(F.col(id_col).alias("neighbor_id"),
                             F.col(vec_col).alias("__cv")) \
         .join(F.broadcast(shortlist), "neighbor_id")
@@ -826,17 +838,12 @@ def _exact_rerank(vec_table: DataFrame, queries: DataFrame,
     # exchanges on all three distinct keys, then again on query_id).
     # Funnel-safe by construction: the shortlist is ≤ rerank rows per
     # query, so a per-query slice is bounded however it lands.
-    exact = (cand.join(F.broadcast(qdf), "query_id")
-             .withColumn("score", F.round(
-                 cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
-             .select("query_id", "neighbor_id", "score")
-             .repartition(F.col("query_id"))
-             .distinct())
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (exact.withColumn("rank",
-                             F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k))
+    return (cand.join(F.broadcast(qdf), "query_id")
+            .withColumn("score", F.round(
+                cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+            .select("query_id", "neighbor_id", "score")
+            .repartition(F.col("query_id"))
+            .distinct())
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
@@ -1521,6 +1528,23 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     true vectors); when both are available the index's stored vectors
     win — they are the pruned read.
     """
+    return _final_topk(
+        _ivfpq_scored(spark, index_path, queries, id_col=id_col,
+                      vec_col=vec_col, k=k, nprobe=nprobe, rerank=rerank,
+                      rerank_corpus=rerank_corpus,
+                      exclude_self=exclude_self),
+        "query_id", k)
+
+
+def _ivfpq_scored(spark, index_path: str, queries: DataFrame, *,
+                  id_col: str, vec_col: str, k: int, nprobe: int,
+                  rerank: "int | None", rerank_corpus: "DataFrame | None",
+                  exclude_self: bool) -> DataFrame:
+    """``ivfpq_index_search``'s SCORED frame, pre-final-rank — the ADC
+    scan (plus the exact-refinement rescore when ``rerank`` is set),
+    ending hash(query_id)-partitioned so the caller's rank window adds
+    no exchange. Split out in r15 so ``hybrid_search`` fuses the two
+    per-system final ranks into one window (guide §2.4)."""
     from lens_spark.errors import LensError
     from lens_spark.operators.dedup import _parts_migration_leftovers
 
@@ -1599,20 +1623,20 @@ def ivfpq_index_search(spark, index_path: str, queries: DataFrame, *,
     # had after its WindowGroupLimit(Partial).
     scored = scored.repartition(F.col("query_id")).distinct()
     if not rerank:
-        return _final_topk(scored, "query_id", k)
+        return scored
     shortlist = (_final_topk(scored, "query_id", max(int(rerank), k))
                  .select("query_id", "neighbor_id"))
     if store:
         # true vectors from the index's OWN probed-cell partitions —
         # the same pruned read the ADC scan does, vec column instead
         # of code. Replayed-append duplicates are byte-identical and
-        # collapse in _exact_rerank's scored-row distinct.
+        # collapse in the rerank's scored-row distinct.
         vec_table = pruned.select(F.col("id").alias(id_col),
                                   F.col("vec").alias(vec_col))
     else:
         vec_table = rerank_corpus
-    return _exact_rerank(vec_table, queries, shortlist, id_col,
-                         vec_col, k)
+    return _exact_rerank_scored(vec_table, queries, shortlist, id_col,
+                                vec_col)
 
 
 def topk_with_recall(corpus: DataFrame, queries: DataFrame, *, id_col: str,

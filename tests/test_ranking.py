@@ -659,3 +659,57 @@ def test_postings_search_broadcasts_panel_and_fuses_dedupe_exchange(
     # results unchanged (hash-gated in the bench via x8_bm25_index;
     # cheap sanity here): every ranked doc contains a panel term
     assert {r.neighbor_id for r in out.collect()} <= {1, 2, 4}
+
+
+def test_hybrid_search_single_per_system_rank_window(spark,
+                                                     hybrid_setup):
+    """r15 (guide §2.4, r14 verdict #1): the hybrid serve plan fuses
+    BOTH per-system final ranks into ONE (query_id, __sys) window and
+    the rrf fusion + final rank into ONE hash(query_id) exchange — the
+    no-rerank plan carries exactly 2 Window nodes (per-system rank +
+    fused rank; previously sparse rank, dense rank, and fusion rank
+    each paid their own), with the per-system rank's map-side
+    WindowGroupLimit prune below its exchange so no (query, system)
+    candidate set ever funnels unpruned. The rerank plan adds only the
+    dense shortlist's window (3 total). Past the optimizer's
+    windowGroupLimitThreshold the fused window cannot get its map-side
+    prune, so the per-system _rank_topk fallback engages."""
+    import re
+
+    from lens_spark.operators.ranking import hybrid_search
+
+    corpus, pidx, vidx, panel = hybrid_setup
+    got = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx, id_col="vec_id",
+                        text_col="text", vec_col="embedding", k=5,
+                        per_system_k=10, nprobe=4)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(),
+                                            "formatted")
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bWindow \(", final)) == 2, final
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # per-system window hashes (query_id, __sys); the fusion tail's
+    # one exchange hashes query_id alone
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, __sys#\d+",
+                     plan), plan
+
+    rr = hybrid_search(spark, panel, postings_index=pidx,
+                       ivfpq_index=vidx, id_col="vec_id",
+                       text_col="text", vec_col="embedding", k=5,
+                       per_system_k=10, nprobe=4, rerank=20,
+                       rerank_corpus=corpus)
+    plan_rr = jvm.PythonSQLUtils.explainString(rr._jdf.queryExecution(),
+                                               "formatted")
+    final_rr = plan_rr.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bWindow \(", final_rr)) == 3, final_rr
+
+    # huge-psk regime: the optimizer rule cannot fire, so the fused
+    # window must NOT be used — the manual per-system prune engages
+    big = hybrid_search(spark, panel, postings_index=pidx,
+                        ivfpq_index=vidx, id_col="vec_id",
+                        text_col="text", vec_col="embedding", k=5,
+                        per_system_k=1500, nprobe=4)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "__sys" not in plan_big
+    assert "__pid" in plan_big
