@@ -667,9 +667,88 @@ def dup_span_stats_lens(arguments: Mapping[str, Any]) -> Lens:
         shingle=str(arguments.get("shingle", "word"))))
 
 
+_CC_DRIVER_THRESHOLD = 1_000_000
+"""Edge-count bound under which a pair graph's components resolve
+driver-side in one collect (a ≤~16 MB id-pair transfer) instead of
+per-iteration label-propagation jobs."""
+
+
+def _driver_union_find(rows) -> dict:
+    """Min-label union-find over collected (id_a, id_b) pair rows →
+    {node: component} with every label fully resolved (union by min,
+    path halving). Shared by ``connected_components``' fast path and
+    the incremental-dedup probes that already hold the pair rows
+    (r15: one take() both probes emptiness AND yields the components,
+    where isEmpty + connected_components paid two jobs)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            # union by min so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def _probe_pair_losers(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b") -> "list | DataFrame | None":
+    """ONE action deciding a batch's within-batch dedup outcome: a
+    ``take(threshold+1)`` over the verified-pair table either proves
+    the batch CLEAN (returns None — zero pairs ⟹ zero losers), or
+    yields the whole (small) edge list whose components resolve
+    driver-side — the pair rows are already in hand, so re-running
+    ``connected_components``' own take would be a second job over the
+    same checkpoint blocks — or, past the driver threshold (a
+    bulk-bootstrap batch), falls back to the full distributed
+    machinery. Returns the non-representative ("loser") ids as a
+    plain LIST when driver-resolved (callers attach it as a filter —
+    guide §8: decide with small rows, attach without a join), a
+    single-column ``id`` frame on the distributed path, or None for a
+    clean batch."""
+    rows = pairs.select(F.col(id_a), F.col(id_b)) \
+        .take(_CC_DRIVER_THRESHOLD + 1)
+    if not rows:
+        return None
+    if len(rows) <= _CC_DRIVER_THRESHOLD:
+        labels = _driver_union_find(rows)
+        return [x for x, c in labels.items() if x != c]
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.filter(F.col("id") != F.col("component")).select("id")
+
+
+_ISIN_MAX = 100_000
+"""Largest driver-resolved id set attached as an ``isin`` filter (an
+``InSet`` past the conversion threshold — a per-task hash probe, no
+join, no broadcast-build job, and the scan keeps its pruning). Bigger
+sets become a local-relation anti-join so the plan never serializes
+an unbounded literal list."""
+
+
+def _drop_ids(df: DataFrame, id_col: str, losers) -> DataFrame:
+    """Drop ``losers`` (a driver list or an id frame) from ``df`` with
+    anti-join NULL semantics: a NULL id matches no loser and is KEPT
+    (``~isin`` alone yields NULL there and would silently drop it)."""
+    if isinstance(losers, list) and len(losers) <= _ISIN_MAX:
+        return df.filter(~F.coalesce(
+            F.col(id_col).isin(losers), F.lit(False)))
+    if isinstance(losers, list):
+        losers = df.sparkSession.createDataFrame(
+            [(x,) for x in losers], f"id {dict(df.dtypes)[id_col]}")
+    # distributed/oversized path: let the planner pick the join (a
+    # >threshold loser set may be too big to force broadcast)
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          *, max_iter: int = 20,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = _CC_DRIVER_THRESHOLD) -> DataFrame:
     """Min-label components over an undirected pair graph.
 
     Returns (id, component) where component = min id reachable.
@@ -701,21 +780,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # bounded at ~16 MB of id pairs).
         rows = pairs.select(F.col(id_a), F.col(id_b)).take(driver_threshold + 1)
         if len(rows) <= driver_threshold:
-            parent: dict = {}
-
-            def find(x):
-                while parent.setdefault(x, x) != x:
-                    parent[x] = parent[parent[x]]  # path halving
-                    x = parent[x]
-                return x
-
-            for r in rows:
-                ra, rb = find(r[0]), find(r[1])
-                if ra != rb:
-                    # union by min so the root IS the component label
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            data = [(x, find(x)) for x in list(parent)]
+            data = list(_driver_union_find(rows).items())
             schema_t = dict(pairs.dtypes)[id_a]
             return pairs.sparkSession.createDataFrame(
                 data or [], f"id {schema_t}, component {schema_t}")
@@ -1849,44 +1914,47 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
     # zero losers (every pair contributes a non-min member), so a clean
     # batch — the common small-ingest case — is decided by one action
     # that materializes the lazy verify checkpoint and skips the
-    # component machinery entirely. A dup-carrying batch pays the same
-    # single materialization; connected_components then reads the
-    # checkpoint blocks, not the pipeline.
-    clean_batch = verified.isEmpty()
+    # component machinery entirely. r15 (r14 verdict #4): that SAME
+    # action now also yields the components — the take() fetches the
+    # (threshold-bounded) pair rows, so a dup-carrying batch resolves
+    # its losers driver-side without connected_components' second
+    # take() job over the same checkpoint blocks; only a
+    # bulk-bootstrap batch past the driver threshold pays the
+    # distributed machinery.
+    losers = _probe_pair_losers(verified)
+    clean_batch = losers is None
     if clean_batch:
         batch = df
     else:
-        comp = connected_components(verified)
-        losers = comp.filter(F.col("id") != F.col("component")).select("id")
         # NO checkpoint on the survivors (changed in r5, measured ~30%
         # off the whole ingest+dedup query): `losers` is already
-        # materialized — connected_components returns either a
-        # driver-local relation or checkpoint-backed labels — so no
+        # materialized — usually a driver-held id list — so no
         # downstream leg can re-run the verify pipeline. What the
-        # legs DO re-run is this anti-join over the input scan, and
+        # legs DO re-run is this loser cut over the input scan, and
         # column pruning makes that cheap: the id-only consumers
-        # (semi-join keys, payload ids) scan just the id column, and
-        # the one full-width read is the caller's own action. r4's
-        # eager full-width checkpoint paid a dedicated job writing
-        # every surviving row to checkpoint blocks to avoid those
-        # re-scans — strictly worse on measurement. (The r4 note about
-        # lazy *checkpoints* racing concurrent materialization applied
-        # to checkpoint block writes, not to plain lazy plans.)
-        batch = df.join(losers, df[id_col] == losers.id, "left_anti")
+        # (survivor cuts below, payload ids) scan just the id column,
+        # and the one full-width read is the caller's own action.
+        # r4's eager full-width checkpoint paid a dedicated job
+        # writing every surviving row to checkpoint blocks to avoid
+        # those re-scans — strictly worse on measurement.
+        batch = _drop_ids(df, id_col, losers)
     # sig covers the pre-dedup batch; restrict the index side to the
-    # within-batch survivors (semi-joins against the survivor ids). A
-    # clean batch needs no restriction — the survivors ARE the batch —
-    # so the two semi-join exchanges are skipped outright.
+    # within-batch survivors. A clean batch needs no restriction — the
+    # survivors ARE the batch. r15: the survivor cut applies the SAME
+    # driver-held loser list as a filter (r4–r14 semi-joined against
+    # batch_ids — a broadcast-build job per leg whose build side was
+    # itself the anti-joined batch scan; attaching the decision as an
+    # InSet probe removes both builds and keeps every leg narrow).
     if clean_batch:
         sig_arr, bands = sig_arr_all, bands_all
     else:
-        batch_ids = batch.select(F.col(id_col))
-        sig_arr = sig_arr_all.join(batch_ids, id_col, "left_semi")
-        bands = bands_all.join(batch_ids, id_col, "left_semi")
+        sig_arr = _drop_ids(sig_arr_all, id_col, losers)
+        bands = _drop_ids(bands_all, id_col, losers)
     pb_of_band = F.pmod(F.xxhash64(F.col("band_hash")),
                         F.lit(INDEX_PROBE_BUCKETS))
     pb_of_id = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                       F.lit(INDEX_PROBE_BUCKETS))
+    dup_local = None  # driver-held vs-corpus dup ids (small-batch path)
     lock = (_index_writer_lock(spark, index_path)
             if (update_index and locked) else contextlib.nullcontext())
     with lock:
@@ -1986,25 +2054,35 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
             dup_ids = (est.filter(F.col("__est_j") >= threshold)
                        .select(id_col).distinct())
             if update_index:
-                # Checkpoint the TINY dup-id set eagerly, not the
+                # Pin the TINY dup-id set before the append, not the
                 # full-width survivor rows: after this, nothing
                 # downstream (the anti-join, the append payload, the
                 # caller's action) reads the index parquet we're about
-                # to append to — the one plan leg that did is pinned as
-                # id-only checkpoint blocks. This replaces r4's
-                # full-batch survivor checkpoint (a second
-                # materialization of every surviving row) with one job
-                # whose output is just the duplicate ids.
-                dup_ids = dup_ids.localCheckpoint(eager=True)
-                if dup_ids.isEmpty():
-                    # Clean vs-corpus leg (the common ingest case): the
-                    # anti-join would be a no-op — skip it so `fresh`
-                    # keeps batch's (possibly checkpoint-free) plan.
-                    fresh = batch
+                # to append to. r15 (r14 verdict #4): under the
+                # small-batch contract (broadcast_probe — dup_ids is
+                # batch-bounded) ONE collect() replaces the eager
+                # checkpoint + isEmpty pair of jobs, and the
+                # driver-held local relation satisfies the same
+                # no-index-read rule even more strongly; a bulk caller
+                # keeps the checkpoint (a corpus-scale dup set must
+                # never land on the driver).
+                if broadcast_probe:
+                    dup_local = [r[0] for r in dup_ids.collect()]
+                    if not dup_local:
+                        # Clean vs-corpus leg (the common ingest
+                        # case): the cut would be a no-op — skip it
+                        # so `fresh` keeps batch's (possibly
+                        # checkpoint-free) plan.
+                        fresh = batch
+                    else:
+                        fresh = _drop_ids(batch, id_col, dup_local)
                 else:
-                    fresh = batch.join(
-                        F.broadcast(dup_ids) if broadcast_probe
-                        else dup_ids, id_col, "left_anti")
+                    dup_ids = dup_ids.localCheckpoint(eager=True)
+                    if dup_ids.isEmpty():
+                        fresh = batch
+                    else:
+                        fresh = batch.join(dup_ids, id_col,
+                                           "left_anti")
             else:
                 # Read-only call: no append, so no index-file hazard —
                 # the checkpoint job and the emptiness probe buy
@@ -2022,9 +2100,17 @@ def neardup_incremental(df: DataFrame, index_path: str, id_col: str,
         if update_index:
             if fresh is batch:
                 # No vs-corpus dups: bands/sig_arr already cover exactly
-                # the surviving ids — the fresh_ids semi-joins would be
-                # identity exchanges.
+                # the surviving ids — a survivor cut would be an
+                # identity pass.
                 out_bands, out_sigs = bands, sig_arr
+            elif dup_local is not None:
+                # r15: the vs-corpus dup ids are driver-held — cut the
+                # append payload with the same InSet filter as `fresh`
+                # (dup_local ⊆ batch ids, and bands/sig_arr already
+                # hold only batch survivors), where the fresh_ids
+                # semi-joins paid a broadcast-build job per leg.
+                out_bands = _drop_ids(bands, id_col, dup_local)
+                out_sigs = _drop_ids(sig_arr, id_col, dup_local)
             else:
                 fresh_ids = fresh.select(id_col)
                 out_bands = bands.join(fresh_ids, id_col, "left_semi")
@@ -2132,13 +2218,14 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
         method="lsh", dim=dim, threshold=threshold, num_bits=num_bits,
         num_tables=num_tables, seed=seed,
     ).select("id_a", "id_b").localCheckpoint(eager=False)
-    clean_batch = pairs.isEmpty()
+    # r15 (r14 verdict #4): one take() both probes emptiness and
+    # resolves the components driver-side — see neardup_incremental.
+    losers = _probe_pair_losers(pairs)
+    clean_batch = losers is None
     if clean_batch:
         batch = df
     else:
-        comp = connected_components(pairs)
-        losers = comp.filter(F.col("id") != F.col("component")).select("id")
-        batch = df.join(losers, df[id_col] == losers.id, "left_anti")
+        batch = _drop_ids(df, id_col, losers)
 
     # One narrow pass derives both index payloads for the survivors.
     base = batch.select(F.col(id_col), F.col(vec_col))
@@ -2148,6 +2235,7 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
     pb_of_cell = F.pmod(F.col("cell"), F.lit(INDEX_PROBE_BUCKETS))
     pb_of_id = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                       F.lit(INDEX_PROBE_BUCKETS))
+    dup_local = None  # driver-held vs-corpus dup ids (small-batch path)
     lock = (_index_writer_lock(spark, index_path)
             if (update_index and locked) else contextlib.nullcontext())
     with lock:
@@ -2203,9 +2291,17 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
             dup_ids = (est.filter(F.col("__cos") >= float(threshold))
                        .select(id_col).distinct())
             if update_index:
-                dup_ids = dup_ids.localCheckpoint(eager=True)
-                fresh = (batch if dup_ids.isEmpty()
-                         else batch.join(dup_ids, id_col, "left_anti"))
+                # r15: one collect replaces checkpoint + isEmpty under
+                # the small-batch contract — see neardup_incremental.
+                if broadcast_probe:
+                    dup_local = [r[0] for r in dup_ids.collect()]
+                    fresh = (batch if not dup_local
+                             else _drop_ids(batch, id_col, dup_local))
+                else:
+                    dup_ids = dup_ids.localCheckpoint(eager=True)
+                    fresh = (batch if dup_ids.isEmpty()
+                             else batch.join(dup_ids, id_col,
+                                             "left_anti"))
             else:
                 fresh = batch.join(dup_ids, id_col, "left_anti")
         else:
@@ -2213,6 +2309,11 @@ def embedding_neardup_incremental(df: DataFrame, index_path: str,
         if update_index:
             if fresh is batch:
                 out_base, out_cells = base, cells
+            elif dup_local:
+                # r15: driver-held dup ids cut the payload directly —
+                # see the neardup_incremental twin comment
+                out_base = _drop_ids(base, id_col, dup_local)
+                out_cells = _drop_ids(cells, id_col, dup_local)
             else:
                 fresh_ids = fresh.select(id_col)
                 out_base = base.join(fresh_ids, id_col, "left_semi")

@@ -228,6 +228,37 @@ def test_connected_components_both_strategies_agree(spark):
     assert dist == want
 
 
+def test_probe_pair_losers_one_action_matches_components(spark):
+    """r15 (r14 verdict #4): the incremental dedups' emptiness probe
+    and component resolution are ONE take() — `_probe_pair_losers`
+    must return None for a clean batch and the connected_components
+    loser ids as a driver list for a small graph (union-find over the
+    rows the probe already fetched); `_drop_ids` must then cut them
+    with anti-join NULL semantics (NULL ids are KEPT)."""
+    from lens_spark.operators.dedup import (
+        _drop_ids,
+        _probe_pair_losers,
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert _probe_pair_losers(empty) is None
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "id_a long, id_b long")
+    losers = _probe_pair_losers(pairs)
+    comp = connected_components(pairs)
+    want = {r.id for r in
+            comp.filter("id != component").select("id").collect()}
+    assert set(losers) == want == {2, 3, 8, 9, 6}
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop"), (None, "null-keep")],
+        "id long, tag string")
+    kept = {r.tag for r in _drop_ids(df, "id", losers).collect()}
+    assert kept == {"keep", "null-keep"}
+
+
 def test_dedup_incremental_across_batches(spark, tmp_path):
     """Batch 2 drops rows already accepted in batch 1; the index stores
     fingerprints only."""
