@@ -490,6 +490,7 @@ def postings_index_search(spark, queries: DataFrame, index_path: str, *,
     """
     from lens_spark.operators.similarity import _rank_topk
 
+    check_reserved(queries, {"__c", "__s"}, "postings_index_search")
     scored = _postings_scored(spark, queries, index_path, id_col=id_col,
                               text_col=text_col, k1=k1, b=b)
     out = _rank_topk(scored, "query_id", int(k))

@@ -658,7 +658,8 @@ def quantile_bin(df: DataFrame, column: str, *,
     sort-based percentile aggregate is too hot — documented
     trade-off, bins then approximate near boundaries.
     """
-    check_reserved(df, {"__n", "__nd", "__thr"}, "quantile_bin")
+    check_reserved(df, {"__c", "__cum", "__n", "__nd", "__nv", "__thr"},
+                   "quantile_bin")
     ps = [float(p) for p in probs]
     if not ps or any(not 0.0 < p < 1.0 for p in ps) or ps != sorted(ps):
         raise LensError("quantile_bin: probs must be sorted, in (0, 1), "
